@@ -1,13 +1,408 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tsdb._
+import graft.text._
+import graft.vector.VectorOps
+import graft.multimodal.Multimodal
+import graft.streaming.StreamIngest
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Determinism discipline shared with every oracle below (SURVEY §4):
+  * exact DECIMAL sums cast to double once, epoch-integer timestamps,
+  * total-order tiebreaks, identical regexes/casts on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) — Spark only reads it as a
+    // nanos LONG; graft.tsdb.Series.tsUs normalizes downstream.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // Canonical series-id fragment shared by every events oracle.
+  private val SeriesIdSql =
+    "md5('event_type=' || event_type || ',user_id=' || CAST(user_id AS VARCHAR))"
+
+  // Query window over the events table (data spans Jan 2024).
+  private val T1 = 1704412800000000L // 2024-01-05 00:00:00 UTC (us)
+  private val T2 = 1705708800000000L // 2024-01-20 00:00:00 UTC (us)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_topk")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────────────────────── TSDB core ─────────────────────────
+    "ts_series_catalog" -> ((s, dir) => Series.catalog(t(s, dir, "events"))),
+
+    "ts_query_eq" -> ((s, dir) =>
+      TsOps.rangeQuery(Series.samples(t(s, dir, "events")),
+        Seq(MatchEq("event_type", "purchase")), T1, T2)),
+
+    "ts_query_re" -> ((s, dir) =>
+      TsOps.rangeQuery(Series.samples(t(s, dir, "events")),
+        Seq(MatchRe("event_type", "^(purchase|signup)$"), MatchNeq("user_id", "5")),
+        T1, T2)),
+
+    "ts_label_index" -> ((s, dir) => Series.labelIndex(t(s, dir, "events"))),
+
+    "ts_downsample_1h" -> ((s, dir) =>
+      TsOps.downsample(Series.samples(t(s, dir, "events")))),
+
+    "ts_rate" -> ((s, dir) => TsOps.rate(Series.samples(t(s, dir, "events")))),
+
+    "ts_last_over_time" -> ((s, dir) =>
+      TsOps.lastOverTime(Series.samples(t(s, dir, "events")), T2)),
+
+    "ts_chunk_stats" -> ((s, dir) =>
+      TsOps.chunkStats(Series.samples(t(s, dir, "events")))),
+
+    "ts_gorilla_roundtrip" -> ((s, dir) =>
+      Gorilla.unpack(Gorilla.pack(Series.samples(t(s, dir, "events"))))),
+
+    "stream_window_counts" -> ((s, dir) =>
+      StreamIngest.windowCounts(t(s, dir, "events"))),
+
+    "events_sessionize" -> ((s, dir) => TsOps.sessionize(t(s, dir, "events"))),
+
+    // ─────────────────────── analytics core ───────────────────────
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          TsOps.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          TsOps.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          TsOps.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))),
+
+    "q3_topk" -> ((s, dir) => {
+      val cut = lit("1997-01-01").cast("timestamp")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          // o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast
+          // keeps the wall-clock == DuckDB's epoch_ms of the naive value
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_regional" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+    }),
+
+    "topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // ──────────────────── LLM-data-pipeline ops ────────────────────
+    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3)),
+
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"))),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      VectorOps.cosineTopK(e, e.filter(col("vec_id") < 5), 10)
+    }),
+
+    "text_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
+
+    "token_count" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+
+    "lang_id" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
+
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.fakeDecode(Multimodal.attachMedia(t(s, dir, "documents")))))
+
+  // ───────────────────────── oracle SQL ─────────────────────────
+  def oracleSql: Map[String, String] = Map(
+    "ts_series_catalog" ->
+      s"""SELECT DISTINCT $SeriesIdSql AS series_id, event_type, user_id FROM events""",
+
+    "ts_query_eq" ->
+      s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE event_type = 'purchase' AND epoch_us(ts) BETWEEN $T1 AND $T2""",
+
+    "ts_query_re" ->
+      s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE regexp_matches(event_type, '^(purchase|signup)$$')
+            AND CAST(user_id AS VARCHAR) <> '5'
+            AND epoch_us(ts) BETWEEN $T1 AND $T2""",
+
+    "ts_label_index" ->
+      s"""WITH cat AS (SELECT DISTINCT $SeriesIdSql AS series_id, event_type, user_id FROM events)
+          SELECT 'event_type' AS label_key, event_type AS label_value,
+                 CAST(count(*) AS BIGINT) AS n_series FROM cat GROUP BY 2
+          UNION ALL
+          SELECT 'user_id', CAST(user_id AS VARCHAR), CAST(count(*) AS BIGINT)
+          FROM cat GROUP BY 2""",
+
+    "ts_downsample_1h" ->
+      s"""SELECT $SeriesIdSql AS series_id,
+                 (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 min(value) AS min_value, max(value) AS max_value,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)/count(*) AS avg_value
+          FROM events GROUP BY 1, 2""",
+
+    "ts_rate" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          agg AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+                    min(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS f,
+                    max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
+                  FROM s GROUP BY 1)
+          SELECT series_id, n_points, f.ts_us AS first_ts_us, l.ts_us AS last_ts_us,
+                 f.value AS first_value, l.value AS last_value,
+                 CASE WHEN l.ts_us > f.ts_us
+                      THEN (l.value - f.value) / ((l.ts_us - f.ts_us) / 1000000.0)
+                      ELSE 0.0 END AS rate_per_sec
+          FROM agg""",
+
+    "ts_last_over_time" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value
+                     FROM events WHERE epoch_us(ts) <= $T2),
+          agg AS (SELECT series_id,
+                    max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
+                  FROM s GROUP BY 1)
+          SELECT series_id, l.ts_us AS ts_us, l.value AS value FROM agg""",
+
+    "ts_chunk_stats" ->
+      s"""SELECT epoch_us(ts)//3600000000 AS chunk,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(count(DISTINCT $SeriesIdSql) AS BIGINT) AS n_series,
+                 min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+          FROM events GROUP BY 1""",
+
+    "ts_gorilla_roundtrip" ->
+      s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events""",
+
+    "stream_window_counts" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "events_sessionize" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS is_new
+               FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM m)
+         SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         FROM x GROUP BY 1, 2""",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+                CAST(count(*) AS BIGINT) AS count_order,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)/count(*) AS avg_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""",
+
+    "q3_topk" ->
+      """SELECT o_orderkey,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                epoch_ms(o_orderdate) AS o_orderdate_ms
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+
+    "q5_regional" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY 1""",
+
+    "topk_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+           FROM customer) WHERE rank <= 3""",
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY text""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_inter,
+                CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) AS jaccard
+         FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3""",
+
+    "dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || sh)) AS m
+                 FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) GROUP BY 1, 2),
+         band AS (SELECT doc_id, s//4 AS band, md5(string_agg(m, '' ORDER BY s)) AS bh
+                  FROM sig GROUP BY 1, 2)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         tk AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM tok),
+         h AS (SELECT doc_id, md5(tok) AS h FROM tk),
+         bits AS (SELECT doc_id, i,
+                    CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+                         THEN 1 ELSE -1 END AS bit
+                  FROM h CROSS JOIN (SELECT unnest(range(1, 33)) AS i)),
+         votes AS (SELECT doc_id, i, sum(bit) AS vote FROM bits GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(32 - i AS INT) ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY 1),
+         blk AS (SELECT doc_id, simhash, b.blk,
+                   CASE b.blk WHEN 0 THEN simhash//16777216
+                              WHEN 1 THEN (simhash//65536)%256
+                              WHEN 2 THEN (simhash//256)%256
+                              ELSE simhash%256 END AS blk_val
+                 FROM sh CROSS JOIN (SELECT unnest(range(4)) AS blk) b)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM blk a JOIN blk b
+           ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+               FROM s)
+         SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "text_quality" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS len,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+                CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS BIGINT) AS n_stop,
+                CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+                CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) * 1.0 / length(text) AS punct_ratio,
+                CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS BIGINT) * 1.0
+                  / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS stop_ratio,
+                CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) * 1.0 / length(text) AS upper_ratio
+         FROM documents""",
+
+    "token_count" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+                CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens
+         FROM documents""",
+
+    "lang_id" ->
+      """WITH scored AS (
+           SELECT doc_id, 'en' AS cand_lang, CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS BIGINT) AS score FROM documents
+           UNION ALL
+           SELECT doc_id, 'es', CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las|una|por|con|del)\b')) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT doc_id, 'de', CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\b')) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT doc_id, 'fr', CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|une|dans|pour|que|qui)\b')) AS BIGINT) FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+               FROM scored)
+         SELECT doc_id, CASE WHEN score > 0 THEN cand_lang ELSE 'unknown' END AS pred_lang, score
+         FROM r WHERE rn = 1""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 5))) AS fp
+         FROM (SELECT doc_id, text, unnest(range(1, length(text)-3)) AS i
+               FROM documents WHERE length(text) >= 5)
+         GROUP BY 1""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                CAST(strlen(text) % 640 AS BIGINT) AS width,
+                CAST(strlen(text) % 480 AS BIGINT) AS height,
+                md5(text) AS checksum
+         FROM documents""")
 }

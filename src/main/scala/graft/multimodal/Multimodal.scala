@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed per-partition in batches — the Spark-side
+  * shape a real decoder (image/audio libs) would plug into.
+  *
+  * The decode itself is STUBBED: this container ships no media
+  * libraries, so the "decoder" derives deterministic pseudo-metadata
+  * (md5 checksum, length-derived dims) from the payload bytes. The
+  * schema, the binary column flow, the per-partition batching, and the
+  * partitioning are real and tested — a true decoder changes only the
+  * closure body marked below.
+  */
+object Multimodal {
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("checksum", StringType)))
+
+  /** Attach a deterministic fake binary payload (the UTF-8 text bytes)
+    * so the pipeline flows a real binary column. */
+  def attachMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"))
+
+  /** Per-partition batched "decode": one decoder instance per
+    * partition (held by the closure, exactly where a JNI/py decoder
+    * handle would live), rows processed as a streaming iterator. */
+  def fakeDecode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "media", "kind").rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5") // per-partition "decoder"
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val kind = r.getString(2)
+        digest.reset()
+        val checksum = digest.digest(bytes).map("%02x".format(_)).mkString
+        // ??? real decode goes here — stub derives dims from payload size
+        Row(id, kind, bytes.length.toLong, (bytes.length % 640).toLong,
+          (bytes.length % 480).toLong, checksum)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+}

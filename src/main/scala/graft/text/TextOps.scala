@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table. Everything is built from codegen'd
+  * `functions._` expressions (no UDFs in these paths) so whole-stage
+  * codegen spans the scan → project → aggregate pipeline, and the
+  * regex/normalization rules are deliberately simple enough to be
+  * re-stated in ANSI SQL for the oracle.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens. Shared by every operator so the
+    * tokenization is consistent engine-wide. */
+  val TokenPattern = "[a-z0-9]+"
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Word n-gram shingles of a token array (space-joined). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Quality signals: length, token count, punctuation / stopword /
+    * uppercase ratios. Ratios are double divisions of exact integer
+    * counts — deterministic under any partitioning. */
+  private val StopwordRe = "\\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\\b"
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_punct"),
+      size(regexp_extract_all(lower(col("text")), lit(StopwordRe), lit(0))).cast("long").as("n_stop"),
+      size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0))).cast("long").as("n_upper"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("len"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn("upper_ratio", col("n_upper").cast("double") / col("len"))
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_ws_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
+
+  /** n-gram-marker language ID: count stopword hits per candidate
+    * language, argmax with (score desc, lang asc) total order;
+    * 'unknown' when nothing matches. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it|was|for)\\b",
+    "es" -> "\\b(el|la|de|que|los|las|una|por|con|del)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\\b",
+    "fr" -> "\\b(le|la|les|des|est|une|dans|pour|que|qui)\\b")
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = LangMarkers.map { case (lang, re) =>
+      docs.select(
+        col("doc_id"),
+        lit(lang).as("cand_lang"),
+        size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).cast("long").as("score"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand_lang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        when(col("score") > 0, col("cand_lang")).otherwise(lit("unknown")).as("pred_lang"),
+        col("score"))
+  }
+
+  /** Document fingerprint: min-md5 over character 5-gram shingles
+    * (winnowing-lite; cf. Schleimer et al., SIGMOD'03). Documents
+    * shorter than 5 chars have no shingles and are dropped. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 5)
+      .select(
+        col("doc_id"),
+        array_min(transform(
+          sequence(lit(1), length(col("text")) - 4),
+          i => md5(col("text").substr(i, lit(5))))).as("fp"))
+}

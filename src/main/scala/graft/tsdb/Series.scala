@@ -1,0 +1,110 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Series identity + ingest: the reference's data model re-expressed
+  * relationally.
+  *
+  * In TommyCpp/monolith a series is a sorted label set and its id is a
+  * hash of that set (reference: src/common/label.rs:118-127
+  * `Labels::get_hash`, src/common/time_series.rs:7 `TimeSeriesId`).
+  * Here the canonical form is the sorted `k=v` join of the label
+  * columns and the id is its md5 — deterministic in any engine (the
+  * DuckDB oracle can recompute it) and a uniformly-distributed shuffle
+  * key at 100 TB (no hot series-id partitions).
+  */
+object Series {
+
+  /** Canonical sorted label string, e.g. `event_type=click,user_id=7`.
+    * Callers pass label (name, column) pairs; sorting by name mirrors
+    * the reference's `Labels::sort` (src/common/label.rs:139-141).
+    */
+  def canonical(labels: Seq[(String, Column)]): Column = {
+    val parts = labels.sortBy(_._1).map { case (k, v) =>
+      concat(lit(k + "="), v.cast("string"))
+    }
+    concat_ws(",", parts: _*)
+  }
+
+  def seriesId(labels: Seq[(String, Column)]): Column = md5(canonical(labels))
+
+  /** events(event_id, ts, user_id, event_type, value, props) →
+    * the sample frame every TSDB operator consumes:
+    * (series_id, event_type, user_id, ts_us, value, event_id).
+    *
+    * Timestamps become epoch-micros BIGINTs at the boundary: integer
+    * comparisons push down to parquet and there is no timezone/precision
+    * ambiguity anywhere downstream.
+    */
+  /** Event-time column as epoch-micros, whatever the physical type:
+    * parquet TIMESTAMP(NANOS) surfaces as a nanos LONG (read with
+    * spark.sql.legacy.parquet.nanosAsLong=true — Spark has no nanos
+    * timestamp type), TIMESTAMP(MS/US) as TimestampType. */
+  def tsUs(events: DataFrame, c: String = "ts"): Column =
+    events.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case _ => unix_micros(col(c))
+    }
+
+  def samples(events: DataFrame): DataFrame = {
+    val labels = Seq("event_type" -> col("event_type"), "user_id" -> col("user_id"))
+    events.select(
+      seriesId(labels).as("series_id"),
+      col("event_type"),
+      col("user_id"),
+      tsUs(events).as("ts_us"),
+      col("value"),
+      col("event_id"))
+  }
+
+  /** Distinct (series_id, labels) — the reference indexer's mapping #3
+    * (id → label set, src/indexer/sled_indexer.rs:23-25). */
+  def catalog(events: DataFrame): DataFrame =
+    samples(events).select("series_id", "event_type", "user_id").distinct()
+
+  /** Inverted index (label key/value → number of series) — the
+    * reference indexer's mapping #1. On a columnar store the *query*
+    * use of this index is predicate pushdown, which is free; this
+    * materialization serves label-values/cardinality introspection. */
+  def labelIndex(events: DataFrame): DataFrame = {
+    val cat = catalog(events)
+    val byType = cat.groupBy(col("event_type").as("label_value"))
+      .agg(count(lit(1)).as("n_series"))
+      .select(lit("event_type").as("label_key"), col("label_value"), col("n_series"))
+    val byUser = cat.groupBy(col("user_id").cast("string").as("label_value"))
+      .agg(count(lit(1)).as("n_series"))
+      .select(lit("user_id").as("label_key"), col("label_value"), col("n_series"))
+    byType.unionAll(byUser)
+  }
+}
+
+/** Prometheus label matchers (reference: proto `LabelMatcher_Type`
+  * EQ/NEQ/RE/NRE, src/proto/types.rs:1198-1211) as Catalyst predicates.
+  * Declarative columns mean Catalyst pushes EQ/NEQ to the parquet scan
+  * and keeps RE/NRE inside whole-stage codegen.
+  */
+sealed trait Matcher {
+  def key: String
+  def toPredicate: Column
+}
+final case class MatchEq(key: String, value: String) extends Matcher {
+  def toPredicate: Column = col(key).cast("string") === value
+}
+final case class MatchNeq(key: String, value: String) extends Matcher {
+  def toPredicate: Column = col(key).cast("string") =!= value
+}
+final case class MatchRe(key: String, regex: String) extends Matcher {
+  def toPredicate: Column = col(key).cast("string").rlike(regex)
+}
+final case class MatchNre(key: String, regex: String) extends Matcher {
+  def toPredicate: Column = !col(key).cast("string").rlike(regex)
+}
+
+object Matcher {
+  /** AND of all matchers — the reference intersects per-label posting
+    * lists (src/indexer/common.rs `intersect_time_series_id_vec`); the
+    * relational equivalent is a conjunctive filter. */
+  def all(ms: Seq[Matcher]): Column =
+    ms.map(_.toPredicate).reduceOption(_ && _).getOrElse(lit(true))
+}

@@ -1,0 +1,116 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-side TSDB operators over the sample frame produced by
+  * [[Series.samples]]. All are pure DataFrame compositions: Catalyst
+  * prunes columns, pushes the range predicates into the scan, and the
+  * per-series operators shuffle once on `series_id` (md5 — uniform, no
+  * skew at 100 TB).
+  *
+  * Determinism discipline (oracle hash-match): exact sums go through
+  * DECIMAL (order-independent) and are cast to double once; every
+  * first/last pick is totally ordered by (ts_us, event_id).
+  */
+object TsOps {
+
+  private val UsPerHour = 3600L * 1000 * 1000
+
+  /** SUM that is independent of partitioning/summation order: cast to
+    * decimal (exact, associative), sum, one cast back to double. */
+  def exactSum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(28, scale))).cast("double")
+
+  /** Range query with label matchers — the reference's read path
+    * (src/db.rs:205-263 `MonolithDb::query` +
+    * src/storage/common.rs:32-48 `trim_time_series`, inclusive bounds).
+    */
+  def rangeQuery(samples: DataFrame, ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame =
+    samples
+      .filter(Matcher.all(ms))
+      .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+      .select("series_id", "ts_us", "value")
+
+  /** Per-series fixed-window downsample (bucket start in epoch-ms).
+    * Partial aggregation (map-side combine) keeps the shuffle small. */
+  def downsample(samples: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
+    val bucketUs = bucketMs * 1000
+    samples
+      .groupBy(
+        col("series_id"),
+        (expr(s"ts_us div $bucketUs") * bucketMs).as("bucket_ms"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        exactSum(col("value"), 2).as("sum_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_points"))
+  }
+
+  /** Counter-rate per series over its full extent: (last−first) value
+    * over (last−first) seconds. First/last are the min/max of the
+    * struct (ts_us, event_id, value) — one aggregation pass, totally
+    * ordered, no window shuffle. */
+  def rate(samples: DataFrame): DataFrame =
+    samples
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
+      .select(
+        col("series_id"),
+        col("n_points"),
+        col("f.ts_us").as("first_ts_us"),
+        col("l.ts_us").as("last_ts_us"),
+        col("f.value").as("first_value"),
+        col("l.value").as("last_value"),
+        when(col("l.ts_us") > col("f.ts_us"),
+          (col("l.value") - col("f.value")) /
+            ((col("l.ts_us") - col("f.ts_us")) / lit(1000000.0)))
+          .otherwise(lit(0.0)).as("rate_per_sec"))
+
+  /** Latest sample per series at or before `atUs` (PromQL instant
+    * lookup). max-of-struct picks the row in one aggregation. */
+  def lastOverTime(samples: DataFrame, atUs: Long): DataFrame =
+    samples
+      .filter(col("ts_us") <= atUs)
+      .groupBy(col("series_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
+      .select(col("series_id"), col("l.ts_us").as("ts_us"), col("l.value").as("value"))
+
+  /** Per-chunk occupancy stats — the reference's chunk bookkeeping
+    * (src/db.rs:265-303 swap, src/chunk/chunk.rs). Chunk id is the
+    * 1-hour bucket ordinal (integer division — exact). */
+  def chunkStats(samples: DataFrame, chunkMs: Long = 3600000L): DataFrame = {
+    val chunkUs = chunkMs * 1000
+    samples
+      .groupBy(expr(s"ts_us div $chunkUs").as("chunk"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        countDistinct(col("series_id")).as("n_series"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+  }
+
+  /** Gap-based sessionization over the raw event stream: a session
+    * breaks after `gapUs` of inactivity per user. Two windows over the
+    * same (user_id × time) sort — Catalyst reuses one shuffle+sort. */
+  def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Series.samples(events)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        exactSum(col("value"), 2).as("sum_value"))
+  }
+}
