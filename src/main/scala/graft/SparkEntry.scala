@@ -155,6 +155,12 @@ object SparkEntry {
       VectorOps.cosineTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
 
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      VectorOps.lshTopK(e, col("vec_id") < 5, 10)
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
 
     "token_count" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
@@ -353,6 +359,28 @@ object SparkEntry {
                  round(list_dot_product(v, qv) /
                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
                FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+               FROM s)
+         SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "ann_lsh_topk" ->
+      """WITH planes AS (
+           SELECT p, d, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substr(h, 2, 1)) - 1 - 128 AS k
+           FROM (SELECT p, d, md5('plane' || p || '#' || d) AS h
+                 FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(1, 65)) AS d))),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ex AS (SELECT vec_id, d, v[d] AS x FROM e, (SELECT unnest(range(1, 65)) AS d)),
+         proj AS (SELECT vec_id, p, sum(CAST(x AS DECIMAL(18,9)) * k) AS pr
+                  FROM ex JOIN planes USING (d) GROUP BY 1, 2),
+         buck AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(7 - p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM proj GROUP BY 1),
+         cb AS (SELECT e.vec_id, v, bucket FROM e JOIN buck USING (vec_id)),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM cb WHERE vec_id < 5),
+         s AS (SELECT q_id, cb.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM cb JOIN q USING (bucket) WHERE cb.vec_id <> q_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
                FROM s)
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",

@@ -48,31 +48,47 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): maps md5 to [-0.5, 0.5). Reproducible anywhere. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p#"), d.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)) - 0.5
+  /** Deterministic random-hyperplane table (plane p × dimension d):
+    * the integer component k ∈ [-128, 127] is carved from two hex
+    * digits of md5("plane{p}#{d}") — reproducible in any engine, and
+    * integer-valued so projections can be summed EXACTLY in decimal
+    * (the sign of a projection near 0 is then order-independent). */
+  def planeTable(spark: org.apache.spark.sql.SparkSession, nPlanes: Int, dim: Int): DataFrame =
+    spark.range(nPlanes).select(col("id").as("p"))
+      .crossJoin(spark.range(1, dim + 1).select(col("id").as("d")))
+      .withColumn("h", md5(concat(lit("plane"), col("p").cast("string"), lit("#"), col("d").cast("string"))))
+      .withColumn("k",
+        (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substr(h, 2, 1))") - 1 - 128)
+      .select("p", "d", "k")
 
-  /** Sign-bucket signature from `nPlanes` hyperplanes over `v`. */
-  def lshSignature(v: Column, nPlanes: Int = 8): Column = {
-    val bits: Seq[Column] = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, transform(v, (_, i) => planeComponent(p, i)), (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << (nPlanes - 1 - p))).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  /** Sign-bucket per vector: bit p of the bucket = sign of the exact
+    * decimal projection of v onto hyperplane p. One explode + two
+    * partial-aggregated groupBys, plane table broadcast. */
+  def lshBuckets(corpus: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = planeTable(corpus.sparkSession, nPlanes, dim)
+    corpus
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d0", "x")))
+      .withColumn("d", col("d0") + 1)
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("x").cast("decimal(18,9)") * col("k")).as("pr"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("pr") >= 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${nPlanes - 1} - p)")).otherwise(lit(0L)))
+        .as("bucket"))
   }
 
   /** ANN top-k: candidates restricted to the query's LSH bucket, then
-    * exact cosine rerank. Trades recall for a bucket-local join. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              nPlanes: Int = 8, roundTo: Int = 6): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshSignature(col("v"), nPlanes))
+    * exact cosine rerank. Trades recall for a bucket-local join — the
+    * 100 TB scale path (the bucket column is also a fine partition /
+    * Z-order key for the corpus at rest). */
+  def lshTopK(corpus: DataFrame, queryIds: Column, k: Int = 10,
+              nPlanes: Int = 8, dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    val cb = corpus.join(lshBuckets(corpus, nPlanes, dim), "vec_id")
     val qb = broadcast(
-      queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .withColumn("bucket", lshSignature(col("qv"), nPlanes))
+      cb.filter(queryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
         .withColumn("qn", norm(col("qv"))))
     val scored = cb.join(qb, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
