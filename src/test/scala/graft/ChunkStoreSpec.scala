@@ -1,0 +1,44 @@
+package graft
+
+import graft.tsdb._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ChunkStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append → query prunes partitions and trims range; close → gorilla readback") {
+    val dir = Files.createTempDirectory("graft_chunks").toString
+    val store = new ChunkStore(spark, dir)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val samples = Series.samples(events)
+    store.append(samples)
+
+    // chunk column materialized as partition dirs
+    val chunks = store.live().select("chunk").distinct().count()
+    assert(chunks > 100) // a month of hourly chunks
+
+    val t1 = 1704412800000000L
+    val t2 = 1704499200000000L // one day
+    val got = store.query(Seq(MatchEq("event_type", "purchase")), t1, t2)
+    val expect = samples.filter($"event_type" === "purchase" &&
+      $"ts_us" >= t1 && $"ts_us" <= t2).count()
+    assert(got.count() == expect && expect > 0)
+
+    // partition pruning visible in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("chunk"), plan.take(500))
+
+    // close one chunk and read it back losslessly
+    val someChunk = store.live().select("chunk").distinct().as[Long].head()
+    store.closeChunk(someChunk)
+    val reread = store.readClosed(someChunk)
+    val orig = store.live().filter($"chunk" === someChunk)
+    assert(reread.count() == orig.count())
+    val a = reread.orderBy("series_id", "ts_us").select("series_id", "ts_us", "value")
+      .as[(String, Long, Double)].collect().toSeq
+    val b = orig.orderBy("series_id", "ts_us").select("series_id", "ts_us", "value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.text._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different words entirely here now today"),
+    (4L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (5L, "zebra yak xylophone wombat vulture unicorn"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val e = Dedup.exact(toyDocs)
+    assert(e.count() == 4)
+    val dup = e.filter($"n_copies" === 2).select("rep_doc_id").as[Long].head()
+    assert(dup == 1L)
+  }
+
+  test("ngram jaccard finds near-dups, not unrelated docs") {
+    val p = Dedup.ngramJaccardPairs(toyDocs, 3, 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p.contains((1L, 2L)) && p.contains((1L, 4L)) && p.contains((2L, 4L)))
+    assert(!p.exists(x => x._1 == 3L || x._2 == 3L))
+  }
+
+  test("jaccard of exact dup is 1.0") {
+    val j = Dedup.ngramJaccardPairs(toyDocs, 3, 0.3)
+      .filter($"doc_a" === 1 && $"doc_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhash LSH recovers exact and near dups") {
+    val p = Dedup.minhashLshPairs(toyDocs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p.contains((1L, 4L))) // identical → identical signature
+    assert(!p.exists(x => x._1 == 5L || x._2 == 5L))
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val p = Dedup.simhashPairs(toyDocs)
+      .filter($"doc_a" === 1 && $"doc_b" === 4)
+      .select("hamming").as[Long].collect()
+    assert(p.toSeq == Seq(0L))
+  }
+
+  test("stop-shingle cap bounds join fan-out") {
+    // every doc shares shingle "a a a"; with cap 2 the hot shingle is dropped
+    val docs = (1L to 10L).map(i => (i, s"a a a unique$i token$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.0, maxShingleDf = 1000)
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.0, maxShingleDf = 2)
+    assert(uncapped.count() == 45) // all pairs intersect on the hot shingle
+    assert(capped.count() == 0)
+  }
+}

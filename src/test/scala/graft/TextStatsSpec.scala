@@ -1,0 +1,53 @@
+package graft
+
+import graft.text.TextOps
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox, it jumps!"),
+    (2L, "aaaa"),
+    (3L, "el la de que los armamos una fiesta")).toDF("doc_id", "text")
+
+  test("quality counts and ratios") {
+    val q = TextOps.quality(docs).filter($"doc_id" === 1)
+      .select("len", "n_tokens", "n_punct", "n_stop", "n_upper")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(q == ((30L, 6L, 2L, 2L, 1L))) // "the","it" stopwords; ','!' punct; 'T' upper
+  }
+
+  test("token counts: regex vs whitespace vs distinct") {
+    val t = TextOps.tokenCounts(docs).filter($"doc_id" === 1)
+      .select("n_tokens", "n_ws_tokens", "n_distinct_tokens")
+      .as[(Long, Long, Long)].head()
+    assert(t == ((6L, 6L, 6L)))
+  }
+
+  test("langId picks marker-majority language, unknown when silent") {
+    val l = TextOps.langId(docs).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(l(1L) == "en")
+    assert(l(2L) == "unknown")
+    assert(l(3L) == "es")
+  }
+
+  test("fingerprint is stable and length-gated") {
+    val f1 = TextOps.fingerprint(docs).count()
+    assert(f1 == 2) // "aaaa" (len 4) is below the 5-char shingle gate
+    val short = Seq((9L, "abc")).toDF("doc_id", "text")
+    assert(TextOps.fingerprint(short).count() == 0)
+  }
+
+  test("multimodal plumbing: binary payload roundtrip metadata") {
+    val m = Multimodal.fakeDecode(Multimodal.attachMedia(docs))
+    val r = m.filter($"doc_id" === 2).select("kind", "n_bytes", "checksum")
+      .as[(String, Long, String)].head()
+    assert(r._1 == "image" && r._2 == 4L)
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("aaaa".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r._3 == expectedMd5)
+  }
+}

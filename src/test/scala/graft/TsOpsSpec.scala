@@ -1,0 +1,81 @@
+package graft
+
+import graft.tsdb._
+import org.apache.spark.sql.functions._
+
+class TsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyEvents = Seq(
+    // (event_id, ts_ns, user_id, event_type, value)
+    (1L, 1000000000L, 1L, "click", 1.0),
+    (2L, 2000000000L, 1L, "click", 3.0),
+    (3L, 3000000000L, 1L, "click", 7.0),
+    (4L, 1500000000L, 2L, "view", 10.0),
+    (5L, 9999000000000L, 2L, "view", 20.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("samples assigns md5 series ids over sorted labels") {
+    val s = Series.samples(toyEvents)
+    val ids = s.select("series_id").distinct().as[String].collect().sorted
+    assert(ids.length == 2)
+    // canonical: event_type=click,user_id=1
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("event_type=click,user_id=1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(ids.contains(expected))
+  }
+
+  test("matchers: EQ/NEQ/RE/NRE semantics") {
+    val s = Series.samples(toyEvents)
+    assert(s.filter(Matcher.all(Seq(MatchEq("event_type", "click")))).count() == 3)
+    assert(s.filter(Matcher.all(Seq(MatchNeq("event_type", "click")))).count() == 2)
+    assert(s.filter(Matcher.all(Seq(MatchRe("event_type", "^(click|view)$")))).count() == 5)
+    assert(s.filter(Matcher.all(Seq(MatchNre("event_type", "^v")))).count() == 3)
+    assert(s.filter(Matcher.all(Seq(MatchEq("event_type", "click"), MatchEq("user_id", "1")))).count() == 3)
+    assert(s.filter(Matcher.all(Nil)).count() == 5)
+  }
+
+  test("rangeQuery trims inclusively (reference trim_time_series)") {
+    val s = Series.samples(toyEvents)
+    val r = TsOps.rangeQuery(s, Nil, 1000000L, 2000000L) // us
+    assert(r.count() == 3) // ts_us 1000000, 1500000, 2000000
+  }
+
+  test("rate = (last-first)/(dt seconds) per series") {
+    val r = TsOps.rate(Series.samples(toyEvents))
+      .filter($"n_points" === 3).select("rate_per_sec").as[Double].head()
+    assert(math.abs(r - (7.0 - 1.0) / 2.0) < 1e-12) // 6 over 2 seconds
+  }
+
+  test("lastOverTime picks latest at-or-before cutoff") {
+    val l = TsOps.lastOverTime(Series.samples(toyEvents), 2000000L)
+    val rows = l.select("value").as[Double].collect().sorted
+    assert(rows.toSeq == Seq(3.0, 10.0))
+  }
+
+  test("downsample buckets by hour with exact sums") {
+    val d = TsOps.downsample(Series.samples(toyEvents))
+    // first four events share hour bucket 0; the fifth is far out
+    assert(d.count() == 3)
+    val b0 = d.filter($"bucket_ms" === 0 && $"n_points" === 3)
+      .select("sum_value").as[Double].head()
+    assert(b0 == 11.0)
+  }
+
+  test("sessionize splits on gap") {
+    val s = TsOps.sessionize(toyEvents) // user 2: 1.5s then ~9999s later
+    assert(s.filter($"user_id" === 2).count() == 2)
+    assert(s.filter($"user_id" === 1).count() == 1)
+  }
+
+  test("gorilla pack/unpack is lossless through Spark") {
+    val s = Series.samples(toyEvents)
+    val back = Gorilla.unpack(Gorilla.pack(s))
+      .orderBy("series_id", "ts_us")
+      .select("ts_us", "value").as[(Long, Double)].collect().toSeq
+    val expect = s.orderBy("series_id", "ts_us")
+      .select("ts_us", "value").as[(Long, Double)].collect().toSeq
+    assert(back == expect)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toy = Seq(
+    (0L, Array(1.0, 0.0, 0.0)),
+    (1L, Array(0.9, 0.1, 0.0)),   // close to 0
+    (2L, Array(0.0, 1.0, 0.0)),   // orthogonal to 0
+    (3L, Array(-1.0, 0.0, 0.0)),  // opposite of 0
+    (4L, Array(0.8, 0.2, 0.0)))
+    .toDF("vec_id", "v")
+
+  test("cosine topk ranks by similarity with deterministic tiebreaks") {
+    val r = VectorOps.cosineTopK(toy, toy.filter($"vec_id" === 0), k = 4)
+      .orderBy("rank").select("vec_id", "cos").as[(Long, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(r(0)._2 > 0.99 && r(2)._2 == 0.0 && r(3)._2 == -1.0)
+  }
+
+  test("lsh buckets: same direction → same bucket, opposite → different") {
+    val e = toy.withColumn("v", col("v").cast("array<double>"))
+    val b = VectorOps.lshBuckets(e, nPlanes = 8, dim = 3)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L)) // nearly identical directions
+    assert(b(0L) != b(3L)) // antipodal: every plane sign flips
+  }
+
+  test("lsh topk returns bucket-local exact rerank") {
+    val e = toy.withColumn("v", col("v").cast("array<double>"))
+    val r = VectorOps.lshTopK(e, col("vec_id") === 0, k = 3, nPlanes = 8, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r.contains(1L) && !r.contains(3L))
+  }
+
+  test("on real embeddings: lsh candidates ⊂ brute-force universe, top-1 usually agrees") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = VectorOps.cosineTopK(e, e.filter($"vec_id" < 3), 5)
+    val approx = VectorOps.lshTopK(e, $"vec_id" < 3, 5)
+    assert(exact.count() == 15)
+    assert(approx.count() <= 15) // bucket may hold fewer than k
+  }
+}
