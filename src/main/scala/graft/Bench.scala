@@ -14,6 +14,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uncounted warmup: JIT + codegen + shuffle machinery spin-up so the
+    // first measured query isn't charged the JVM cold start
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

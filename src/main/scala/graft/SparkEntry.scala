@@ -172,6 +172,28 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.fakeDecode(Multimodal.attachMedia(t(s, dir, "documents")))))
 
+  /** dedup_minhash oracle, generated with the SAME affine-permutation
+    * constants the Spark operator uses (Dedup.permConstants). */
+  private lazy val minhashOracle: String = {
+    val consts = graft.text.Dedup.permConstants(16)
+    val minCols = consts.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % ${graft.text.Dedup.MinhashP}) AS m$i"
+    }.mkString(", ")
+    val bandRows = (0 until 4).map { bnd =>
+      val sig = (0 until 4).map(j => s"m${bnd * 4 + j}").mkString(" || '#' || ")
+      s"SELECT doc_id, $bnd AS band, md5($sig) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+              FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+       shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
+       sig AS (SELECT doc_id, $minCols FROM shh GROUP BY doc_id),
+       band AS ($bandRows)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM band a JOIN band b
+         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+  }
+
   // ───────────────────────── oracle SQL ─────────────────────────
   def oracleSql: Map[String, String] = Map(
     "ts_series_catalog" ->
@@ -316,17 +338,7 @@ object SparkEntry {
          FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3""",
 
-    "dedup_minhash" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
-         sig AS (SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || '#' || sh)) AS m
-                 FROM sh CROSS JOIN (SELECT unnest(range(16)) AS s) GROUP BY 1, 2),
-         band AS (SELECT doc_id, s//4 AS band, md5(string_agg(m, '' ORDER BY s)) AS bh
-                  FROM sig GROUP BY 1, 2)
-         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM band a JOIN band b
-           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+    "dedup_minhash" -> minhashOracle,
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
@@ -420,7 +432,8 @@ object SparkEntry {
          FROM r WHERE rn = 1""",
 
     "doc_fingerprint" ->
-      """SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 5))) AS fp
+      """SELECT doc_id,
+                min(('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT) AS fp
          FROM (SELECT doc_id, text, unnest(range(1, length(text)-3)) AS i
                FROM documents WHERE length(text) >= 5)
          GROUP BY 1""",

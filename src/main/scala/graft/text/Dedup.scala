@@ -25,48 +25,78 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text")).as("text_md5"), col("rep_doc_id"), col("n_copies"))
 
-  /** Distinct word-`n`-gram shingles per doc: (doc_id, sh). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+  /** Word-`n`-gram shingles per doc: (doc_id, sh). `distinct` costs a
+    * shuffle — skip it for consumers that are duplicate-insensitive
+    * (minhash: min() doesn't care how often a shingle appears). */
+  def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), explode(TextOps.wordShingles(TextOps.tokens(col("text")), n)).as("sh"))
-      .distinct()
+    if (distinct) sh.distinct() else sh
+  }
+
+  /** 60-bit numeric hash of a string via md5 — fits a LONG, so min()
+    * aggregations stay in (codegen'd) HashAggregate instead of
+    * SortAggregate, and the DuckDB oracle reproduces it exactly with
+    * ('0x' || substr(md5(x), 1, 15))::BIGINT. Ties under truncation
+    * are harmless for min-hashing: equal mins are equal values. */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard ≥
-    * threshold). Self-join on the shingle key; `maxShingleDf` caps
-    * join fan-out on stop-shingles. */
+    * threshold). One self-join on the shingle key; the per-doc set
+    * size and the per-shingle doc-frequency ride along as window
+    * counts so no extra joins are needed. `maxShingleDf` caps join
+    * fan-out on stop-shingles (a shingle in 10k docs ⇒ 10⁸ pairs of
+    * pure noise at scale). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
                         maxShingleDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, n)
-    val kept = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
       .drop("df")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = kept.as("a")
-      .join(kept.as("b"),
+    sh.as("a")
+      .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .agg(count(lit(1)).as("n_inter"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
-  /** MinHash signatures: `numPerm` permutations simulated as
-    * min(md5(seed || '#' || shingle)) per seed — the min over a keyed
-    * cryptographic hash is a valid permutation-min and is reproducible
-    * in SQL. Output: (doc_id, seed, minhash). */
+  /** Mersenne prime 2^31−1: the modulus of the affine permutation
+    * family. h < 2^28 and a < 2^30 keep a*h+b well inside a long. */
+  val MinhashP = 2147483647L
+
+  /** Deterministic affine-permutation constants (a_i odd, b_i), carved
+    * from md5 so any engine can restate them as literals. */
+  def permConstants(numPerm: Int): Seq[(Long, Long)] = {
+    def c(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 7), 16)
+    }
+    (0 until numPerm).map(i => (2L * c(s"a$i") + 1L, c(s"b$i")))
+  }
+
+  /** MinHash signatures via ONE md5 per shingle: h = 28-bit hash of
+    * the shingle, permutation i = (a_i·h + b_i) mod (2^31−1) — the
+    * classic universal-hash family (Broder, SEQUENCES'97). numPerm
+    * min-columns in one wide HashAggregate, one shuffle keyed by
+    * doc_id, no seed explode, no per-seed md5.
+    * Output: (doc_id, m0..m{numPerm-1}). */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numPerm: Int = 16): DataFrame = {
-    val seeds = (0 until numPerm).map(i => lit(i)).toArray
-    shingles(docs, n)
-      .select(col("doc_id"), explode(array(seeds: _*)).as("seed"), col("sh"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("#"), col("sh")))).as("minhash"))
+    val consts = permConstants(numPerm)
+    val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"m$i")
+    }
+    shingles(docs, n, distinct = false)
+      .withColumn("h", conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs: signatures grouped into
@@ -75,12 +105,14 @@ object Dedup {
     * candidate generation is a bucket join, never a cross product. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 16,
                       bandSize: Int = 4): DataFrame = {
+    val nBands = numPerm / bandSize
+    val bandStructs = (0 until nBands).map { b =>
+      val sig = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
+      struct(lit(b).as("band"), md5(concat_ws("#", sig: _*)).as("band_hash"))
+    }
     val bands = minhashSignatures(docs, n, numPerm)
-      .withColumn("band", expr(s"seed div $bandSize"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws("",
-        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          s => s.getField("minhash")))).as("band_hash"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_hash").as("band_hash"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
@@ -96,19 +128,31 @@ object Dedup {
     * (doc_id, simhash BIGINT, b0..b3 8-bit block values for bucketing).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // bit i of a token's 32-bit hash = high bit of hex digit i of its
+    // md5. Materialized numerically: 4 conv() calls turn 8 hex digits
+    // each into a 32-bit long, then each bit is one shift+mask —
+    // instead of 32 substring+IN-list string comparisons per token.
+    val chunks = (0 until 4).map { c =>
+      conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")
+    }
+    // digit j (1..8) of chunk c: high bit = (c >>> (35 - 4j)) & 1
+    val bitSums = (1 to 32).map { i =>
+      val c = (i - 1) / 8
+      val j = (i - 1) % 8 + 1
+      sum(shiftrightunsigned(col(s"c$c"), 35 - 4 * j).bitwiseAND(1L)).as(s"s$i")
+    }
+    val votes = docs
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val bitIdx = (1 to 32).map(i => lit(i)).toArray
-    val votes = toks
-      .select(col("doc_id"), explode(array(bitIdx: _*)).as("i"), col("h"))
-      .withColumn("bit", when(col("h").substr(col("i"), lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("bit")).as("vote"))
-      .withColumn("bitval", when(col("vote") > 0, 1L).otherwise(0L))
-    votes
+      .select(col("doc_id") +: chunks: _*)
       .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bitval, 32 - i)")).as("simhash"))
+      .agg(count(lit(1)).as("n"), bitSums: _*) // one pass, 32 bit-count columns
+    // majority vote (+1/-1 sum > 0 ⟺ 2·ones > n)
+    val hash = (1 to 32).map { i =>
+      when(col(s"s$i") * 2 > col("n"), lit(1L << (32 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes
+      .select(col("doc_id"), hash.as("simhash"))
       .select(
         col("doc_id"), col("simhash"),
         expr("simhash div 16777216").as("b0"),
@@ -122,9 +166,11 @@ object Dedup {
     * join is block-bucketed, not all-pairs). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
-    val blocks = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
-      sh.select(col("doc_id"), col("simhash"), lit(i).as("blk"), col(c).as("blk_val"))
-    }.reduce(_ unionAll _)
+    // posexplode unpivot, NOT a 4-way union: a union would replicate
+    // the whole upstream aggregation pipeline once per block (×2 join
+    // sides); this keeps it one pipeline per side.
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "blk_val")))
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val") &&

@@ -81,9 +81,18 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= 5)
-      .select(
-        col("doc_id"),
-        array_min(transform(
-          sequence(lit(1), length(col("text")) - 4),
-          i => md5(col("text").substr(i, lit(5))))).as("fp"))
+      // explode + hash-agg instead of a higher-order array_min: HOF
+      // lambdas don't participate in whole-stage codegen, the
+      // explode→md5→partial-min pipeline does (min combines map-side,
+      // so the shuffle is one row per doc).
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")) - 4)).as("i"),
+        col("text"))
+      .select(col("doc_id"),
+        // 60-bit numeric hash (LONG min ⇒ HashAggregate, not the
+        // SortAggregate a string min would force); oracle recomputes
+        // it as ('0x' || substr(md5(x),1,15))::BIGINT
+        conv(substring(md5(col("text").substr(col("i"), lit(5))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp"))
 }
