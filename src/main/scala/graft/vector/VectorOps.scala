@@ -31,16 +31,14 @@ object VectorOps {
     * decimals; total order (score desc, vec_id asc). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                  roundTo: Int = 6): DataFrame = {
-    val q = broadcast(
-      queries.select(
-        col("vec_id").as("q_id"),
-        col("v").as("qv"),
-        norm(col("v")).as("qn")))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv")))
     val scored = corpus
-      .withColumn("n", norm(col("v")))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), roundTo))
+      // native codegen'd expression — one fused loop per pair, inside
+      // whole-stage codegen (the HOF fold would be CodegenFallback)
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -88,12 +86,11 @@ object VectorOps {
     val cb = corpus.join(lshBuckets(corpus, nPlanes, dim), "vec_id")
     val qb = broadcast(
       cb.filter(queryIds)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-        .withColumn("qn", norm(col("qv"))))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket")))
     val scored = cb.join(qb, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
-        round(dot(col("v"), col("qv")) / (norm(col("v")) * col("qn")), roundTo))
+        round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
