@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming ingest — the reference's WAL + remote-write path
   * (src/wal/, src/server.rs:170-179) re-expressed as Structured
@@ -43,4 +44,56 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .format("console")
       .start()
+
+  /** Streaming ingest into a [[graft.tsdb.ChunkStore]]: each
+    * micro-batch is normalized to samples and appended to its hour
+    * partitions — the Spark-native equivalent of the reference's
+    * remote-write → WAL → current-chunk path (src/server.rs:170-179,
+    * src/db.rs:178-199). Checkpointing makes the append idempotent at
+    * the batch level, which is the WAL's crash-recovery role. */
+  def startChunkSink(events: DataFrame, store: graft.tsdb.ChunkStore, checkpoint: String) =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.append(graft.tsdb.Series.samples(batch))
+      }
+      .start()
+
+  case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(start_us: Long, end_us: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Stateful streaming sessionization: a per-user session closes when
+    * a later event arrives more than `gapUs` past its end, and the
+    * closed session is emitted. Custom state via
+    * `flatMapGroupsWithState` — state lives in the state store keyed
+    * by user, so at 100 TB of events state size is O(active users),
+    * not O(events). Deliberately NoTimeout: emission is driven purely
+    * by data (deterministic, replayable); a wall-clock close for
+    * forever-quiet users belongs to an event-time-timeout variant. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => e.ts_us).foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.end_us <= gapUs =>
+                cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+      }
+  }
 }
