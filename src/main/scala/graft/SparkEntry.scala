@@ -71,6 +71,17 @@ object SparkEntry {
 
     "events_sessionize" -> ((s, dir) => TsOps.sessionize(t(s, dir, "events"))),
 
+    "ts_agg_across_series" -> ((s, dir) =>
+      // PromQL-style `sum by (event_type)` per hour: aggregate ACROSS
+      // series, dropping the user_id label dimension
+      Series.samples(t(s, dir, "events"))
+        .groupBy(col("event_type"),
+          (expr("ts_us div 3600000000") * lit(3600000L)).as("bucket_ms"))
+        .agg(
+          countDistinct(col("series_id")).as("n_series"),
+          count(lit(1)).as("n_points"),
+          TsOps.exactSum(col("value"), 2).as("sum_value"))),
+
     // ─────────────────────── analytics core ───────────────────────
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -128,6 +139,36 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("revenue"))
+    }),
+
+    "q18_big_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(TsOps.exactSum(col("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+          col("total_qty"))
+    }),
+
+    "q14_promo_share" -> ((s, dir) => {
+      // revenue share of PROMO-type parts per month (lineitem ⋈ part
+      // with the small dim broadcast; conditional decimal-exact sums)
+      val p = t(s, dir, "part").select("p_partkey", "p_type")
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_shipdate"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate").cast("timestamp")).as("monthTs"))
+        .agg(
+          TsOps.exactSum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)), 6)
+            .as("promo_revenue"),
+          TsOps.exactSum(col("rev"), 6).as("total_revenue"))
+        .select(
+          unix_millis(col("monthTs")).as("month_ms"),
+          col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") * lit(100.0) / col("total_revenue")).as("promo_pct"))
     }),
 
     "topk_per_group" -> ((s, dir) => {
@@ -276,6 +317,34 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    "ts_agg_across_series" ->
+      s"""SELECT event_type, (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
+                 CAST(count(DISTINCT $SeriesIdSql) AS BIGINT) AS n_series,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2""",
+
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, epoch_ms(o_orderdate) AS o_orderdate_ms,
+                total_qty
+         FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+               FROM lineitem GROUP BY 1) big
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE total_qty > 150.0""",
+
+    "q14_promo_share" ->
+      """SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
+                CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END
+                              AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+                CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END
+                              AS DECIMAL(28,6))) AS DOUBLE) * 100.0 /
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
