@@ -190,6 +190,10 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
 
+    "dedup_keep" -> ((s, dir) =>
+      Dedup.dedupedCorpus(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -408,6 +412,19 @@ object SparkEntry {
          WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3""",
 
     "dedup_minhash" -> minhashOracle,
+
+    "dedup_keep" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         dominated AS (SELECT DISTINCT doc_b FROM inter
+                       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                       WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_b FROM dominated)""",
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

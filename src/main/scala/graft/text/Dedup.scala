@@ -121,6 +121,17 @@ object Dedup {
       .distinct()
   }
 
+  /** The pipeline-completing operator: the deduplicated corpus.
+    * Greedy keep-lowest-id: a doc survives unless some lower-id doc is
+    * near-duplicate of it (appears as doc_b in the pair list, which is
+    * always oriented doc_a < doc_b). One left-anti join against the
+    * distinct dominated set — at scale this is the cheap side of the
+    * dedup job, and anti joins broadcast when the dup set is small. */
+  def dedupedCorpus(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val dominated = ngramJaccardPairs(docs, n, threshold).select(col("doc_b")).distinct()
+    docs.join(dominated, docs("doc_id") === dominated("doc_b"), "left_anti")
+  }
+
   /** 32-bit SimHash from distinct tokens (Charikar, STOC'02). Bit i of
     * the hash of token t = high bit of hex digit i of md5(t) — 32
     * uniform bits per token with no engine-specific integer hashing.
