@@ -71,6 +71,17 @@ object SparkEntry {
 
     "events_sessionize" -> ((s, dir) => TsOps.sessionize(t(s, dir, "events"))),
 
+    "ts_asof_join" -> ((s, dir) => {
+      val sm = Series.samples(t(s, dir, "events"))
+      val l = sm.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "event_id", "value")
+      val r = AsOf.latestPerTs(
+        sm.filter(col("event_type") === "click")
+          .select("user_id", "ts_us", "event_id", "value"),
+        Seq("user_id"), "ts_us", "event_id", "value")
+      AsOf.joinAsOf(l, r, Seq("user_id"), "ts_us", "value", "last_click_value")
+    }),
+
     "ts_agg_across_series" -> ((s, dir) =>
       // PromQL-style `sum by (event_type)` per hour: aggregate ACROSS
       // series, dropping the user_id label dimension
@@ -321,6 +332,15 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    "ts_asof_join" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, event_type FROM events),
+         l AS (SELECT user_id, ts_us, event_id, value FROM s WHERE event_type = 'purchase'),
+         r0 AS (SELECT user_id, ts_us, event_id, value FROM s WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts_us, (max(struct_pack(event_id := event_id, value := value))).value AS cv
+               FROM r0 GROUP BY 1, 2)
+         SELECT l.user_id, l.ts_us, l.event_id, l.value, r.cv AS last_click_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""",
 
     "ts_agg_across_series" ->
       s"""SELECT event_type, (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
