@@ -183,12 +183,16 @@ object SparkEntry {
     }),
 
     "topk_per_group" -> ((s, dir) => {
+      // custom TopKPerKey physical operator (bounded heaps, no full
+      // window sort); rank re-derived over the tiny surviving set
+      val top = graft.plans.TopKPerKey(
+        t(s, dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal"),
+        Seq("c_mktsegment"),
+        Seq("c_acctbal" -> graft.plans.TopKPerKey.Desc, "c_custkey" -> graft.plans.TopKPerKey.Asc),
+        3)
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      t(s, dir, "customer")
-        .select("c_mktsegment", "c_custkey", "c_acctbal")
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
+      top.withColumn("rank", row_number().over(w).cast("long"))
     }),
 
     // ──────────────────── LLM-data-pipeline ops ────────────────────
