@@ -50,11 +50,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
                         maxShingleDf: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: both sides of the self-join read the same frame — without
+    // this the whole shingle pipeline executes twice (at cluster scale
+    // you would checkpoint here instead)
     val sh = shingles(docs, n)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxShingleDf)
       .drop("df")
+      .persist()
     sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -113,6 +117,7 @@ object Dedup {
     val bands = minhashSignatures(docs, n, numPerm)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_hash").as("band_hash"))
+      .persist() // tiny (4 rows/doc); spares the signature agg running twice
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
@@ -182,6 +187,7 @@ object Dedup {
     // sides); this keeps it one pipeline per side.
     val blocks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("blk", "blk_val")))
+      .persist() // 4 rows/doc; spares the vote agg running twice
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val") &&

@@ -83,7 +83,7 @@ object VectorOps {
     * Z-order key for the corpus at rest). */
   def lshTopK(corpus: DataFrame, queryIds: Column, k: Int = 10,
               nPlanes: Int = 8, dim: Int = 64, roundTo: Int = 6): DataFrame = {
-    val cb = corpus.join(lshBuckets(corpus, nPlanes, dim), "vec_id")
+    val cb = corpus.join(lshBuckets(corpus, nPlanes, dim), "vec_id").persist()
     val qb = broadcast(
       cb.filter(queryIds)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket")))
