@@ -82,6 +82,54 @@ object SparkEntry {
       AsOf.joinAsOf(l, r, Seq("user_id"), "ts_us", "value", "last_click_value")
     }),
 
+    "ts_quantiles" -> ((s, dir) =>
+      // exact interpolated percentiles (type R-7 — same definition as
+      // DuckDB quantile_cont); rounded to absorb last-ULP libm drift
+      Series.samples(t(s, dir, "events"))
+        .groupBy(col("series_id"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
+    "events_funnel" -> ((s, dir) => {
+      // signup → purchase conversion per user: first signup, first
+      // purchase at-or-after it, conversion delay
+      val sm = Series.samples(t(s, dir, "events"))
+      val signup = sm.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+      val purchase = sm.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"))
+      signup.join(purchase, Seq("user_id"), "left")
+        .withColumn("p_ok", when(col("ts_us") >= col("signup_us"), col("ts_us")))
+        .groupBy(col("user_id"), col("signup_us"))
+        .agg(min(col("p_ok")).as("first_purchase_us"))
+        .withColumn("converted", col("first_purchase_us").isNotNull.cast("int"))
+        .withColumn("delay_s",
+          when(col("converted") === 1,
+            (col("first_purchase_us") - col("signup_us")) / lit(1000000.0)))
+    }),
+
+    "doc_topterms" -> ((s, dir) => {
+      // tf-idf top-5 terms per doc, top-k via the custom TopKPerKey
+      // operator (score rounded pre-rank for cross-engine determinism)
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+        .select("doc_id", "term", "tf", "tfidf")
+      val top = graft.plans.TopKPerKey(scored, Seq("doc_id"),
+        Seq("tfidf" -> graft.plans.TopKPerKey.Desc, "term" -> graft.plans.TopKPerKey.Asc), 5)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      top.withColumn("rank", row_number().over(w).cast("long"))
+    }),
+
     "ts_agg_across_series" -> ((s, dir) =>
       // PromQL-style `sum by (event_type)` per hour: aggregate ACROSS
       // series, dropping the user_id label dimension
@@ -336,6 +384,39 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    "ts_quantiles" ->
+      s"""SELECT $SeriesIdSql AS series_id, CAST(count(*) AS BIGINT) AS n_points,
+                 round(quantile_cont(value, 0.5), 6) AS p50,
+                 round(quantile_cont(value, 0.95), 6) AS p95
+          FROM events GROUP BY 1""",
+
+    "events_funnel" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         su AS (SELECT user_id, min(ts_us) AS signup_us FROM s WHERE event_type = 'signup' GROUP BY 1),
+         j AS (SELECT su.user_id, su.signup_us,
+                      CASE WHEN p.ts_us >= su.signup_us THEN p.ts_us END AS p_ok
+               FROM su LEFT JOIN (SELECT user_id, ts_us FROM s WHERE event_type = 'purchase') p
+                 ON su.user_id = p.user_id)
+         SELECT user_id, signup_us, min(p_ok) AS first_purchase_us,
+                CAST(CASE WHEN min(p_ok) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS converted,
+                CASE WHEN min(p_ok) IS NOT NULL
+                     THEN (min(p_ok) - signup_us) / 1000000.0 END AS delay_s
+         FROM j GROUP BY 1, 2""",
+
+    "doc_topterms" ->
+      """WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                        FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term, tf,
+                           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+                    FROM tf JOIN dft USING (term) CROSS JOIN nd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term ASC) AS rank
+               FROM scored)
+         SELECT doc_id, term, tf, tfidf, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""",
 
     "ts_asof_join" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, event_type FROM events),

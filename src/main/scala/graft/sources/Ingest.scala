@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Alternative event sources. The reference ingests protobuf over
+  * HTTP (Prometheus remote write, src/server.rs); a Spark library's
+  * equivalent surface is schema-enforced readers for the common wire
+  * dumps (JSON-lines, CSV) that feed the same normalization path
+  * ([[graft.tsdb.Series.samples]]) as the parquet tables.
+  */
+object Ingest {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** JSON-lines events. Explicit schema: no sampling pass, no type
+    * drift — at 100 TB a schema-inference pre-scan is a non-starter. */
+  def eventsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema).json(path)
+
+  def eventsFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .csv(path)
+
+  /** Streaming variant of the JSON source (file-arrival ingest). */
+  def eventsStreamFromJsonl(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+}
