@@ -263,6 +263,12 @@ object SparkEntry {
       VectorOps.cosineTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
 
+    "dedup_embedding" -> ((s, dir) =>
+      VectorOps.cosineNearDupPairs(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        0.4)),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -565,6 +571,15 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
                FROM s)
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
 
     "ann_lsh_topk" ->
       """WITH planes AS (

@@ -46,6 +46,20 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (vec a < b, rounded cosine
+    * ≥ threshold). Brute-force all-pairs — correct baseline; at 100 TB
+    * restrict the pair space first with [[lshBuckets]] (same-bucket
+    * pairs only) and use this as the rerank. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("va"), col("vb")), roundTo))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Deterministic random-hyperplane table (plane p × dimension d):
     * the integer component k ∈ [-128, 127] is carved from two hex
     * digits of md5("plane{p}#{d}") — reproducible in any engine, and
