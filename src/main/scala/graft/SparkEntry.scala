@@ -620,6 +620,7 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
                 CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens
          FROM documents""",
 

@@ -33,6 +33,33 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"))
 
+  /** Feature extraction over the binary column: a deterministic
+    * `dim`-float pseudo-embedding per payload (byte histogram folded
+    * into dim buckets, L2-normalized) — the stub stand-in for an image
+    * encoder. Output (vec_id, v: array<double>) plugs directly into
+    * [[graft.vector.VectorOps]] (cosine top-k / LSH), completing the
+    * media → embedding → similarity-search pipeline shape. */
+  def fakeFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val rdd = media.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Double](dim)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1.0; i += 1 }
+        var n2 = 0.0
+        hist.foreach(x => n2 += x * x)
+        val norm = math.sqrt(n2)
+        val v = if (norm > 0) hist.map(_ / norm) else hist
+        Row(r.getLong(0), v.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Per-partition batched "decode": one decoder instance per
     * partition (held by the closure, exactly where a JNI/py decoder
     * handle would live), rows processed as a streaming iterator. */

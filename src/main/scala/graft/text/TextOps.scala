@@ -42,11 +42,17 @@ object TextOps {
       .withColumn("stop_ratio", col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))
       .withColumn("upper_ratio", col("n_upper").cast("double") / col("len"))
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style, ASCII-simplified):
+    * letter runs, single digits, punctuation runs. Counts approximate
+    * LLM token counts far better than whitespace splitting. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"),
       size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
 
   /** n-gram-marker language ID: count stopword hits per candidate

@@ -19,11 +19,21 @@ class TextStatsSpec extends SparkSpec {
     assert(q == ((30L, 6L, 2L, 2L, 1L))) // "the","it" stopwords; ','!' punct; 'T' upper
   }
 
-  test("token counts: regex vs whitespace vs distinct") {
+  test("token counts: regex vs whitespace vs bpe-ish vs distinct") {
     val t = TextOps.tokenCounts(docs).filter($"doc_id" === 1)
-      .select("n_tokens", "n_ws_tokens", "n_distinct_tokens")
-      .as[(Long, Long, Long)].head()
-    assert(t == ((6L, 6L, 6L)))
+      .select("n_tokens", "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens")
+      .as[(Long, Long, Long, Long)].head()
+    // bpe-ish: 6 words + "," + "!" = 8
+    assert(t == ((6L, 6L, 8L, 6L)))
+  }
+
+  test("fake feature extraction: normalized vectors flow into VectorOps") {
+    val m = Multimodal.attachMedia(docs)
+    val feats = Multimodal.fakeFeatures(m, dim = 8)
+    val top = graft.vector.VectorOps.cosineTopK(feats, feats.filter($"vec_id" === 1), k = 2)
+    assert(top.count() == 2)
+    val norms = feats.select(graft.vector.VectorOps.norm($"v")).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
   test("langId picks marker-majority language, unknown when silent") {
