@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   *    `is_with_range`) becomes Catalyst partition pruning on the
   *    `chunk` directory column — metadata-only, scales to 100 TB;
   *  - "closing" a chunk (reference: compress on swap,
-  *    src/chunk/chunk.rs `close`) = rewriting its rows as one
-  *    Gorilla payload per series ([[Gorilla.pack]]).
+  *    src/chunk/chunk.rs `close`) = rewriting its rows as one Gorilla
+  *    payload per series ([[Gorilla.pack]]) plus a per-chunk series
+  *    catalog (series_id → labels), mirroring the reference's
+  *    per-chunk indexer (src/indexer/sled_indexer.rs mappings 1-3);
+  *  - queries federate live ∪ closed chunks and merge per series —
+  *    the reference's read path walks the current chunk then the
+  *    secondary chunks and merges by label set (db.rs:205-263).
   *
   * Appends are per-chunk parquet writes: on a cluster each micro-batch
   * lands in its hour partition and never rewrites history.
@@ -22,6 +27,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   private val chunkUs = chunkMs * 1000
   private val livePath = s"$path/live"
   private val closedPath = s"$path/closed"
+  private val catalogPath = s"$path/closed_catalog"
 
   /** Append samples (from [[Series.samples]]), routed to their chunk. */
   def append(samples: DataFrame): Unit =
@@ -29,23 +35,74 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
 
-  def live(): DataFrame = spark.read.parquet(livePath)
+  /** Partition-directory columns come back as the narrowest inferred
+    * type — normalize `chunk` to long so range/set predicates match. */
+  private def readChunked(p: String): DataFrame =
+    spark.read.parquet(p).withColumn("chunk", col("chunk").cast("long"))
 
-  /** Matcher + range query over live chunks. The chunk bounds filter
-    * is on the partition column → partition pruning (the reference's
-    * `is_with_range` scan skip); the ts filter pushes into parquet. */
+  def live(): DataFrame = readChunked(livePath)
+
+  private def hasClosed: Boolean =
+    new java.io.File(closedPath).exists()
+
+  private def closedChunkIds(): Set[Long] =
+    if (!hasClosed) Set.empty
+    else readChunked(closedPath).select("chunk").distinct()
+      .collect().map(_.getLong(0)).toSet // bounded: one id per closed chunk
+
+  /** Matcher + range query over live chunks only. The chunk bounds
+    * filter is on the partition column → partition pruning (the
+    * reference's `is_with_range` scan skip); the ts filter pushes
+    * into parquet. */
   def query(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame =
     TsOps.rangeQuery(
       live().filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs),
       ms, startUs, endUs)
 
-  /** Close one chunk: Gorilla-pack its series into the closed store. */
-  def closeChunk(chunk: Long): Unit =
-    Gorilla.pack(live().filter(col("chunk") === chunk))
+  /** Close one chunk: Gorilla-pack its series into the closed store
+    * and record the chunk's series catalog (id → labels) so closed
+    * chunks remain label-queryable without the raw rows. */
+  def closeChunk(chunk: Long): Unit = {
+    val rows = live().filter(col("chunk") === chunk)
+    Gorilla.pack(rows)
       .withColumn("chunk", lit(chunk))
       .write.mode("overwrite").partitionBy("chunk").parquet(closedPath)
+    rows.select("series_id", "event_type", "user_id").distinct()
+      .withColumn("chunk", lit(chunk))
+      .write.mode("overwrite").partitionBy("chunk").parquet(catalogPath)
+  }
 
   /** Read a closed chunk back as samples (decode + explode). */
   def readClosed(chunk: Long): DataFrame =
     Gorilla.unpack(spark.read.parquet(closedPath).filter(col("chunk") === chunk))
+
+  /** Matcher + range query over CLOSED chunks: prune by chunk range,
+    * resolve matchers against the per-chunk catalog (label filters run
+    * on the small catalog, never on decoded samples), decode only the
+    * payloads of matching series. */
+  def queryClosed(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    val inRange = (df: DataFrame) =>
+      df.filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)
+    val cat = inRange(readChunked(catalogPath))
+      .filter(Matcher.all(ms))
+      .select("chunk", "series_id")
+    val payloads = inRange(readChunked(closedPath))
+      .join(cat, Seq("chunk", "series_id"), "left_semi")
+    Gorilla.unpack(payloads)
+      .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+  }
+
+  /** Federated query: closed chunks (compressed) ∪ live chunks not
+    * yet closed — the reference's merge across current + secondary
+    * chunks. */
+  def queryAll(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    if (!hasClosed) return query(ms, startUs, endUs)
+    val closedIds = closedChunkIds()
+    val liveOnly = TsOps.rangeQuery(
+      live()
+        .filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)
+        .filter(!col("chunk").isInCollection(closedIds)),
+      ms, startUs, endUs)
+    liveOnly.unionByName(queryClosed(ms, startUs, endUs))
+  }
 }

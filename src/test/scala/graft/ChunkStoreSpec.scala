@@ -41,4 +41,32 @@ class ChunkStoreSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("federated queryAll == live-only answer after a chunk is closed") {
+    val dir = Files.createTempDirectory("graft_chunks2").toString
+    val store = new ChunkStore(spark, dir)
+    val samples = Series.samples(spark.read.parquet(s"$sfDir/events.parquet"))
+    store.append(samples)
+
+    val t1 = 1704067200000000L            // 2024-01-01 00:00
+    val t2 = t1 + 48L * 3600 * 1000000    // two days
+    val ms = Seq(MatchRe("event_type", "^(click|view)$"))
+    val expect = samples
+      .filter($"event_type".rlike("^(click|view)$") && $"ts_us" >= t1 && $"ts_us" <= t2)
+      .select("series_id", "ts_us", "value")
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(expect.nonEmpty)
+
+    // close the first two hour-chunks, then federate
+    store.live().select("chunk").distinct().orderBy("chunk").as[Long].take(2)
+      .foreach(store.closeChunk)
+    val got = store.queryAll(ms, t1, t2)
+      .select("series_id", "ts_us", "value")
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(got == expect)
+
+    // matcher filtering happens on the closed catalog: a non-matching
+    // label returns nothing from closed chunks
+    assert(store.queryClosed(Seq(MatchEq("event_type", "nope")), t1, t2).count() == 0)
+  }
 }
