@@ -263,6 +263,8 @@ object SparkEntry {
       VectorOps.cosineTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
 
+    "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(t(s, dir, "documents"))),
+
     "dedup_embedding" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
         t(s, dir, "embeddings")
@@ -571,6 +573,25 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
                FROM s)
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM inter
+                   JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                   WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1""",
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

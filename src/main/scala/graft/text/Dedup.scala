@@ -137,6 +137,46 @@ object Dedup {
     docs.join(dominated, docs("doc_id") === dominated("doc_b"), "left_anti")
   }
 
+  /** Duplicate CLUSTERS: connected components of the near-dup pair
+    * graph, each doc labeled with its component's minimum doc_id.
+    * Iterative min-label propagation (each round: rep := min(rep,
+    * neighbors' reps)) — converges in graph-diameter rounds, which for
+    * near-dup clusters is tiny. Each round is one join + aggregate;
+    * results are persisted per round to keep lineage flat (at cluster
+    * scale, checkpoint instead). Deterministic: the component min is
+    * order-independent. */
+  def duplicateClusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
+                        maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, n, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("rep")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b2"),
+          col("doc_b") === col("doc_b2"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("rep")).as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .persist()
+      val changed = next.withColumnRenamed("rep", "new_rep")
+        .join(labels, "doc_id")
+        .filter(col("new_rep") =!= col("rep"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("rep", "cluster_rep")
+  }
+
   /** 32-bit SimHash from distinct tokens (Charikar, STOC'02). Bit i of
     * the hash of token t = high bit of hex digit i of md5(t) — 32
     * uniform bits per token with no engine-specific integer hashing.

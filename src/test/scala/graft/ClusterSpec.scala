@@ -1,0 +1,35 @@
+package graft
+
+import graft.text.Dedup
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain A~B~C collapses to one cluster") {
+    // B overlaps A and C, but A and C share little — transitivity
+    // must still place all three in one component
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon omega"),  // ~doc 1
+      (3L, "gamma delta epsilon omega psi chi"),     // ~doc 2, not doc 1
+      (4L, "totally unrelated words appear here now"),
+      (5L, "alpha beta gamma delta epsilon zeta"))   // == doc 1
+      .toDF("doc_id", "text")
+    val reps = Dedup.duplicateClusters(docs, 3, 0.2)
+      .as[(Long, Long)].collect().toMap
+    assert(reps(1L) == 1L && reps(2L) == 1L && reps(5L) == 1L)
+    assert(reps(4L) == 4L)
+    // doc 3 joins iff its jaccard link to 2 clears the threshold —
+    // either way it must be self-rooted or rooted at 1, never at 2
+    assert(reps(3L) == 1L || reps(3L) == 3L)
+  }
+
+  test("matches the oracle's transitive-closure semantics on real docs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val clusters = Dedup.duplicateClusters(docs)
+    assert(clusters.count() == docs.count()) // every doc labeled
+    // a rep is always ≤ its member ids and is itself in the cluster
+    val bad = clusters.filter($"cluster_rep" > $"doc_id").count()
+    assert(bad == 0)
+  }
+}
