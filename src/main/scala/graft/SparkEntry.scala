@@ -57,6 +57,9 @@ object SparkEntry {
 
     "ts_rate" -> ((s, dir) => TsOps.rate(Series.samples(t(s, dir, "events")))),
 
+    "ts_increase_1h" -> ((s, dir) =>
+      TsOps.increase(Series.samples(t(s, dir, "events")))),
+
     "ts_last_over_time" -> ((s, dir) =>
       TsOps.lastOverTime(Series.samples(t(s, dir, "events")), T2)),
 
@@ -354,6 +357,16 @@ object SparkEntry {
                       THEN (l.value - f.value) / ((l.ts_us - f.ts_us) / 1000000.0)
                       ELSE 0.0 END AS rate_per_sec
           FROM agg""",
+
+    "ts_increase_1h" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id,
+                            (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
+                            epoch_us(ts) AS ts_us, event_id, value FROM events),
+          agg AS (SELECT series_id, bucket_ms, CAST(count(*) AS BIGINT) AS n_points,
+                    min(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS f,
+                    max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
+                  FROM s GROUP BY 1, 2)
+          SELECT series_id, bucket_ms, n_points, l.value - f.value AS increase FROM agg""",
 
     "ts_last_over_time" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value

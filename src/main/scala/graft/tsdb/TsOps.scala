@@ -72,6 +72,24 @@ object TsOps {
             ((col("l.ts_us") - col("f.ts_us")) / lit(1000000.0)))
           .otherwise(lit(0.0)).as("rate_per_sec"))
 
+  /** Per-series per-bucket increase (PromQL `increase`-style on raw
+    * samples): last − first value inside each fixed window, first/last
+    * totally ordered by (ts, event_id). One aggregation pass. */
+  def increase(samples: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
+    val bucketUs = bucketMs * 1000
+    samples
+      .groupBy(
+        col("series_id"),
+        (expr(s"ts_us div $bucketUs") * bucketMs).as("bucket_ms"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
+      .select(
+        col("series_id"), col("bucket_ms"), col("n_points"),
+        (col("l.value") - col("f.value")).as("increase"))
+  }
+
   /** Latest sample per series at or before `atUs` (PromQL instant
     * lookup). max-of-struct picks the row in one aggregation. */
   def lastOverTime(samples: DataFrame, atUs: Long): DataFrame =
