@@ -151,7 +151,13 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("rep")).persist()
+    // only nodes that appear in the pair graph iterate — everything
+    // else is trivially its own cluster and joins back at the end
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).persist()
+    // Σrep strictly decreases every round until the fixpoint: the
+    // convergence test is one cheap aggregate, not a self-join
+    var prevSum = labels.agg(sum(col("rep"))).collect()(0).getLong(0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -165,16 +171,16 @@ object Dedup {
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
         .persist()
-      val changed = next.withColumnRenamed("rep", "new_rep")
-        .join(labels, "doc_id")
-        .filter(col("new_rep") =!= col("rep"))
-        .count()
+      val nextSum = next.agg(sum(col("rep"))).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
-    labels.withColumnRenamed("rep", "cluster_rep")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
   }
 
   /** 32-bit SimHash from distinct tokens (Charikar, STOC'02). Bit i of
