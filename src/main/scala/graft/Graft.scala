@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing entry point: a reference (monolith) user points this at
+  * a data directory and gets the whole surface — tables as SQL views,
+  * the TSDB sample/catalog frames, graft's native SQL functions — on a
+  * session tuned for the engine.
+  *
+  * {{{
+  * val g = Graft(spark, "/data/sf1")
+  * g.samples.filter(...)                            // DataFrame surface
+  * spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")  // SQL surface
+  * }}}
+  */
+final class Graft(val spark: SparkSession, dir: String) {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def table(name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view + graft SQL functions. */
+  def registerAll(): Unit = {
+    tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+    Graft.registerFunctions(spark)
+  }
+
+  def events: DataFrame = table("events")
+  def samples: DataFrame = tsdb.Series.samples(events)
+  def seriesCatalog: DataFrame = tsdb.Series.catalog(events)
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame =
+    table("embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  def chunkStore(path: String, chunkMs: Long = 3600000L): tsdb.ChunkStore =
+    new tsdb.ChunkStore(spark, path, chunkMs)
+}
+
+object Graft {
+  def apply(spark: SparkSession, dir: String): Graft = {
+    val g = new Graft(spark, dir)
+    g.registerAll()
+    g
+  }
+
+  /** Graft's SQL function surface (also injectable session-wide via
+    * [[GraftExtensions]]): cosine_sim (native codegen'd expression),
+    * gorilla_encode / gorilla_decode (chunk-close codec). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.udf.register("gorilla_encode",
+      (pts: Seq[org.apache.spark.sql.Row]) =>
+        tsdb.Gorilla.encode(pts.map(r => (r.getLong(0), r.getDouble(1)))))
+    spark.udf.register("gorilla_decode",
+      (bytes: Array[Byte]) => tsdb.Gorilla.decode(bytes))
+  }
+}

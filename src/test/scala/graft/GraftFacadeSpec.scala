@@ -1,0 +1,27 @@
+package graft
+
+class GraftFacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("facade registers views and SQL functions end-to-end") {
+    val g = Graft(spark, sfDir)
+    // plain SQL over the registered views
+    val n = spark.sql("SELECT count(*) FROM lineitem").as[Long].head()
+    assert(n > 0)
+    // native function in SQL over real embeddings
+    val cos = spark.sql(
+      """SELECT cosine_sim(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)) AS c
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 0
+         LIMIT 1""").as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // gorilla codec via SQL, lossless roundtrip
+    g.samples.createOrReplaceTempView("samples")
+    val back = spark.sql(
+      """SELECT explode(gorilla_decode(gorilla_encode(
+           sort_array(collect_list(struct(ts_us, value)))))) AS p
+         FROM samples GROUP BY series_id""")
+      .select("p._1", "p._2").as[(Long, Double)].collect().sorted.toSeq
+    val orig = g.samples.select("ts_us", "value").as[(Long, Double)].collect().sorted.toSeq
+    assert(back == orig)
+  }
+}
