@@ -31,7 +31,10 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(TextOps.wordShingles(TextOps.tokens(col("text")), n)).as("sh"))
-    if (distinct) sh.distinct() else sh
+    // persist the distinct frame: jaccard, minhash, keep and clusters
+    // all build on this exact subtree, so one session computes the
+    // shingle explode+dedup once (CacheManager subtree match)
+    if (distinct) sh.distinct().persist() else sh
   }
 
   /** 60-bit numeric hash of a string via md5 — fits a LONG, so min()
@@ -97,7 +100,11 @@ object Dedup {
     val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"m$i")
     }
-    shingles(docs, n, distinct = false)
+    // distinct=true on purpose: min() is duplicate-insensitive either
+    // way, but the distinct shingle frame is the one jaccard/keep/
+    // clusters persist — sharing it means one shingle computation per
+    // session instead of a private non-distinct variant
+    shingles(docs, n)
       .withColumn("h", conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
