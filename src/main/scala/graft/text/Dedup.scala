@@ -146,15 +146,71 @@ object Dedup {
 
   /** Duplicate CLUSTERS: connected components of the near-dup pair
     * graph, each doc labeled with its component's minimum doc_id.
-    * Iterative min-label propagation (each round: rep := min(rep,
-    * neighbors' reps)) — converges in graph-diameter rounds, which for
-    * near-dup clusters is tiny. Each round is one join + aggregate;
-    * results are persisted per round to keep lineage flat (at cluster
-    * scale, checkpoint instead). Deterministic: the component min is
+    *
+    * Hybrid execution, gated on the measured edge count:
+    *  - The near-dup pair graph is orders of magnitude smaller than
+    *    the corpus (it exists only where near-dups exist), so after
+    *    the distributed pair generation the edge list usually fits on
+    *    the driver even when the corpus is 100 TB. Below
+    *    `driverEdgeLimit` edges: collect, union-find with path
+    *    compression (linear, exact), broadcast the doc→rep map back.
+    *    One distributed join instead of a multi-round loop.
+    *  - Above the limit: distributed min-label propagation with
+    *    pointer jumping (rep := min(rep, nbr reps); rep := rep(rep)) —
+    *    O(log diameter) shuffle rounds, the MapReduce-CC doubling
+    *    trick (Kiveris et al., SoCC'14). Per round the result is
+    *    persisted to keep lineage flat (checkpoint at cluster scale).
+    *
+    * Both paths are deterministic: the component minimum is
     * order-independent. */
   def duplicateClusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
-                        maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, n, threshold).select(col("doc_a"), col("doc_b"))
+                        maxIter: Int = 20, driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, n, threshold)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val nPairs = pairs.count()
+    val labels =
+      if (nPairs <= driverEdgeLimit) driverUnionFind(pairs)
+      else distributedMinLabel(pairs, maxIter)
+    val out = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact union-find (path compression + union by min) over a
+    * collected edge list; returns (doc_id, rep) for graph nodes only.
+    * The map back to executors is a broadcast join — the rep table is
+    * ≤ 2·edges rows. */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min keeps the invariant rep = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+    val reps = parent.keys.toSeq.map(k => (k, find(k)))
+    broadcast(reps.toDF("doc_id", "rep"))
+  }
+
+  /** Distributed fallback: min-label propagation + pointer jumping.
+    * Rep values stay node ids (monotone least() of node ids), so the
+    * jump self-join is total; Σrep strictly decreases until the
+    * fixpoint, so convergence is one cheap aggregate per round. */
+  private def distributedMinLabel(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -162,8 +218,6 @@ object Dedup {
     // else is trivially its own cluster and joins back at the end
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id")).persist()
-    // Σrep strictly decreases every round until the fixpoint: the
-    // convergence test is one cheap aggregate, not a self-join
     var prevSum = labels.agg(sum(col("rep"))).collect()(0).getLong(0)
     var iter = 0
     var converged = false
@@ -173,21 +227,27 @@ object Dedup {
           col("doc_b") === col("doc_b2"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("rep")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .persist() // read by BOTH sides of the jump self-join
+      // pointer jump: rep := rep(rep) — rep(rep) ≤ rep by monotonicity
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("r_id"), col("rep").as("r_rep")),
+          col("x.rep") === col("r_id"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          coalesce(col("r_rep"), col("x.rep")).as("rep"))
         .persist()
       val nextSum = next.agg(sum(col("rep"))).collect()(0).getLong(0)
+      stepped.unpersist()
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iter += 1
     }
-    docs.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    labels
   }
 
   /** 32-bit SimHash from distinct tokens (Charikar, STOC'02). Bit i of

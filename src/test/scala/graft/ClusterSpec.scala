@@ -24,6 +24,22 @@ class ClusterSpec extends SparkSpec {
     assert(reps(3L) == 1L || reps(3L) == 3L)
   }
 
+  test("distributed pointer-jump path agrees with driver union-find") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon omega"),
+      (3L, "gamma delta epsilon omega psi chi"),
+      (4L, "totally unrelated words appear here now"),
+      (5L, "alpha beta gamma delta epsilon zeta"),
+      (6L, "totally unrelated words appear here too"))
+      .toDF("doc_id", "text")
+    val viaDriver = Dedup.duplicateClusters(docs, 3, 0.2)
+      .as[(Long, Long)].collect().toMap
+    val viaDistributed = Dedup.duplicateClusters(docs, 3, 0.2, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaDistributed)
+  }
+
   test("matches the oracle's transitive-closure semantics on real docs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val clusters = Dedup.duplicateClusters(docs)
