@@ -18,6 +18,33 @@ object DebugProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    if (names.contains("__stages")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(32, col("doc_id"))
+      def t(what: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[probe] $what%-28s n=$n%-9d t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      t("docs.count")(docs.count())
+      t("tokens explode")(docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("t")).count())
+      val sh = graft.text.Dedup.shingles(docs, 3)
+      t("shingles persisted")(sh.count())
+      val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000L).select(col("sh"))
+      val w = sh.join(keep, Seq("sh")).join(broadcast(nSh), Seq("doc_id")).persist()
+      t("df-capped persisted")(w.count())
+      t("self-join pairs")(w.as("a").join(w.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id")).count().count())
+      val pairs = graft.text.Dedup.ngramJaccardPairs(docs, 3, 0.3)
+        .select(col("doc_a"), col("doc_b")).persist()
+      t("jaccard pairs persisted")(pairs.count())
+      t("clusters end-to-end")(graft.text.Dedup.duplicateClusters(docs).count())
+      spark.stop(); return
+    }
     SparkEntry.queries.filter(q => names.isEmpty || names(q._1)).foreach {
       case (name, fn) =>
         val t0 = System.nanoTime()

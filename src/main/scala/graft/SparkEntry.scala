@@ -25,6 +25,23 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Fan a scan out across the cluster when the file layout under-splits
+    * it (a small single-file table scans as ONE partition, serializing
+    * the CPU-heavy regex/shingle/cosine map work that follows onto one
+    * core). Hash-repartition on the row key — deterministic, and it
+    * pre-aligns every downstream groupBy(key) so the aggregation that
+    * follows needs no second shuffle. At real scale the scan already
+    * has ≥ parallelism splits and this is a no-op. */
+  private def fanOut(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(key)) else df
+  }
+
+  private def docsT(s: SparkSession, dir: String): DataFrame =
+    fanOut(t(s, dir, "documents"), "doc_id")
+  private def embT(s: SparkSession, dir: String): DataFrame =
+    fanOut(t(s, dir, "embeddings"), "vec_id")
+
   // Canonical series-id fragment shared by every events oracle.
   private val SeriesIdSql =
     "md5('event_type=' || event_type || ',user_id=' || CAST(user_id AS VARCHAR))"
@@ -116,7 +133,7 @@ object SparkEntry {
     "doc_topterms" -> ((s, dir) => {
       // tf-idf top-5 terms per doc, top-k via the custom TopKPerKey
       // operator (score rounded pre-rank for cross-engine determinism)
-      val docs = t(s, dir, "documents")
+      val docs = docsT(s, dir)
       val terms = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
@@ -247,49 +264,49 @@ object SparkEntry {
     }),
 
     // ──────────────────── LLM-data-pipeline ops ────────────────────
-    "dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docsT(s, dir))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3)),
+      Dedup.ngramJaccardPairs(docsT(s, dir), 3, 0.3)),
 
-    "dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"))),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(docsT(s, dir))),
 
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsT(s, dir))),
 
     "dedup_keep" -> ((s, dir) =>
-      Dedup.dedupedCorpus(t(s, dir, "documents"))
+      Dedup.dedupedCorpus(docsT(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     "ann_cosine_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = embT(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       VectorOps.cosineTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
 
-    "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(t(s, dir, "documents"))),
+    "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docsT(s, dir))),
 
     "dedup_embedding" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
-        t(s, dir, "embeddings")
+        embT(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         0.4)),
 
     "ann_lsh_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = embT(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       VectorOps.lshTopK(e, col("vec_id") < 5, 10)
     }),
 
-    "text_quality" -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextOps.quality(docsT(s, dir))),
 
-    "token_count" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+    "token_count" -> ((s, dir) => TextOps.tokenCounts(docsT(s, dir))),
 
-    "lang_id" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
+    "lang_id" -> ((s, dir) => TextOps.langId(docsT(s, dir))),
 
-    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsT(s, dir))),
 
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.fakeDecode(Multimodal.attachMedia(t(s, dir, "documents")))))
+      Multimodal.fakeDecode(Multimodal.attachMedia(docsT(s, dir)))))
 
   /** dedup_minhash oracle, generated with the SAME affine-permutation
     * constants the Spark operator uses (Dedup.permConstants). */

@@ -25,17 +25,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .select(md5(col("text")).as("text_md5"), col("rep_doc_id"), col("n_copies"))
 
-  /** Word-`n`-gram shingles per doc: (doc_id, sh). `distinct` costs a
-    * shuffle — skip it for consumers that are duplicate-insensitive
-    * (minhash: min() doesn't care how often a shingle appears). */
-  def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(TextOps.wordShingles(TextOps.tokens(col("text")), n)).as("sh"))
-    // persist the distinct frame: jaccard, minhash, keep and clusters
-    // all build on this exact subtree, so one session computes the
-    // shingle explode+dedup once (CacheManager subtree match)
-    if (distinct) sh.distinct().persist() else sh
-  }
+  /** Distinct word-`n`-gram shingles per doc: (doc_id, sh). Per-doc
+    * distinctness is `array_distinct` BEFORE the explode — a map-side
+    * operation evaluated ONCE per input row by Generate, so the global
+    * `(doc_id, sh) DISTINCT` shuffle disappears entirely. (Do NOT also
+    * project size(arr) here: projection collapse would re-evaluate the
+    * whole shingle expression per EXPLODED row — measured 5× slower.)
+    * Persisted: jaccard, minhash, keep and clusters all build on this
+    * exact subtree, so one session computes the shingle explode once
+    * (CacheManager subtree match). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), n))).as("sh"))
+      .persist()
 
   /** 60-bit numeric hash of a string via md5 — fits a LONG, so min()
     * aggregations stay in (codegen'd) HashAggregate instead of
@@ -52,15 +55,22 @@ object Dedup {
     * pure noise at scale). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
                         maxShingleDf: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // doc-frequency cap via hash-aggregate + aligned join (both sides
+    // shuffle by sh; no window sorts), and n_sh from a per-doc count of
+    // the SAME cached frame, attached by broadcast join (one row per
+    // doc — tiny at any scale relative to the shingle frame).
     // persisted: both sides of the self-join read the same frame — without
     // this the whole shingle pipeline executes twice (at cluster scale
     // you would checkpoint here instead)
-    val sh = shingles(docs, n)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val base = shingles(docs, n)
+    val nSh = base.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val keep = base
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
-      .drop("df")
+      .select(col("sh"))
+    val sh = base
+      .join(keep, Seq("sh"))
+      .join(broadcast(nSh), Seq("doc_id"))
       .persist()
     sh.as("a")
       .join(sh.as("b"),
@@ -100,10 +110,10 @@ object Dedup {
     val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"m$i")
     }
-    // distinct=true on purpose: min() is duplicate-insensitive either
-    // way, but the distinct shingle frame is the one jaccard/keep/
-    // clusters persist — sharing it means one shingle computation per
-    // session instead of a private non-distinct variant
+    // min() is duplicate-insensitive, but the per-doc-distinct shingle
+    // frame is the one jaccard/keep/clusters persist — sharing it means
+    // one shingle computation per session, and it arrives already
+    // deduped so the min-agg reads fewer rows
     shingles(docs, n)
       .withColumn("h", conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
