@@ -67,6 +67,13 @@ object SparkEntry {
         Seq(MatchRe("event_type", "^(purchase|signup)$"), MatchNeq("user_id", "5")),
         T1, T2)),
 
+    "ts_query_nre" -> ((s, dir) =>
+      // NRE + EQ conjunction — completes the reference's matcher set
+      // (proto LabelMatcher_Type EQ/NEQ/RE/NRE)
+      TsOps.rangeQuery(Series.samples(t(s, dir, "events")),
+        Seq(MatchNre("event_type", "^(click|view|error)$"), MatchEq("user_id", "7")),
+        T1, T2)),
+
     "ts_label_index" -> ((s, dir) => Series.labelIndex(t(s, dir, "events"))),
 
     "ts_downsample_1h" -> ((s, dir) =>
@@ -271,6 +278,9 @@ object SparkEntry {
 
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(docsT(s, dir))),
 
+    "dedup_jaccard_twostage" -> ((s, dir) =>
+      Dedup.ngramJaccardTwoStage(docsT(s, dir))),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsT(s, dir))),
 
     "dedup_keep" -> ((s, dir) =>
@@ -308,9 +318,11 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.fakeDecode(Multimodal.attachMedia(docsT(s, dir)))))
 
-  /** dedup_minhash oracle, generated with the SAME affine-permutation
-    * constants the Spark operator uses (Dedup.permConstants). */
-  private lazy val minhashOracle: String = {
+  /** Shared CTE prefix for the minhash-family oracles, generated with
+    * the SAME affine-permutation constants the Spark operators use
+    * (Dedup.permConstants): tokenize → distinct shingles → 28-bit
+    * shingle hash → 16-column signature → 4 banded hashes. */
+  private lazy val minhashCtes: String = {
     val consts = graft.text.Dedup.permConstants(16)
     val minCols = consts.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % ${graft.text.Dedup.MinhashP}) AS m$i"
@@ -324,11 +336,32 @@ object SparkEntry {
               FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
        shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
        sig AS (SELECT doc_id, $minCols FROM shh GROUP BY doc_id),
-       band AS ($bandRows)
-       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       FROM band a JOIN band b
-         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"""
+       band AS ($bandRows),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band a JOIN band b
+                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
+
+  private lazy val minhashOracle: String =
+    s"""$minhashCtes
+       SELECT doc_a, doc_b FROM cand"""
+
+  /** dedup_jaccard_twostage oracle: LSH candidates (same CTEs), then
+    * exact Jaccard verification restricted to candidate pairs. */
+  private lazy val twoStageOracle: String =
+    s"""$minhashCtes,
+       nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                 FROM cand c
+                 JOIN sh a ON a.doc_id = c.doc_a
+                 JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+                 GROUP BY 1, 2)
+       SELECT i.doc_a, i.doc_b, i.n_inter,
+              CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+       FROM inter i
+       JOIN nsh na ON na.doc_id = i.doc_a
+       JOIN nsh nb ON nb.doc_id = i.doc_b
+       WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3"""
 
   // ───────────────────────── oracle SQL ─────────────────────────
   def oracleSql: Map[String, String] = Map(
@@ -343,6 +376,12 @@ object SparkEntry {
       s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
           WHERE regexp_matches(event_type, '^(purchase|signup)$$')
             AND CAST(user_id AS VARCHAR) <> '5'
+            AND epoch_us(ts) BETWEEN $T1 AND $T2""",
+
+    "ts_query_nre" ->
+      s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE NOT regexp_matches(event_type, '^(click|view|error)$$')
+            AND CAST(user_id AS VARCHAR) = '7'
             AND epoch_us(ts) BETWEEN $T1 AND $T2""",
 
     "ts_label_index" ->
@@ -555,6 +594,8 @@ object SparkEntry {
          WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3""",
 
     "dedup_minhash" -> minhashOracle,
+
+    "dedup_jaccard_twostage" -> twoStageOracle,
 
     "dedup_keep" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

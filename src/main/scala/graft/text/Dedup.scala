@@ -143,6 +143,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Two-stage near-dup pairs — the 100 TB scale path for Jaccard.
+    * Stage 1 generates candidates structurally via MinHash-LSH band
+    * collisions (pairs only form inside (band, band-hash) buckets —
+    * never an all-pairs or shingle-keyed self-join). Stage 2 verifies
+    * each candidate with the EXACT Jaccard over the two docs'
+    * distinct-shingle sets: candidates (tiny relative to the corpus)
+    * join to per-doc shingle sets (collect_set, bounded by doc length)
+    * twice by doc id, and the intersection is a map-side
+    * array_intersect. Shuffle volume is O(corpus) for signatures +
+    * O(candidates · doc length) for verification, independent of the
+    * all-pairs blowup the exact operator risks. */
+  def ngramJaccardTwoStage(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
+                           numPerm: Int = 16, bandSize: Int = 4): DataFrame = {
+    val cand = minhashLshPairs(docs, n, numPerm, bandSize)
+    val sets = shingles(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("n_sh"))
+      .persist() // read once per join side below
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
   /** The pipeline-completing operator: the deduplicated corpus.
     * Greedy keep-lowest-id: a doc survives unless some lower-id doc is
     * near-duplicate of it (appears as doc_b in the pair list, which is

@@ -42,6 +42,18 @@ class DedupSpec extends SparkSpec {
     assert(!p.exists(x => x._1 == 5L || x._2 == 5L))
   }
 
+  test("two-stage jaccard verifies LSH candidates with exact scores") {
+    val two = Dedup.ngramJaccardTwoStage(toyDocs)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // identical docs always share all bands, and the verify stage must
+    // reproduce the exact jaccard (1.0 for the 1~4 exact dup)
+    assert(two.contains((1L, 4L, 1.0)))
+    // every surviving pair's score must agree with the exact operator
+    val exact = Dedup.ngramJaccardPairs(toyDocs, 3, 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(two.subsetOf(exact))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val p = Dedup.simhashPairs(toyDocs)
       .filter($"doc_a" === 1 && $"doc_b" === 4)
