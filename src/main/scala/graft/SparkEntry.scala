@@ -307,6 +307,12 @@ object SparkEntry {
       VectorOps.lshTopK(e, col("vec_id") < 5, 10)
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = embT(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      VectorOps.ivfTopK(e, col("vec_id") < 5, 10)
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.quality(docsT(s, dir))),
 
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docsT(s, dir))),
@@ -641,6 +647,38 @@ object SparkEntry {
                  round(list_dot_product(v, qv) /
                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
                FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+               FROM s)
+         SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         ac AS (SELECT e.vec_id, c.c_id,
+                  round(list_dot_product(v, cv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id, c_id AS cell FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                  FROM ac) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         qc AS (SELECT q.q_id, c.c_id,
+                  round(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM q CROSS JOIN c),
+         probe AS (SELECT q_id, c_id AS cell FROM (
+                    SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                    FROM qc) WHERE rn <= 4),
+         s AS (SELECT q.q_id, a.vec_id,
+                 round(list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+               FROM probe p
+               JOIN asg a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id
+               JOIN q ON q.q_id = p.q_id
+               WHERE a.vec_id <> q.q_id),
          r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
                FROM s)
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",

@@ -91,6 +91,52 @@ object VectorOps {
         .as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN top-k. Index build: a deterministic
+    * coarse quantizer — the `nCells` lowest-vec_id vectors act as
+    * centroids (reproducible in any engine; swap in k-means centroids
+    * at no structural cost) — assigns every vector to its nearest cell
+    * by rounded cosine (centroid-id tiebreak). The assignment is a
+    * broadcast cross join + one max_by hash-aggregate: linear, no
+    * window sort, partial-aggregated map-side. Query: probe only the
+    * `nProbe` nearest cells, exact cosine rerank within them.
+    *
+    * At rest the cell id is the partition key — a probe then reads
+    * nProbe/nCells of the corpus (partition pruning), which is the
+    * entire point of IVF at 100 TB. */
+  def ivfTopK(corpus: DataFrame, queryIds: Column, k: Int = 10, nCells: Int = 16,
+              nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val cellScores = corpus.select(col("vec_id"), col("v")).crossJoin(cents)
+      .withColumn("cos_c",
+        round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
+    // argmax cell per vector: max_by over (cos, -c_id) — a total order,
+    // so the assignment is deterministic without a window sort
+    val assign = cellScores
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("cos_c"), (-col("c_id")).as("nc"))).as("cell"))
+    val cells = corpus.join(assign, "vec_id").persist()
+    // queries rank ALL centroids (tiny cross join) and probe top-nProbe
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = broadcast(
+      corpus.filter(queryIds).select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(cents)
+        .withColumn("cos_c",
+          round(graft.functions.CosineSimilarity(col("qv"), col("cv")), roundTo))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= nProbe)
+        .select(col("q_id"), col("qv"), col("c_id").as("cell")))
+    val scored = cells.join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket, then
     * exact cosine rerank. Trades recall for a bucket-local join — the
     * 100 TB scale path (the bucket column is also a fine partition /

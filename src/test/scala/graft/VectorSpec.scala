@@ -36,6 +36,19 @@ class VectorSpec extends SparkSpec {
     assert(r.contains(1L) && !r.contains(3L))
   }
 
+  test("ivf topk: probes nearest cells, scores agree with exact where they overlap") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val ivf = VectorOps.ivfTopK(e, $"vec_id" < 3, k = 5)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty && ivf.length <= 15)
+    val exact = VectorOps.cosineTopK(e, e.filter($"vec_id" < 3), k = Int.MaxValue)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    // IVF never invents scores: every (q, v, cos) must equal the exact cosine
+    ivf.foreach { case (q, v, c) => assert(exact((q, v)) == c) }
+  }
+
   test("on real embeddings: lsh candidates ⊂ brute-force universe, top-1 usually agrees") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
