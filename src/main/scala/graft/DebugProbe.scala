@@ -18,6 +18,33 @@ object DebugProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    if (names.contains("__chunkstore")) {
+      import graft.tsdb._
+      val dir = java.nio.file.Files.createTempDirectory("probe_chunks").toString
+      val store = new ChunkStore(spark, dir)
+      val samples = Series.samples(spark.read.parquet(s"$sfDir/events.parquet"))
+      store.append(samples)
+      val total = samples.count()
+      println(s"[probe] appended $total samples, ${store.live().select("chunk").distinct().count()} live chunks")
+      // close everything below Jan 3 — MANY chunks in one pass
+      val cutoff = 1704240000000000L
+      store.closeChunksBelow(cutoff)
+      val closed1 = spark.read.parquet(s"$dir/closed").select("chunk").distinct().count()
+      println(s"[probe] closed $closed1 chunks below $cutoff")
+      store.closeChunksBelow(cutoff) // idempotent re-run
+      val closed2 = spark.read.parquet(s"$dir/closed").select("chunk").distinct().count()
+      println(s"[probe] after idempotent re-close: $closed2 chunks")
+      val fed = store.queryAll(Seq.empty, 0L, Long.MaxValue / 2).count()
+      println(s"[probe] federated count=$fed (expect $total)")
+      val bt = new BucketedChunkTable(spark, "probe_bucketed")
+      bt.drop(); bt.write(samples, mode = "overwrite")
+      val stats = bt.seriesStats()
+      val ns = stats.count()
+      val noExchange = !stats.queryExecution.executedPlan.toString.contains("Exchange")
+      println(s"[probe] bucketed seriesStats rows=$ns noExchange=$noExchange")
+      bt.drop()
+      spark.stop(); return
+    }
     if (names.contains("__stages")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .repartition(32, col("doc_id"))

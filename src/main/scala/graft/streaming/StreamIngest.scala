@@ -59,6 +59,7 @@ object StreamIngest {
       }
       .start()
 
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(start_us: Long, end_us: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
@@ -96,4 +97,74 @@ object StreamIngest {
           out.reverseIterator
       }
   }
+
+  /** Event-time-timeout sessionization: like [[sessionizeStream]], but
+    * a forever-quiet user's open session ALSO closes once the event-
+    * time watermark passes `session end + gap` — the state store never
+    * accumulates dead sessions (bounded state at any uptime, which the
+    * NoTimeout variant can't guarantee). Input needs a `ts` TIMESTAMP
+    * column; emission stays deterministic in event time because the
+    * timeout fires on watermark progress, not wall clock. */
+  def sessionizeStreamEventTime(events: DataFrame,
+                                gapUs: Long = 30L * 60 * 1000 * 1000,
+                                delay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap with no new events: close & drop
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start_us, s.end_us, s.n, s.sum))
+          } else {
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(s) if us - s.end_us <= gapUs =>
+                  cur = Some(SessionState(s.start_us, us, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
+                  cur = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fires when watermark ≥ session end + gap (ms precision)
+              state.setTimeoutTimestamp((s.end_us + gapUs) / 1000)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Chunk sink with inline compaction: each micro-batch appends, then
+    * every live chunk whose time range lies entirely below the batch's
+    * max event time minus `closeLagUs` is Gorilla-packed into the
+    * closed store (the reference's background swap+compress,
+    * src/db.rs:265-303, driven here by data progress instead of a
+    * timer thread — deterministic and replay-safe). */
+  def startChunkSinkCompacting(events: DataFrame, store: graft.tsdb.ChunkStore,
+                               checkpoint: String,
+                               closeLagUs: Long = 2L * 3600 * 1000 * 1000) =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val samples = graft.tsdb.Series.samples(batch).persist()
+        store.append(samples)
+        val maxTs = samples.agg(max(col("ts_us"))).collect()(0)
+        if (!maxTs.isNullAt(0))
+          store.closeChunksBelow(maxTs.getLong(0) - closeLagUs)
+        samples.unpersist(blocking = false)
+        ()
+      }
+      .start()
 }

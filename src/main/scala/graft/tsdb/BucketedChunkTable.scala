@@ -1,0 +1,54 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ChunkStore v2 layout: chunk partitioning PLUS hash-bucketing by
+  * series_id inside each chunk (`bucketBy` + `saveAsTable`, Spark's
+  * durable bucketing metadata). Per-series operators then consume the
+  * scan's existing hash distribution:
+  *
+  *  - `groupBy(series_id)` aggregations (downsample, rate, quantiles,
+  *    Gorilla pack) plan with NO Exchange — on a 100 TB store the
+  *    per-series pipeline becomes scan → agg, shuffle-free;
+  *  - two tables bucketed the same way join on series_id without
+  *    shuffling either side (bucket-aligned sort-merge);
+  *  - `sortBy(series_id, ts_us)` pre-orders rows inside each bucket
+  *    file, so per-series time scans are sequential reads.
+  *
+  * The reference's per-series storage locality (sled key = series id,
+  * src/storage/sled_storage.rs) maps to exactly this: co-locate a
+  * series' points so per-series work never crosses the wire.
+  */
+final class BucketedChunkTable(spark: SparkSession, table: String,
+                               chunkMs: Long = 3600000L, nBuckets: Int = 8) {
+  private val chunkUs = chunkMs * 1000
+
+  /** (Re)write samples as the bucketed table. Bucket metadata lives in
+    * the session catalog; `append` mode adds new chunk partitions. */
+  def write(samples: DataFrame, mode: String = "append"): Unit =
+    samples
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      .write.mode(mode)
+      .partitionBy("chunk")
+      .bucketBy(nBuckets, "series_id")
+      .sortBy("series_id", "ts_us")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def read(): DataFrame = spark.table(table)
+
+  /** Per-series per-chunk stats off the bucketed layout — the scan's
+    * bucket distribution satisfies the grouping, so the plan contains
+    * no shuffle (asserted in BucketedChunkSpec). */
+  def seriesStats(): DataFrame =
+    read()
+      .groupBy(col("series_id"), col("chunk"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        TsOps.exactSum(col("value"), 2).as("sum_value"))
+
+  def drop(): Unit = spark.sql(s"DROP TABLE IF EXISTS $table")
+}

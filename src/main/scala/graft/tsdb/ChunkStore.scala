@@ -64,12 +64,27 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * chunks remain label-queryable without the raw rows. */
   def closeChunk(chunk: Long): Unit = {
     val rows = live().filter(col("chunk") === chunk)
+    // write into the chunk's own partition directory: overwrite is then
+    // scoped to THIS chunk (idempotent re-close), never the whole
+    // closed store (a root-level overwrite+partitionBy would wipe every
+    // previously closed chunk under static partitionOverwriteMode)
     Gorilla.pack(rows)
-      .withColumn("chunk", lit(chunk))
-      .write.mode("overwrite").partitionBy("chunk").parquet(closedPath)
+      .write.mode("overwrite").parquet(s"$closedPath/chunk=$chunk")
     rows.select("series_id", "event_type", "user_id").distinct()
-      .withColumn("chunk", lit(chunk))
-      .write.mode("overwrite").partitionBy("chunk").parquet(catalogPath)
+      .write.mode("overwrite").parquet(s"$catalogPath/chunk=$chunk")
+  }
+
+  /** Close every live chunk that ends strictly below `tsUs` and is not
+    * yet closed — the reference's background chunk swap (db.rs:265-303)
+    * driven by data progress. Chunk ids are bounded (one per elapsed
+    * hour), so the driver-side loop is fine at any data scale. */
+  def closeChunksBelow(tsUs: Long): Unit = {
+    val limit = tsUs / chunkUs // chunks < limit are entirely below tsUs
+    val already = closedChunkIds()
+    val candidates = live().select("chunk").distinct()
+      .filter(col("chunk") < limit)
+      .collect().map(_.getLong(0)).filterNot(already)
+    candidates.sorted.foreach(closeChunk)
   }
 
   /** Read a closed chunk back as samples (decode + explode). */

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.StreamIngest
+import graft.streaming.StreamIngest.SessionOut
+import graft.tsdb.ChunkStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+class StreamTimeoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("event-time timeout closes a forever-quiet session via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val out = StreamIngest.sessionizeStreamEventTime(events,
+      gapUs = 60L * 1000000, delay = "10 seconds") // 1-min gap, 10s watermark
+    val q = out.writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+
+    // user 1 speaks once, then goes silent forever
+    input.addData((1L, ts("2024-01-01 00:00:00"), 1.0))
+    q.processAllAvailable()
+    assert(spark.table("et_sessions").count() == 0) // still open
+
+    // OTHER users' events push the watermark past 00:01:00 + gap
+    input.addData((2L, ts("2024-01-01 00:10:00"), 5.0))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 00:10:01"), 5.0)) // extra batch: timeout fires on the NEXT trigger
+    q.processAllAvailable()
+
+    val rows = spark.table("et_sessions").as[SessionOut].collect()
+    q.stop()
+    val u1 = rows.filter(_.user_id == 1L)
+    assert(u1.length == 1) // closed by timeout, no user-1 event needed
+    assert(u1.head.n_events == 1 && u1.head.sum_value == 1.0)
+  }
+
+  test("compacting chunk sink closes old chunks as event time advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_compact_chunks").toString
+    val ckpt = Files.createTempDirectory("graft_compact_ckpt").toString
+    val store = new ChunkStore(spark, dir)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamIngest.startChunkSinkCompacting(events, store, ckpt,
+      closeLagUs = 2L * 3600 * 1000000)
+
+    def t(h: Int, m: Int = 15) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((1L, t(0), 1L, "click", 1.0), (2L, t(1), 1L, "click", 2.0))
+    q.processAllAvailable() // max ts 01:15, lag 2h → nothing closes
+    assert(!new java.io.File(s"$dir/closed").exists())
+
+    input.addData((3L, t(4), 2L, "view", 3.0)) // max ts 04:15 → chunks 0,1 close
+    q.processAllAvailable()
+    input.addData((4L, t(5), 2L, "view", 4.0)) // idempotent second pass
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.read.parquet(s"$dir/closed")
+      .select("chunk").distinct().as[Long].collect().sorted.toSeq
+    assert(closed == Seq(473352L, 473353L)) // 2024-01-01 00:xx and 01:xx hours
+    // both closed chunks decode back; federation sees every sample once
+    val all = store.queryAll(Seq.empty, 0L, Long.MaxValue / 2)
+    assert(all.count() == 4)
+  }
+}
