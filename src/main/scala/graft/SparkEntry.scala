@@ -307,6 +307,12 @@ object SparkEntry {
       VectorOps.lshTopK(e, col("vec_id") < 5, 10)
     }),
 
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      VectorOps.lshNearDupPairs(
+        embT(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        0.4)),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embT(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -732,6 +738,31 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
                FROM s)
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "dedup_embedding_lsh" ->
+      """WITH planes AS (
+           SELECT p, d, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substr(h, 2, 1)) - 1 - 128 AS k
+           FROM (SELECT p, d, md5('plane' || p || '#' || d) AS h
+                 FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(1, 65)) AS d))),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ex AS (SELECT vec_id, d, v[d] AS x FROM e, (SELECT unnest(range(1, 65)) AS d)),
+         proj AS (SELECT vec_id, p, sum(CAST(x AS DECIMAL(18,9)) * k) AS pr
+                  FROM ex JOIN planes USING (d) GROUP BY 1, 2),
+         buck AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(7 - p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM proj GROUP BY 1),
+         bands AS (SELECT vec_id, 0 AS band, bucket // 16 AS bv FROM buck
+                   UNION ALL
+                   SELECT vec_id, 1 AS band, bucket % 16 AS bv FROM buck),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+         SELECT c.vec_a, c.vec_b,
+                round(list_dot_product(ea.v, eb.v) /
+                      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+         FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+         WHERE round(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4""",
 
     "text_quality" ->
       """SELECT doc_id,

@@ -60,6 +60,41 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Embedding near-dup pairs via banded LSH — the scale path for
+    * [[cosineNearDupPairs]]. The nPlanes-bit sign bucket splits into
+    * `nPlanes/bandSize` bands (AND within a band, OR across bands —
+    * the same composition as MinHash-LSH): a pair is a candidate iff
+    * it agrees on EVERY plane of at least one band, then the exact
+    * rounded cosine filters. The candidate join is band-bucket-local,
+    * never all-pairs; recall tunes with bandSize (wider bands ⇒
+    * stricter) and nBands (more bands ⇒ higher recall). */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 8,
+                      bandSize: Int = 4, dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    val nBands = nPlanes / bandSize
+    val cb = corpus.join(lshBuckets(corpus, nPlanes, dim), "vec_id")
+      .select(col("vec_id"), col("v"), col("bucket")).persist()
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("bucket"), nPlanes - (b + 1) * bandSize)
+          .bitwiseAND(lit((1L << bandSize) - 1)).as("bv"))
+    }
+    val bands = cb.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(cb.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(cb.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("va"), col("vb")), roundTo))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Deterministic random-hyperplane table (plane p × dimension d):
     * the integer component k ∈ [-128, 127] is carved from two hex
     * digits of md5("plane{p}#{d}") — reproducible in any engine, and

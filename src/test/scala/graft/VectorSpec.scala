@@ -49,6 +49,16 @@ class VectorSpec extends SparkSpec {
     ivf.foreach { case (q, v, c) => assert(exact((q, v)) == c) }
   }
 
+  test("banded lsh near-dup pairs are a subset of brute-force with identical scores") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val lsh = VectorOps.lshNearDupPairs(e, 0.4)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val brute = VectorOps.cosineNearDupPairs(e, 0.4)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(brute))
+  }
+
   test("on real embeddings: lsh candidates ⊂ brute-force universe, top-1 usually agrees") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
