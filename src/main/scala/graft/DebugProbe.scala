@@ -18,6 +18,22 @@ object DebugProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    if (names.contains("__multimodal")) {
+      import graft.multimodal.Multimodal
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val m = Multimodal.attachMedia(docs)
+      val dec = Multimodal.fakeDecode(m)
+      println(s"[probe] decode rows=${dec.count()} kinds=${dec.select("kind").distinct().count()}")
+      val rs = Multimodal.fakeResize(m, 64)
+      val maxB = rs.agg(max(col("n_bytes"))).collect()(0).getLong(0)
+      println(s"[probe] resize rows=${rs.count()} maxBytes=$maxB")
+      val fr = Multimodal.frameSample(m, 4)
+      println(s"[probe] frames rows=${fr.count()} (expect ${docs.count() * 4})")
+      val feats = Multimodal.fakeFeatures(m, 16)
+      val ann = graft.vector.VectorOps.cosineTopK(feats, feats.filter(col("vec_id") < 2), 5)
+      println(s"[probe] media->features->ann rows=${ann.count()}")
+      spark.stop(); return
+    }
     if (names.contains("__chunkstore")) {
       import graft.tsdb._
       val dir = java.nio.file.Files.createTempDirectory("probe_chunks").toString

@@ -60,6 +60,57 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** "Resize" over the binary column — the batch shape of an image
+    * resize: binary in, (smaller) binary out, metadata updated, one
+    * transformer instance per partition. The stub truncates payloads
+    * to `maxBytes` deterministically; a real resize changes only the
+    * marked line. */
+  def fakeResize(media: DataFrame, maxBytes: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("kind", StringType),
+      StructField("media", BinaryType),
+      StructField("n_bytes", LongType)))
+    val rdd = media.select("doc_id", "media", "kind").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        // ??? real resize goes here — stub truncates to maxBytes
+        val out = java.util.Arrays.copyOf(bytes, math.min(bytes.length, maxBytes))
+        Row(r.getLong(0), r.getString(2), out, out.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** "Frame sampling" — the explode shape of video processing: ONE
+    * binary row fans out to `nFrames` frame rows (doc_id, frame_idx,
+    * frame binary). The stub slices the payload into equal windows; a
+    * real sampler changes only the marked line. Fan-out lives inside
+    * the iterator (no driver materialization), so a partition streams
+    * frames at bounded memory whatever the video count. */
+  def frameSample(media: DataFrame, nFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("frame", BinaryType)))
+    val rdd = media.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val win = math.max(1, bytes.length / nFrames)
+        (0 until nFrames).iterator.map { f =>
+          // ??? real frame decode goes here — stub slices a byte window
+          val from = math.min(f * win, bytes.length)
+          val until = math.min(from + win, bytes.length)
+          Row(id, f.toLong, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Per-partition batched "decode": one decoder instance per
     * partition (held by the closure, exactly where a JNI/py decoder
     * handle would live), rows processed as a streaming iterator. */

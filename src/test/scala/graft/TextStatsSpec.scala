@@ -36,6 +36,26 @@ class TextStatsSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("resize and frame-sample keep the binary pipeline shape") {
+    val m = Multimodal.attachMedia(docs)
+    val resized = Multimodal.fakeResize(m, maxBytes = 10)
+    assert(resized.count() == docs.count())
+    resized.select("n_bytes").as[Long].collect().foreach(n => assert(n <= 10))
+    val frames = Multimodal.frameSample(m, nFrames = 4)
+    assert(frames.count() == docs.count() * 4)
+    // frames reassemble a prefix of the original payload (no byte loss
+    // inside the sampled windows; deterministic slicing)
+    val re = frames.orderBy("doc_id", "frame_idx")
+      .groupBy("doc_id").agg(collect_list($"frame").as("fs"))
+    val joined = re.join(m, "doc_id")
+      .select($"fs", length($"media").cast("long").as("len"))
+      .as[(Seq[Array[Byte]], Long)].collect()
+    joined.foreach { case (fs, len) =>
+      val total = fs.map(_.length).sum
+      assert(total >= len - 4 && total <= len) // ≤ nFrames-1 tail bytes dropped by integer windows
+    }
+  }
+
   test("langId picks marker-majority language, unknown when silent") {
     val l = TextOps.langId(docs).select("doc_id", "pred_lang")
       .as[(Long, String)].collect().toMap
