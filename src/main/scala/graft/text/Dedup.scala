@@ -82,6 +82,11 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      // persisted so the THREE consumers in a session (pairs query,
+      // dedup_keep's anti-join, duplicateClusters) share one self-join:
+      // identical plans subtree-match in the CacheManager. The pair set
+      // is small relative to the corpus (near-dups only).
+      .persist()
   }
 
   /** Mersenne prime 2^31−1: the modulus of the affine permutation
@@ -205,17 +210,17 @@ object Dedup {
     * order-independent. */
   def duplicateClusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
                         maxIter: Int = 20, driverEdgeLimit: Long = 5000000L): DataFrame = {
+    // ngramJaccardPairs is persisted — the count materializes it once
+    // and the chosen path re-reads the cache
     val pairs = ngramJaccardPairs(docs, n, threshold)
-      .select(col("doc_a"), col("doc_b")).persist()
+      .select(col("doc_a"), col("doc_b"))
     val nPairs = pairs.count()
     val labels =
       if (nPairs <= driverEdgeLimit) driverUnionFind(pairs)
       else distributedMinLabel(pairs, maxIter)
-    val out = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
-    pairs.unpersist(blocking = false)
-    out
   }
 
   /** Exact union-find (path compression + union by min) over a
