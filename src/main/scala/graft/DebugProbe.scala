@@ -18,6 +18,26 @@ object DebugProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    if (names.contains("__ivfstore")) {
+      import graft.vector.{IvfStore, VectorOps}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dir = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+      val store = new IvfStore(spark, dir)
+      store.write(e)
+      val cells = new java.io.File(s"$dir/cells").listFiles().count(_.getName.startsWith("cell="))
+      println(s"[probe] wrote index: $cells cell partitions")
+      val q = e.filter(col("vec_id") < 5)
+      val got = store.probeTopK(q, 10, 4)
+      val n = got.count()
+      val pruned = got.queryExecution.executedPlan.toString.contains("PartitionFilters")
+      val mem = VectorOps.ivfTopK(e, col("vec_id") < 5, 10).collect().toSet
+      val same = got.collect().toSet == mem
+      println(s"[probe] probe rows=$n pruned=$pruned matches_inmemory=$same")
+      val wide = store.probeTopK(q, 10, nProbe = 99) // nProbe > nCells: full scan, still correct
+      println(s"[probe] nProbe>nCells rows=${wide.count()}")
+      spark.stop(); return
+    }
     if (names.contains("__multimodal")) {
       import graft.multimodal.Multimodal
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -40,6 +40,17 @@ final class Graft(val spark: SparkSession, dir: String) {
 
   def chunkStore(path: String, chunkMs: Long = 3600000L): tsdb.ChunkStore =
     new tsdb.ChunkStore(spark, path, chunkMs)
+
+  def bucketedChunkTable(table: String, chunkMs: Long = 3600000L,
+                         nBuckets: Int = 8): tsdb.BucketedChunkTable =
+    new tsdb.BucketedChunkTable(spark, table, chunkMs, nBuckets)
+
+  def ivfStore(path: String, nCells: Int = 16): vector.IvfStore =
+    new vector.IvfStore(spark, path, nCells)
+
+  /** Deduplicated documents view (the pipeline-completing operator). */
+  def dedupedDocuments(threshold: Double = 0.3): DataFrame =
+    text.Dedup.dedupedCorpus(documents, threshold = threshold)
 }
 
 object Graft {

@@ -1,0 +1,61 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF index AT REST: the corpus written as parquet partitioned by its
+  * IVF cell (`cell=<id>` directories) plus the centroid table. A
+  * top-k probe then touches only the `nProbe` probed cells — Catalyst
+  * partition pruning skips every other cell directory, so the scan
+  * cost is nProbe/nCells of the corpus no matter how large the corpus
+  * grows. This is the at-scale delivery of the IVF story: the cell id
+  * is not just a join key, it is the physical layout.
+  *
+  * Probe plan (asserted in IvfStoreSpec):
+  *   Scan parquet [PartitionFilters: cell IN (probed…)] → join(bcast
+  *   probes) → cosine → per-query top-k.
+  */
+final class IvfStore(spark: SparkSession, path: String,
+                     nCells: Int = 16, roundTo: Int = 6) {
+  private val dataPath = s"$path/cells"
+  private val centroidPath = s"$path/centroids"
+
+  /** Build the index: assign cells, write cell-partitioned corpus and
+    * the centroid table. */
+  def write(corpus: DataFrame): Unit = {
+    val cents = VectorOps.ivfCentroids(corpus, nCells)
+    cents.write.mode("overwrite").parquet(centroidPath)
+    corpus
+      .join(VectorOps.ivfAssign(corpus, cents, roundTo), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(dataPath)
+  }
+
+  def centroids(): DataFrame =
+    org.apache.spark.sql.functions.broadcast(spark.read.parquet(centroidPath))
+
+  def read(): DataFrame =
+    spark.read.parquet(dataPath).withColumn("cell", col("cell").cast("long"))
+
+  /** ANN top-k for `queries` (vec_id, v): rank centroids per query,
+    * then scan ONLY the probed cell partitions and rerank exactly. */
+  def probeTopK(queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = VectorOps.ivfProbes(queries, centroids(), nProbe, roundTo)
+    // partition-pruning filter: the probed cell set is small (≤ queries
+    // × nProbe ids), collected and pushed as an IN-list on the
+    // partition column so non-probed directories are never listed
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val scored = read()
+      .filter(col("cell").isInCollection(probedCells))
+      .join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+}

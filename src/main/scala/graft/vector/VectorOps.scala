@@ -138,29 +138,43 @@ object VectorOps {
     * At rest the cell id is the partition key — a probe then reads
     * nProbe/nCells of the corpus (partition pruning), which is the
     * entire point of IVF at 100 TB. */
-  def ivfTopK(corpus: DataFrame, queryIds: Column, k: Int = 10, nCells: Int = 16,
-              nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < nCells)
+  /** The deterministic coarse quantizer shared by [[ivfTopK]] and
+    * [[IvfStore]]: the `nCells` lowest-vec_id vectors as centroids. */
+  def ivfCentroids(corpus: DataFrame, nCells: Int): DataFrame =
+    broadcast(corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv")))
-    val cellScores = corpus.select(col("vec_id"), col("v")).crossJoin(cents)
+
+  /** Cell assignment (vec_id → cell): argmax rounded cosine vs every
+    * centroid, via one max_by hash-aggregate over a total order
+    * (cos, -c_id) — deterministic, no window sort. */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame, roundTo: Int = 6): DataFrame =
+    corpus.select(col("vec_id"), col("v")).crossJoin(cents)
       .withColumn("cos_c",
         round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
-    // argmax cell per vector: max_by over (cos, -c_id) — a total order,
-    // so the assignment is deterministic without a window sort
-    val assign = cellScores
       .groupBy(col("vec_id"))
       .agg(max_by(col("c_id"), struct(col("cos_c"), (-col("c_id")).as("nc"))).as("cell"))
-    val cells = corpus.join(assign, "vec_id").persist()
-    // queries rank ALL centroids (tiny cross join) and probe top-nProbe
+
+  /** The query side of IVF: each query ranks all centroids and keeps
+    * its `nProbe` nearest cells. Tiny (queries × centroids). */
+  def ivfProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,
+                roundTo: Int = 6): DataFrame = {
     val wP = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id").asc)
-    val probes = broadcast(
-      corpus.filter(queryIds).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    broadcast(
+      queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
         .crossJoin(cents)
         .withColumn("cos_c",
           round(graft.functions.CosineSimilarity(col("qv"), col("cv")), roundTo))
         .withColumn("rn", row_number().over(wP))
         .filter(col("rn") <= nProbe)
         .select(col("q_id"), col("qv"), col("c_id").as("cell")))
+  }
+
+  def ivfTopK(corpus: DataFrame, queryIds: Column, k: Int = 10, nCells: Int = 16,
+              nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells)
+    val assign = ivfAssign(corpus, cents, roundTo)
+    val cells = corpus.join(assign, "vec_id").persist()
+    val probes = ivfProbes(corpus.filter(queryIds), cents, nProbe, roundTo)
     val scored = cells.join(probes, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
