@@ -78,6 +78,12 @@ object DebugProbe {
       val ns = stats.count()
       val noExchange = !stats.queryExecution.executedPlan.toString.contains("Exchange")
       println(s"[probe] bucketed seriesStats rows=$ns noExchange=$noExchange")
+      bt.writeClosed(samples, mode = "overwrite")
+      val dec = bt.readClosed()
+      val aggP = dec.groupBy(col("series_id")).count()
+      aggP.count()
+      println(s"[probe] gorilla-closed decode rows=${dec.count()} (expect $total) " +
+        s"decodedAggNoExchange=${!aggP.queryExecution.executedPlan.toString.contains("Exchange")}")
       bt.drop()
       spark.stop(); return
     }

@@ -50,5 +50,36 @@ final class BucketedChunkTable(spark: SparkSession, table: String,
         max(col("ts_us")).as("max_ts_us"),
         TsOps.exactSum(col("value"), 2).as("sum_value"))
 
-  def drop(): Unit = spark.sql(s"DROP TABLE IF EXISTS $table")
+  /** Closed-chunk variant of the layout: Gorilla-packed payloads (one
+    * row per series per chunk) in the SAME chunk-partitioned,
+    * series-bucketed shape — compressed AND per-series co-located at
+    * rest. The pack's groupBy(series_id, chunk) is itself satisfied by
+    * the write-side repartition, and on read the decode explode
+    * (Generate) preserves the scan's bucket distribution, so
+    * aggregating DECODED samples per series is still Exchange-free. */
+  def writeClosed(samples: DataFrame, mode: String = "append"): Unit =
+    samples
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      .groupBy(col("series_id"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
+      .select(col("series_id"), col("chunk"), Gorilla.encodeUdf(col("pts")).as("payload"))
+      .write.mode(mode)
+      .partitionBy("chunk")
+      .bucketBy(nBuckets, "series_id")
+      .sortBy("series_id")
+      .format("parquet")
+      .saveAsTable(s"${table}_closed")
+
+  /** Decode the closed table back to (series_id, chunk, ts_us, value). */
+  def readClosed(): DataFrame =
+    spark.table(s"${table}_closed")
+      .select(col("series_id"), col("chunk"),
+        explode(Gorilla.decodeUdf(col("payload"))).as("p"))
+      .select(col("series_id"), col("chunk"),
+        col("p._1").as("ts_us"), col("p._2").as("value"))
+
+  def drop(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_closed")
+  }
 }

@@ -144,10 +144,10 @@ object Gorilla {
     out.toIndexedSeq
   }
 
-  private val encodeUdf = udf { (pts: Seq[Row]) =>
+  private[tsdb] val encodeUdf = udf { (pts: Seq[Row]) =>
     encode(pts.map(r => (r.getLong(0), r.getDouble(1))))
   }
-  private val decodeUdf = udf { (bytes: Array[Byte]) => decode(bytes) }
+  private[tsdb] val decodeUdf = udf { (bytes: Array[Byte]) => decode(bytes) }
 
   /** samples(series_id, ts_us, value, …) → one row per series with the
     * time-ordered points packed into a Gorilla `payload` binary.

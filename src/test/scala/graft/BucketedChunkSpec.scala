@@ -29,6 +29,28 @@ class BucketedChunkSpec extends SparkSpec {
     } finally t.drop()
   }
 
+  test("gorilla-packed closed table: lossless roundtrip, decoded per-series agg still shuffle-free") {
+    val samples = Series.samples(spark.read.parquet(s"$sfDir/events.parquet"))
+    val t = new BucketedChunkTable(spark, "graft_bucketed_closed_test")
+    t.drop()
+    t.writeClosed(samples, mode = "overwrite")
+    try {
+      val decoded = t.readClosed()
+      // lossless: same multiset of (series_id, ts_us, value)
+      val a = decoded.select("series_id", "ts_us", "value")
+        .as[(String, Long, Double)].collect().sorted.toSeq
+      val b = samples.select("series_id", "ts_us", "value")
+        .as[(String, Long, Double)].collect().sorted.toSeq
+      assert(a == b)
+      // bucket distribution survives the decode explode: per-series agg
+      // over DECODED samples plans with no Exchange
+      val agg = decoded.groupBy($"series_id").agg(count(lit(1)).as("n"))
+      agg.count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+    } finally t.drop()
+  }
+
   test("same-bucketed tables join on series_id without shuffling either side") {
     val samples = Series.samples(spark.read.parquet(s"$sfDir/events.parquet"))
     val a = new BucketedChunkTable(spark, "graft_bucketed_a")
