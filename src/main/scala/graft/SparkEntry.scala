@@ -84,6 +84,9 @@ object SparkEntry {
     "ts_increase_1h" -> ((s, dir) =>
       TsOps.increase(Series.samples(t(s, dir, "events")))),
 
+    "ts_moving_avg_1h" -> ((s, dir) =>
+      TsOps.movingAvg(Series.samples(t(s, dir, "events")))),
+
     "ts_last_over_time" -> ((s, dir) =>
       TsOps.lastOverTime(Series.samples(t(s, dir, "events")), T2)),
 
@@ -118,6 +121,18 @@ object SparkEntry {
           count(lit(1)).as("n_points"),
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
+    "events_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen day, distinct
+      // active users per (cohort, day offset) — two shuffles (first-seen
+      // per user, then the cohort matrix), both partial-aggregated
+      val days = Series.samples(t(s, dir, "events"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      days.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
 
     "events_funnel" -> ((s, dir) => {
       // signup → purchase conversion per user: first signup, first
@@ -435,6 +450,24 @@ object SparkEntry {
                     max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
                   FROM s GROUP BY 1, 2)
           SELECT series_id, bucket_ms, n_points, l.value - f.value AS increase FROM agg""",
+
+    "events_retention" ->
+      s"""WITH d AS (SELECT user_id, epoch_us(ts)//86400000000 AS day FROM events),
+          f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+          SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+                 CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+          FROM d JOIN f ON d.user_id = f.user_id
+          GROUP BY 1, 2""",
+
+    "ts_moving_avg_1h" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events)
+          SELECT series_id, ts_us, value,
+                 CAST(count(*) OVER w AS BIGINT) AS n_win,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sum_win,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) / (count(*) OVER w) AS avg_win
+          FROM s
+          WINDOW w AS (PARTITION BY series_id ORDER BY ts_us
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     "ts_last_over_time" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value

@@ -99,6 +99,27 @@ object TsOps {
       .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
       .select(col("series_id"), col("l.ts_us").as("ts_us"), col("l.value").as("value"))
 
+  /** Sliding-window moving aggregate per series (PromQL
+    * `avg_over_time(m[1h])` at every sample point): a RANGE window
+    * over the trailing `windowUs`, so rows with equal timestamps are
+    * frame peers in every engine. The rolling sum runs in DECIMAL
+    * (exact, associative) and casts to double once — the moving avg
+    * is then bit-identical regardless of partitioning or the window
+    * implementation's summation order. One shuffle by series_id; the
+    * per-series sort is bounded by series cardinality × retention. */
+  def movingAvg(samples: DataFrame, windowUs: Long = UsPerHour): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, 0)
+    samples
+      .select(col("series_id"), col("ts_us"), col("value"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .over(w).cast("double"))
+      .withColumn("avg_win", col("sum_win") / col("n_win"))
+  }
+
   /** Per-chunk occupancy stats — the reference's chunk bookkeeping
     * (src/db.rs:265-303 swap, src/chunk/chunk.rs). Chunk id is the
     * 1-hour bucket ordinal (integer division — exact). */

@@ -69,6 +69,52 @@ class TsOpsSpec extends SparkSpec {
     assert(s.filter($"user_id" === 1).count() == 1)
   }
 
+  test("movingAvg: RANGE frame covers exactly the trailing window") {
+    val s = Series.samples(toyEvents).filter($"user_id" === 1L)
+    val m = TsOps.movingAvg(s, windowUs = 1500000L) // 1.5s lookback
+      .select("ts_us", "n_win", "sum_win").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1000000L) == ((1L, 1.0)))        // only itself
+    assert(m(2000000L) == ((2L, 4.0)))        // 1s + 2s rows
+    assert(m(3000000L) == ((2L, 10.0)))       // 2s + 3s rows (1s aged out)
+  }
+
+  test("movingAvg: equal-timestamp rows are frame PEERS (RANGE semantics, matches DuckDB)") {
+    val s = Seq(("a", 1000000L, 1.0), ("a", 2000000L, 3.0),
+      ("a", 2000000L, 5.0), ("a", 3000000L, 7.0))
+      .toDF("series_id", "ts_us", "value")
+    val m = TsOps.movingAvg(s, windowUs = 1500000L)
+      .select("ts_us", "value", "n_win", "sum_win")
+      .as[(Long, Double, Long, Double)].collect().toSet
+    // both ts=2000000 rows see BOTH peers (n=3, sum=9) — verified
+    // identical in DuckDB's RANGE window on the same input
+    assert(m == Set((1000000L, 1.0, 1L, 1.0), (2000000L, 3.0, 3L, 9.0),
+      (2000000L, 5.0, 3L, 9.0), (3000000L, 7.0, 3L, 15.0)))
+  }
+
+  test("retention matrix: cohort = first-seen day, offsets count distinct users") {
+    val day = 86400000000000L // ns
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 1.0),            // u1 day0
+      (2L, 2 * day + 5L, 1L, "click", 1.0),  // u1 day2
+      (3L, day, 2L, "click", 1.0),           // u2 day1
+      (4L, 2 * day, 2L, "click", 1.0),       // u2 day2
+      (5L, 2 * day, 3L, "click", 1.0))       // u3 day2
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = SparkEntry_retention(ev)
+    val got = r.as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  private def SparkEntry_retention(ev: org.apache.spark.sql.DataFrame) = {
+    val days = Series.samples(ev)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
