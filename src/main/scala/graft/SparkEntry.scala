@@ -122,6 +122,15 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    "events_salted_agg" -> ((s, dir) =>
+      // per-user exact sum/count through the two-phase salted
+      // aggregation — the skew-defeating path a hot user would need at
+      // cluster scale; results identical to a plain groupBy
+      graft.analytics.Salted.sumCountByKey(
+        Series.samples(t(s, dir, "events")),
+        col("user_id"), col("value"), col("event_id"))
+        .select(col("k").as("user_id"), col("sum_value"), col("n"))),
+
     "events_retention" -> ((s, dir) => {
       // cohort retention: users grouped by first-seen day, distinct
       // active users per (cohort, day offset) — two shuffles (first-seen
@@ -450,6 +459,12 @@ object SparkEntry {
                     max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
                   FROM s GROUP BY 1, 2)
           SELECT series_id, bucket_ms, n_points, l.value - f.value AS increase FROM agg""",
+
+    "events_salted_agg" ->
+      s"""SELECT user_id,
+                 CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1""",
 
     "events_retention" ->
       s"""WITH d AS (SELECT user_id, epoch_us(ts)//86400000000 AS day FROM events),

@@ -33,4 +33,13 @@ object Ingest {
   /** Streaming variant of the JSON source (file-arrival ingest). */
   def eventsStreamFromJsonl(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).json(dir)
+
+  /** Schema-evolution read over a parquet lineage: older partitions
+    * may lack columns that newer ones carry (a pipeline that added a
+    * `props` field mid-history). `mergeSchema` unions the file
+    * footers' schemas — a metadata-only operation — and fills missing
+    * columns with null, so one scan spans the whole history without
+    * rewriting old data. */
+  def eventsEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }
