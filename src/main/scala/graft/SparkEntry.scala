@@ -84,6 +84,9 @@ object SparkEntry {
     "ts_increase_1h" -> ((s, dir) =>
       TsOps.increase(Series.samples(t(s, dir, "events")))),
 
+    "ts_gap_fill_1h" -> ((s, dir) =>
+      TsOps.gapFill(Series.samples(t(s, dir, "events")))),
+
     "ts_moving_avg_1h" -> ((s, dir) =>
       TsOps.movingAvg(Series.samples(t(s, dir, "events")))),
 
@@ -319,6 +322,8 @@ object SparkEntry {
 
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docsT(s, dir))),
 
+    "doc_split" -> ((s, dir) => Dedup.leakageSafeSplit(docsT(s, dir))),
+
     "dedup_embedding" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
         embT(s, dir)
@@ -377,6 +382,28 @@ object SparkEntry {
                 FROM band a JOIN band b
                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
+
+  /** Connected-component clusters oracle (recursive CTE), shared by
+    * dedup_clusters and doc_split; ends with CTE `clu`(doc_id,
+    * cluster_rep). */
+  private lazy val clustersCtes: String =
+    """WITH RECURSIVE
+       tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+              FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+       sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b FROM inter
+                 JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                 WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(doc_id, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       clu AS (SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1)"""
 
   private lazy val minhashOracle: String =
     s"""$minhashCtes
@@ -473,6 +500,22 @@ object SparkEntry {
                  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
           FROM d JOIN f ON d.user_id = f.user_id
           GROUP BY 1, 2""",
+
+    "ts_gap_fill_1h" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          pb AS (SELECT series_id, ts_us//3600000000 AS bucket,
+                   max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
+                 FROM s GROUP BY 1, 2),
+          bounds AS (SELECT series_id, min(ts_us)//3600000000 AS b0, max(ts_us)//3600000000 AS b1
+                     FROM s GROUP BY 1),
+          spine AS (SELECT series_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds),
+          j AS (SELECT spine.series_id, spine.bucket, pb.l.value AS v
+                FROM spine LEFT JOIN pb ON pb.series_id = spine.series_id AND pb.bucket = spine.bucket)
+          SELECT series_id, bucket * 3600000 AS bucket_ms,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+                 v IS NULL AS filled
+          FROM j""",
 
     "ts_moving_avg_1h" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events)
@@ -738,23 +781,16 @@ object SparkEntry {
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
 
     "dedup_clusters" ->
-      """WITH RECURSIVE
-         tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b FROM inter
-                   JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-                   WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach(doc_id, r) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a)
-         SELECT doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1""",
+      s"""$clustersCtes
+         SELECT doc_id, cluster_rep FROM clu""",
+
+    "doc_split" ->
+      s"""$clustersCtes
+         SELECT doc_id, cluster_rep,
+                CASE WHEN ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM clu""",
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

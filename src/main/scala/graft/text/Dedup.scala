@@ -295,6 +295,26 @@ object Dedup {
     labels
   }
 
+  /** Leakage-safe train/val/test split: the split key is the doc's
+    * duplicate-CLUSTER representative, not the doc id, so near-
+    * duplicates always land in the SAME split — the standard guard
+    * against train/test contamination in LLM corpus prep. Assignment
+    * is a pure hash of the rep (deterministic, engine-reproducible,
+    * rebalance-free as the corpus grows): bucket = 60-bit md5 % 100,
+    * train < trainPct ≤ val < trainPct+valPct ≤ test. */
+  def leakageSafeSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                       n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val clusters = duplicateClusters(docs, n, threshold)
+    val bucket = pmod(hash60(col("cluster_rep").cast("string")), lit(100L))
+    clusters
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+  }
+
   /** 32-bit SimHash from distinct tokens (Charikar, STOC'02). Bit i of
     * the hash of token t = high bit of hex digit i of md5(t) — 32
     * uniform bits per token with no engine-specific integer hashing.

@@ -120,6 +120,37 @@ object TsOps {
       .withColumn("avg_win", col("sum_win") / col("n_win"))
   }
 
+  /** Gap-filled per-series hourly series (Prometheus staleness
+    * semantics, bounded-lookback carry-forward): every series gets a
+    * bucket SPINE from its first to last hour (sequence + explode —
+    * no cross join against a global calendar), each bucket takes the
+    * series' LAST sample in that bucket (total order (ts, event_id)),
+    * and empty buckets carry the previous value forward via
+    * last(ignoreNulls) over an unbounded-preceding ROWS frame.
+    * `filled` marks carried rows. One shuffle by series_id; the spine
+    * is bounded by series × retention hours. */
+  def gapFill(samples: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketUs = bucketMs * 1000
+    val perBucket = samples
+      .groupBy(col("series_id"), expr(s"ts_us div $bucketUs").as("bucket"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
+      .select(col("series_id"), col("bucket"), col("l.value").as("v"))
+    val spine = samples
+      .groupBy(col("series_id"))
+      .agg(expr(s"min(ts_us) div $bucketUs").as("b0"),
+        expr(s"max(ts_us) div $bucketUs").as("b1"))
+      .select(col("series_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col("series_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(perBucket, Seq("series_id", "bucket"), "left")
+      .withColumn("value", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("v").isNull)
+      .select(col("series_id"), (col("bucket") * bucketMs).as("bucket_ms"),
+        col("value"), col("filled"))
+  }
+
   /** Per-chunk occupancy stats — the reference's chunk bookkeeping
     * (src/db.rs:265-303 swap, src/chunk/chunk.rs). Chunk id is the
     * 1-hour bucket ordinal (integer division — exact). */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.Dedup
+import org.apache.spark.sql.functions.{countDistinct, max}
 
 class ClusterSpec extends SparkSpec {
   import spark.implicits._
@@ -38,6 +39,19 @@ class ClusterSpec extends SparkSpec {
     val viaDistributed = Dedup.duplicateClusters(docs, 3, 0.2, driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(viaDriver == viaDistributed)
+  }
+
+  test("leakage-safe split: near-duplicates always land in the same split") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val split = Dedup.leakageSafeSplit(docs)
+    assert(split.count() == docs.count()) // every doc assigned
+    // within a cluster there is exactly one split value — the whole point
+    val perCluster = split.groupBy("cluster_rep")
+      .agg(countDistinct($"split").as("n_splits"))
+      .agg(max($"n_splits")).as[Long].head()
+    assert(perCluster == 1L)
+    // and the assignment actually uses more than one split bucket
+    assert(split.select("split").distinct().count() >= 2)
   }
 
   test("matches the oracle's transitive-closure semantics on real docs") {

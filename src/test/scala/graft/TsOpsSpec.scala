@@ -115,6 +115,21 @@ class TsOpsSpec extends SparkSpec {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  test("gapFill: empty buckets carry the last value forward, marked filled") {
+    val hourNs = 3600000000000L
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 5.0),              // hour 0
+      (2L, 2 * hourNs + 1000L, 1L, "click", 9.0)) // hour 2 — hour 1 is a gap
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val g = TsOps.gapFill(Series.samples(ev))
+      .select("bucket_ms", "value", "filled")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(g == Seq(
+      (0L, 5.0, false),
+      (3600000L, 5.0, true),   // carried forward
+      (7200000L, 9.0, false)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
