@@ -356,6 +356,10 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsT(s, dir))),
 
+    "doc_redact" -> ((s, dir) => TextOps.redact(docsT(s, dir))),
+
+    "doc_repetition" -> ((s, dir) => TextOps.repetition(docsT(s, dir))),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.fakeDecode(Multimodal.attachMedia(docsT(s, dir)))))
 
@@ -889,6 +893,23 @@ object SparkEntry {
          FROM (SELECT doc_id, text, unnest(range(1, length(text)-3)) AS i
                FROM documents WHERE length(text) >= 5)
          GROUP BY 1""",
+
+    "doc_redact" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_idnums,
+                regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                               '[0-9]{6,}', '[NUM]', 'g') AS clean_text
+         FROM documents""",
+
+    "doc_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+         c AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles, max(c) AS max_rep,
+                CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
+         FROM c GROUP BY 1""",
 
     "multimodal_meta" ->
       """SELECT doc_id,

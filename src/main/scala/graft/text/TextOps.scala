@@ -81,6 +81,34 @@ object TextOps {
         col("score"))
   }
 
+  /** PII scrubbing: redact emails and long digit runs (id-like
+    * numbers) with typed placeholders, counting each. Pure
+    * regexp_replace — codegen'd, streams through the scan, and the
+    * patterns are restateable in any engine's regex dialect. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IdNumRe = "[0-9]{6,}"
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(IdNumRe), lit(0))).cast("long").as("n_idnums"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"), IdNumRe, "[NUM]")
+        .as("clean_text"))
+
+  /** Repetition signal (Gopher/MassiveText-style quality filter): the
+    * fraction of a doc's word 3-grams taken by its single most
+    * repeated 3-gram. Raw (non-distinct) shingles on purpose — the
+    * repetition IS the signal. Two hash-aggregations, both map-side
+    * partial; ratio is an exact integer division in double. */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), explode(wordShingles(tokens(col("text")), n)).as("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_rep"))
+      .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_shingles"))
+
   /** Document fingerprint: min-md5 over character 5-gram shingles
     * (winnowing-lite; cf. Schleimer et al., SIGMOD'03). Documents
     * shorter than 5 chars have no shingles and are dropped. */

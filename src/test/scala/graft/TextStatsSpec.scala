@@ -36,6 +36,31 @@ class TextStatsSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("redact strips emails and id-numbers with typed placeholders") {
+    // the shipped corpus has NO pii (verified: 0 docs match either
+    // pattern), so the oracle hash-match alone cannot prove redaction
+    // works — this constructed input is the actual evidence
+    val pii = Seq(
+      (1L, "contact bob.smith+x@corp-mail.co.uk or call 12345678 now"),
+      (2L, "clean text, short num 12345 stays"))
+      .toDF("doc_id", "text")
+    val byId = TextOps.redact(pii).collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(byId(1L) == ((1L, 1L, "contact [EMAIL] or call [NUM] now")))
+    assert(byId(2L) == ((0L, 0L, "clean text, short num 12345 stays"))) // <6 digits untouched
+  }
+
+  test("repetition: a looping doc scores near 1, varied text scores low") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "every word here is completely different always"))
+      .toDF("doc_id", "text")
+    val r = TextOps.repetition(d).select("doc_id", "rep_ratio")
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 1.0)     // all 3-grams identical
+    assert(r(2L) < 0.3)      // no repeated 3-gram
+  }
+
   test("resize and frame-sample keep the binary pipeline shape") {
     val m = Multimodal.attachMedia(docs)
     val resized = Multimodal.fakeResize(m, maxBytes = 10)
