@@ -146,6 +146,19 @@ object StreamIngest {
       }
   }
 
+  /** Streaming exact dedup: emit each distinct text's FIRST arrival,
+    * dropping later duplicates. `dropDuplicatesWithinWatermark` keys
+    * state on the content hash and expires entries once the watermark
+    * passes them — state is bounded by (dedup window × arrival rate),
+    * not by stream lifetime, which is what makes exact dedup viable on
+    * an unbounded corpus feed. Input needs (doc_id, ts TIMESTAMP,
+    * text). */
+  def dedupStream(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Chunk sink with inline compaction: each micro-batch appends, then
     * every live chunk whose time range lies entirely below the batch's
     * max event time minus `closeLagUs` is Gorilla-packed into the

@@ -38,6 +38,30 @@ class StreamTimeoutSpec extends SparkSpec {
     assert(u1.head.n_events == 1 && u1.head.sum_value == 1.0)
   }
 
+  test("streaming dedup emits first arrival only, within the watermark window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamIngest.dedupStream(docs, delay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    input.addData((1L, ts("2024-01-01 00:00:00"), "the same text"),
+      (2L, ts("2024-01-01 00:00:01"), "different text"))
+    q.processAllAvailable()
+    input.addData((3L, ts("2024-01-01 00:10:00"), "the same text")) // dup, later batch
+    q.processAllAvailable()
+    // duplicates arriving in the SAME micro-batch are also collapsed
+    input.addData((4L, ts("2024-01-01 00:20:00"), "batch twin"),
+      (5L, ts("2024-01-01 00:20:01"), "batch twin"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(rows.contains(2L))
+    assert(rows.intersect(Set(1L, 3L)).size == 1) // "the same text" emitted exactly once
+    assert(rows.intersect(Set(4L, 5L)).size == 1) // same-batch dup collapsed too
+  }
+
   test("compacting chunk sink closes old chunks as event time advances") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_compact_chunks").toString
