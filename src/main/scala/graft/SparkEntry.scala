@@ -396,8 +396,10 @@ object SparkEntry {
        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
               FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       shc AS (SELECT sh.* FROM sh
+               JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) k USING (sh)),
        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+                 FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
        pairs AS (SELECT doc_a, doc_b FROM inter
                  JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
                  WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3),
@@ -693,8 +695,10 @@ object SparkEntry {
          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
                 FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
          sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         shc AS (SELECT sh.* FROM sh
+                 JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) k USING (sh)),
          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+                   FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
          SELECT doc_a, doc_b, n_inter,
                 CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) AS jaccard
          FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -709,8 +713,10 @@ object SparkEntry {
          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
                 FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
          sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         shc AS (SELECT sh.* FROM sh
+                 JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) k USING (sh)),
          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+                   FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
          dominated AS (SELECT DISTINCT doc_b FROM inter
                        JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
                        WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3)
