@@ -62,6 +62,25 @@ class StreamTimeoutSpec extends SparkSpec {
     assert(rows.intersect(Set(4L, 5L)).size == 1) // same-batch dup collapsed too
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val userDim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "value")
+    // static side broadcast per micro-batch — no state, no watermark needed
+    val enriched = events.join(userDim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    input.addData((1L, ts("2024-01-01 00:00:00"), 1L, 5.0),
+      (2L, ts("2024-01-01 00:00:01"), 2L, 6.0),
+      (3L, ts("2024-01-01 00:00:02"), 9L, 7.0)) // no dim row → dropped (inner)
+    q.processAllAvailable()
+    val rows = spark.table("enriched").select("event_id", "tier")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "gold"), (2L, "free")))
+  }
+
   test("compacting chunk sink closes old chunks as event time advances") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_compact_chunks").toString
