@@ -373,7 +373,10 @@ object Dedup {
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming cut is a map-side predicate,
+      // so the distinct shuffle carries only surviving pairs instead of
+      // every (≤4-way duplicated) block collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
