@@ -145,14 +145,25 @@ object VectorOps {
       .select(col("vec_id").as("c_id"), col("v").as("cv")))
 
   /** Cell assignment (vec_id → cell): argmax rounded cosine vs every
-    * centroid, via one max_by hash-aggregate over a total order
-    * (cos, -c_id) — deterministic, no window sort. */
-  def ivfAssign(corpus: DataFrame, cents: DataFrame, roundTo: Int = 6): DataFrame =
+    * centroid. The (cos desc, c_id asc) total order is packed into ONE
+    * LONG — `round((cos+1)·10^r)·2^16 + (2^16−1−c_id)` — because a
+    * struct-valued max_by buffer silently demotes the aggregation to
+    * SortAggregate (observed in the plan); a LONG max stays in
+    * codegen'd HashAggregate with map-side partials, which is the
+    * difference between one hash pass and a corpus-wide sort at index
+    * build. Exact: cos is already rounded to `roundTo` decimals, so
+    * ·10^roundTo re-rounds to an integer ≤ 2·10^6; c_id < 2^16. */
+  def ivfAssign(corpus: DataFrame, cents: DataFrame, roundTo: Int = 6): DataFrame = {
+    val scale = math.pow(10, roundTo)
+    val key = round((col("cos_c") + 1) * scale).cast("long") * 65536L +
+      (lit(65535L) - col("c_id"))
     corpus.select(col("vec_id"), col("v")).crossJoin(cents)
       .withColumn("cos_c",
         round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("cos_c"), (-col("c_id")).as("nc"))).as("cell"))
+      .agg(max(key).as("k"))
+      .select(col("vec_id"), (lit(65535L) - pmod(col("k"), lit(65536L))).as("cell"))
+  }
 
   /** The query side of IVF: each query ranks all centroids and keeps
     * its `nProbe` nearest cells. Tiny (queries × centroids). */
