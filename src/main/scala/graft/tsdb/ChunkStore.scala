@@ -29,9 +29,14 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
 
-  /** Append samples (from [[Series.samples]]), routed to their chunk. */
+  /** Append samples (from [[Series.samples]]), routed to their chunk.
+    * Points with a non-positive timestamp are dropped — the
+    * reference's ingest guard (db.rs:183-186 rejects ts=0 and
+    * out-of-chunk points; chunk routing handles the latter here since
+    * every valid ts has a chunk). */
   def append(samples: DataFrame): Unit =
     samples
+      .filter(col("ts_us") > 0)
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
 

@@ -42,6 +42,19 @@ class ChunkStoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("append drops non-positive timestamps (reference ingest guard)") {
+    val dir = Files.createTempDirectory("graft_chunks_ts0").toString
+    val store = new ChunkStore(spark, dir)
+    val s = Seq(
+      ("a", "click", 1L, 0L, 1.0, 1L),      // ts=0 → dropped (db.rs:183-186)
+      ("a", "click", 1L, -5L, 2.0, 2L),     // negative → dropped
+      ("a", "click", 1L, 1704067200000000L, 3.0, 3L))
+      .toDF("series_id", "event_type", "user_id", "ts_us", "value", "event_id")
+    store.append(s)
+    assert(store.live().count() == 1)
+    assert(store.live().select("value").as[Double].head() == 3.0)
+  }
+
   test("federated queryAll == live-only answer after a chunk is closed") {
     val dir = Files.createTempDirectory("graft_chunks2").toString
     val store = new ChunkStore(spark, dir)
