@@ -18,6 +18,17 @@ object DebugProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    if (names.contains("__prepare")) {
+      val g = new Graft(spark, sfDir)
+      val total = g.documents.count()
+      val prepped = g.prepareCorpus().persist()
+      val n = prepped.count()
+      val splits = prepped.groupBy(col("split")).count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      val nullRows = prepped.filter(col("clean_text").isNull || col("split").isNull).count()
+      println(s"[probe] corpus $total -> prepped $n  splits: $splits  nullRows=$nullRows")
+      spark.stop(); return
+    }
     if (names.contains("__ivfstore")) {
       import graft.vector.{IvfStore, VectorOps}
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -51,6 +51,34 @@ final class Graft(val spark: SparkSession, dir: String) {
   /** Deduplicated documents view (the pipeline-completing operator). */
   def dedupedDocuments(threshold: Double = 0.3): DataFrame =
     text.Dedup.dedupedCorpus(documents, threshold = threshold)
+
+  /** The complete corpus-prep pipeline in one call — what a training-
+    * data user actually runs end-to-end:
+    *   1. quality gate (length + stopword-ratio + repetition bounds),
+    *   2. near-dup removal (greedy keep-lowest-id over jaccard pairs),
+    *   3. leakage-safe train/val/test split (cluster-keyed hash),
+    *   4. PII redaction.
+    * Output: (doc_id, split, clean_text) ∪ quality columns. Every
+    * stage is the operator verified by its own oracle query; the
+    * composition shares the session-cached shingle/pair frames, so
+    * the whole pipeline costs one dedup pass. */
+  def prepareCorpus(minLen: Long = 20, maxStopRatio: Double = 0.8,
+                    maxRepRatio: Double = 0.9,
+                    dedupThreshold: Double = 0.3): DataFrame = {
+    val q = text.TextOps.quality(documents)
+      .filter(col("len") >= minLen && col("stop_ratio") <= maxStopRatio)
+      .select("doc_id")
+    val rep = text.TextOps.repetition(documents)
+      .filter(col("rep_ratio") <= maxRepRatio)
+      .select("doc_id")
+    val kept = text.Dedup.dedupedCorpus(documents, threshold = dedupThreshold)
+      .join(q, "doc_id").join(rep, "doc_id")
+    val split = text.Dedup.leakageSafeSplit(documents, threshold = dedupThreshold)
+      .select("doc_id", "split")
+    val clean = text.TextOps.redact(documents).select("doc_id", "clean_text")
+    kept.join(split, "doc_id").join(clean, "doc_id")
+      .select("doc_id", "split", "clean_text", "lang", "source", "n_chars")
+  }
 }
 
 object Graft {

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 class GraftFacadeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -23,5 +25,21 @@ class GraftFacadeSpec extends SparkSpec {
       .select("p._1", "p._2").as[(Long, Double)].collect().sorted.toSeq
     val orig = g.samples.select("ts_us", "value").as[(Long, Double)].collect().sorted.toSeq
     assert(back == orig)
+  }
+
+  test("prepareCorpus: one-call quality->dedup->split->redact pipeline") {
+    val g = new Graft(spark, sfDir)
+    val prepped = g.prepareCorpus()
+    val n = prepped.count()
+    val total = g.documents.count()
+    assert(n > 0 && n <= total)
+    // every surviving doc has a split and redacted text
+    assert(prepped.filter(col("split").isNull || col("clean_text").isNull).count() == 0)
+    // near-dup victims are gone: kept docs must be a subset of dedupedDocuments
+    val keptIds = prepped.select("doc_id").as[Long].collect().toSet
+    val dedupIds = g.dedupedDocuments().select("doc_id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(dedupIds))
+    // all three splits appear on a 500-doc corpus
+    assert(prepped.select("split").distinct().count() >= 2)
   }
 }
