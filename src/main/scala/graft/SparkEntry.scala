@@ -324,6 +324,15 @@ object SparkEntry {
 
     "doc_split" -> ((s, dir) => Dedup.leakageSafeSplit(docsT(s, dir))),
 
+    "doc_contamination" -> ((s, dir) => {
+      // benchmark stand-in: every 10th doc plays the eval set; the
+      // check finds corpus docs sharing an 8-gram with any of them
+      val docs = docsT(s, dir)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(
         embT(s, dir)
@@ -898,6 +907,17 @@ object SparkEntry {
                 min(('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT) AS fp
          FROM (SELECT doc_id, text, unnest(range(1, length(text)-3)) AS i
                FROM documents WHERE length(text) >= 5)
+         GROUP BY 1""",
+
+    "doc_contamination" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+               FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-6, 1))) AS i FROM tok)
+               WHERE len(t) >= 8),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+         corp AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+         SELECT corp.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+         FROM corp JOIN bench ON corp.g = bench.g
          GROUP BY 1""",
 
     "doc_redact" ->

@@ -295,6 +295,23 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination (the n-gram-overlap check run before
+    * training on any corpus that might contain eval data): a corpus
+    * doc is contaminated iff it shares at least one word-`n`-gram
+    * (n=8 by convention) with any benchmark doc. The join is keyed on
+    * the shingle — benchmark shingle sets are tiny relative to the
+    * corpus, so at scale the benchmark side broadcasts and the check
+    * is one map-side semi-join pass over the corpus shingles. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), n))).as("g"))
+    val bench = broadcast(grams(benchmark).select(col("g")).distinct())
+    grams(docs)
+      .join(bench, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Leakage-safe train/val/test split: the split key is the doc's
     * duplicate-CLUSTER representative, not the doc id, so near-
     * duplicates always land in the SAME split — the standard guard

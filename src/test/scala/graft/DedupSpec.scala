@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(!p.exists(x => x._1 == 5L || x._2 == 5L))
   }
 
+  test("contamination: flags 8-gram overlap with the benchmark, not 7-gram") {
+    val eightShared = "one two three four five six seven eight"
+    val bench = Seq((100L, s"$eightShared and unrelated benchmark tail here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix words then $eightShared closing words"),        // shares the 8-gram
+      (2L, "one two three four five six seven NOPE different end"), // only 7 shared → clean
+      (3L, "completely unrelated text with no overlap at all ok"))
+      .toDF("doc_id", "text")
+    val c = Dedup.contamination(corpus, bench)
+      .select("doc_id", "n_shared_grams").as[(Long, Long)].collect().toMap
+    assert(c.contains(1L) && c(1L) >= 1)
+    assert(!c.contains(2L) && !c.contains(3L))
+  }
+
   test("two-stage jaccard verifies LSH candidates with exact scores") {
     val two = Dedup.ngramJaccardTwoStage(toyDocs)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
