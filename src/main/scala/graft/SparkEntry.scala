@@ -115,6 +115,19 @@ object SparkEntry {
       AsOf.joinAsOf(l, r, Seq("user_id"), "ts_us", "value", "last_click_value")
     }),
 
+    "ts_topk_series" -> ((s, dir) => {
+      // PromQL topk(5, sum by series over the query range) per
+      // event_type — the custom TopKPerKey operator on the TSDB
+      // surface (bounded heaps, no full window sort)
+      val agg = TsOps.rangeQuery(Series.samples(t(s, dir, "events")), Seq.empty, T1, T2)
+        .join(Series.catalog(t(s, dir, "events")), "series_id")
+        .groupBy(col("event_type"), col("series_id"))
+        .agg(TsOps.exactSum(col("value"), 2).as("sum_value"))
+      graft.plans.TopKPerKey(agg, Seq("event_type"),
+        Seq("sum_value" -> graft.plans.TopKPerKey.Desc,
+          "series_id" -> graft.plans.TopKPerKey.Asc), 5)
+    }),
+
     "ts_quantiles" -> ((s, dir) =>
       // exact interpolated percentiles (type R-7 — same definition as
       // DuckDB quantile_cont); rounded to absorb last-ULP libm drift
@@ -501,6 +514,16 @@ object SparkEntry {
                     max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
                   FROM s GROUP BY 1, 2)
           SELECT series_id, bucket_ms, n_points, l.value - f.value AS increase FROM agg""",
+
+    "ts_topk_series" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, value FROM events
+                     WHERE epoch_us(ts) BETWEEN $T1 AND $T2),
+          agg AS (SELECT event_type, series_id,
+                    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+                  FROM s GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY sum_value DESC, series_id ASC) AS rn FROM agg)
+          SELECT event_type, series_id, sum_value FROM r WHERE rn <= 5""",
 
     "events_salted_agg" ->
       s"""SELECT user_id,
