@@ -38,6 +38,12 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     samples
       .filter(col("ts_us") > 0)
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      // cluster by chunk before the partitioned write: without this
+      // every task writes a file into every chunk directory it touches
+      // (tasks × chunks small files); clustered, a chunk's rows land in
+      // O(1) files per append — the small-files discipline that keeps
+      // the store scannable after months of micro-batches
+      .repartition(col("chunk"))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
 
   /** Partition-directory columns come back as the narrowest inferred
