@@ -145,6 +145,14 @@ object SparkEntry {
           "series_id" -> graft.plans.TopKPerKey.Asc), 5)
     }),
 
+    "ts_value_histogram" -> ((s, dir) =>
+      // per-series fixed-width value histogram (Prometheus histogram
+      // buckets, le-style cumulative left to the reader): integer
+      // bucket ids — no float boundary ambiguity across engines
+      Series.samples(t(s, dir, "events"))
+        .groupBy(col("series_id"), floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     "ts_quantiles" -> ((s, dir) =>
       // exact interpolated percentiles (type R-7 — same definition as
       // DuckDB quantile_cont); rounded to absorb last-ULP libm drift
@@ -536,6 +544,12 @@ object SparkEntry {
       s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
           WHERE event_type = 'view'
             AND epoch_us(ts) BETWEEN 1704067200000000 AND $T2""",
+
+    "ts_value_histogram" ->
+      s"""SELECT $SeriesIdSql AS series_id,
+                 CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2""",
 
     "ts_topk_series" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, value FROM events
