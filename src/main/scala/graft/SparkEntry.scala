@@ -97,7 +97,10 @@ object SparkEntry {
       TsOps.chunkStats(Series.samples(t(s, dir, "events")))),
 
     "ts_gorilla_roundtrip" -> ((s, dir) =>
-      Gorilla.unpack(Gorilla.pack(Series.samples(t(s, dir, "events"))))),
+      // chunk-scoped pack (one payload per series-HOUR, the shape the
+      // store paths use): per-group collect stays bounded by chunk
+      // duration even when a series' total retention is unbounded
+      Gorilla.unpack(Gorilla.packChunked(Series.samples(t(s, dir, "events")), 3600000000L))),
 
     "stream_window_counts" -> ((s, dir) =>
       StreamIngest.windowCounts(t(s, dir, "events"))),
@@ -413,8 +416,10 @@ object SparkEntry {
   /** Shared CTE prefix for the minhash-family oracles, generated with
     * the SAME affine-permutation constants the Spark operators use
     * (Dedup.permConstants): tokenize → distinct shingles → 28-bit
-    * shingle hash → 16-column signature → 4 banded hashes. */
-  private lazy val minhashCtes: String = {
+    * shingle hash → 16-column signature → 4 banded hashes.
+    * `minhashCtesBody` has no WITH keyword so the clusters oracle can
+    * prepend WITH RECURSIVE. */
+  private lazy val minhashCtesBody: String = {
     val consts = graft.text.Dedup.permConstants(16)
     val minCols = consts.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % ${graft.text.Dedup.MinhashP}) AS m$i"
@@ -423,7 +428,7 @@ object SparkEntry {
       val sig = (0 until 4).map(j => s"m${bnd * 4 + j}").mkString(" || '#' || ")
       s"SELECT doc_id, $bnd AS band, md5($sig) AS bh FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+    s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
               FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
        shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
@@ -434,22 +439,31 @@ object SparkEntry {
                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
 
-  /** Connected-component clusters oracle (recursive CTE), shared by
-    * dedup_clusters and doc_split; ends with CTE `clu`(doc_id,
-    * cluster_rep). */
+  private lazy val minhashCtes: String = s"WITH $minhashCtesBody"
+
+  /** Two-stage verified-pair CTE chain (no WITH prefix): LSH
+    * candidates → exact Jaccard verify, ending in CTE `pairs`(doc_a,
+    * doc_b) — the oracle restatement of [[graft.text.Dedup
+    * .ngramJaccardTwoStage]], which keep/clusters/split now build on. */
+  private lazy val twoStagePairsBody: String =
+    s"""$minhashCtesBody,
+       nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                 FROM cand c
+                 JOIN sh a ON a.doc_id = c.doc_a
+                 JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+                 GROUP BY 1, 2),
+       pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+                 JOIN nsh na ON na.doc_id = i.doc_a
+                 JOIN nsh nb ON nb.doc_id = i.doc_b
+                 WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3)"""
+
+  /** Connected-component clusters oracle (recursive CTE) over the
+    * two-stage verified pair graph, shared by dedup_clusters and
+    * doc_split; ends with CTE `clu`(doc_id, cluster_rep). */
   private lazy val clustersCtes: String =
-    """WITH RECURSIVE
-       tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-              FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
-       sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-       shc AS (SELECT sh.* FROM sh
-               JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) k USING (sh)),
-       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-                 FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       pairs AS (SELECT doc_a, doc_b FROM inter
-                 JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-                 WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3),
+    s"""WITH RECURSIVE
+       $twoStagePairsBody,
        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                  UNION ALL SELECT doc_b, doc_a FROM pairs),
        reach(doc_id, r) AS (
@@ -777,19 +791,9 @@ object SparkEntry {
     "dedup_jaccard_twostage" -> twoStageOracle,
 
     "dedup_keep" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
-                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         shc AS (SELECT sh.* FROM sh
-                 JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) k USING (sh)),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
-                   FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         dominated AS (SELECT DISTINCT doc_b FROM inter
-                       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-                       WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3)
+      s"""WITH $twoStagePairsBody
          SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE doc_id NOT IN (SELECT doc_b FROM dominated)""",
+         WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""",
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

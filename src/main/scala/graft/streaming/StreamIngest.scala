@@ -85,7 +85,12 @@ object StreamIngest {
           rows.toSeq.sortBy(e => e.ts_us).foreach { e =>
             cur match {
               case Some(s) if e.ts_us - s.end_us <= gapUs =>
-                cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1, s.sum + e.value))
+                // min/max, not overwrite: a cross-batch out-of-order
+                // event inside the gap (us < s.end_us) must not regress
+                // the session's end — that would both emit a wrong span
+                // and (in the event-time variant) fire the timeout early
+                cur = Some(SessionState(math.min(s.start_us, e.ts_us),
+                  math.max(s.end_us, e.ts_us), s.n + 1, s.sum + e.value))
               case Some(s) =>
                 out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
@@ -128,7 +133,10 @@ object StreamIngest {
               val us = e.ts.getTime * 1000
               cur match {
                 case Some(s) if us - s.end_us <= gapUs =>
-                  cur = Some(SessionState(s.start_us, us, s.n + 1, s.sum + e.value))
+                  // see sessionizeStream: merge via min/max so an
+                  // out-of-order event can't shrink the session span
+                  cur = Some(SessionState(math.min(s.start_us, us),
+                    math.max(s.end_us, us), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
                   cur = Some(SessionState(us, us, 1, e.value))

@@ -56,25 +56,34 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
                         maxShingleDf: Long = 1000L): DataFrame = {
     // doc-frequency cap via hash-aggregate + aligned join (both sides
-    // shuffle by sh; no window sorts), and n_sh from a per-doc count of
-    // the SAME cached frame, attached by broadcast join (one row per
-    // doc — tiny at any scale relative to the shingle frame).
+    // shuffle by the shingle key; no window sorts), and n_sh from a
+    // per-doc count of the SAME cached frame, attached by broadcast
+    // join (one row per doc — tiny at any scale relative to the
+    // shingle frame).
+    // The join/shuffle key is xxhash64(sh), not the shingle STRING: the
+    // self-join fans out to Σdf² rows, so every byte of key width is
+    // paid df² times. An 8-byte LONG key keeps the exchange ~4× leaner
+    // and the join comparison a single word compare; a 64-bit collision
+    // would need ~2^32 distinct shingles to reach even-odds, and the
+    // hash never surfaces in the output, so the string-keyed oracle
+    // reproduces results exactly.
     // persisted: both sides of the self-join read the same frame — without
     // this the whole shingle pipeline executes twice (at cluster scale
     // you would checkpoint here instead)
     val base = shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("hsh"))
     val nSh = base.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val keep = base
-      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .groupBy(col("hsh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
-      .select(col("sh"))
+      .select(col("hsh"))
     val sh = base
-      .join(keep, Seq("sh"))
+      .join(keep, Seq("hsh"))
       .join(broadcast(nSh), Seq("doc_id"))
       .persist()
     sh.as("a")
       .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hsh") === col("b.hsh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"),
         min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
@@ -176,6 +185,10 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      // persisted: the verified pair set is tiny (near-dups only) and
+      // duplicateClusters reads it twice (count + chosen CC path);
+      // keep/clusters/split in one session subtree-share it too.
+      .persist()
   }
 
   /** The pipeline-completing operator: the deduplicated corpus.
@@ -183,9 +196,15 @@ object Dedup {
     * near-duplicate of it (appears as doc_b in the pair list, which is
     * always oriented doc_a < doc_b). One left-anti join against the
     * distinct dominated set — at scale this is the cheap side of the
-    * dedup job, and anti joins broadcast when the dup set is small. */
+    * dedup job, and anti joins broadcast when the dup set is small.
+    *
+    * Pair source = [[ngramJaccardTwoStage]] (LSH candidates + exact
+    * verify), NOT the exact shingle self-join: the consumer chain
+    * (keep → clusters → split) is the 100 TB path, so it rides the
+    * structurally-bounded candidate generator. The exact all-pairs
+    * operator remains available as [[ngramJaccardPairs]]. */
   def dedupedCorpus(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val dominated = ngramJaccardPairs(docs, n, threshold).select(col("doc_b")).distinct()
+    val dominated = ngramJaccardTwoStage(docs, n, threshold).select(col("doc_b")).distinct()
     docs.join(dominated, docs("doc_id") === dominated("doc_b"), "left_anti")
   }
 
@@ -209,10 +228,13 @@ object Dedup {
     * Both paths are deterministic: the component minimum is
     * order-independent. */
   def duplicateClusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
-                        maxIter: Int = 20, driverEdgeLimit: Long = 5000000L): DataFrame = {
-    // ngramJaccardPairs is persisted — the count materializes it once
-    // and the chosen path re-reads the cache
-    val pairs = ngramJaccardPairs(docs, n, threshold)
+                        maxIter: Int = 20, driverEdgeLimit: Long = 5000000L,
+                        pairSource: Option[DataFrame] = None): DataFrame = {
+    // Default pair source = the two-stage LSH generator (see
+    // dedupedCorpus) — persisted, so the count materializes it once
+    // and the chosen CC path re-reads the cache. `pairSource` lets a
+    // caller swap in the exact generator (or pre-computed pairs).
+    val pairs = pairSource.getOrElse(ngramJaccardTwoStage(docs, n, threshold))
       .select(col("doc_a"), col("doc_b"))
     val nPairs = pairs.count()
     val labels =
@@ -303,11 +325,20 @@ object Dedup {
     * corpus, so at scale the benchmark side broadcasts and the check
     * is one map-side semi-join pass over the corpus shingles. */
   def contamination(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    def grams(d: DataFrame) = d.select(col("doc_id"),
-      explode(array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), n))).as("g"))
-    val bench = broadcast(grams(benchmark).select(col("g")).distinct())
+    // The join key is xxhash64(gram), not the 8-gram STRING: full-gram
+    // keys make the broadcast table and every probe comparison carry
+    // ~60-byte strings; an 8-byte LONG shrinks the broadcast ~8× and
+    // the probe to a word compare. A cross-side 64-bit collision would
+    // fabricate one shared gram — negligible odds at any corpus size
+    // that broadcasts, and the hash never surfaces in the output, so
+    // the string-keyed oracle reproduces results exactly.
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), explode(array_distinct(
+        TextOps.wordShingles(TextOps.tokens(col("text")), n))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("hg"))
+    val bench = broadcast(grams(benchmark).select(col("hg")).distinct())
     grams(docs)
-      .join(bench, Seq("g"))
+      .join(bench, Seq("hg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }

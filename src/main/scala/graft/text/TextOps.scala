@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -65,20 +64,25 @@ object TextOps {
     "fr" -> "\\b(le|la|les|des|est|une|dans|pour|que|qui)\\b")
 
   def langId(docs: DataFrame): DataFrame = {
-    val scored = LangMarkers.map { case (lang, re) =>
-      docs.select(
-        col("doc_id"),
-        lit(lang).as("cand_lang"),
-        size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).cast("long").as("score"))
-    }.reduce(_ unionAll _)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand_lang").asc)
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // ONE projection scores every language and argmaxes via
+    // greatest(struct(score, tiebreak, lang)) — map-side, zero
+    // shuffles, one corpus pass (v.s. a per-language unionAll scan +
+    // row_number window = 4 passes and a shuffle+sort). The tiebreak
+    // field ranks languages in REVERSE alphabetical order so the
+    // struct max realizes (score DESC, lang ASC) — the same total
+    // order the window argmax used.
+    val langsAsc = LangMarkers.map(_._1).sorted
+    val candidates = LangMarkers.map { case (lang, re) =>
+      struct(
+        size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).cast("long").as("score"),
+        lit(langsAsc.length - 1 - langsAsc.indexOf(lang)).as("tb"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"), greatest(candidates: _*).as("best"))
       .select(
         col("doc_id"),
-        when(col("score") > 0, col("cand_lang")).otherwise(lit("unknown")).as("pred_lang"),
-        col("score"))
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("unknown")).as("pred_lang"),
+        col("best.score").as("score"))
   }
 
   /** PII scrubbing: redact emails and long digit runs (id-like
@@ -103,7 +107,14 @@ object TextOps {
   def repetition(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), explode(wordShingles(tokens(col("text")), n)).as("sh"))
-      .groupBy(col("doc_id"), col("sh"))
+      // first-level group key is xxhash64(shingle), not the STRING:
+      // this level sees one row per raw shingle occurrence (the
+      // hottest shuffle in the operator), and a LONG key keeps both
+      // the hash-agg probe and the exchange one word wide. A 64-bit
+      // collision would merge two distinct shingles' counts within
+      // one doc — negligible odds, never surfaced (only the counts
+      // leave this level), so the string-keyed oracle matches exactly.
+      .groupBy(col("doc_id"), xxhash64(col("sh")).as("hsh"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_rep"))

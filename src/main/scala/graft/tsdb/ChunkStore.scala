@@ -29,22 +29,37 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
 
+  /** Files a single append may write into one chunk directory. The
+    * write clusters on (chunk, salt) so a batch spanning few chunks
+    * still spreads across chunks × salts tasks — repartitioning on
+    * `chunk` alone hashes a low-cardinality key and collapses a
+    * day's ingest into ONE task per chunk, the write-path scale
+    * killer at 100 TB/day. Small-files discipline holds: ≤ this many
+    * files per chunk per append instead of tasks × chunks. */
+  val filesPerChunkPerAppend = 8
+
   /** Append samples (from [[Series.samples]]), routed to their chunk.
     * Points with a non-positive timestamp are dropped — the
     * reference's ingest guard (db.rs:183-186 rejects ts=0 and
-    * out-of-chunk points; chunk routing handles the latter here since
-    * every valid ts has a chunk). */
-  def append(samples: DataFrame): Unit =
-    samples
+    * out-of-chunk points). Points addressed to an already-CLOSED
+    * chunk are dropped too: rows landing in `live` after their chunk
+    * was Gorilla-packed would be invisible to queryAll (which reads
+    * the closed payload for those chunk ids) — the reference rejects
+    * out-of-chunk appends at ingest for the same reason; streaming
+    * callers bound this case with a close lag ≥ their watermark. */
+  def append(samples: DataFrame): Unit = {
+    val closed = closedChunkIds()
+    val routed = samples
       .filter(col("ts_us") > 0)
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
-      // cluster by chunk before the partitioned write: without this
-      // every task writes a file into every chunk directory it touches
-      // (tasks × chunks small files); clustered, a chunk's rows land in
-      // O(1) files per append — the small-files discipline that keeps
-      // the store scannable after months of micro-batches
-      .repartition(col("chunk"))
+    val guarded =
+      if (closed.isEmpty) routed
+      else routed.filter(!col("chunk").isInCollection(closed))
+    guarded
+      .repartition(col("chunk"),
+        pmod(hash(col("series_id")), lit(filesPerChunkPerAppend)))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
+  }
 
   /** Partition-directory columns come back as the narrowest inferred
     * type — normalize `chunk` to long so range/set predicates match. */

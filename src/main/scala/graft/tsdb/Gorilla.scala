@@ -159,6 +159,18 @@ object Gorilla {
       .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
       .select(col("series_id"), encodeUdf(col("pts")).as("payload"))
 
+  /** [[pack]] scoped to time chunks: one payload per (series, chunk),
+    * so the per-group collect is bounded by chunk duration instead of
+    * the series' entire retention — the shape every store path uses
+    * ([[ChunkStore.closeChunk]] packs one chunk's rows at a time) and
+    * the only safe one for an unbounded-retention series at 100 TB. */
+  def packChunked(samples: DataFrame, chunkUs: Long): DataFrame =
+    samples
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      .groupBy(col("series_id"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
+      .select(col("series_id"), col("chunk"), encodeUdf(col("pts")).as("payload"))
+
   /** Inverse of [[pack]]: payload → exploded (series_id, ts_us, value). */
   def unpack(packed: DataFrame): DataFrame =
     packed

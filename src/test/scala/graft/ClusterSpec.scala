@@ -16,7 +16,11 @@ class ClusterSpec extends SparkSpec {
       (4L, "totally unrelated words appear here now"),
       (5L, "alpha beta gamma delta epsilon zeta"))   // == doc 1
       .toDF("doc_id", "text")
-    val reps = Dedup.duplicateClusters(docs, 3, 0.2)
+    // exact pair source: this test is about CC transitivity, so the
+    // candidate generator must not miss edges (tiny 4-shingle docs are
+    // exactly where LSH banding is allowed to drop a pair)
+    val reps = Dedup.duplicateClusters(docs, 3, 0.2,
+        pairSource = Some(Dedup.ngramJaccardPairs(docs, 3, 0.2)))
       .as[(Long, Long)].collect().toMap
     assert(reps(1L) == 1L && reps(2L) == 1L && reps(5L) == 1L)
     assert(reps(4L) == 4L)
