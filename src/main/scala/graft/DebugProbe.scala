@@ -41,7 +41,11 @@ object DebugProbe {
       val q = e.filter(col("vec_id") < 5)
       val got = store.probeTopK(q, 10, 4)
       val n = got.count()
-      val pruned = got.queryExecution.executedPlan.toString.contains("PartitionFilters")
+      // non-vacuous: FileSourceScan prints `PartitionFilters: []` even
+      // without pruning, so require bracket CONTENT mentioning cell
+      val pruned = """PartitionFilters: \[([^\]]+)\]""".r
+        .findAllMatchIn(got.queryExecution.executedPlan.toString)
+        .exists(_.group(1).contains("cell"))
       val mem = VectorOps.ivfTopK(e, col("vec_id") < 5, 10).collect().toSet
       val same = got.collect().toSet == mem
       println(s"[probe] probe rows=$n pruned=$pruned matches_inmemory=$same")

@@ -23,20 +23,12 @@ import org.apache.spark.sql.functions._
   * Appends are per-chunk parquet writes: on a cluster each micro-batch
   * lands in its hour partition and never rewrites history.
   */
-final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 3600000L) {
+final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 3600000L,
+                       filesPerChunkPerAppend: Int = 8) {
   private val chunkUs = chunkMs * 1000
   private val livePath = s"$path/live"
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
-
-  /** Files a single append may write into one chunk directory. The
-    * write clusters on (chunk, salt) so a batch spanning few chunks
-    * still spreads across chunks × salts tasks — repartitioning on
-    * `chunk` alone hashes a low-cardinality key and collapses a
-    * day's ingest into ONE task per chunk, the write-path scale
-    * killer at 100 TB/day. Small-files discipline holds: ≤ this many
-    * files per chunk per append instead of tasks × chunks. */
-  val filesPerChunkPerAppend = 8
 
   /** Append samples (from [[Series.samples]]), routed to their chunk.
     * Points with a non-positive timestamp are dropped — the
@@ -55,8 +47,16 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     val guarded =
       if (closed.isEmpty) routed
       else routed.filter(!col("chunk").isInCollection(closed))
+    // Cluster on (chunk, salt-of-series) before the partitioned write:
+    // `chunk` alone is a low-cardinality hash key that collapses a
+    // day's ingest into ONE task per chunk (the write-path scale
+    // killer at 100 TB/day); the salt spreads each chunk over up to
+    // `filesPerChunkPerAppend` tasks while keeping the small-files
+    // discipline (≤ salts files per chunk per append, never
+    // tasks × chunks). Explicit numPartitions pins the exchange so
+    // AQE can't coalesce a small batch back into one write task.
     guarded
-      .repartition(col("chunk"),
+      .repartition(spark.sparkContext.defaultParallelism, col("chunk"),
         pmod(hash(col("series_id")), lit(filesPerChunkPerAppend)))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
   }

@@ -55,6 +55,52 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.live().select("value").as[Double].head() == 3.0)
   }
 
+  test("append spreads ONE chunk across multiple tasks/files, bounded count") {
+    val dir = Files.createTempDirectory("graft_chunks_par").toString
+    val store = new ChunkStore(spark, dir)
+    // 10k points from 64 series, ALL inside one hour chunk — the case
+    // where repartition(chunk) alone would collapse the write to one
+    // task (the 100 TB/day write-path killer)
+    val base = 1704067200000000L
+    val s = spark.range(0, 10000).select(
+      concat(lit("s"), $"id" % 64).as("series_id"),
+      lit("click").as("event_type"),
+      ($"id" % 7).as("user_id"),
+      (lit(base) + $"id" * 1000L).as("ts_us"),
+      ($"id" * 1.0).as("value"),
+      $"id".as("event_id"))
+    store.append(s)
+    val chunkDir = new java.io.File(s"$dir/live/chunk=${base / 3600000000L}")
+    assert(chunkDir.exists(), s"missing ${chunkDir}")
+    val files = chunkDir.listFiles().count(_.getName.endsWith(".parquet"))
+    // parallel (salted) write, still bounded small-files discipline
+    assert(files > 1, s"one-task write: $files file(s)")
+    assert(files <= 8, s"small-files blowout: $files files")
+    assert(store.live().count() == 10000)
+  }
+
+  test("append into an already-closed chunk is dropped (late-data guard)") {
+    val dir = Files.createTempDirectory("graft_chunks_late").toString
+    val store = new ChunkStore(spark, dir)
+    val h0 = 1704067200000000L            // chunk A start
+    val h1 = h0 + 3600L * 1000000         // chunk B start
+    def ev(ts: Long, v: Double, id: Long) =
+      ("sA", "click", 1L, ts, v, id)
+    val batch1 = Seq(ev(h0 + 1, 1.0, 1L), ev(h1 + 1, 2.0, 2L))
+      .toDF("series_id", "event_type", "user_id", "ts_us", "value", "event_id")
+    store.append(batch1)
+    store.closeChunk(h0 / 3600000000L)
+    // late batch: one point addressed to the CLOSED chunk A (must be
+    // dropped — it would be invisible to queryAll otherwise), one to
+    // the still-live chunk B (must land)
+    val batch2 = Seq(ev(h0 + 2, 3.0, 3L), ev(h1 + 2, 4.0, 4L))
+      .toDF("series_id", "event_type", "user_id", "ts_us", "value", "event_id")
+    store.append(batch2)
+    val got = store.queryAll(Seq.empty, h0, h1 + 3600L * 1000000)
+      .select("value").as[Double].collect().sorted.toSeq
+    assert(got == Seq(1.0, 2.0, 4.0), s"got $got")
+  }
+
   test("federated queryAll == live-only answer after a chunk is closed") {
     val dir = Files.createTempDirectory("graft_chunks2").toString
     val store = new ChunkStore(spark, dir)

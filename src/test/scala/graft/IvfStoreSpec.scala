@@ -21,12 +21,40 @@ class IvfStoreSpec extends SparkSpec {
 
     val queries = e.filter($"vec_id" < 5)
     val got = store.probeTopK(queries, k = 10, nProbe = 4)
-    got.count()
+    // collect() (not count()) so THIS dataset's queryExecution runs —
+    // count() builds a separate execution and leaves these metrics empty
+    got.collect()
 
-    // partition pruning visible in the probe plan: the scan carries a
-    // PartitionFilters entry on cell, and only probed dirs are read
+    // partition pruning visible in the probe plan. NOT the bare
+    // substring: FileSourceScan prints `PartitionFilters: []` even
+    // when nothing prunes, so assert the bracket CONTENT carries the
+    // cell predicate...
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan.take(800))
+    val pf = """PartitionFilters: \[([^\]]+)\]""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(_.contains("cell")), plan.take(800))
+    // ...and prove it behaviorally: the probe scan must read strictly
+    // fewer parquet files than the full cell store holds
+    val totalFiles = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val scannedFiles = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE wraps materialized stages in QueryStageExec LEAF nodes, so
+      // a plain collect/collectLeaves never reaches the scan — unwrap
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      scans(got.queryExecution.executedPlan)
+        .filter(_.metadata.get("Location").exists(_.contains("cells")))
+        .map(_.metrics("numFiles").value).sum
+    }
+    assert(scannedFiles > 0 && scannedFiles < totalFiles,
+      s"scanned $scannedFiles of $totalFiles files")
 
     // identical answer to the in-memory IVF operator (same quantizer,
     // same probes, same rerank)
