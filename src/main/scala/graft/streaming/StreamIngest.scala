@@ -49,13 +49,17 @@ object StreamIngest {
     * micro-batch is normalized to samples and appended to its hour
     * partitions — the Spark-native equivalent of the reference's
     * remote-write → WAL → current-chunk path (src/server.rs:170-179,
-    * src/db.rs:178-199). Checkpointing makes the append idempotent at
-    * the batch level, which is the WAL's crash-recovery role. */
+    * src/db.rs:178-199). The checkpoint plays the WAL's crash-recovery
+    * role: appendBatch writes each micro-batch into a batch-scoped
+    * directory with overwrite, so an at-least-once replay after a
+    * crash rewrites the same directory instead of duplicating rows —
+    * restart-from-checkpoint converges to the one-shot batch result
+    * (asserted by the recovery drill in StreamRecoverySpec). */
   def startChunkSink(events: DataFrame, store: graft.tsdb.ChunkStore, checkpoint: String) =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.append(graft.tsdb.Series.samples(batch))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendBatch(graft.tsdb.Series.samples(batch), batchId)
       }
       .start()
 
@@ -178,9 +182,9 @@ object StreamIngest {
                                closeLagUs: Long = 2L * 3600 * 1000 * 1000) =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val samples = graft.tsdb.Series.samples(batch).persist()
-        store.append(samples)
+        store.appendBatch(samples, batchId)
         val maxTs = samples.agg(max(col("ts_us"))).collect()(0)
         if (!maxTs.isNullAt(0))
           store.closeChunksBelow(maxTs.getLong(0) - closeLagUs)

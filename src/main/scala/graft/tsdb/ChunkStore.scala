@@ -39,34 +39,57 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * the closed payload for those chunk ids) — the reference rejects
     * out-of-chunk appends at ingest for the same reason; streaming
     * callers bound this case with a close lag ≥ their watermark. */
-  def append(samples: DataFrame): Unit = {
+  def append(samples: DataFrame): Unit =
+    clustered(guardedRouted(samples))
+      .write.mode("append").partitionBy("chunk").parquet(livePath)
+
+  /** Shared ingest guard + chunk routing (see [[append]] scaladoc). */
+  private def guardedRouted(samples: DataFrame): DataFrame = {
     val closed = closedChunkIds()
     val routed = samples
       .filter(col("ts_us") > 0)
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
-    val guarded =
-      if (closed.isEmpty) routed
-      else routed.filter(!col("chunk").isInCollection(closed))
-    // Cluster on (chunk, salt-of-series) before the partitioned write:
-    // `chunk` alone is a low-cardinality hash key that collapses a
-    // day's ingest into ONE task per chunk (the write-path scale
-    // killer at 100 TB/day); the salt spreads each chunk over up to
-    // `filesPerChunkPerAppend` tasks while keeping the small-files
-    // discipline (≤ salts files per chunk per append, never
-    // tasks × chunks). Explicit numPartitions pins the exchange so
-    // AQE can't coalesce a small batch back into one write task.
-    guarded
-      .repartition(spark.sparkContext.defaultParallelism, col("chunk"),
-        pmod(hash(col("series_id")), lit(filesPerChunkPerAppend)))
-      .write.mode("append").partitionBy("chunk").parquet(livePath)
+    if (closed.isEmpty) routed
+    else routed.filter(!col("chunk").isInCollection(closed))
   }
+
+  /** Idempotent per-micro-batch append for streaming sinks: batch
+    * `batchId`'s rows land under `live/batch=<id>/chunk=…` with
+    * OVERWRITE scoped to the batch directory. foreachBatch is
+    * at-least-once — after a crash between sink commit and offset
+    * commit, Structured Streaming REPLAYS the batch (same batchId,
+    * same rows for a deterministic source); the overwrite rewrites the
+    * identical directory instead of double-appending, which is what
+    * makes the checkpoint the WAL: replay converges to exactly-once.
+    * One streaming query (one checkpoint) per store path — a fresh
+    * checkpoint restarts batch ids at 0 and would overwrite history. */
+  def appendBatch(samples: DataFrame, batchId: Long): Unit =
+    clustered(guardedRouted(samples))
+      .write.mode("overwrite").partitionBy("chunk")
+      .parquet(s"$livePath/batch=$batchId")
+
+  /** Cluster on (chunk, salt-of-series) before a partitioned write:
+    * `chunk` alone is a low-cardinality hash key that collapses a
+    * day's ingest into ONE task per chunk (the write-path scale
+    * killer at 100 TB/day); the salt spreads each chunk over up to
+    * `filesPerChunkPerAppend` tasks while keeping the small-files
+    * discipline (≤ salts files per chunk per append, never
+    * tasks × chunks). Explicit numPartitions pins the exchange so
+    * AQE can't coalesce a small batch back into one write task. */
+  private def clustered(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism, col("chunk"),
+      pmod(hash(col("series_id")), lit(filesPerChunkPerAppend)))
 
   /** Partition-directory columns come back as the narrowest inferred
     * type — normalize `chunk` to long so range/set predicates match. */
   private def readChunked(p: String): DataFrame =
     spark.read.parquet(p).withColumn("chunk", col("chunk").cast("long"))
 
-  def live(): DataFrame = readChunked(livePath)
+  /** Live rows. Under the streaming layout rows sit in
+    * `batch=<id>/chunk=<id>` partitions; the batch id is a sink
+    * bookkeeping column, dropped here so both layouts query alike
+    * (chunk stays a partition column either way — pruning holds). */
+  def live(): DataFrame = readChunked(livePath).drop("batch")
 
   private def hasClosed: Boolean =
     new java.io.File(closedPath).exists()
