@@ -21,9 +21,11 @@ final class IvfStore(spark: SparkSession, path: String,
   private val centroidPath = s"$path/centroids"
 
   /** Build the index: assign cells, write cell-partitioned corpus and
-    * the centroid table. */
-  def write(corpus: DataFrame): Unit = {
-    val cents = VectorOps.ivfCentroids(corpus, nCells)
+    * the centroid table. `quantizer` swaps in a trained codebook
+    * (e.g. [[VectorOps.kmeansCentroids]]); default is the
+    * deterministic lowest-id stub. */
+  def write(corpus: DataFrame, quantizer: Option[DataFrame] = None): Unit = {
+    val cents = quantizer.getOrElse(VectorOps.ivfCentroids(corpus, nCells))
     cents.write.mode("overwrite").parquet(centroidPath)
     corpus
       .join(VectorOps.ivfAssign(corpus, cents, roundTo), "vec_id")

@@ -144,6 +144,80 @@ object VectorOps {
     broadcast(corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv")))
 
+  /** Deterministic farthest-point (maxmin) seeding: start from the
+    * lowest-id vector, then greedily add the vector whose best cosine
+    * to the current codebook is smallest (ties → lowest id). Covers
+    * every well-separated cluster by construction — the failure mode
+    * of lowest-id seeding is leaving a cluster uncovered, and Lloyd's
+    * alone cannot split the resulting merged cell (a mean of two
+    * clusters stays their joint attractor — a local optimum).
+    * nCells full passes over the corpus at index-build time; at
+    * 100 TB seed from a uniform sample instead — the greedy argmin is
+    * insensitive to subsampling well-populated clusters. */
+  def farthestPointCentroids(corpus: DataFrame, nCells: Int = 16,
+                             roundTo: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val typed = corpus.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    var cents = Seq(typed.orderBy(col("vec_id")).head())
+    for (_ <- 1 until nCells) {
+      val cdf = broadcast(cents.toDF("c_id", "cv"))
+      val next = corpus.crossJoin(cdf)
+        .withColumn("cos_c",
+          round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos_c")).as("near"))
+        .orderBy(col("near").asc, col("vec_id").asc)
+        .limit(1).select(col("vec_id"))
+        .join(corpus, "vec_id")
+        .as[(Long, Seq[Double])].head()
+      cents = cents :+ next
+    }
+    // re-number cells 0..nCells-1: ivfAssign packs the cell id into a
+    // 16-bit field of its argmax LONG, so codebook ids must stay small
+    // regardless of the source vec_id range
+    broadcast(cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      .toDF("c_id", "cv"))
+  }
+
+  /** Trained coarse quantizer: deterministic Lloyd's k-means.
+    * Init = [[farthestPointCentroids]] (or the [[ivfCentroids]] stub
+    * when `farthestInit` is off), a FIXED number of iterations, and
+    * exact decimal mean accumulation, so the same corpus always
+    * trains the same codebook (replayable index builds). Per
+    * iteration: assign via the shared
+    * [[ivfAssign]] argmax, then the new centroid is the element-wise
+    * mean of its members (posexplode by dimension → decimal-exact
+    * sum/count → reassemble ordered by dimension); a cell that loses
+    * all members keeps its previous centroid. The per-iteration
+    * result is nCells × dim scalars — collected (bounded, tiny) and
+    * re-broadcast so the lineage stays flat across iterations. */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 5,
+                      roundTo: Int = 6, farthestInit: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents =
+      if (farthestInit) farthestPointCentroids(corpus, nCells, roundTo)
+      else ivfCentroids(corpus, nCells)
+    for (_ <- 0 until iters) {
+      val assign = ivfAssign(corpus, cents, roundTo)
+      val newC = corpus.join(assign, "vec_id")
+        .select(col("cell").as("c_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("c_id"), col("d"))
+        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      val merged = cents.select(col("c_id"), col("cv").as("cv_old"))
+        .join(newC.select(col("c_id"), col("cv").as("cv_new")), Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      cents = broadcast(merged.toDF("c_id", "cv"))
+    }
+    cents
+  }
+
   /** Cell assignment (vec_id → cell): argmax rounded cosine vs every
     * centroid. The (cos desc, c_id asc) total order is packed into ONE
     * LONG — `round((cos+1)·10^r)·2^16 + (2^16−1−c_id)` — because a
@@ -181,8 +255,9 @@ object VectorOps {
   }
 
   def ivfTopK(corpus: DataFrame, queryIds: Column, k: Int = 10, nCells: Int = 16,
-              nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells)
+              nProbe: Int = 4, roundTo: Int = 6,
+              quantizer: Option[DataFrame] = None): DataFrame = {
+    val cents = quantizer.getOrElse(ivfCentroids(corpus, nCells))
     val assign = ivfAssign(corpus, cents, roundTo)
     val cells = corpus.join(assign, "vec_id").persist()
     val probes = ivfProbes(corpus.filter(queryIds), cents, nProbe, roundTo)
