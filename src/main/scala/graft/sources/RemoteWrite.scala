@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Prometheus remote-write ingest — the reference's front door
+  * (src/server.rs:133-179 decodes a snappy-compressed protobuf
+  * `WriteRequest` and appends each timeseries' samples; the message
+  * shape is the PUBLIC prompb/remote.proto):
+  *
+  *   WriteRequest { repeated TimeSeries timeseries = 1; }
+  *   TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
+  *   Label        { string name = 1; string value = 2; }
+  *   Sample       { double value = 1; int64 timestamp = 2; }   // epoch ms
+  *
+  * The wire format is hand-decoded (varint + length-delimited fields +
+  * little-endian fixed64 — the standard protobuf encoding) so no
+  * protobuf runtime is needed; snappy block decompression comes from
+  * snappy-java, already on the Spark classpath. Decoding is a
+  * per-payload closure at the ingest boundary (genuinely imperative
+  * byte work, the same placement as the Gorilla codec), after which
+  * everything is columnar: explode to samples, derive the canonical
+  * series id, and the rows are [[graft.tsdb.Series.samples]]-shaped —
+  * ready for a [[graft.tsdb.ChunkStore]].
+  */
+object RemoteWrite {
+
+  /** One decoded timeseries: sorted-label map + (epoch-ms, value). */
+  type Series = (Map[String, String], Seq[(Long, Double)])
+
+  // ───────────────────────── wire decode ─────────────────────────
+
+  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var res = 0L
+      while (true) {
+        val b = buf(pos); pos += 1
+        res |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return res
+        shift += 7
+      }
+      res
+    }
+    def fixed64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; v
+    }
+    def sub(): Reader = {
+      val len = varint().toInt
+      val r = new Reader(buf, pos, pos + len)
+      pos += len; r
+    }
+    def str(): String = {
+      val len = varint().toInt
+      val s = new String(buf, pos, len, "UTF-8")
+      pos += len; s
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val len = varint().toInt; pos += len
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"wire type $w")
+    }
+  }
+
+  /** Decode an UNCOMPRESSED WriteRequest body. Unknown fields are
+    * skipped (forward-compatible, as proto requires). */
+  def decodeProto(bytes: Array[Byte]): Seq[Series] = {
+    val out = Seq.newBuilder[Series]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val tag = top.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) { // timeseries
+        val ts = top.sub()
+        val labels = Map.newBuilder[String, String]
+        val samples = Seq.newBuilder[(Long, Double)]
+        while (ts.hasMore) {
+          val t = ts.varint()
+          (t >> 3, t & 7) match {
+            case (1, 2) => // label
+              val l = ts.sub()
+              var name = ""; var value = ""
+              while (l.hasMore) {
+                val lt = l.varint()
+                (lt >> 3, lt & 7) match {
+                  case (1, 2) => name = l.str()
+                  case (2, 2) => value = l.str()
+                  case (_, w) => l.skip(w.toInt)
+                }
+              }
+              labels += name -> value
+            case (2, 2) => // sample
+              val s = ts.sub()
+              var v = 0.0; var tms = 0L
+              while (s.hasMore) {
+                val st = s.varint()
+                (st >> 3, st & 7) match {
+                  case (1, 1) => v = java.lang.Double.longBitsToDouble(s.fixed64())
+                  case (2, 0) => tms = s.varint()
+                  case (_, w) => s.skip(w.toInt)
+                }
+              }
+              samples += ((tms, v))
+            case (_, w) => ts.skip(w.toInt)
+          }
+        }
+        out += ((labels.result(), samples.result()))
+      } else top.skip((tag & 7).toInt)
+    }
+    out.result()
+  }
+
+  /** Decode the on-the-wire payload: snappy block → proto body. */
+  def decode(payload: Array[Byte]): Seq[Series] =
+    decodeProto(org.xerial.snappy.Snappy.uncompress(payload))
+
+  // ───────────────────────── wire encode ─────────────────────────
+  // (the sender side — used by specs to synthesize payloads, and by
+  // anyone replaying a corpus back out as remote-write)
+
+  private def putVarint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    o.write(v.toInt)
+  }
+  private def putField(o: java.io.ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
+    putVarint(o, (field << 3) | 2); putVarint(o, bytes.length.toLong); o.write(bytes)
+  }
+
+  def encodeProto(series: Seq[Series]): Array[Byte] = {
+    val req = new java.io.ByteArrayOutputStream()
+    series.foreach { case (labels, samples) =>
+      val ts = new java.io.ByteArrayOutputStream()
+      labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        val l = new java.io.ByteArrayOutputStream()
+        putField(l, 1, n.getBytes("UTF-8"))
+        putField(l, 2, v.getBytes("UTF-8"))
+        putField(ts, 1, l.toByteArray)
+      }
+      samples.foreach { case (tms, v) =>
+        val s = new java.io.ByteArrayOutputStream()
+        putVarint(s, (1 << 3) | 1)
+        val bits = java.lang.Double.doubleToLongBits(v)
+        var i = 0
+        while (i < 8) { s.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+        putVarint(s, (2 << 3) | 0); putVarint(s, tms)
+        putField(ts, 2, s.toByteArray)
+      }
+      putField(req, 1, ts.toByteArray)
+    }
+    req.toByteArray
+  }
+
+  def encode(series: Seq[Series]): Array[Byte] =
+    org.xerial.snappy.Snappy.compress(encodeProto(series))
+
+  // ──────────────────────── DataFrame side ────────────────────────
+
+  private val decodeUdf = udf { (payload: Array[Byte]) => decode(payload) }
+
+  /** Canonical sorted `k=v` series identity of a label MAP column —
+    * the same hash [[graft.tsdb.Series.seriesId]] derives from fixed
+    * label columns (reference src/common/label.rs get_hash). */
+  def seriesIdOfLabels(labels: Column): Column =
+    md5(array_join(
+      transform(array_sort(map_entries(labels)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))), ","))
+
+  /** payloads(`payloadCol` BINARY) → generic sample rows:
+    * (series_id, labels MAP, ts_us, value). Decode is one bounded
+    * closure per payload; everything after is columnar explodes. */
+  def toSamples(payloads: DataFrame, payloadCol: String = "payload"): DataFrame =
+    payloads
+      .select(explode(decodeUdf(col(payloadCol))).as("t"))
+      .select(col("t._1").as("labels"), explode(col("t._2")).as("s"))
+      .select(
+        seriesIdOfLabels(col("labels")).as("series_id"),
+        col("labels"),
+        (col("s._1") * 1000L).as("ts_us"), // remote-write carries ms
+        col("s._2").as("value"))
+
+  /** Specialization onto this repo's event label schema
+    * (event_type, user_id): exactly [[graft.tsdb.Series.samples]]'s
+    * shape, so matchers, ChunkStore and every TSDB operator work
+    * unchanged on remote-written data. The synthetic event_id is a
+    * deterministic row hash (remote-write has no event id). */
+  def toEventSamples(payloads: DataFrame, payloadCol: String = "payload"): DataFrame =
+    toSamples(payloads, payloadCol)
+      .select(
+        col("series_id"),
+        col("labels").getItem("event_type").as("event_type"),
+        col("labels").getItem("user_id").cast("long").as("user_id"),
+        col("ts_us"), col("value"),
+        xxhash64(col("series_id"), col("ts_us"), col("value")).as("event_id"))
+}

@@ -63,6 +63,21 @@ object StreamIngest {
       }
       .start()
 
+  /** The reference's WHOLE ingest pipeline end-to-end: a stream of
+    * snappy+protobuf remote-write payloads (one BINARY column) decoded
+    * per micro-batch and appended to the chunk store — server.rs's
+    * decode → WAL → current-chunk path with the checkpoint playing the
+    * WAL (idempotent batch-scoped appends, see [[startChunkSink]]). */
+  def startRemoteWriteSink(payloads: DataFrame, store: graft.tsdb.ChunkStore,
+                           checkpoint: String, payloadCol: String = "payload") =
+    payloads.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendBatch(
+          graft.sources.RemoteWrite.toEventSamples(batch, payloadCol), batchId)
+      }
+      .start()
+
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(start_us: Long, end_us: Long, n: Long, sum: Double)

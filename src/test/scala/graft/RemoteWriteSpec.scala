@@ -1,0 +1,69 @@
+package graft
+
+import graft.sources.RemoteWrite
+import graft.streaming.StreamIngest
+import graft.tsdb.{ChunkStore, MatchEq, Series}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** Remote-write ingest drill: synthetic snappy+protobuf payloads all
+  * the way into a ChunkStore and back out through a matcher query —
+  * the reference's front door (src/server.rs:133-179) end-to-end. */
+class RemoteWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1704067200000L // 2024-01-01 00:00 UTC, ms
+
+  private def series(et: String, uid: Long, n: Int, offset: Int): RemoteWrite.Series =
+    (Map("event_type" -> et, "user_id" -> uid.toString),
+      (0 until n).map(i => (t0 + offset + i * 60000L, i * 1.5 + uid)))
+
+  test("proto+snappy codec roundtrip, unknown fields skipped") {
+    val in = Seq(series("click", 1, 5, 0), series("view", 2, 3, 7))
+    val decoded = RemoteWrite.decode(RemoteWrite.encode(in))
+    assert(decoded == in)
+    // forward-compat: an unknown varint field prepended to the body is skipped
+    val body = RemoteWrite.encodeProto(in)
+    val withUnknown = Array[Byte]((9 << 3).toByte, 42) ++ body // field 9, varint 42
+    assert(RemoteWrite.decodeProto(withUnknown) == in)
+  }
+
+  test("series id of the label map equals Series.samples' column derivation") {
+    val payload = RemoteWrite.encode(Seq(series("purchase", 7, 2, 0)))
+    val viaRemote = RemoteWrite.toEventSamples(Seq(payload).toDF("payload"))
+      .select("series_id").distinct().as[String].head()
+    val viaColumns = Series.samples(
+      Seq((1L, new java.sql.Timestamp(t0), 7L, "purchase", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("series_id").distinct().as[String].head()
+    assert(viaRemote == viaColumns)
+  }
+
+  test("streamed remote-write payloads land in a ChunkStore and answer matcher queries") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("graft_rw_store").toString
+    val ckpt = Files.createTempDirectory("graft_rw_ckpt").toString
+    val store = new ChunkStore(spark, storeDir)
+
+    val input = MemoryStream[Array[Byte]]
+    val q = StreamIngest.startRemoteWriteSink(
+      input.toDF().toDF("payload"), store, ckpt)
+    input.addData(RemoteWrite.encode(Seq(
+      series("click", 1, 10, 0), series("purchase", 2, 4, 30000))))
+    q.processAllAvailable()
+    input.addData(RemoteWrite.encode(Seq(series("click", 1, 6, 600000 * 2))))
+    q.processAllAvailable()
+    q.stop()
+
+    val us0 = t0 * 1000
+    val clicks = store.queryAll(Seq(MatchEq("event_type", "click")),
+      us0, us0 + 3600L * 1000000)
+    assert(clicks.count() == 16)
+    val all = store.live()
+    assert(all.count() == 20)
+    // values and micro-second timestamps survived the wire intact
+    val got = clicks.select("ts_us", "value").as[(Long, Double)].collect().toSet
+    assert(got.contains((us0, 1.0)))                       // i=0, uid 1
+    assert(got.contains((us0 + 1200000000L, 1.0)))         // second batch i=0
+  }
+}
