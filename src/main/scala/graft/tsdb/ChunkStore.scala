@@ -111,29 +111,37 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   /** Close one chunk: Gorilla-pack its series into the closed store
     * and record the chunk's series catalog (id → labels) so closed
     * chunks remain label-queryable without the raw rows. */
-  def closeChunk(chunk: Long): Unit = {
-    val rows = live().filter(col("chunk") === chunk)
-    // write into the chunk's own partition directory: overwrite is then
-    // scoped to THIS chunk (idempotent re-close), never the whole
-    // closed store (a root-level overwrite+partitionBy would wipe every
-    // previously closed chunk under static partitionOverwriteMode)
-    Gorilla.pack(rows)
-      .write.mode("overwrite").parquet(s"$closedPath/chunk=$chunk")
-    rows.select("series_id", "event_type", "user_id").distinct()
-      .write.mode("overwrite").parquet(s"$catalogPath/chunk=$chunk")
+  def closeChunk(chunk: Long): Unit = closeChunks(Seq(chunk))
+
+  /** Close a SET of chunks in two partitioned jobs (pack + catalog),
+    * not a per-chunk driver loop — a background swap that has fallen
+    * behind (or a bench building history) closes a day in one pass.
+    * `partitionOverwriteMode=dynamic` scopes the overwrite to exactly
+    * the chunk partitions being (re)closed: idempotent re-close,
+    * never wiping previously closed chunks (a static-mode root
+    * overwrite+partitionBy would). */
+  def closeChunks(chunks: Seq[Long]): Unit = {
+    if (chunks.isEmpty) return
+    val rows = live().filter(col("chunk").isInCollection(chunks))
+    Gorilla.packWithChunk(rows)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk").parquet(closedPath)
+    rows.select("chunk", "series_id", "event_type", "user_id").distinct()
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk").parquet(catalogPath)
   }
 
   /** Close every live chunk that ends strictly below `tsUs` and is not
     * yet closed — the reference's background chunk swap (db.rs:265-303)
     * driven by data progress. Chunk ids are bounded (one per elapsed
-    * hour), so the driver-side loop is fine at any data scale. */
+    * hour), so the driver-side id list is fine at any data scale. */
   def closeChunksBelow(tsUs: Long): Unit = {
     val limit = tsUs / chunkUs // chunks < limit are entirely below tsUs
     val already = closedChunkIds()
     val candidates = live().select("chunk").distinct()
       .filter(col("chunk") < limit)
       .collect().map(_.getLong(0)).filterNot(already)
-    candidates.sorted.foreach(closeChunk)
+    closeChunks(candidates.sorted.toSeq)
   }
 
   /** Read a closed chunk back as samples (decode + explode). */

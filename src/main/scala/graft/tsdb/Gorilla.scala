@@ -165,8 +165,12 @@ object Gorilla {
     * ([[ChunkStore.closeChunk]] packs one chunk's rows at a time) and
     * the only safe one for an unbounded-retention series at 100 TB. */
   def packChunked(samples: DataFrame, chunkUs: Long): DataFrame =
+    packWithChunk(samples.withColumn("chunk", expr(s"ts_us div $chunkUs")))
+
+  /** [[packChunked]] for rows that already carry a `chunk` column
+    * (e.g. the live store): one payload per (series, chunk). */
+  def packWithChunk(samples: DataFrame): DataFrame =
     samples
-      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
       .groupBy(col("series_id"), col("chunk"))
       .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
       .select(col("series_id"), col("chunk"), encodeUdf(col("pts")).as("payload"))
