@@ -41,4 +41,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q1_agg").contains("SortAggregate"))
     assert(!plan("ts_downsample_1h").contains("SortAggregate"))
   }
+
+  test("lang_id is one map-side pass: no Exchange, no Window, one scan") {
+    // the operator itself (the registry wraps it in fanOut, whose
+    // repartition is a deliberate small-file spreading Exchange)
+    val df = graft.text.TextOps.langId(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "lang_id shuffled:\n" + p.take(1200))
+    assert(!p.contains("Window"), "lang_id used a window sort")
+    assert(p.split("Scan parquet").length - 1 <= 1, "lang_id scanned more than once")
+  }
+
+  test("doc_repetition and doc_contamination shuffle/join on LONG keys, not shingle strings") {
+    // the first-level group key / join key must be the 64-bit hash —
+    // a raw-shingle exchange is the string-keyed anti-pattern
+    val pr = plan("doc_repetition")
+    assert(pr.contains("xxhash64"), "repetition lost its hashed group key")
+    val pc = plan("doc_contamination")
+    assert(pc.contains("xxhash64"), "contamination lost its hashed join key")
+  }
 }
