@@ -57,14 +57,14 @@ object DebugProbe {
       import graft.multimodal.Multimodal
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val m = Multimodal.attachMedia(docs)
-      val dec = Multimodal.fakeDecode(m)
+      val dec = Multimodal.decodeMeta(m)
       println(s"[probe] decode rows=${dec.count()} kinds=${dec.select("kind").distinct().count()}")
-      val rs = Multimodal.fakeResize(m, 64)
+      val rs = Multimodal.resizeMedia(m, 16)
       val maxB = rs.agg(max(col("n_bytes"))).collect()(0).getLong(0)
       println(s"[probe] resize rows=${rs.count()} maxBytes=$maxB")
       val fr = Multimodal.frameSample(m, 4)
       println(s"[probe] frames rows=${fr.count()} (expect ${docs.count() * 4})")
-      val feats = Multimodal.fakeFeatures(m, 16)
+      val feats = Multimodal.features(m, 16)
       val ann = graft.vector.VectorOps.cosineTopK(feats, feats.filter(col("vec_id") < 2), 5)
       println(s"[probe] media->features->ann rows=${ann.count()}")
       spark.stop(); return

@@ -411,7 +411,11 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => TextOps.repetition(docsT(s, dir))),
 
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.fakeDecode(Multimodal.attachMedia(docsT(s, dir)))))
+      // REAL encode→decode roundtrip: attachMedia synthesizes genuine
+      // PNG/WAV payloads from the text, decodeMeta parses the actual
+      // containers (JDK codecs), and the oracle independently predicts
+      // the dims from strlen(text) — hash-equality proves the codecs
+      Multimodal.decodeMeta(Multimodal.attachMedia(docsT(s, dir)))))
 
   /** Shared CTE prefix for the minhash-family oracles, generated with
     * the SAME affine-permutation constants the Spark operators use
@@ -1003,9 +1007,9 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id,
                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-                CAST(strlen(text) AS BIGINT) AS n_bytes,
-                CAST(strlen(text) % 640 AS BIGINT) AS width,
-                CAST(strlen(text) % 480 AS BIGINT) AS height,
-                md5(text) AS checksum
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (strlen(text) % 32) ELSE 0 END AS BIGINT) AS width,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (strlen(text) % 16) ELSE 0 END AS BIGINT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 256 + ((strlen(text) * 7) % 1024) END AS BIGINT) AS n_samples
          FROM documents""")
 }

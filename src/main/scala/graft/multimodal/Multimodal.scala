@@ -4,68 +4,144 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: media as opaque `binary` columns with
-  * typed metadata, processed per-partition in batches — the Spark-side
-  * shape a real decoder (image/audio libs) would plug into.
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+
+/** Multimodal columns: media as opaque `binary` columns with typed
+  * metadata, decoded/transformed per-partition in batches.
   *
-  * The decode itself is STUBBED: this container ships no media
-  * libraries, so the "decoder" derives deterministic pseudo-metadata
-  * (md5 checksum, length-derived dims) from the payload bytes. The
-  * schema, the binary column flow, the per-partition batching, and the
-  * partitioning are real and tested — a true decoder changes only the
-  * closure body marked below.
+  * The image and audio paths are REAL — the JDK ships the codecs:
+  * `javax.imageio` (PNG/JPEG/BMP/GIF) and `javax.sound.sampled`
+  * (WAV/PCM). [[attachMedia]] synthesizes genuine PNG images and WAV
+  * clips deterministically from each doc's text, [[decodeMeta]]
+  * parses the actual containers back (the oracle independently
+  * predicts the dims from the text length — a true encode→decode
+  * roundtrip check), [[resizeMedia]] really rescales pixels /
+  * truncates PCM, and [[features]] histograms decoded luminance /
+  * amplitude into a normalized embedding for
+  * [[graft.vector.VectorOps]].
+  *
+  * Only VIDEO remains a stub ([[frameSample]] for `image` kind slices
+  * byte windows): the JDK has no video codec and this container ships
+  * no media libraries. For `audio` kind the frames are real windowed
+  * WAV clips.
+  *
+  * Everything runs as per-partition closures over binary columns —
+  * one decoder instance per partition, rows as a streaming iterator;
+  * the same placement a JNI/ffmpeg handle would use at 100 TB.
   */
 object Multimodal {
+
+  val SampleRate = 8000
+
+  /** Deterministic media-geometry formulas, shared with the oracle
+    * (which predicts them from strlen(text)). */
+  private def imgW(len: Int) = 16 + len % 32
+  private def imgH(len: Int) = 8 + len % 16
+  private def nSamples(len: Int) = 256 + (len * 7) % 1024
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("kind", StringType),
-    StructField("n_bytes", LongType),
     StructField("width", LongType),
     StructField("height", LongType),
-    StructField("checksum", StringType)))
+    StructField("sample_rate", LongType),
+    StructField("n_samples", LongType)))
 
-  /** Attach a deterministic fake binary payload (the UTF-8 text bytes)
-    * so the pipeline flows a real binary column. */
-  def attachMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"))
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
-  /** Feature extraction over the binary column: a deterministic
-    * `dim`-float pseudo-embedding per payload (byte histogram folded
-    * into dim buckets, L2-normalized) — the stub stand-in for an image
-    * encoder. Output (vec_id, v: array<double>) plugs directly into
-    * [[graft.vector.VectorOps]] (cosine top-k / LSH), completing the
-    * media → embedding → similarity-search pipeline shape. */
-  def fakeFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // 16-bit little-endian PCM
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Synthesize a REAL media payload per doc, deterministically from
+    * its text: even doc_id → PNG (pixels derived from the text
+    * bytes), odd → WAV (PCM samples derived likewise). Output:
+    * (doc_id, media BINARY, kind). */
+  def attachMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("v", ArrayType(DoubleType))))
-    val rdd = media.select("doc_id", "media").rdd.mapPartitions { rows =>
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("kind", StringType)))
+    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val hist = new Array[Double](dim)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1.0; i += 1 }
-        var n2 = 0.0
-        hist.foreach(x => n2 += x * x)
-        val norm = math.sqrt(n2)
-        val v = if (norm > 0) hist.map(_ / norm) else hist
-        Row(r.getLong(0), v.toSeq)
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val len = math.max(bytes.length, 1)
+        def b(i: Int): Int = if (bytes.isEmpty) 120 else bytes(i % len) & 0xff
+        if (id % 2 == 0) {
+          val (w, h) = (imgW(len), imgH(len))
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val c = b(x + y)
+              img.setRGB(x, y,
+                ((c * 37) % 256 << 16) | ((x * 7 + c) % 256 << 8) | ((y * 11 + c) % 256))
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, pngBytes(img), "image")
+        } else {
+          val n = nSamples(len)
+          val samples = Array.tabulate(n)(i => ((b(i) - 96) * 250).toShort)
+          Row(id, wavBytes(samples), "audio")
+        }
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** "Resize" over the binary column — the batch shape of an image
-    * resize: binary in, (smaller) binary out, metadata updated, one
-    * transformer instance per partition. The stub truncates payloads
-    * to `maxBytes` deterministically; a real resize changes only the
-    * marked line. */
-  def fakeResize(media: DataFrame, maxBytes: Int = 256): DataFrame = {
+  /** REAL decode of the binary column: PNG headers → pixel dims via
+    * ImageIO, WAV headers → sample rate and frame count via
+    * AudioSystem. One decoder per partition, streaming rows. */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "media", "kind").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        r.getString(2) match {
+          case "image" =>
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            Row(id, "image", img.getWidth.toLong, img.getHeight.toLong, 0L, 0L)
+          case kind =>
+            val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+            val out = Row(id, kind, 0L, 0L,
+              in.getFormat.getSampleRate.toLong, in.getFrameLength)
+            in.close(); out
+        }
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** REAL resize: images are rescaled to fit `maxDim` pixels on the
+    * long side (aspect preserved, min 1px) and re-encoded as PNG;
+    * audio is truncated to at most `maxDim`×100 PCM samples and
+    * re-containered as WAV. Output (doc_id, kind, media, n_bytes). */
+  def resizeMedia(media: DataFrame, maxDim: Int = 16): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -74,61 +150,141 @@ object Multimodal {
       StructField("n_bytes", LongType)))
     val rdd = media.select("doc_id", "media", "kind").rdd.mapPartitions { rows =>
       rows.map { r =>
+        val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        // ??? real resize goes here — stub truncates to maxBytes
-        val out = java.util.Arrays.copyOf(bytes, math.min(bytes.length, maxBytes))
-        Row(r.getLong(0), r.getString(2), out, out.length.toLong)
+        val kind = r.getString(2)
+        val out: Array[Byte] = kind match {
+          case "image" =>
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+            val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+              math.max(1, (img.getHeight * scale).toInt))
+            val small = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = small.createGraphics()
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            pngBytes(small)
+          case _ =>
+            val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+            val keep = math.min(in.getFrameLength, maxDim.toLong * 100).toInt
+            val pcm = new Array[Byte](keep * 2)
+            var read = 0
+            while (read < pcm.length) {
+              val k = in.read(pcm, read, pcm.length - read)
+              if (k <= 0) read = pcm.length else read += k
+            }
+            in.close()
+            val samples = Array.tabulate(keep)(i =>
+              ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort)
+            wavBytes(samples)
+        }
+        Row(id, kind, out, out.length.toLong)
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** "Frame sampling" — the explode shape of video processing: ONE
-    * binary row fans out to `nFrames` frame rows (doc_id, frame_idx,
-    * frame binary). The stub slices the payload into equal windows; a
-    * real sampler changes only the marked line. Fan-out lives inside
-    * the iterator (no driver materialization), so a partition streams
-    * frames at bounded memory whatever the video count. */
+  /** Frame sampling — the explode shape of video processing: ONE
+    * binary row fans out to `nFrames` rows (doc_id, frame_idx,
+    * frame). For `audio` the frames are REAL windowed WAV clips
+    * (decoded PCM re-containered per window). For `image` (standing
+    * in for video) the stub slices byte windows — the JDK has no
+    * video codec and this container ships no media libs; a real
+    * sampler changes only the marked line. Fan-out stays inside the
+    * iterator: a partition streams frames at bounded memory. */
   def frameSample(media: DataFrame, nFrames: Int = 4): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", LongType),
       StructField("frame", BinaryType)))
-    val rdd = media.select("doc_id", "media").rdd.mapPartitions { rows =>
+    val rdd = media.select("doc_id", "media", "kind").rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val win = math.max(1, bytes.length / nFrames)
-        (0 until nFrames).iterator.map { f =>
-          // ??? real frame decode goes here — stub slices a byte window
-          val from = math.min(f * win, bytes.length)
-          val until = math.min(from + win, bytes.length)
-          Row(id, f.toLong, java.util.Arrays.copyOfRange(bytes, from, until))
+        if (r.getString(2) == "audio") {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          val total = in.getFrameLength.toInt
+          val pcm = new Array[Byte](total * 2)
+          var read = 0
+          while (read < pcm.length) {
+            val k = in.read(pcm, read, pcm.length - read)
+            if (k <= 0) read = pcm.length else read += k
+          }
+          in.close()
+          val win = math.max(1, total / nFrames)
+          (0 until nFrames).iterator.map { f =>
+            val from = math.min(f * win, total)
+            val until = if (f == nFrames - 1) total else math.min(from + win, total)
+            val samples = Array.tabulate(until - from)(i =>
+              ((pcm(2 * (from + i)) & 0xff) | (pcm(2 * (from + i) + 1) << 8)).toShort)
+            Row(id, f.toLong, wavBytes(samples))
+          }
+        } else {
+          val win = math.max(1, bytes.length / nFrames)
+          (0 until nFrames).iterator.map { f =>
+            // ??? real video frame decode goes here — stub slices bytes
+            val from = math.min(f * win, bytes.length)
+            val until = math.min(from + win, bytes.length)
+            Row(id, f.toLong, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
         }
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Per-partition batched "decode": one decoder instance per
-    * partition (held by the closure, exactly where a JNI/py decoder
-    * handle would live), rows processed as a streaming iterator. */
-  def fakeDecode(media: DataFrame): DataFrame = {
+  /** REAL feature extraction: decoded pixel luminance (images) or PCM
+    * amplitude (audio) histogrammed into `dim` buckets, L2-normalized.
+    * Output (vec_id, v: array<double>) plugs into
+    * [[graft.vector.VectorOps]] — media → embedding → ANN. */
+  def features(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
     val rdd = media.select("doc_id", "media", "kind").rdd.mapPartitions { rows =>
-      val digest = java.security.MessageDigest.getInstance("MD5") // per-partition "decoder"
       rows.map { r =>
-        val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val kind = r.getString(2)
-        digest.reset()
-        val checksum = digest.digest(bytes).map("%02x".format(_)).mkString
-        // ??? real decode goes here — stub derives dims from payload size
-        Row(id, kind, bytes.length.toLong, (bytes.length % 640).toLong,
-          (bytes.length % 480).toLong, checksum)
+        val hist = new Array[Double](dim)
+        if (r.getString(2) == "image") {
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              hist(lum * dim / 256) += 1.0
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          val total = in.getFrameLength.toInt
+          val pcm = new Array[Byte](total * 2)
+          var read = 0
+          while (read < pcm.length) {
+            val k = in.read(pcm, read, pcm.length - read)
+            if (k <= 0) read = pcm.length else read += k
+          }
+          in.close()
+          var i = 0
+          while (i < total) {
+            val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+            hist(((s.toInt + 32768) * dim) >>> 16) += 1.0
+            i += 1
+          }
+        }
+        var n2 = 0.0
+        hist.foreach(x => n2 += x * x)
+        val norm = math.sqrt(n2)
+        val v = if (norm > 0) hist.map(_ / norm) else hist
+        Row(r.getLong(0), v.toSeq)
       }
     }
-    spark.createDataFrame(rdd, decodedSchema)
+    spark.createDataFrame(rdd, schema)
   }
 }

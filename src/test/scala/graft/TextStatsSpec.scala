@@ -27,9 +27,9 @@ class TextStatsSpec extends SparkSpec {
     assert(t == ((6L, 6L, 8L, 6L)))
   }
 
-  test("fake feature extraction: normalized vectors flow into VectorOps") {
+  test("media feature extraction: normalized vectors flow into VectorOps") {
     val m = Multimodal.attachMedia(docs)
-    val feats = Multimodal.fakeFeatures(m, dim = 8)
+    val feats = Multimodal.features(m, dim = 8)
     val top = graft.vector.VectorOps.cosineTopK(feats, feats.filter($"vec_id" === 1), k = 2)
     assert(top.count() == 2)
     val norms = feats.select(graft.vector.VectorOps.norm($"v")).as[Double].collect()
@@ -61,24 +61,39 @@ class TextStatsSpec extends SparkSpec {
     assert(r(2L) < 0.3)      // no repeated 3-gram
   }
 
-  test("resize and frame-sample keep the binary pipeline shape") {
+  test("real resize: decoded dims shrink to fit; audio keeps a sample prefix") {
     val m = Multimodal.attachMedia(docs)
-    val resized = Multimodal.fakeResize(m, maxBytes = 10)
+    val resized = Multimodal.resizeMedia(m, maxDim = 8)
     assert(resized.count() == docs.count())
-    resized.select("n_bytes").as[Long].collect().foreach(n => assert(n <= 10))
+    val dims = Multimodal.decodeMeta(resized)
+      .select("doc_id", "kind", "width", "height", "n_samples")
+      .as[(Long, String, Long, Long, Long)].collect()
+    dims.foreach {
+      case (_, "image", w, h, _) => assert(w <= 8 && h <= 8 && w >= 1 && h >= 1)
+      case (_, _, _, _, n) => assert(n <= 800 && n > 0) // maxDim*100 samples
+    }
+  }
+
+  test("frame-sample: audio frames are real WAV windows preserving every sample") {
+    val m = Multimodal.attachMedia(docs)
     val frames = Multimodal.frameSample(m, nFrames = 4)
     assert(frames.count() == docs.count() * 4)
-    // frames reassemble a prefix of the original payload (no byte loss
-    // inside the sampled windows; deterministic slicing)
-    val re = frames.orderBy("doc_id", "frame_idx")
-      .groupBy("doc_id").agg(collect_list($"frame").as("fs"))
-    val joined = re.join(m, "doc_id")
-      .select($"fs", length($"media").cast("long").as("len"))
-      .as[(Seq[Array[Byte]], Long)].collect()
-    joined.foreach { case (fs, len) =>
-      val total = fs.map(_.length).sum
-      assert(total >= len - 4 && total <= len) // ≤ nFrames-1 tail bytes dropped by integer windows
-    }
+    // every audio frame must itself decode as WAV, and the windows
+    // must partition the original clip exactly (no sample lost)
+    val audioTotals = frames.join(m.select("doc_id", "kind"), "doc_id")
+      .filter($"kind" === "audio")
+      .select("doc_id", "frame")
+      .as[(Long, Array[Byte])].collect()
+      .groupBy(_._1).map { case (id, fs) =>
+        id -> fs.map { case (_, bytes) =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val n = in.getFrameLength; in.close(); n
+        }.sum
+      }
+    val expected = Multimodal.decodeMeta(m).filter($"kind" === "audio")
+      .select("doc_id", "n_samples").as[(Long, Long)].collect().toMap
+    audioTotals.foreach { case (id, total) => assert(total == expected(id)) }
   }
 
   test("langId picks marker-majority language, unknown when silent") {
@@ -96,13 +111,15 @@ class TextStatsSpec extends SparkSpec {
     assert(TextOps.fingerprint(short).count() == 0)
   }
 
-  test("multimodal plumbing: binary payload roundtrip metadata") {
-    val m = Multimodal.fakeDecode(Multimodal.attachMedia(docs))
-    val r = m.filter($"doc_id" === 2).select("kind", "n_bytes", "checksum")
-      .as[(String, Long, String)].head()
-    assert(r._1 == "image" && r._2 == 4L)
-    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
-      .digest("aaaa".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(r._3 == expectedMd5)
+  test("real codecs roundtrip: PNG dims and WAV sample counts match the formulas") {
+    val m = Multimodal.decodeMeta(Multimodal.attachMedia(docs))
+      .select("doc_id", "kind", "width", "height", "sample_rate", "n_samples")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 2: "aaaa" (4 bytes, even id) → PNG 16+4%32 × 8+4%16, really
+    // encoded by ImageIO and really parsed back
+    assert(m(2L) == ((2L, "image", 20L, 12L, 0L, 0L)))
+    // doc 1: 30 bytes, odd id → WAV with 256+(30*7)%1024 samples @8kHz
+    assert(m(1L) == ((1L, "audio", 0L, 0L, 8000L, 256L + 210L)))
   }
 }
