@@ -79,6 +79,39 @@ final class Graft(val spark: SparkSession, dir: String) {
     kept.join(split, "doc_id").join(clean, "doc_id")
       .select("doc_id", "split", "clean_text", "lang", "source", "n_chars")
   }
+
+  /** Materialize [[prepareCorpus]] as a training-ready layout:
+    * parquet partitioned by `split` (train/val/test read
+    * independently via partition pruning), clustered on
+    * (split, salt-of-doc_id) before the write — the same discipline
+    * as the chunk store: `split` alone is a 3-value hash key that
+    * would collapse the job to three writer tasks, while the salt
+    * spreads each split over `filesPerSplit` parallel tasks with a
+    * bounded file count. Returns the written row count. */
+  def writeCorpus(outDir: String, minLen: Long = 20, maxStopRatio: Double = 0.8,
+                  maxRepRatio: Double = 0.9, dedupThreshold: Double = 0.3,
+                  filesPerSplit: Int = 16): Long = {
+    val prepped = prepareCorpus(minLen, maxStopRatio, maxRepRatio, dedupThreshold)
+      .persist()
+    prepped
+      .repartition(spark.sparkContext.defaultParallelism, col("split"),
+        pmod(hash(col("doc_id")), lit(filesPerSplit)))
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+    val n = prepped.count()
+    prepped.unpersist(blocking = false)
+    n
+  }
+
+  /** Materialize the embedding corpus as a probe-prunable ANN index
+    * at rest ([[vector.IvfStore]] layout) in one call. */
+  def writeIvfIndex(outDir: String, nCells: Int = 16,
+                    trained: Boolean = false): vector.IvfStore = {
+    val store = new vector.IvfStore(spark, outDir, nCells)
+    val corpus = embeddings
+    store.write(corpus,
+      if (trained) Some(vector.VectorOps.kmeansCentroids(corpus, nCells)) else None)
+    store
+  }
 }
 
 object Graft {
