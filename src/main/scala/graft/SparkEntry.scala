@@ -325,6 +325,44 @@ object SparkEntry {
           (col("promo_revenue") * lit(100.0) / col("total_revenue")).as("promo_pct"))
     }),
 
+    "q7_volume" -> ((s, dir) => {
+      // TPC-H Q7 volume shipping: bidirectional nation pair, per-year
+      // revenue. Fact chain streams; supplier and both nation copies
+      // broadcast (tiny dims); decimal-exact revenue sum.
+      val cut0 = lit("1995-01-01").cast("timestamp")
+      val cut1 = lit("1996-12-31").cast("timestamp")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= cut0 && col("l_shipdate") <= cut1)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_10") ||
+            (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_9"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("timestamp")).cast("long").as("l_year"))
+        .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+    }),
+
+    "multimodal_resize" -> ((s, dir) =>
+      // resize roundtrip gate: synth real PNG/WAV → REAL pixel rescale
+      // / PCM truncate → decode the resized containers; the oracle
+      // predicts the scaled dims from strlen(text) with the same
+      // integer arithmetic
+      Multimodal.decodeMeta(
+        Multimodal.resizeMedia(Multimodal.attachMedia(docsT(s, dir)), 8))),
+
     "topk_per_group" -> ((s, dir) => {
       // custom TopKPerKey physical operator (bounded heaps, no full
       // window sort); rank re-derived over the tiny surviving set
@@ -763,6 +801,36 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1""",
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+             OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+           AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+         GROUP BY 1, 2, 3""",
+
+    "multimodal_resize" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                CAST(CASE WHEN doc_id % 2 = 0
+                          THEN greatest(1, ((16 + strlen(text) % 32) * 8) // (16 + strlen(text) % 32))
+                          ELSE 0 END AS BIGINT) AS width,
+                CAST(CASE WHEN doc_id % 2 = 0
+                          THEN greatest(1, ((8 + strlen(text) % 16) * 8) // (16 + strlen(text) % 32))
+                          ELSE 0 END AS BIGINT) AS height,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                          ELSE least(256 + ((strlen(text) * 7) % 1024), 800) END AS BIGINT) AS n_samples
+         FROM documents""",
 
     "topk_per_group" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (

@@ -156,9 +156,12 @@ object Multimodal {
         val out: Array[Byte] = kind match {
           case "image" =>
             val img = ImageIO.read(new ByteArrayInputStream(bytes))
-            val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
-            val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
-              math.max(1, (img.getHeight * scale).toInt))
+            // INTEGER scaling (dim·maxDim div longSide), not float: the
+            // resize roundtrip is oracle-checked, and (w * (8.0/w))
+            // .toInt is one ulp away from flooring to maxDim-1
+            val longSide = math.max(img.getWidth, img.getHeight)
+            val (w, h) = (math.max(1, img.getWidth * maxDim / longSide),
+              math.max(1, img.getHeight * maxDim / longSide))
             val small = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
             val g = small.createGraphics()
             g.drawImage(img, 0, 0, w, h, null)
