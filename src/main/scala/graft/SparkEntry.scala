@@ -126,9 +126,14 @@ object SparkEntry {
       // events — hash-equality proves chunk routing, the ingest guard,
       // the codec round-trip, catalog matcher resolution, and the
       // live∪closed federation in one shot.
+      // filesPerChunkPerAppend=2: a BULK backfill spanning ~31 daily
+      // chunks gets its parallelism from the chunk count (31×2 write
+      // tasks); the salt knob exists for the streaming case where one
+      // micro-batch spans 1-2 chunks (default 8). Fewer salts here =
+      // fewer, bigger parquet files — the bulk-load discipline.
       val store = new ChunkStore(s,
         java.nio.file.Files.createTempDirectory("graft_q_chunks").toString,
-        chunkMs = 86400000L)
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
       store.append(Series.samples(t(s, dir, "events")))
       store.closeChunksBelow(T1)
       store.queryAll(Seq(MatchEq("event_type", "view")), 1704067200000000L, T2)
