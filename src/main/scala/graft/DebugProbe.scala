@@ -18,6 +18,74 @@ object DebugProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    if (names.contains("__scale10")) {
+      // Scale-behavior probe: 10× the sf0.1 tables (ids shifted per
+      // copy so cardinalities scale too — 10× users/series/docs, same
+      // per-entity density) and time the structurally-riskiest
+      // operator families against their sf0.1 baseline. A scale-clean
+      // operator should grow ≲ the 10× data factor on fixed cores;
+      // quadratic plans blow past it. PERF probe only — correctness
+      // stays on the driver's own parquet via graft.Verify.
+      import org.apache.spark.sql.DataFrame
+      val base = java.nio.file.Files.createTempDirectory("graft_x10").toString
+      def x10(name: String, shift: Seq[(String, Long => org.apache.spark.sql.Column)]): String = {
+        val t = spark.read.parquet(s"$sfDir/$name.parquet")
+        val big = (0L until 10L).map { k =>
+          shift.foldLeft(t) { case (df, (c, f)) => df.withColumn(c, f(k)) }
+        }.reduce(_ unionByName _)
+        val p = s"$base/$name.parquet"
+        big.write.mode("overwrite").parquet(p)
+        p
+      }
+      val eventsP = x10("events", Seq(
+        "user_id" -> (k => col("user_id") + lit(k * 1000000L)),
+        "event_id" -> (k => col("event_id") + lit(k * 1000000000L))))
+      // documents: besides the id shift, each copy rewrites its vowels
+      // (translate with a per-copy map) — 10 disjoint "dialects" with
+      // the SAME internal near-dup structure but no cross-copy
+      // duplicates, so the pair graph scales linearly like a real
+      // corpus 10× the size, not quadratically like 10 mirrors.
+      val dialect = "aeioubcdfghjklmnp" // ≥ 9+5 chars: copy k maps vowels to chars k..k+4
+      val docsP = x10("documents", Seq(
+        "doc_id" -> (k => col("doc_id") + lit(k * 10000000L)),
+        "text" -> (k => translate(col("text"), "aeiou", dialect.substring(k.toInt, k.toInt + 5)))))
+      val embP = x10("embeddings", Seq(
+        "vec_id" -> (k => col("vec_id") + lit(k * 10000000L))))
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      def ev(p: String) = graft.tsdb.Series.samples(spark.read.parquet(p))
+      def docs(p: String) = spark.read.parquet(p)
+      def emb(p: String) = spark.read.parquet(p)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes: Seq[(String, String => Long)] = Seq(
+        ("downsample", p => graft.tsdb.TsOps.downsample(ev(p)).count()),
+        ("gap_fill", p => graft.tsdb.TsOps.gapFill(ev(p)).count()),
+        ("sessionize", p => graft.tsdb.TsOps.sessionize(spark.read.parquet(p)).count()),
+        ("twostage_jaccard", p => graft.text.Dedup.ngramJaccardTwoStage(docs(p)).count()),
+        ("dedup_clusters", p => graft.text.Dedup.duplicateClusters(docs(p)).count()),
+        // simhash_pairs deliberately absent: the toy 30-word testdata
+        // vocabulary makes its RESULT quadratic in data (28% of pairs
+        // are genuine candidates — the oracle pays the same join), so
+        // a 10x run measures data density, not engine scaling
+        ("ann_ivf", p => graft.vector.VectorOps.ivfTopK(emb(p), col("vec_id") < 5, 10).count()))
+      val tableFor = Map(
+        "downsample" -> ("events", eventsP), "gap_fill" -> ("events", eventsP),
+        "sessionize" -> ("events", eventsP),
+        "twostage_jaccard" -> ("documents", docsP),
+        "dedup_clusters" -> ("documents", docsP),
+        "ann_ivf" -> ("embeddings", embP))
+      probes.foreach { case (nm, f) =>
+        val (tbl, bigP) = tableFor(nm)
+        spark.catalog.clearCache() // no cross-run subtree cache leaks
+        val (t1, n1) = time(f(s"$sfDir/$tbl.parquet"))
+        spark.catalog.clearCache()
+        val (t10, n10) = time(f(bigP))
+        println(f"[probe] scale10 $nm%-18s sf0.1 $t1%6.2fs ($n1%9d rows) -> x10 $t10%7.2fs ($n10%10d rows)  ratio ${t10 / t1}%5.1fx")
+      }
+      spark.stop(); return
+    }
     if (names.contains("__prepare")) {
       val g = new Graft(spark, sfDir)
       val total = g.documents.count()

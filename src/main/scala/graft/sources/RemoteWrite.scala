@@ -30,7 +30,7 @@ object RemoteWrite {
 
   // ───────────────────────── wire decode ─────────────────────────
 
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var res = 0L
@@ -66,6 +66,44 @@ object RemoteWrite {
     }
   }
 
+  /** Parse one TimeSeries message body (shared by WriteRequest decode
+    * and the read path's QueryResult decode). */
+  private[sources] def parseTs(ts: Reader): Series = {
+    val labels = Map.newBuilder[String, String]
+    val samples = Seq.newBuilder[(Long, Double)]
+    while (ts.hasMore) {
+      val t = ts.varint()
+      (t >> 3, t & 7) match {
+        case (1, 2) => // label
+          val l = ts.sub()
+          var name = ""; var value = ""
+          while (l.hasMore) {
+            val lt = l.varint()
+            (lt >> 3, lt & 7) match {
+              case (1, 2) => name = l.str()
+              case (2, 2) => value = l.str()
+              case (_, w) => l.skip(w.toInt)
+            }
+          }
+          labels += name -> value
+        case (2, 2) => // sample
+          val s = ts.sub()
+          var v = 0.0; var tms = 0L
+          while (s.hasMore) {
+            val st = s.varint()
+            (st >> 3, st & 7) match {
+              case (1, 1) => v = java.lang.Double.longBitsToDouble(s.fixed64())
+              case (2, 0) => tms = s.varint()
+              case (_, w) => s.skip(w.toInt)
+            }
+          }
+          samples += ((tms, v))
+        case (_, w) => ts.skip(w.toInt)
+      }
+    }
+    (labels.result(), samples.result())
+  }
+
   /** Decode an UNCOMPRESSED WriteRequest body. Unknown fields are
     * skipped (forward-compatible, as proto requires). */
   def decodeProto(bytes: Array[Byte]): Seq[Series] = {
@@ -73,42 +111,8 @@ object RemoteWrite {
     val top = new Reader(bytes, 0, bytes.length)
     while (top.hasMore) {
       val tag = top.varint()
-      if ((tag >> 3) == 1 && (tag & 7) == 2) { // timeseries
-        val ts = top.sub()
-        val labels = Map.newBuilder[String, String]
-        val samples = Seq.newBuilder[(Long, Double)]
-        while (ts.hasMore) {
-          val t = ts.varint()
-          (t >> 3, t & 7) match {
-            case (1, 2) => // label
-              val l = ts.sub()
-              var name = ""; var value = ""
-              while (l.hasMore) {
-                val lt = l.varint()
-                (lt >> 3, lt & 7) match {
-                  case (1, 2) => name = l.str()
-                  case (2, 2) => value = l.str()
-                  case (_, w) => l.skip(w.toInt)
-                }
-              }
-              labels += name -> value
-            case (2, 2) => // sample
-              val s = ts.sub()
-              var v = 0.0; var tms = 0L
-              while (s.hasMore) {
-                val st = s.varint()
-                (st >> 3, st & 7) match {
-                  case (1, 1) => v = java.lang.Double.longBitsToDouble(s.fixed64())
-                  case (2, 0) => tms = s.varint()
-                  case (_, w) => s.skip(w.toInt)
-                }
-              }
-              samples += ((tms, v))
-            case (_, w) => ts.skip(w.toInt)
-          }
-        }
-        out += ((labels.result(), samples.result()))
-      } else top.skip((tag & 7).toInt)
+      if ((tag >> 3) == 1 && (tag & 7) == 2) out += parseTs(top.sub())
+      else top.skip((tag & 7).toInt)
     }
     out.result()
   }
@@ -121,36 +125,41 @@ object RemoteWrite {
   // (the sender side — used by specs to synthesize payloads, and by
   // anyone replaying a corpus back out as remote-write)
 
-  private def putVarint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+  private[sources] def putVarint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     o.write(v.toInt)
   }
-  private def putField(o: java.io.ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
+  private[sources] def putField(o: java.io.ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
     putVarint(o, (field << 3) | 2); putVarint(o, bytes.length.toLong); o.write(bytes)
+  }
+
+  /** One encoded TimeSeries message body (shared by WriteRequest and
+    * the read path's QueryResult — prompb uses the same message). */
+  private[sources] def tsBytes(series: Series): Array[Byte] = {
+    val (labels, samples) = series
+    val ts = new java.io.ByteArrayOutputStream()
+    labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      val l = new java.io.ByteArrayOutputStream()
+      putField(l, 1, n.getBytes("UTF-8"))
+      putField(l, 2, v.getBytes("UTF-8"))
+      putField(ts, 1, l.toByteArray)
+    }
+    samples.foreach { case (tms, v) =>
+      val s = new java.io.ByteArrayOutputStream()
+      putVarint(s, (1 << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { s.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      putVarint(s, (2 << 3) | 0); putVarint(s, tms)
+      putField(ts, 2, s.toByteArray)
+    }
+    ts.toByteArray
   }
 
   def encodeProto(series: Seq[Series]): Array[Byte] = {
     val req = new java.io.ByteArrayOutputStream()
-    series.foreach { case (labels, samples) =>
-      val ts = new java.io.ByteArrayOutputStream()
-      labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
-        val l = new java.io.ByteArrayOutputStream()
-        putField(l, 1, n.getBytes("UTF-8"))
-        putField(l, 2, v.getBytes("UTF-8"))
-        putField(ts, 1, l.toByteArray)
-      }
-      samples.foreach { case (tms, v) =>
-        val s = new java.io.ByteArrayOutputStream()
-        putVarint(s, (1 << 3) | 1)
-        val bits = java.lang.Double.doubleToLongBits(v)
-        var i = 0
-        while (i < 8) { s.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
-        putVarint(s, (2 << 3) | 0); putVarint(s, tms)
-        putField(ts, 2, s.toByteArray)
-      }
-      putField(req, 1, ts.toByteArray)
-    }
+    series.foreach(s => putField(req, 1, tsBytes(s)))
     req.toByteArray
   }
 
@@ -195,4 +204,165 @@ object RemoteWrite {
         col("labels").getItem("user_id").cast("long").as("user_id"),
         col("ts_us"), col("value"),
         xxhash64(col("series_id"), col("ts_us"), col("value")).as("event_id"))
+}
+
+/** Prometheus remote-READ — the other direction of the reference's
+  * front door (src/server.rs:133-169 decodes a ReadRequest, runs each
+  * query's matchers+range against the db and answers a ReadResponse;
+  * PUBLIC prompb shapes):
+  *
+  *   ReadRequest  { repeated Query queries = 1; }
+  *   Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+  *                  repeated LabelMatcher matchers = 3; }
+  *   LabelMatcher { Type type = 1 (EQ=0 NEQ=1 RE=2 NRE=3);
+  *                  string name = 2; string value = 3; }
+  *   ReadResponse { repeated QueryResult results = 1; }
+  *   QueryResult  { repeated TimeSeries timeseries = 1; }
+  *
+  * The distributed work (matcher resolution, chunk pruning, live ∪
+  * closed federation, Gorilla decode) runs as the ChunkStore's normal
+  * query plan; only the final per-query result materializes on the
+  * driver to become the wire response — a remote-read response is one
+  * HTTP body by protocol, so it is bounded by construction.
+  */
+object RemoteRead {
+  import RemoteWrite.{Reader, putVarint, putField, tsBytes, parseTs, Series}
+  import graft.tsdb.{ChunkStore, Matcher, MatchEq, MatchNeq, MatchRe, MatchNre}
+
+  /** One decoded read query: (start ms, end ms, matchers). */
+  type Query = (Long, Long, Seq[Matcher])
+
+  def decodeRequestProto(bytes: Array[Byte]): Seq[Query] = {
+    val out = Seq.newBuilder[Query]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val tag = top.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) { // query
+        val q = top.sub()
+        var s = 0L; var e = 0L
+        val ms = Seq.newBuilder[Matcher]
+        while (q.hasMore) {
+          val t = q.varint()
+          (t >> 3, t & 7) match {
+            case (1, 0) => s = q.varint()
+            case (2, 0) => e = q.varint()
+            case (3, 2) =>
+              val m = q.sub()
+              var typ = 0L; var name = ""; var value = ""
+              while (m.hasMore) {
+                val mt = m.varint()
+                (mt >> 3, mt & 7) match {
+                  case (1, 0) => typ = m.varint()
+                  case (2, 2) => name = m.str()
+                  case (3, 2) => value = m.str()
+                  case (_, w) => m.skip(w.toInt)
+                }
+              }
+              ms += (typ match {
+                case 0 => MatchEq(name, value)
+                case 1 => MatchNeq(name, value)
+                case 2 => MatchRe(name, value)
+                case _ => MatchNre(name, value)
+              })
+            case (_, w) => q.skip(w.toInt)
+          }
+        }
+        out += ((s, e, ms.result()))
+      } else top.skip((tag & 7).toInt)
+    }
+    out.result()
+  }
+
+  def decodeRequest(payload: Array[Byte]): Seq[Query] =
+    decodeRequestProto(org.xerial.snappy.Snappy.uncompress(payload))
+
+  /** Client-side request encoder (specs; anyone querying the store
+    * over the wire). */
+  def encodeRequest(queries: Seq[Query]): Array[Byte] = {
+    val req = new java.io.ByteArrayOutputStream()
+    queries.foreach { case (s, e, ms) =>
+      val q = new java.io.ByteArrayOutputStream()
+      putVarint(q, (1 << 3) | 0); putVarint(q, s)
+      putVarint(q, (2 << 3) | 0); putVarint(q, e)
+      ms.foreach { mm =>
+        val m = new java.io.ByteArrayOutputStream()
+        val typ = mm match {
+          case MatchEq(_, _) => 0L
+          case MatchNeq(_, _) => 1L
+          case MatchRe(_, _) => 2L
+          case MatchNre(_, _) => 3L
+        }
+        val value = mm match {
+          case MatchEq(_, v) => v
+          case MatchNeq(_, v) => v
+          case MatchRe(_, v) => v
+          case MatchNre(_, v) => v
+        }
+        putVarint(m, (1 << 3) | 0); putVarint(m, typ)
+        putField(m, 2, mm.key.getBytes("UTF-8"))
+        putField(m, 3, value.getBytes("UTF-8"))
+        putField(q, 3, m.toByteArray)
+      }
+      putField(req, 1, q.toByteArray)
+    }
+    org.xerial.snappy.Snappy.compress(req.toByteArray)
+  }
+
+  def encodeResponse(results: Seq[Seq[Series]]): Array[Byte] = {
+    val resp = new java.io.ByteArrayOutputStream()
+    results.foreach { tss =>
+      val qr = new java.io.ByteArrayOutputStream()
+      tss.foreach(ts => putField(qr, 1, tsBytes(ts)))
+      putField(resp, 1, qr.toByteArray)
+    }
+    org.xerial.snappy.Snappy.compress(resp.toByteArray)
+  }
+
+  def decodeResponse(payload: Array[Byte]): Seq[Seq[Series]] = {
+    val bytes = org.xerial.snappy.Snappy.uncompress(payload)
+    val out = Seq.newBuilder[Seq[Series]]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val tag = top.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) { // QueryResult
+        val qr = top.sub()
+        val tss = Seq.newBuilder[Series]
+        while (qr.hasMore) {
+          val t = qr.varint()
+          if ((t >> 3) == 1 && (t & 7) == 2) tss += parseTs(qr.sub())
+          else qr.skip((t & 7).toInt)
+        }
+        out += tss.result()
+      } else top.skip((tag & 7).toInt)
+    }
+    out.result()
+  }
+
+  /** Serve a remote-read payload against a [[ChunkStore]]: decode the
+    * request, run every query through the store's federated
+    * matcher+range plan (partition pruning, closed-chunk Gorilla
+    * decode — all distributed), re-attach the label set from the
+    * store's catalog, and encode the wire response. Sample order
+    * within a series is time-ascending, as Prometheus requires. */
+  def serve(store: ChunkStore, payload: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.sql.functions._
+    val results = decodeRequest(payload).map { case (sMs, eMs, ms) =>
+      val rows = store.queryAll(ms, sMs * 1000, eMs * 1000)
+      val cat = store.catalog()
+      rows.join(cat, "series_id")
+        .groupBy(col("series_id"), col("event_type"), col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
+        .orderBy(col("series_id"))
+        .collect()
+        .map { r =>
+          val labels = Map(
+            "event_type" -> r.getString(1),
+            "user_id" -> r.get(2).toString)
+          val pts = r.getSeq[org.apache.spark.sql.Row](3)
+            .map(p => (p.getLong(0) / 1000, p.getDouble(1)))
+          (labels, pts): Series
+        }.toSeq
+    }
+    encodeResponse(results)
+  }
 }

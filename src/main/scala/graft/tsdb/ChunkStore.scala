@@ -91,6 +91,18 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * (chunk stays a partition column either way — pruning holds). */
   def live(): DataFrame = readChunked(livePath).drop("batch")
 
+  /** Store-wide series catalog (series_id → label set): live rows'
+    * labels ∪ the closed chunks' per-chunk catalogs — the reference
+    * indexer's id→labels mapping across both tiers. */
+  def catalog(): DataFrame = {
+    val liveCat = live().select("series_id", "event_type", "user_id")
+    val both =
+      if (!new java.io.File(catalogPath).exists()) liveCat
+      else liveCat.unionByName(
+        readChunked(catalogPath).select("series_id", "event_type", "user_id"))
+    both.distinct()
+  }
+
   private def hasClosed: Boolean =
     new java.io.File(closedPath).exists()
 

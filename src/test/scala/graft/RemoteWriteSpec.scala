@@ -1,8 +1,8 @@
 package graft
 
-import graft.sources.RemoteWrite
+import graft.sources.{RemoteRead, RemoteWrite}
 import graft.streaming.StreamIngest
-import graft.tsdb.{ChunkStore, MatchEq, Series}
+import graft.tsdb.{ChunkStore, MatchEq, MatchRe, Series}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.nio.file.Files
 
@@ -65,5 +65,33 @@ class RemoteWriteSpec extends SparkSpec {
     val got = clicks.select("ts_us", "value").as[(Long, Double)].collect().toSet
     assert(got.contains((us0, 1.0)))                       // i=0, uid 1
     assert(got.contains((us0 + 1200000000L, 1.0)))         // second batch i=0
+  }
+
+  test("remote-read request codec roundtrip (matcher types + range)") {
+    val qs: Seq[RemoteRead.Query] = Seq(
+      (t0, t0 + 3600000L, Seq(MatchEq("event_type", "click"), MatchRe("user_id", "^[12]$"))))
+    assert(RemoteRead.decodeRequest(RemoteRead.encodeRequest(qs)) == qs)
+  }
+
+  test("remote write -> chunk store -> remote read answers the wire query") {
+    val storeDir = Files.createTempDirectory("graft_rr_store").toString
+    val store = new ChunkStore(spark, storeDir)
+    val in = Seq(series("click", 1, 5, 0), series("view", 2, 3, 30000),
+      series("click", 3, 2, 60000))
+    store.append(RemoteWrite.toEventSamples(
+      Seq(RemoteWrite.encode(in)).toDF("payload")))
+    // close the first hour so the read federates live ∪ gorilla-closed
+    store.closeChunksBelow(t0 * 1000 + 3600L * 1000000)
+
+    val req = RemoteRead.encodeRequest(Seq(
+      (t0 - 1000, t0 + 3600000L, Seq(MatchEq("event_type", "click")))))
+    val resp = RemoteRead.decodeResponse(RemoteRead.serve(store, req))
+    assert(resp.size == 1)
+    val byUser = resp.head.map { case (labels, pts) => labels("user_id") -> pts }.toMap
+    assert(resp.head.forall(_._1("event_type") == "click"))
+    assert(byUser.keySet == Set("1", "3"))
+    assert(byUser("1").size == 5 && byUser("3").size == 2)
+    // sample values + ms timestamps round-tripped; time-ascending
+    assert(byUser("1") == (0 until 5).map(i => (t0 + i * 60000L, i * 1.5 + 1)))
   }
 }
