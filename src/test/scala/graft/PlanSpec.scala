@@ -54,6 +54,24 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Scan parquet").length - 1 <= 1, "lang_id scanned more than once")
   }
 
+  test("window family shuffles once per key, never more (exchange budget)") {
+    // the per-series operators' claim: ONE shuffle by the key, the
+    // window rides the same sort. Pin it so refactors can't silently
+    // double-shuffle (e.g. mismatched partitioning between the lag
+    // and cumulative-sum windows re-sorts per window).
+    def exchanges(name: String): Int = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      "Exchange".r.findAllIn(p).length - "ReusedExchange".r.findAllIn(p).length
+    }
+    assert(exchanges("ts_moving_avg_1h") <= 1)
+    assert(exchanges("events_sessionize") <= 1) // both windows + final agg share one
+    assert(exchanges("ts_rate") <= 1)
+    assert(exchanges("ts_gap_fill_1h") <= 2)    // per-bucket agg + per-series window
+    assert(exchanges("ts_asof_join") <= 2)      // right-side dedup + merge window
+  }
+
   test("doc_repetition and doc_contamination shuffle/join on LONG keys, not shingle strings") {
     // the first-level group key / join key must be the 64-bit hash —
     // a raw-shingle exchange is the string-keyed anti-pattern
