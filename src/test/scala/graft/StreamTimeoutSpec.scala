@@ -38,6 +38,39 @@ class StreamTimeoutSpec extends SparkSpec {
     assert(u1.head.n_events == 1 && u1.head.sum_value == 1.0)
   }
 
+  test("out-of-order event within the watermark merges without regressing the span") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val out = StreamIngest.sessionizeStreamEventTime(events,
+      gapUs = 60L * 1000000, delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+
+    input.addData((1L, ts("2024-01-01 00:05:00"), 1.0))
+    q.processAllAvailable()
+    // a LATER batch delivers an EARLIER event (inside the watermark
+    // delay, inside the gap): it must extend the session backwards —
+    // an end_us overwrite would shrink the span and fire the timeout
+    // early with a wrong end
+    input.addData((1L, ts("2024-01-01 00:04:40"), 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past end+gap, then one more trigger
+    input.addData((2L, ts("2024-01-01 00:30:00"), 9.0))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 00:30:01"), 9.0))
+    q.processAllAvailable()
+
+    val u1 = spark.table("ooo_sessions").as[SessionOut].collect()
+      .filter(_.user_id == 1L)
+    q.stop()
+    assert(u1.length == 1)
+    val s = u1.head
+    assert(s.n_events == 2 && s.sum_value == 3.0)
+    assert(s.start_us == ts("2024-01-01 00:04:40").getTime * 1000)
+    assert(s.end_us == ts("2024-01-01 00:05:00").getTime * 1000, "span regressed")
+  }
+
   test("streaming dedup emits first arrival only, within the watermark window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
