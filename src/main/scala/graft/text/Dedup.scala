@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact,
-  * MinHash+LSH, SimHash, and exact n-gram Jaccard. All hash material
-  * derives from md5 (available in every engine → oracle-checkable;
-  * uniform → skew-free shuffle keys).
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard. Hash material that
+  * SURFACES in results (minhash permutations, signatures, simhash
+  * bits) derives from md5 — available in every engine, so the oracle
+  * recomputes it; purely INTERNAL shuffle/join keys use the cheaper
+  * codegen'd xxhash64 (never visible, collision odds negligible).
+  * Both are uniform → skew-free shuffle keys.
   *
   * Scale notes (100 TB): the quadratic risk in near-dup detection is
   * always the candidate join. Exact Jaccard bounds it with a

@@ -63,10 +63,16 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * makes the checkpoint the WAL: replay converges to exactly-once.
     * One streaming query (one checkpoint) per store path — a fresh
     * checkpoint restarts batch ids at 0 and would overwrite history. */
-  def appendBatch(samples: DataFrame, batchId: Long): Unit =
-    clustered(guardedRouted(samples))
-      .write.mode("overwrite").partitionBy("chunk")
-      .parquet(s"$livePath/batch=$batchId")
+  def appendBatch(samples: DataFrame, batchId: Long): Unit = {
+    val guarded = guardedRouted(samples)
+    // watermark-only triggers deliver EMPTY micro-batches; writing one
+    // would create a file-less batch directory, and if it is the
+    // store's FIRST it breaks schema inference for every later read
+    if (!guarded.isEmpty)
+      clustered(guarded)
+        .write.mode("overwrite").partitionBy("chunk")
+        .parquet(s"$livePath/batch=$batchId")
+  }
 
   /** Cluster on (chunk, salt-of-series) before a partitioned write:
     * `chunk` alone is a low-cardinality hash key that collapses a
