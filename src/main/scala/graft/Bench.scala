@@ -35,19 +35,23 @@ object Bench {
     // first measured query isn't charged the JVM cold start
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    def once(name: String): Double = {
+    def once(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      catch { case _: Throwable => return None }
+      Some((System.nanoTime() - t0) / 1e9)
     }
+    // min over the SUCCESSFUL runs; a query only reports -1 when both
+    // runs fail, and failures never deflate the total (they'd silently
+    // read as a perf win otherwise)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> math.min(once(name), once(name))
+      val runs = Seq(once(name), once(name)).flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

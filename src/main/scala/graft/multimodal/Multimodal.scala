@@ -86,8 +86,11 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getString(1).getBytes("UTF-8")
-        val len = math.max(bytes.length, 1)
-        def b(i: Int): Int = if (bytes.isEmpty) 120 else bytes(i % len) & 0xff
+        // GEOMETRY uses the raw byte length — the oracle predicts dims
+        // from strlen(text), so clamping here would diverge on an
+        // empty doc; only the content SAMPLER needs the empty guard
+        val len = bytes.length
+        def b(i: Int): Int = if (bytes.isEmpty) 120 else bytes(i % bytes.length) & 0xff
         if (id % 2 == 0) {
           val (w, h) = (imgW(len), imgH(len))
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

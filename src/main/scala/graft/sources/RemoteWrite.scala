@@ -30,38 +30,53 @@ object RemoteWrite {
 
   // ───────────────────────── wire decode ─────────────────────────
 
+  /** Bounded wire reader: every read checks its message boundary, so
+    * a truncated or corrupt payload fails with a clear
+    * IllegalArgumentException at the decode boundary instead of
+    * silently mis-parsing past a length prefix (or throwing an opaque
+    * ArrayIndexOutOfBounds from deep inside an executor). A sink
+    * seeing repeated decode failures on replay should dead-letter the
+    * payload — malformed bytes are malformed on every retry. */
   private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    private def need(n: Int): Unit =
+      if (pos + n > end) throw new IllegalArgumentException(
+        s"truncated payload: need $n bytes at $pos, message ends at $end")
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var res = 0L
       while (true) {
+        need(1)
         val b = buf(pos); pos += 1
         res |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return res
         shift += 7
+        if (shift > 63) throw new IllegalArgumentException("varint overflow")
       }
       res
     }
     def fixed64(): Long = {
+      need(8)
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def sub(): Reader = {
       val len = varint().toInt
+      need(len)
       val r = new Reader(buf, pos, pos + len)
       pos += len; r
     }
     def str(): String = {
       val len = varint().toInt
+      need(len)
       val s = new String(buf, pos, len, "UTF-8")
       pos += len; s
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => val len = varint().toInt; need(len); pos += len
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }
@@ -346,9 +361,12 @@ object RemoteRead {
     * within a series is time-ascending, as Prometheus requires. */
   def serve(store: ChunkStore, payload: Array[Byte]): Array[Byte] = {
     import org.apache.spark.sql.functions._
+    // one catalog per request, not per query: a federation-style
+    // ReadRequest batches many queries and the catalog scan is the
+    // same for all of them
+    val cat = store.catalog()
     val results = decodeRequest(payload).map { case (sMs, eMs, ms) =>
       val rows = store.queryAll(ms, sMs * 1000, eMs * 1000)
-      val cat = store.catalog()
       rows.join(cat, "series_id")
         .groupBy(col("series_id"), col("event_type"), col("user_id"))
         .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))

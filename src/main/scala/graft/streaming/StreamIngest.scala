@@ -103,13 +103,22 @@ object StreamIngest {
           var cur = state.getOption
           rows.toSeq.sortBy(e => e.ts_us).foreach { e =>
             cur match {
-              case Some(s) if e.ts_us - s.end_us <= gapUs =>
-                // min/max, not overwrite: a cross-batch out-of-order
-                // event inside the gap (us < s.end_us) must not regress
-                // the session's end — that would both emit a wrong span
-                // and (in the event-time variant) fire the timeout early
+              case Some(s) if e.ts_us >= s.start_us - gapUs && e.ts_us - s.end_us <= gapUs =>
+                // within gap of the session INTERVAL (either side):
+                // merge via min/max, never overwrite — a cross-batch
+                // out-of-order event inside the gap must not regress
+                // the span. The lower bound matters too: "before end"
+                // alone would swallow arbitrarily-early stragglers.
                 cur = Some(SessionState(math.min(s.start_us, e.ts_us),
                   math.max(s.end_us, e.ts_us), s.n + 1, s.sum + e.value))
+              case Some(s) if e.ts_us < s.start_us - gapUs =>
+                // an out-of-order event a full gap BEFORE the current
+                // session: it belongs to an earlier session the state
+                // no longer holds — emit it as its own closed
+                // single-event session (deterministic best effort;
+                // the batch operator would have grouped it with its
+                // true contemporaries)
+                out ::= SessionOut(user, e.ts_us, e.ts_us, 1, e.value)
               case Some(s) =>
                 out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
@@ -151,11 +160,15 @@ object StreamIngest {
             rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val us = e.ts.getTime * 1000
               cur match {
-                case Some(s) if us - s.end_us <= gapUs =>
-                  // see sessionizeStream: merge via min/max so an
-                  // out-of-order event can't shrink the session span
+                case Some(s) if us >= s.start_us - gapUs && us - s.end_us <= gapUs =>
+                  // see sessionizeStream: merge only within gap of the
+                  // session interval, via min/max (no span regression)
                   cur = Some(SessionState(math.min(s.start_us, us),
                     math.max(s.end_us, us), s.n + 1, s.sum + e.value))
+                case Some(s) if us < s.start_us - gapUs =>
+                  // straggler a full gap before the session: its own
+                  // closed single-event session (see sessionizeStream)
+                  out ::= SessionOut(user, us, us, 1, e.value)
                 case Some(s) =>
                   out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
                   cur = Some(SessionState(us, us, 1, e.value))

@@ -39,9 +39,27 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * the closed payload for those chunk ids) — the reference rejects
     * out-of-chunk appends at ingest for the same reason; streaming
     * callers bound this case with a close lag ≥ their watermark. */
-  def append(samples: DataFrame): Unit =
+  def append(samples: DataFrame): Unit = {
+    assertLayout(batchScoped = false)
     clustered(guardedRouted(samples))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
+  }
+
+  /** Direct appends write `live/chunk=…`, streaming batch appends
+    * write `live/batch=…/chunk=…` — parquet partition discovery
+    * cannot mix directory depths under one root, so the first read
+    * after mixing them would fail confusingly. Refuse at write time
+    * instead, with a message that names the rule: one ingest mode per
+    * store path. */
+  private def assertLayout(batchScoped: Boolean): Unit = {
+    val tops = Option(new java.io.File(livePath).list()).getOrElse(Array.empty[String])
+    val clash = if (batchScoped) "chunk=" else "batch="
+    if (tops.exists(_.startsWith(clash)))
+      throw new IllegalStateException(
+        s"ChunkStore at $path already has ${clash.dropRight(1)}-rooted live data: " +
+          "direct append() and streaming appendBatch() cannot share one store " +
+          "(mixed partition-directory depths are unreadable); use one ingest mode per path")
+  }
 
   /** Shared ingest guard + chunk routing (see [[append]] scaladoc). */
   private def guardedRouted(samples: DataFrame): DataFrame = {
@@ -64,14 +82,20 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * One streaming query (one checkpoint) per store path — a fresh
     * checkpoint restarts batch ids at 0 and would overwrite history. */
   def appendBatch(samples: DataFrame, batchId: Long): Unit = {
-    val guarded = guardedRouted(samples)
-    // watermark-only triggers deliver EMPTY micro-batches; writing one
-    // would create a file-less batch directory, and if it is the
-    // store's FIRST it breaks schema inference for every later read
-    if (!guarded.isEmpty)
-      clustered(guarded)
-        .write.mode("overwrite").partitionBy("chunk")
-        .parquet(s"$livePath/batch=$batchId")
+    assertLayout(batchScoped = true)
+    // persisted: the emptiness probe and the write share one
+    // evaluation of the batch's upstream (which may include e.g. the
+    // remote-write proto decode) instead of running it twice
+    val guarded = guardedRouted(samples).persist()
+    try {
+      // watermark-only triggers deliver EMPTY micro-batches; writing
+      // one would create a file-less batch directory, and if it is the
+      // store's FIRST it breaks schema inference for every later read
+      if (!guarded.isEmpty)
+        clustered(guarded)
+          .write.mode("overwrite").partitionBy("chunk")
+          .parquet(s"$livePath/batch=$batchId")
+    } finally guarded.unpersist(blocking = false)
   }
 
   /** Cluster on (chunk, salt-of-series) before a partitioned write:
@@ -112,10 +136,23 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   private def hasClosed: Boolean =
     new java.io.File(closedPath).exists()
 
-  private def closedChunkIds(): Set[Long] =
-    if (!hasClosed) Set.empty
-    else readChunked(closedPath).select("chunk").distinct()
-      .collect().map(_.getLong(0)).toSet // bounded: one id per closed chunk
+  /** Closed-chunk id set, from the partition DIRECTORY NAMES (a
+    * single metadata listing — never a parquet scan) and cached on
+    * the instance: the ingest guard consults it on every append, and
+    * a streaming sink appends continuously. Invalidated by
+    * closeChunks; one writer per store path (the streaming sink's
+    * contract already), so external closers aren't a concern. */
+  @volatile private var closedIdsCache: Option[Set[Long]] = None
+
+  private def closedChunkIds(): Set[Long] = closedIdsCache.getOrElse {
+    val dirs = Option(new java.io.File(closedPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val ids = dirs
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+      .map(_.getName.stripPrefix("chunk=").toLong).toSet
+    closedIdsCache = Some(ids)
+    ids
+  }
 
   /** Matcher + range query over live chunks only. The chunk bounds
     * filter is on the partition column → partition pruning (the
@@ -147,6 +184,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     rows.select("chunk", "series_id", "event_type", "user_id").distinct()
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("chunk").parquet(catalogPath)
+    closedIdsCache = None // the guard must see the newly closed ids
   }
 
   /** Close every live chunk that ends strictly below `tsUs` and is not

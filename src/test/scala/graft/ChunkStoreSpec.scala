@@ -101,6 +101,22 @@ class ChunkStoreSpec extends SparkSpec {
     assert(got == Seq(1.0, 2.0, 4.0), s"got $got")
   }
 
+  test("mixing direct and batch-scoped appends on one store is refused at write time") {
+    val dir = Files.createTempDirectory("graft_chunks_mix").toString
+    val store = new ChunkStore(spark, dir)
+    val s = Seq(("sA", "click", 1L, 1704067200000001L, 1.0, 1L))
+      .toDF("series_id", "event_type", "user_id", "ts_us", "value", "event_id")
+    store.append(s)
+    // the two layouts put chunk= at different directory depths —
+    // partition discovery cannot read the union, so refuse up front
+    val e = intercept[IllegalStateException] { store.appendBatch(s, 0L) }
+    assert(e.getMessage.contains("one ingest mode"))
+    val dir2 = Files.createTempDirectory("graft_chunks_mix2").toString
+    val store2 = new ChunkStore(spark, dir2)
+    store2.appendBatch(s, 0L)
+    intercept[IllegalStateException] { store2.append(s) }
+  }
+
   test("federated queryAll == live-only answer after a chunk is closed") {
     val dir = Files.createTempDirectory("graft_chunks2").toString
     val store = new ChunkStore(spark, dir)

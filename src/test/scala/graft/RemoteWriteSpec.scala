@@ -67,6 +67,16 @@ class RemoteWriteSpec extends SparkSpec {
     assert(got.contains((us0 + 1200000000L, 1.0)))         // second batch i=0
   }
 
+  test("truncated payloads fail cleanly at the decode boundary") {
+    val good = RemoteWrite.encodeProto(Seq(series("click", 1, 3, 0)))
+    for (cut <- Seq(1, good.length / 2, good.length - 1)) {
+      val e = intercept[IllegalArgumentException] {
+        RemoteWrite.decodeProto(java.util.Arrays.copyOf(good, cut))
+      }
+      assert(e.getMessage.contains("truncated") || e.getMessage.contains("varint"))
+    }
+  }
+
   test("remote-read request codec roundtrip (matcher types + range)") {
     val qs: Seq[RemoteRead.Query] = Seq(
       (t0, t0 + 3600000L, Seq(MatchEq("event_type", "click"), MatchRe("user_id", "^[12]$"))))

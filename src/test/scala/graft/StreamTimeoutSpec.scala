@@ -71,6 +71,34 @@ class StreamTimeoutSpec extends SparkSpec {
     assert(s.end_us == ts("2024-01-01 00:05:00").getTime * 1000, "span regressed")
   }
 
+  test("a straggler a full gap BEFORE the session becomes its own session, not a merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val out = StreamIngest.sessionizeStreamEventTime(events,
+      gapUs = 60L * 1000000, delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+
+    input.addData((1L, ts("2024-01-01 00:09:00"), 1.0))
+    q.processAllAvailable()
+    // 8 minutes before the session start with a 60s gap: merging it
+    // would stretch one session across a silence the gap rule forbids
+    input.addData((1L, ts("2024-01-01 00:01:00"), 2.0))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 00:40:00"), 9.0))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 00:40:01"), 9.0))
+    q.processAllAvailable()
+
+    val u1 = spark.table("straggler_sessions").as[SessionOut].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_us)
+    q.stop()
+    assert(u1.length == 2, s"expected 2 sessions, got ${u1.toSeq}")
+    assert(u1(0).start_us == ts("2024-01-01 00:01:00").getTime * 1000 && u1(0).n_events == 1)
+    assert(u1(1).start_us == ts("2024-01-01 00:09:00").getTime * 1000 && u1(1).n_events == 1)
+  }
+
   test("streaming dedup emits first arrival only, within the watermark window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
