@@ -330,6 +330,52 @@ object SparkEntry {
           (col("promo_revenue") * lit(100.0) / col("total_revenue")).as("promo_pct"))
     }),
 
+    "ts_irate" -> ((s, dir) => {
+      // PromQL irate: rate from each series' LAST TWO samples. The
+      // "last 2 per key" is the custom TopKPerKey operator (bounded
+      // 2-element heaps per map partition, ≤2 rows per series
+      // shuffled) — never a full per-series window sort.
+      val last2 = graft.plans.TopKPerKey(
+        Series.samples(t(s, dir, "events"))
+          .select("series_id", "ts_us", "event_id", "value"),
+        Seq("series_id"),
+        Seq("ts_us" -> graft.plans.TopKPerKey.Desc,
+          "event_id" -> graft.plans.TopKPerKey.Desc), 2)
+      last2.groupBy(col("series_id"))
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"),
+          min(struct(col("ts_us"), col("event_id"), col("value"))).as("p"))
+        .select(col("series_id"), col("l.ts_us").as("last_ts_us"),
+          when(col("n") === 2 && col("l.ts_us") > col("p.ts_us"),
+            (col("l.value") - col("p.value")) /
+              ((col("l.ts_us") - col("p.ts_us")) / lit(1000000.0)))
+            .otherwise(lit(0.0)).as("irate_per_sec"))
+    }),
+
+    "q10_returned" -> ((s, dir) => {
+      // TPC-H Q10: top-20 customers by revenue lost to returned items
+      // in one quarter; fact chain streams, nation broadcasts.
+      val cut0 = lit("1996-01-01").cast("timestamp")
+      val cut1 = lit("1996-04-01").cast("timestamp")
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1)
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     "q7_volume" -> ((s, dir) => {
       // TPC-H Q7 volume shipping: bidirectional nation pair, per-year
       // revenue. Fact chain streams; supplier and both nation copies
@@ -806,6 +852,33 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY 1""",
+
+    "ts_irate" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY series_id
+                  ORDER BY ts_us DESC, event_id DESC) AS rn FROM s),
+          agg AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+                    max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l,
+                    min(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS p
+                  FROM r WHERE rn <= 2 GROUP BY 1)
+          SELECT series_id, l.ts_us AS last_ts_us,
+                 CASE WHEN n = 2 AND l.ts_us > p.ts_us
+                      THEN (l.value - p.value) / ((l.ts_us - p.ts_us) / 1000000.0)
+                      ELSE 0.0 END AS irate_per_sec
+          FROM agg""",
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
 
     "q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
