@@ -261,12 +261,14 @@ object SparkEntry {
       val cut = lit("1997-01-01").cast("timestamp")
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
+      // BUILDING customers (1/5) reach ORDERS before the big join —
+      // the l⋈o shuffle then carries only qualifying orders
       val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
         .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("revenue"))
@@ -279,22 +281,31 @@ object SparkEntry {
     }),
 
     "q5_regional" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      // the ASIA predicate (1/5 of nations) reaches BOTH fact inputs
+      // before the single shuffle join: lineitem keeps only
+      // ASIA-supplier rows (broadcast semi-join, map-side), orders
+      // keeps only ASIA-customer rows; the c_nationkey = s_nationkey
+      // equi-condition then filters the reduced join output
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val natAsia = t(s, dir, "nation")
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supAsia = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val custAsia = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(natAsia.select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+      val ordAsia = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey")
-      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      val nat = t(s, dir, "nation")
-      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(supAsia), col("l_suppkey") === col("s_suppkey"))
+        .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("revenue"))
