@@ -67,6 +67,35 @@ class RemoteWriteSpec extends SparkSpec {
     assert(got.contains((us0 + 1200000000L, 1.0)))         // second batch i=0
   }
 
+  test("wire codec property: 200 random requests roundtrip (seeded), special doubles exact") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcXYZ_0189 éπ" // incl. multibyte UTF-8
+    def str(max: Int) =
+      (0 until (1 + rnd.nextInt(max))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val specials = Seq(0.0, -0.0, Double.MaxValue, Double.MinPositiveValue,
+      Double.PositiveInfinity, Double.NegativeInfinity, 1e-300, -1.5e17)
+    for (_ <- 0 until 200) {
+      val req: Seq[RemoteWrite.Series] = (0 until rnd.nextInt(4)).map { _ =>
+        val labels = (0 until 1 + rnd.nextInt(4)).map(_ => str(8) -> str(12)).toMap
+        val samples = (0 until rnd.nextInt(20)).map { _ =>
+          (math.abs(rnd.nextLong()) % (1L << 48),
+            if (rnd.nextBoolean()) specials(rnd.nextInt(specials.length))
+            else rnd.nextDouble() * 1e6 - 5e5)
+        }
+        (labels, samples)
+      }
+      val dec = RemoteWrite.decode(RemoteWrite.encode(req))
+      assert(dec.size == req.size)
+      dec.zip(req).foreach { case ((gl, gs), (el, es)) =>
+        assert(gl == el)
+        assert(gs.map(_._1) == es.map(_._1))
+        // compare values by BITS so ±0.0 and any NaN payloads are exact
+        assert(gs.map(s => java.lang.Double.doubleToRawLongBits(s._2)) ==
+          es.map(s => java.lang.Double.doubleToRawLongBits(s._2)))
+      }
+    }
+  }
+
   test("truncated payloads fail cleanly at the decode boundary") {
     val good = RemoteWrite.encodeProto(Seq(series("click", 1, 3, 0)))
     for (cut <- Seq(1, good.length / 2, good.length - 1)) {
