@@ -161,6 +161,26 @@ object SparkEntry {
         .groupBy(col("series_id"), floor(col("value") / 10.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    "ts_histogram_quantile" -> ((s, dir) => {
+      // PromQL histogram_quantile(0.5, …): the median ESTIMATED from
+      // fixed-width bucket counts with linear interpolation inside
+      // the crossing bucket — the aggregation a scrape-side histogram
+      // supports when raw samples are gone. Runs on the same bucket
+      // frame as ts_value_histogram; one window cumsum per series.
+      val hist = Series.samples(t(s, dir, "events"))
+        .groupBy(col("series_id"), floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("series_id")).orderBy(col("bucket"))
+      hist
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy(col("series_id"))))
+        .withColumn("prev", col("cum") - col("n"))
+        .filter(col("prev") < col("total") * 0.5 && col("cum") >= col("total") * 0.5)
+        .select(col("series_id"),
+          round(col("bucket") * 10 + (col("total") * 0.5 - col("prev")) / col("n") * 10, 6)
+            .as("hq50"))
+    }),
+
     "ts_quantiles" -> ((s, dir) =>
       // exact interpolated percentiles (type R-7 — same definition as
       // DuckDB quantile_cont); rounded to absorb last-ULP libm drift
@@ -763,6 +783,17 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    "ts_histogram_quantile" ->
+      s"""WITH h AS (SELECT $SeriesIdSql AS series_id,
+                            CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+          c AS (SELECT *, sum(n) OVER (PARTITION BY series_id ORDER BY bucket) AS cum,
+                       sum(n) OVER (PARTITION BY series_id) AS total FROM h)
+          SELECT series_id,
+                 round(bucket * 10 + (total * 0.5 - (cum - n)) / n * 10, 6) AS hq50
+          FROM c WHERE (cum - n) < total * 0.5 AND cum >= total * 0.5""",
 
     "ts_quantiles" ->
       s"""SELECT $SeriesIdSql AS series_id, CAST(count(*) AS BIGINT) AS n_points,
