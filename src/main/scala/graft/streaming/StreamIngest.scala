@@ -45,6 +45,24 @@ object StreamIngest {
       .format("console")
       .start()
 
+  /** Windowed aggregates AT REST: append-mode parquet sink. Append
+    * mode emits a window only once the watermark passes its end — the
+    * row is FINAL, so the parquet files are immutable facts (no
+    * update-in-place, which a file sink can't do) and a reader sees
+    * exactly the batch-equivalent result for every closed window.
+    * This is the long-term-storage end of the ingest story: stream →
+    * finalized hourly rollups, queryable forever, exactly-once via
+    * the checkpoint. `events` must already carry a watermark. */
+  def startWindowedParquetSink(events: DataFrame, outDir: String, checkpoint: String,
+                               windowDuration: String = "1 hour") =
+    windowCounts(events, windowDuration)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
   /** Streaming ingest into a [[graft.tsdb.ChunkStore]]: each
     * micro-batch is normalized to samples and appended to its hour
     * partitions — the Spark-native equivalent of the reference's

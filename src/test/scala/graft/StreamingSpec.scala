@@ -43,4 +43,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == expect)
     assert(got.contains(("click", 3L, 7.0)))
   }
+
+  test("windowed parquet sink persists exactly the watermark-closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_win_parquet").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_win_ckpt").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = StreamIngest.withWatermark(
+      input.toDF().toDF("ts", "event_type", "value"), "5 minutes")
+    val q = StreamIngest.startWindowedParquetSink(events, outDir, ckpt)
+
+    def t(h: Int, min: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    input.addData((t(0, 1), "click", 1.0), (t(0, 2), "click", 2.0))
+    q.processAllAvailable()
+    // advance the watermark past hour 0; its window becomes FINAL and
+    // lands in parquet; hour 1 stays open and must NOT appear
+    input.addData((t(1, 30), "view", 10.0))
+    q.processAllAvailable()
+    input.addData((t(1, 31), "view", 1.0)) // extra trigger flushes the emit
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select("window_start_ms", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(rows == Set((Timestamp.valueOf("2024-01-01 00:00:00").getTime,
+      "click", 2L, 3.0)), s"got $rows")
+  }
 }
