@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges("ts_asof_join") <= 2)      // right-side dedup + merge window
   }
 
+  test("ts_irate takes the bounded-heap path: TopKPerKey, no Window sort") {
+    val df = SparkEntry.queries("ts_irate")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p.take(800))
+    assert(!p.contains("Window"), "irate fell back to a window sort")
+  }
+
   test("doc_repetition and doc_contamination shuffle/join on LONG keys, not shingle strings") {
     // the first-level group key / join key must be the 64-bit hash —
     // a raw-shingle exchange is the string-keyed anti-pattern
