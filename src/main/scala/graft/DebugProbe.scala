@@ -69,13 +69,25 @@ object DebugProbe {
         // vocabulary makes its RESULT quadratic in data (28% of pairs
         // are genuine candidates — the oracle pays the same join), so
         // a 10x run measures data density, not engine scaling
-        ("ann_ivf", p => graft.vector.VectorOps.ivfTopK(emb(p), col("vec_id") < 5, 10).count()))
+        ("ann_ivf", p => graft.vector.VectorOps.ivfTopK(emb(p), col("vec_id") < 5, 10).count()),
+        ("chunked_store", p => {
+          // the full storage path: salted parallel append into daily
+          // chunks, batched gorilla close, federated matcher query
+          val dir = java.nio.file.Files.createTempDirectory("x10_store").toString
+          val st = new graft.tsdb.ChunkStore(spark, dir, chunkMs = 86400000L,
+            filesPerChunkPerAppend = 2)
+          st.append(ev(p))
+          st.closeChunksBelow(1704412800000000L)
+          st.queryAll(Seq(graft.tsdb.MatchEq("event_type", "view")),
+            1704067200000000L, 1705708800000000L).count()
+        }))
       val tableFor = Map(
         "downsample" -> ("events", eventsP), "gap_fill" -> ("events", eventsP),
         "sessionize" -> ("events", eventsP),
         "twostage_jaccard" -> ("documents", docsP),
         "dedup_clusters" -> ("documents", docsP),
-        "ann_ivf" -> ("embeddings", embP))
+        "ann_ivf" -> ("embeddings", embP),
+        "chunked_store" -> ("events", eventsP))
       probes.foreach { case (nm, f) =>
         val (tbl, bigP) = tableFor(nm)
         spark.catalog.clearCache() // no cross-run subtree cache leaks
