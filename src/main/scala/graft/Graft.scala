@@ -68,11 +68,16 @@ final class Graft(val spark: SparkSession, dir: String) {
     val q = text.TextOps.quality(documents)
       .filter(col("len") >= minLen && col("stop_ratio") <= maxStopRatio)
       .select("doc_id")
-    val rep = text.TextOps.repetition(documents)
-      .filter(col("rep_ratio") <= maxRepRatio)
+    // anti-join against VIOLATORS, not inner-join against passers: a
+    // doc with < n tokens has no shingles, hence no repetition row at
+    // all — an inner join would silently drop it even though it
+    // breaks none of the documented gates
+    val repViolators = text.TextOps.repetition(documents)
+      .filter(col("rep_ratio") > maxRepRatio)
       .select("doc_id")
     val kept = text.Dedup.dedupedCorpus(documents, threshold = dedupThreshold)
-      .join(q, "doc_id").join(rep, "doc_id")
+      .join(q, "doc_id")
+      .join(repViolators, Seq("doc_id"), "left_anti")
     val split = text.Dedup.leakageSafeSplit(documents, threshold = dedupThreshold)
       .select("doc_id", "split")
     val clean = text.TextOps.redact(documents).select("doc_id", "clean_text")
@@ -127,7 +132,17 @@ object Graft {
   def registerFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      exprs => functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      // explicit Casts: the expression reads 8-byte doubles, but the
+      // embeddings column is array<float> — without coercion a SQL
+      // call would read garbage (UnsafeArrayData) or throw (Generic).
+      // ExpectsInputTypes can't do this (private[sql] in Spark 4), so
+      // coerce at the registration boundary, mirroring the Column API.
+      exprs => functions.CosineSimilarity(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))),
+      "built-in")
     spark.udf.register("gorilla_encode",
       (pts: Seq[org.apache.spark.sql.Row]) =>
         tsdb.Gorilla.encode(pts.map(r => (r.getLong(0), r.getDouble(1)))))

@@ -16,6 +16,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+        // coerce to array<double> (see Graft.registerFunctions): the
+        // expression reads 8-byte slots, the embeddings column is
+        // array<float>
+        CosineSimilarity(
+          org.apache.spark.sql.catalyst.expressions.Cast(children(0),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
   }
 }

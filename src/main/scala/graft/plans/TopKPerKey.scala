@@ -95,6 +95,9 @@ object TopKPerKey {
     * expressions that only standard operators resolve, so a custom
     * plan node must bind real AttributeReferences itself. */
   def apply(df: DataFrame, keys: Seq[String], order: Seq[(String, Dir)], k: Int): DataFrame = {
+    // fail here with a clear message, not as an executor NPE from
+    // peek() on an empty heap mid-stage
+    require(k > 0, s"TopKPerKey needs k > 0, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =

@@ -80,9 +80,13 @@ object Dedup {
       .groupBy(col("hsh")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select(col("hsh"))
+    // no broadcast HINT on nSh: one row per doc is broadcastable at
+    // bench scale (AQE still chooses broadcast under the threshold)
+    // but linear in corpus size — a forced broadcast would OOM the
+    // driver at the billions-of-docs scale this file targets
     val sh = base
       .join(keep, Seq("hsh"))
-      .join(broadcast(nSh), Seq("doc_id"))
+      .join(nSh, Seq("doc_id"))
       .persist()
     sh.as("a")
       .join(sh.as("b"),

@@ -58,11 +58,7 @@ final class BucketedChunkTable(spark: SparkSession, table: String,
     * (Generate) preserves the scan's bucket distribution, so
     * aggregating DECODED samples per series is still Exchange-free. */
   def writeClosed(samples: DataFrame, mode: String = "append"): Unit =
-    samples
-      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
-      .groupBy(col("series_id"), col("chunk"))
-      .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
-      .select(col("series_id"), col("chunk"), Gorilla.encodeUdf(col("pts")).as("payload"))
+    Gorilla.packChunked(samples, chunkUs) // ONE pack shape for every closed store
       .write.mode(mode)
       .partitionBy("chunk")
       .bucketBy(nBuckets, "series_id")

@@ -95,10 +95,15 @@ final case class MatchNeq(key: String, value: String) extends Matcher {
   def toPredicate: Column = col(key).cast("string") =!= value
 }
 final case class MatchRe(key: String, regex: String) extends Matcher {
-  def toPredicate: Column = col(key).cast("string").rlike(regex)
+  // Prometheus `=~` is FULLY ANCHORED (the matcher wraps the pattern
+  // in ^(?:…)$); a bare rlike does substring search, so "click|view"
+  // would also match "clicks" and "preview". Anchoring here keeps
+  // the reference's matcher semantics for plain patterns while
+  // explicitly-anchored patterns behave identically.
+  def toPredicate: Column = col(key).cast("string").rlike(s"^(?:$regex)$$")
 }
 final case class MatchNre(key: String, regex: String) extends Matcher {
-  def toPredicate: Column = !col(key).cast("string").rlike(regex)
+  def toPredicate: Column = !col(key).cast("string").rlike(s"^(?:$regex)$$")
 }
 
 object Matcher {

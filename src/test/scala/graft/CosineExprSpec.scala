@@ -56,11 +56,24 @@ class CosineExprSpec extends SparkSpec {
   }
 
   test("SQL registration via the GraftExtensions function builder") {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    Graft.registerFunctions(spark)
     pairs.createOrReplaceTempView("vp")
     val v = spark.sql("SELECT cosine_sim(a, b) AS c FROM vp")
       .as[Double].collect()
     assert(v.length == 4 && math.abs(v(0) - 1.0) < 1e-15)
+  }
+
+  test("SQL path coerces array<float> inputs (the raw embeddings column type)") {
+    Graft.registerFunctions(spark)
+    // float arrays, NOT pre-cast: the registration must coerce them —
+    // without the Cast the expression reads 8-byte slots over 4-byte
+    // elements (garbage) or throws ClassCastException
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("emb_raw")
+    val got = spark.sql(
+      """SELECT cosine_sim(a.embedding, a.embedding) AS c FROM emb_raw a
+         WHERE a.vec_id < 10""").as[Double].collect()
+    assert(got.length == 10)
+    got.foreach(c => assert(math.abs(c - 1.0) < 1e-12, s"self-cosine $c != 1"))
   }
 }

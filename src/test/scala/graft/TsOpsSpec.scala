@@ -31,7 +31,11 @@ class TsOpsSpec extends SparkSpec {
     assert(s.filter(Matcher.all(Seq(MatchEq("event_type", "click")))).count() == 3)
     assert(s.filter(Matcher.all(Seq(MatchNeq("event_type", "click")))).count() == 2)
     assert(s.filter(Matcher.all(Seq(MatchRe("event_type", "^(click|view)$")))).count() == 5)
-    assert(s.filter(Matcher.all(Seq(MatchNre("event_type", "^v")))).count() == 3)
+    // matchers are FULLY ANCHORED (Prometheus =~ semantics): a plain
+    // alternation needs no ^$, and a bare prefix matches only itself
+    assert(s.filter(Matcher.all(Seq(MatchRe("event_type", "click|view")))).count() == 5)
+    assert(s.filter(Matcher.all(Seq(MatchNre("event_type", "v.*")))).count() == 3)
+    assert(s.filter(Matcher.all(Seq(MatchNre("event_type", "^v")))).count() == 5)
     assert(s.filter(Matcher.all(Seq(MatchEq("event_type", "click"), MatchEq("user_id", "1")))).count() == 3)
     assert(s.filter(Matcher.all(Nil)).count() == 5)
   }
