@@ -30,6 +30,54 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
 
+  /** All store METADATA probes (layout guard, closed-id set, raw-dir
+    * cleanup) go through the Hadoop FileSystem of `path`, never
+    * java.io.File — a java.io probe silently answers "nothing there"
+    * for s3a:///hdfs:// paths, which would disable the guards exactly
+    * where the 100 TB framing needs them. */
+  private def hfs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String): Boolean =
+    hfs.exists(new org.apache.hadoop.fs.Path(p))
+
+  private def listNames(dir: String): Seq[String] = {
+    val fs = hfs
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).map(_.getPath.getName).toSeq
+  }
+
+  /** Live chunk ids from the partition DIRECTORY NAMES (both
+    * layouts) — a metadata listing, never a Spark job. */
+  private def liveChunkIdsListed(): Set[Long] = {
+    val tops = listNames(livePath)
+    val chunkDirs =
+      if (tops.exists(_.startsWith("batch=")))
+        tops.filter(_.startsWith("batch=")).flatMap(b => listNames(s"$livePath/$b"))
+      else tops
+    chunkDirs.filter(_.startsWith("chunk="))
+      .map(_.stripPrefix("chunk=").toLong).toSet
+  }
+
+  /** Delete the RAW live directories of the given chunks (both
+    * layouts) — the final step of compaction. */
+  private def deleteLiveChunkDirs(chunks: Set[Long]): Unit = {
+    if (chunks.isEmpty) return
+    val fs = hfs
+    val names = chunks.map(c => s"chunk=$c")
+    val tops = listNames(livePath)
+    val targets =
+      if (tops.exists(_.startsWith("batch=")))
+        tops.filter(_.startsWith("batch=")).flatMap(b => names.map(n => s"$livePath/$b/$n"))
+      else names.map(n => s"$livePath/$n").toSeq
+    targets.foreach { t =>
+      val hp = new org.apache.hadoop.fs.Path(t)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+  }
+
   /** Append samples (from [[Series.samples]]), routed to their chunk.
     * Points with a non-positive timestamp are dropped — the
     * reference's ingest guard (db.rs:183-186 rejects ts=0 and
@@ -52,7 +100,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * instead, with a message that names the rule: one ingest mode per
     * store path. */
   private def assertLayout(batchScoped: Boolean): Unit = {
-    val tops = Option(new java.io.File(livePath).list()).getOrElse(Array.empty[String])
+    val tops = listNames(livePath)
     val clash = if (batchScoped) "chunk=" else "batch="
     if (tops.exists(_.startsWith(clash)))
       throw new IllegalStateException(
@@ -125,16 +173,26 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * labels ∪ the closed chunks' per-chunk catalogs — the reference
     * indexer's id→labels mapping across both tiers. */
   def catalog(): DataFrame = {
-    val liveCat = live().select("series_id", "event_type", "user_id")
-    val both =
-      if (!new java.io.File(catalogPath).exists()) liveCat
-      else liveCat.unionByName(
-        readChunked(catalogPath).select("series_id", "event_type", "user_id"))
-    both.distinct()
+    val liveCat =
+      if (liveChunkIdsListed().isEmpty) None // fully compacted: no raw files left
+      else Some(live().select("series_id", "event_type", "user_id"))
+    val closedCat =
+      if (!exists(catalogPath)) None
+      else Some(readChunked(catalogPath).select("series_id", "event_type", "user_id"))
+    (liveCat, closedCat) match {
+      case (Some(a), Some(b)) => a.unionByName(b).distinct()
+      case (Some(a), None) => a.distinct()
+      case (None, Some(b)) => b.distinct()
+      case _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("series_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType))))
+    }
   }
 
-  private def hasClosed: Boolean =
-    new java.io.File(closedPath).exists()
+  private def hasClosed: Boolean = exists(closedPath)
 
   /** Closed-chunk id set, from the partition DIRECTORY NAMES (a
     * single metadata listing — never a parquet scan) and cached on
@@ -145,11 +203,9 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   @volatile private var closedIdsCache: Option[Set[Long]] = None
 
   private def closedChunkIds(): Set[Long] = closedIdsCache.getOrElse {
-    val dirs = Option(new java.io.File(closedPath).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    val ids = dirs
-      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
-      .map(_.getName.stripPrefix("chunk=").toLong).toSet
+    val ids = listNames(closedPath)
+      .filter(_.startsWith("chunk="))
+      .map(_.stripPrefix("chunk=").toLong).toSet
     closedIdsCache = Some(ids)
     ids
   }
@@ -178,13 +234,26 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   def closeChunks(chunks: Seq[Long]): Unit = {
     if (chunks.isEmpty) return
     val rows = live().filter(col("chunk").isInCollection(chunks))
-    Gorilla.packWithChunk(rows)
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("chunk").parquet(closedPath)
+    // CATALOG first, payload second: the closed-id set (and queryAll's
+    // live-branch exclusion) keys on the PAYLOAD directories, so a
+    // crash between the two writes leaves a catalog without payloads —
+    // harmless (the semi-join finds no payload rows, the raw rows
+    // still serve from live) and self-healing (the chunk is still a
+    // close candidate and the dynamic overwrite rewrites both).
+    // Payload-first would instead hide the raw rows while the catalog
+    // needed to read the payloads is missing.
     rows.select("chunk", "series_id", "event_type", "user_id").distinct()
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("chunk").parquet(catalogPath)
+    Gorilla.packWithChunk(rows)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk").parquet(closedPath)
     closedIdsCache = None // the guard must see the newly closed ids
+    // compaction COMPLETES by dropping the raw rows: without this the
+    // store keeps raw + compressed copies of all history forever. A
+    // crash before the delete only wastes space (closed ids exclude
+    // the raw rows from every query); closeChunksBelow heals it.
+    deleteLiveChunkDirs(chunks.toSet)
   }
 
   /** Close every live chunk that ends strictly below `tsUs` and is not
@@ -194,10 +263,11 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   def closeChunksBelow(tsUs: Long): Unit = {
     val limit = tsUs / chunkUs // chunks < limit are entirely below tsUs
     val already = closedChunkIds()
-    val candidates = live().select("chunk").distinct()
-      .filter(col("chunk") < limit)
-      .collect().map(_.getLong(0)).filterNot(already)
-    closeChunks(candidates.sorted.toSeq)
+    val liveIds = liveChunkIdsListed()
+    // heal: raw dirs of chunks that finished closing but crashed
+    // before their cleanup (their rows are query-invisible already)
+    deleteLiveChunkDirs(liveIds.intersect(already))
+    closeChunks(liveIds.filter(_ < limit).diff(already).toSeq.sorted)
   }
 
   /** Read a closed chunk back as samples (decode + explode). */
@@ -226,6 +296,11 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   def queryAll(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
     if (!hasClosed) return query(ms, startUs, endUs)
     val closedIds = closedChunkIds()
+    // fully compacted stores have no raw files left — reading the
+    // empty live root would fail schema inference, and lingering raw
+    // dirs of closed chunks are excluded anyway
+    val liveIds = liveChunkIdsListed()
+    if (liveIds.forall(closedIds)) return queryClosed(ms, startUs, endUs)
     val liveOnly = TsOps.rangeQuery(
       live()
         .filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)

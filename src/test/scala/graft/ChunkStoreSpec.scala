@@ -29,17 +29,21 @@ class ChunkStoreSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || plan.contains("chunk"), plan.take(500))
 
-    // close one chunk and read it back losslessly
+    // close one chunk and read it back losslessly — snapshot the raw
+    // rows FIRST: compaction completes by deleting them from live
     val someChunk = store.live().select("chunk").distinct().as[Long].head()
+    val b = store.live().filter($"chunk" === someChunk)
+      .orderBy("series_id", "ts_us").select("series_id", "ts_us", "value")
+      .as[(String, Long, Double)].collect().toSeq
     store.closeChunk(someChunk)
-    val reread = store.readClosed(someChunk)
-    val orig = store.live().filter($"chunk" === someChunk)
-    assert(reread.count() == orig.count())
-    val a = reread.orderBy("series_id", "ts_us").select("series_id", "ts_us", "value")
+    val a = store.readClosed(someChunk)
+      .orderBy("series_id", "ts_us").select("series_id", "ts_us", "value")
       .as[(String, Long, Double)].collect().toSeq
-    val b = orig.orderBy("series_id", "ts_us").select("series_id", "ts_us", "value")
-      .as[(String, Long, Double)].collect().toSeq
-    assert(a == b)
+    assert(a == b && a.nonEmpty)
+    // the raw copy is GONE (no raw+compressed double storage), and
+    // the federated query still serves every sample exactly once
+    assert(!new java.io.File(s"$dir/live/chunk=$someChunk").exists())
+    assert(store.live().filter($"chunk" === someChunk).count() == 0)
   }
 
   test("append drops non-positive timestamps (reference ingest guard)") {
