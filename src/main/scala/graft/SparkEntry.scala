@@ -161,6 +161,28 @@ object SparkEntry {
         .groupBy(col("series_id"), floor(col("value") / 10.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    "ts_zscore_outliers" -> ((s, dir) => {
+      // per-series anomaly flags: samples more than 2 population
+      // standard deviations from the series mean. Moments come from
+      // ONE decimal-exact aggregation pass (sum, sum of squares —
+      // order-independent), broadcast back onto the sample stream;
+      // constant series (std = 0) have no outliers by definition.
+      val samples = Series.samples(t(s, dir, "events"))
+      val moments = samples.groupBy(col("series_id"))
+        .agg(count(lit(1)).as("n"),
+          TsOps.exactSum(col("value"), 6).as("s1"),
+          TsOps.exactSum(col("value") * col("value"), 6).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("std", sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+        .filter(col("std") > 0)
+        .select("series_id", "mean", "std")
+      samples
+        .join(broadcast(moments), "series_id")
+        .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("series_id"), col("ts_us"), col("value"), col("z"))
+    }),
+
     "ts_histogram_quantile" -> ((s, dir) => {
       // PromQL histogram_quantile(0.5, …): the median ESTIMATED from
       // fixed-width bucket counts with linear interpolation inside
@@ -783,6 +805,20 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    "ts_zscore_outliers" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
+          m AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+                FROM s GROUP BY 1),
+          mm AS (SELECT series_id, s1 / n AS mean,
+                   sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+                 FROM m WHERE sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0)
+          SELECT s.series_id, s.ts_us, s.value,
+                 round((s.value - mm.mean) / mm.std, 6) AS z
+          FROM s JOIN mm ON s.series_id = mm.series_id
+          WHERE abs(round((s.value - mm.mean) / mm.std, 6)) > 2.0""",
 
     "ts_histogram_quantile" ->
       s"""WITH h AS (SELECT $SeriesIdSql AS series_id,
