@@ -68,6 +68,23 @@ class DedupSpec extends SparkSpec {
     assert(two.subsetOf(exact))
   }
 
+  test("two-stage pair source recalls every exact pair on the real corpus") {
+    // the keep/clusters/split chain rides the two-stage generator, so
+    // its recall against the exact operator is load-bearing — and an
+    // approximate operator can match its own oracle while silently
+    // recalling nothing (the 0-rows-but-MATCH trap). Audited at sf0.1:
+    // 256/256; pinned here on the spec corpus.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val two = Dedup.ngramJaccardTwoStage(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = two.intersect(exact).size.toDouble / exact.size
+    info(f"two-stage recall vs exact: $recall%.3f (${two.size}/${exact.size} pairs)")
+    assert(recall >= 0.95, f"two-stage recall dropped to $recall%.3f")
+  }
+
   test("simhash: identical docs at hamming 0") {
     val p = Dedup.simhashPairs(toyDocs)
       .filter($"doc_a" === 1 && $"doc_b" === 4)
