@@ -47,6 +47,7 @@ object SparkEntry {
     "md5('event_type=' || event_type || ',user_id=' || CAST(user_id AS VARCHAR))"
 
   // Query window over the events table (data spans Jan 2024).
+  private val T0 = 1704067200000000L // 2024-01-01 00:00:00 UTC (us)
   private val T1 = 1704412800000000L // 2024-01-05 00:00:00 UTC (us)
   private val T2 = 1705708800000000L // 2024-01-20 00:00:00 UTC (us)
 
@@ -466,6 +467,113 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    "q4_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: orders in one quarter with at least one
+      // returned lineitem, counted by priority. The EXISTS becomes a
+      // LEFT SEMI join — the order filter (1/26 of the date range)
+      // reaches the orders scan, and the semi-join never duplicates
+      // orders however many lineitems match.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q6_forecast" -> ((s, dir) =>
+      // TPC-H Q6: pure scan–filter–aggregate; every predicate pushes
+      // to the parquet scan, the aggregate is one map-side partial +
+      // one-row exchange — the minimal possible plan at any scale
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(TsOps.exactSum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))),
+
+    "q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13: customer order-count distribution. LEFT OUTER join
+      // keeps order-less customers (the 0 bucket); count(o_custkey)
+      // counts matches only. Two partial-aggregated shuffles.
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey")
+      t(s, dir, "customer").select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    "q17_smallqty" -> ((s, dir) => {
+      // TPC-H Q17 shape: revenue from small-quantity lineitems of one
+      // brand's small parts, vs 0.2× the part's average quantity. The
+      // correlated subquery becomes: brand parts broadcast into
+      // lineitem, per-part avg over that reduced set, avg broadcast
+      // back — the fact table is scanned once and never self-joined.
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12" && col("p_size") <= 10)
+        .select("p_partkey")
+      val lp = t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((TsOps.exactSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"))
+      lp.join(broadcast(avgq), col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((TsOps.exactSum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    "q19_disjunct" -> ((s, dir) =>
+      // TPC-H Q19 shape: OR-of-ANDs over joined part attributes and
+      // lineitem quantity. The disjunction can't push below the join,
+      // but part broadcasts and the whole predicate stays in one
+      // codegen'd filter over the join output.
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        .agg(TsOps.exactSum(col("rev"), 6).as("revenue"))),
+
+    "q22_global" -> ((s, dir) => {
+      // TPC-H Q22 shape: customers from a nation subset with
+      // above-average positive balance and no RECENT orders (every
+      // customer in this corpus has some order, so the dormancy
+      // cutoff keeps the anti-join non-trivial). The scalar average
+      // is a one-row broadcast; the NOT EXISTS is a LEFT ANTI join
+      // against the date-filtered order-customer set — the filter
+      // pushes to the orders scan before the join.
+      val sel = t(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 4, 9, 13, 20))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val avgBal = sel.filter(col("c_acctbal") > 0.0)
+        .agg((TsOps.exactSum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+      sel
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), TsOps.exactSum(col("c_acctbal"), 2).as("totacctbal"))
+    }),
+
     "multimodal_resize" -> ((s, dir) =>
       // resize roundtrip gate: synth real PNG/WAV → REAL pixel rescale
       // / PCM truncate → decode the resized containers; the oracle
@@ -486,6 +594,46 @@ object SparkEntry {
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
       top.withColumn("rank", row_number().over(w).cast("long"))
     }),
+
+    "ts_resets" -> ((s, dir) =>
+      TsOps.resets(Series.samples(t(s, dir, "events")))),
+
+    "ts_changes" -> ((s, dir) =>
+      TsOps.changes(Series.samples(t(s, dir, "events")))),
+
+    "ts_stddev_over_time" -> ((s, dir) =>
+      TsOps.stddevOverTime(Series.samples(t(s, dir, "events")))),
+
+    "ts_absent" -> ((s, dir) => {
+      // PromQL absent(): catalog series with no sample in a 12h window
+      val ev = t(s, dir, "events")
+      TsOps.absent(Series.catalog(ev), Series.samples(ev), T1, T1 + 12L * 3600 * 1000000)
+    }),
+
+    "ts_deriv" -> ((s, dir) =>
+      // PromQL deriv(): per-series least-squares slope from exact
+      // sufficient statistics (integer x = seconds since T0, decimal y)
+      TsOps.linreg(Series.samples(t(s, dir, "events")), T0)
+        .select("series_id", "n_points", "slope_per_sec")),
+
+    "ts_predict_linear" -> ((s, dir) =>
+      // PromQL predict_linear(…, 1h): the deriv fit evaluated one hour
+      // after each series' last sample
+      TsOps.linreg(Series.samples(t(s, dir, "events")), T0)
+        .select(col("series_id"), col("n_points"), col("predicted").as("predicted_1h"))),
+
+    "ts_vector_ratio" -> ((s, dir) =>
+      // PromQL binary op with on(user_id) vector matching:
+      // sum(purchase)/sum(click) per user per hour — realized as ONE
+      // conditional aggregation pass (no self-join); inner-match only
+      TsOps.vectorRatio(Series.samples(t(s, dir, "events")), "purchase", "click")),
+
+    "ts_label_replace" -> ((s, dir) =>
+      // PromQL label_replace(): event_type collapses to its family
+      // prefix via an anchored capture group; series identity is
+      // recomputed from the NEW label set (md5 of the sorted labels)
+      Series.labelReplace(Series.catalog(t(s, dir, "events")),
+        "family", "event_type", "(si|pu|cl)[a-z]*", "other")),
 
     // ──────────────────── LLM-data-pipeline ops ────────────────────
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsT(s, dir))),
@@ -558,6 +706,14 @@ object SparkEntry {
     "doc_redact" -> ((s, dir) => TextOps.redact(docsT(s, dir))),
 
     "doc_repetition" -> ((s, dir) => TextOps.repetition(docsT(s, dir))),
+
+    "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docsT(s, dir), 20)),
+
+    "doc_commonness" -> ((s, dir) => TextOps.commonness(docsT(s, dir))),
+
+    "doc_quality_gate" -> ((s, dir) => TextOps.qualityGate(docsT(s, dir))),
+
+    "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docsT(s, dir), 10)),
 
     "multimodal_meta" -> ((s, dir) =>
       // REAL encode→decode roundtrip: attachMedia synthesizes genuine
@@ -1234,6 +1390,208 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles, max(c) AS max_rep,
                 CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
          FROM c GROUP BY 1""",
+
+    "ts_resets" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          l AS (SELECT series_id, value,
+                  lag(value) OVER (PARTITION BY series_id ORDER BY ts_us, event_id) AS prev_v
+                FROM s)
+          SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(CASE WHEN value < prev_v THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+          FROM l GROUP BY 1""",
+
+    "ts_changes" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          l AS (SELECT series_id, value,
+                  lag(value) OVER (PARTITION BY series_id ORDER BY ts_us, event_id) AS prev_v
+                FROM s)
+          SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(CASE WHEN prev_v IS NOT NULL AND value <> prev_v THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+          FROM l GROUP BY 1""",
+
+    "ts_stddev_over_time" ->
+      s"""WITH agg AS (SELECT $SeriesIdSql AS series_id, CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+                FROM events GROUP BY 1)
+          SELECT series_id, n_points, s1 / n_points AS avg_value,
+                 sqrt(greatest(s2 / n_points - (s1 / n_points) * (s1 / n_points), 0.0)) AS stddev_value
+          FROM agg""",
+
+    "ts_absent" ->
+      s"""WITH cat AS (SELECT DISTINCT $SeriesIdSql AS series_id, event_type, user_id FROM events),
+          p AS (SELECT DISTINCT $SeriesIdSql AS series_id FROM events
+                WHERE epoch_us(ts) BETWEEN $T1 AND ${T1 + 12L * 3600 * 1000000})
+          SELECT series_id, event_type, user_id FROM cat
+          WHERE series_id NOT IN (SELECT series_id FROM p)""",
+
+    "ts_deriv" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id,
+                  epoch_us(ts) // 1000000 - ${T0 / 1000000L} AS x,
+                  CAST(value AS DECIMAL(18,2)) AS y FROM events),
+          agg AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+                    sum(x) AS sx, sum(y) AS sy,
+                    sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+                    sum(CAST(x * x AS DECIMAL(28,0))) AS sxx
+                  FROM s GROUP BY 1)
+          SELECT series_id, n_points,
+                 CASE WHEN n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                      THEN (n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      ELSE 0.0 END AS slope_per_sec
+          FROM agg""",
+
+    "ts_predict_linear" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id,
+                  epoch_us(ts) // 1000000 - ${T0 / 1000000L} AS x,
+                  CAST(value AS DECIMAL(18,2)) AS y FROM events),
+          agg AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
+                    sum(x) AS sx, sum(y) AS sy,
+                    sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+                    sum(CAST(x * x AS DECIMAL(28,0))) AS sxx,
+                    max(x) AS x_last
+                  FROM s GROUP BY 1),
+          fit AS (SELECT series_id, n_points,
+                    n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                    n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                    CAST(sy AS DOUBLE) / n_points AS y_bar,
+                    CAST(sx AS DOUBLE) / n_points AS x_bar,
+                    x_last
+                  FROM agg),
+          f2 AS (SELECT *, CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS slope_per_sec FROM fit)
+          SELECT series_id, n_points,
+                 y_bar + slope_per_sec * (x_last + 3600 - x_bar) AS predicted_1h
+          FROM f2""",
+
+    "ts_vector_ratio" ->
+      s"""WITH agg AS (
+            SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000 AS bucket_ms,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_num,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_den,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS num_value,
+              CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS den_value
+            FROM events WHERE event_type IN ('purchase', 'click')
+            GROUP BY 1, 2)
+          SELECT user_id, bucket_ms, num_value, den_value, num_value / den_value AS ratio
+          FROM agg WHERE n_num > 0 AND n_den > 0 AND den_value <> 0.0""",
+
+    "ts_label_replace" ->
+      s"""WITH cat AS (SELECT DISTINCT event_type, user_id FROM events),
+          r AS (SELECT CASE WHEN regexp_matches(event_type, '^(?:(si|pu|cl)[a-z]*)$$')
+                            THEN regexp_extract(event_type, '^(?:(si|pu|cl)[a-z]*)$$', 1)
+                            ELSE 'other' END AS family, user_id FROM cat),
+          g AS (SELECT family, user_id, CAST(count(*) AS BIGINT) AS n_source_series
+                FROM r GROUP BY 1, 2)
+          SELECT md5('family=' || family || ',user_id=' || CAST(user_id AS VARCHAR)) AS series_id,
+                 family, user_id, n_source_series
+          FROM g""",
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1""",
+
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q13_custdist" ->
+      """WITH co AS (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+                     FROM customer LEFT JOIN orders
+                       ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                     GROUP BY 1)
+         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM co GROUP BY 1""",
+
+    "q17_smallqty" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12' AND p_size <= 10),
+         lp AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey),
+         a AS (SELECT l_partkey AS a_partkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty
+               FROM lp GROUP BY 1)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lp JOIN a ON lp.l_partkey = a.a_partkey
+         WHERE lp.l_quantity < 0.2 * avg_qty""",
+
+    "q19_disjunct" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q22_global" ->
+      """WITH sel AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+                      WHERE c_nationkey IN (1, 4, 9, 13, 20)),
+         a AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_bal
+               FROM sel WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+         FROM sel, a
+         WHERE c_acctbal > avg_bal
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1""",
+
+    "vocab_topk" ->
+      """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         g AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1)
+         SELECT term, n FROM g ORDER BY n DESC, term ASC LIMIT 20""",
+
+    "doc_commonness" ->
+      """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         dt AS (SELECT DISTINCT doc_id, term FROM t0),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1)
+         SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_terms,
+                CAST(sum(df.df) AS BIGINT) AS sum_df,
+                CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df
+         FROM dt JOIN df USING (term) GROUP BY 1""",
+
+    "doc_quality_gate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+         c AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2),
+         rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio FROM c GROUP BY 1),
+         sig AS (SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS BIGINT) AS n_stop
+                 FROM documents),
+         j AS (SELECT sig.doc_id, sig.n_tokens,
+                 CAST(sig.n_stop AS DOUBLE) / greatest(sig.n_tokens, 1) AS stop_ratio,
+                 coalesce(rep.rep_ratio, 0.0) AS rep_ratio
+               FROM sig LEFT JOIN rep ON sig.doc_id = rep.doc_id)
+         SELECT doc_id, n_tokens, stop_ratio, rep_ratio,
+                n_tokens >= 20 AS len_ok,
+                n_tokens <= 100000 AS max_len_ok,
+                stop_ratio >= 0.01 AS stop_ok,
+                rep_ratio <= 0.2 AS rep_ok,
+                n_tokens >= 20 AND n_tokens <= 100000 AND stop_ratio >= 0.01 AND rep_ratio <= 0.2 AS passed
+         FROM j""",
+
+    "dedup_substring_spans" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         pos AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-9, 0) + 1)) AS pos FROM tok),
+         sh AS (SELECT doc_id, pos, array_to_string(t[pos:pos+9], ' ') AS s FROM pos),
+         rep AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+         m AS (SELECT sh.doc_id, sh.pos FROM sh JOIN rep USING (s)),
+         w AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 10
+                      THEN 1 ELSE 0 END AS is_new
+               FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         isl AS (SELECT doc_id, pos,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                 FROM w)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 9 AS BIGINT) AS span_end,
+                CAST(count(*) AS BIGINT) AS n_rep_shingles
+         FROM isl GROUP BY doc_id, island""",
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -43,6 +43,45 @@ object Dedup {
         explode(array_distinct(TextOps.wordShingles(TextOps.tokens(col("text")), n))).as("sh"))
       .persist()
 
+  /** Exact-substring repeated spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — the
+    * ExactSubstr pass): maximal token spans whose every `k`-gram
+    * occurs in ≥2 distinct documents, merged per doc from the
+    * repeated k-gram start positions (two starts merge when they are
+    * ≤ k apart, i.e. their spans overlap or touch). The paper builds
+    * a corpus suffix array; the relational shape is a positional
+    * k-gram explode + one global doc-frequency aggregation + a
+    * per-doc window — every stage partial-aggregated or bounded, no
+    * suffix array and no self-join. Positions are 1-based token
+    * indices; span_end is inclusive. */
+  def substringSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.wordShingles(TextOps.tokens(col("text")), k)).as(Seq("pos0", "sh")))
+      // membership-only key: collisions would only mark one extra
+      // span start — xxhash64 odds negligible, hash never surfaces
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), xxhash64(col("sh")).as("h"))
+    val repeated = sh
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(repeated, "h")
+      .select("doc_id", "pos")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_rep_shingles"))
+      .select("doc_id", "span_start", "span_end", "n_rep_shingles")
+  }
+
   /** 60-bit numeric hash of a string via md5 — fits a LONG, so min()
     * aggregations stay in (codegen'd) HashAggregate instead of
     * SortAggregate, and the DuckDB oracle reproduces it exactly with

@@ -120,6 +120,66 @@ object TextOps {
       .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_rep"))
       .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_shingles"))
 
+  /** Mean corpus document-frequency of a doc's distinct tokens — a
+    * "commonness" quality signal (rare-vocabulary docs score low, the
+    * inverse of boilerplate). Per-doc distinct happens map-side
+    * (array_distinct before explode); the doc↔df join runs on
+    * xxhash64 LONG keys, the engine-wide discipline for string-keyed
+    * shuffles; sums are exact integers, the mean one double division.
+    */
+  def commonness(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("h"))
+    val df_ = dt.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    dt.join(df_, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_terms"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df", col("sum_df").cast("double") / col("n_distinct_terms"))
+  }
+
+  /** Corpus vocabulary top-k: global token counts, highest-count
+    * first with a term tiebreak. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition bounded top-k merged on
+    * the driver, never a global sort — so the operator is one
+    * aggregation + an O(k) merge at any corpus size. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+
+  /** Composite quality gate (the corpus-prep filter as a first-class
+    * query): per-doc boolean verdict plus the individual signal flags
+    * that produced it — token count, stopword ratio, max 3-gram
+    * repetition, and mean token length. One map-side projection per
+    * signal family + the repetition hash-aggs; the gate predicate
+    * itself is pure codegen. */
+  def qualityGate(docs: DataFrame,
+                  minTokens: Long = 20, maxTokens: Long = 100000,
+                  minStopRatio: Double = 0.01, maxRepRatio: Double = 0.2): DataFrame = {
+    val sig = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(StopwordRe), lit(0))).cast("long")
+        .as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))
+    val rep = repetition(docs).select(col("doc_id"), col("rep_ratio"))
+    sig.join(rep, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"),
+        (col("n_tokens") >= minTokens).as("len_ok"),
+        (col("n_tokens") <= maxTokens).as("max_len_ok"),
+        (col("stop_ratio") >= minStopRatio).as("stop_ok"),
+        (coalesce(col("rep_ratio"), lit(0.0)) <= maxRepRatio).as("rep_ok"))
+      .withColumn("passed",
+        col("len_ok") && col("max_len_ok") && col("stop_ok") && col("rep_ok"))
+  }
+
   /** Document fingerprint: min-md5 over character 5-gram shingles
     * (winnowing-lite; cf. Schleimer et al., SIGMOD'03). Documents
     * shorter than 5 chars have no shingles and are dropped. */

@@ -63,6 +63,29 @@ object Series {
   def catalog(events: DataFrame): DataFrame =
     samples(events).select("series_id", "event_type", "user_id").distinct()
 
+  /** PromQL `label_replace(v, dst, "$1", src, regex)` over the series
+    * catalog: when `regex` (fully anchored, Prometheus-style) matches
+    * the source label, the destination label becomes the first capture
+    * group; otherwise the series keeps `otherwise` as the destination
+    * value. Series identity is recomputed from the NEW label set (the
+    * reference derives ids from the sorted label set —
+    * src/common/label.rs:118-127 — so a label rewrite is an identity
+    * rewrite). Output: one row per new series with the count of source
+    * series that folded into it — a pure map + one aggregation. */
+  def labelReplace(catalog: DataFrame, dst: String, src: String, regex: String,
+                   otherwise: String): DataFrame = {
+    val extracted = regexp_extract(col(src).cast("string"), s"^(?:$regex)$$", 1)
+    val dstCol = when(col(src).cast("string").rlike(s"^(?:$regex)$$"), extracted)
+      .otherwise(lit(otherwise))
+    catalog
+      .withColumn(dst, dstCol)
+      .groupBy(col(dst), col("user_id"))
+      .agg(count(lit(1)).as("n_source_series"))
+      .select(
+        seriesId(Seq(dst -> col(dst), "user_id" -> col("user_id"))).as("series_id"),
+        col(dst), col("user_id"), col("n_source_series"))
+  }
+
   /** Inverted index (label key/value → number of series) — the
     * reference indexer's mapping #1. On a columnar store the *query*
     * use of this index is predicate pushdown, which is free; this

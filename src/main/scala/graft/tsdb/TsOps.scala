@@ -167,6 +167,135 @@ object TsOps {
         max(col("ts_us")).as("max_ts_us"))
   }
 
+  /** PromQL `resets()`: number of strictly-decreasing adjacent sample
+    * pairs per series (counter resets), adjacency totally ordered by
+    * (ts_us, event_id). One window pass + one aggregation, both on the
+    * series_id shuffle. */
+  def resets(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"), col("event_id"))
+    samples
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("value") < col("prev_v"), 1L).otherwise(0L)).as("n_resets"))
+  }
+
+  /** PromQL `changes()`: number of adjacent sample pairs whose value
+    * differs, per series. Same plan shape as [[resets]]. */
+  def changes(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"), col("event_id"))
+    samples
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("prev_v").isNotNull && col("value") =!= col("prev_v"), 1L)
+          .otherwise(0L)).as("n_changes"))
+  }
+
+  /** PromQL `stddev_over_time()` (population): moments from ONE
+    * decimal-exact aggregation pass (sum + sum of squares are
+    * order-independent in DECIMAL), then double math in a fixed
+    * expression shape — bit-identical across engines and partitionings.
+    * Negative variance from float cancellation clamps to 0. */
+  def stddevOverTime(samples: DataFrame): DataFrame =
+    samples
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        exactSum(col("value"), 6).as("s1"),
+        exactSum(col("value") * col("value"), 6).as("s2"))
+      .select(
+        col("series_id"), col("n_points"),
+        (col("s1") / col("n_points")).as("avg_value"),
+        sqrt(greatest(
+          col("s2") / col("n_points") -
+            (col("s1") / col("n_points")) * (col("s1") / col("n_points")),
+          lit(0.0))).as("stddev_value"))
+
+  /** PromQL `absent()` over a range: catalog series with NO sample in
+    * [startUs, endUs]. The present set is a range-pruned distinct of
+    * series ids — tiny next to the catalog — so the anti-join
+    * broadcasts at any corpus scale. */
+  def absent(catalog: DataFrame, samples: DataFrame, startUs: Long, endUs: Long): DataFrame =
+    catalog.join(
+      broadcast(samples
+        .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+        .select("series_id").distinct()),
+      Seq("series_id"), "left_anti")
+
+  /** Per-series least-squares regression (PromQL `deriv` /
+    * `predict_linear`). x = whole seconds since `t0Us` (integer —
+    * exact), y = value through the engine-wide DECIMAL(28,2) cast. All
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) aggregate
+    * EXACTLY (integer/decimal, order-independent); slope / intercept /
+    * prediction are then computed in double with one fixed expression
+    * shape, so the result is bit-identical across engines regardless
+    * of partitioning. Single aggregation pass, no window.
+    *
+    * `predict_linear(…, horizonS)` evaluates the fit at
+    * (last sample + horizon), PromQL-style. */
+  def linreg(samples: DataFrame, t0Us: Long, horizonS: Long = 3600L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val xyDec = org.apache.spark.sql.types.DecimalType(28, 0)
+    val agg = samples
+      .select(
+        col("series_id"),
+        (expr("ts_us div 1000000") - lit(t0Us / 1000000L)).as("x"),
+        col("value").cast(dec).as("y"))
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(10, 0)) * col("y")).as("sxy"),
+        sum((col("x") * col("x")).cast(xyDec)).as("sxx"),
+        max(col("x")).as("x_last"))
+    agg.select(
+      col("series_id"), col("n_points"),
+      (col("n_points") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")).as("num"),
+      (col("n_points") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")).as("den"),
+      (col("sy").cast("double") / col("n_points")).as("y_bar"),
+      (col("sx").cast("double") / col("n_points")).as("x_bar"),
+      col("x_last"))
+      .withColumn("slope_per_sec",
+        when(col("den") > 0, col("num") / col("den")).otherwise(lit(0.0)))
+      .withColumn("predicted",
+        col("y_bar") + col("slope_per_sec") * (col("x_last") + horizonS - col("x_bar")))
+      .select("series_id", "n_points", "slope_per_sec", "predicted", "x_last")
+  }
+
+  /** PromQL binary operation with vector matching — `a / b` with
+    * `on(user_id)` over fixed time buckets (e.g.
+    * `sum(purchase) / sum(click)` per user per hour). The naive
+    * realization is two aggregations + an equi-join; this is the
+    * 100 TB shape: ONE conditional aggregation pass over the union of
+    * both selectors (map-side partial, single shuffle, no join at
+    * all). PromQL inner-match semantics: rows emit only where BOTH
+    * sides have samples. */
+  def vectorRatio(samples: DataFrame, numType: String, denType: String,
+                  bucketMs: Long = 3600000L): DataFrame = {
+    val bucketUs = bucketMs * 1000
+    samples
+      .filter(col("event_type").isin(numType, denType))
+      .groupBy(col("user_id"), (expr(s"ts_us div $bucketUs") * bucketMs).as("bucket_ms"))
+      .agg(
+        sum(when(col("event_type") === numType, 1L).otherwise(0L)).as("n_num"),
+        sum(when(col("event_type") === denType, 1L).otherwise(0L)).as("n_den"),
+        sum(when(col("event_type") === numType,
+          col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))).cast("double")
+          .as("num_value"),
+        sum(when(col("event_type") === denType,
+          col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))).cast("double")
+          .as("den_value"))
+      .filter(col("n_num") > 0 && col("n_den") > 0 && col("den_value") =!= 0.0)
+      .select(col("user_id"), col("bucket_ms"), col("num_value"), col("den_value"),
+        (col("num_value") / col("den_value")).as("ratio"))
+  }
+
   /** Gap-based sessionization over the raw event stream: a session
     * breaks after `gapUs` of inactivity per user. Two windows over the
     * same (user_id × time) sort — Catalyst reuses one shuffle+sort. */

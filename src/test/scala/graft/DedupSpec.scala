@@ -92,6 +92,46 @@ class DedupSpec extends SparkSpec {
     assert(p.toSeq == Seq(0L))
   }
 
+  test("substringSpans: cross-doc repeated k-grams merge into maximal spans") {
+    val docs = Seq(
+      // docs 1 and 2 share the 5-token run "a b c d e" → 3-gram starts
+      // at doc1 pos 1..3 (one island) and doc2 pos 3..5
+      (1L, "a b c d e x y z"),
+      (2L, "q r a b c d e s"),
+      // doc 3 repeats the shared run twice with a gap > k between the
+      // repeated-start runs → TWO islands: starts 1..3 and 10..12
+      (3L, "a b c d e n1 n2 n3 n4 a b c d e"),
+      // doc 4: internal-only repetition (no second doc) → no spans
+      (4L, "m n o m n o m n o"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, 3)
+      .select("doc_id", "span_start", "span_end", "n_rep_shingles")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(spans == Seq(
+      (1L, 1L, 5L, 3L),
+      (2L, 3L, 7L, 3L),
+      (3L, 1L, 5L, 3L),
+      (3L, 10L, 14L, 3L)))
+  }
+
+  test("substringSpans: overlapping spans from DIFFERENT partner docs merge") {
+    // doc 5 shares "a b c" with doc 6 and "c d e" with doc 7 — the
+    // repeated starts (1 and 3) are ≤ k apart, so doc 5 gets ONE
+    // merged span even though no single partner shares the whole run
+    val docs = Seq(
+      (5L, "a b c d e"),
+      (6L, "a b c p q"),
+      (7L, "u c d e v"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, 3)
+      .select("doc_id", "span_start", "span_end", "n_rep_shingles")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(spans == Seq(
+      (5L, 1L, 5L, 2L),
+      (6L, 1L, 3L, 1L),
+      (7L, 2L, 4L, 1L)))
+  }
+
   test("stop-shingle cap bounds join fan-out") {
     // every doc shares shingle "a a a"; with cap 2 the hot shingle is dropped
     val docs = (1L to 10L).map(i => (i, s"a a a unique$i token$i")).toDF("doc_id", "text")

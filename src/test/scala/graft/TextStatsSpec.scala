@@ -111,6 +111,42 @@ class TextStatsSpec extends SparkSpec {
     assert(TextOps.fingerprint(short).count() == 0)
   }
 
+  test("commonness: mean corpus df of each doc's distinct tokens") {
+    val corpus = Seq((1L, "x y"), (2L, "x z"), (3L, "x x q")).toDF("doc_id", "text")
+    val out = TextOps.commonness(corpus)
+      .select("doc_id", "n_distinct_terms", "sum_df", "mean_df")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // df: x=3 (doc3's repeat counts once), y=1, z=1, q=1
+    assert(out == Seq(
+      (1L, 2L, 4L, 2.0),
+      (2L, 2L, 4L, 2.0),
+      (3L, 2L, 4L, 2.0)))
+  }
+
+  test("vocabTopK: count-desc then term-asc, k bound") {
+    val corpus = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    val top = TextOps.vocabTopK(corpus, 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 1L))) // a before b on tie; d cut
+  }
+
+  test("qualityGate: each signal can independently fail a doc") {
+    val pass = "the cat sat on a mat and the dog ran to the park with a ball for fun today again"
+    val shortDoc = "the tiny one"
+    val noStop = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val repeaty = ("the spam ham " * 12) + "the end"
+    val g = TextOps.qualityGate(
+      Seq((1L, pass), (2L, shortDoc), (3L, noStop), (4L, repeaty)).toDF("doc_id", "text"))
+      .select("doc_id", "len_ok", "stop_ok", "rep_ok", "passed")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(g(1L) == ((1L, true, true, true, true)))      // 20 varied tokens
+    assert(g(2L) == ((2L, false, true, false, false)))   // short; 1 shingle ⇒ rep 1.0
+    assert(g(3L) == ((3L, true, false, true, false)))    // zero stopwords
+    assert(g(4L) == ((4L, true, true, false, false)))    // dominated by one 3-gram
+  }
+
   test("real codecs roundtrip: PNG dims and WAV sample counts match the formulas") {
     val m = Multimodal.decodeMeta(Multimodal.attachMedia(docs))
       .select("doc_id", "kind", "width", "height", "sample_rate", "n_samples")

@@ -134,6 +134,102 @@ class TsOpsSpec extends SparkSpec {
       (7200000L, 9.0, false)))
   }
 
+  test("resets and changes count adjacent transitions in (ts,event_id) order") {
+    val ev = Seq(
+      (1L, 1000000000L, 1L, "c", 5.0),
+      (2L, 2000000000L, 1L, "c", 3.0), // reset (5→3), change
+      (3L, 3000000000L, 1L, "c", 3.0), // flat
+      (4L, 4000000000L, 1L, "c", 8.0), // change
+      (5L, 5000000000L, 1L, "c", 2.0)) // reset, change
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = Series.samples(ev)
+    val r = TsOps.resets(s).select("n_points", "n_resets").as[(Long, Long)].head()
+    assert(r == ((5L, 2L)))
+    val c = TsOps.changes(s).select("n_points", "n_changes").as[(Long, Long)].head()
+    assert(c == ((5L, 3L)))
+  }
+
+  test("linreg recovers an exact slope and prediction on a perfect line") {
+    val t0Us = 1704067200000000L
+    // value = 2·x + 10 at x = 0..4 seconds after t0
+    val ev = (0 until 5).map { k =>
+      ((k + 1).toLong, (t0Us + k * 1000000L) * 1000L, 1L, "c", 2.0 * k + 10.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = TsOps.linreg(Series.samples(ev), t0Us)
+      .select("n_points", "slope_per_sec", "predicted")
+      .as[(Long, Double, Double)].head()
+    assert(f._1 == 5L)
+    assert(f._2 == 2.0) // exact: integer x, decimal y, double division of exact sums
+    // fit evaluated at x_last + 3600 = 3604: 10 + 2·3604 = 7218
+    assert(f._3 == 7218.0)
+  }
+
+  test("linreg: constant-time series has zero slope, predicts the mean") {
+    val t0Us = 1704067200000000L
+    val ev = Seq(
+      (1L, t0Us * 1000L, 1L, "c", 4.0),
+      (2L, t0Us * 1000L + 500L, 1L, "c", 8.0)) // same second ⇒ den = 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = TsOps.linreg(Series.samples(ev), t0Us)
+      .select("slope_per_sec", "predicted").as[(Double, Double)].head()
+    assert(f == ((0.0, 6.0)))
+  }
+
+  test("stddevOverTime: exact moments, constant series → 0") {
+    val ev = Seq(
+      (1L, 1000000000L, 1L, "c", 1.0),
+      (2L, 2000000000L, 1L, "c", 2.0),
+      (3L, 3000000000L, 1L, "c", 3.0),
+      (4L, 4000000000L, 1L, "c", 4.0),
+      (5L, 1000000000L, 2L, "v", 7.0),
+      (6L, 2000000000L, 2L, "v", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.stddevOverTime(Series.samples(ev))
+      .select("n_points", "avg_value", "stddev_value")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.head == ((2L, 7.0, 0.0)))
+    assert(out(1)._2 == 2.5 && out(1)._3 == math.sqrt(1.25))
+  }
+
+  test("absent returns exactly the series with no sample in range") {
+    val s = Series.samples(toyEvents)
+    // click samples at 1/2/3s, view at 1.5s and 9999000s (all µs×10⁶)
+    assert(TsOps.absent(Series.catalog(toyEvents), s, 0L, 10000000L).count() == 0)
+    // only click has a sample in [2.5s, 9s]
+    val absent = TsOps.absent(Series.catalog(toyEvents), s, 2500000L, 9000000L)
+      .select("event_type").as[String].collect().toSeq
+    assert(absent == Seq("view"))
+    // nobody samples inside (3s, 9s] exclusive of the clicks → both absent
+    assert(TsOps.absent(Series.catalog(toyEvents), s, 4000000L, 9000000L).count() == 2)
+  }
+
+  test("vectorRatio: inner vector matching, exact sums") {
+    val hourNs = 3600000000000L
+    val ev = Seq(
+      (1L, 1000L, 1L, "purchase", 10.0),
+      (2L, 2000L, 1L, "click", 4.0),
+      (3L, 3000L, 1L, "view", 99.0),        // filtered out
+      (4L, hourNs + 1000L, 1L, "purchase", 5.0), // purchase-only hour: dropped
+      (5L, 2 * hourNs, 2L, "click", 3.0))   // click-only user-hour: dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.vectorRatio(Series.samples(ev), "purchase", "click")
+      .select("user_id", "bucket_ms", "num_value", "den_value", "ratio")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 0L, 10.0, 4.0, 2.5)))
+  }
+
+  test("labelReplace recomputes series identity from the rewritten label set") {
+    val out = Series.labelReplace(Series.catalog(toyEvents),
+      "family", "event_type", "(cl)[a-z]*", "other")
+      .select("series_id", "family", "user_id", "n_source_series")
+      .as[(String, String, Long, Long)].collect().sortBy(_._2).toSeq
+    val expectCl = java.security.MessageDigest.getInstance("MD5")
+      .digest("family=cl,user_id=1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.map(r => (r._2, r._3, r._4)) == Seq(("cl", 1L, 1L), ("other", 2L, 1L)))
+    assert(out.head._1 == expectCl)
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
