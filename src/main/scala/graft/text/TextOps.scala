@@ -186,18 +186,23 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= 5)
-      // explode + hash-agg instead of a higher-order array_min: HOF
-      // lambdas don't participate in whole-stage codegen, the
-      // explode→md5→partial-min pipeline does (min combines map-side,
-      // so the shuffle is one row per doc).
-      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")) - 4)).as("i"),
-        col("text"))
+      // The generator explodes an array of PRE-CUT 5-char grams (one
+      // `transform` per doc), not one row per character position with
+      // the full text riding along — carrying the text through the
+      // explode materializes O(len²) bytes of row traffic per doc,
+      // which at 10 KB docs is 100 MB/doc of pure copy. The transform
+      // lambda is interpreted (HOFs skip codegen) but touches len×5
+      // chars; the hot md5→conv→partial-min pipeline after the
+      // explode stays inside whole-stage codegen (min combines
+      // map-side, so the shuffle is one row per doc).
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - 4),
+          i => col("text").substr(i, lit(5)))).as("g"))
       .select(col("doc_id"),
         // 60-bit numeric hash (LONG min ⇒ HashAggregate, not the
         // SortAggregate a string min would force); oracle recomputes
         // it as ('0x' || substr(md5(x),1,15))::BIGINT
-        conv(substring(md5(col("text").substr(col("i"), lit(5))), 1, 15), 16, 10)
-          .cast("long").as("h"))
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fp"))
 }

@@ -80,6 +80,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "irate fell back to a window sort")
   }
 
+  test("ts_vector_ratio: binary-op vector matching is ONE agg pass — no join anywhere") {
+    val p = plan("ts_vector_ratio")
+    assert(!p.contains("Join"), "vector matching fell back to a self-join:\n" + p.take(1200))
+    assert(!p.contains("SortAggregate"))
+    assert("Exchange".r.findAllIn(p).length - "ReusedExchange".r.findAllIn(p).length <= 2,
+      "more than scan-spread + one agg shuffle") // fanOut-less: events scan + group
+  }
+
+  test("linreg family aggregates exact sufficient statistics in HashAggregate") {
+    assert(!plan("ts_deriv").contains("SortAggregate"))
+    assert(!plan("ts_stddev_over_time").contains("SortAggregate"))
+  }
+
+  test("q6_forecast: every predicate reaches the parquet scan") {
+    // PushedFilters prints truncated — assert the scan's DataFilters
+    // carry every predicate (date range, discount band, quantity cut)
+    val p = plan("q6_forecast")
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p.take(1500))
+    assert(p.contains("(l_quantity#") && p.contains("< 24.0"), "quantity predicate not pushed")
+    assert(p.contains("(l_discount#") && p.contains(">= 0.05"), "discount predicate not pushed")
+    assert(!p.contains("l_returnflag"), "read schema not pruned to the 4 needed columns")
+  }
+
+  test("q4_priority EXISTS is a semi join; q22_global NOT-EXISTS is an anti join") {
+    assert(plan("q4_priority").contains("LeftSemi"))
+    assert(plan("q22_global").contains("LeftAnti"))
+  }
+
+  test("vocab_topk: global top-k is TakeOrderedAndProject, never a global sort") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("substringSpans and commonness shuffle on LONG hash keys") {
+    assert(plan("dedup_substring_spans").contains("xxhash64"))
+    assert(plan("doc_commonness").contains("xxhash64"))
+  }
+
   test("doc_repetition and doc_contamination shuffle/join on LONG keys, not shingle strings") {
     // the first-level group key / join key must be the 64-bit hash —
     // a raw-shingle exchange is the string-keyed anti-pattern
