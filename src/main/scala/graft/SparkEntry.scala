@@ -635,6 +635,27 @@ object SparkEntry {
       Series.labelReplace(Series.catalog(t(s, dir, "events")),
         "family", "event_type", "(si|pu|cl)[a-z]*", "other")),
 
+    "events_engagement" -> ((s, dir) =>
+      // DAU + trailing-7-day WAU per day: the distinct-user rolling
+      // window becomes a bounded ×7 map-side emit + one distinct agg
+      TsOps.engagement(Series.samples(t(s, dir, "events")))),
+
+    "q16_suppcnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: distinct suppliers per part attribute,
+      // excluding flagged suppliers. part broadcasts into lineitem,
+      // the exclusion list broadcasts as an anti-join, and the
+      // count-distinct is two partial-aggregated hash passes.
+      val excl = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_size") <= 15).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // ──────────────────── LLM-data-pipeline ops ────────────────────
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsT(s, dir))),
 
@@ -714,6 +735,28 @@ object SparkEntry {
     "doc_quality_gate" -> ((s, dir) => TextOps.qualityGate(docsT(s, dir))),
 
     "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docsT(s, dir), 10)),
+
+    "corpus_stats" -> ((s, dir) =>
+      // per-(source, lang) corpus rollup — the reporting query every
+      // ingest pipeline runs; map-side token counts, one aggregation
+      docsT(s, dir)
+        .select(col("source"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("len")).as("sum_chars"))
+        .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))),
+
+    "emb_cell_summary" -> ((s, dir) =>
+      // IVF-cell occupancy + mean norm (dataset cartography): exposes
+      // quantizer imbalance — the scan-bound risk — as a first-class
+      // query over the same assignment the ANN index uses
+      VectorOps.cellSummary(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        16)),
 
     "multimodal_meta" -> ((s, dir) =>
       // REAL encode→decode roundtrip: attachMedia synthesizes genuine
@@ -1592,6 +1635,48 @@ object SparkEntry {
                 CAST(max(pos) + 9 AS BIGINT) AS span_end,
                 CAST(count(*) AS BIGINT) AS n_rep_shingles
          FROM isl GROUP BY doc_id, island""",
+
+    "events_engagement" ->
+      s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+          ex0 AS (SELECT day + unnest(range(0, 7)) AS day2, user_id FROM du),
+          ex AS (SELECT DISTINCT day2, user_id FROM ex0),
+          wau AS (SELECT day2 AS day, CAST(count(*) AS BIGINT) AS wau7 FROM ex GROUP BY 1)
+          SELECT dau.day, dau.dau, wau.wau7,
+                 CAST(dau.dau AS DOUBLE) / wau.wau7 AS stickiness
+          FROM dau JOIN wau USING (day)""",
+
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 15
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY 1, 2""",
+
+    "corpus_stats" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens,
+                CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) / count(*) AS avg_tokens
+         FROM documents GROUP BY 1, 2""",
+
+    "emb_cell_summary" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         ac AS (SELECT e.vec_id, c.c_id,
+                  round(list_dot_product(v, cv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id, c_id AS cell FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                  FROM ac) WHERE rn = 1),
+         nm AS (SELECT a.cell, round(sqrt(list_dot_product(e.v, e.v)), 6) AS nm
+                FROM asg a JOIN e ON e.vec_id = a.vec_id)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+                CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_norm
+         FROM nm GROUP BY 1""",
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -296,6 +296,28 @@ object TsOps {
         (col("num_value") / col("den_value")).as("ratio"))
   }
 
+  /** Product-analytics engagement: per observed day, the distinct
+    * active users (DAU) and the trailing-7-day distinct count (WAU7)
+    * with the DAU/WAU stickiness ratio. A trailing window over
+    * DISTINCT users can't ride a rolling sum, and the naive shape
+    * (per-day self-join over a 7-day range) is a range join; here
+    * each distinct (day, user) pair EMITS the 7 target days it
+    * contributes to — a bounded ×7 map-side fan-out — and the rest is
+    * one distinct + one count aggregation, both partial-aggregated.
+    * Days with no events appear in neither frame (inner join). */
+  def engagement(samples: DataFrame): DataFrame = {
+    val du = samples
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", col("dau").cast("double") / col("wau7"))
+  }
+
   /** Gap-based sessionization over the raw event stream: a session
     * breaks after `gapUs` of inactivity per user. Two windows over the
     * same (user_id × time) sort — Catalyst reuses one shuffle+sort. */

@@ -239,6 +239,25 @@ object VectorOps {
       .select(col("vec_id"), (lit(65535L) - pmod(col("k"), lit(65536L))).as("cell"))
   }
 
+  /** Per-cell occupancy + geometry summary over the IVF assignment —
+    * dataset cartography for an embedding corpus: cell sizes expose
+    * quantizer imbalance (a hot cell makes every probe touching it
+    * scan-bound; cf. the KmeansIvfSpec scan-bound lesson), and the
+    * mean vector norm flags degenerate/collapsed clusters. One
+    * assignment pass + one LONG-keyed aggregation; norms are rounded
+    * then summed in DECIMAL (order-independent, engine-exact). */
+  def cellSummary(corpus: DataFrame, nCells: Int = 16, roundTo: Int = 6): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells)
+    corpus.join(ivfAssign(corpus, cents, roundTo), "vec_id")
+      .select(col("cell"), round(norm(col("v")), roundTo).as("nm"))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("nm").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_norm"))
+      .withColumn("mean_norm", col("sum_norm") / col("n_vectors"))
+  }
+
   /** The query side of IVF: each query ranks all centroids and keeps
     * its `nProbe` nearest cells. Tiny (queries × centroids). */
   def ivfProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,

@@ -103,9 +103,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_returnflag"), "read schema not pruned to the 4 needed columns")
   }
 
-  test("q4_priority EXISTS is a semi join; q22_global NOT-EXISTS is an anti join") {
+  test("q4_priority EXISTS is a semi join; q22/q16 NOT-IN are anti joins") {
     assert(plan("q4_priority").contains("LeftSemi"))
     assert(plan("q22_global").contains("LeftAnti"))
+    assert(plan("q16_suppcnt").contains("LeftAnti"))
+  }
+
+  test("events_engagement: bounded fan-out, no range join, no window") {
+    val p = plan("events_engagement")
+    assert(!p.contains("Window"), "rolling-distinct fell back to a window")
+    assert(p.contains("Generate"), "the ×7 day emit disappeared")
+    assert(!p.contains("NestedLoop"), "range join crept in")
   }
 
   test("vocab_topk: global top-k is TakeOrderedAndProject, never a global sort") {

@@ -230,6 +230,23 @@ class TsOpsSpec extends SparkSpec {
     assert(out.head._1 == expectCl)
   }
 
+  test("engagement: DAU vs trailing-7-day WAU with stickiness") {
+    val dayNs = 86400000000000L
+    // user 1 active days 0 and 3; user 2 active day 3 only
+    val ev = Seq(
+      (1L, 0L, 1L, "c", 1.0),
+      (2L, 1000L, 1L, "c", 1.0),          // same day, deduped
+      (3L, 3 * dayNs, 1L, "c", 1.0),
+      (4L, 3 * dayNs + 5L, 2L, "c", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.engagement(Series.samples(ev))
+      .select("day", "dau", "wau7", "stickiness")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // day 0: dau 1, wau7 (days −6..0) = {u1} = 1
+    // day 3: dau 2, wau7 (days −3..3) = {u1, u2} = 2
+    assert(out == Seq((0L, 1L, 1L, 1.0), (3L, 2L, 2L, 1.0)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))

@@ -21,6 +21,21 @@ class VectorSpec extends SparkSpec {
     assert(r(0)._2 > 0.99 && r(2)._2 == 0.0 && r(3)._2 == -1.0)
   }
 
+  test("cellSummary: occupancy covers the corpus, norms aggregate exactly") {
+    // nCells=2 → centroids = vecs 0,1 (lowest ids); all of 0,1,4 lean
+    // to their best-cos cell, 2 is orthogonal, 3 antipodal
+    val out = VectorOps.cellSummary(toy, nCells = 2)
+      .select("cell", "n_vectors", "sum_norm", "mean_norm")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2).sum == 5L, "every vector lands in exactly one cell")
+    out.foreach { case (_, n, s, m) => assert(math.abs(m - s / n) < 1e-12) }
+    // unit-norm members: vec 0 (norm 1) and vec 2/3 (norm 1);
+    // total mass = sum of all 5 norms rounded to 6 decimals
+    val expectTotal = Seq(1.0, math.sqrt(0.82), 1.0, 1.0, math.sqrt(0.68))
+      .map(x => math.rint(x * 1e6) / 1e6).sum
+    assert(math.abs(out.map(_._3).sum - expectTotal) < 1e-9)
+  }
+
   test("lsh buckets: same direction → same bucket, opposite → different") {
     val e = toy.withColumn("v", col("v").cast("array<double>"))
     val b = VectorOps.lshBuckets(e, nPlanes = 8, dim = 3)
