@@ -635,6 +635,19 @@ object SparkEntry {
       Series.labelReplace(Series.catalog(t(s, dir, "events")),
         "family", "event_type", "(si|pu|cl)[a-z]*", "other")),
 
+    "ts_interval_join" -> ((s, dir) => {
+      // range join at scale: every event located in its containing
+      // session interval via the bucketed equi-join (chunk explode +
+      // hash join + exact containment filter) — never a nested loop
+      val ev = t(s, dir, "events")
+      val sess = TsOps.sessionize(ev)
+        .select("user_id", "session_idx", "start_us", "end_us")
+      RangeJoin.pointsInIntervals(
+        Series.samples(ev).select("user_id", "event_id", "ts_us"),
+        sess, Seq("user_id"))
+        .select("event_id", "user_id", "ts_us", "session_idx")
+    }),
+
     "events_engagement" -> ((s, dir) =>
       // DAU + trailing-7-day WAU per day: the distinct-user rolling
       // window becomes a bounded ×7 map-side emit + one distinct agg
@@ -1635,6 +1648,21 @@ object SparkEntry {
                 CAST(max(pos) + 9 AS BIGINT) AS span_end,
                 CAST(count(*) AS BIGINT) AS n_rep_shingles
          FROM isl GROUP BY doc_id, island""",
+
+    "ts_interval_join" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS is_new
+               FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM m),
+         sess AS (SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
+                  FROM x GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, e.ts_us, sess.session_idx
+         FROM s e JOIN sess ON e.user_id = sess.user_id
+                           AND e.ts_us BETWEEN sess.start_us AND sess.end_us""",
 
     "events_engagement" ->
       s"""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
