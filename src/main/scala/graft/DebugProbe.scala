@@ -80,6 +80,20 @@ object DebugProbe {
           st.closeChunksBelow(1704412800000000L)
           st.queryAll(Seq(graft.tsdb.MatchEq("event_type", "view")),
             1704067200000000L, 1705708800000000L).count()
+        }),
+        // r4 additions — the new families with structural risk:
+        // positional k-gram df (substring spans), ×7 fan-out +
+        // double-distinct (engagement), interval explode + hash join
+        // (range join: events ⋈ their session intervals)
+        ("substring_spans", p => graft.text.Dedup.substringSpans(docs(p), 10).count()),
+        ("engagement", p => graft.tsdb.TsOps.engagement(ev(p)).count()),
+        ("range_join", p => {
+          val e = spark.read.parquet(p)
+          val sess = graft.tsdb.TsOps.sessionize(e)
+            .select(col("user_id"), col("session_idx"), col("start_us"), col("end_us"))
+          graft.tsdb.RangeJoin.pointsInIntervals(
+            graft.tsdb.Series.samples(e).select("user_id", "event_id", "ts_us"),
+            sess, Seq("user_id")).count()
         }))
       val tableFor = Map(
         "downsample" -> ("events", eventsP), "gap_fill" -> ("events", eventsP),
@@ -87,7 +101,10 @@ object DebugProbe {
         "twostage_jaccard" -> ("documents", docsP),
         "dedup_clusters" -> ("documents", docsP),
         "ann_ivf" -> ("embeddings", embP),
-        "chunked_store" -> ("events", eventsP))
+        "chunked_store" -> ("events", eventsP),
+        "substring_spans" -> ("documents", docsP),
+        "engagement" -> ("events", eventsP),
+        "range_join" -> ("events", eventsP))
       probes.foreach { case (nm, f) =>
         val (tbl, bigP) = tableFor(nm)
         spark.catalog.clearCache() // no cross-run subtree cache leaks
