@@ -52,7 +52,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-family subtotals (prefix before the first '_') — at 90+
+    // queries the flat map stops being readable; families keep the
+    // round-over-round comparison tractable
+    val fams = results.groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) =>
+        s"\"" + f + "\":" + math.round(rs.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
+      }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,6 +51,8 @@ object DebugProbe {
         "text" -> (k => translate(col("text"), "aeiou", dialect.substring(k.toInt, k.toInt + 5)))))
       val embP = x10("embeddings", Seq(
         "vec_id" -> (k => col("vec_id") + lit(k * 10000000L))))
+      val liP = x10("lineitem", Seq(
+        "l_orderkey" -> (k => col("l_orderkey") + lit(k * 100000000L))))
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val n = f
         ((System.nanoTime() - t0) / 1e9, n)
@@ -94,6 +96,25 @@ object DebugProbe {
           graft.tsdb.RangeJoin.pointsInIntervals(
             graft.tsdb.Series.samples(e).select("user_id", "event_id", "ts_us"),
             sess, Seq("user_id")).count()
+        }),
+        // r4b additions: PromQL subquery/offset composition (two-level
+        // re-aggregation), per-dimension embedding explode, and the
+        // q21 join-free per-order reshape over a 10× order space
+        ("subquery_rate", p => graft.tsdb.TsOps.subqueryMaxRate(ev(p)).count()),
+        ("offset_ratio", p => graft.tsdb.TsOps.offsetRatio(ev(p)).count()),
+        ("dim_stats", p => graft.vector.VectorOps.dimStats(emb(p)).count()),
+        ("q21_reshape", p => {
+          val li = spark.read.parquet(p)
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .repartition(col("l_orderkey"))
+          li.groupBy(col("l_orderkey"), col("l_suppkey"))
+            .agg(max(col("l_shipdate")).as("supp_last"))
+            .groupBy(col("l_orderkey"))
+            .agg(count(lit(1)).as("n_supp"),
+              max(struct(col("supp_last"), col("l_suppkey").as("sk"))).as("hi"),
+              max(struct(col("supp_last"), (-col("l_suppkey")).as("neg"))).as("lo"))
+            .filter(col("n_supp") >= 2 && col("hi.sk") === -col("lo.neg"))
+            .count()
         }))
       val tableFor = Map(
         "downsample" -> ("events", eventsP), "gap_fill" -> ("events", eventsP),
@@ -104,7 +125,11 @@ object DebugProbe {
         "chunked_store" -> ("events", eventsP),
         "substring_spans" -> ("documents", docsP),
         "engagement" -> ("events", eventsP),
-        "range_join" -> ("events", eventsP))
+        "range_join" -> ("events", eventsP),
+        "subquery_rate" -> ("events", eventsP),
+        "offset_ratio" -> ("events", eventsP),
+        "dim_stats" -> ("embeddings", embP),
+        "q21_reshape" -> ("lineitem", liP))
       probes.foreach { case (nm, f) =>
         val (tbl, bigP) = tableFor(nm)
         spark.catalog.clearCache() // no cross-run subtree cache leaks

@@ -154,6 +154,30 @@ object SparkEntry {
           "series_id" -> graft.plans.TopKPerKey.Asc), 5)
     }),
 
+    "ts_bottomk" -> ((s, dir) => {
+      // PromQL bottomk(5, sum by series) per event_type — the same
+      // bounded-heap TopKPerKey path as topk with the order flipped
+      // (the heap keeps the k SMALLEST sums; nothing else changes)
+      val agg = TsOps.rangeQuery(Series.samples(t(s, dir, "events")), Seq.empty, T1, T2)
+        .join(Series.catalog(t(s, dir, "events")), "series_id")
+        .groupBy(col("event_type"), col("series_id"))
+        .agg(TsOps.exactSum(col("value"), 2).as("sum_value"))
+      graft.plans.TopKPerKey(agg, Seq("event_type"),
+        Seq("sum_value" -> graft.plans.TopKPerKey.Asc,
+          "series_id" -> graft.plans.TopKPerKey.Asc), 5)
+    }),
+
+    "ts_subquery_max_rate" -> ((s, dir) =>
+      // PromQL subquery max_over_time(rate(m[5m])[1h:5m]): inner
+      // 5-minute counter rates, outer hourly max — two aggregations,
+      // the second over the already-reduced rate frame
+      TsOps.subqueryMaxRate(Series.samples(t(s, dir, "events")))),
+
+    "ts_offset_ratio" -> ((s, dir) =>
+      // PromQL offset arithmetic (day-over-day hourly ratio) without
+      // the hourly-frame self-join: bounded ×2 emit + re-aggregation
+      TsOps.offsetRatio(Series.samples(t(s, dir, "events")))),
+
     "ts_value_histogram" -> ((s, dir) =>
       // per-series fixed-width value histogram (Prometheus histogram
       // buckets, le-style cumulative left to the reader): integer
@@ -213,6 +237,57 @@ object SparkEntry {
           count(lit(1)).as("n_points"),
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
+    "ts_quantile_over_time" -> ((s, dir) =>
+      // PromQL `quantile_over_time(0.9, m[1h])` at hourly steps: the
+      // windowed sibling of ts_quantiles — same R-7 percentile, keyed
+      // by (series, hour bucket); one shuffle, per-group state bounded
+      // by the samples one series produces in one hour
+      Series.samples(t(s, dir, "events"))
+        .groupBy(col("series_id"),
+          (expr("ts_us div 3600000000") * 3600000).as("bucket_ms"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))),
+
+    "ts_seasonal_profile" -> ((s, dir) =>
+      // hour-of-day seasonal profile per series (the daily-pattern
+      // extraction behind seasonality-aware alerting): modular time
+      // key, 24 groups per series, decimal-exact means; one shuffle
+      Series.samples(t(s, dir, "events"))
+        .groupBy(col("series_id"),
+          (expr("ts_us div 3600000000") % 24).as("hour_of_day"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          TsOps.exactSum(col("value"), 2).as("sum_value"))
+        .withColumn("avg_value", col("sum_value") / col("n_points"))),
+
+    "events_kmv_distinct" -> ((s, dir) =>
+      // distinct-count SKETCH: per-event-type distinct users via the
+      // k-minimum-values estimator — deterministic (unlike HLL, both
+      // engines can restate it exactly), bounded by the custom
+      // TopKPerKey heaps; see analytics/Kmv.scala for the 100 TB shape
+      graft.analytics.Kmv.distinctEstimate(
+        t(s, dir, "events"), col("event_type"), col("user_id"), 64)
+        .withColumnRenamed("g", "event_type")),
+
+    "events_props_json" -> ((s, dir) =>
+      // semi-structured column: parse the JSON props payload with a
+      // schema'd from_json (native JsonToStructs — single pass, no UDF)
+      // and aggregate the extracted field; the projection prunes to
+      // (event_type, props) at the scan
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"), // integer sum — exact at any order
+          countDistinct(col("k")).as("n_distinct_k"))),
 
     "events_salted_agg" -> ((s, dir) =>
       // per-user exact sum/count through the two-phase salted
@@ -512,6 +587,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("custdist"))
     }),
 
+    "q12_shipmode" -> ((s, dir) => {
+      // TPC-H Q12 shape (l_linestatus plays ship-mode — the schema has
+      // no l_shipmode): late-shipment counts by line status split into
+      // high/low order priority. Fact-to-fact join on orderkey — at
+      // 100 TB neither side broadcasts, one shuffle each — with the
+      // date filter pushed into the lineitem scan so only one year of
+      // the fact crosses the wire; the priority CASE rides the join
+      // output into one conditional aggregation.
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
     "q17_smallqty" -> ((s, dir) => {
       // TPC-H Q17 shape: revenue from small-quantity lineitems of one
       // brand's small parts, vs 0.2× the part's average quantity. The
@@ -669,6 +766,100 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
 
+    "q8_mktshare" -> ((s, dir) => {
+      // TPC-H Q8 shape: one nation's share of a region's market for a
+      // part type, per order year. Supplier + part broadcast into the
+      // lineitem scan; the region→nation→customer chain prunes orders
+      // via a semi-join (keys-only, but region-scale — left to the
+      // planner/AQE rather than force-broadcast, since at 100 TB a
+      // fifth of all customers outgrows a broadcast); the share is a
+      // conditional exact sum over one decimal volume column.
+      val regionNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val regionCust = t(s, dir, "customer")
+        .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val regionOrders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(regionOrders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("vol",
+          // scale 6, not 2: the exact product has ≤4 decimal digits
+          // (2dp price × 2dp discount), so rounding the double to 6dp
+          // is tie-free — at 2dp the engines' HALF_UP vs HALF_EVEN
+          // disagree on boundary cents
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("s_nationkey") === 7, col("vol"))
+            .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))))
+            .cast("double").as("nation_volume"),
+          sum(col("vol")).cast("double").as("total_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+    }),
+
+    "q15_topsupp" -> ((s, dir) => {
+      // TPC-H Q15 shape: the top supplier(s) by quarterly revenue.
+      // The revenue view is one partial-aggregated shuffle; the
+      // scalar max broadcasts back (one row), so "rev = max" never
+      // re-shuffles the view; supplier is a broadcast dim.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(TsOps.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+
+    "q21_blocked" -> ((s, dir) => {
+      // TPC-H Q21 re-shaped ("suppliers who kept orders waiting"; this
+      // schema has no commit/receipt dates, so "waiting" = the UNIQUE
+      // slowest supplier of a multi-supplier order). The classic
+      // formulation is EXISTS + NOT-EXISTS lineitem self-joins — three
+      // fact shuffles; here the fact repartitions ONCE by orderkey,
+      // both aggregation grains reuse that partitioning
+      // (HashPartitioning(ok) satisfies the (ok, sk) clustering), and
+      // the existence tests collapse into per-order aggregates — no
+      // self-join, no second fact pass.
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(col("l_orderkey"))
+      val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("supp_last"))
+      // uniqueness-at-the-max without a join-back: hi = (max shipdate,
+      // LARGEST suppkey there), lo = (max shipdate, negated SMALLEST
+      // suppkey there) — the blocker is unique iff hi.sk == -lo.neg.
+      // Struct max is one (sort-based) aggregation over the already
+      // orderkey-clustered frame; no second fact pass, no persist.
+      perSupp.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_supp"),
+          max(struct(col("supp_last"), col("l_suppkey").as("sk"))).as("hi"),
+          max(struct(col("supp_last"), (-col("l_suppkey")).as("neg"))).as("lo"))
+        .filter(col("n_supp") >= 2 && col("hi.sk") === -col("lo.neg"))
+        .select(col("hi.sk").as("blocker"))
+        .groupBy(col("blocker"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("blocker") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    }),
+
     // ──────────────────── LLM-data-pipeline ops ────────────────────
     "dedup_exact" -> ((s, dir) => Dedup.exact(docsT(s, dir))),
 
@@ -763,6 +954,39 @@ object SparkEntry {
           sum(col("len")).as("sum_chars"))
         .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))),
 
+    "corpus_cube" -> ((s, dir) =>
+      // multi-grain reporting in ONE pass: ROLLUP (source, lang) —
+      // per-pair, per-source, grand total — Spark's Expand emits the
+      // 3 grains map-side and partial aggregation collapses them
+      // before the one shuffle; grouping_id() disambiguates NULL
+      // group values from NULL totals
+      docsT(s, dir)
+        .select(col("source"), col("lang"), length(col("text")).cast("long").as("len"))
+        .rollup(col("source"), col("lang"))
+        .agg(
+          grouping_id().as("grain"),
+          count(lit(1)).as("n_docs"),
+          sum(col("len")).as("sum_chars"))),
+
+    "doc_sample_stratified" -> ((s, dir) =>
+      // deterministic stratified subsampling — the pipeline
+      // downsampling op: keep ~20% of web and ~60% of everything
+      // else, selected by the doc's md5-hash60 fraction so the sample
+      // is reproducible on ANY engine/partitioning (no RNG, no seed
+      // drift); the filter is map-side only — zero shuffles beyond
+      // the report aggregation
+      docsT(s, dir)
+        .withColumn("frac",
+          graft.analytics.Kmv.hash60(col("doc_id")).cast("double") /
+            lit(graft.analytics.Kmv.HashSpace))
+        .filter(
+          when(col("source") === "web", col("frac") < 0.2)
+            .otherwise(col("frac") < 0.6))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))),
+
     "emb_cell_summary" -> ((s, dir) =>
       // IVF-cell occupancy + mean norm (dataset cartography): exposes
       // quantizer imbalance — the scan-bound risk — as a first-class
@@ -770,6 +994,56 @@ object SparkEntry {
       VectorOps.cellSummary(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         16)),
+
+    "emb_dim_stats" -> ((s, dir) =>
+      // per-dimension normalization profile (mean/min/max per
+      // component) — the whitening statistics pass; one bounded
+      // explode + one 64-group aggregation
+      VectorOps.dimStats(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
+    "emb_centroids" -> ((s, dir) =>
+      // class centroids: mean embedding per label as (label, dim)
+      // rows — nearest-class-mean / cartography primitive
+      VectorOps.labelCentroids(
+        embT(s, dir).select(col("label"), col("embedding").cast("array<double>").as("v")))),
+
+    "emb_centroid_sim" -> ((s, dir) =>
+      // inter-class centroid cosine matrix (class-overlap report):
+      // the corpus reduces to labels×dim rows FIRST, so the pairwise
+      // part never touches corpus-scale data
+      VectorOps.centroidSimilarity(
+        embT(s, dir).select(col("label"), col("embedding").cast("array<double>").as("v")))),
+
+    "doc_length_stats" -> ((s, dir) =>
+      // per-source token-length distribution (p50/p95/mean) — the
+      // calibration query behind every length-filter threshold;
+      // exact integer sums, R-7 percentiles (= DuckDB quantile_cont)
+      docsT(s, dir)
+        .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"),
+          round(expr("percentile(nt, 0.5)"), 6).as("p50_tokens"),
+          round(expr("percentile(nt, 0.95)"), 6).as("p95_tokens"))
+        .withColumn("avg_tokens", col("sum_tokens").cast("double") / col("n_docs"))),
+
+    "dedup_source_overlap" -> ((s, dir) => {
+      // cross-source duplication matrix: near-dup pairs (two-stage
+      // LSH + exact verify) labeled with their sources — the
+      // provenance-overlap report that decides which feeds to drop.
+      // The pair frame is tiny next to the corpus, so the two id
+      // joins are the cheap side; symmetric (least/greatest) keys.
+      val src = docsT(s, dir).select(col("doc_id"), col("source"))
+      Dedup.ngramJaccardTwoStage(docsT(s, dir))
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(
+          least(col("src_a"), col("src_b")).as("source_x"),
+          greatest(col("src_a"), col("src_b")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
 
     "multimodal_meta" -> ((s, dir) =>
       // REAL encode→decode roundtrip: attachMedia synthesizes genuine
@@ -940,6 +1214,42 @@ object SparkEntry {
                   ORDER BY sum_value DESC, series_id ASC) AS rn FROM agg)
           SELECT event_type, series_id, sum_value FROM r WHERE rn <= 5""",
 
+    "ts_bottomk" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, value FROM events
+                     WHERE epoch_us(ts) BETWEEN $T1 AND $T2),
+          agg AS (SELECT event_type, series_id,
+                    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+                  FROM s GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY sum_value ASC, series_id ASC) AS rn FROM agg)
+          SELECT event_type, series_id, sum_value FROM r WHERE rn <= 5""",
+
+    "ts_subquery_max_rate" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          w AS (SELECT series_id, ts_us//300000000 AS w,
+                  min(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS f,
+                  max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
+                FROM s GROUP BY 1, 2),
+          r AS (SELECT series_id, (w//12)*3600000 AS bucket_ms,
+                  CASE WHEN l.ts_us > f.ts_us
+                       THEN (l.value - f.value) / ((l.ts_us - f.ts_us) / 1000000.0)
+                       ELSE 0.0 END AS r
+                FROM w)
+          SELECT series_id, bucket_ms, CAST(count(*) AS BIGINT) AS n_windows,
+                 max(r) AS max_rate
+          FROM r GROUP BY 1, 2""",
+
+    "ts_offset_ratio" ->
+      s"""WITH h AS (SELECT $SeriesIdSql AS series_id,
+                       (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
+                       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s
+                     FROM events GROUP BY 1, 2)
+          SELECT c.series_id, c.bucket_ms, c.s AS cur_sum, p.s AS prev_sum,
+                 c.s / p.s AS ratio
+          FROM h c JOIN h p ON p.series_id = c.series_id
+                           AND p.bucket_ms = c.bucket_ms - 86400000
+          WHERE p.s <> 0.0""",
+
     "events_salted_agg" ->
       s"""SELECT user_id,
                  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
@@ -1048,6 +1358,45 @@ object SparkEntry {
                  round(quantile_cont(value, 0.5), 6) AS p50,
                  round(quantile_cont(value, 0.95), 6) AS p95
           FROM events GROUP BY 1""",
+
+    "ts_quantile_over_time" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events)
+          SELECT series_id, (ts_us//3600000000)*3600000 AS bucket_ms,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 round(quantile_cont(value, 0.9), 6) AS p90
+          FROM s GROUP BY 1, 2""",
+
+    "ts_seasonal_profile" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events)
+          SELECT series_id, (ts_us//3600000000) % 24 AS hour_of_day,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value
+          FROM s GROUP BY 1, 2""",
+
+    "events_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                    FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+               FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT event_type, n_kept, kth_hash,
+                CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                     ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+                END AS est_distinct
+         FROM k""",
+
+    "events_props_json" ->
+      """WITH e AS (SELECT event_type,
+                      CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+                    FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+         FROM e GROUP BY 1""",
 
     "events_funnel" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
@@ -1192,6 +1541,50 @@ object SparkEntry {
            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                               AND TIMESTAMP '1996-12-31 00:00:00'
          GROUP BY 1, 2, 3""",
+
+    "q8_mktshare" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CASE WHEN s_nationkey = 7
+                              THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))
+                              ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_volume,
+                CAST(sum(CASE WHEN s_nationkey = 7
+                              THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))
+                              ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+                CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         GROUP BY 1""",
+
+    "q15_topsupp" ->
+      """WITH rev AS (SELECT l_suppkey,
+                        CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                      GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_rev
+         FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+         WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""",
+
+    "q21_blocked" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+                     FROM lineitem GROUP BY 1, 2),
+         po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+                  max(struct_pack(supp_last := supp_last, sk := l_suppkey)) AS hi,
+                  max(struct_pack(supp_last := supp_last, neg := -l_suppkey)) AS lo
+                FROM ps GROUP BY 1),
+         blk AS (SELECT l_orderkey, hi.sk AS blocker FROM po
+                 WHERE n_supp >= 2 AND hi.sk = -lo.neg)
+         SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM blk b JOIN supplier s ON s.s_suppkey = b.blocker
+         GROUP BY 1, 2""",
 
     "multimodal_resize" ->
       """SELECT doc_id,
@@ -1563,6 +1956,14 @@ object SparkEntry {
                      GROUP BY 1)
          SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM co GROUP BY 1""",
 
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+
     "q17_smallqty" ->
       """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12' AND p_size <= 10),
          lp AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
@@ -1688,6 +2089,24 @@ object SparkEntry {
                 CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) / count(*) AS avg_tokens
          FROM documents GROUP BY 1, 2""",
 
+    "corpus_cube" ->
+      """SELECT source, lang,
+                CAST(2*grouping(source) + grouping(lang) AS BIGINT) AS grain,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY ROLLUP (source, lang)""",
+
+    "doc_sample_stratified" ->
+      """WITH d AS (SELECT source, length(text) AS len,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                        / 1152921504606846976.0 AS frac
+                    FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(len) AS BIGINT) AS sum_chars
+         FROM d
+         WHERE CASE WHEN source = 'web' THEN frac < 0.2 ELSE frac < 0.6 END
+         GROUP BY 1""",
+
     "emb_cell_summary" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
@@ -1705,6 +2124,57 @@ object SparkEntry {
                 CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
                 CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_norm
          FROM nm GROUP BY 1""",
+
+    "emb_dim_stats" ->
+      """WITH e AS (SELECT t.i AS dim, CAST(embedding AS DOUBLE[])[t.i] AS x
+                    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t)
+         SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v,
+                min(x) AS min_v, max(x) AS max_v
+         FROM e GROUP BY 1""",
+
+    "emb_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, t.i AS dim,
+                           CAST(embedding AS DOUBLE[])[t.i] AS x
+                    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t)
+         SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
+         FROM e GROUP BY 1, 2""",
+
+    "emb_centroid_sim" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, t.i AS dim,
+                           CAST(embedding AS DOUBLE[])[t.i] AS x
+                    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t),
+         c AS (SELECT label, dim,
+                 CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sv
+               FROM e GROUP BY 1, 2),
+         p AS (SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(sum(a.sv * b.sv) AS DOUBLE) AS dot,
+                 CAST(sum(a.sv * a.sv) AS DOUBLE) AS na,
+                 CAST(sum(b.sv * b.sv) AS DOUBLE) AS nb
+               FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+               GROUP BY 1, 2)
+         SELECT label_a, label_b, dot / sqrt(na * nb) AS cos_sim FROM p""",
+
+    "doc_length_stats" ->
+      """WITH d AS (SELECT source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+                    FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS sum_tokens,
+                round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+                round(quantile_cont(nt, 0.95), 6) AS p95_tokens,
+                CAST(sum(nt) AS DOUBLE) / count(*) AS avg_tokens
+         FROM d GROUP BY 1""",
+
+    "dedup_source_overlap" ->
+      s"""WITH $twoStagePairsBody,
+         lab AS (SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+                 FROM pairs p
+                 JOIN documents da ON da.doc_id = p.doc_a
+                 JOIN documents db ON db.doc_id = p.doc_b)
+         SELECT least(sa, sb) AS source_x, greatest(sa, sb) AS source_y,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM lab GROUP BY 1, 2""",
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -318,6 +318,68 @@ object TsOps {
       .withColumn("stickiness", col("dau").cast("double") / col("wau7"))
   }
 
+  /** PromQL subquery composition —
+    * `max_over_time(rate(m[inner])[range:inner])` per outer bucket:
+    * an inner per-(series, inner-step) counter rate (first/last via
+    * struct min/max — ONE aggregation pass, no window sort), then the
+    * max rate per outer bucket. The second aggregation runs over the
+    * already-reduced inner frame (one row per series-step), so the
+    * subquery costs one fact shuffle plus a shuffle of the tiny rate
+    * frame — not the two full window sorts the PromQL engine's
+    * nested-evaluation model implies. (ref: PromQL subqueries,
+    * public spec; reference query surface src/db.rs:205-263.) */
+  def subqueryMaxRate(samples: DataFrame, innerMs: Long = 300000L,
+                      outerMs: Long = 3600000L): DataFrame = {
+    require(outerMs % innerMs == 0, s"outer $outerMs must be a multiple of inner $innerMs")
+    val innerUs = innerMs * 1000
+    val perOuter = outerMs / innerMs
+    samples
+      .groupBy(col("series_id"), expr(s"ts_us div $innerUs").as("w"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
+      .select(
+        col("series_id"),
+        (expr(s"w div $perOuter") * outerMs).as("bucket_ms"),
+        when(col("l.ts_us") > col("f.ts_us"),
+          (col("l.value") - col("f.value")) /
+            ((col("l.ts_us") - col("f.ts_us")) / lit(1000000.0)))
+          .otherwise(lit(0.0)).as("r"))
+      .groupBy(col("series_id"), col("bucket_ms"))
+      .agg(count(lit(1)).as("n_windows"), max(col("r")).as("max_rate"))
+  }
+
+  /** PromQL offset arithmetic — `sum_over_time(m[1h]) /
+    * sum_over_time(m[1h] offset 1d)` (day-over-day comparison at
+    * every hour). The naive realization self-joins the hourly frame
+    * on (series, bucket − offset), re-shuffling both sides; here each
+    * hourly row EMITS itself twice — at its own bucket as the
+    * numerator and at bucket+offset as the denominator — so the
+    * offset match is a re-aggregation of the already-reduced hourly
+    * frame (bounded ×2 fan-out, one extra small shuffle, no join).
+    * Inner-match semantics: only buckets where both sides exist and
+    * the earlier sum is nonzero. */
+  def offsetRatio(samples: DataFrame, bucketMs: Long = 3600000L,
+                  offsetMs: Long = 86400000L): DataFrame = {
+    val bucketUs = bucketMs * 1000
+    val hourly = samples
+      .groupBy(col("series_id"), (expr(s"ts_us div $bucketUs") * bucketMs).as("bucket_ms"))
+      .agg(exactSum(col("value"), 2).as("s"))
+    hourly
+      .select(col("series_id"), explode(array(
+        struct(col("bucket_ms"),
+          col("s").as("cur"), lit(null).cast("double").as("prev")),
+        struct((col("bucket_ms") + offsetMs).as("bucket_ms"),
+          lit(null).cast("double").as("cur"), col("s").as("prev")))).as("e"))
+      .select(col("series_id"), col("e.bucket_ms").as("bucket_ms"),
+        col("e.cur").as("cur"), col("e.prev").as("prev"))
+      .groupBy(col("series_id"), col("bucket_ms"))
+      .agg(max(col("cur")).as("cur_sum"), max(col("prev")).as("prev_sum"))
+      .filter(col("cur_sum").isNotNull && col("prev_sum").isNotNull &&
+        col("prev_sum") =!= 0.0)
+      .withColumn("ratio", col("cur_sum") / col("prev_sum"))
+  }
+
   /** Gap-based sessionization over the raw event stream: a session
     * breaks after `gapUs` of inactivity per user. Two windows over the
     * same (user_id × time) sort — Catalyst reuses one shuffle+sort. */

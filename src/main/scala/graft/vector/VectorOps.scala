@@ -258,6 +258,82 @@ object VectorOps {
       .withColumn("mean_norm", col("sum_norm") / col("n_vectors"))
   }
 
+  /** Per-dimension corpus statistics — the normalization/whitening
+    * profile a training pipeline computes before standardizing an
+    * embedding column. Each vector explodes ONCE (bounded ×dim
+    * map-side fan-out), then one LONG-keyed aggregation with `dim`
+    * groups — partial aggregation collapses the fan-out back to
+    * partitions×dim rows before the shuffle. Means are rounded then
+    * summed in DECIMAL (order-independent, engine-exact); min/max on
+    * the raw doubles are exact by nature. */
+  def dimStats(corpus: DataFrame, roundTo: Int = 6): DataFrame =
+    corpus
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("x"), roundTo)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("sx"),
+        min(col("x")).as("min_v"),
+        max(col("x")).as("max_v"))
+      .select(col("dim"), col("n"), (col("sx") / col("n")).as("mean_v"),
+        col("min_v"), col("max_v"))
+
+  /** Class centroids: the mean embedding per label, one (label, dim)
+    * row per component — the nearest-class-mean classifier / dataset
+    * cartography primitive. Same explode-then-aggregate shape as
+    * [[dimStats]]; expects columns (label, v). */
+  def labelCentroids(corpus: DataFrame, roundTo: Int = 6): DataFrame =
+    corpus
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("label").cast("long").as("label"),
+        (col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("x"), roundTo)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("sx"))
+      .select(col("label"), col("dim"), col("n"), (col("sx") / col("n")).as("mean_v"))
+
+  /** Inter-class centroid cosine matrix — which label clusters sit on
+    * top of each other (the confusion-risk / class-overlap report).
+    * After the per-(label, dim) aggregation the frame is labels×dim
+    * rows (tiny at ANY corpus scale — the corpus itself never pairs),
+    * so the dim-keyed self-join costs labels² per dim.
+    *
+    * Determinism: cosine is scale-invariant, so the pairwise pass uses
+    * the per-(label, dim) exact DECIMAL SUM vectors instead of means —
+    * no division, no re-rounding of full-precision doubles (the
+    * round-of-a-quotient idiom diverges by one 6th-decimal step when
+    * an engine's round() multiplies before rounding). 6dp inputs →
+    * 12dp products → exact decimal sums; the single double division at
+    * the end is identical IEEE arithmetic on identical inputs and is
+    * emitted UNROUNDED. */
+  def centroidSimilarity(corpus: DataFrame, roundTo: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val c = corpus
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      // re-cast after the sum: sum() widens the declared precision
+      // (engines widen DIFFERENTLY), and a (38,6)×(38,6) product
+      // overflows decimal entirely — forcing each engine into its own
+      // lossy fallback; at (18,6) the product is an exact (37,12)
+      .agg(sum(round(col("x"), roundTo).cast(dec)).cast(dec).as("sv"))
+    val a = c.select(col("label").as("label_a"), col("pos"), col("sv").as("sa"))
+    val b = c.select(col("label").as("label_b"), col("pos"), col("sv").as("sb"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(
+        sum(col("sa") * col("sb")).cast("double").as("dot"),
+        sum(col("sa") * col("sa")).cast("double").as("na"),
+        sum(col("sb") * col("sb")).cast("double").as("nb"))
+      .select(col("label_a"), col("label_b"),
+        (col("dot") / sqrt(col("na") * col("nb"))).as("cos_sim"))
+  }
+
   /** The query side of IVF: each query ranks all centroids and keeps
     * its `nProbe` nearest cells. Tiny (queries × centroids). */
   def ivfProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,

@@ -85,6 +85,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, f"two-stage recall dropped to $recall%.3f")
   }
 
+  test("source overlap matrix counts near-dup pairs symmetrically by source") {
+    // docs 1/2/3 are exact dups (guaranteed LSH candidates — identical
+    // signatures) spread over two sources; 4/5 unrelated. Pairs:
+    // (1,2) web↔books, (1,3) web↔web, (2,3) books↔web →
+    // matrix: (books,web)=2, (web,web)=1.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "books"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (4L, "totally unrelated content lives in this row", "web"),
+      (5L, "other words that match nothing else at all", "books"))
+      .toDF("doc_id", "text", "source")
+    val src = docs.select(col("doc_id"), col("source"))
+    val out = Dedup.ngramJaccardTwoStage(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("books", "web", 2L), ("web", "web", 1L)))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val p = Dedup.simhashPairs(toyDocs)
       .filter($"doc_a" === 1 && $"doc_b" === 4)

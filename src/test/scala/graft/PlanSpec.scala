@@ -80,6 +80,79 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "irate fell back to a window sort")
   }
 
+  test("ts_bottomk rides the same bounded-heap TopKPerKey path as topk") {
+    val df = SparkEntry.queries("ts_bottomk")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p.take(800))
+    assert(!p.contains("Window"), "bottomk fell back to a window sort")
+  }
+
+  test("ts_offset_ratio: offset matching re-aggregates, never self-joins") {
+    val p = plan("ts_offset_ratio")
+    assert(!p.contains("Join"), "offset matching fell back to a self-join:\n" + p.take(1200))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("ts_subquery_max_rate: two aggregation passes, no window sort") {
+    // (struct min/max aggregates are sort-based in Spark — same as the
+    // shipped rate/increase family — so only the no-Window claim holds)
+    val p = plan("ts_subquery_max_rate")
+    assert(!p.contains("Window"), "subquery used a window sort")
+  }
+
+  test("q21_blocked: the fact shuffles ONCE on orderkey; later grains reuse it") {
+    // per-(order,supp) agg, per-order agg, and the verdict join must
+    // all reuse the one repartition(l_orderkey) (HashPartitioning(ok)
+    // satisfies the (ok, sk) clustering), or the self-join shape
+    // re-emerges. Broadcast is disabled so the sf0.001 plan has the
+    // same join shape the 100 TB plan would (AQE otherwise broadcasts
+    // the tiny aggregated side and duplicates the subtree).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q21_blocked")(spark, sfDir)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      val factShuffles = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length
+      assert(factShuffles == 1,
+        s"lineitem shuffled $factShuffles times on orderkey:\n" + p.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("emb_dim_stats: one explode, one aggregation shuffle, hash aggregate") {
+    val df = graft.vector.VectorOps.dimStats(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      "dim stats should shuffle once:\n" + p.take(1200))
+  }
+
+  test("events_kmv_distinct: the sketch rides bounded TopKPerKey heaps, never a window sort") {
+    val df = SparkEntry.queries("events_kmv_distinct")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p.take(800))
+    assert(!p.contains("Window"), "kmv fell back to a window sort")
+  }
+
+  test("events_props_json: scan prunes to (event_type, props); one aggregation shuffle") {
+    val df = SparkEntry.queries("events_props_json")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("user_id") && !p.contains("value"), "read schema not pruned")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q12_shipmode: the shipdate filter reaches the lineitem scan") {
+    val p = plan("q12_shipmode")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      p.take(1200))
+  }
+
   test("ts_vector_ratio: binary-op vector matching is ONE agg pass — no join anywhere") {
     val p = plan("ts_vector_ratio")
     assert(!p.contains("Join"), "vector matching fell back to a self-join:\n" + p.take(1200))

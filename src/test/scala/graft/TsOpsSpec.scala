@@ -247,6 +247,36 @@ class TsOpsSpec extends SparkSpec {
     assert(out == Seq((0L, 1L, 1L, 1.0), (3L, 2L, 2L, 1.0)))
   }
 
+  test("subqueryMaxRate: inner 5-minute rates, hourly max over them") {
+    val secNs = 1000000000L
+    // inner window 0 (0-300s): samples at 0s→0 and 60s→30: rate 0.5/s
+    // inner window 1 (300-600s): 300s→30 and 360s→90: rate 1.0/s
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 0.0),
+      (2L, 60 * secNs, 1L, "click", 30.0),
+      (3L, 300 * secNs, 1L, "click", 30.0),
+      (4L, 360 * secNs, 1L, "click", 90.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.subqueryMaxRate(Series.samples(ev))
+      .select("bucket_ms", "n_windows", "max_rate")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 2L, 1.0)))
+  }
+
+  test("offsetRatio: day-over-day hourly ratio, inner match drops unmatched buckets") {
+    val hrNs = 3600000000000L
+    val ev = Seq(
+      (1L, 0L, 1L, "c", 4.0),             // day 0 hour 0: sum 4
+      (2L, 24 * hrNs, 1L, "c", 6.0),      // day 1 hour 0: sum 8
+      (3L, 24 * hrNs + 5000L, 1L, "c", 2.0),
+      (4L, 25 * hrNs, 1L, "c", 9.0))      // day 1 hour 1: no day-0 peer → dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.offsetRatio(Series.samples(ev))
+      .select("bucket_ms", "cur_sum", "prev_sum", "ratio")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((86400000L, 8.0, 4.0, 2.0)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))

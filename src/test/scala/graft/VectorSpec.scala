@@ -36,6 +36,44 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(out.map(_._3).sum - expectTotal) < 1e-9)
   }
 
+  test("dimStats: exact per-dimension profile") {
+    val out = VectorOps.dimStats(toy)
+      .select("dim", "n", "mean_v", "min_v", "max_v")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out.forall(_._2 == 5L))
+    val d1 = out.head
+    assert(math.abs(d1._3 - (1.0 + 0.9 + 0.0 - 1.0 + 0.8) / 5) < 1e-9)
+    assert(d1._4 == -1.0 && d1._5 == 1.0)
+  }
+
+  test("labelCentroids: mean embedding per label as (label, dim) rows") {
+    val labeled = Seq(
+      (0, Array(1.0, 3.0)),
+      (0, Array(3.0, 5.0)),
+      (1, Array(10.0, 0.0)))
+      .toDF("label", "v")
+    val out = VectorOps.labelCentroids(labeled)
+      .select("label", "dim", "n", "mean_v")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((0L, 1L, 2L, 2.0), (0L, 2L, 2L, 4.0),
+      (1L, 1L, 1L, 10.0), (1L, 2L, 1L, 0.0)))
+  }
+
+  test("centroidSimilarity: cosine between class means") {
+    // label 0 centroid = (2, 0); label 1 centroid = (0, 3);
+    // label 2 centroid = (4, 0) → cos(0,1)=0, cos(0,2)=1, cos(1,2)=0
+    val labeled = Seq(
+      (0, Array(1.0, 0.0)), (0, Array(3.0, 0.0)),
+      (1, Array(0.0, 3.0)),
+      (2, Array(4.0, 0.0)))
+      .toDF("label", "v")
+    val out = VectorOps.centroidSimilarity(labeled)
+      .select("label_a", "label_b", "cos_sim")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((0L, 1L, 0.0), (0L, 2L, 1.0), (1L, 2L, 0.0)))
+  }
+
   test("lsh buckets: same direction → same bucket, opposite → different") {
     val e = toy.withColumn("v", col("v").cast("array<double>"))
     val b = VectorOps.lshBuckets(e, nPlanes = 8, dim = 3)
