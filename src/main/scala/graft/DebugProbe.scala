@@ -37,7 +37,7 @@ object DebugProbe {
         big.write.mode("overwrite").parquet(p)
         p
       }
-      val eventsP = x10("events", Seq(
+      lazy val eventsP = x10("events", Seq(
         "user_id" -> (k => col("user_id") + lit(k * 1000000L)),
         "event_id" -> (k => col("event_id") + lit(k * 1000000000L))))
       // documents: besides the id shift, each copy rewrites its vowels
@@ -46,12 +46,12 @@ object DebugProbe {
       // duplicates, so the pair graph scales linearly like a real
       // corpus 10× the size, not quadratically like 10 mirrors.
       val dialect = "aeioubcdfghjklmnp" // ≥ 9+5 chars: copy k maps vowels to chars k..k+4
-      val docsP = x10("documents", Seq(
+      lazy val docsP = x10("documents", Seq(
         "doc_id" -> (k => col("doc_id") + lit(k * 10000000L)),
         "text" -> (k => translate(col("text"), "aeiou", dialect.substring(k.toInt, k.toInt + 5)))))
-      val embP = x10("embeddings", Seq(
+      lazy val embP = x10("embeddings", Seq(
         "vec_id" -> (k => col("vec_id") + lit(k * 10000000L))))
-      val liP = x10("lineitem", Seq(
+      lazy val liP = x10("lineitem", Seq(
         "l_orderkey" -> (k => col("l_orderkey") + lit(k * 100000000L))))
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val n = f
@@ -116,22 +116,26 @@ object DebugProbe {
             .filter(col("n_supp") >= 2 && col("hi.sk") === -col("lo.neg"))
             .count()
         }))
-      val tableFor = Map(
-        "downsample" -> ("events", eventsP), "gap_fill" -> ("events", eventsP),
-        "sessionize" -> ("events", eventsP),
-        "twostage_jaccard" -> ("documents", docsP),
-        "dedup_clusters" -> ("documents", docsP),
-        "ann_ivf" -> ("embeddings", embP),
-        "chunked_store" -> ("events", eventsP),
-        "substring_spans" -> ("documents", docsP),
-        "engagement" -> ("events", eventsP),
-        "range_join" -> ("events", eventsP),
-        "subquery_rate" -> ("events", eventsP),
-        "offset_ratio" -> ("events", eventsP),
-        "dim_stats" -> ("embeddings", embP),
-        "q21_reshape" -> ("lineitem", liP))
-      probes.foreach { case (nm, f) =>
-        val (tbl, bigP) = tableFor(nm)
+      // paths are thunks: a probe-name subset (extra args after
+      // __scale10) only builds the 10x tables it actually reads
+      val tableFor = Map[String, (String, () => String)](
+        "downsample" -> ("events", () => eventsP), "gap_fill" -> ("events", () => eventsP),
+        "sessionize" -> ("events", () => eventsP),
+        "twostage_jaccard" -> ("documents", () => docsP),
+        "dedup_clusters" -> ("documents", () => docsP),
+        "ann_ivf" -> ("embeddings", () => embP),
+        "chunked_store" -> ("events", () => eventsP),
+        "substring_spans" -> ("documents", () => docsP),
+        "engagement" -> ("events", () => eventsP),
+        "range_join" -> ("events", () => eventsP),
+        "subquery_rate" -> ("events", () => eventsP),
+        "offset_ratio" -> ("events", () => eventsP),
+        "dim_stats" -> ("embeddings", () => embP),
+        "q21_reshape" -> ("lineitem", () => liP))
+      val sel = names - "__scale10"
+      probes.filter(p => sel.isEmpty || sel.contains(p._1)).foreach { case (nm, f) =>
+        val (tbl, bigPT) = tableFor(nm)
+        val bigP = bigPT()
         spark.catalog.clearCache() // no cross-run subtree cache leaks
         val (t1, n1) = time(f(s"$sfDir/$tbl.parquet"))
         spark.catalog.clearCache()

@@ -149,6 +149,46 @@ object StreamIngest {
       }
   }
 
+  case class KmvIn(g: String, h: Long)
+  case class KmvState(mins: Array[Long])
+  case class KmvOut(g: String, n_kept: Long, kth_hash: Long, est_distinct: Double)
+
+  /** Streaming distinct-count sketch: the k-minimum-values estimator
+    * (analytics/Kmv.scala) maintained incrementally per group with
+    * `mapGroupsWithState`. State is the k smallest distinct hash60
+    * values seen so far — O(k) per group FOREVER, where exact
+    * streaming distinct state grows with the true cardinality. Each
+    * micro-batch emits the group's refreshed estimate (Update mode).
+    * The sketch is a monotone semilattice (merge = min-k of union), so
+    * arrival order, batching, and replays cannot change the converged
+    * state — the final estimate equals the batch [[graft.analytics.Kmv
+    * .distinctEstimate]] on the same data (asserted in StreamKmvSpec). */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): Dataset[KmvOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_type").as("g"),
+        graft.analytics.Kmv.hash60(col("user_id")).as("h"))
+      .as[KmvIn]
+      .groupByKey(_.g)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[KmvIn], state: GroupState[KmvState]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(st => set ++= st.mins)
+          rows.foreach { r =>
+            if (set.size < k) set += r.h
+            else if (r.h < set.max && !set.contains(r.h)) { set -= set.max; set += r.h }
+          }
+          state.update(KmvState(set.toArray))
+          val n = set.size
+          val kth = if (n > 0) set.max else 0L
+          val est =
+            if (n < k) n.toDouble
+            else (k - 1).toDouble * graft.analytics.Kmv.HashSpace / kth.toDouble
+          KmvOut(g, n.toLong, kth, est)
+      }
+  }
+
   /** Event-time-timeout sessionization: like [[sessionizeStream]], but
     * a forever-quiet user's open session ALSO closes once the event-
     * time watermark passes `session end + gap` — the state store never
