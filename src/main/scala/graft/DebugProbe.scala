@@ -144,6 +144,16 @@ object DebugProbe {
       }
       spark.stop(); return
     }
+    if (names.contains("__explain")) {
+      // plan audit: print the AQE-final executed plan of each named query
+      (names - "__explain").toSeq.sorted.foreach { nm =>
+        val df = SparkEntry.queries(nm)(spark, sfDir)
+        df.count() // finalize AQE
+        println(s"\n========== $nm ==========")
+        println(df.queryExecution.executedPlan.toString.take(6000))
+      }
+      spark.stop(); return
+    }
     if (names.contains("__prepare")) {
       val g = new Graft(spark, sfDir)
       val total = g.documents.count()
