@@ -180,24 +180,37 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded LSH keys from a signature frame: (doc_id, band,
+    * band_hash), `numPerm / bandSize` rows per doc. Shared by the
+    * in-session LSH pair join and the at-rest [[MinhashStore]] — ONE
+    * definition of the band hash keeps stored and probe-side keys
+    * compatible across sessions. */
+  def minhashBands(sigs: DataFrame, numPerm: Int = 16, bandSize: Int = 4): DataFrame = {
+    val nBands = numPerm / bandSize
+    val bandStructs = (0 until nBands).map { b =>
+      // the band id is FOLDED INTO the hash, so band_hash alone is the
+      // collision key: a one-column equi-join key lets the at-rest
+      // index bucket by it (a composite (band, hash) join defeats
+      // bucket reuse — co-partitioning wants the exact key set)
+      val sig = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
+      struct(lit(b).as("band"), md5(concat_ws("#", lit(b) +: sig: _*)).as("band_hash"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_hash").as("band_hash"))
+  }
+
   /** MinHash-LSH candidate pairs: signatures grouped into
     * `numPerm / bandSize` bands; a pair is a candidate iff it collides
     * on at least one full band. The band hash is the only join key —
     * candidate generation is a bucket join, never a cross product. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 16,
                       bandSize: Int = 4): DataFrame = {
-    val nBands = numPerm / bandSize
-    val bandStructs = (0 until nBands).map { b =>
-      val sig = (0 until bandSize).map(j => col(s"m${b * bandSize + j}"))
-      struct(lit(b).as("band"), md5(concat_ws("#", sig: _*)).as("band_hash"))
-    }
-    val bands = minhashSignatures(docs, n, numPerm)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_hash").as("band_hash"))
+    val bands = minhashBands(minhashSignatures(docs, n, numPerm), numPerm, bandSize)
       .persist() // tiny (4 rows/doc); spares the signature agg running twice
     bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+        col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup index at rest — dedup a NEW document batch
+  * against an already-ingested corpus WITHOUT re-scanning it. A 100 TB
+  * pipeline ingests incrementally; recomputing whole-corpus signatures
+  * per arriving batch is the naive O(corpus/batch) tax this store
+  * removes (the reference's analogue is its persistent label index:
+  * ingest-time index maintenance so queries never rescan,
+  * src/indexer/sled_indexer.rs).
+  *
+  * At rest (session-catalog bucketed tables, the [[graft.tsdb
+  * .BucketedChunkTable]] pattern):
+  *  - `<table>_bands` (band, band_hash, doc_id), bucketed by
+  *    band_hash — the probe's candidate join reads the stored side in
+  *    its bucket distribution (HashPartitioning(band_hash) satisfies
+  *    the (band, band_hash) clustering), so only the NEW batch
+  *    shuffles; the index side never does.
+  *  - `<table>_sigs` (doc_id, m0..m{numPerm−1}), bucketed by doc_id —
+  *    the estimate join against candidates is likewise stored-side
+  *    shuffle-free.
+  * Index size is numPerm longs + numPerm/bandSize band rows per doc —
+  * ~2% of a 10 KB document; it grows with the corpus, the probe cost
+  * grows with the BATCH (+ band-bucket collisions).
+  *
+  * The probe estimates Jaccard from signature agreement
+  * (E[matching minhash components / numPerm] = J, Broder'97) — the
+  * index never stores shingle sets, so verification is O(numPerm) per
+  * candidate. Callers wanting exact verification re-read only the
+  * candidate docs' texts (tiny next to the corpus).
+  */
+final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
+                         numPerm: Int = 16, bandSize: Int = 4, nBuckets: Int = 8) {
+
+  private def sigsTable = s"${table}_sigs"
+  private def bandsTable = s"${table}_bands"
+
+  /** Index a document batch (doc_id, text). `append` adds a new
+    * generation to the existing index. */
+  def write(docs: DataFrame, mode: String = "append"): Unit = {
+    // persisted: both tables derive from one signature aggregation —
+    // and bands MUST come from the batch frame, not a read-back of the
+    // sigs table (an append would re-band every earlier generation)
+    val sigs = Dedup.minhashSignatures(docs, n, numPerm).persist()
+    sigs.write.mode(mode)
+      .bucketBy(nBuckets, "doc_id")
+      .format("parquet")
+      .saveAsTable(sigsTable)
+    Dedup.minhashBands(sigs, numPerm, bandSize)
+      .write.mode(mode)
+      .bucketBy(nBuckets, "band_hash")
+      .format("parquet")
+      .saveAsTable(bandsTable)
+    sigs.unpersist()
+  }
+
+  def storedBands(): DataFrame = spark.table(bandsTable)
+  def storedSignatures(): DataFrame = spark.table(sigsTable)
+
+  /** Near-dups of `newDocs` against the INDEX: (new_id, old_id,
+    * n_agree, est_jaccard), est_jaccard ≥ `minEst`. Only the new
+    * batch's signatures are computed; the corpus contributes its
+    * stored tables in bucket order. */
+  def probe(newDocs: DataFrame, minEst: Double = 0.5): DataFrame = {
+    val newSigs = Dedup.minhashSignatures(newDocs, n, numPerm).persist()
+    val newBands = Dedup.minhashBands(newSigs, numPerm, bandSize)
+    val cand = newBands.as("q")
+      .join(storedBands().as("s"),
+        col("q.band_hash") === col("s.band_hash") &&
+          col("q.doc_id") =!= col("s.doc_id"))
+      .select(col("q.doc_id").as("new_id"), col("s.doc_id").as("old_id"))
+      .distinct()
+    val agree = (0 until numPerm)
+      .map(i => when(col(s"q.m$i") === col(s"s.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(newSigs.as("q"), col("new_id") === col("q.doc_id"))
+      .join(storedSignatures().as("s"), col("old_id") === col("s.doc_id"))
+      .select(col("new_id"), col("old_id"), agree.as("n_agree"))
+      .withColumn("est_jaccard", col("n_agree").cast("double") / numPerm)
+      .filter(col("est_jaccard") >= minEst)
+  }
+}
