@@ -165,6 +165,42 @@ object DebugProbe {
       println(s"[probe] corpus $total -> prepped $n  splits: $splits  nullRows=$nullRows")
       spark.stop(); return
     }
+    if (names.contains("__mhstore")) {
+      // the MinhashStore claim under test: probe cost scales with the
+      // BATCH, not the indexed corpus. Index 1× and 10× corpora (10
+      // vowel-dialect copies — disjoint near-dup structure, like the
+      // __scale10 documents table), probe the SAME 500-doc batch.
+      import graft.text.MinhashStore
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dialect = "aeioubcdfghjklmnp"
+      val big = (0L until 10L).map { k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", translate(col("text"), "aeiou",
+            dialect.substring(k.toInt, k.toInt + 5)))
+      }.reduce(_ unionByName _)
+      val batch = docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+      def drop(t: String): Unit = Seq("sigs", "bands").foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_$s")
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/${t}_$s"), true)
+      }
+      def run(tag: String, corpus: org.apache.spark.sql.DataFrame): Unit = {
+        drop(s"mh_probe_$tag")
+        val st = new MinhashStore(spark, s"mh_probe_$tag")
+        val t0 = System.nanoTime(); st.write(corpus)
+        val tw = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); val n = st.probe(batch).count()
+        val tp = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] mhstore $tag%-4s index ${corpus.count()}%8d docs " +
+          f"write $tw%6.2fs  probe(500) $tp%6.2fs  hits $n%6d")
+        drop(s"mh_probe_$tag")
+      }
+      run("x1", docs)
+      run("x10", big)
+      spark.stop(); return
+    }
     if (names.contains("__ivfstore")) {
       import graft.vector.{IvfStore, VectorOps}
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -107,6 +107,15 @@ final class Graft(val spark: SparkSession, dir: String) {
     n
   }
 
+  /** Index this corpus's minhash signatures as the incremental
+    * near-dup index ([[text.MinhashStore]]); later batches dedup
+    * against it with `store.probe(newDocs)` — no corpus rescan. */
+  def writeNearDupIndex(table: String): text.MinhashStore = {
+    val store = new text.MinhashStore(spark, table)
+    store.write(documents.select(col("doc_id"), col("text")))
+    store
+  }
+
   /** Materialize the embedding corpus as a probe-prunable ANN index
     * at rest ([[vector.IvfStore]] layout) in one call. */
   def writeIvfIndex(outDir: String, nCells: Int = 16,

@@ -149,6 +149,33 @@ object StreamIngest {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to every
+    * click by the same user in the preceding `within` window — the
+    * symmetric stateful join (each side buffers in the state store
+    * until the other side's watermark passes its join window). The
+    * time-bound condition is what makes state FINITE: with watermarks
+    * on both sides Spark evicts a buffered click once no future
+    * purchase can land in its window, so state is
+    * O(events-per-watermark-horizon), independent of stream length.
+    * An unbounded-condition stream join would grow state forever —
+    * the interval bound is mandatory at 100 TB/day, not a nicety. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      within: String = "1 hour",
+                      delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $within"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("c_ts"), col("p_ts"), col("value"))
+  }
+
   case class KmvIn(g: String, h: Long)
   case class KmvState(mins: Array[Long])
   case class KmvOut(g: String, n_kept: Long, kth_hash: Long, est_distinct: Double)

@@ -64,6 +64,26 @@ class GraftFacadeSpec extends SparkSpec {
     assert(back.filter(col("clean_text").isNull).count() == 0)
   }
 
+  test("writeNearDupIndex: one-call incremental dedup index; probe flags a known dup") {
+    val g = new Graft(spark, sfDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq("sigs", "bands").foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_mh_$s")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/graft_mh_$s"), true)
+    }
+    val store = g.writeNearDupIndex("graft_mh")
+    // replay two indexed docs under fresh ids + one novel doc
+    val batch = g.documents.filter(col("doc_id").isin(1L, 2L))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .union(Seq((2000000L, "wholly novel text unlike the corpus zqxj"))
+        .toDF("doc_id", "text"))
+    val hits = store.probe(batch)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((1000001L, 1L)) && hits.contains((1000002L, 2L)), s"got $hits")
+    assert(!hits.exists(_._1 == 2000000L))
+  }
+
   test("writeIvfIndex: one-call ANN index at rest, probe answers match in-memory") {
     val g = new Graft(spark, sfDir)
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_out").toString
