@@ -868,6 +868,12 @@ object SparkEntry {
 
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(docsT(s, dir))),
 
+    "dedup_minhash_est" -> ((s, dir) =>
+      // LSH candidates scored by signature agreement (est_jaccard =
+      // agree/16) — the estimator MinhashStore.probe applies to its
+      // at-rest index, oracle-checked here as a batch operator
+      Dedup.minhashEstimatedPairs(docsT(s, dir))),
+
     "dedup_jaccard_twostage" -> ((s, dir) =>
       Dedup.ngramJaccardTwoStage(docsT(s, dir))),
 
@@ -1627,6 +1633,17 @@ object SparkEntry {
          WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3""",
 
     "dedup_minhash" -> minhashOracle,
+
+    "dedup_minhash_est" -> {
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$minhashCtes
+         SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS n_agree,
+                CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+         FROM cand c
+         JOIN sig a ON a.doc_id = c.doc_a
+         JOIN sig b ON b.doc_id = c.doc_b"""
+    },
 
     "dedup_jaccard_twostage" -> twoStageOracle,
 

@@ -216,6 +216,36 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs scored by SIGNATURE AGREEMENT instead of an
+    * exact shingle-set verify: est_jaccard = matching components /
+    * numPerm (E[agree/k] = J, Broder'97). This is the verification
+    * [[MinhashStore.probe]] runs against its at-rest index — exposed
+    * as a batch operator so the estimator itself is oracle-checkable.
+    * Cost: O(corpus) signatures + O(candidates) COLUMN comparisons —
+    * no shingle sets are carried to the verify stage at all, which is
+    * the cheapest possible second stage when an estimate suffices
+    * (dedup gates; the exact two-stage verify remains for splits). */
+  def minhashEstimatedPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 16,
+                            bandSize: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, n, numPerm).persist()
+    val bands = minhashBands(sigs, numPerm, bandSize).persist()
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_hash") === col("b.band_hash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until numPerm)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      // n_agree/16: an integer over a power of two — exact in binary,
+      // identical on any engine
+      .withColumn("est_jaccard", col("n_agree").cast("double") / numPerm)
+  }
+
   /** Two-stage near-dup pairs — the 100 TB scale path for Jaccard.
     * Stage 1 generates candidates structurally via MinHash-LSH band
     * collisions (pairs only form inside (band, band-hash) buckets —

@@ -108,6 +108,14 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(("books", "web", 2L), ("web", "web", 1L)))
   }
 
+  test("signature-agreement estimate: exact dups at 1.0, unrelated absent") {
+    val p = Dedup.minhashEstimatedPairs(toyDocs)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(p.find(x => x._1 == 1L && x._2 == 4L).get._3 == 1.0)
+    assert(!p.exists(x => x._1 == 5L || x._2 == 5L))
+  }
+
   test("simhash: identical docs at hamming 0") {
     val p = Dedup.simhashPairs(toyDocs)
       .filter($"doc_a" === 1 && $"doc_b" === 4)
