@@ -250,6 +250,23 @@ object SparkEntry {
           count(lit(1)).as("n_points"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"))),
 
+    "ts_interpolate" -> ((s, dir) =>
+      // grid resampling with linear interpolation (gapFill carries
+      // last-value forward; this estimates AT each hourly instant
+      // between its two neighbors) — one series shuffle serves both
+      // neighbor windows
+      TsOps.interpolate(Series.samples(t(s, dir, "events")))),
+
+    "ts_count_values" -> ((s, dir) =>
+      // PromQL count_values("v", m): series count per distinct sample
+      // value within each event_type family — two-level hash-agg
+      // (distinct (family, value, series) collapses map-side first)
+      Series.samples(t(s, dir, "events"))
+        .select(col("event_type"), col("value"), col("series_id"))
+        .distinct()
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("n_series"))),
+
     "ts_seasonal_profile" -> ((s, dir) =>
       // hour-of-day seasonal profile per series (the daily-pattern
       // extraction behind seasonality-aware alerting): modular time
@@ -1370,6 +1387,40 @@ object SparkEntry {
           SELECT series_id, (ts_us//3600000000)*3600000 AS bucket_ms,
                  CAST(count(*) AS BIGINT) AS n_points,
                  round(quantile_cont(value, 0.9), 6) AS p90
+          FROM s GROUP BY 1, 2""",
+
+    "ts_interpolate" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          b AS (SELECT series_id, min(ts_us) AS lo, max(ts_us) AS hi FROM s GROUP BY 1),
+          g AS (SELECT series_id, unnest(range((lo + 3599999999)//3600000000, hi//3600000000 + 1)) AS gi
+                FROM b WHERE (lo + 3599999999)//3600000000 <= hi//3600000000),
+          u AS (SELECT series_id, ts_us, 0 AS is_grid, event_id, value FROM s
+                UNION ALL
+                SELECT series_id, gi*3600000000 AS ts_us, 1 AS is_grid, -1 AS event_id, NULL AS value FROM g),
+          w AS (SELECT series_id, ts_us, is_grid,
+                  last_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                  last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  first_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
+                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+                  first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+                FROM u)
+          SELECT series_id, ts_us//1000 AS grid_ms,
+                 CASE WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                 END AS value_interp
+          FROM w WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL""",
+
+    "ts_count_values" ->
+      s"""WITH s AS (SELECT DISTINCT event_type, value,
+                       $SeriesIdSql AS series_id FROM events)
+          SELECT event_type, value, CAST(count(*) AS BIGINT) AS n_series
           FROM s GROUP BY 1, 2""",
 
     "ts_seasonal_profile" ->

@@ -136,6 +136,54 @@ object TsOps {
     * spine — 50× at the bench scale), where the naive spine shape
     * pays a spine join plus a carry-forward window sort over the FULL
     * output. The explode is map-side fan-out, never shuffled. */
+  /** Grid resampling with linear interpolation — the TSDB resample
+    * every downsampling/alignment pipeline needs (gapFill carries the
+    * LAST value forward, Prometheus staleness-style; this estimates
+    * the value AT each grid instant between its neighbors). Each
+    * series emits its interior hourly grid (bounded ×hours-of-span
+    * fan-out), the grid rows union with the samples, and ONE
+    * series-shuffle + sort serves both neighbor windows
+    * (last/ignore-nulls back, first/ignore-nulls forward). Edge grid
+    * points without both neighbors drop — interpolation only, no
+    * extrapolation. Determinism: neighbor choice has a total order
+    * (ts, grid-flag, event_id) and the interpolation arithmetic is
+    * one fixed IEEE expression over exact integer timestamps. */
+  def interpolate(samples: DataFrame, gridMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gridUs = gridMs * 1000
+    val grid = samples
+      .groupBy(col("series_id"))
+      .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      .select(col("series_id"), expr(s"(lo + $gridUs - 1) div $gridUs").as("g0"),
+        expr(s"hi div $gridUs").as("g1"))
+      // guard g0 <= g1: Spark's sequence(a, b) REVERSES when a > b (a
+      // sub-hour series would fabricate grid points outside its span)
+      .filter(col("g0") <= col("g1"))
+      .select(col("series_id"), explode(sequence(col("g0"), col("g1"))).as("g"))
+      .select(col("series_id"), (col("g") * gridUs).as("ts_us"),
+        lit(1).as("is_grid"), lit(-1L).as("event_id"),
+        lit(null).cast("double").as("value"))
+    val pts = samples
+      .select(col("series_id"), col("ts_us"), lit(0).as("is_grid"),
+        col("event_id"), col("value"))
+    val ord = Seq(col("ts_us"), col("is_grid"), col("event_id"))
+    val wb = Window.partitionBy(col("series_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("series_id")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pts.unionByName(grid)
+      .withColumn("pt", last(when(col("is_grid") === 0, col("ts_us")), ignoreNulls = true).over(wb))
+      .withColumn("pv", last(when(col("is_grid") === 0, col("value")), ignoreNulls = true).over(wb))
+      .withColumn("nt", first(when(col("is_grid") === 0, col("ts_us")), ignoreNulls = true).over(wf))
+      .withColumn("nv", first(when(col("is_grid") === 0, col("value")), ignoreNulls = true).over(wf))
+      .filter(col("is_grid") === 1 && col("pt").isNotNull && col("nt").isNotNull)
+      .select(col("series_id"), expr("ts_us div 1000").as("grid_ms"),
+        when(col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("ts_us") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double")))
+          .as("value_interp"))
+  }
+
   def gapFill(samples: DataFrame, bucketMs: Long = 3600000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketUs = bucketMs * 1000

@@ -277,6 +277,36 @@ class TsOpsSpec extends SparkSpec {
     assert(out == Seq((86400000L, 8.0, 4.0, 2.0)))
   }
 
+  test("interpolate: hourly grid values between neighbors, no extrapolation") {
+    val hrNs = 3600000000000L
+    // one series: samples at 0:30→10 and 2:30→30. Interior grid
+    // points 1:00 and 2:00 interpolate linearly; no grid at 0:00/3:00.
+    val ev = Seq(
+      (1L, hrNs / 2, 1L, "c", 10.0),
+      (2L, 5 * hrNs / 2, 1L, "c", 30.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.interpolate(Series.samples(ev))
+      .select("grid_ms", "value_interp")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((3600000L, 15.0), (7200000L, 25.0)))
+  }
+
+  test("interpolate: grid point at an exact sample takes its value; sub-hour span is empty") {
+    val hrNs = 3600000000000L
+    val ev = Seq(
+      (1L, hrNs, 1L, "c", 7.0),       // exactly 1:00
+      (2L, 2 * hrNs, 1L, "c", 9.0),   // exactly 2:00
+      (3L, 100L, 2L, "c", 1.0),       // user 2: sub-hour span
+      (4L, 200L, 2L, "c", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.interpolate(Series.samples(ev))
+      .select("series_id", "grid_ms", "value_interp")
+      .as[(String, Long, Double)].collect().toSeq
+    // user 2 contributes nothing; user 1's 1:00 grid = 7.0 (2:00 has
+    // no forward neighbor → dropped, interpolation only)
+    assert(out.map(r => (r._2, r._3)) == Seq((3600000L, 7.0)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
