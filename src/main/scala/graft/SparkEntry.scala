@@ -1391,31 +1391,17 @@ object SparkEntry {
 
     "ts_interpolate" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
-          b AS (SELECT series_id, min(ts_us) AS lo, max(ts_us) AS hi FROM s GROUP BY 1),
-          g AS (SELECT series_id, unnest(range((lo + 3599999999)//3600000000, hi//3600000000 + 1)) AS gi
-                FROM b WHERE (lo + 3599999999)//3600000000 <= hi//3600000000),
-          u AS (SELECT series_id, ts_us, 0 AS is_grid, event_id, value FROM s
-                UNION ALL
-                SELECT series_id, gi*3600000000 AS ts_us, 1 AS is_grid, -1 AS event_id, NULL AS value FROM g),
-          w AS (SELECT series_id, ts_us, is_grid,
-                  last_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
-                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
-                  last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
-                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-                  first_value(CASE WHEN is_grid = 0 THEN ts_us END IGNORE NULLS)
-                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
-                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
-                  first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
-                    OVER (PARTITION BY series_id ORDER BY ts_us, is_grid, event_id
-                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
-                FROM u)
-          SELECT series_id, ts_us//1000 AS grid_ms,
-                 CASE WHEN nt = pt THEN pv
-                      ELSE pv + (nv - pv) * (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
-                 END AS value_interp
-          FROM w WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL""",
+          p AS (SELECT series_id, ts_us AS pt, value AS pv,
+                  lead(ts_us) OVER w AS nt, lead(value) OVER w AS nv
+                FROM s
+                WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id)),
+          g AS (SELECT series_id, pt, pv, nt, nv,
+                  unnest(range(pt//3600000000 + 1, nt//3600000000 + 1)) AS gi
+                FROM p WHERE nt IS NOT NULL)
+          SELECT series_id, gi*3600000 AS grid_ms,
+                 pv + (nv - pv) * (CAST(gi*3600000000 - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                   AS value_interp
+          FROM g""",
 
     "ts_count_values" ->
       s"""WITH s AS (SELECT DISTINCT event_type, value,

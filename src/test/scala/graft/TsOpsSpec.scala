@@ -291,20 +291,21 @@ class TsOpsSpec extends SparkSpec {
     assert(out == Seq((3600000L, 15.0), (7200000L, 25.0)))
   }
 
-  test("interpolate: grid point at an exact sample takes its value; sub-hour span is empty") {
+  test("interpolate: pair ownership is half-open (pt, nt]; gap-free pairs emit nothing") {
     val hrNs = 3600000000000L
     val ev = Seq(
       (1L, hrNs, 1L, "c", 7.0),       // exactly 1:00
       (2L, 2 * hrNs, 1L, "c", 9.0),   // exactly 2:00
-      (3L, 100L, 2L, "c", 1.0),       // user 2: sub-hour span
+      (3L, 100L, 2L, "c", 1.0),       // user 2: sub-hour pair — no grid inside
       (4L, 200L, 2L, "c", 2.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     val out = TsOps.interpolate(Series.samples(ev))
       .select("series_id", "grid_ms", "value_interp")
       .as[(String, Long, Double)].collect().toSeq
-    // user 2 contributes nothing; user 1's 1:00 grid = 7.0 (2:00 has
-    // no forward neighbor → dropped, interpolation only)
-    assert(out.map(r => (r._2, r._3)) == Seq((3600000L, 7.0)))
+    // user 2 contributes nothing; user 1's pair (1:00, 2:00] owns the
+    // 2:00 instant → interpolated at frac=1 (the right endpoint);
+    // 1:00 itself is unowned (grid before the first sample never emits)
+    assert(out.map(r => (r._2, r._3)) == Seq((7200000L, 9.0)))
   }
 
   test("gorilla pack/unpack is lossless through Spark") {
