@@ -101,6 +101,7 @@ object DebugProbe {
         // re-aggregation), per-dimension embedding explode, and the
         // q21 join-free per-order reshape over a 10× order space
         ("subquery_rate", p => graft.tsdb.TsOps.subqueryMaxRate(ev(p)).count()),
+        ("interpolate", p => graft.tsdb.TsOps.interpolate(ev(p)).count()),
         ("offset_ratio", p => graft.tsdb.TsOps.offsetRatio(ev(p)).count()),
         ("dim_stats", p => graft.vector.VectorOps.dimStats(emb(p)).count()),
         ("q21_reshape", p => {
@@ -129,6 +130,7 @@ object DebugProbe {
         "engagement" -> ("events", () => eventsP),
         "range_join" -> ("events", () => eventsP),
         "subquery_rate" -> ("events", () => eventsP),
+        "interpolate" -> ("events", () => eventsP),
         "offset_ratio" -> ("events", () => eventsP),
         "dim_stats" -> ("embeddings", () => embP),
         "q21_reshape" -> ("lineitem", () => liP))

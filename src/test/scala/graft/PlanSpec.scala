@@ -153,6 +153,16 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("ts_interpolate: one window over samples; the grid never re-sorts") {
+    val df = SparkEntry.queries("ts_interpolate")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(p).length == 1,
+      "grid rows flowed through an extra window pass:\n" + p.take(1200))
+    // Generate (the grid explode) must sit ABOVE the window, not below
+    assert(p.indexOf("Generate") < p.indexOf("Window"), p.take(1200))
+  }
+
   test("ts_vector_ratio: binary-op vector matching is ONE agg pass — no join anywhere") {
     val p = plan("ts_vector_ratio")
     assert(!p.contains("Join"), "vector matching fell back to a self-join:\n" + p.take(1200))
