@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver benchmark: every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout AND the same JSON at
+  * target/bench.json.
   *
   * Measurement discipline (round-3 fixes):
   *  - each query is FULLY evaluated through a `noop` sink — a bare
@@ -16,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   *    number a resident engine would serve; run 1 pays JIT/codegen
   *    and populates the operator's declared caches, exactly once per
   *    session like a production deployment would.
+  *
+  * Round-5 fixes (r4's telemetry failed, not the code):
+  *  - the JSON also lands in target/bench.json — r4's stdout line
+  *    outgrew the driver's log-tail capture and truncated mid-map;
+  *  - the stdout line is summary-first (total + families BEFORE the
+  *    102-entry per-query map) so any future truncation still keeps
+  *    the headline;
+  *  - spark.catalog.clearCache() at each family boundary — the 102
+  *    queries persist dozens of frames (shingle sets, band/sig
+  *    frames, pair blocks); under a constrained heap the accumulated
+  *    cache tips into eviction/GC thrash and inflates later families
+  *    non-uniformly. Clearing per family bounds the footprint and
+  *    makes family subtotals independent of run order. Within a
+  *    family the shared caches still amortize, same as a resident
+  *    engine serving that workload.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,10 +58,16 @@ object Bench {
       catch { case _: Throwable => return None }
       Some((System.nanoTime() - t0) / 1e9)
     }
+    def family(name: String): String = name.takeWhile(_ != '_')
     // min over the SUCCESSFUL runs; a query only reports -1 when both
     // runs fail, and failures never deflate the total (they'd silently
     // read as a perf win otherwise)
+    var prevFamily = ""
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      if (family(name) != prevFamily) {
+        spark.catalog.clearCache()
+        prevFamily = family(name)
+      }
       val runs = Seq(once(name), once(name)).flatten
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
@@ -55,13 +77,21 @@ object Bench {
     // per-family subtotals (prefix before the first '_') — at 90+
     // queries the flat map stops being readable; families keep the
     // round-over-round comparison tractable
-    val fams = results.groupBy { case (k, _) => k.takeWhile(_ != '_') }
+    val fams = results.groupBy { case (k, _) => family(k) }
       .toSeq.sortBy(_._1)
       .map { case (f, rs) =>
         s"\"" + f + "\":" + math.round(rs.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
       }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir"}""")
+    // summary-first: total and families lead, the long per-query map
+    // trails — a tail-truncated capture still reads the headline
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","families":$fams,"queries":$qs}"""
+    println(json)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case _: Throwable => } // stdout already carries the result
     spark.stop()
   }
 }

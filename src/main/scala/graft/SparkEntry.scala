@@ -1433,8 +1433,12 @@ object SparkEntry {
          FROM k""",
 
     "events_props_json" ->
+      // json_extract (->>) parses the payload SEMANTICALLY, matching
+      // Spark's from_json — a regexp oracle was lexically coupled to
+      // one serialization (mandatory space, bare non-negative int) and
+      // would diverge, not fail, on valid-JSON format drift
       """WITH e AS (SELECT event_type,
-                      CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+                      CAST(props->>'k' AS BIGINT) AS k
                     FROM events)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(k) AS BIGINT) AS sum_k,
@@ -2180,12 +2184,15 @@ object SparkEntry {
          FROM nm GROUP BY 1""",
 
     "emb_dim_stats" ->
+      // count(x), not count(*): Spark's posexplode emits only real
+      // elements, so a shorter-than-64-dim vector must shrink n here
+      // too instead of silently counting a NULL out-of-range index
       """WITH e AS (SELECT t.i AS dim, CAST(embedding AS DOUBLE[])[t.i] AS x
                     FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t)
-         SELECT dim, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v,
+         SELECT dim, CAST(count(x) AS BIGINT) AS n,
+                CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(x) AS mean_v,
                 min(x) AS min_v, max(x) AS max_v
-         FROM e GROUP BY 1""",
+         FROM e WHERE x IS NOT NULL GROUP BY 1""",
 
     "emb_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label, t.i AS dim,

@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.tsdb.ChunkStore
+
+/** HTTP front door for the Prometheus remote read/write pair — the
+  * last uncovered reference behavior (reference src/server.rs:47-131:
+  * a tiny_http server + rayon worker pool that triages requests by
+  * URL path into a write branch and a read branch and answers
+  * snappy-compressed protobuf).
+  *
+  * Spark-first placement: the listener is a thin wire boundary. A
+  * write request is decoded once ([[RemoteWrite.decode]]) and becomes
+  * a normal [[ChunkStore.append]] — clustering, chunk routing and the
+  * closed-chunk guard all run as the store's existing distributed
+  * plan. A read request runs [[RemoteRead.serve]] — matcher
+  * resolution, partition pruning and Gorilla decode are the store's
+  * federated query plan; only the bounded wire response materializes
+  * on the driver. No query logic lives in the handler.
+  *
+  * JDK `com.sun.net.httpserver` keeps the dependency budget at zero
+  * (build constraint: no new libraryDependencies). Like the
+  * reference, requests are handled on a fixed worker pool; UNLIKE the
+  * reference's sled backend, parquet appends to one store path must
+  * not race (two concurrent Spark append jobs share a staging
+  * protocol), so writes serialize on a store-level lock — the
+  * parallelism lives inside each append job (one task per
+  * (chunk, salt) cluster), not across HTTP requests. Reads are
+  * lock-free and concurrent.
+  *
+  * Status mapping: 200 read hit / write accepted, 400 malformed
+  * payload (the reference folds this into 500; a malformed payload is
+  * malformed on every retry, so the client error code is the honest
+  * one), 404 unknown path, 500 internal failure.
+  */
+final class HttpEndpoint(
+    spark: SparkSession,
+    store: ChunkStore,
+    port: Int = 0, // 0 = ephemeral (spec-friendly); fixed in production
+    readPath: String = "/api/v1/read",
+    writePath: String = "/api/v1/write",
+    workerNum: Int = 4) {
+
+  private val writeLock = new Object
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(workerNum))
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try route(ex)
+      finally ex.close()
+  })
+
+  /** Bind and serve; returns the bound port (resolves port=0). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+
+  def stop(): Unit = server.stop(0)
+
+  private def route(ex: HttpExchange): Unit = {
+    val body =
+      try ex.getRequestBody.readAllBytes()
+      catch { case _: Exception => ex.sendResponseHeaders(400, -1); return }
+    ex.getRequestURI.getPath match {
+      case p if p == writePath => handleWrite(ex, body)
+      case p if p == readPath => handleRead(ex, body)
+      case _ => ex.sendResponseHeaders(404, -1)
+    }
+  }
+
+  private def handleWrite(ex: HttpExchange, body: Array[Byte]): Unit =
+    try {
+      import spark.implicits._
+      // decode validity is checked at the boundary (a malformed
+      // payload answers 400 BEFORE any Spark job starts); the
+      // DataFrame path re-decodes inside the job where the real
+      // columnar explode happens
+      if (RemoteWrite.decode(body).isEmpty) { ex.sendResponseHeaders(400, -1); return }
+      val payloads = Seq(body).toDF("payload")
+      writeLock.synchronized {
+        store.append(RemoteWrite.toEventSamples(payloads))
+      }
+      ex.sendResponseHeaders(200, -1)
+    } catch {
+      case _: IllegalArgumentException | _: java.io.IOException =>
+        ex.sendResponseHeaders(400, -1)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  private def handleRead(ex: HttpExchange, body: Array[Byte]): Unit =
+    try {
+      val resp = RemoteRead.serve(store, body)
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.getResponseHeaders.set("Content-Encoding", "snappy")
+      ex.sendResponseHeaders(200, resp.length.toLong)
+      ex.getResponseBody.write(resp)
+    } catch {
+      case _: IllegalArgumentException | _: java.io.IOException =>
+        ex.sendResponseHeaders(400, -1)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+}

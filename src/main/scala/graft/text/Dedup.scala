@@ -227,6 +227,13 @@ object Dedup {
     * (dedup gates; the exact two-stage verify remains for splits). */
   def minhashEstimatedPairs(docs: DataFrame, n: Int = 3, numPerm: Int = 16,
                             bandSize: Int = 4): DataFrame = {
+    // sigs/bands persist WITHOUT a paired unpersist — deliberately,
+    // the same idiom as minhashLshPairs: Spark's CacheManager matches
+    // canonicalized plans, so every dedup-family query in a session
+    // shares these frames instead of re-aggregating signatures. The
+    // cost is cache residency for the session; a long-lived driver
+    // bounds it with spark.catalog.clearCache() between workloads
+    // (exactly what Bench does at family boundaries).
     val sigs = minhashSignatures(docs, n, numPerm).persist()
     val bands = minhashBands(sigs, numPerm, bandSize).persist()
     val cand = bands.as("a")

@@ -37,9 +37,40 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
   private def sigsTable = s"${table}_sigs"
   private def bandsTable = s"${table}_bands"
 
+  private def paramProps: Seq[(String, String)] = Seq(
+    "graft.minhash.n" -> n.toString,
+    "graft.minhash.numPerm" -> numPerm.toString,
+    "graft.minhash.bandSize" -> bandSize.toString,
+    "graft.minhash.nBuckets" -> nBuckets.toString)
+
+  /** Appending with DIFFERENT parameters than the index was built
+    * with silently corrupts it — band hashes from another
+    * (n, numPerm, bandSize) are incompatible, so probes would silently
+    * miss dups in older generations. Every write stamps the params as
+    * table properties; every append checks them (plus the physical
+    * schema and bucket spec as a backstop) and fails loudly. */
+  private def requireCompatible(): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(sigsTable))
+    paramProps.foreach { case (k, v) =>
+      meta.properties.get(k).foreach(existing => require(existing == v,
+        s"MinhashStore($table): existing index has $k=$existing, this store uses " +
+          s"$v — append would mix incompatible generations (probes silently miss " +
+          "older dups); recreate with mode=overwrite or match the parameters"))
+    }
+    val existingPerm = meta.schema.fieldNames.count(_.matches("m\\d+"))
+    require(existingPerm == numPerm,
+      s"MinhashStore($table): existing sigs table has $existingPerm minhash " +
+        s"columns, this store uses numPerm=$numPerm")
+    meta.bucketSpec.foreach(b => require(b.numBuckets == nBuckets,
+      s"MinhashStore($table): existing sigs table has ${b.numBuckets} buckets, " +
+        s"this store uses nBuckets=$nBuckets"))
+  }
+
   /** Index a document batch (doc_id, text). `append` adds a new
     * generation to the existing index. */
   def write(docs: DataFrame, mode: String = "append"): Unit = {
+    if (mode == "append" && spark.catalog.tableExists(sigsTable)) requireCompatible()
     // persisted: both tables derive from one signature aggregation —
     // and bands MUST come from the batch frame, not a read-back of the
     // sigs table (an append would re-band every earlier generation)
@@ -54,6 +85,11 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
       .format("parquet")
       .saveAsTable(bandsTable)
     sigs.unpersist()
+    // stamp the build parameters so a later mismatched append fails
+    // loudly in requireCompatible instead of corrupting the index
+    val props = paramProps.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    Seq(sigsTable, bandsTable).foreach(t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ($props)"))
   }
 
   def storedBands(): DataFrame = spark.table(bandsTable)
@@ -64,6 +100,11 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
     * batch's signatures are computed; the corpus contributes its
     * stored tables in bucket order. */
   def probe(newDocs: DataFrame, minEst: Double = 0.5): DataFrame = {
+    // the batch signature frame persists only for the duration of this
+    // call: the result (bounded by the batch's dup count) materializes
+    // eagerly below, then the signatures release — a long-lived driver
+    // probing many batches must not accumulate a cached sig frame per
+    // batch for the session lifetime
     val newSigs = Dedup.minhashSignatures(newDocs, n, numPerm).persist()
     val newBands = Dedup.minhashBands(newSigs, numPerm, bandSize)
     val cand = newBands.as("q")
@@ -75,11 +116,15 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
     val agree = (0 until numPerm)
       .map(i => when(col(s"q.m$i") === col(s"s.m$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand
+    val out = cand
       .join(newSigs.as("q"), col("new_id") === col("q.doc_id"))
       .join(storedSignatures().as("s"), col("old_id") === col("s.doc_id"))
       .select(col("new_id"), col("old_id"), agree.as("n_agree"))
       .withColumn("est_jaccard", col("n_agree").cast("double") / numPerm)
       .filter(col("est_jaccard") >= minEst)
+      .persist()
+    out.count() // materialize so the batch signatures can release now
+    newSigs.unpersist(blocking = false)
+    out
   }
 }

@@ -26,11 +26,29 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Enforced baseline-only contract for the two all-pairs operators:
+    * they exist as exact oracles for the LSH/IVF scale paths and must
+    * never silently become the default on a large corpus. The probe is
+    * a LocalLimit count (stops at maxRows+1 — never a full scan), so
+    * the guard itself is O(maxRows) even on a 100 TB input. */
+  private def requireBaselineScale(corpus: DataFrame, op: String, scaleOp: String,
+                                   maxRows: Long, force: Boolean): Unit =
+    if (!force) {
+      val probe = corpus.select(lit(1)).limit(maxRows.toInt + 1).count()
+      require(probe <= maxRows,
+        s"$op is a brute-force BASELINE (all-pairs cost) and its input exceeds " +
+          s"$maxRows rows; use $scaleOp as the scale path, or pass force=true to " +
+          "run the baseline anyway (e.g. as an oracle over a sampled slice)")
+    }
+
   /** Exact cosine top-k of `corpus` rows for each row of `queries`
     * (both: vec_id, v: array<double>). Scores rounded to `roundTo`
     * decimals; total order (score desc, vec_id asc). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-                 roundTo: Int = 6): DataFrame = {
+                 roundTo: Int = 6, maxRows: Long = 1000000L,
+                 force: Boolean = false): DataFrame = {
+    requireBaselineScale(corpus, "cosineTopK", "lshTopK / IvfStore.topK",
+      maxRows, force)
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv")))
     val scored = corpus
       .crossJoin(q)
@@ -50,7 +68,10 @@ object VectorOps {
     * ≥ threshold). Brute-force all-pairs — correct baseline; at 100 TB
     * restrict the pair space first with [[lshBuckets]] (same-bucket
     * pairs only) and use this as the rerank. */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, roundTo: Int = 6): DataFrame = {
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, roundTo: Int = 6,
+                         maxRows: Long = 100000L, force: Boolean = false): DataFrame = {
+    requireBaselineScale(corpus, "cosineNearDupPairs", "lshNearDupPairs",
+      maxRows, force)
     val a = corpus.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))

@@ -1,0 +1,83 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.Files
+
+import graft.sources.{HttpEndpoint, RemoteRead, RemoteWrite}
+import graft.tsdb.{ChunkStore, MatchEq}
+
+/** End-to-end HTTP drill against a LIVE port: remote-write a payload
+  * through the listener into a ChunkStore, then remote-read it back
+  * over the same socket and compare decoded samples — the reference's
+  * serve() loop (src/server.rs:47-131) behavior, including the
+  * path-triage 404 and the malformed-payload rejection. */
+class HttpEndpointSpec extends SparkSpec {
+
+  private val t0 = 1704067200000L // 2024-01-01 00:00 UTC, ms
+
+  private def post(port: Int, path: String, body: Array[Byte]): (Int, Array[Byte]) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val bytes =
+      if (stream == null) Array.empty[Byte]
+      else try stream.readAllBytes() finally stream.close()
+    conn.disconnect()
+    (code, bytes)
+  }
+
+  test("HTTP write → store → HTTP read roundtrip on a live port") {
+    val storeDir = Files.createTempDirectory("graft_http_store").toString
+    val store = new ChunkStore(spark, storeDir)
+    val endpoint = new HttpEndpoint(spark, store)
+    val port = endpoint.start()
+    try {
+      val in: Seq[RemoteWrite.Series] = Seq(
+        (Map("event_type" -> "click", "user_id" -> "1"),
+          (0 until 10).map(i => (t0 + i * 60000L, i * 1.5 + 1))),
+        (Map("event_type" -> "purchase", "user_id" -> "2"),
+          (0 until 4).map(i => (t0 + 30000L + i * 60000L, i * 2.0))))
+      val (wCode, _) = post(port, "/api/v1/write", RemoteWrite.encode(in))
+      assert(wCode == 200)
+
+      // the write really landed in the store's distributed layout
+      val us0 = t0 * 1000
+      assert(store.queryAll(Seq(MatchEq("event_type", "click")),
+        us0, us0 + 3600L * 1000000).count() == 10)
+
+      // read back over the wire: one query, EQ matcher, full range
+      val req = RemoteRead.encodeRequest(Seq(
+        (t0, t0 + 3600000L, Seq(MatchEq("event_type", "click")))))
+      val (rCode, respBytes) = post(port, "/api/v1/read", req)
+      assert(rCode == 200)
+      val results = RemoteRead.decodeResponse(respBytes)
+      assert(results.size == 1)
+      val clickSeries = results.head
+      assert(clickSeries.size == 1)
+      val (labels, samples) = clickSeries.head
+      assert(labels("event_type") == "click" && labels("user_id") == "1")
+      assert(samples == in.head._2) // time-ascending, values intact
+    } finally endpoint.stop()
+  }
+
+  test("path triage 404s unknown paths; malformed payloads answer 400") {
+    val storeDir = Files.createTempDirectory("graft_http_404").toString
+    val endpoint = new HttpEndpoint(spark, new ChunkStore(spark, storeDir))
+    val port = endpoint.start()
+    try {
+      assert(post(port, "/nope", Array[Byte](1, 2, 3))._1 == 404)
+      // not snappy: the decode boundary rejects before any Spark job
+      assert(post(port, "/api/v1/write", Array[Byte](1, 2, 3))._1 == 400)
+      assert(post(port, "/api/v1/read", Array[Byte](1, 2, 3))._1 == 400)
+      // snappy-valid but empty WriteRequest: reference logs "Empty
+      // request" and errors; here it is the same 400 class
+      val empty = org.xerial.snappy.Snappy.compress(Array.empty[Byte])
+      assert(post(port, "/api/v1/write", empty)._1 == 400)
+    } finally endpoint.stop()
+  }
+}

@@ -67,6 +67,22 @@ class MinhashStoreSpec extends SparkSpec {
     assert(viaStore == expected, s"store=$viaStore vs lsh=$expected")
   }
 
+  test("appending with different parameters fails loudly instead of corrupting") {
+    val store = freshStore("mh_guard")
+    store.write(gen1)
+    // a store with a different permutation count over the same tables:
+    // its band hashes are incompatible with generation 1, so append
+    // must refuse — probes would silently miss gen-1 dups otherwise
+    val mismatched = new MinhashStore(spark, "mh_guard", numPerm = 32, bandSize = 8)
+    val err = intercept[IllegalArgumentException] {
+      mismatched.write(gen2)
+    }
+    assert(err.getMessage.contains("numPerm"), err.getMessage)
+    // same parameters still append fine (the guard is not a tripwire)
+    store.write(gen2)
+    assert(store.probe(batch, minEst = 0.5).count() == 2)
+  }
+
   test("the stored bands side joins from its bucket layout without shuffling") {
     // broadcast + AQE off so the sf-agnostic join shape appears: at
     // 100 TB neither index side broadcasts, and the claim under test

@@ -21,6 +21,24 @@ class VectorSpec extends SparkSpec {
     assert(r(0)._2 > 0.99 && r(2)._2 == 0.0 && r(3)._2 == -1.0)
   }
 
+  test("brute-force baselines refuse oversized corpora unless forced") {
+    // the guard is the enforced baseline-only contract: these two are
+    // quadratic by construction and must never silently run at scale
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.cosineTopK(toy, toy.limit(1), maxRows = 3)
+    }
+    assert(e1.getMessage.contains("lshTopK"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.cosineNearDupPairs(toy, 0.9, maxRows = 3)
+    }
+    assert(e2.getMessage.contains("lshNearDupPairs"), e2.getMessage)
+    // force=true keeps the oracle usable on a deliberately-sampled slice
+    assert(VectorOps.cosineTopK(toy, toy.limit(1), k = 2, maxRows = 3,
+      force = true).count() == 2)
+    assert(VectorOps.cosineNearDupPairs(toy, 0.99, maxRows = 3,
+      force = true).count() >= 1)
+  }
+
   test("cellSummary: occupancy covers the corpus, norms aggregate exactly") {
     // nCells=2 → centroids = vecs 0,1 (lowest ids); all of 0,1,4 lean
     // to their best-cos cell, 2 is orthogonal, 3 antipodal
