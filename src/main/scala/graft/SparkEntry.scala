@@ -718,6 +718,25 @@ object SparkEntry {
     "ts_stddev_over_time" -> ((s, dir) =>
       TsOps.stddevOverTime(Series.samples(t(s, dir, "events")))),
 
+    // PromQL *_over_time instant-vector completions over one 12h range
+    // vector (same window as ts_absent): one shared aggregation shape,
+    // each function projecting its column — count/min/max are
+    // associative, so the pass is map-side-partial at any scale
+    "ts_count_over_time" -> ((s, dir) =>
+      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+        T1, T1 + 12L * 3600 * 1000000)
+        .select("series_id", "n_points")),
+
+    "ts_min_over_time" -> ((s, dir) =>
+      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+        T1, T1 + 12L * 3600 * 1000000)
+        .select("series_id", "min_value")),
+
+    "ts_max_over_time" -> ((s, dir) =>
+      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+        T1, T1 + 12L * 3600 * 1000000)
+        .select("series_id", "max_value")),
+
     "ts_absent" -> ((s, dir) => {
       // PromQL absent(): catalog series with no sample in a 12h window
       val ev = t(s, dir, "events")
@@ -1924,6 +1943,21 @@ object SparkEntry {
           SELECT series_id, n_points, s1 / n_points AS avg_value,
                  sqrt(greatest(s2 / n_points - (s1 / n_points) * (s1 / n_points), 0.0)) AS stddev_value
           FROM agg""",
+
+    "ts_count_over_time" ->
+      s"""SELECT $SeriesIdSql AS series_id, CAST(count(*) AS BIGINT) AS n_points
+          FROM events WHERE epoch_us(ts) BETWEEN $T1 AND ${T1 + 12L * 3600 * 1000000}
+          GROUP BY 1""",
+
+    "ts_min_over_time" ->
+      s"""SELECT $SeriesIdSql AS series_id, min(value) AS min_value
+          FROM events WHERE epoch_us(ts) BETWEEN $T1 AND ${T1 + 12L * 3600 * 1000000}
+          GROUP BY 1""",
+
+    "ts_max_over_time" ->
+      s"""SELECT $SeriesIdSql AS series_id, max(value) AS max_value
+          FROM events WHERE epoch_us(ts) BETWEEN $T1 AND ${T1 + 12L * 3600 * 1000000}
+          GROUP BY 1""",
 
     "ts_absent" ->
       s"""WITH cat AS (SELECT DISTINCT $SeriesIdSql AS series_id, event_type, user_id FROM events),

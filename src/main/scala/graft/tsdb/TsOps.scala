@@ -250,6 +250,21 @@ object TsOps {
             (col("s1") / col("n_points")) * (col("s1") / col("n_points")),
           lit(0.0))).as("stddev_value"))
 
+  /** PromQL `count_over_time` / `min_over_time` / `max_over_time` on
+    * one range vector: a single aggregation pass per series over
+    * [startUs, endUs]. count/min/max are all associative and
+    * duplicate-order-insensitive, so partial (map-side) aggregation
+    * reduces the shuffle to one row per (partition, series) at any
+    * corpus scale; the range filter prunes at the scan. */
+  def overTimeStats(samples: DataFrame, startUs: Long, endUs: Long): DataFrame =
+    samples
+      .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
   /** PromQL `absent()` over a range: catalog series with NO sample in
     * [startUs, endUs]. The present set is a range-pruned distinct of
     * series ids — tiny next to the catalog — so the anti-join

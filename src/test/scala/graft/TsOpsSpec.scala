@@ -58,6 +58,17 @@ class TsOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(3.0, 10.0))
   }
 
+  test("overTimeStats: count/min/max over the inclusive range, absent series omitted") {
+    // window [1s, 2s] (us): click samples 1.0@1s, 3.0@2s in range;
+    // view has only 10.0@1.5s in range (20.0 is far outside)
+    val r = TsOps.overTimeStats(Series.samples(toyEvents), 1000000L, 2000000L)
+      .select("n_points", "min_value", "max_value")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(r == Set((2L, 1.0, 3.0), (1L, 10.0, 10.0)))
+    // a window with no samples at all yields no rows, not zeros
+    assert(TsOps.overTimeStats(Series.samples(toyEvents), 0L, 500000L).count() == 0)
+  }
+
   test("downsample buckets by hour with exact sums") {
     val d = TsOps.downsample(Series.samples(toyEvents))
     // first four events share hour bucket 0; the fifth is far out
