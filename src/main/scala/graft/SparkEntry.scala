@@ -737,6 +737,18 @@ object SparkEntry {
         T1, T1 + 12L * 3600 * 1000000)
         .select("series_id", "max_value")),
 
+    "ts_sum_over_time" -> ((s, dir) =>
+      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+        T1, T1 + 12L * 3600 * 1000000)
+        .select("series_id", "sum_value")),
+
+    "ts_avg_over_time" -> ((s, dir) =>
+      // avg as one fixed expression over the exact decimal sum — the
+      // same determinism rule every mean in the engine follows
+      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+        T1, T1 + 12L * 3600 * 1000000)
+        .select("series_id", "n_points", "avg_value")),
+
     "ts_absent" -> ((s, dir) => {
       // PromQL absent(): catalog series with no sample in a 12h window
       val ev = t(s, dir, "events")
@@ -978,6 +990,8 @@ object SparkEntry {
 
     "doc_commonness" -> ((s, dir) => TextOps.commonness(docsT(s, dir))),
 
+    "doc_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(docsT(s, dir))),
+
     "doc_quality_gate" -> ((s, dir) => TextOps.qualityGate(docsT(s, dir))),
 
     "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docsT(s, dir), 10)),
@@ -1042,6 +1056,13 @@ object SparkEntry {
       // component) — the whitening statistics pass; one bounded
       // explode + one 64-group aggregation
       VectorOps.dimStats(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
+    "emb_covariance" -> ((s, dir) =>
+      // dimension-pair covariance (upper triangle) — the PCA/whitening
+      // input; pair products built map-side per row, corpus never
+      // self-joins
+      VectorOps.covariance(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
 
     "emb_centroids" -> ((s, dir) =>
@@ -1959,6 +1980,18 @@ object SparkEntry {
           FROM events WHERE epoch_us(ts) BETWEEN $T1 AND ${T1 + 12L * 3600 * 1000000}
           GROUP BY 1""",
 
+    "ts_sum_over_time" ->
+      s"""SELECT $SeriesIdSql AS series_id,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+          FROM events WHERE epoch_us(ts) BETWEEN $T1 AND ${T1 + 12L * 3600 * 1000000}
+          GROUP BY 1""",
+
+    "ts_avg_over_time" ->
+      s"""SELECT $SeriesIdSql AS series_id, CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_value
+          FROM events WHERE epoch_us(ts) BETWEEN $T1 AND ${T1 + 12L * 3600 * 1000000}
+          GROUP BY 1""",
+
     "ts_absent" ->
       s"""WITH cat AS (SELECT DISTINCT $SeriesIdSql AS series_id, event_type, user_id FROM events),
           p AS (SELECT DISTINCT $SeriesIdSql AS series_id FROM events
@@ -2101,6 +2134,18 @@ object SparkEntry {
                 CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df
          FROM dt JOIN df USING (term) GROUP BY 1""",
 
+    "doc_unigram_logprob" ->
+      """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM t0 GROUP BY 1),
+         n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+         lp AS (SELECT t0.doc_id,
+                       CAST(round(ln(CAST(tf.tf AS DOUBLE) / n.total), 6) AS DECIMAL(18,6)) AS lp6
+                FROM t0 JOIN tf USING (term), n)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(lp6) AS DOUBLE) AS sum_logprob,
+                CAST(sum(lp6) AS DOUBLE) / count(*) AS mean_logprob
+         FROM lp GROUP BY 1""",
+
     "doc_quality_gate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
@@ -2227,6 +2272,20 @@ object SparkEntry {
                 CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(x) AS mean_v,
                 min(x) AS min_v, max(x) AS max_v
          FROM e WHERE x IS NOT NULL GROUP BY 1""",
+
+    "emb_covariance" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+         x AS (SELECT vec_id, t.i AS d, CAST(round(arr[t.i], 6) AS DECIMAL(18,6)) AS x
+               FROM e, (SELECT unnest(range(1, 65)) AS i) t),
+         m AS (SELECT d, CAST(sum(x) AS DOUBLE) AS sx FROM x GROUP BY 1),
+         p AS (SELECT a.d AS di, b.d AS dj, a.x * b.x AS prod
+               FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d),
+         g AS (SELECT di, dj, CAST(count(prod) AS BIGINT) AS n,
+                      CAST(sum(prod) AS DOUBLE) AS sxy
+               FROM p GROUP BY 1, 2)
+         SELECT g.di, g.dj, g.n, sxy / n AS e_xy,
+                sxy / n - (mi.sx / n) * (mj.sx / n) AS cov
+         FROM g JOIN m mi ON mi.d = g.di JOIN m mj ON mj.d = g.dj""",
 
     "emb_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label, t.i AS dim,

@@ -139,6 +139,39 @@ object TextOps {
       .withColumn("mean_df", col("sum_df").cast("double") / col("n_distinct_terms"))
   }
 
+  /** CCNet-style language-model quality score (Wenzek et al.,
+    * LREC'20, filter corpora by LM perplexity; the corpus-trained
+    * UNIGRAM model is its deterministic, oracle-restatable analogue):
+    * mean log-probability of a doc's token instances under the corpus
+    * unigram distribution. Repetitive/boilerplate docs score high
+    * (common tokens), rare-vocabulary gibberish scores low — the
+    * inverse ranking is the CCNet "keep the head/middle" gate.
+    *
+    * Plan shape at 100 TB: one token explode (xxhash64 LONG keys —
+    * the engine-wide string-shuffle discipline), a partial-aggregated
+    * global tf, the ONE-ROW corpus total broadcast back, and the
+    * per-instance logprob rounded to 6dp then summed EXACTLY in
+    * DECIMAL (order-independent across partitionings; round-then-sum
+    * is the engine-wide mean rule — libm log is the one genuinely
+    * engine-specific step, which 6dp rounding absorbs). */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("h"))
+    val tf = dt.groupBy(col("h")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).cast("double").as("total"))
+    dt.join(tf, "h")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("tf").cast("double") / col("total")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("lp6")).cast("double").as("sum_logprob"))
+      .withColumn("mean_logprob", col("sum_logprob") / col("n_tokens"))
+  }
+
   /** Corpus vocabulary top-k: global token counts, highest-count
     * first with a term tiebreak. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition bounded top-k merged on

@@ -263,7 +263,9 @@ object TsOps {
       .agg(
         count(lit(1)).as("n_points"),
         min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
+        max(col("value")).as("max_value"),
+        exactSum(col("value"), 2).as("sum_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_points"))
 
   /** PromQL `absent()` over a range: catalog series with NO sample in
     * [startUs, endUs]. The present set is a range-pruned distinct of

@@ -301,6 +301,44 @@ object VectorOps {
       .select(col("dim"), col("n"), (col("sx") / col("n")).as("mean_v"),
         col("min_v"), col("max_v"))
 
+  /** Upper-triangle covariance matrix of the embedding corpus — the
+    * whitening / PCA-input profile (which dimension pairs co-vary;
+    * the off-diagonal mass a decorrelating transform would remove).
+    *
+    * Plan at 100 TB: each row builds its dim(dim+1)/2 pair products
+    * MAP-SIDE inside one nested array expression — no self-join, the
+    * corpus never pairs or shuffles; partial aggregation collapses the
+    * fan-out to partitions × 2080 rows and the only exchanges carry
+    * (i, j) groups plus the 64-row per-dim sums broadcast back.
+    * Determinism: inputs round to 6dp DECIMAL(18,6), products are
+    * exact (37,12), sums exact; E[xy] and cov are then single fixed
+    * double expressions over exact operands (no re-rounding). */
+  def covariance(corpus: DataFrame, dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val xs = transform(col("v"), x => round(x, roundTo).cast(dec))
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct((i + 1).cast("long").as("di"), (j + 1).cast("long").as("dj"),
+          (try_element_at(col("xs"), (i + 1).cast("int")) *
+            try_element_at(col("xs"), (j + 1).cast("int"))).as("p")))))
+    val moments = corpus
+      .select(xs.as("xs"))
+      .select(explode(pairs).as("e"))
+      .groupBy(col("e.di").as("di"), col("e.dj").as("dj"))
+      .agg(count(col("e.p")).as("n"), sum(col("e.p")).cast("double").as("sxy"))
+    val sums = corpus
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast("long").as("d"))
+      .agg(sum(round(col("x"), roundTo).cast(dec)).cast("double").as("sx"))
+    moments
+      .join(broadcast(sums.select(col("d").as("di"), col("sx").as("si"))), Seq("di"))
+      .join(broadcast(sums.select(col("d").as("dj"), col("sx").as("sj"))), Seq("dj"))
+      .select(col("di"), col("dj"), col("n"),
+        (col("sxy") / col("n")).as("e_xy"),
+        (col("sxy") / col("n") -
+          (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
+  }
+
   /** Class centroids: the mean embedding per label, one (label, dim)
     * row per component — the nearest-class-mean classifier / dataset
     * cartography primitive. Same explode-then-aggregate shape as

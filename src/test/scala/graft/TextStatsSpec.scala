@@ -123,6 +123,21 @@ class TextStatsSpec extends SparkSpec {
       (3L, 2L, 4L, 2.0)))
   }
 
+  test("unigramLogprob: exact hand-computed score on a tiny corpus") {
+    // corpus: "a a b" + "b c" → tf: a=2, b=2, c=1, N=5
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogprob(tiny)
+      .select("doc_id", "n_tokens", "mean_logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def lp(tf: Long) = math.rint(math.log(tf / 5.0) * 1e6) / 1e6
+    assert(out.map(_._2) == Seq(3L, 2L))
+    // doc1 = (2·lp(2) + lp(2)) / 3, doc2 = (lp(2) + lp(1)) / 2
+    assert(math.abs(out(0)._3 - (3 * lp(2)) / 3) < 1e-12)
+    assert(math.abs(out(1)._3 - (lp(2) + lp(1)) / 2) < 1e-12)
+    // the CCNet ranking: common-vocab doc scores above the rarer one
+    assert(out(0)._3 > out(1)._3)
+  }
+
   test("vocabTopK: count-desc then term-asc, k bound") {
     val corpus = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
     val top = TextOps.vocabTopK(corpus, 3)

@@ -62,9 +62,9 @@ class TsOpsSpec extends SparkSpec {
     // window [1s, 2s] (us): click samples 1.0@1s, 3.0@2s in range;
     // view has only 10.0@1.5s in range (20.0 is far outside)
     val r = TsOps.overTimeStats(Series.samples(toyEvents), 1000000L, 2000000L)
-      .select("n_points", "min_value", "max_value")
-      .as[(Long, Double, Double)].collect().toSet
-    assert(r == Set((2L, 1.0, 3.0), (1L, 10.0, 10.0)))
+      .select("n_points", "min_value", "max_value", "sum_value", "avg_value")
+      .as[(Long, Double, Double, Double, Double)].collect().toSet
+    assert(r == Set((2L, 1.0, 3.0, 4.0, 2.0), (1L, 10.0, 10.0, 10.0, 10.0)))
     // a window with no samples at all yields no rows, not zeros
     assert(TsOps.overTimeStats(Series.samples(toyEvents), 0L, 500000L).count() == 0)
   }

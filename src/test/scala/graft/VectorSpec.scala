@@ -65,6 +65,22 @@ class VectorSpec extends SparkSpec {
     assert(d1._4 == -1.0 && d1._5 == 1.0)
   }
 
+  test("covariance: diagonal matches population variance, symmetry-free upper triangle") {
+    val out = VectorOps.covariance(toy.select($"vec_id", $"v"), dim = 3)
+      .select("di", "dj", "n", "cov")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 6) // 3·4/2 upper-triangle pairs
+    assert(out.forall { case (i, j, n, _) => i <= j && n == 5 })
+    // hand-check var(dim 1): values 1.0, 0.9, 0.0, -1.0, 0.8
+    val xs = Seq(1.0, 0.9, 0.0, -1.0, 0.8)
+    val mean = xs.sum / xs.size
+    val varExp = xs.map(x => x * x).sum / xs.size - mean * mean
+    val d11 = out.find(r => r._1 == 1 && r._2 == 1).get._4
+    assert(math.abs(d11 - varExp) < 1e-9, s"$d11 vs $varExp")
+    // cov(1,3): third component all zero → zero covariance
+    assert(out.find(r => r._1 == 1 && r._2 == 3).get._4 == 0.0)
+  }
+
   test("labelCentroids: mean embedding per label as (label, dim) rows") {
     val labeled = Seq(
       (0, Array(1.0, 3.0)),
