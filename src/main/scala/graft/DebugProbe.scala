@@ -104,6 +104,10 @@ object DebugProbe {
         ("interpolate", p => graft.tsdb.TsOps.interpolate(ev(p)).count()),
         ("offset_ratio", p => graft.tsdb.TsOps.offsetRatio(ev(p)).count()),
         ("dim_stats", p => graft.vector.VectorOps.dimStats(emb(p)).count()),
+        // r5 additions: the ×2080 map-side pair fan-out (covariance)
+        // and the token-instance explode + global-tf join (unigram LM)
+        ("emb_covariance", p => graft.vector.VectorOps.covariance(emb(p)).count()),
+        ("unigram_logprob", p => graft.text.TextOps.unigramLogprob(docs(p)).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -133,6 +137,8 @@ object DebugProbe {
         "interpolate" -> ("events", () => eventsP),
         "offset_ratio" -> ("events", () => eventsP),
         "dim_stats" -> ("embeddings", () => embP),
+        "emb_covariance" -> ("embeddings", () => embP),
+        "unigram_logprob" -> ("documents", () => docsP),
         "q21_reshape" -> ("lineitem", () => liP))
       val sel = names - "__scale10"
       probes.filter(p => sel.isEmpty || sel.contains(p._1)).foreach { case (nm, f) =>
