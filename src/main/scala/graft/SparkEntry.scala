@@ -250,6 +250,22 @@ object SparkEntry {
           count(lit(1)).as("n_points"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"))),
 
+    "ts_quantile_across_series" -> ((s, dir) =>
+      // PromQL `quantile(0.9, sum_over_time(m[1h]))`: each series
+      // reduces to its exact hourly sum (the instant vector), then the
+      // R-7 quantile ACROSS series per hour — the quantile sibling of
+      // ts_agg_across_series's sum-by. Two partial-aggregated
+      // shuffles; the quantile state is bounded by series cardinality
+      // per bucket, never sample counts
+      Series.samples(t(s, dir, "events"))
+        .groupBy(col("series_id"),
+          (expr("ts_us div 3600000000") * 3600000).as("bucket_ms"))
+        .agg(TsOps.exactSum(col("value"), 2).as("sv"))
+        .groupBy(col("bucket_ms"))
+        .agg(
+          count(lit(1)).as("n_series"),
+          round(expr("percentile(sv, 0.9)"), 6).as("p90"))),
+
     "ts_interpolate" -> ((s, dir) =>
       // grid resampling with linear interpolation (gapFill carries
       // last-value forward; this estimates AT each hourly instant
@@ -1428,6 +1444,15 @@ object SparkEntry {
                  CAST(count(*) AS BIGINT) AS n_points,
                  round(quantile_cont(value, 0.9), 6) AS p90
           FROM s GROUP BY 1, 2""",
+
+    "ts_quantile_across_series" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
+          h AS (SELECT series_id, (ts_us//3600000000)*3600000 AS bucket_ms,
+                       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sv
+                FROM s GROUP BY 1, 2)
+          SELECT bucket_ms, CAST(count(*) AS BIGINT) AS n_series,
+                 round(quantile_cont(sv, 0.9), 6) AS p90
+          FROM h GROUP BY 1""",
 
     "ts_interpolate" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

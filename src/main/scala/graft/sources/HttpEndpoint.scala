@@ -103,3 +103,34 @@ final class HttpEndpoint(
       case _: Exception => ex.sendResponseHeaders(500, -1)
     }
 }
+
+/** Launchable server — the reference ships its engine AS a server
+  * binary (src/main.rs builds MonolithServer and calls serve()); this
+  * is the same front door as a runnable main:
+  *
+  *   sbt "runMain graft.sources.HttpServerMain /path/to/store 9090"
+  *
+  * Env knobs mirror Bench/Verify conventions (SPARK_GRAFT_CPUS). The
+  * process serves until killed; the store directory persists across
+  * restarts (the ChunkStore's layout IS the durable state — a restart
+  * re-reads the same chunk partitions, nothing to replay). */
+object HttpServerMain {
+  def main(args: Array[String]): Unit = {
+    val path = if (args.nonEmpty) args(0)
+      else java.nio.file.Files.createTempDirectory("graft_http_store").toString
+    val port = if (args.length > 1) args(1).toInt else 9090
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val endpoint = new HttpEndpoint(spark, new ChunkStore(spark, path), port)
+    val bound = endpoint.start()
+    // stdout contract like Bench/Verify: one parse-friendly line
+    println(s"""{"serving":"http://127.0.0.1:$bound","store":"$path"}""")
+    Thread.currentThread.join() // serve until the process is killed
+  }
+}
