@@ -29,6 +29,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   private val livePath = s"$path/live"
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
+  private val retentionPath = s"$path/_retention"
 
   /** All store METADATA probes (layout guard, closed-id set, raw-dir
     * cleanup) go through the Hadoop FileSystem of `path`, never
@@ -109,14 +110,80 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
           "(mixed partition-directory depths are unreadable); use one ingest mode per path")
   }
 
-  /** Shared ingest guard + chunk routing (see [[append]] scaladoc). */
+  /** Shared ingest guard + chunk routing (see [[append]] scaladoc).
+    * Chunks below the retention horizon are dropped at ingest too: a
+    * late append of already-retired history would otherwise resurface
+    * in live and linger forever (the retired chunk is no longer in the
+    * closed-id set, so only the horizon can exclude it). */
   private def guardedRouted(samples: DataFrame): DataFrame = {
     val closed = closedChunkIds()
     val routed = samples
       .filter(col("ts_us") > 0)
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
-    if (closed.isEmpty) routed
-    else routed.filter(!col("chunk").isInCollection(closed))
+    val aboveHorizon = retainedFrom() match {
+      case Some(limit) => routed.filter(col("chunk") >= limit)
+      case None => routed
+    }
+    if (closed.isEmpty) aboveHorizon
+    else aboveHorizon.filter(!col("chunk").isInCollection(closed))
+  }
+
+  /** First retained chunk id (exclusive retention horizon), persisted
+    * as one-line store metadata so the guard survives restarts. */
+  @volatile private var retentionCache: Option[Option[Long]] = None
+
+  private def retainedFrom(): Option[Long] = retentionCache.getOrElse {
+    val v =
+      if (!exists(retentionPath)) None
+      else {
+        val in = hfs.open(new org.apache.hadoop.fs.Path(retentionPath))
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    retentionCache = Some(v)
+    v
+  }
+
+  /** Retention enforcement — drop ALL data in chunks that end strictly
+    * below `beforeUs` (Prometheus-style retention.time; a store that
+    * only grows is not deployable at 100 TB/day). Deletion is
+    * per-chunk PARTITION-DIRECTORY removal — a metadata operation,
+    * never a data rewrite: the chunk is the retention grain by design,
+    * the same property that makes pruning free. Closed chunks drop
+    * payload + catalog partitions; raw live dirs below the horizon
+    * drop too. The horizon persists (`_retention`, monotone max) so
+    * the ingest guard keeps retired history out across restarts.
+    * Returns the retired chunk ids. */
+  def retire(beforeUs: Long): Set[Long] = {
+    val limit = beforeUs / chunkUs // chunks < limit end at or below beforeUs
+    val newLimit = retainedFrom().fold(limit)(math.max(_, limit))
+    val fs = hfs
+    val out = fs.create(new org.apache.hadoop.fs.Path(retentionPath), true)
+    try out.write(newLimit.toString.getBytes("UTF-8")) finally out.close()
+    retentionCache = Some(Some(newLimit))
+    val closedBelow = closedChunkIds().filter(_ < newLimit)
+    closedBelow.foreach { c =>
+      Seq(s"$closedPath/chunk=$c", s"$catalogPath/chunk=$c").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp)) fs.delete(hp, true)
+      }
+    }
+    val liveBelow = liveChunkIdsListed().filter(_ < newLimit)
+    deleteLiveChunkDirs(liveBelow)
+    // roots left without any chunk partition are removed entirely: an
+    // empty parquet root fails schema inference on the next read, and
+    // a fully-retired store must read like a fresh one
+    listNames(livePath).filter(_.startsWith("batch=")).foreach { b =>
+      if (!listNames(s"$livePath/$b").exists(_.startsWith("chunk=")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$livePath/$b"), true)
+    }
+    Seq(closedPath, catalogPath, livePath).foreach { dir =>
+      if (exists(dir) && !listNames(dir).exists(n =>
+        n.startsWith("chunk=") || n.startsWith("batch=")))
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    closedIdsCache = None // retired ids must leave the ingest guard
+    closedBelow ++ liveBelow
   }
 
   /** Idempotent per-micro-batch append for streaming sinks: batch

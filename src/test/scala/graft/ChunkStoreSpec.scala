@@ -46,6 +46,42 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.live().filter($"chunk" === someChunk).count() == 0)
   }
 
+  test("retire drops chunks below the horizon, persists it, and guards re-ingest") {
+    val dir = Files.createTempDirectory("graft_chunks_ret").toString
+    val store = new ChunkStore(spark, dir, chunkMs = 3600000L)
+    val h0 = 1704067200000000L // 2024-01-01 00:00 UTC (us)
+    def row(i: Int, tsUs: Long) =
+      ("s" + (i % 3), "click", (i % 3).toLong, tsUs, i.toDouble, i.toLong)
+    // three hours of data; close the first two, keep hour 2 live
+    val rows = (0 until 30).map(i => row(i, h0 + (i % 3) * 3600000000L + (i / 3) * 60000000L))
+    store.append(rows.toDF("series_id", "event_type", "user_id", "ts_us", "value", "event_id"))
+    store.closeChunksBelow(h0 + 2 * 3600000000L)
+
+    // retention horizon = start of hour 1: hour 0 (closed) retires
+    val retired = store.retire(h0 + 3600000000L)
+    assert(retired == Set(h0 / 3600000000L), s"retired=$retired")
+    val all = store.queryAll(Nil, h0, h0 + 3 * 3600000000L)
+    assert(all.count() == 20) // hours 1 and 2 survive
+    assert(all.agg(min($"ts_us")).as[Long].head() >= h0 + 3600000000L)
+
+    // late append below the horizon is dropped at ingest (the
+    // persisted horizon, not the closed-id set, excludes it) — also
+    // across a RESTART (fresh store instance, same path)
+    val reopened = new ChunkStore(spark, dir, chunkMs = 3600000L)
+    reopened.append(Seq(row(99, h0 + 60000000L))
+      .toDF("series_id", "event_type", "user_id", "ts_us", "value", "event_id"))
+    assert(reopened.queryAll(Nil, h0, h0 + 3 * 3600000000L).count() == 20)
+
+    // horizon is monotone: retiring at an EARLIER time cannot undo it
+    reopened.retire(h0)
+    assert(reopened.queryAll(Nil, h0, h0 + 3 * 3600000000L).count() == 20)
+
+    // full retirement leaves a readable (fresh-like) store
+    reopened.retire(h0 + 10 * 3600000000L)
+    assert(!new java.io.File(s"$dir/closed").exists())
+    assert(!new java.io.File(s"$dir/live").exists())
+  }
+
   test("append drops non-positive timestamps (reference ingest guard)") {
     val dir = Files.createTempDirectory("graft_chunks_ts0").toString
     val store = new ChunkStore(spark, dir)
