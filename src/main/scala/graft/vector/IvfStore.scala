@@ -32,6 +32,30 @@ final class IvfStore(spark: SparkSession, path: String,
       .write.mode("overwrite").partitionBy("cell").parquet(dataPath)
   }
 
+  /** Incremental ingest: assign a NEW vector batch to the EXISTING
+    * centroids and append into the cell partitions — the index grows
+    * without rebuilding or rescanning the corpus (the MinhashStore
+    * discipline applied to ANN; only the batch is assigned/written).
+    * The quantizer is FIXED at build time: appending never moves
+    * centroids, so cell membership of already-indexed vectors — and
+    * therefore their probe recall — is untouched; re-training the
+    * codebook is a rebuild by policy, not a side effect of ingest.
+    * Refuses to append before the index exists (there would be no
+    * centroids to assign against — a silent fresh-train here would
+    * create exactly the mixed-generation corruption the MinhashStore
+    * guard exists for). */
+  def append(newVectors: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(centroidPath)),
+      s"IvfStore($path): no centroid table — build the index with write() " +
+        "before appending (appending would otherwise train a fresh quantizer " +
+        "whose cells are incompatible with the stored layout)")
+    newVectors
+      .join(VectorOps.ivfAssign(newVectors, centroids(), roundTo), "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(dataPath)
+  }
+
   def centroids(): DataFrame =
     org.apache.spark.sql.functions.broadcast(spark.read.parquet(centroidPath))
 

@@ -65,4 +65,34 @@ class IvfStoreSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("append: a new batch joins the index under the FIXED quantizer; no-index refused") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val first = e.filter($"vec_id" % 2 === 0)
+    val second = e.filter($"vec_id" % 2 =!= 0)
+    val dir = Files.createTempDirectory("graft_ivf_app").toString
+    val store = new IvfStore(spark, dir)
+
+    // appending before the index exists must refuse, not fresh-train
+    val err = intercept[IllegalArgumentException] { store.append(second) }
+    assert(err.getMessage.contains("centroid"), err.getMessage)
+
+    store.write(first)
+    store.append(second)
+    // the merged index answers exactly like an in-memory IVF built on
+    // the full corpus WITH the first batch's quantizer — appends must
+    // not move cells
+    val queries = e.filter($"vec_id" < 5)
+    val got = store.probeTopK(queries, k = 10, nProbe = 4)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val cents = VectorOps.ivfCentroids(first, 16)
+    val mem = VectorOps.ivfTopK(e, $"vec_id" < 5, k = 10, quantizer = Some(cents))
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == mem)
+    // every appended vector is really in the cell layout
+    assert(store.read().count() == e.count())
+  }
 }
