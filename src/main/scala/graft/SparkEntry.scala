@@ -796,6 +796,13 @@ object SparkEntry {
       Series.labelReplace(Series.catalog(t(s, dir, "events")),
         "family", "event_type", "(si|pu|cl)[a-z]*", "other")),
 
+    "ts_label_join" -> ((s, dir) =>
+      // PromQL label_join(): dst = source labels concatenated — the
+      // regex-free sibling of label_replace; ids recomputed from the
+      // full new label set
+      Series.labelJoin(Series.catalog(t(s, dir, "events")),
+        "pair", "/", Seq("event_type", "user_id"))),
+
     "ts_interval_join" -> ((s, dir) => {
       // range join at scale: every event located in its containing
       // session interval via the bucketed equi-join (chunk explode +
@@ -2084,6 +2091,15 @@ object SparkEntry {
           SELECT md5('family=' || family || ',user_id=' || CAST(user_id AS VARCHAR)) AS series_id,
                  family, user_id, n_source_series
           FROM g""",
+
+    "ts_label_join" ->
+      s"""WITH cat AS (SELECT DISTINCT event_type, user_id FROM events),
+          j AS (SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS pair,
+                       event_type, user_id FROM cat)
+          SELECT md5('event_type=' || event_type || ',pair=' || pair ||
+                     ',user_id=' || CAST(user_id AS VARCHAR)) AS series_id,
+                 pair, event_type, user_id
+          FROM j""",
 
     "q4_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

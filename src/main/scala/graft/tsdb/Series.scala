@@ -86,6 +86,24 @@ object Series {
         col(dst), col("user_id"), col("n_source_series"))
   }
 
+  /** PromQL `label_join()`: the destination label is the source label
+    * values concatenated with `sep` — the structural (regex-free)
+    * sibling of [[labelReplace]]. All original labels survive; series
+    * identity is recomputed from the FULL new label set, the same
+    * ids-are-functions-of-the-label-set rule (reference
+    * src/common/label.rs:118-127). Pure projection — zero shuffles
+    * beyond the catalog's own distinct. */
+  def labelJoin(catalog: DataFrame, dst: String, sep: String,
+                srcs: Seq[String]): DataFrame = {
+    val dstCol = concat_ws(sep, srcs.map(s => col(s).cast("string")): _*)
+    catalog
+      .withColumn(dst, dstCol)
+      .select(
+        seriesId(Seq(dst -> col(dst), "event_type" -> col("event_type"),
+          "user_id" -> col("user_id"))).as("series_id"),
+        col(dst), col("event_type"), col("user_id"))
+  }
+
   /** Inverted index (label key/value → number of series) — the
     * reference indexer's mapping #1. On a columnar store the *query*
     * use of this index is predicate pushdown, which is free; this
