@@ -1024,7 +1024,7 @@ object SparkEntry {
       // ingest pipeline runs; map-side token counts, one aggregation
       docsT(s, dir)
         .select(col("source"), col("lang"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).cast("long").as("len"))
         .groupBy(col("source"), col("lang"))
         .agg(
@@ -1106,7 +1106,7 @@ object SparkEntry {
       // calibration query behind every length-filter threshold;
       // exact integer sums, R-7 percentiles (= DuckDB quantile_cont)
       docsT(s, dir)
-        .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .select(col("source"), TextOps.tokenCount(col("text")).as("nt"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -18,6 +18,14 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
+  /** Token COUNT via the native [[graft.functions.TokenRunCount]]
+    * byte-scan expression — equals size(tokens(text)) exactly (spec-
+    * pinned) without materializing a token array per row. Counting is
+    * the common case (quality gates, corpus rollups, length stats);
+    * the array stays only where the tokens themselves are consumed. */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenRunCount(lower(text))
+
   /** Word n-gram shingles of a token array (space-joined). */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
@@ -33,7 +41,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("len"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      tokenCount(col("text")).as("n_tokens"),
       size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_punct"),
       size(regexp_extract_all(lower(col("text")), lit(StopwordRe), lit(0))).cast("long").as("n_stop"),
       size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0))).cast("long").as("n_upper"))
@@ -49,7 +57,7 @@ object TextOps {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      tokenCount(col("text")).as("n_tokens"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"),
       size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
@@ -196,7 +204,7 @@ object TextOps {
                   minStopRatio: Double = 0.01, maxRepRatio: Double = 0.2): DataFrame = {
     val sig = docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      tokenCount(col("text")).as("n_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(StopwordRe), lit(0))).cast("long")
         .as("n_stop"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))

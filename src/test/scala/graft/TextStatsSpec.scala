@@ -19,6 +19,36 @@ class TextStatsSpec extends SparkSpec {
     assert(q == ((30L, 6L, 2L, 2L, 1L))) // "the","it" stopwords; ','!' punct; 'T' upper
   }
 
+  test("TokenRunCount == size(regexp tokens) on edges, unicode, and the real corpus") {
+    // the native byte-scan must match the regex EXACTLY — it replaces
+    // it in every counting site
+    val edges = Seq(
+      "", " ", "a", "a b", "  x9  ", "a1b2", "!!!", "a!b", "!a", "a!",
+      "ümlaut ötto", "Σigma töken 42", "tab\tand\nnewline", "ALL CAPS",
+      "mixed É case", "数字123abc", "a-b_c.d", "0", "00 11 22")
+    val df = edges.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val cmp = df.select(
+      TextOps.tokenCount($"text").as("fast"),
+      size(TextOps.tokens($"text")).cast("long").as("ref"))
+    assert(cmp.filter($"fast" =!= $"ref").count() == 0,
+      cmp.collect().mkString(","))
+    // and over every real document
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bad = corpus.select(
+      TextOps.tokenCount($"text").as("fast"),
+      size(TextOps.tokens($"text")).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(bad.count() == 0)
+    // interpreted eval agrees with the codegen path
+    import graft.functions.TokenRunCount
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    edges.foreach { t =>
+      val viaEval = TokenRunCount(Literal(t.toLowerCase)).eval(null)
+      val viaRegex = TextOps.TokenPattern.r.findAllIn(t.toLowerCase).length.toLong
+      assert(viaEval == viaRegex, s"'$t': eval=$viaEval regex=$viaRegex")
+    }
+  }
+
   test("token counts: regex vs whitespace vs bpe-ish vs distinct") {
     val t = TextOps.tokenCounts(docs).filter($"doc_id" === 1)
       .select("n_tokens", "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens")
