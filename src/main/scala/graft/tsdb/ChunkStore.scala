@@ -24,12 +24,56 @@ import org.apache.spark.sql.functions._
   * lands in its hour partition and never rewrites history.
   */
 final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 3600000L,
-                       filesPerChunkPerAppend: Int = 8) {
+                       filesPerChunkPerAppend: Int = 8,
+                       rollupOnClose: Boolean = false) {
   private val chunkUs = chunkMs * 1000
   private val livePath = s"$path/live"
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
   private val retentionPath = s"$path/_retention"
+  private val rollupPath = s"$path/rollup"
+
+  /** Per-(chunk, series) hourly rollup of a raw sample frame — the
+    * [[TsOps.downsample]] aggregate shape, keyed by the source chunk
+    * so the write partitions align with the store layout. Grouping by
+    * chunk AND bucket is correct at any chunkMs: a bucket never needs
+    * to merge across chunks because each output row is scoped to the
+    * chunk whose samples produced it. */
+  private def rollup1h(rows: DataFrame): DataFrame = {
+    val bucketUs = 3600000000L
+    rows
+      .groupBy(col("chunk"), col("series_id"),
+        (expr(s"ts_us div $bucketUs") * 3600000L).as("bucket_ms"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        TsOps.exactSum(col("value"), 2).as("sum_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_points"))
+  }
+
+  /** Matcher + range query over the AT-REST ROLLUPS (closed chunks
+    * only): chunk-range partition pruning, matcher resolution against
+    * the per-chunk catalog, and no payload decode at all — the serving
+    * path for dashboard/alert ranges where per-sample resolution is
+    * not needed. Bucket bounds are inclusive of any bucket overlapping
+    * [startUs, endUs]. */
+  def queryRollup(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    require(exists(rollupPath),
+      s"ChunkStore at $path has no rollups — they are written on chunk close " +
+        "when the store is built with rollupOnClose=true; for raw-resolution " +
+        "data use queryAll")
+    val inRange = (df: DataFrame) =>
+      df.filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)
+    val cat = inRange(readChunked(catalogPath))
+      .filter(Matcher.all(ms))
+      .select("chunk", "series_id")
+    inRange(readChunked(rollupPath))
+      .join(cat, Seq("chunk", "series_id"), "left_semi")
+      .filter(col("bucket_ms") * 1000 >= (startUs / 3600000000L) * 3600000000L &&
+        col("bucket_ms") * 1000 <= endUs)
+      .drop("chunk")
+  }
 
   /** All store METADATA probes (layout guard, closed-id set, raw-dir
     * cleanup) go through the Hadoop FileSystem of `path`, never
@@ -163,7 +207,8 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     retentionCache = Some(Some(newLimit))
     val closedBelow = closedChunkIds().filter(_ < newLimit)
     closedBelow.foreach { c =>
-      Seq(s"$closedPath/chunk=$c", s"$catalogPath/chunk=$c").foreach { p =>
+      Seq(s"$closedPath/chunk=$c", s"$catalogPath/chunk=$c",
+        s"$rollupPath/chunk=$c").foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         if (fs.exists(hp)) fs.delete(hp, true)
       }
@@ -177,7 +222,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
       if (!listNames(s"$livePath/$b").exists(_.startsWith("chunk=")))
         fs.delete(new org.apache.hadoop.fs.Path(s"$livePath/$b"), true)
     }
-    Seq(closedPath, catalogPath, livePath).foreach { dir =>
+    Seq(closedPath, catalogPath, rollupPath, livePath).foreach { dir =>
       if (exists(dir) && !listNames(dir).exists(n =>
         n.startsWith("chunk=") || n.startsWith("batch=")))
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -312,6 +357,19 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     rows.select("chunk", "series_id", "event_type", "user_id").distinct()
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("chunk").parquet(catalogPath)
+    // rollups at rest (Prometheus recording rules / Thanos
+    // downsampling): each closing chunk also writes its per-series
+    // hourly min/max/count/exact-sum — dashboards and alert ranges
+    // then serve from ~1 row per series-hour WITHOUT a Gorilla decode.
+    // OPT-IN (rollupOnClose), like recording rules themselves: the
+    // extra write job per close is the trade for decode-free range
+    // serving. Written before the payload for the same crash reason
+    // as the catalog: a rollup without its payload is unreachable
+    // garbage that the self-healing re-close rewrites.
+    if (rollupOnClose)
+      rollup1h(rows)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk").parquet(rollupPath)
     Gorilla.packWithChunk(rows)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("chunk").parquet(closedPath)

@@ -46,6 +46,44 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.live().filter($"chunk" === someChunk).count() == 0)
   }
 
+  test("rollups at rest: closed chunks answer ranges without payload decode") {
+    val dir = Files.createTempDirectory("graft_chunks_ru").toString
+    val store = new ChunkStore(spark, dir, chunkMs = 86400000L, // daily chunks, hourly rollups
+      rollupOnClose = true)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val samples = Series.samples(events)
+    store.append(samples)
+    val t1 = 1704412800000000L // 2024-01-05
+    val t2 = t1 + 2L * 86400000000L
+    // queryRollup before any close refuses with a pointer to the rule
+    val err = intercept[IllegalArgumentException] { store.queryRollup(Nil, t1, t2) }
+    assert(err.getMessage.contains("rollup"), err.getMessage)
+    store.closeChunksBelow(t2 + 86400000000L)
+
+    val got = store.queryRollup(Seq(MatchEq("event_type", "purchase")), t1, t2)
+      .select("series_id", "bucket_ms", "n_points", "min_value", "max_value", "sum_value", "avg_value")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSet
+    // oracle: downsample of the RAW samples at BUCKET grain — rollup
+    // bounds snap to the hour (a pre-aggregate cannot split a bucket),
+    // so the comparable raw set is every sample whose bucket START
+    // falls inside the range
+    val expect = graft.tsdb.TsOps.downsample(
+      samples.filter($"event_type" === "purchase")
+        .filter(expr("ts_us div 3600000000") * 3600000000L >= (t1 / 3600000000L) * 3600000000L &&
+          expr("ts_us div 3600000000") * 3600000000L <= t2))
+      .select("series_id", "bucket_ms", "n_points", "min_value", "max_value", "sum_value", "avg_value")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSet
+    assert(got == expect && got.nonEmpty, s"got=${got.size} expect=${expect.size}")
+
+    // the rollup plan touches neither the gorilla payloads nor live raw
+    val plan = store.queryRollup(Nil, t1, t2).queryExecution.executedPlan.toString
+    assert(!plan.contains("/closed/") && !plan.contains("/live"), plan.take(800))
+
+    // retire drops rollups with their chunks
+    store.retire(t2 + 86400000000L * 2)
+    assert(!new java.io.File(s"$dir/rollup").exists())
+  }
+
   test("retire drops chunks below the horizon, persists it, and guards re-ingest") {
     val dir = Files.createTempDirectory("graft_chunks_ret").toString
     val store = new ChunkStore(spark, dir, chunkMs = 3600000L)
