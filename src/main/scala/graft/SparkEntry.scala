@@ -1015,6 +1015,25 @@ object SparkEntry {
 
     "doc_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(docsT(s, dir))),
 
+    "doc_ppl_bucket" -> ((s, dir) => {
+      // CCNet's head/middle/tail corpus partition (Wenzek et al.,
+      // LREC'20 §4.3: split by LM-score terciles, train on head): the
+      // tercile cuts are a TWO-VALUE aggregate broadcast back onto the
+      // score frame — a scalar statistic never justifies a shuffle.
+      // Raw scores compare against ROUNDED cuts: scores are bit-equal
+      // across engines by construction, cuts carry the percentile
+      // tolerance, so the comparison is deterministic
+      val lp = TextOps.unigramLogprob(docsT(s, dir))
+      val cuts = lp.agg(
+        round(expr("percentile(mean_logprob, 1.0/3)"), 6).as("c1"),
+        round(expr("percentile(mean_logprob, 2.0/3)"), 6).as("c2"))
+      lp.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("mean_logprob"),
+          when(col("mean_logprob") >= col("c2"), "head")
+            .when(col("mean_logprob") >= col("c1"), "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
     "doc_quality_gate" -> ((s, dir) => TextOps.qualityGate(docsT(s, dir))),
 
     "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docsT(s, dir), 10)),
@@ -2186,6 +2205,23 @@ object SparkEntry {
                 CAST(sum(lp6) AS DOUBLE) AS sum_logprob,
                 CAST(sum(lp6) AS DOUBLE) / count(*) AS mean_logprob
          FROM lp GROUP BY 1""",
+
+    "doc_ppl_bucket" ->
+      """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM t0 GROUP BY 1),
+         n AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+         l AS (SELECT t0.doc_id,
+                      CAST(round(ln(CAST(tf.tf AS DOUBLE) / n.total), 6) AS DECIMAL(18,6)) AS lp6
+               FROM t0 JOIN tf USING (term), n),
+         lp AS (SELECT doc_id, CAST(sum(lp6) AS DOUBLE) / count(*) AS mean_logprob
+                FROM l GROUP BY 1),
+         c AS (SELECT round(quantile_cont(mean_logprob, 1.0/3), 6) AS c1,
+                      round(quantile_cont(mean_logprob, 2.0/3), 6) AS c2 FROM lp)
+         SELECT doc_id, mean_logprob,
+                CASE WHEN mean_logprob >= c2 THEN 'head'
+                     WHEN mean_logprob >= c1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM lp, c""",
 
     "doc_quality_gate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
