@@ -65,6 +65,30 @@ class HttpEndpointSpec extends SparkSpec {
     } finally endpoint.stop()
   }
 
+  test("concurrent writes serialize onto one store without loss") {
+    val storeDir = Files.createTempDirectory("graft_http_conc").toString
+    val store = new ChunkStore(spark, storeDir)
+    val endpoint = new HttpEndpoint(spark, store, workerNum = 4)
+    val port = endpoint.start()
+    try {
+      // four parallel posts, distinct users so every sample is countable;
+      // the parquet append path must serialize (staging protocol) while
+      // each append's internal parallelism is untouched
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val results = Await.result(Future.sequence((1 to 4).toList.map { u =>
+        Future(post(port, "/api/v1/write", RemoteWrite.encode(Seq(
+          (Map("event_type" -> "click", "user_id" -> u.toString),
+            (0 until 25).map(i => (t0 + i * 60000L, i * 1.0 + u))))))._1)
+      }), 120.seconds)
+      assert(results.forall(_ == 200), results.toString)
+      val us0 = t0 * 1000
+      assert(store.queryAll(Seq(MatchEq("event_type", "click")),
+        us0, us0 + 3600L * 1000000).count() == 100)
+    } finally endpoint.stop()
+  }
+
   test("path triage 404s unknown paths; malformed payloads answer 400") {
     val storeDir = Files.createTempDirectory("graft_http_404").toString
     val endpoint = new HttpEndpoint(spark, new ChunkStore(spark, storeDir))
