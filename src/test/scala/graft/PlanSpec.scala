@@ -217,4 +217,48 @@ class PlanSpec extends SparkSpec {
     val pc = plan("doc_contamination")
     assert(pc.contains("xxhash64"), "contamination lost its hashed join key")
   }
+
+  test("*_over_time family: one partial-aggregated shuffle, range filter at the scan") {
+    // the §2 claim for the five instant-vector completions: a single
+    // HashAggregate pass (map-side partial), the ts filter pushed down
+    val df = SparkEntry.queries("ts_count_over_time")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      "over_time must shuffle once:\n" + p.take(1200))
+    // the range predicate rides the DERIVED ts_us (= ts div 1000), so
+    // it evaluates AT the scan (DataFilters, codegen'd) but cannot
+    // reach parquet row-group stats — at scale the time index is the
+    // ChunkStore's chunk partition pruning, not raw-scan stats
+    assert("DataFilters: \\[[^\\]]*div 1000\\) >= ".r.findFirstIn(p).isDefined,
+      "range filter did not reach the scan:\n" + p.take(1200))
+  }
+
+  test("emb_covariance: pair products are map-side — the corpus never self-joins") {
+    val df = SparkEntry.queries("emb_covariance")(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the only joins are the two broadcast per-dim-sum attachments;
+    // a SortMergeJoin or a shuffled corpus join would mean the pair
+    // fan-out left the row
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length <= 2, p.take(1200))
+  }
+
+  test("doc_unigram_logprob: token shuffles ride LONG hash keys; total broadcasts") {
+    val p = plan("doc_unigram_logprob")
+    assert(p.contains("xxhash64"), "unigram tf lost its hashed key")
+    assert(p.contains("BroadcastExchange"), "corpus total should broadcast back")
+  }
+
+  test("token-counting scans use the native byte-scan, not the regex array") {
+    // corpus_stats counts tokens and must carry the TokenRunCount
+    // expression; regexp_extract_all appearing instead means the
+    // counting path regressed to array materialization
+    val p = plan("corpus_stats")
+    assert(p.contains("token_run_count"), p.take(1200))
+    assert(!p.contains("regexp_extract_all"), "corpus_stats re-grew the token array")
+  }
 }
