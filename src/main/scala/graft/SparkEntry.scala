@@ -59,19 +59,21 @@ object SparkEntry {
     // ───────────────────────── TSDB core ─────────────────────────
     "ts_series_catalog" -> ((s, dir) => Series.catalog(t(s, dir, "events"))),
 
+    // matcher queries ride samplesWithRaw: the raw ts column lets the
+    // range predicate reach parquet row-group statistics (plan-asserted)
     "ts_query_eq" -> ((s, dir) =>
-      TsOps.rangeQuery(Series.samples(t(s, dir, "events")),
+      TsOps.rangeQuery(Series.samplesWithRaw(t(s, dir, "events")),
         Seq(MatchEq("event_type", "purchase")), T1, T2)),
 
     "ts_query_re" -> ((s, dir) =>
-      TsOps.rangeQuery(Series.samples(t(s, dir, "events")),
+      TsOps.rangeQuery(Series.samplesWithRaw(t(s, dir, "events")),
         Seq(MatchRe("event_type", "^(purchase|signup)$"), MatchNeq("user_id", "5")),
         T1, T2)),
 
     "ts_query_nre" -> ((s, dir) =>
       // NRE + EQ conjunction — completes the reference's matcher set
       // (proto LabelMatcher_Type EQ/NEQ/RE/NRE)
-      TsOps.rangeQuery(Series.samples(t(s, dir, "events")),
+      TsOps.rangeQuery(Series.samplesWithRaw(t(s, dir, "events")),
         Seq(MatchNre("event_type", "^(click|view|error)$"), MatchEq("user_id", "7")),
         T1, T2)),
 

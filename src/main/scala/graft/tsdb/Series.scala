@@ -58,6 +58,27 @@ object Series {
       col("event_id"))
   }
 
+  /** [[samples]] plus the RAW event-time column as `ts_raw`. Range
+    * predicates on the DERIVED ts_us stop at the scan's DataFilters —
+    * the arithmetic (`ts div 1000` / unix_micros) blocks parquet
+    * row-group-statistics pushdown — but an equivalent predicate on
+    * the raw column reaches the stats and skips whole row groups of a
+    * time-sorted corpus. [[TsOps.rangeQuery]] adds that predicate when
+    * this column is present. A separate entry point (not a samples
+    * default) so no operator's OUTPUT grows a surprise column;
+    * Catalyst prunes ts_raw wherever it goes unused. */
+  def samplesWithRaw(events: DataFrame): DataFrame = {
+    val labels = Seq("event_type" -> col("event_type"), "user_id" -> col("user_id"))
+    events.select(
+      seriesId(labels).as("series_id"),
+      col("event_type"),
+      col("user_id"),
+      tsUs(events).as("ts_us"),
+      col("value"),
+      col("event_id"),
+      col("ts").as("ts_raw"))
+  }
+
   /** Distinct (series_id, labels) — the reference indexer's mapping #3
     * (id → label set, src/indexer/sled_indexer.rs:23-25). */
   def catalog(events: DataFrame): DataFrame =

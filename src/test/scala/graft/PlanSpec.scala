@@ -26,6 +26,11 @@ class PlanSpec extends SparkSpec {
   test("ts_query_eq: label EQ matcher pushes into the events scan") {
     val p = plan("ts_query_eq")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"), p.take(1200))
+    // the raw-ts range predicate reaches parquet row-group statistics
+    // (samplesWithRaw) — the derived-ts_us filter alone cannot. (The
+    // upper bound pushes too; the printed PushedFilters list truncates
+    // before it, so only the lower bound is assertable from the string.)
+    assert(p.contains("GreaterThanOrEqual(ts,"), "raw ts bound not pushed:\n" + p.take(1200))
   }
 
   test("q5_regional: dimension joins broadcast, fact side never broadcasts") {

@@ -46,6 +46,27 @@ class TsOpsSpec extends SparkSpec {
     assert(r.count() == 3) // ts_us 1000000, 1500000, 2000000
   }
 
+  test("rangeQuery raw-ts pushdown predicate is boundary-exact") {
+    // ns values straddling every boundary of [1000us, 2000us]:
+    // 999999ns→999us out; 1000000ns→1000us in; 2000999ns→2000us in
+    // (truncating div); 2001000ns→2001us out
+    val edges = Seq(
+      (1L, 999999L, 1L, "click", 1.0), (2L, 1000000L, 1L, "click", 2.0),
+      (3L, 2000999L, 1L, "click", 3.0), (4L, 2001000L, 1L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val viaDerived = TsOps.rangeQuery(Series.samples(edges), Nil, 1000L, 2000L)
+      .select("ts_us").as[Long].collect().sorted.toSeq
+    val viaRaw = TsOps.rangeQuery(Series.samplesWithRaw(edges), Nil, 1000L, 2000L)
+      .select("ts_us").as[Long].collect().sorted.toSeq
+    assert(viaDerived == Seq(1000L, 2000L))
+    assert(viaRaw == viaDerived, s"raw=$viaRaw derived=$viaDerived")
+    // identical answer on the real corpus too
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val t1 = 1704412800000000L; val t2 = 1704499200000000L
+    assert(TsOps.rangeQuery(Series.samplesWithRaw(ev), Nil, t1, t2).count() ==
+      TsOps.rangeQuery(Series.samples(ev), Nil, t1, t2).count())
+  }
+
   test("rate = (last-first)/(dt seconds) per series") {
     val r = TsOps.rate(Series.samples(toyEvents))
       .filter($"n_points" === 3).select("rate_per_sec").as[Double].head()
