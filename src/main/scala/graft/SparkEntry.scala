@@ -741,36 +741,36 @@ object SparkEntry {
     // each function projecting its column — count/min/max are
     // associative, so the pass is map-side-partial at any scale
     "ts_count_over_time" -> ((s, dir) =>
-      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+      TsOps.overTimeStats(Series.samplesWithRaw(t(s, dir, "events")),
         T1, T1 + 12L * 3600 * 1000000)
         .select("series_id", "n_points")),
 
     "ts_min_over_time" -> ((s, dir) =>
-      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+      TsOps.overTimeStats(Series.samplesWithRaw(t(s, dir, "events")),
         T1, T1 + 12L * 3600 * 1000000)
         .select("series_id", "min_value")),
 
     "ts_max_over_time" -> ((s, dir) =>
-      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+      TsOps.overTimeStats(Series.samplesWithRaw(t(s, dir, "events")),
         T1, T1 + 12L * 3600 * 1000000)
         .select("series_id", "max_value")),
 
     "ts_sum_over_time" -> ((s, dir) =>
-      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+      TsOps.overTimeStats(Series.samplesWithRaw(t(s, dir, "events")),
         T1, T1 + 12L * 3600 * 1000000)
         .select("series_id", "sum_value")),
 
     "ts_avg_over_time" -> ((s, dir) =>
       // avg as one fixed expression over the exact decimal sum — the
       // same determinism rule every mean in the engine follows
-      TsOps.overTimeStats(Series.samples(t(s, dir, "events")),
+      TsOps.overTimeStats(Series.samplesWithRaw(t(s, dir, "events")),
         T1, T1 + 12L * 3600 * 1000000)
         .select("series_id", "n_points", "avg_value")),
 
     "ts_absent" -> ((s, dir) => {
       // PromQL absent(): catalog series with no sample in a 12h window
       val ev = t(s, dir, "events")
-      TsOps.absent(Series.catalog(ev), Series.samples(ev), T1, T1 + 12L * 3600 * 1000000)
+      TsOps.absent(Series.catalog(ev), Series.samplesWithRaw(ev), T1, T1 + 12L * 3600 * 1000000)
     }),
 
     "ts_deriv" -> ((s, dir) =>

@@ -27,33 +27,35 @@ object TsOps {
     * (src/db.rs:205-263 `MonolithDb::query` +
     * src/storage/common.rs:32-48 `trim_time_series`, inclusive bounds).
     */
-  def rangeQuery(samples: DataFrame, ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
-    val base = samples
-      .filter(Matcher.all(ms))
-      .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
-    // when the frame carries the RAW time column (Series.samplesWithRaw),
-    // add the EQUIVALENT predicate on it: the derived-ts_us filter stops
-    // at DataFilters, the raw one reaches parquet row-group statistics
-    // and skips whole row groups of a time-sorted corpus. Equivalence:
-    //  - ns LONG: ts_us = ts div 1000 (truncating); for startUs > 0,
-    //    ts_us >= startUs ⟺ ts >= startUs·1000 (negatives fail both),
-    //    and ts_us <= endUs ⟺ ts <= endUs·1000 + 999; overflow-guarded
-    //  - TIMESTAMP: ts_us = unix_micros(ts), both grains are micros ⇒
-    //    timestamp_micros bounds are exact
-    val bounded =
-      if (!samples.columns.contains("ts_raw")) base
-      else samples.schema("ts_raw").dataType match {
-        case org.apache.spark.sql.types.LongType
-          if startUs > 0 && endUs < (Long.MaxValue - 999) / 1000 =>
-          base.filter(col("ts_raw") >= startUs * 1000 &&
-            col("ts_raw") <= endUs * 1000 + 999)
-        case org.apache.spark.sql.types.TimestampType =>
-          base.filter(col("ts_raw") >= timestamp_micros(lit(startUs)) &&
-            col("ts_raw") <= timestamp_micros(lit(endUs)))
-        case _ => base
-      }
-    bounded.select("series_id", "ts_us", "value")
+  /** Inclusive [startUs, endUs] bound on a sample frame. When the
+    * frame carries the RAW time column (Series.samplesWithRaw), the
+    * EQUIVALENT predicate is added on it: the derived-ts_us filter
+    * stops at the scan's DataFilters, the raw one reaches parquet
+    * row-group statistics and skips whole row groups of a time-sorted
+    * corpus. Equivalence:
+    *  - ns LONG: ts_us = ts div 1000 (truncating); for startUs > 0,
+    *    ts_us >= startUs ⟺ ts >= startUs·1000 (negatives fail both),
+    *    and ts_us <= endUs ⟺ ts <= endUs·1000 + 999; overflow-guarded
+    *  - TIMESTAMP: ts_us = unix_micros(ts), both grains are micros ⇒
+    *    timestamp_micros bounds are exact */
+  def rangeBound(samples: DataFrame, startUs: Long, endUs: Long): DataFrame = {
+    val base = samples.filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+    if (!samples.columns.contains("ts_raw")) base
+    else samples.schema("ts_raw").dataType match {
+      case org.apache.spark.sql.types.LongType
+        if startUs > 0 && endUs < (Long.MaxValue - 999) / 1000 =>
+        base.filter(col("ts_raw") >= startUs * 1000 &&
+          col("ts_raw") <= endUs * 1000 + 999)
+      case org.apache.spark.sql.types.TimestampType =>
+        base.filter(col("ts_raw") >= timestamp_micros(lit(startUs)) &&
+          col("ts_raw") <= timestamp_micros(lit(endUs)))
+      case _ => base
+    }
   }
+
+  def rangeQuery(samples: DataFrame, ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame =
+    rangeBound(samples.filter(Matcher.all(ms)), startUs, endUs)
+      .select("series_id", "ts_us", "value")
 
   /** Per-series fixed-window downsample (bucket start in epoch-ms).
     * Partial aggregation (map-side combine) keeps the shuffle small. */
@@ -279,8 +281,7 @@ object TsOps {
     * reduces the shuffle to one row per (partition, series) at any
     * corpus scale; the range filter prunes at the scan. */
   def overTimeStats(samples: DataFrame, startUs: Long, endUs: Long): DataFrame =
-    samples
-      .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+    rangeBound(samples, startUs, endUs)
       .groupBy(col("series_id"))
       .agg(
         count(lit(1)).as("n_points"),
@@ -295,8 +296,7 @@ object TsOps {
     * broadcasts at any corpus scale. */
   def absent(catalog: DataFrame, samples: DataFrame, startUs: Long, endUs: Long): DataFrame =
     catalog.join(
-      broadcast(samples
-        .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
+      broadcast(rangeBound(samples, startUs, endUs)
         .select("series_id").distinct()),
       Seq("series_id"), "left_anti")
 

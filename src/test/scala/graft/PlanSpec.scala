@@ -232,12 +232,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
       "over_time must shuffle once:\n" + p.take(1200))
-    // the range predicate rides the DERIVED ts_us (= ts div 1000), so
-    // it evaluates AT the scan (DataFilters, codegen'd) but cannot
-    // reach parquet row-group stats — at scale the time index is the
-    // ChunkStore's chunk partition pruning, not raw-scan stats
-    assert("DataFilters: \\[[^\\]]*div 1000\\) >= ".r.findFirstIn(p).isDefined,
-      "range filter did not reach the scan:\n" + p.take(1200))
+    // samplesWithRaw routes the range onto the RAW ts column too, so
+    // the bound reaches parquet row-group statistics (the derived
+    // ts_us filter alone stops at DataFilters)
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      "raw ts bound not pushed:\n" + p.take(1200))
   }
 
   test("emb_covariance: pair products are map-side — the corpus never self-joins") {
