@@ -48,6 +48,15 @@ final class Graft(val spark: SparkSession, dir: String) {
   def ivfStore(path: String, nCells: Int = 16): vector.IvfStore =
     new vector.IvfStore(spark, path, nCells)
 
+  /** Serve a chunk store over the Prometheus remote read/write wire
+    * (the reference's server front door). Returns the started
+    * endpoint; `.start()` was already called, stop() to shut down. */
+  def serveHttp(store: tsdb.ChunkStore, port: Int = 9090): sources.HttpEndpoint = {
+    val e = new sources.HttpEndpoint(spark, store, port)
+    e.start()
+    e
+  }
+
   /** Deduplicated documents view (the pipeline-completing operator). */
   def dedupedDocuments(threshold: Double = 0.3): DataFrame =
     text.Dedup.dedupedCorpus(documents, threshold = threshold)
@@ -151,6 +160,15 @@ object Graft {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_run_count",
+      // the native token counter over an ALREADY-LOWERCASED string —
+      // SQL callers write token_run_count(lower(text)), same contract
+      // as the Column API helper (TextOps.tokenCount applies lower)
+      exprs => functions.TokenRunCount(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+          org.apache.spark.sql.types.StringType)),
       "built-in")
     spark.udf.register("gorilla_encode",
       (pts: Seq[org.apache.spark.sql.Row]) =>

@@ -56,7 +56,10 @@ final class HttpEndpoint(
   })
 
   /** Bind and serve; returns the bound port (resolves port=0). */
-  def start(): Int = { server.start(); server.getAddress.getPort }
+  def start(): Int = { server.start(); boundPort }
+
+  /** The bound port (resolves an ephemeral port=0 request). */
+  def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = server.stop(0)
 

@@ -25,6 +25,31 @@ class GraftFacadeSpec extends SparkSpec {
       .select("p._1", "p._2").as[(Long, Double)].collect().sorted.toSeq
     val orig = g.samples.select("ts_us", "value").as[(Long, Double)].collect().sorted.toSeq
     assert(back == orig)
+    // native token counter via SQL == the regex token array's size
+    val tok = spark.sql(
+      """SELECT sum(CASE WHEN token_run_count(lower(text)) =
+                         size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))
+                    THEN 0 ELSE 1 END) AS bad
+         FROM documents""").as[Long].head()
+    assert(tok == 0)
+  }
+
+  test("serveHttp: the facade front door answers a wire write+read") {
+    val g = Graft(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_facade_http").toString
+    val endpoint = g.serveHttp(g.chunkStore(dir), port = 0)
+    try {
+      val payload = graft.sources.RemoteWrite.encode(Seq(
+        (Map("event_type" -> "click", "user_id" -> "3"),
+          Seq((1704067200000L, 1.5), (1704067260000L, 2.5)))))
+      val conn = java.net.URI.create(
+        s"http://127.0.0.1:${endpoint.boundPort}/api/v1/write").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(payload); conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      conn.disconnect()
+    } finally endpoint.stop()
   }
 
   test("prepareCorpus: one-call quality->dedup->split->redact pipeline") {
