@@ -26,7 +26,7 @@ object Kmv {
   val HashSpace: Double = 1152921504606846976.0d // 2^60
 
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix(c, 15)
 
   /** Per-`group` distinct-count estimate of `value` with a k-minimum
     * sketch. Output: (group, n_kept, kth_hash, est_distinct) — groups

@@ -87,7 +87,7 @@ object Dedup {
     * SortAggregate, and the DuckDB oracle reproduces it exactly with
     * ('0x' || substr(md5(x), 1, 15))::BIGINT. Ties under truncation
     * are harmless for min-hashing: equal mins are equal values. */
-  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = graft.functions.Md5Prefix(c, 15)
 
   /** Exact n-gram Jaccard similar pairs (doc_a < doc_b, jaccard ≥
     * threshold). One self-join on the shingle key; the per-doc set
@@ -175,7 +175,7 @@ object Dedup {
     // one shingle computation per session, and it arrives already
     // deduped so the min-agg reads fewer rows
     shingles(docs, n)
-      .withColumn("h", conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.Md5Prefix(col("sh"), 7))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }

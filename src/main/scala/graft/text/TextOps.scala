@@ -243,7 +243,7 @@ object TextOps {
         // 60-bit numeric hash (LONG min ⇒ HashAggregate, not the
         // SortAggregate a string min would force); oracle recomputes
         // it as ('0x' || substr(md5(x),1,15))::BIGINT
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Prefix(col("g"), 15).as("h"))
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fp"))
 }
