@@ -292,15 +292,28 @@ object StreamIngest {
     * timer thread — deterministic and replay-safe). */
   def startChunkSinkCompacting(events: DataFrame, store: graft.tsdb.ChunkStore,
                                checkpoint: String,
-                               closeLagUs: Long = 2L * 3600 * 1000 * 1000) =
+                               closeLagUs: Long = 2L * 3600 * 1000 * 1000,
+                               retentionUs: Long = 0L) =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val samples = graft.tsdb.Series.samples(batch).persist()
         store.appendBatch(samples, batchId)
         val maxTs = samples.agg(max(col("ts_us"))).collect()(0)
-        if (!maxTs.isNullAt(0))
+        if (!maxTs.isNullAt(0)) {
           store.closeChunksBelow(maxTs.getLong(0) - closeLagUs)
+          // retention driven by DATA progress like the close (no timer
+          // thread, deterministic on replay — retire is monotone, so a
+          // replayed batch re-issuing an older horizon is a no-op).
+          // retentionUs = 0 disables; when set it must exceed the close
+          // lag or chunks would retire while still live
+          if (retentionUs > 0L) {
+            require(retentionUs > closeLagUs,
+              s"retentionUs=$retentionUs must exceed closeLagUs=$closeLagUs " +
+                "(retiring not-yet-closed chunks would drop live data)")
+            store.retire(maxTs.getLong(0) - retentionUs)
+          }
+        }
         samples.unpersist(blocking = false)
         ()
       }

@@ -171,4 +171,31 @@ class StreamTimeoutSpec extends SparkSpec {
     val all = store.queryAll(Seq.empty, 0L, Long.MaxValue / 2)
     assert(all.count() == 4)
   }
+
+  test("compacting sink with retention ages closed chunks out as data progresses") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_compact_ret").toString
+    val ckpt = Files.createTempDirectory("graft_compact_ret_ckpt").toString
+    val store = new ChunkStore(spark, dir)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamIngest.startChunkSinkCompacting(events, store, ckpt,
+      closeLagUs = 2L * 3600 * 1000000, retentionUs = 5L * 3600 * 1000000)
+
+    def t(h: Int, m: Int = 15) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((1L, t(0), 1L, "click", 1.0), (2L, t(1), 1L, "click", 2.0))
+    q.processAllAvailable() // nothing closes or retires yet
+    input.addData((3L, t(4), 2L, "view", 3.0)) // closes chunks 0,1
+    q.processAllAvailable()
+    input.addData((4L, t(7), 2L, "view", 4.0)) // horizon 02:15 → hours 0 AND 1
+    q.processAllAvailable()                    // end below it and retire
+    q.stop()
+
+    val all = store.queryAll(Seq.empty, 0L, Long.MaxValue / 2)
+      .select("value").as[Double].collect().toSet
+    assert(all == Set(3.0, 4.0), s"got $all") // hour-0/1 events aged out
+    assert(!new java.io.File(s"$dir/closed/chunk=473352").exists())
+    assert(!new java.io.File(s"$dir/closed/chunk=473353").exists())
+  }
 }
