@@ -1017,6 +1017,8 @@ object SparkEntry {
 
     "doc_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(docsT(s, dir))),
 
+    "doc_bigram_logprob" -> ((s, dir) => TextOps.bigramLogprob(docsT(s, dir))),
+
     "doc_ppl_bucket" -> ((s, dir) => {
       // CCNet's head/middle/tail corpus partition (Wenzek et al.,
       // LREC'20 §4.3: split by LM-score terciles, train on head): the
@@ -2204,6 +2206,21 @@ object SparkEntry {
                        CAST(round(ln(CAST(tf.tf AS DOUBLE) / n.total), 6) AS DECIMAL(18,6)) AS lp6
                 FROM t0 JOIN tf USING (term), n)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(lp6) AS DOUBLE) AS sum_logprob,
+                CAST(sum(lp6) AS DOUBLE) / count(*) AS mean_logprob
+         FROM lp GROUP BY 1""",
+
+    "doc_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+               FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+         bg AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM tok)),
+         c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+         lp AS (SELECT bg.doc_id,
+                       CAST(round(ln(CAST(c2.c2 AS DOUBLE) / u.c1), 6) AS DECIMAL(18,6)) AS lp6
+                FROM bg JOIN c2 USING (a, b) JOIN u ON u.w = bg.a)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
                 CAST(sum(lp6) AS DOUBLE) AS sum_logprob,
                 CAST(sum(lp6) AS DOUBLE) / count(*) AS mean_logprob
          FROM lp GROUP BY 1""",

@@ -180,6 +180,40 @@ object TextOps {
       .withColumn("mean_logprob", col("sum_logprob") / col("n_tokens"))
   }
 
+  /** Bigram language-model quality score — the context-aware sibling
+    * of [[unigramLogprob]] (one order up the n-gram ladder toward the
+    * KenLM models CCNet actually trains): mean over a doc's token
+    * TRANSITIONS of ln(c(a,b) / c(a)), the MLE bigram probability
+    * with the unigram-instance denominator. Catches locally-scrambled
+    * text that unigram frequency cannot (same words, implausible
+    * order scores low).
+    *
+    * Plan: bigrams are the n=2 word shingles (map-side zip — no
+    * self-join); two global instance-count aggregations (bigram and
+    * unigram, both LONG-keyed partial-aggregated); per-transition
+    * logprob rounds to 6dp then sums exactly in DECIMAL. Docs with
+    * fewer than two tokens have no transitions and emit no row. */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), xxhash64(col("bg")).as("hb"),
+        xxhash64(substring_index(col("bg"), " ", 1)).as("ha"))
+    val uni = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy(col("hb")).agg(count(lit(1)).as("c2"))
+    bg.join(big, "hb")
+      .join(uni, "ha")
+      .select(col("doc_id"),
+        round(log(col("c2").cast("double") / col("c1")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        sum(col("lp6")).cast("double").as("sum_logprob"))
+      .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
+  }
+
   /** Corpus vocabulary top-k: global token counts, highest-count
     * first with a term tiebreak. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition bounded top-k merged on
