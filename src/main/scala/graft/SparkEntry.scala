@@ -964,6 +964,8 @@ object SparkEntry {
 
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docsT(s, dir))),
 
+    "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docsT(s, dir))),
+
     "doc_split" -> ((s, dir) => Dedup.leakageSafeSplit(docsT(s, dir))),
 
     "doc_contamination" -> ((s, dir) => {
@@ -1858,6 +1860,18 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$clustersCtes
          SELECT doc_id, cluster_rep FROM clu""",
+
+    "dedup_keep_best" ->
+      s"""$clustersCtes,
+         j AS (SELECT clu.cluster_rep, d.doc_id, d.n_chars
+               FROM clu JOIN documents d USING (doc_id)),
+         m AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+                      max(n_chars) AS n_chars
+               FROM j GROUP BY 1)
+         SELECT m.cluster_rep, CAST(min(j.doc_id) AS BIGINT) AS kept_doc_id,
+                m.n_chars, m.n_members
+         FROM m JOIN j ON j.cluster_rep = m.cluster_rep AND j.n_chars = m.n_chars
+         GROUP BY 1, 3, 4""",
 
     "doc_split" ->
       s"""$clustersCtes

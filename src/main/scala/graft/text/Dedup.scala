@@ -304,6 +304,24 @@ object Dedup {
     docs.join(dominated, docs("doc_id") === dominated("doc_b"), "left_anti")
   }
 
+  /** Quality-aware representative selection: each duplicate CLUSTER
+    * keeps its LONGEST member (n_chars, ties → lowest doc_id) instead
+    * of greedy keep-lowest-id — the "keep the best copy" policy real
+    * pipelines run, since the longest near-dup usually carries the
+    * most content. Rides the same cluster labels as
+    * [[duplicateClusters]]; the per-cluster argmax is one
+    * max-of-struct hash aggregation (no window sort), so the extra
+    * cost over clustering is one pass over corpus-sized labels. */
+  def keepBest(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame =
+    duplicateClusters(docs, n, threshold)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_rep"), (-col("best.nid")).as("kept_doc_id"),
+        col("best.n_chars").as("n_chars"), col("n_members"))
+
   /** Duplicate CLUSTERS: connected components of the near-dup pair
     * graph, each doc labeled with its component's minimum doc_id.
     *
