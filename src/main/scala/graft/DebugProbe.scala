@@ -209,6 +209,47 @@ object DebugProbe {
       run("x10", big)
       spark.stop(); return
     }
+    if (names.contains("__http")) {
+      // the wire front door end-to-end on a live ephemeral port:
+      // remote-write a slice of real events, remote-read it back
+      import graft.sources.{HttpEndpoint, RemoteRead, RemoteWrite}
+      import graft.tsdb.{ChunkStore, MatchEq}
+      val dir = java.nio.file.Files.createTempDirectory("probe_http").toString
+      val endpoint = new HttpEndpoint(spark, new ChunkStore(spark, dir))
+      val port = endpoint.start()
+      try {
+        val rows = spark.read.parquet(s"$sfDir/events.parquet")
+          .filter(col("event_type") === "purchase").limit(200)
+        val series = graft.tsdb.Series.samples(rows)
+          .select("event_type", "user_id", "ts_us", "value")
+          .collect()
+          .groupBy(r => (r.getString(0), r.getLong(1)))
+          .map { case ((et, uid), rs) =>
+            (Map("event_type" -> et, "user_id" -> uid.toString),
+              rs.map(r => (r.getLong(2) / 1000, r.getDouble(3))).toSeq.sorted)
+          }.toSeq
+        def post(path: String, body: Array[Byte]): (Int, Array[Byte]) = {
+          val c = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          c.setRequestMethod("POST"); c.setDoOutput(true)
+          c.getOutputStream.write(body); c.getOutputStream.close()
+          val code = c.getResponseCode
+          val st = if (code < 400) c.getInputStream else c.getErrorStream
+          val bytes = if (st == null) Array.empty[Byte] else st.readAllBytes()
+          c.disconnect(); (code, bytes)
+        }
+        val (wc, _) = post("/api/v1/write", RemoteWrite.encode(series))
+        val req = RemoteRead.encodeRequest(Seq(
+          (0L, Long.MaxValue / 2000, Seq(MatchEq("event_type", "purchase")))))
+        val (rc, resp) = post("/api/v1/read", req)
+        val back = RemoteRead.decodeResponse(resp).head
+        val nSamples = back.map(_._2.size).sum
+        val sent = series.map(_._2.size).sum
+        println(s"[probe] http write=$wc read=$rc series=${back.size} " +
+          s"samples=$nSamples (sent $sent) roundtrip=${nSamples == sent}")
+      } finally endpoint.stop()
+    }
+
     if (names.contains("__ivfstore")) {
       import graft.vector.{IvfStore, VectorOps}
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

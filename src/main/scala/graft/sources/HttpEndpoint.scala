@@ -48,7 +48,8 @@ final class HttpEndpoint(
 
   private val writeLock = new Object
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(workerNum))
+  private val workers = Executors.newFixedThreadPool(workerNum)
+  server.setExecutor(workers)
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try route(ex)
@@ -61,7 +62,14 @@ final class HttpEndpoint(
   /** The bound port (resolves an ephemeral port=0 request). */
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // HttpServer.stop does NOT shut down a user-provided executor; the
+    // non-daemon workers would keep the JVM alive after main returns
+    // (found the hard way: a probe main hung on exit with the pool's
+    // threads parked)
+    workers.shutdown()
+  }
 
   private def route(ex: HttpExchange): Unit = {
     val body =
