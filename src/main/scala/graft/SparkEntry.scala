@@ -210,6 +210,12 @@ object SparkEntry {
         .select(col("series_id"), col("ts_us"), col("value"), col("z"))
     }),
 
+    "ts_mad_outliers" -> ((s, dir) =>
+      // robust anomaly flags: |x − median| > 3·MAD — survives the
+      // single extreme point that inflates mean+stddev enough to hide
+      // itself from the z-score detector
+      TsOps.madOutliers(Series.samples(t(s, dir, "events")))),
+
     "ts_histogram_quantile" -> ((s, dir) => {
       // PromQL histogram_quantile(0.5, …): the median ESTIMATED from
       // fixed-width bucket counts with linear interpolation inside
@@ -1452,6 +1458,16 @@ object SparkEntry {
                  round((s.value - mm.mean) / mm.std, 6) AS z
           FROM s JOIN mm ON s.series_id = mm.series_id
           WHERE abs(round((s.value - mm.mean) / mm.std, 6)) > 2.0""",
+
+    "ts_mad_outliers" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
+          m AS (SELECT series_id, round(quantile_cont(value, 0.5), 6) AS med FROM s GROUP BY 1),
+          d AS (SELECT s.series_id, ts_us, value, med, abs(value - med) AS adev
+                FROM s JOIN m USING (series_id)),
+          md AS (SELECT series_id, round(quantile_cont(adev, 0.5), 6) AS mad FROM d GROUP BY 1)
+          SELECT d.series_id, ts_us, value, med, mad, adev / mad AS score
+          FROM d JOIN md USING (series_id)
+          WHERE mad > 0 AND adev > 3.0 * mad""",
 
     "ts_histogram_quantile" ->
       s"""WITH h AS (SELECT $SeriesIdSql AS series_id,

@@ -274,6 +274,30 @@ object TsOps {
             (col("s1") / col("n_points")) * (col("s1") / col("n_points")),
           lit(0.0))).as("stddev_value"))
 
+  /** Robust per-series anomaly flags via MEDIAN absolute deviation —
+    * the outlier detector that survives what breaks the z-score: a
+    * single extreme point inflates the mean AND the stddev enough to
+    * hide itself, while the median and MAD barely move. Two R-7
+    * percentile aggregations (median of values, median of absolute
+    * deviations) with the per-series medians joined back; flags
+    * |x − med| > k·MAD. Constant series (MAD = 0) emit nothing.
+    * Determinism: both medians carry the percentile 6dp tolerance;
+    * deviations and the score are fixed IEEE expressions over
+    * bit-equal operands. */
+  def madOutliers(samples: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = samples.groupBy(col("series_id"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = samples.join(med, "series_id")
+      .select(col("series_id"), col("ts_us"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("series_id"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(mad, "series_id")
+      .filter(col("mad") > 0 && col("adev") > lit(k) * col("mad"))
+      .select(col("series_id"), col("ts_us"), col("value"), col("med"),
+        col("mad"), (col("adev") / col("mad")).as("score"))
+  }
+
   /** PromQL `count_over_time` / `min_over_time` / `max_over_time` on
     * one range vector: a single aggregation pass per series over
     * [startUs, endUs]. count/min/max are all associative and
