@@ -1027,6 +1027,8 @@ object SparkEntry {
 
     "doc_bigram_logprob" -> ((s, dir) => TextOps.bigramLogprob(docsT(s, dir))),
 
+    "doc_token_entropy" -> ((s, dir) => TextOps.tokenEntropy(docsT(s, dir))),
+
     "doc_ppl_bucket" -> ((s, dir) => {
       // CCNet's head/middle/tail corpus partition (Wenzek et al.,
       // LREC'20 §4.3: split by LM-score terciles, train on head): the
@@ -2254,6 +2256,18 @@ object SparkEntry {
                 CAST(sum(lp6) AS DOUBLE) AS sum_logprob,
                 CAST(sum(lp6) AS DOUBLE) / count(*) AS mean_logprob
          FROM lp GROUP BY 1""",
+
+    "doc_token_entropy" ->
+      """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM t0 GROUP BY 1, 2),
+         l AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1),
+         t AS (SELECT c.doc_id, l.n_tokens,
+                      CAST(c.c AS DECIMAL(18,0)) *
+                        CAST(round(ln(CAST(c.c AS DOUBLE) / l.n_tokens), 6) AS DECIMAL(18,6)) AS t
+               FROM c JOIN l USING (doc_id))
+         SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+                -CAST(sum(t) AS DOUBLE) / max(n_tokens) AS entropy
+         FROM t GROUP BY 1""",
 
     "doc_ppl_bucket" ->
       """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

@@ -214,6 +214,34 @@ object TextOps {
       .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
   }
 
+  /** Shannon entropy of each doc's TOKEN distribution — the
+    * vocabulary-diversity quality signal (near-zero = one phrase
+    * looping; the complement of [[repetition]], which only sees the
+    * single worst n-gram). H = −Σ pᵢ ln pᵢ over the doc's token
+    * frequencies, computed as −(Σ cᵢ · round(ln(cᵢ/L), 6)) / L so the
+    * only engine-specific step (libm log) is rounded per TERM and the
+    * weighted sum is an exact integer×decimal aggregation — order-
+    * independent, one final double division. Plan: token explode,
+    * LONG-keyed per-(doc, token) count, one per-doc aggregation. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), xxhash64(col("term")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
+    counts.join(totals, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("c").cast(org.apache.spark.sql.types.DecimalType(18, 0)) *
+          round(log(col("c").cast("double") / col("n_tokens")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(col("t")).cast("double").as("st"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("st") / col("n_tokens")).as("entropy"))
+  }
+
   /** Corpus vocabulary top-k: global token counts, highest-count
     * first with a term tiebreak. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition bounded top-k merged on
