@@ -351,6 +351,26 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "events_cohort_value" -> ((s, dir) => {
+      // cohort LTV curve: the retention matrix weighted by VALUE —
+      // exact decimal revenue per (first-seen-day cohort, day offset)
+      // plus the cumulative per-cohort running total (the curve a
+      // payback model reads). Same two partial-aggregated shuffles as
+      // retention; the cumulative sum is a window over the tiny
+      // (cohort × offset) matrix, never over events
+      val sm = Series.samples(t(s, dir, "events"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"), col("value"))
+      val first = sm.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val matrix = sm.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(TsOps.exactSum(col("value"), 2).as("sum_value"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      matrix.withColumn("cum_value",
+        sum(col("sum_value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .over(w).cast("double"))
+    }),
+
     "events_funnel" -> ((s, dir) => {
       // signup → purchase conversion per user: first signup, first
       // purchase at-or-after it, conversion delay
@@ -1382,6 +1402,20 @@ object SparkEntry {
                  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
           FROM d JOIN f ON d.user_id = f.user_id
           GROUP BY 1, 2""",
+
+    "events_cohort_value" ->
+      s"""WITH d AS (SELECT user_id, epoch_us(ts)//86400000000 AS day, value FROM events),
+          f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+          m AS (SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+                       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                       sum(CAST(value AS DECIMAL(28,2))) AS sv_dec
+                FROM d JOIN f ON d.user_id = f.user_id
+                GROUP BY 1, 2)
+          SELECT cohort_day, day_offset, sum_value,
+                 CAST(sum(CAST(sv_dec AS DECIMAL(28,2))) OVER (PARTITION BY cohort_day
+                   ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cum_value
+          FROM m""",
 
     "ts_gap_fill_1h" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
