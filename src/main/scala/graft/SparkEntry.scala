@@ -1057,7 +1057,12 @@ object SparkEntry {
       // Raw scores compare against ROUNDED cuts: scores are bit-equal
       // across engines by construction, cuts carry the percentile
       // tolerance, so the comparison is deterministic
-      val lp = TextOps.unigramLogprob(docsT(s, dir))
+      // persisted: the cut aggregate and the bucket projection both
+      // read this frame — without the cache the corpus-wide token
+      // explode + tf shuffle + logprob join would execute twice
+      // (session-shared via CacheManager subtree match, the
+      // established dedup-family idiom; Bench clears per family)
+      val lp = TextOps.unigramLogprob(docsT(s, dir)).persist()
       val cuts = lp.agg(
         round(expr("percentile(mean_logprob, 1.0/3)"), 6).as("c1"),
         round(expr("percentile(mean_logprob, 2.0/3)"), 6).as("c2"))

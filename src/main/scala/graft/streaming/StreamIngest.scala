@@ -293,7 +293,18 @@ object StreamIngest {
   def startChunkSinkCompacting(events: DataFrame, store: graft.tsdb.ChunkStore,
                                checkpoint: String,
                                closeLagUs: Long = 2L * 3600 * 1000 * 1000,
-                               retentionUs: Long = 0L) =
+                               retentionUs: Long = 0L) = {
+    // misconfiguration must fail HERE, at setup — inside foreachBatch
+    // it would start a healthy-looking query that dies on its first
+    // non-empty batch
+    require(retentionUs == 0L || retentionUs > closeLagUs,
+      s"retentionUs=$retentionUs must exceed closeLagUs=$closeLagUs " +
+        "(retiring not-yet-closed chunks would drop live data)")
+    // retire only when the horizon ADVANCES past a chunk boundary: the
+    // call rewrites the _retention marker and re-lists the store's
+    // directories, which a seconds-cadence trigger must not pay per
+    // batch when nothing can possibly retire
+    var lastRetireHorizonUs = Long.MinValue
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -304,18 +315,19 @@ object StreamIngest {
           store.closeChunksBelow(maxTs.getLong(0) - closeLagUs)
           // retention driven by DATA progress like the close (no timer
           // thread, deterministic on replay — retire is monotone, so a
-          // replayed batch re-issuing an older horizon is a no-op).
-          // retentionUs = 0 disables; when set it must exceed the close
-          // lag or chunks would retire while still live
+          // replayed batch re-issuing an older horizon is a no-op)
           if (retentionUs > 0L) {
-            require(retentionUs > closeLagUs,
-              s"retentionUs=$retentionUs must exceed closeLagUs=$closeLagUs " +
-                "(retiring not-yet-closed chunks would drop live data)")
-            store.retire(maxTs.getLong(0) - retentionUs)
+            val horizon = maxTs.getLong(0) - retentionUs
+            if (horizon / (3600L * 1000000) > lastRetireHorizonUs / (3600L * 1000000) ||
+              lastRetireHorizonUs == Long.MinValue) {
+              store.retire(horizon)
+              lastRetireHorizonUs = horizon
+            }
           }
         }
         samples.unpersist(blocking = false)
         ()
       }
       .start()
+  }
 }

@@ -53,10 +53,18 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(sigsTable))
     paramProps.foreach { case (k, v) =>
-      meta.properties.get(k).foreach(existing => require(existing == v,
-        s"MinhashStore($table): existing index has $k=$existing, this store uses " +
-          s"$v — append would mix incompatible generations (probes silently miss " +
-          "older dups); recreate with mode=overwrite or match the parameters"))
+      meta.properties.get(k) match {
+        case Some(existing) => require(existing == v,
+          s"MinhashStore($table): existing index has $k=$existing, this store " +
+            s"uses $v — append would mix incompatible generations (probes " +
+            "silently miss older dups); recreate with mode=overwrite or match " +
+            "the parameters")
+        case None => throw new IllegalArgumentException(
+          s"MinhashStore($table): existing index carries no $k stamp, so its " +
+            "build parameters (shingle n, band size) cannot be verified — a " +
+            "silent mismatch would corrupt the index and then stamp the NEW " +
+            "parameters over the mix; rebuild with mode=overwrite")
+      }
     }
     val existingPerm = meta.schema.fieldNames.count(_.matches("m\\d+"))
     require(existingPerm == numPerm,
@@ -99,7 +107,13 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
     * n_agree, est_jaccard), est_jaccard ≥ `minEst`. Only the new
     * batch's signatures are computed; the corpus contributes its
     * stored tables in bucket order. */
+  // the most recent probe's cached result: releasing it on the NEXT
+  // probe bounds this store's cache footprint at ONE result frame
+  // (batch-dup-sized) instead of one per call for the session lifetime
+  @volatile private var lastProbeResult: Option[DataFrame] = None
+
   def probe(newDocs: DataFrame, minEst: Double = 0.5): DataFrame = {
+    lastProbeResult.foreach(_.unpersist(blocking = false))
     // the batch signature frame persists only for the duration of this
     // call: the result (bounded by the batch's dup count) materializes
     // eagerly below, then the signatures release — a long-lived driver
@@ -125,6 +139,7 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
       .persist()
     out.count() // materialize so the batch signatures can release now
     newSigs.unpersist(blocking = false)
+    lastProbeResult = Some(out)
     out
   }
 }

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
 final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 3600000L,
                        filesPerChunkPerAppend: Int = 8,
                        rollupOnClose: Boolean = false) {
+  // rollups are hourly; a chunk that does not contain WHOLE hourly
+  // buckets (sub-hour or non-divisor chunkMs) would split one bucket
+  // across chunk partitions — queryRollup drops the chunk column, so
+  // consumers would see multiple conflicting partial rows per
+  // (series, bucket). Refuse at construction, not at first read.
+  require(!rollupOnClose || (chunkMs >= 3600000L && chunkMs % 3600000L == 0L),
+    s"rollupOnClose requires chunkMs to be a whole multiple of one hour " +
+      s"(got $chunkMs ms): hourly rollup buckets must not straddle chunks")
   private val chunkUs = chunkMs * 1000
   private val livePath = s"$path/live"
   private val closedPath = s"$path/closed"
@@ -35,10 +43,10 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
 
   /** Per-(chunk, series) hourly rollup of a raw sample frame — the
     * [[TsOps.downsample]] aggregate shape, keyed by the source chunk
-    * so the write partitions align with the store layout. Grouping by
-    * chunk AND bucket is correct at any chunkMs: a bucket never needs
-    * to merge across chunks because each output row is scoped to the
-    * chunk whose samples produced it. */
+    * so the write partitions align with the store layout. The
+    * constructor guarantees chunkMs is a whole multiple of one hour,
+    * so every bucket lives entirely inside one chunk and each
+    * (series, bucket) emits exactly one row. */
   private def rollup1h(rows: DataFrame): DataFrame = {
     val bucketUs = 3600000000L
     rows

@@ -28,12 +28,17 @@ object VectorOps {
 
   /** Enforced baseline-only contract for the two all-pairs operators:
     * they exist as exact oracles for the LSH/IVF scale paths and must
-    * never silently become the default on a large corpus. The probe is
-    * a LocalLimit count (stops at maxRows+1 — never a full scan), so
-    * the guard itself is O(maxRows) even on a 100 TB input. */
+    * never silently become the default on a large corpus. The probe
+    * runs ONE eager bounded job at call time (failing fast is the
+    * point — before any quadratic plan is even built); LocalLimit
+    * stops each partition after maxRows+1 rows, so the scan is
+    * bounded per partition, never a full read of any partition. */
   private def requireBaselineScale(corpus: DataFrame, op: String, scaleOp: String,
                                    maxRows: Long, force: Boolean): Unit =
     if (!force) {
+      require(maxRows > 0 && maxRows < Int.MaxValue,
+        s"$op: maxRows=$maxRows must be in (0, Int.MaxValue) — a guard that " +
+          "large is no guard; pass force=true to skip it instead")
       val probe = corpus.select(lit(1)).limit(maxRows.toInt + 1).count()
       require(probe <= maxRows,
         s"$op is a brute-force BASELINE (all-pairs cost) and its input exceeds " +
