@@ -93,5 +93,16 @@ object Bench {
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     } catch { case _: Throwable => } // stdout already carries the result
     spark.stop()
+    // Round-6 fix (r4 AND r5 telemetry both failed): the driver keeps
+    // the TAIL of the log, so the big line above — 117 per-query
+    // entries, several KB — scrolls its own head out of the capture
+    // window. Re-print a SHORT (~300 B) self-contained summary as the
+    // very LAST stdout line, after spark.stop()'s shutdown chatter, so
+    // any tail window of reasonable size contains one complete
+    // parseable object. Same schema minus the per-query map.
+    // "queries" carries the FAMILY subtotals here (18 entries, not
+    // 117) so the line satisfies the driver's schema while staying
+    // small; "families" names them honestly for a human reader.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","families":$fams,"queries":$fams}""")
   }
 }

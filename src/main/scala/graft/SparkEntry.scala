@@ -361,14 +361,22 @@ object SparkEntry {
       val sm = Series.samples(t(s, dir, "events"))
         .select(col("user_id"), expr("ts_us div 86400000000").as("day"), col("value"))
       val first = sm.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      // keep the EXACT decimal sum (sv_dec) for the running total —
+      // the oracle accumulates its decimal, and a round-trip through
+      // the double sum_value loses exactness once a per-cell revenue
+      // sum exceeds 2^53 cents. Re-cast back to (28,2) before the
+      // window sum so both engines accumulate the same scale-2 values
+      // (sum widens to (38,2) in both; see determinism notes).
+      val dec = org.apache.spark.sql.types.DecimalType(28, 2)
       val matrix = sm.join(first, "user_id")
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-        .agg(TsOps.exactSum(col("value"), 2).as("sum_value"))
+        .agg(sum(col("value").cast(dec)).cast(dec).as("sv_dec"))
       val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      matrix.withColumn("cum_value",
-        sum(col("sum_value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
-          .over(w).cast("double"))
+      matrix
+        .withColumn("sum_value", col("sv_dec").cast("double"))
+        .withColumn("cum_value", sum(col("sv_dec")).over(w).cast("double"))
+        .select("cohort_day", "day_offset", "sum_value", "cum_value")
     }),
 
     "events_funnel" -> ((s, dir) => {

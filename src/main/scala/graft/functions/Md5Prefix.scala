@@ -32,11 +32,18 @@ case class Md5Prefix(child: Expression, nHexDigits: Int) extends UnaryExpression
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix"
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // ThreadLocal, not a shared instance: MessageDigest is stateful, and
+  // while Spark deserializes one plan per task today, a driver-side
+  // same-instance eval from two threads would corrupt hashes silently.
+  // Spark's own digest expressions allocate defensively for this reason.
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
-    md.reset()
-    val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
+    val digest = md.get()
+    digest.reset()
+    val d = digest.digest(input.asInstanceOf[UTF8String].getBytes)
     var v = 0L
     var i = 0
     while (i < nHexDigits) {

@@ -318,7 +318,11 @@ object StreamIngest {
           // replayed batch re-issuing an older horizon is a no-op)
           if (retentionUs > 0L) {
             val horizon = maxTs.getLong(0) - retentionUs
-            if (horizon / (3600L * 1000000) > lastRetireHorizonUs / (3600L * 1000000) ||
+            // compare at the STORE's chunk grain, not a hardcoded hour:
+            // retire can only ever free whole chunks, so for multi-hour
+            // chunks an hourly cadence would pay the _retention rewrite
+            // + directory listings chunkUs/1h times per real boundary
+            if (horizon / store.chunkUs > lastRetireHorizonUs / store.chunkUs ||
               lastRetireHorizonUs == Long.MinValue) {
               store.retire(horizon)
               lastRetireHorizonUs = horizon

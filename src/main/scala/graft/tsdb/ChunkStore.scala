@@ -34,7 +34,10 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   require(!rollupOnClose || (chunkMs >= 3600000L && chunkMs % 3600000L == 0L),
     s"rollupOnClose requires chunkMs to be a whole multiple of one hour " +
       s"(got $chunkMs ms): hourly rollup buckets must not straddle chunks")
-  private val chunkUs = chunkMs * 1000
+  /** Chunk grain in microseconds — public so cadence decisions made
+    * OUTSIDE the store (the streaming sink's retire check) can align
+    * with the real chunk boundaries instead of assuming 1h. */
+  val chunkUs: Long = chunkMs * 1000
   private val livePath = s"$path/live"
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
@@ -71,6 +74,20 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
       s"ChunkStore at $path has no rollups — they are written on chunk close " +
         "when the store is built with rollupOnClose=true; for raw-resolution " +
         "data use queryAll")
+    // mixed-generation guard: a store whose chunks were closed BEFORE
+    // rollupOnClose was enabled has closed payloads with no rollup
+    // partition — serving the range would silently omit that history
+    // (the same silent-partial-answer class the MinhashStore parameter
+    // stamp exists to prevent). Both id sets are directory listings,
+    // never a Spark job, so the check is O(chunks) metadata.
+    val missing = closedChunkIds()
+      .filter(c => c >= startUs / chunkUs && c <= endUs / chunkUs)
+      .diff(rollupChunkIdsListed())
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"ChunkStore at $path: closed chunks ${missing.toSeq.sorted.mkString(",")} " +
+          "in the query range have no rollups (closed before rollupOnClose was " +
+          "enabled) — run backfillRollups() once, or query raw via queryAll")
     val inRange = (df: DataFrame) =>
       df.filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)
     val cat = inRange(readChunked(catalogPath))
@@ -401,6 +418,28 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     // before their cleanup (their rows are query-invisible already)
     deleteLiveChunkDirs(liveIds.intersect(already))
     closeChunks(liveIds.filter(_ < limit).diff(already).toSeq.sorted)
+  }
+
+  /** Rollup partition ids from the directory names — a metadata
+    * listing, never a Spark job (same idiom as liveChunkIdsListed). */
+  private def rollupChunkIdsListed(): Set[Long] =
+    listNames(rollupPath).filter(_.startsWith("chunk="))
+      .map(_.stripPrefix("chunk=").toLong).toSet
+
+  /** Write the missing rollup partitions for chunks that were closed
+    * before rollupOnClose was enabled: decode only those payloads,
+    * re-derive the chunk id from the timestamp (routing used the same
+    * division), and dynamic-overwrite per chunk partition — idempotent
+    * like closeChunks, so a crash mid-backfill just re-runs. */
+  def backfillRollups(): Unit = {
+    val missing = closedChunkIds().diff(rollupChunkIdsListed())
+    if (missing.isEmpty) return
+    val payloads = readChunked(closedPath)
+      .filter(col("chunk").isInCollection(missing))
+    rollup1h(Gorilla.unpack(payloads)
+      .withColumn("chunk", expr(s"ts_us div $chunkUs")))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chunk").parquet(rollupPath)
   }
 
   /** Read a closed chunk back as samples (decode + explode). */
