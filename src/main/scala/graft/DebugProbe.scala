@@ -247,6 +247,37 @@ object DebugProbe {
         val sent = series.map(_._2.size).sum
         println(s"[probe] http write=$wc read=$rc series=${back.size} " +
           s"samples=$nSamples (sent $sent) roundtrip=${nSamples == sent}")
+        // production write shape: spooled handler + streaming drain —
+        // many requests, ONE append job per micro-batch (batch dirs)
+        val spDir = java.nio.file.Files.createTempDirectory("probe_http_sp").toString
+        val spStore = new ChunkStore(spark, s"$spDir/store")
+        val spEndpoint = new HttpEndpoint(spark, spStore, spool = Some(s"$spDir/spool"))
+        val spPort = spEndpoint.start()
+        var sink: org.apache.spark.sql.streaming.StreamingQuery = null
+        try {
+          def postSp(body: Array[Byte]) = {
+            val c = java.net.URI.create(s"http://127.0.0.1:$spPort/api/v1/write").toURL
+              .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            c.setRequestMethod("POST"); c.setDoOutput(true)
+            c.getOutputStream.write(body); c.getOutputStream.close()
+            val code = c.getResponseCode; c.disconnect(); code
+          }
+          val t1 = System.nanoTime()
+          val codes = series.map(s => postSp(RemoteWrite.encode(Seq(s))))
+          val enqueueMs = (System.nanoTime() - t1) / 1e6
+          sink = graft.streaming.StreamIngest.startSpoolRemoteWriteSink(
+            spark, s"$spDir/spool", spStore, s"$spDir/chk")
+          sink.processAllAvailable()
+          val landed = spStore.queryAll(Seq(MatchEq("event_type", "purchase")),
+            1L, Long.MaxValue / 2).count()
+          val batches = new java.io.File(s"$spDir/store/live").list()
+            .count(_.startsWith("batch="))
+          println(s"[probe] http spooled requests=${codes.size} ok=${codes.count(_ == 200)} " +
+            f"enqueue_total_ms=$enqueueMs%.1f landed=$landed (sent $sent) appendJobs=$batches")
+        } finally {
+          if (sink != null) sink.stop()
+          spEndpoint.stop()
+        }
       } finally endpoint.stop()
     }
 

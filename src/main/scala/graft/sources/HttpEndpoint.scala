@@ -28,10 +28,29 @@ import graft.tsdb.ChunkStore
   * reference, requests are handled on a fixed worker pool; UNLIKE the
   * reference's sled backend, parquet appends to one store path must
   * not race (two concurrent Spark append jobs share a staging
-  * protocol), so writes serialize on a store-level lock — the
+  * protocol), so direct writes serialize on a store-level lock — the
   * parallelism lives inside each append job (one task per
   * (chunk, salt) cluster), not across HTTP requests. Reads are
   * lock-free and concurrent.
+  *
+  * **Two write modes.** Prometheus remote-write ships SMALL, FREQUENT
+  * payloads (a few hundred samples per request); one locked Spark
+  * append job per request is O(job) where the reference's in-memory
+  * chunk append (server.rs:56-60) is O(samples) — a real request rate
+  * would saturate on job overhead, not data. So the production mode is
+  * `spool = Some(dir)`: the handler validates the payload at the
+  * boundary (malformed still answers 400 before anything durable
+  * happens) and then only writes the raw bytes to a spool file via an
+  * atomic rename — O(payload) per request, no Spark work, no lock.
+  * [[graft.streaming.StreamIngest.startSpoolRemoteWriteSink]] drains
+  * the spool as a Structured-Streaming file source: ONE append job per
+  * micro-batch regardless of request count, exactly-once via the
+  * checkpoint + idempotent batch-scoped chunk appends, spool files
+  * deleted once committed. 200 then means "accepted and durable"
+  * (spool + checkpoint replay survive a crash), matching remote-write
+  * semantics where ingestion is acknowledged, not queryability.
+  * `spool = None` keeps the direct locked append — the right trade for
+  * low-rate deployments and the lossless-roundtrip drills.
   *
   * Status mapping: 200 read hit / write accepted, 400 malformed
   * payload (the reference folds this into 500; a malformed payload is
@@ -44,9 +63,35 @@ final class HttpEndpoint(
     port: Int = 0, // 0 = ephemeral (spec-friendly); fixed in production
     readPath: String = "/api/v1/read",
     writePath: String = "/api/v1/write",
-    workerNum: Int = 4) {
+    workerNum: Int = 4,
+    spool: Option[String] = None) {
 
   private val writeLock = new Object
+  private val spoolSeq = new java.util.concurrent.atomic.AtomicLong()
+  // Hadoop FS, not java.nio: the spool rides the same filesystem
+  // abstraction as the store, so an hdfs:///s3a:// spool dir works on
+  // a real cluster (rename is atomic on HDFS/local; an object store
+  // would want a direct-write-with-unique-name variant)
+  @transient private lazy val spoolFs = spool.map(d =>
+    new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration))
+
+  /** Spool one validated payload: write to a dot-prefixed temp name
+    * (hidden from Spark's file listing) then atomically rename into
+    * place — the file source must never observe a half-written file.
+    * Names are unique (time + sequence + random) and lexically
+    * time-ordered for human debugging; the source tracks files by
+    * path, so uniqueness is what prevents replay confusion. */
+  private def spoolWrite(dir: String, body: Array[Byte]): Unit = {
+    val name = f"w-${System.currentTimeMillis()}%013d-${spoolSeq.incrementAndGet()}%06d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val fs = spoolFs.get
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"$name.bin")))
+      throw new java.io.IOException(s"spool rename failed for $name under $dir")
+  }
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val workers = Executors.newFixedThreadPool(workerNum)
   server.setExecutor(workers)
@@ -90,9 +135,16 @@ final class HttpEndpoint(
       // DataFrame path re-decodes inside the job where the real
       // columnar explode happens
       if (RemoteWrite.decode(body).isEmpty) { ex.sendResponseHeaders(400, -1); return }
-      val payloads = Seq(body).toDF("payload")
-      writeLock.synchronized {
-        store.append(RemoteWrite.toEventSamples(payloads))
+      spool match {
+        case Some(dir) =>
+          // enqueue-only: O(payload) bytes to the spool, zero Spark
+          // work in the request path; the streaming sink micro-batches
+          spoolWrite(dir, body)
+        case None =>
+          val payloads = Seq(body).toDF("payload")
+          writeLock.synchronized {
+            store.append(RemoteWrite.toEventSamples(payloads))
+          }
       }
       ex.sendResponseHeaders(200, -1)
     } catch {
@@ -138,10 +190,18 @@ object HttpServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val endpoint = new HttpEndpoint(spark, new ChunkStore(spark, path), port)
+    val store = new ChunkStore(spark, path)
+    // production shape: spooled writes + the streaming drain — the
+    // request path is an enqueue, appends are one job per micro-batch
+    // (see the class scaladoc). Spool + checkpoint live under the
+    // store path so the whole durable state moves as one directory.
+    val spool = s"$path/_spool"
+    val endpoint = new HttpEndpoint(spark, store, port, spool = Some(spool))
+    graft.streaming.StreamIngest.startSpoolRemoteWriteSink(
+      spark, spool, store, s"$path/_spool_checkpoint")
     val bound = endpoint.start()
     // stdout contract like Bench/Verify: one parse-friendly line
-    println(s"""{"serving":"http://127.0.0.1:$bound","store":"$path"}""")
+    println(s"""{"serving":"http://127.0.0.1:$bound","store":"$path","spool":"$spool"}""")
     Thread.currentThread.join() // serve until the process is killed
   }
 }

@@ -96,6 +96,41 @@ object StreamIngest {
       }
       .start()
 
+  /** Drain an [[graft.sources.HttpEndpoint]] write spool into the
+    * chunk store: the HTTP handler only renames raw payload files into
+    * `spoolDir`; this file-source stream picks them up and rides the
+    * exact remote-write sink above — ONE append job per micro-batch no
+    * matter how many requests arrived, which is what lets the front
+    * door sustain real remote-write request rates (per-request cost is
+    * an enqueue, per-batch cost is one Spark job). Exactly-once: the
+    * file source records processed files in the checkpoint and the
+    * batch-scoped chunk append is replay-idempotent; `cleanSource =
+    * delete` removes committed spool files so the directory stays
+    * bounded by (in-flight batches × request rate), not uptime.
+    * `maxFilesPerTrigger` caps a catch-up batch after downtime so one
+    * giant micro-batch can't monopolize the cluster. */
+  def startSpoolRemoteWriteSink(spark: org.apache.spark.sql.SparkSession,
+                                spoolDir: String, store: graft.tsdb.ChunkStore,
+                                checkpoint: String,
+                                maxFilesPerTrigger: Int = 4096) = {
+    // the source lists the directory immediately; make it exist before
+    // the first request ever spools a file
+    val p = new org.apache.hadoop.fs.Path(spoolDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    startRemoteWriteSink(
+      spark.readStream
+        .format("binaryFile")
+        // the streaming source demands an explicit schema; binaryFile's
+        // is fixed by the format — restate it verbatim
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .option("cleanSource", "delete")
+        .option("pathGlobFilter", "*.bin") // never a half-renamed temp
+        .load(spoolDir)
+        .select(col("content").as("payload")),
+      store, checkpoint)
+  }
+
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(start_us: Long, end_us: Long, n: Long, sum: Double)

@@ -89,6 +89,74 @@ class HttpEndpointSpec extends SparkSpec {
     } finally endpoint.stop()
   }
 
+  test("spooled write path: enqueue-only handler, one append job per micro-batch") {
+    val storeDir = Files.createTempDirectory("graft_http_spstore").toString
+    val spoolDir = Files.createTempDirectory("graft_http_spool").toString
+    val checkpoint = Files.createTempDirectory("graft_http_spchk").toString
+    val store = new ChunkStore(spark, storeDir)
+    val endpoint = new HttpEndpoint(spark, store, workerNum = 8, spool = Some(spoolDir))
+    val port = endpoint.start()
+    var sink: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      // 24 concurrent small writes BEFORE any streaming query exists:
+      // each request can only be an enqueue (validate + atomic spool
+      // rename) — there is no consumer running, so a handler that did
+      // Spark work would show up as rows in the store below
+      val results = Await.result(Future.sequence((1 to 24).toList.map { u =>
+        Future(post(port, "/api/v1/write", RemoteWrite.encode(Seq(
+          (Map("event_type" -> "click", "user_id" -> u.toString),
+            (0 until 5).map(i => (t0 + i * 60000L, i * 1.0 + u))))))._1)
+      }), 120.seconds)
+      assert(results.forall(_ == 200), results.toString)
+      // durable (spooled) but not yet appended — no Spark work ran
+      assert(new java.io.File(spoolDir).listFiles().count(_.getName.endsWith(".bin")) == 24)
+      assert(!new java.io.File(s"$storeDir/live").exists())
+      // malformed payloads are still rejected at the boundary, never spooled
+      assert(post(port, "/api/v1/write", Array[Byte](9, 9, 9))._1 == 400)
+
+      sink = graft.streaming.StreamIngest
+        .startSpoolRemoteWriteSink(spark, spoolDir, store, checkpoint)
+      sink.processAllAvailable()
+      val us0 = t0 * 1000
+      assert(store.queryAll(Seq(MatchEq("event_type", "click")),
+        us0, us0 + 3600L * 1000000).count() == 120)
+      // THE scale claim: 24 requests drained as a bounded number of
+      // micro-batches (all spooled files were present at start → one
+      // or two), each one appendBatch job — visible as batch-scoped
+      // live dirs, NOT 24 of them
+      def batchDirs() = {
+        val live = new java.io.File(s"$storeDir/live")
+        if (!live.exists()) Array.empty[String]
+        else live.list().filter(_.startsWith("batch="))
+      }
+      assert(batchDirs().length <= 2, batchDirs().mkString(","))
+
+      // late traffic while the sink runs: lands too, still batched
+      val more = Await.result(Future.sequence((25 to 32).toList.map { u =>
+        Future(post(port, "/api/v1/write", RemoteWrite.encode(Seq(
+          (Map("event_type" -> "click", "user_id" -> u.toString),
+            (0 until 5).map(i => (t0 + i * 60000L, i * 1.0 + u))))))._1)
+      }), 120.seconds)
+      assert(more.forall(_ == 200))
+      sink.processAllAvailable()
+      assert(store.queryAll(Seq(MatchEq("event_type", "click")),
+        us0, us0 + 3600L * 1000000).count() == 160)
+      assert(batchDirs().length <= 10) // 32 requests, ≤10 append jobs
+      // cleanSource=delete keeps the spool bounded: committed files go
+      // away (deletion rides batch commit, so allow the tail to lag)
+      val deadline = System.currentTimeMillis() + 30000
+      def spooled() = new java.io.File(spoolDir).listFiles().count(_.getName.endsWith(".bin"))
+      while (spooled() > 8 && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(spooled() <= 8, s"spool not draining: ${spooled()} files left")
+    } finally {
+      if (sink != null) sink.stop()
+      endpoint.stop()
+    }
+  }
+
   test("path triage 404s unknown paths; malformed payloads answer 400") {
     val storeDir = Files.createTempDirectory("graft_http_404").toString
     val endpoint = new HttpEndpoint(spark, new ChunkStore(spark, storeDir))
