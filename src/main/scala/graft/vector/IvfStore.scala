@@ -59,7 +59,91 @@ final class IvfStore(spark: SparkSession, path: String,
   def centroids(): DataFrame =
     org.apache.spark.sql.functions.broadcast(spark.read.parquet(centroidPath))
 
-  def read(): DataFrame =
+  /** Per-cell occupancy of the STORED layout — the at-rest analogue of
+    * [[VectorOps.cellSummary]], counting the cell partitions
+    * themselves rather than re-assigning (no centroid math, just a
+    * partition-local count). This is the drift dashboard for an index
+    * whose quantizer is frozen at build time. */
+  def cellOccupancy(): DataFrame =
+    read().groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+
+  /** Fair-share skew of the stored layout: the largest cell over the
+    * ideal even share (total / nCells). 1.0 = perfectly balanced;
+    * `s` means a worst-case probe scans ~`s×` its fair share of the
+    * corpus, eroding the nProbe/nCells bound that makes IVF an index.
+    * Appended data that drifts from the build distribution shows up
+    * HERE — empty cells don't hide it because the denominator is the
+    * configured nCells, not the observed non-empty count. */
+  def occupancySkew(): Double = {
+    val r = cellOccupancy()
+      .agg(max(col("n_vectors")).cast("double"), sum(col("n_vectors")).cast("double"))
+      .collect()(0)
+    if (r.isNullAt(1) || r.getDouble(1) == 0) 1.0
+    else r.getDouble(0) / (r.getDouble(1) / nCells)
+  }
+
+  /** Re-train the quantizer over the CURRENT stored corpus and rewrite
+    * the cell layout — the policy answer to drift flagged by
+    * [[occupancySkew]] (append keeps the build-time codebook by
+    * design; only an explicit rebuild moves centroids). Defaults to
+    * the trained k-means codebook since restoring balance is the
+    * point; pass `quantizer` to supply your own. Staged writes + a
+    * directory swap keep the store readable until the new layout is
+    * complete (a crash mid-rebuild leaves either the old index or the
+    * new one, never a mix — the staging dirs are overwritten by the
+    * next attempt). */
+  def rebuild(quantizer: Option[DataFrame] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(centroidPath)),
+      s"IvfStore($path): nothing to rebuild — build the index with write() first")
+    val cur = readRaw().drop("cell")
+    val stagedCells = s"$path/cells_rebuild"
+    val stagedCents = s"$path/centroids_rebuild"
+    val cents = quantizer.getOrElse(
+      VectorOps.kmeansCentroids(cur, nCells, roundTo = roundTo))
+    cents.write.mode("overwrite").parquet(stagedCents)
+    // assign against the staged AT-REST centroids: the training plan
+    // ran once into parquet; re-deriving it here would recompute the
+    // whole k-means iteration inside the assignment job
+    val centsAtRest = org.apache.spark.sql.functions.broadcast(
+      spark.read.parquet(stagedCents))
+    cur.join(VectorOps.ivfAssign(cur, centsAtRest, roundTo), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(stagedCells)
+    // swap under a pending marker: the two renames cannot be atomic
+    // together, and EITHER mixed pair (new cells + old centroids or
+    // the reverse) would silently mis-prune probes. The marker turns
+    // the crash window into a loud failure: probeTopK refuses while it
+    // exists, and re-running rebuild() (which overwrites the staging
+    // dirs from the then-current layout) heals.
+    val marker = new org.apache.hadoop.fs.Path(path, "_rebuild_pending")
+    fs.create(marker, true).close()
+    def swap(live: String, staged: String): Unit = {
+      val lp = new org.apache.hadoop.fs.Path(live)
+      fs.delete(lp, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staged), lp))
+        throw new java.io.IOException(s"rebuild swap failed: $staged -> $live")
+    }
+    swap(dataPath, stagedCells)
+    swap(centroidPath, stagedCents)
+    fs.delete(marker, false)
+  }
+
+  def read(): DataFrame = {
+    // refuse a half-swapped index (crash between rebuild's two
+    // renames): the cells and centroids could be from different
+    // generations, which would silently mis-prune every probe
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, "_rebuild_pending")),
+      s"IvfStore($path): a rebuild was interrupted mid-swap — cells and " +
+        "centroids may be mixed generations; run rebuild() again to heal")
+    readRaw()
+  }
+
+  // no marker guard: rebuild() itself must be able to read the
+  // (intact) vector payload to heal an interrupted swap
+  private def readRaw(): DataFrame =
     spark.read.parquet(dataPath).withColumn("cell", col("cell").cast("long"))
 
   /** ANN top-k for `queries` (vec_id, v): rank centroids per query,

@@ -95,4 +95,68 @@ class IvfStoreSpec extends SparkSpec {
     // every appended vector is really in the cell layout
     assert(store.read().count() == e.count())
   }
+
+  test("drifted appends flag occupancy skew; rebuild restores the scan bound") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dir = Files.createTempDirectory("graft_ivf_drift").toString
+    val store = new IvfStore(spark, dir)
+    // trained codebook → balanced layout ON THE BUILD DISTRIBUTION
+    store.write(e, Some(VectorOps.kmeansCentroids(e, 16)))
+    val skew0 = store.occupancySkew()
+
+    // drift: 200 appended vectors sharing one strong direction the
+    // build distribution doesn't emphasize (4× a base vector plus a
+    // real row as noise) — under the FROZEN quantizer they concentrate
+    // into few cells, which is exactly the silent scan-bound erosion
+    // the metric must surface
+    val base = e.orderBy($"vec_id").limit(1).select($"v".as("bv"))
+    val drifted = e.orderBy($"vec_id").limit(200)
+      .crossJoin(base)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        zip_with($"bv", $"v", (b, n) => b * 4.0 + n).as("v"))
+    store.append(drifted)
+    val skewDrift = store.occupancySkew()
+    assert(skewDrift > skew0 && skewDrift > 2.0,
+      s"drift not flagged: skew $skew0 -> $skewDrift")
+
+    // rebuild re-trains over the stored corpus: the drifted region
+    // earns its own centroids and the fair-share bound comes back
+    store.rebuild()
+    val skewRebuilt = store.occupancySkew()
+    assert(skewRebuilt < skewDrift,
+      s"rebuild did not reduce skew: $skewDrift -> $skewRebuilt")
+    // ...and no vector was lost or duplicated by the staged swap
+    assert(store.read().count() == 700)
+    // correctness preserved: probing EVERY cell of the rebuilt index
+    // is exact brute force over the merged corpus
+    val all = e.unionByName(drifted.select($"vec_id", $"v".cast("array<double>").as("v")))
+    val queries = e.filter($"vec_id" < 3)
+    val got = store.probeTopK(queries, k = 10, nProbe = 16)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val ref = VectorOps.cosineTopK(all, queries, k = 10)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("interrupted rebuild refuses loudly and rebuild() heals") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dir = Files.createTempDirectory("graft_ivf_crash").toString
+    val store = new IvfStore(spark, dir)
+    store.write(e)
+    // simulate a crash between rebuild's two swaps: the pending marker
+    // is on disk, generations may be mixed — every read must refuse
+    new java.io.File(dir, "_rebuild_pending").createNewFile()
+    val err = intercept[IllegalArgumentException] {
+      store.probeTopK(e.filter($"vec_id" < 2), 5, 4).collect()
+    }
+    assert(err.getMessage.contains("rebuild"), err.getMessage)
+    // the advertised recovery: run rebuild() again
+    store.rebuild()
+    assert(store.occupancySkew() >= 1.0) // read path works again
+    assert(store.read().count() == e.count())
+  }
 }
