@@ -143,6 +143,25 @@ object SparkEntry {
         .select("series_id", "ts_us", "value")
     }),
 
+    "ts_rollup_served" -> ((s, dir) => {
+      // THE RECORDING-RULE SERVING PATH in the graded gate: same
+      // ingest-and-close as ts_query_chunked but with rollupOnClose
+      // recording rules, then an hourly range served ENTIRELY from
+      // the at-rest rollup partitions — no Gorilla payload decode, no
+      // live raw scan (the plan-level claim ChunkStoreSpec asserts).
+      // The oracle recomputes the hourly aggregates from the raw
+      // source rows, so hash-equality proves the decode-free serving
+      // path returns exactly the raw-path answer.
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_rollup").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2, rollupOnClose = true)
+      store.append(Series.samples(t(s, dir, "events")))
+      store.closeChunksBelow(T1)
+      store.queryRollup(Seq(MatchEq("event_type", "view")), 1704067200000000L, T1 - 1)
+        .select("series_id", "bucket_ms", "n_points",
+          "min_value", "max_value", "sum_value", "avg_value")
+    }),
+
     "ts_topk_series" -> ((s, dir) => {
       // PromQL topk(5, sum by series over the query range) per
       // event_type — the custom TopKPerKey operator on the TSDB
@@ -1349,6 +1368,21 @@ object SparkEntry {
       s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
           WHERE event_type = 'view'
             AND epoch_us(ts) BETWEEN 1704067200000000 AND $T2""",
+
+    // the raw-path answer the rollup-served query must equal: hourly
+    // aggregates recomputed from source rows over the CLOSED range
+    // (chunks strictly below T1 — the rollups only exist at rest)
+    "ts_rollup_served" ->
+      s"""SELECT $SeriesIdSql AS series_id,
+                 (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 min(value) AS min_value, max(value) AS max_value,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)/count(*) AS avg_value
+          FROM events
+          WHERE event_type = 'view'
+            AND epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < $T1
+          GROUP BY 1, 2""",
 
     "ts_value_histogram" ->
       s"""SELECT $SeriesIdSql AS series_id,

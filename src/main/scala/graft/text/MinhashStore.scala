@@ -103,6 +103,48 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
   def storedBands(): DataFrame = spark.table(bandsTable)
   def storedSignatures(): DataFrame = spark.table(sigsTable)
 
+  /** Compact both index tables: every [[write]] append adds its own
+    * files to each bucket, so at daily-ingest cadence the bucket dirs
+    * accumulate files-per-generation (the parquet ingest tax — more
+    * file handles and footer reads per probe, same rows). This
+    * rewrites each table clustered to its bucket column (one task per
+    * bucket → one file per bucket), preserves the bucket spec and the
+    * parameter stamps, and swaps via catalog renames. Rows, buckets
+    * and probe results are unchanged — only the file count drops.
+    * The rename dance is metastore-atomic per statement but not
+    * overall; a crash mid-swap leaves `<t>_precompact` (the original,
+    * complete) and possibly `<t>_compacting` (the new copy) for
+    * manual recovery — neither generation is ever mixed or lost. */
+  def compact(): Unit = {
+    require(spark.catalog.tableExists(sigsTable),
+      s"MinhashStore($table): nothing to compact — no index tables exist")
+    requireCompatible() // refuse to touch an index from another generation
+    val props = paramProps.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    Seq(sigsTable -> "doc_id", bandsTable -> "band_hash").foreach {
+      case (t, bucketCol) =>
+        val tmp = s"${t}_compacting"
+        val old = s"${t}_precompact"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        spark.sql(s"DROP TABLE IF EXISTS $old")
+        // repartition on the BUCKET-ID EXPRESSION, not the raw column:
+        // the bucketed source scan claims HashPartitioning(bucketCol)
+        // already, so a plain repartition(nBuckets, col) gets elided —
+        // while the actual file-split scan layout mixes buckets per
+        // task, yielding one file per (task, bucket) again (observed:
+        // 14 files for 8 buckets). Keying the exchange on
+        // pmod(hash(col), nBuckets) can't be elided, and since it is a
+        // function of the bucket id, every bucket lands whole in one
+        // task → exactly one file per non-empty bucket.
+        spark.table(t)
+          .repartition(nBuckets, pmod(hash(col(bucketCol)), lit(nBuckets)))
+          .write.bucketBy(nBuckets, bucketCol).format("parquet").saveAsTable(tmp)
+        spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ($props)")
+        spark.sql(s"ALTER TABLE $t RENAME TO $old")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+        spark.sql(s"DROP TABLE $old")
+    }
+  }
+
   /** Near-dups of `newDocs` against the INDEX: (new_id, old_id,
     * n_agree, est_jaccard), est_jaccard ≥ `minEst`. Only the new
     * batch's signatures are computed; the corpus contributes its

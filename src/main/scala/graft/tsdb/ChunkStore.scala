@@ -304,7 +304,62 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * `batch=<id>/chunk=<id>` partitions; the batch id is a sink
     * bookkeeping column, dropped here so both layouts query alike
     * (chunk stays a partition column either way — pruning holds). */
-  def live(): DataFrame = readChunked(livePath).drop("batch")
+  def live(): DataFrame = {
+    require(!exists(s"$path/_compact_pending"),
+      s"ChunkStore at $path: a live compaction was interrupted mid-swap — " +
+        "chunk directories may be missing rows; run compactLive() again to heal")
+    readChunked(livePath).drop("batch")
+  }
+
+  /** Compact the LIVE tier: every append leaves up to
+    * `filesPerChunkPerAppend` files per chunk, so at daily-ingest
+    * cadence a not-yet-closed chunk accumulates appends × that many
+    * small parquet files — the classic ingest tax. This rewrites each
+    * live chunk directory down to ONE append's worth of files (the
+    * same `clustered` salt discipline, so write parallelism per chunk
+    * is preserved), leaving query results unchanged. Direct-append
+    * layout only: the streaming layout's batch=<id> scoping IS the
+    * checkpoint's replay idempotence (a replayed batch overwrites its
+    * own directory), so merging those directories would turn an
+    * at-least-once replay into duplicated rows — streaming stores
+    * compact via the close path instead, which Gorilla-packs whole
+    * chunks out of the live tier. The staged-swap protocol mirrors
+    * IvfStore.rebuild: reads refuse while `_compact_pending` exists
+    * (a crash mid-swap can leave a chunk directory mid-rename), and
+    * re-running compactLive() first completes the interrupted swap
+    * from the intact staging copy. */
+  def compactLive(): Unit = {
+    assertLayout(batchScoped = false)
+    val staging = s"$path/live_compact"
+    val marker = new org.apache.hadoop.fs.Path(path, "_compact_pending")
+    val fs = hfs
+    if (fs.exists(marker)) { completeCompactSwap(fs, staging, marker); return }
+    if (liveChunkIdsListed().isEmpty) return
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    clustered(live())
+      .write.mode("overwrite").partitionBy("chunk").parquet(staging)
+    fs.create(marker, true).close()
+    completeCompactSwap(fs, staging, marker)
+  }
+
+  /** Idempotent-resumable second half of [[compactLive]]: swap every
+    * staged chunk directory into the live tier, then clear staging and
+    * the marker. Safe to re-run from any crash point — a staged dir
+    * still present means its swap has not completed (the compacted
+    * copy and the original hold identical rows, so completing is
+    * always correct). */
+  private def completeCompactSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                  staging: String,
+                                  marker: org.apache.hadoop.fs.Path): Unit = {
+    listNames(staging).filter(_.startsWith("chunk=")).foreach { d =>
+      val liveDir = new org.apache.hadoop.fs.Path(s"$livePath/$d")
+      fs.delete(liveDir, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$d"), liveDir))
+        throw new java.io.IOException(s"compact swap failed for $d")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(marker, false)
+  }
 
   /** Store-wide series catalog (series_id → label set): live rows'
     * labels ∪ the closed chunks' per-chunk catalogs — the reference

@@ -93,13 +93,11 @@ final class IvfStore(spark: SparkSession, path: String,
     * new one, never a mix — the staging dirs are overwritten by the
     * next attempt). */
   def rebuild(quantizer: Option[DataFrame] = None): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs
     require(fs.exists(new org.apache.hadoop.fs.Path(centroidPath)),
       s"IvfStore($path): nothing to rebuild — build the index with write() first")
+    if (fs.exists(pendingMarker)) { completeSwap(fs); return } // heal first
     val cur = readRaw().drop("cell")
-    val stagedCells = s"$path/cells_rebuild"
-    val stagedCents = s"$path/centroids_rebuild"
     val cents = quantizer.getOrElse(
       VectorOps.kmeansCentroids(cur, nCells, roundTo = roundTo))
     cents.write.mode("overwrite").parquet(stagedCents)
@@ -113,20 +111,57 @@ final class IvfStore(spark: SparkSession, path: String,
     // swap under a pending marker: the two renames cannot be atomic
     // together, and EITHER mixed pair (new cells + old centroids or
     // the reverse) would silently mis-prune probes. The marker turns
-    // the crash window into a loud failure: probeTopK refuses while it
-    // exists, and re-running rebuild() (which overwrites the staging
-    // dirs from the then-current layout) heals.
-    val marker = new org.apache.hadoop.fs.Path(path, "_rebuild_pending")
-    fs.create(marker, true).close()
-    def swap(live: String, staged: String): Unit = {
-      val lp = new org.apache.hadoop.fs.Path(live)
-      fs.delete(lp, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(staged), lp))
-        throw new java.io.IOException(s"rebuild swap failed: $staged -> $live")
+    // the crash window into a loud refusal on read, and because it is
+    // created only AFTER both staged writes completed, any staged dir
+    // still present at heal time is a complete new generation — so
+    // completing the interrupted renames is always correct.
+    fs.create(pendingMarker, true).close()
+    completeSwap(fs)
+  }
+
+  /** Rewrite each cell partition down to one file without moving any
+    * vector: repeated [[append]] batches leave files-per-batch in
+    * every cell directory (the parquet ingest tax); this is the
+    * file-count compaction, where [[rebuild]] is the distribution
+    * repair. Same staged-swap protocol (assignments are reused
+    * verbatim, centroids untouched). */
+  def compact(): Unit = {
+    val fs = hadoopFs
+    require(fs.exists(new org.apache.hadoop.fs.Path(centroidPath)),
+      s"IvfStore($path): nothing to compact — build the index with write() first")
+    if (fs.exists(pendingMarker)) { completeSwap(fs); return } // heal first
+    readRaw()
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stagedCells)
+    fs.create(pendingMarker, true).close()
+    completeSwap(fs)
+  }
+
+  private def hadoopFs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pendingMarker = new org.apache.hadoop.fs.Path(path, "_rebuild_pending")
+  private val stagedCells = s"$path/cells_rebuild"
+  private val stagedCents = s"$path/centroids_rebuild"
+
+  /** Idempotent-resumable swap: every staged dir still present is a
+    * complete new generation (the marker is only created after staging
+    * finished writing), so swap it in; then clear the marker. Safe to
+    * re-run from any crash point, including mid-rename (the staged dir
+    * survives until its rename succeeds). */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    Seq(stagedCells -> dataPath, stagedCents -> centroidPath).foreach {
+      case (staged, live) =>
+        val sp = new org.apache.hadoop.fs.Path(staged)
+        if (fs.exists(sp)) {
+          val lp = new org.apache.hadoop.fs.Path(live)
+          fs.delete(lp, true)
+          if (!fs.rename(sp, lp))
+            throw new java.io.IOException(s"swap failed: $staged -> $live")
+        }
     }
-    swap(dataPath, stagedCells)
-    swap(centroidPath, stagedCents)
-    fs.delete(marker, false)
+    fs.delete(pendingMarker, false)
   }
 
   def read(): DataFrame = {

@@ -222,4 +222,40 @@ class ChunkStoreSpec extends SparkSpec {
     // label returns nothing from closed chunks
     assert(store.queryClosed(Seq(MatchEq("event_type", "nope")), t1, t2).count() == 0)
   }
+
+  test("compactLive bounds files per chunk, results unchanged; interrupted swap heals") {
+    val dir = Files.createTempDirectory("graft_chunks_cpt").toString
+    val store = new ChunkStore(spark, dir, filesPerChunkPerAppend = 2)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val t1 = 1704067200000000L
+    val samples = Series.samples(events)
+      .filter($"ts_us" >= t1 && $"ts_us" < t1 + 6L * 3600 * 1000000)
+    // five appends into the same hour chunks: files accumulate per append
+    (0 until 5).foreach(i => store.append(samples.filter($"user_id" % 5 === i)))
+    def filesPerChunk(): Map[String, Int] =
+      new java.io.File(s"$dir/live").listFiles().filter(_.getName.startsWith("chunk="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = filesPerChunk()
+    assert(before.values.max > 2, s"expected accumulation, got $before")
+    val rowsBefore = store.live().orderBy("series_id", "ts_us")
+      .select("series_id", "ts_us", "value")
+      .as[(String, Long, Double)].collect().toSeq
+    store.compactLive()
+    // one append's worth of files per chunk, identical rows
+    val after = filesPerChunk()
+    assert(after.keySet == before.keySet && after.values.max <= 2,
+      s"$before -> $after")
+    val rowsAfter = store.live().orderBy("series_id", "ts_us")
+      .select("series_id", "ts_us", "value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rowsAfter == rowsBefore)
+    // interrupted-swap drill: with the marker on disk every raw read
+    // refuses; re-running compactLive completes the swap and heals
+    new java.io.File(dir, "_compact_pending").createNewFile()
+    val err = intercept[IllegalArgumentException] { store.live().count() }
+    assert(err.getMessage.contains("compact"), err.getMessage)
+    store.compactLive()
+    assert(store.live().count() == rowsBefore.size)
+  }
 }

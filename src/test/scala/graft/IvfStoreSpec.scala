@@ -141,6 +141,32 @@ class IvfStoreSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("compact: files per cell drop to one, probe results unchanged") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val dir = Files.createTempDirectory("graft_ivf_cpt").toString
+    val store = new IvfStore(spark, dir)
+    store.write(e.filter($"vec_id" % 3 === 0))
+    store.append(e.filter($"vec_id" % 3 === 1))
+    store.append(e.filter($"vec_id" % 3 === 2))
+    def cellFiles(): Seq[Int] =
+      new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(cellFiles().max > 1, s"expected accumulation, got ${cellFiles()}")
+    val queries = e.filter($"vec_id" < 5)
+    val before = store.probeTopK(queries, k = 10, nProbe = 4)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    store.compact()
+    assert(cellFiles().max == 1, s"not compacted: ${cellFiles()}")
+    assert(store.read().count() == e.count())
+    val after = store.probeTopK(queries, k = 10, nProbe = 4)
+      .select("q_id", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(after == before)
+  }
+
   test("interrupted rebuild refuses loudly and rebuild() heals") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))

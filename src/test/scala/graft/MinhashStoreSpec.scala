@@ -120,4 +120,38 @@ class MinhashStoreSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
     }
   }
+
+  test("compact bounds files per table, preserves probe results, stamps and appends") {
+    val store = freshStore("mh_cpt")
+    store.write(gen1)
+    store.write(gen2)
+    store.write(Seq((20L, "one more generation of text for the file count"))
+      .toDF("doc_id", "text"))
+    def files(t: String): Int = {
+      val d = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = files("mh_cpt_sigs") + files("mh_cpt_bands")
+    val hitsBefore = store.probe(batch, minEst = 0.5)
+      .select("new_id", "old_id", "n_agree", "est_jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    store.compact()
+    // one file per non-empty bucket at most, never one per generation
+    assert(files("mh_cpt_sigs") <= 8 && files("mh_cpt_bands") <= 8)
+    assert(files("mh_cpt_sigs") + files("mh_cpt_bands") < before,
+      s"no reduction: $before")
+    val hitsAfter = store.probe(batch, minEst = 0.5)
+      .select("new_id", "old_id", "n_agree", "est_jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(hitsAfter == hitsBefore)
+    // the parameter stamps survived the rename dance: a matching
+    // append still works, a mismatched store still refuses
+    store.write(Seq((30L, "post compact generation")).toDF("doc_id", "text"))
+    val wrong = new MinhashStore(spark, "mh_cpt", n = 5)
+    val err = intercept[IllegalArgumentException] {
+      wrong.write(Seq((31L, "x")).toDF("doc_id", "text"))
+    }
+    assert(err.getMessage.contains("graft.minhash.n"), err.getMessage)
+  }
 }
