@@ -19,9 +19,15 @@ import graft.streaming.StreamIngest
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) — Spark only reads it as a
-    // nanos LONG; graft.tsdb.Series.tsUs normalizes downstream.
+    // events.parquet has carried TIMESTAMP(NANOS) (readable only as a
+    // nanos LONG) and TIMESTAMP(US, isAdjustedToUTC=false) (read as
+    // TIMESTAMP_NTZ) across testdata generations; Series.tsUs
+    // normalizes either to epoch-micros downstream. The UTC session
+    // timezone makes the NTZ wall clock mean UTC — same convention as
+    // the DuckDB oracle's epoch_us(naive ts) — even when the driver
+    // hands us a session it built itself.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")
   }
 

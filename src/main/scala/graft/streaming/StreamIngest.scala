@@ -20,6 +20,10 @@ object StreamIngest {
   def windowCounts(events: DataFrame, windowDuration: String = "1 hour"): DataFrame = {
     val eventTs = events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      // NTZ → TZ under the UTC session tz so unix_millis(window.start)
+      // below stays well-typed (it requires TIMESTAMP, not _NTZ)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
       case _ => col("ts")
     }
     events

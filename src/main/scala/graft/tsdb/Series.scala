@@ -40,10 +40,16 @@ object Series {
   /** Event-time column as epoch-micros, whatever the physical type:
     * parquet TIMESTAMP(NANOS) surfaces as a nanos LONG (read with
     * spark.sql.legacy.parquet.nanosAsLong=true — Spark has no nanos
-    * timestamp type), TIMESTAMP(MS/US) as TimestampType. */
+    * timestamp type), TIMESTAMP(MS/US, isAdjustedToUTC=true) as
+    * TimestampType, and TIMESTAMP(MS/US, isAdjustedToUTC=false) as
+    * TimestampNTZType. The NTZ wall clock is treated as UTC (cast
+    * under the UTC session timezone every entry point pins), matching
+    * DuckDB's epoch_us(naive ts) on the oracle side. */
   def tsUs(events: DataFrame, c: String = "ts"): Column =
     events.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
       case _ => unix_micros(col(c))
     }
 

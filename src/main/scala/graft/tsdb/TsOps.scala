@@ -49,6 +49,17 @@ object TsOps {
       case org.apache.spark.sql.types.TimestampType =>
         base.filter(col("ts_raw") >= timestamp_micros(lit(startUs)) &&
           col("ts_raw") <= timestamp_micros(lit(endUs)))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ ordering IS wall-clock ordering and ts_us is the UTC
+        // epoch of that wall clock (Series.tsUs), so LocalDateTime
+        // literals at the exact micros bounds are an equivalent
+        // predicate — and a foldable NTZ literal reaches parquet
+        // row-group statistics just like the TZ case above.
+        def ntz(us: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+        base.filter(col("ts_raw") >= ntz(startUs) && col("ts_raw") <= ntz(endUs))
       case _ => base
     }
   }
