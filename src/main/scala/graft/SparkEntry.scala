@@ -1227,7 +1227,32 @@ object SparkEntry {
       // PNG/WAV payloads from the text, decodeMeta parses the actual
       // containers (JDK codecs), and the oracle independently predicts
       // the dims from strlen(text) — hash-equality proves the codecs
-      Multimodal.decodeMeta(Multimodal.attachMedia(docsT(s, dir)))))
+      Multimodal.decodeMeta(Multimodal.attachMedia(docsT(s, dir)))),
+
+    "multimodal_video_meta" -> ((s, dir) =>
+      // REAL video: attachVideo synthesizes an MJPEG-in-AVI clip per
+      // doc (hand-rolled RIFF container, JPEG frames via the JDK
+      // codec), decodeMeta parses the container header back; the
+      // oracle predicts geometry + frame count from strlen(text)
+      Multimodal.decodeMeta(Multimodal.attachVideo(docsT(s, dir)))
+        .withColumnRenamed("n_samples", "n_frames")),
+
+    "multimodal_video_frames" -> ((s, dir) =>
+      // the frame-sampling fan-out path with REAL per-frame decode:
+      // container parse → evenly-sampled JPEG frames → decode →
+      // lossless PNG re-encode → PNG decode of each emitted frame;
+      // hash-equality on (doc_id, frame_idx, dims) proves the whole
+      // chain frame-by-frame
+      Multimodal.frameMeta(
+        Multimodal.frameSample(Multimodal.attachVideo(docsT(s, dir)), 3))),
+
+    "multimodal_video_resize" -> ((s, dir) =>
+      // every frame rescaled (same integer arithmetic as the image
+      // branch), re-containered, then header-decoded: frame count
+      // must survive, dims must be the predicted scaled ones
+      Multimodal.decodeMeta(
+        Multimodal.resizeMedia(Multimodal.attachVideo(docsT(s, dir)), 8))
+        .withColumnRenamed("n_samples", "n_frames")))
 
   /** Shared CTE prefix for the minhash-family oracles, generated with
     * the SAME affine-permutation constants the Spark operators use
@@ -2564,5 +2589,36 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + (strlen(text) % 16) ELSE 0 END AS BIGINT) AS height,
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 256 + ((strlen(text) * 7) % 1024) END AS BIGINT) AS n_samples
+         FROM documents""",
+
+    // video geometry formulas (Multimodal.vidW/vidH/vidFrames):
+    // width 16+len%24, height 12+len%12, frames 3+len%5 — predicted
+    // from strlen alone, never from the container
+    "multimodal_video_meta" ->
+      """SELECT doc_id, 'video' AS kind,
+                CAST(16 + strlen(text) % 24 AS BIGINT) AS width,
+                CAST(12 + strlen(text) % 12 AS BIGINT) AS height,
+                CAST(0 AS BIGINT) AS sample_rate,
+                CAST(3 + strlen(text) % 5 AS BIGINT) AS n_frames
+         FROM documents""",
+
+    // 3 frames sampled per clip (every clip has >= 3), each decoding
+    // to the clip's full geometry
+    "multimodal_video_frames" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(16 + strlen(text) % 24 AS BIGINT) AS width,
+                CAST(12 + strlen(text) % 12 AS BIGINT) AS height
+         FROM documents CROSS JOIN range(0, 3) t(f)""",
+
+    // integer rescale to long side 8 (same arithmetic as the image
+    // resize oracle); the frame count must survive the re-container
+    "multimodal_video_resize" ->
+      """SELECT doc_id, 'video' AS kind,
+                CAST(greatest(1, (16 + strlen(text) % 24) * 8
+                       // greatest(16 + strlen(text) % 24, 12 + strlen(text) % 12)) AS BIGINT) AS width,
+                CAST(greatest(1, (12 + strlen(text) % 12) * 8
+                       // greatest(16 + strlen(text) % 24, 12 + strlen(text) % 12)) AS BIGINT) AS height,
+                CAST(0 AS BIGINT) AS sample_rate,
+                CAST(3 + strlen(text) % 5 AS BIGINT) AS n_frames
          FROM documents""")
 }

@@ -23,10 +23,16 @@ import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFil
   * amplitude into a normalized embedding for
   * [[graft.vector.VectorOps]].
   *
-  * Only VIDEO remains a stub ([[frameSample]] for `image` kind slices
-  * byte windows): the JDK has no video codec and this container ships
-  * no media libraries. For `audio` kind the frames are real windowed
-  * WAV clips.
+  * VIDEO is real too since round 7: [[attachVideo]] synthesizes
+  * MJPEG-in-AVI payloads ([[Avi]] — RIFF container hand-rolled, JPEG
+  * frames via ImageIO, still zero dependencies), [[decodeMeta]]
+  * parses the container header back, [[frameSample]] extracts and
+  * DECODES the sampled frames (re-emitted as lossless PNG),
+  * [[resizeMedia]] rescales every frame and re-containers, and
+  * [[frameMeta]] decodes emitted frames — the oracle predicts
+  * geometry and frame counts from strlen(text) independently. (For
+  * `image` kind [[frameSample]] still slices byte windows — a single
+  * still has no frames to sample; video is the real fan-out path.)
   *
   * Everything runs as per-partition closures over binary columns —
   * one decoder instance per partition, rows as a streaming iterator;
@@ -41,6 +47,9 @@ object Multimodal {
   private def imgW(len: Int) = 16 + len % 32
   private def imgH(len: Int) = 8 + len % 16
   private def nSamples(len: Int) = 256 + (len * 7) % 1024
+  private def vidW(len: Int) = 16 + len % 24
+  private def vidH(len: Int) = 12 + len % 12
+  private def vidFrames(len: Int) = 3 + len % 5
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -54,6 +63,31 @@ object Multimodal {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  private def jpegBytes(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** One deterministic video frame: pixels from the text bytes, phase-
+    * shifted per frame so consecutive frames genuinely differ. */
+  private def videoFrame(bytes: Array[Byte], w: Int, h: Int, f: Int): BufferedImage = {
+    def b(i: Int): Int = if (bytes.isEmpty) 120 else bytes(i % bytes.length) & 0xff
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = b(x + y + f * 7)
+        img.setRGB(x, y,
+          ((c * 31 + f * 53) % 256 << 16) | ((x * 5 + c) % 256 << 8) | ((y * 13 + c + f) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
   private def wavBytes(samples: Array[Short]): Array[Byte] = {
@@ -116,9 +150,35 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Synthesize a REAL VIDEO payload per doc: `vidFrames(len)` JPEG
+    * frames in an MJPEG AVI container ([[Avi.encode]]), geometry and
+    * frame count deterministic from strlen(text) so the oracle can
+    * predict them without touching the container. Output matches
+    * [[attachMedia]]: (doc_id, media BINARY, kind='video'). */
+  def attachVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("kind", StringType)))
+    val rdd = docs.select("doc_id", "text").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val len = bytes.length
+        val (w, h, n) = (vidW(len), vidH(len), vidFrames(len))
+        val jpegs = (0 until n).map(f => jpegBytes(videoFrame(bytes, w, h, f)))
+        Row(id, Avi.encode(jpegs, w, h), "video")
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** REAL decode of the binary column: PNG headers → pixel dims via
     * ImageIO, WAV headers → sample rate and frame count via
-    * AudioSystem. One decoder per partition, streaming rows. */
+    * AudioSystem, AVI headers → dims + total frames via [[Avi.parse]]
+    * (video reports frame count in `n_samples`, sample_rate 0).
+    * One decoder per partition, streaming rows. */
   def decodeMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("doc_id", "media", "kind").rdd.mapPartitions { rows =>
@@ -129,6 +189,9 @@ object Multimodal {
           case "image" =>
             val img = ImageIO.read(new ByteArrayInputStream(bytes))
             Row(id, "image", img.getWidth.toLong, img.getHeight.toLong, 0L, 0L)
+          case "video" =>
+            val avi = Avi.parse(bytes)
+            Row(id, "video", avi.width.toLong, avi.height.toLong, 0L, avi.totalFrames.toLong)
           case kind =>
             val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
             val out = Row(id, kind, 0L, 0L,
@@ -157,6 +220,22 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         val kind = r.getString(2)
         val out: Array[Byte] = kind match {
+          case "video" =>
+            // rescale EVERY frame with the same integer arithmetic as
+            // the image branch, re-encode JPEG, re-container as AVI
+            val avi = Avi.parse(bytes)
+            val longSide = math.max(avi.width, avi.height)
+            val (w, h) = (math.max(1, avi.width * maxDim / longSide),
+              math.max(1, avi.height * maxDim / longSide))
+            val resized = avi.frames.map { jpeg =>
+              val img = ImageIO.read(new ByteArrayInputStream(jpeg))
+              val small = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+              val g = small.createGraphics()
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              jpegBytes(small)
+            }
+            Avi.encode(resized, w, h)
           case "image" =>
             val img = ImageIO.read(new ByteArrayInputStream(bytes))
             // INTEGER scaling (dim·maxDim div longSide), not float: the
@@ -208,7 +287,20 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        if (r.getString(2) == "audio") {
+        if (r.getString(2) == "video") {
+          // THE real frame-sampling path: parse the container, pick
+          // nFrames evenly across the timeline (floor(f·total/k) —
+          // deterministic, first frame always included), DECODE each
+          // JPEG and re-emit as lossless PNG so downstream consumers
+          // get pixels, not codec artifacts compounding per hop
+          val avi = Avi.parse(bytes)
+          val total = avi.frames.length
+          val k = math.min(nFrames, total)
+          (0 until k).iterator.map { f =>
+            val img = ImageIO.read(new ByteArrayInputStream(avi.frames(f * total / k)))
+            Row(id, f.toLong, pngBytes(img))
+          }
+        } else if (r.getString(2) == "audio") {
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
           val total = in.getFrameLength.toInt
           val pcm = new Array[Byte](total * 2)
@@ -253,8 +345,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         val hist = new Array[Double](dim)
-        if (r.getString(2) == "image") {
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        def histImage(img: BufferedImage): Unit = {
           var y = 0
           while (y < img.getHeight) {
             var x = 0
@@ -267,6 +358,13 @@ object Multimodal {
             }
             y += 1
           }
+        }
+        if (r.getString(2) == "image") {
+          histImage(ImageIO.read(new ByteArrayInputStream(bytes)))
+        } else if (r.getString(2) == "video") {
+          // luminance over every decoded frame — one embedding per clip
+          Avi.parse(bytes).frames.foreach(jpeg =>
+            histImage(ImageIO.read(new ByteArrayInputStream(jpeg))))
         } else {
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
           val total = in.getFrameLength.toInt
@@ -289,6 +387,27 @@ object Multimodal {
         val norm = math.sqrt(n2)
         val v = if (norm > 0) hist.map(_ / norm) else hist
         Row(r.getLong(0), v.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode [[frameSample]] output (doc_id, frame_idx, frame) — the
+    * frames are PNG — back to per-frame pixel dims. Closes the video
+    * evidence loop: AVI encode → container parse → JPEG decode → PNG
+    * re-encode → PNG decode, with the oracle predicting every dim
+    * from strlen(text) alone. */
+  def frameMeta(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType)))
+    val rdd = frames.select("doc_id", "frame_idx", "frame").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+        Row(r.getLong(0), r.getLong(1), img.getWidth.toLong, img.getHeight.toLong)
       }
     }
     spark.createDataFrame(rdd, schema)
