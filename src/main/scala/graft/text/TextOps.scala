@@ -189,28 +189,36 @@ object TextOps {
     * order scores low).
     *
     * Plan: bigrams are the n=2 word shingles (map-side zip — no
-    * self-join); two global instance-count aggregations (bigram and
-    * unigram, both LONG-keyed partial-aggregated); per-transition
-    * logprob rounds to 6dp then sums exactly in DECIMAL. Docs with
-    * fewer than two tokens have no transitions and emit no row. */
+    * self-join), pre-aggregated ONCE to per-(doc, bigram) counts so
+    * every downstream exchange carries distinct-bigrams-per-doc rows,
+    * not token instances (hb functionally determines ha, so adding ha
+    * to the grouping key costs no cardinality); the corpus-wide
+    * bigram count re-aggregates that same frame instead of paying a
+    * second full explode, and per-transition weighting multiplies the
+    * 6dp-rounded logprob by the exact instance count in DECIMAL —
+    * identical totals to per-instance summing, ~instance/distinct×
+    * narrower shuffles (the r5 plan-audit item). Docs with fewer than
+    * two tokens have no transitions and emit no row. */
   def bigramLogprob(docs: DataFrame): DataFrame = {
-    val bg = docs
+    val bgc = docs
       .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("bg"))
       .select(col("doc_id"), xxhash64(col("bg")).as("hb"),
         xxhash64(substring_index(col("bg"), " ", 1)).as("ha"))
+      .groupBy(col("doc_id"), col("hb"), col("ha"))
+      .agg(count(lit(1)).as("cnt"))
     val uni = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
-    val big = bg.groupBy(col("hb")).agg(count(lit(1)).as("c2"))
-    bg.join(big, "hb")
+    val big = bgc.groupBy(col("hb")).agg(sum(col("cnt")).as("c2"))
+    bgc.join(big, "hb")
       .join(uni, "ha")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         round(log(col("c2").cast("double") / col("c1")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_transitions"),
-        sum(col("lp6")).cast("double").as("sum_logprob"))
+        sum(col("cnt")).as("n_transitions"),
+        sum(col("lp6") * col("cnt")).cast("double").as("sum_logprob"))
       .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
   }
 
