@@ -354,6 +354,56 @@ object DebugProbe {
       bt.drop()
       spark.stop(); return
     }
+    if (names.contains("__bigram")) {
+      // A/B drill for the r7 bigramLogprob pre-aggregation (judge r7
+      // item 2): current shape (per-(doc,hb,ha) pre-agg) vs the r5
+      // per-instance shape, min-of-2 noop-sink runs, at sfDir and at
+      // 10× (same dialect-shifted corpus as __scale10 so cross-copy
+      // text is disjoint and corpus-wide counts scale honestly).
+      import org.apache.spark.sql.DataFrame
+      import graft.text.TextOps
+      def oldShape(docs: DataFrame): DataFrame = {
+        val bg = docs
+          .select(col("doc_id"), explode(TextOps.wordShingles(TextOps.tokens(col("text")), 2)).as("bg"))
+          .select(col("doc_id"), xxhash64(col("bg")).as("hb"),
+            xxhash64(substring_index(col("bg"), " ", 1)).as("ha"))
+        val uni = docs
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
+        val big = bg.groupBy(col("hb")).agg(count(lit(1)).as("c2"))
+        bg.join(big, "hb")
+          .join(uni, "ha")
+          .select(col("doc_id"),
+            round(log(col("c2").cast("double") / col("c1")), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_transitions"),
+            sum(col("lp6")).cast("double").as("sum_logprob"))
+          .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
+      }
+      def minOf2(label: String, f: => DataFrame): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          f.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $label%-24s min=${ts.min}%.2fs runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+      }
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      minOf2("bigram_preagg@1x", TextOps.bigramLogprob(docs1))
+      minOf2("bigram_r5shape@1x", oldShape(docs1))
+      val dialect = "aeioubcdfghjklmnp"
+      val base = java.nio.file.Files.createTempDirectory("graft_bigram10").toString
+      (0L until 10L).map { k =>
+        docs1.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", translate(col("text"), "aeiou", dialect.substring(k.toInt, k.toInt + 5)))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val docs10 = spark.read.parquet(s"$base/documents.parquet")
+      minOf2("bigram_preagg@10x", TextOps.bigramLogprob(docs10))
+      minOf2("bigram_r5shape@10x", oldShape(docs10))
+      spark.stop(); return
+    }
     if (names.contains("__stages")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .repartition(32, col("doc_id"))

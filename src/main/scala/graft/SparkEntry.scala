@@ -1385,15 +1385,17 @@ object SparkEntry {
                       ELSE 0.0 END AS rate_per_sec
           FROM agg""",
 
+    // ordered first/last instead of min/max(struct_pack(..)): identical
+    // (ts_us, event_id, value) total order, but DuckDB's grouped struct
+    // min/max is pathologically slow at ~100k groups (34s vs 1s at sf0.1)
     "ts_increase_1h" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id,
                             (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
-                            epoch_us(ts) AS ts_us, event_id, value FROM events),
-          agg AS (SELECT series_id, bucket_ms, CAST(count(*) AS BIGINT) AS n_points,
-                    min(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS f,
-                    max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
-                  FROM s GROUP BY 1, 2)
-          SELECT series_id, bucket_ms, n_points, l.value - f.value AS increase FROM agg""",
+                            epoch_us(ts) AS ts_us, event_id, value FROM events)
+          SELECT series_id, bucket_ms, CAST(count(*) AS BIGINT) AS n_points,
+                 last(value ORDER BY ts_us, event_id, value)
+                   - first(value ORDER BY ts_us, event_id, value) AS increase
+          FROM s GROUP BY 1, 2""",
 
     "ts_query_chunked" ->
       s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
@@ -1441,15 +1443,19 @@ object SparkEntry {
                   ORDER BY sum_value ASC, series_id ASC) AS rn FROM agg)
           SELECT event_type, series_id, sum_value FROM r WHERE rn <= 5""",
 
+    // same ordered-first/last substitution as ts_increase_1h (struct
+    // min/max at series×5-min-window group counts is the slow path)
     "ts_subquery_max_rate" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
           w AS (SELECT series_id, ts_us//300000000 AS w,
-                  min(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS f,
-                  max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
+                  first(ts_us ORDER BY ts_us, event_id, value) AS f_ts,
+                  first(value ORDER BY ts_us, event_id, value) AS f_v,
+                  last(ts_us ORDER BY ts_us, event_id, value) AS l_ts,
+                  last(value ORDER BY ts_us, event_id, value) AS l_v
                 FROM s GROUP BY 1, 2),
           r AS (SELECT series_id, (w//12)*3600000 AS bucket_ms,
-                  CASE WHEN l.ts_us > f.ts_us
-                       THEN (l.value - f.value) / ((l.ts_us - f.ts_us) / 1000000.0)
+                  CASE WHEN l_ts > f_ts
+                       THEN (l_v - f_v) / ((l_ts - f_ts) / 1000000.0)
                        ELSE 0.0 END AS r
                 FROM w)
           SELECT series_id, bucket_ms, CAST(count(*) AS BIGINT) AS n_windows,
@@ -1495,21 +1501,24 @@ object SparkEntry {
                    AS DOUBLE) AS cum_value
           FROM m""",
 
+    // ordered last + final ORDER BY: the struct-max substitution as in
+    // ts_increase_1h, and the sort re-chunks DuckDB's unnest output so
+    // the 4.6M-row client materialization is seconds, not minutes
     "ts_gap_fill_1h" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
           pb AS (SELECT series_id, ts_us//3600000000 AS bucket,
-                   max(struct_pack(ts_us := ts_us, event_id := event_id, value := value)) AS l
+                   last(value ORDER BY ts_us, event_id, value) AS lv
                  FROM s GROUP BY 1, 2),
           bounds AS (SELECT series_id, min(ts_us)//3600000000 AS b0, max(ts_us)//3600000000 AS b1
                      FROM s GROUP BY 1),
           spine AS (SELECT series_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds),
-          j AS (SELECT spine.series_id, spine.bucket, pb.l.value AS v
+          j AS (SELECT spine.series_id, spine.bucket, pb.lv AS v
                 FROM spine LEFT JOIN pb ON pb.series_id = spine.series_id AND pb.bucket = spine.bucket)
           SELECT series_id, bucket * 3600000 AS bucket_ms,
                  last_value(v IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
                  v IS NULL AS filled
-          FROM j""",
+          FROM j ORDER BY series_id, bucket""",
 
     "ts_moving_avg_1h" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events)
@@ -1628,7 +1637,7 @@ object SparkEntry {
           SELECT series_id, gi*3600000 AS grid_ms,
                  pv + (nv - pv) * (CAST(gi*3600000000 - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
                    AS value_interp
-          FROM g""",
+          FROM g ORDER BY series_id, grid_ms""",
 
     "ts_count_values" ->
       s"""WITH s AS (SELECT DISTINCT event_type, value,
@@ -1847,15 +1856,20 @@ object SparkEntry {
          FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
          WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""",
 
+    // "unique supplier at the max supp_last" restated with plain
+    // aggregates (max + equi-join back + HAVING count=1): DuckDB's
+    // grouped struct_pack max took 123s at sf0.1 on the same data
     "q21_blocked" ->
       """WITH ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
                      FROM lineitem GROUP BY 1, 2),
-         po AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
-                  max(struct_pack(supp_last := supp_last, sk := l_suppkey)) AS hi,
-                  max(struct_pack(supp_last := supp_last, neg := -l_suppkey)) AS lo
+         mx AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+                       max(supp_last) AS m
                 FROM ps GROUP BY 1),
-         blk AS (SELECT l_orderkey, hi.sk AS blocker FROM po
-                 WHERE n_supp >= 2 AND hi.sk = -lo.neg)
+         blk AS (SELECT ps.l_orderkey, min(ps.l_suppkey) AS blocker
+                 FROM ps JOIN mx ON ps.l_orderkey = mx.l_orderkey
+                                AND ps.supp_last = mx.m
+                 WHERE mx.n_supp >= 2
+                 GROUP BY 1 HAVING count(*) = 1)
          SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
          FROM blk b JOIN supplier s ON s.s_suppkey = b.blocker
          GROUP BY 1, 2""",

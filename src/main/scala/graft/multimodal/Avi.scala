@@ -117,8 +117,11 @@ object Avi {
     out.toByteArray
   }
 
-  private def readU32(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  /** RIFF sizes are unsigned 32-bit; read into a Long so a hostile/corrupt
+    * size >= 2 GiB can't wrap negative (a signed wrap made the walk's
+    * `i = body + size + pad` stall or mis-slice instead of clamping). */
+  private def readU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
 
   private def id(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
@@ -137,22 +140,28 @@ object Avi {
       var i = from
       while (i + 8 <= until) {
         val ck = id(bytes, i)
-        val size = readU32(bytes, i + 4)
+        val size = readU32(bytes, i + 4) // unsigned — can exceed the buffer
         val body = i + 8
-        val end = math.min(body + size, until)
+        // Clamp every slice to the enclosing extent: an oversized (or
+        // crafted) chunk size degrades to "rest of the parent", never an
+        // out-of-bounds or negative range.
+        val end = math.min(body.toLong + size, until.toLong).toInt
         ck match {
           case "LIST" if size >= 4 =>
             walk(body + 4, end) // skip the list-kind fourcc, recurse
           case "avih" if size >= 40 =>
-            total = readU32(bytes, body + 16)
-            width = readU32(bytes, body + 32)
-            height = readU32(bytes, body + 36)
+            total = readU32(bytes, body + 16).toInt
+            width = readU32(bytes, body + 32).toInt
+            height = readU32(bytes, body + 36).toInt
           case c if c.length == 4 && (c.endsWith("dc") || c.endsWith("db")) &&
             c.take(2).forall(_.isDigit) =>
             frames += java.util.Arrays.copyOfRange(bytes, body, end)
           case _ => () // strh/strf/idx1/JUNK/INFO: not needed for decode
         }
-        i = body + size + (size % 2) // word alignment
+        // size >= 0 as a Long, so next > i always holds — the walk cannot
+        // stall on any input; clamp to `until` so Int arithmetic can't wrap.
+        val next = body.toLong + size + (size & 1L)
+        i = if (next > until) until else next.toInt
       }
     }
     walk(12, bytes.length)

@@ -31,8 +31,8 @@ import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFil
   * [[resizeMedia]] rescales every frame and re-containers, and
   * [[frameMeta]] decodes emitted frames — the oracle predicts
   * geometry and frame counts from strlen(text) independently. (For
-  * `image` kind [[frameSample]] still slices byte windows — a single
-  * still has no frames to sample; video is the real fan-out path.)
+  * `image` kind [[frameSample]] emits real tiled crops — decoded
+  * horizontal pixel strips; video is the real timeline fan-out path.)
   *
   * Everything runs as per-partition closures over binary columns —
   * one decoder instance per partition, rows as a streaming iterator;
@@ -224,6 +224,12 @@ object Multimodal {
             // rescale EVERY frame with the same integer arithmetic as
             // the image branch, re-encode JPEG, re-container as AVI
             val avi = Avi.parse(bytes)
+            // A structurally-valid AVI can still carry zero frame chunks
+            // (header-only, or frames under an unrecognized stream id);
+            // name the row rather than let Avi.encode's require surface
+            // as a bare IllegalArgumentException from inside a task.
+            if (avi.frames.isEmpty) throw new IllegalArgumentException(
+              s"resizeMedia: doc_id=$id parsed as AVI but has no frame chunks")
             val longSide = math.max(avi.width, avi.height)
             val (w, h) = (math.max(1, avi.width * maxDim / longSide),
               math.max(1, avi.height * maxDim / longSide))
@@ -271,12 +277,13 @@ object Multimodal {
 
   /** Frame sampling — the explode shape of video processing: ONE
     * binary row fans out to `nFrames` rows (doc_id, frame_idx,
-    * frame). For `audio` the frames are REAL windowed WAV clips
-    * (decoded PCM re-containered per window). For `image` (standing
-    * in for video) the stub slices byte windows — the JDK has no
-    * video codec and this container ships no media libs; a real
-    * sampler changes only the marked line. Fan-out stays inside the
-    * iterator: a partition streams frames at bounded memory. */
+    * frame). `video`: evenly-sampled container frames, JPEG-decoded
+    * and re-emitted as PNG. `audio`: REAL windowed WAV clips (decoded
+    * PCM re-containered per window). `image`: real tiled crops —
+    * decoded horizontal pixel strips re-encoded as PNG (a still has
+    * no timeline, so spatial tiles are the honest analogue). Fan-out
+    * stays inside the iterator: a partition streams frames at bounded
+    * memory. */
   def frameSample(media: DataFrame, nFrames: Int = 4): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
@@ -319,12 +326,16 @@ object Multimodal {
             Row(id, f.toLong, wavBytes(samples))
           }
         } else {
-          val win = math.max(1, bytes.length / nFrames)
+          // image: a still has no timeline, so "frames" are REAL tiled
+          // crops — nFrames horizontal strips of decoded pixels, each
+          // re-emitted as PNG (≥1px tall; short images repeat rows at
+          // the tail so the fan-out contract of nFrames rows holds)
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
           (0 until nFrames).iterator.map { f =>
-            // ??? real video frame decode goes here — stub slices bytes
-            val from = math.min(f * win, bytes.length)
-            val until = math.min(from + win, bytes.length)
-            Row(id, f.toLong, java.util.Arrays.copyOfRange(bytes, from, until))
+            val y0 = math.min(f * h / nFrames, h - 1)
+            val y1 = math.min(math.max(y0 + 1, (f + 1) * h / nFrames), h)
+            Row(id, f.toLong, pngBytes(img.getSubimage(0, y0, w, y1 - y0)))
           }
         }
       }

@@ -73,6 +73,48 @@ class AviSpec extends SparkSpec {
     intercept[IllegalArgumentException](Avi.parse(Array[Byte](1, 2, 3)))
   }
 
+  test("hostile chunk sizes terminate: negative-wrap (0xFFFFFFF8) and >2GiB sizes clamp, never hang") {
+    // a size field of 0xFFFFFFF8 (-8 signed) used to make the walk's
+    // next-offset equal the current one — infinite loop in a task
+    val base = Avi.encode(Seq(jpeg(8, 8, 1)), 8, 8)
+    val evil = base.clone()
+    // find the first '00dc' frame chunk and poison its size field
+    var at = -1; var i = 12
+    while (at < 0 && i + 8 <= evil.length) {
+      if (new String(evil, i, 4, "US-ASCII") == "00dc") at = i
+      else i += 1
+    }
+    assert(at > 0)
+    evil(at + 4) = 0xf8.toByte; evil(at + 5) = 0xff.toByte
+    evil(at + 6) = 0xff.toByte; evil(at + 7) = 0xff.toByte
+    val p = Avi.parse(evil) // must terminate; frame clamps to rest-of-parent
+    assert(p.frames.length == 1)
+    // a merely-huge (not sign-wrapping) size also clamps instead of slicing OOB
+    evil(at + 4) = 0; evil(at + 5) = 0; evil(at + 6) = 0; evil(at + 7) = 0x7f.toByte
+    assert(Avi.parse(evil).frames.length == 1)
+  }
+
+  test("resizeMedia names the doc on a frameless AVI instead of a bare require") {
+    import spark.implicits._
+    // structurally valid RIFF/AVI with an avih header but zero frame chunks
+    val headerOnly = {
+      val out = new ByteArrayOutputStream()
+      val avih = new Array[Byte](56)
+      def u32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val chunk = "avih".getBytes("US-ASCII") ++ u32(56) ++ avih
+      val body = "AVI ".getBytes("US-ASCII") ++ chunk
+      out.write("RIFF".getBytes("US-ASCII")); out.write(u32(body.length)); out.write(body)
+      out.toByteArray
+    }
+    assert(Avi.parse(headerOnly).frames.isEmpty)
+    val df = Seq((42L, headerOnly, "video")).toDF("doc_id", "media", "kind")
+    val e = intercept[Exception](Multimodal.resizeMedia(df, 8).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("doc_id=42") && m.contains("no frame chunks")))
+  }
+
   test("video pipeline: attach → meta → frames → resize agree with the formulas") {
     import spark.implicits._
     val docs = Seq(

@@ -145,6 +145,26 @@ class TextStatsSpec extends SparkSpec {
     val expected = Multimodal.decodeMeta(m).filter($"kind" === "audio")
       .select("doc_id", "n_samples").as[(Long, Long)].collect().toMap
     audioTotals.foreach { case (id, total) => assert(total == expected(id)) }
+
+    // image "frames" are REAL tiled crops: each decodes as a full-width
+    // PNG strip, and the strips partition the original height exactly
+    val imgDims = Multimodal.decodeMeta(m).filter($"kind" === "image")
+      .select("doc_id", "width", "height").as[(Long, Long, Long)].collect()
+      .map { case (id, w, h) => id -> ((w, h)) }.toMap
+    val imgStrips = frames.join(m.select("doc_id", "kind"), "doc_id")
+      .filter($"kind" === "image")
+      .select("doc_id", "frame")
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        (id, img.getWidth.toLong, img.getHeight.toLong)
+      }
+    assert(imgStrips.nonEmpty)
+    imgStrips.groupBy(_._1).foreach { case (id, strips) =>
+      val (w, h) = imgDims(id)
+      assert(strips.forall(_._2 == w), s"doc $id strip width != image width")
+      assert(strips.map(_._3).sum == h, s"doc $id strips don't tile the height")
+    }
   }
 
   test("langId picks marker-majority language, unknown when silent") {
