@@ -390,9 +390,35 @@ object DebugProbe {
         }
         println(f"[probe] $label%-24s min=${ts.min}%.2fs runs=${ts.map(t => f"$t%.2f").mkString(",")}")
       }
+      // variant C: per-hb corpus count via a window over the ONE
+      // pre-aggregated frame — the explode+agg pipeline appears once
+      // in the DAG instead of twice (groupBy+join-back recomputes it)
+      def windowShape(docs: DataFrame): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val bgc = docs
+          .select(col("doc_id"), explode(TextOps.wordShingles(TextOps.tokens(col("text")), 2)).as("bg"))
+          .select(col("doc_id"), xxhash64(col("bg")).as("hb"),
+            xxhash64(substring_index(col("bg"), " ", 1)).as("ha"))
+          .groupBy(col("doc_id"), col("hb"), col("ha"))
+          .agg(count(lit(1)).as("cnt"))
+        val uni = docs
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
+        bgc.withColumn("c2", sum(col("cnt")).over(Window.partitionBy(col("hb"))))
+          .join(uni, "ha")
+          .select(col("doc_id"), col("cnt"),
+            round(log(col("c2").cast("double") / col("c1")), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).as("n_transitions"),
+            sum(col("lp6") * col("cnt")).cast("double").as("sum_logprob"))
+          .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
+      }
       val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       minOf2("bigram_preagg@1x", TextOps.bigramLogprob(docs1))
       minOf2("bigram_r5shape@1x", oldShape(docs1))
+      minOf2("bigram_window@1x", windowShape(docs1))
       val dialect = "aeioubcdfghjklmnp"
       val base = java.nio.file.Files.createTempDirectory("graft_bigram10").toString
       (0L until 10L).map { k =>
@@ -402,6 +428,7 @@ object DebugProbe {
       val docs10 = spark.read.parquet(s"$base/documents.parquet")
       minOf2("bigram_preagg@10x", TextOps.bigramLogprob(docs10))
       minOf2("bigram_r5shape@10x", oldShape(docs10))
+      minOf2("bigram_window@10x", windowShape(docs10))
       spark.stop(); return
     }
     if (names.contains("__stages")) {

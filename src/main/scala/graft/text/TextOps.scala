@@ -193,11 +193,15 @@ object TextOps {
     * every downstream exchange carries distinct-bigrams-per-doc rows,
     * not token instances (hb functionally determines ha, so adding ha
     * to the grouping key costs no cardinality); the corpus-wide
-    * bigram count re-aggregates that same frame instead of paying a
-    * second full explode, and per-transition weighting multiplies the
+    * bigram count is a sum-over-hb WINDOW on that same frame — the
+    * explode+aggregate pipeline appears ONCE in the DAG, where the r7
+    * groupBy+join-back recomputed it per consumer, and at real corpus
+    * scale the per-bigram count side is too big to broadcast, so the
+    * join would degrade to this same shuffle-by-hb plus a second full
+    * explode (A/B-measured fastest of the three shapes at 1× and 10×,
+    * DebugProbe __bigram). Per-transition weighting multiplies the
     * 6dp-rounded logprob by the exact instance count in DECIMAL —
-    * identical totals to per-instance summing, ~instance/distinct×
-    * narrower shuffles (the r5 plan-audit item). Docs with fewer than
+    * identical totals to per-instance summing. Docs with fewer than
     * two tokens have no transitions and emit no row. */
   def bigramLogprob(docs: DataFrame): DataFrame = {
     val bgc = docs
@@ -209,8 +213,8 @@ object TextOps {
     val uni = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
-    val big = bgc.groupBy(col("hb")).agg(sum(col("cnt")).as("c2"))
-    bgc.join(big, "hb")
+    bgc.withColumn("c2", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hb"))))
       .join(uni, "ha")
       .select(col("doc_id"), col("cnt"),
         round(log(col("c2").cast("double") / col("c1")), 6)
