@@ -91,12 +91,19 @@ object StreamIngest {
     * decode → WAL → current-chunk path with the checkpoint playing the
     * WAL (idempotent batch-scoped appends, see [[startChunkSink]]). */
   def startRemoteWriteSink(payloads: DataFrame, store: graft.tsdb.ChunkStore,
-                           checkpoint: String, payloadCol: String = "payload") =
+                           checkpoint: String, payloadCol: String = "payload",
+                           compactEveryBatches: Int = 0) =
     payloads.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         store.appendBatch(
           graft.sources.RemoteWrite.toEventSamples(batch, payloadCol), batchId)
+        // maintenance on the same data-progress cadence as close/retire:
+        // without it a seconds-trigger sink accumulates one batch dir
+        // (x salt files per chunk) per trigger for as long as it runs
+        if (compactEveryBatches > 0 && batchId > 0 &&
+          batchId % compactEveryBatches == 0)
+          store.compactBatches(batchId)
       }
       .start()
 
@@ -112,11 +119,16 @@ object StreamIngest {
     * delete` removes committed spool files so the directory stays
     * bounded by (in-flight batches × request rate), not uptime.
     * `maxFilesPerTrigger` caps a catch-up batch after downtime so one
-    * giant micro-batch can't monopolize the cluster. */
+    * giant micro-batch can't monopolize the cluster.
+    * `compactEveryBatches` folds the accumulated batch directories
+    * into one consolidated directory on that cadence
+    * ([[graft.tsdb.ChunkStore.compactBatches]]) — live file count per
+    * chunk stays bounded by (cadence × salts), not uptime. */
   def startSpoolRemoteWriteSink(spark: org.apache.spark.sql.SparkSession,
                                 spoolDir: String, store: graft.tsdb.ChunkStore,
                                 checkpoint: String,
-                                maxFilesPerTrigger: Int = 4096) = {
+                                maxFilesPerTrigger: Int = 4096,
+                                compactEveryBatches: Int = 64) = {
     // the source lists the directory immediately; make it exist before
     // the first request ever spools a file
     val p = new org.apache.hadoop.fs.Path(spoolDir)
@@ -132,7 +144,7 @@ object StreamIngest {
         .option("pathGlobFilter", "*.bin") // never a half-renamed temp
         .load(spoolDir)
         .select(col("content").as("payload")),
-      store, checkpoint)
+      store, checkpoint, compactEveryBatches = compactEveryBatches)
   }
 
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -308,6 +308,9 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     require(!exists(s"$path/_compact_pending"),
       s"ChunkStore at $path: a live compaction was interrupted mid-swap — " +
         "chunk directories may be missing rows; run compactLive() again to heal")
+    require(!exists(s"$path/_batch_compact_pending"),
+      s"ChunkStore at $path: a batch compaction was interrupted mid-swap — " +
+        "batch directories may be missing rows; run compactBatches() again to heal")
     readChunked(livePath).drop("batch")
   }
 
@@ -358,6 +361,78 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
         throw new java.io.IOException(s"compact swap failed for $d")
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(marker, false)
+  }
+
+  /** Compact the STREAMING live tier: merge every `batch=<id>`
+    * directory with id strictly below `upToBatchId` — including the
+    * output of earlier compactions, which carry NEGATIVE ids — into
+    * one consolidated `batch=-<upToBatchId>` directory (≤ salts files
+    * per chunk, the same `clustered` write discipline as an append).
+    *
+    * Why this is replay-safe where a blanket merge is not: foreachBatch
+    * is at-least-once, but Structured Streaming runs batch N only after
+    * batch N-1's offsets committed — the ONLY batch that can ever
+    * replay is the current one. Merging strictly-below-current batch
+    * directories therefore never collides with a replayed overwrite,
+    * and the negative target id can never be issued to a real batch.
+    * A replayed batch that re-triggers the same horizon finds a single
+    * mergeable directory and no-ops.
+    *
+    * Crash protocol (the IvfStore/compactLive staged-swap family): the
+    * consolidated copy is fully written to staging first; the
+    * `_batch_compact_pending` marker records the source directories +
+    * target name; reads refuse while the marker exists; re-running
+    * completes the interrupted swap (delete remaining sources, rename
+    * staging to target) from the intact staging copy. */
+  def compactBatches(upToBatchId: Long): Unit = {
+    assertLayout(batchScoped = true)
+    val fs = hfs
+    val staging = s"$path/batch_compact"
+    val marker = new org.apache.hadoop.fs.Path(path, "_batch_compact_pending")
+    if (fs.exists(marker)) { completeBatchCompactSwap(fs, staging, marker); return }
+    val sources = listNames(livePath).filter(_.startsWith("batch="))
+      .filter(_.stripPrefix("batch=").toLong < upToBatchId).sorted
+    if (sources.size <= 1) return // nothing to merge (or already compacted)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val rows = spark.read.option("basePath", livePath)
+      .parquet(sources.map(s => s"$livePath/$s"): _*)
+      .withColumn("chunk", col("chunk").cast("long"))
+      .drop("batch")
+    clustered(rows).write.mode("overwrite").partitionBy("chunk").parquet(staging)
+    val target = s"batch=-$upToBatchId"
+    val out = fs.create(marker, true)
+    try out.write((target +: sources).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    completeBatchCompactSwap(fs, staging, marker)
+  }
+
+  /** Idempotent-resumable second half of [[compactBatches]]: the
+    * marker's first line is the target directory, the rest are the
+    * merged sources. Delete any source still present, swap staging
+    * into the target if it has not landed yet, clear the marker. Safe
+    * from any crash point — staging and the sources hold identical
+    * rows, so whichever copy survives is complete. */
+  private def completeBatchCompactSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                       staging: String,
+                                       marker: org.apache.hadoop.fs.Path): Unit = {
+    val lines = {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+      finally in.close()
+    }
+    val (target, sources) = (lines.head, lines.tail)
+    sources.foreach { s =>
+      val hp = new org.apache.hadoop.fs.Path(s"$livePath/$s")
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    if (fs.exists(stagingPath)) {
+      val targetPath = new org.apache.hadoop.fs.Path(s"$livePath/$target")
+      fs.delete(targetPath, true) // a half-renamed target re-swaps whole
+      if (!fs.rename(stagingPath, targetPath))
+        throw new java.io.IOException(s"batch-compact swap failed for $target")
+    }
     fs.delete(marker, false)
   }
 
