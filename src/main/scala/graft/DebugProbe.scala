@@ -305,6 +305,51 @@ object DebugProbe {
       println(s"[probe] nProbe>nCells rows=${wide.count()}")
       spark.stop(); return
     }
+    if (names.contains("__ivfdrift")) {
+      // Drift drill (r7 verdict item 7): build the at-rest IVF index
+      // from sf embeddings, append a 10× batch whose distribution has
+      // shifted (every vector pulled toward a common direction — the
+      // "new data source" failure mode), show occupancySkew cross its
+      // threshold, rebuild, and show both the balance and the per-cell
+      // file counts return to fair share while probes stay correct.
+      import graft.vector.{IvfStore, VectorOps}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dir = java.nio.file.Files.createTempDirectory("probe_ivfdrift").toString
+      val store = new IvfStore(spark, dir)
+      store.write(e)
+      def files(): (Int, Int, Double) = {
+        val cells = new java.io.File(s"$dir/cells").listFiles()
+          .filter(_.getName.startsWith("cell="))
+        val per = cells.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+        (cells.length, per.max, per.sum.toDouble / per.length)
+      }
+      println(f"[probe] built: skew=${store.occupancySkew()}%.2f files(cells,max,avg)=${files()}")
+      // 10 shifted append batches: each copy k keeps its internal
+      // spread but is pulled toward ITS own axis direction (+3 on
+      // dimension k) — ten diverse clumps the build-time codebook has
+      // no centroids near, so appended mass piles into few cells; a
+      // retrained codebook CAN separate them (unlike a single
+      // degenerate clump, which no quantizer could spread)
+      (0 until 10).foreach { k =>
+        store.append(e
+          .withColumn("vec_id", col("vec_id") + lit((k + 1) * 10000000L))
+          .withColumn("v", transform(col("v"),
+            (x, i) => x * 0.5d + when(i === lit(k), 3.0d).otherwise(0.0d))))
+      }
+      val skewDrifted = store.occupancySkew()
+      println(f"[probe] after 10x drifted append: skew=$skewDrifted%.2f files(cells,max,avg)=${files()}")
+      val threshold = 3.0
+      println(s"[probe] skew ${if (skewDrifted > threshold) "EXCEEDS" else "within"} threshold $threshold -> rebuild")
+      store.rebuild()
+      val q = store.read().filter(col("vec_id") < 5)
+      val got = store.probeTopK(q, 10, 4).count()
+      println(f"[probe] after rebuild: skew=${store.occupancySkew()}%.2f files(cells,max,avg)=${files()} probeRows=$got")
+      val occ = store.cellOccupancy().orderBy(col("n_vectors").desc)
+        .collect().map(r => r.getLong(1)).mkString(",")
+      println(s"[probe] occupancy desc: $occ")
+      spark.stop(); return
+    }
     if (names.contains("__multimodal")) {
       import graft.multimodal.Multimodal
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

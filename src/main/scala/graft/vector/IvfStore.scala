@@ -86,8 +86,12 @@ final class IvfStore(spark: SparkSession, path: String,
     * the cell layout — the policy answer to drift flagged by
     * [[occupancySkew]] (append keeps the build-time codebook by
     * design; only an explicit rebuild moves centroids). Defaults to
-    * the trained k-means codebook since restoring balance is the
-    * point; pass `quantizer` to supply your own. Staged writes + a
+    * the BISECTING codebook ([[VectorOps.bisectingCentroids]]): plain
+    * k-means seeds at most one centroid per natural cluster, so the
+    * heavy drift clumps that trigger a rebuild survive it — bisecting
+    * splits the heaviest cells directly, which is the balance the
+    * rebuild exists to restore (measured in the __ivfdrift drill);
+    * pass `quantizer` to supply your own. Staged writes + a
     * directory swap keep the store readable until the new layout is
     * complete (a crash mid-rebuild leaves either the old index or the
     * new one, never a mix — the staging dirs are overwritten by the
@@ -99,7 +103,7 @@ final class IvfStore(spark: SparkSession, path: String,
     if (fs.exists(pendingMarker)) { completeSwap(fs); return } // heal first
     val cur = readRaw().drop("cell")
     val cents = quantizer.getOrElse(
-      VectorOps.kmeansCentroids(cur, nCells, roundTo = roundTo))
+      VectorOps.bisectingCentroids(cur, nCells, roundTo = roundTo))
     cents.write.mode("overwrite").parquet(stagedCents)
     // assign against the staged AT-REST centroids: the training plan
     // ran once into parquet; re-deriving it here would recompute the

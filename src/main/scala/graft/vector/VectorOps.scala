@@ -244,6 +244,139 @@ object VectorOps {
     cents
   }
 
+  /** Balance-aware codebook: deterministic bisecting PCA-median
+    * splits. Lloyd's with farthest-point init seeds at most one
+    * centroid per natural cluster — a corpus whose drifted ingest
+    * formed a few HEAVY tight clumps keeps its worst cell no matter
+    * how many iterations run (observed in the __ivfdrift drill: skew
+    * 3.0 before and after a plain-k-means rebuild; a seed-pair
+    * 2-means variant peeled outlier slivers instead and left a
+    * 4-clump cell intact). This attacks occupancy directly: start
+    * with one cell, and each ROUND split the heaviest splittable
+    * cells at the MEDIAN of their dominant principal direction —
+    * projection halves a cell by construction, whatever its modal
+    * structure, and a tight clump cut in half costs nothing at probe
+    * time (both halves' centroids stay adjacent, so the probe ring
+    * covers them together). All of a round's splits run in shared
+    * distributed passes (means, power iterations, medians, and the
+    * reassignment are each ONE job over the splitting cells' rows,
+    * keyed by cell). Driver state is cell counts + one direction
+    * vector per splitting cell — O(nCells·dim), never corpus rows.
+    * Deterministic end to end: exact decimal means, a fixed
+    * power-iteration count from a data-derived start direction, the
+    * GK percentile sketch, and ≤-median ties to the surviving side.
+    *
+    * Cost: ≈ log₂(nCells) rounds (heaviest-first keeps the split
+    * frontier wide), each a bounded number of passes over the
+    * then-heaviest cells' rows — offline-rebuild economics, the same
+    * slot [[kmeansCentroids]] occupies. */
+  def bisectingCentroids(corpus: DataFrame, nCells: Int = 16,
+                         powerIters: Int = 3, roundTo: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // element-wise decimal-exact mean vector per key column
+    def meanBy(rows: DataFrame, key: String): DataFrame = rows
+      .select(col(key).as("k"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("k"), col("d"))
+      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy(col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    var assign = corpus.select(col("vec_id")).withColumn("cell", lit(0L)).persist()
+    assign.count()
+    val unsplittable = scala.collection.mutable.Set.empty[Long]
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 4 * nCells) {
+      rounds += 1
+      val counts = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().sortBy { case (c, n) => (-n, c) }
+      val budget = nCells - counts.length
+      val toSplit = counts.filter { case (c, n) => n >= 2 && !unsplittable(c) }
+        .take(budget).map(_._1)
+      if (budget <= 0 || toSplit.isEmpty) done = true
+      else {
+        val nextId = counts.map(_._1).max + 1
+        val newIds = toSplit.zipWithIndex.map { case (c, i) => c -> (nextId + i) }.toMap
+        val rows = corpus.join(assign, "vec_id")
+          .filter(col("cell").isInCollection(toSplit)).persist()
+        val means = meanBy(rows, "cell")
+          .select(col("k").as("cell"), col("cv").as("mu"))
+          .as[(Long, Seq[Double])].collect().toMap
+        // centered rows: the residual geometry the split direction lives in
+        def centered = rows.join(
+            broadcast(means.toSeq.toDF("cell", "mu")), "cell")
+          .withColumn("r", zip_with(col("v"), col("mu"), (x, m) => x - m))
+        // start direction: the residual of the cell's lowest-id member
+        // whose residual is non-zero (deterministic, in-span); a cell
+        // where EVERY residual is zero is all-identical → unsplittable
+        val starts = centered
+          .withColumn("nz", aggregate(col("r"), lit(0.0d), (a, x) => a + x * x))
+          .filter(col("nz") > 0d)
+          .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+          .join(centered.select(col("vec_id"), col("r")), "vec_id")
+          .select(col("cell"), col("r"))
+          .as[(Long, Seq[Double])].collect().toMap
+        toSplit.filterNot(starts.contains).foreach(unsplittable += _)
+        var dirs = starts
+        // power iteration toward the dominant covariance eigenvector:
+        // d ← Σ_x (r·d)·r, normalized — each step ONE pass, all cells
+        for (_ <- 0 until powerIters if dirs.nonEmpty) {
+          val nd = centered.join(broadcast(dirs.toSeq.toDF("cell", "d")), "cell")
+            .withColumn("w", dot(col("r"), col("d")))
+            .select(col("cell"), posexplode(col("r")).as(Seq("i", "x")),
+              col("w"))
+            .groupBy(col("cell"), col("i"))
+            .agg(sum(col("x") * col("w")).as("s"))
+            .groupBy(col("cell"))
+            .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+              s => s.getField("s")).as("d"))
+            .as[(Long, Seq[Double])].collect().toMap
+          dirs = nd.map { case (c, d) =>
+            val n = math.sqrt(d.map(x => x * x).sum)
+            c -> (if (n > 0) d.map(_ / n) else dirs(c))
+          }
+        }
+        if (dirs.isEmpty) { rows.unpersist(blocking = false) }
+        else {
+          // median projection per cell (GK sketch: deterministic),
+          // then p > median → the new cell; ties stay — a cell whose
+          // projections are all equal keeps everything and is marked
+          // unsplittable below
+          val proj = centered.join(broadcast(dirs.toSeq.toDF("cell", "d")), "cell")
+            .withColumn("p", round(dot(col("r"), col("d")), roundTo))
+          val medians = proj.groupBy(col("cell"))
+            .agg(percentile_approx(col("p"), lit(0.5), lit(10000)).as("med"))
+          val reFinal = proj.join(broadcast(medians), "cell")
+            .select(col("vec_id"),
+              when(col("p") > col("med"),
+                element_at(typedLit(newIds), col("cell")))
+                .otherwise(col("cell")).as("cell"))
+          val nextAssign = assign.filter(!col("cell").isInCollection(toSplit))
+            .unionByName(reFinal).persist()
+          val after = nextAssign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+            .as[(Long, Long)].collect().map(_._1).toSet
+          // a split whose upper side came back empty is a no-op: the
+          // cell's projections were all equal — never re-pick it
+          newIds.foreach { case (c, nb) => if (!after(nb)) unsplittable += c }
+          rows.unpersist(blocking = false)
+          assign.unpersist(blocking = false)
+          assign = nextAssign
+        }
+      }
+    }
+    // final codebook: per-cell mean, renumbered densely (ivfAssign
+    // packs c_id into 16 bits — ids must stay small and contiguous)
+    val cents = meanBy(corpus.join(assign, "vec_id"), "cell")
+      .orderBy(col("k")).as[(Long, Seq[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    assign.unpersist(blocking = false)
+    broadcast(cents.toDF("c_id", "cv"))
+  }
+
   /** Cell assignment (vec_id → cell): argmax rounded cosine vs every
     * centroid. The (cos desc, c_id asc) total order is packed into ONE
     * LONG — `round((cos+1)·10^r)·2^16 + (2^16−1−c_id)` — because a

@@ -83,6 +83,50 @@ class KmeansIvfSpec extends SparkSpec {
     assert(trained >= 0.6, f"trained recall $trained%.3f below 0.6")
   }
 
+  test("bisecting splits the heavy drift clump plain k-means cannot") {
+    // the __ivfdrift shape in miniature: an isotropic base corpus plus
+    // a dominant TIGHT clump (drifted ingest) — farthest-init Lloyd's
+    // seeds one centroid in the clump and leaves it whole, while the
+    // PCA-median bisection keeps halving whatever cell is heaviest
+    val rng = new scala.util.Random(7)
+    val base = (0 until 400).map { i =>
+      val v = Array.fill(16)(rng.nextGaussian()); val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }
+    val clump = (0 until 1600).map { i =>
+      val v = Array.fill(16)(rng.nextGaussian() * 0.1)
+      v(3) += 5.0 // one tight direction holds 80% of the corpus
+      (1000L + i, v.toSeq)
+    }
+    val corpus = (base ++ clump).toDF("vec_id", "v").persist()
+    def maxCell(cents: org.apache.spark.sql.DataFrame): Long =
+      VectorOps.ivfAssign(corpus, cents)
+        .groupBy("cell").count().agg(max("count")).as[Long].head()
+    val fair = 2000L / 16
+    val kmMax = maxCell(VectorOps.kmeansCentroids(corpus, 16, iters = 5))
+    val biMax = maxCell(VectorOps.bisectingCentroids(corpus, 16))
+    info(s"max cell: kmeans=$kmMax bisecting=$biMax fair=$fair")
+    assert(kmMax >= 4 * fair, s"premise broke: k-means balanced the clump ($kmMax)")
+    assert(biMax <= 4 * fair, s"bisecting left a heavy cell: $biMax (fair $fair)")
+    assert(biMax < kmMax / 2, s"bisecting not better: $biMax vs $kmMax")
+    // the codebook contract holds: dense small ids, nCells rows
+    val cents = VectorOps.bisectingCentroids(corpus, 16)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(cents.map(_._1).toSeq == (0L until cents.length).toSeq)
+    assert(cents.length <= 16 && cents.length >= 8)
+    corpus.unpersist()
+  }
+
+  test("bisecting training is deterministic (same corpus -> same codebook)") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = VectorOps.bisectingCentroids(e, 8)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val b = VectorOps.bisectingCentroids(e, 8)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("k-means training is deterministic (same corpus -> same codebook)") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
