@@ -1076,6 +1076,8 @@ object SparkEntry {
 
     "doc_commonness" -> ((s, dir) => TextOps.commonness(docsT(s, dir))),
 
+    "doc_novelty" -> ((s, dir) => TextOps.novelty(docsT(s, dir))),
+
     "doc_unigram_logprob" -> ((s, dir) => TextOps.unigramLogprob(docsT(s, dir))),
 
     "doc_bigram_logprob" -> ((s, dir) => TextOps.bigramLogprob(docsT(s, dir))),
@@ -2355,6 +2357,17 @@ object SparkEntry {
                 CAST(sum(df.df) AS BIGINT) AS sum_df,
                 CAST(sum(df.df) AS DOUBLE) / count(*) AS mean_df
          FROM dt JOIN df USING (term) GROUP BY 1""",
+
+    "doc_novelty" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+               FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-6, 1))) AS i FROM tok)
+               WHERE len(t) >= 8),
+         df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+         FROM g JOIN df USING (g) GROUP BY 1""",
 
     "doc_unigram_logprob" ->
       """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

@@ -128,6 +128,34 @@ object TextOps {
       .agg(sum(col("c")).as("n_shingles"), max(col("c")).as("max_rep"))
       .withColumn("rep_ratio", col("max_rep").cast("double") / col("n_shingles"))
 
+  /** Corpus-internal novelty: the fraction of a doc's DISTINCT word
+    * 8-grams that appear in no other document (corpus df = 1) — the
+    * memorization-risk / boilerplate dial a training-data pipeline
+    * reads before sampling: novelty ≈ 1 is original text, ≈ 0 is
+    * templated or near-duplicated content whose grams the model will
+    * see many times. The n-gram complement of [[commonness]] (token
+    * df) and the corpus-internal complement of
+    * [[graft.text.Dedup.contamination]] (df vs an external benchmark).
+    *
+    * Plan: per-doc distinct grams map-side (array_distinct before the
+    * explode), ONE xxhash64-LONG-keyed df aggregation over the corpus
+    * gram set, join back on the LONG key, one per-doc aggregation —
+    * the commonness plan shape at 8-gram grain. Docs under n tokens
+    * have no grams and emit no row (same rule as fingerprint). */
+  def novelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(
+        wordShingles(tokens(col("text")), n))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val df_ = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df_, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", col("n_unique").cast("double") / col("n_grams"))
+  }
+
   /** Mean corpus document-frequency of a doc's distinct tokens — a
     * "commonness" quality signal (rare-vocabulary docs score low, the
     * inverse of boilerplate). Per-doc distinct happens map-side

@@ -182,6 +182,22 @@ class TextStatsSpec extends SparkSpec {
     assert(TextOps.fingerprint(short).count() == 0)
   }
 
+  test("novelty: corpus-unique 8-gram fraction, short docs emit nothing") {
+    // doc 1 and 2 share their first 8-gram (identical first 8 tokens);
+    // every other gram is unique. doc 3 is too short for any 8-gram.
+    val shared = "a b c d e f g h"
+    val corpus = Seq(
+      (1L, s"$shared i j"),   // grams: [a..h], [b..i], [c..j] -> 3 grams, 2 unique
+      (2L, s"$shared z"),     // grams: [a..h], [b..z] -> 2 grams, 1 unique
+      (3L, "x y z")).toDF("doc_id", "text")
+    val out = TextOps.novelty(corpus)
+      .select("doc_id", "n_grams", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 2.0 / 3),
+      (2L, 2L, 1L, 0.5)))
+  }
+
   test("commonness: mean corpus df of each doc's distinct tokens") {
     val corpus = Seq((1L, "x y"), (2L, "x z"), (3L, "x x q")).toDF("doc_id", "text")
     val out = TextOps.commonness(corpus)
