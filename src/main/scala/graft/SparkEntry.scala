@@ -1112,6 +1112,8 @@ object SparkEntry {
 
     "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docsT(s, dir), 10)),
 
+    "corpus_mix_weights" -> ((s, dir) => TextOps.mixWeights(docsT(s, dir))),
+
     "corpus_stats" -> ((s, dir) =>
       // per-(source, lang) corpus rollup — the reporting query every
       // ingest pipeline runs; map-side token counts, one aggregation
@@ -2497,6 +2499,16 @@ object SparkEntry {
          WHERE p_size <= 15
            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
          GROUP BY 1, 2""",
+
+    "corpus_mix_weights" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY 1),
+         w AS (SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS DECIMAL(28,6)) AS w6 FROM s),
+         t AS (SELECT CAST(sum(w6) AS DECIMAL(28,6)) AS tw FROM w)
+         SELECT source, n_docs, n_tokens,
+                CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE) AS weight
+         FROM w, t""",
 
     "corpus_stats" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

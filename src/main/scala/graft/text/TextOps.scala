@@ -282,6 +282,30 @@ object TextOps {
         (-col("st") / col("n_tokens")).as("entropy"))
   }
 
+  /** α-tempered multi-source mixing weights — the sampling-mixture
+    * computation a multi-source pretraining pipeline runs before any
+    * doc is drawn (the Pile / GPT-3 recipe: weight ∝ size^α with
+    * α < 1 upweights small high-quality sources relative to raw
+    * proportion; α = 1 is proportional, α = 0 uniform). Per source:
+    * doc count, exact token count (native byte-scan TokenRunCount —
+    * no token array materialized), and weight = n_tokens^α
+    * normalized. One corpus scan + one tiny aggregation; the libm
+    * pow is rounded to 6dp then DECIMAL-summed (the engine-wide
+    * round-then-sum rule), final division in double over the
+    * broadcast scalar total. */
+  def mixWeights(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val s = docs
+      .select(col("source"), tokenCount(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("w6", round(pow(col("n_tokens").cast("double"), lit(alpha)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+    val tot = s.agg(sum(col("w6")).as("tw"))
+    s.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("w6").cast("double") / col("tw").cast("double")).as("weight"))
+  }
+
   /** Corpus vocabulary top-k: global token counts, highest-count
     * first with a term tiebreak. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition bounded top-k merged on

@@ -198,6 +198,27 @@ class TextStatsSpec extends SparkSpec {
       (2L, 2L, 1L, 0.5)))
   }
 
+  test("mixWeights: alpha-tempered source mixture, hand-computed") {
+    val corpus = Seq(
+      (1L, "a b c d", "srcA"), (2L, "e f g h", "srcA"), // 8 tokens
+      (3L, "x", "srcB"))                                 // 1 token
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.mixWeights(corpus, alpha = 0.5)
+      .select("source", "n_docs", "n_tokens", "weight")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // w(srcA) = 8^0.5 = 2.828427, w(srcB) = 1 -> weights over 3.828427
+    val wa = BigDecimal(math.round(math.sqrt(8.0) * 1e6)) / 1e6
+    val tot = (wa + 1).toDouble
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(("srcA", 2L, 8L), ("srcB", 1L, 1L)))
+    assert(math.abs(out(0)._4 - wa.toDouble / tot) < 1e-12)
+    assert(math.abs(out(1)._4 - 1.0 / tot) < 1e-12)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+    // alpha=0 is uniform regardless of size
+    val uni = TextOps.mixWeights(corpus, alpha = 0.0)
+      .select("weight").as[Double].collect().toSeq
+    assert(uni.forall(w => math.abs(w - 0.5) < 1e-12))
+  }
+
   test("commonness: mean corpus df of each doc's distinct tokens") {
     val corpus = Seq((1L, "x y"), (2L, "x z"), (3L, "x x q")).toDF("doc_id", "text")
     val out = TextOps.commonness(corpus)
