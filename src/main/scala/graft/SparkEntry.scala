@@ -99,6 +99,20 @@ object SparkEntry {
     "ts_moving_avg_1h" -> ((s, dir) =>
       TsOps.movingAvg(Series.samples(t(s, dir, "events")))),
 
+    // 7-day window, not the 1h default: the synthetic events land
+    // ~1.24 per series-day, so an hourly window never reaches the
+    // 5-point floor and the gate would bless an always-empty result —
+    // the vacuous-match trap the verify notes warn about. At 7 days
+    // (~9 points) the standard 2σ rule fires 88/848 times at
+    // sf0.01/sf0.1 — a live assertion, probed before gating.
+    "ts_band_outliers" -> ((s, dir) =>
+      TsOps.bandOutliers(Series.samples(t(s, dir, "events")),
+        windowUs = 7L * 86400L * 1000000L)),
+
+    "events_transitions" -> ((s, dir) => TsOps.transitions(t(s, dir, "events"))),
+
+    "events_top_paths" -> ((s, dir) => TsOps.topPaths(t(s, dir, "events"))),
+
     "ts_last_over_time" -> ((s, dir) =>
       TsOps.lastOverTime(Series.samples(t(s, dir, "events")), T2)),
 
@@ -1533,6 +1547,44 @@ object SparkEntry {
           FROM s
           WINDOW w AS (PARTITION BY series_id ORDER BY ts_us
                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "ts_band_outliers" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
+          w AS (SELECT series_id, ts_us, value,
+                  CAST(count(*) OVER w AS BIGINT) AS n_win,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+                  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+                FROM s
+                WINDOW w AS (PARTITION BY series_id ORDER BY ts_us
+                             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+          b AS (SELECT series_id, ts_us, value, n_win, s1 / n_win AS mean_win,
+                  2.0 * sqrt(greatest((s2 - s1 * s1 / n_win) / n_win, 0.0)) AS band
+                FROM w WHERE n_win >= 5)
+          SELECT series_id, ts_us, value, n_win, mean_win, band
+          FROM b WHERE abs(value - mean_win) > band""",
+
+    "events_transitions" ->
+      s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+          p AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+                FROM s),
+          c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          o AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n FROM c GROUP BY 1)
+          SELECT c.from_type, c.to_type, c.n, o.out_n,
+                 CAST(c.n AS DOUBLE) / o.out_n AS prob
+          FROM c JOIN o USING (from_type)""",
+
+    "events_top_paths" ->
+      s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+          g AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS t1,
+                  lead(event_type, 2) OVER w AS t2
+                FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          c AS (SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM g WHERE t2 IS NOT NULL GROUP BY 1)
+          SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT 20""",
 
     "ts_last_over_time" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value

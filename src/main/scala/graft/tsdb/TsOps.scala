@@ -155,6 +155,82 @@ object TsOps {
       .withColumn("avg_win", col("sum_win") / col("n_win"))
   }
 
+  /** Rolling-band anomalies (the Bollinger-band monitoring rule, the
+    * trailing-window sibling of the global [[zscoreOutliers]]): flag
+    * samples outside mean ± z·σ of their series' trailing `windowUs`
+    * window. Determinism discipline of [[movingAvg]] extended to the
+    * second moment: rolling Σv and Σv² run in DECIMAL (exact,
+    * associative — value is 2dp, so v² is exactly 4dp), cast to
+    * double once; mean/σ/band are then identical IEEE arithmetic in
+    * any engine, and sqrt is correctly rounded by spec, so the
+    * strictly-greater breach test never straddles engines. Windows
+    * thinner than `minPoints` don't alarm (a 2-point σ is noise).
+    * One shuffle by series, one bounded per-series sort. */
+  def bandOutliers(samples: DataFrame, windowUs: Long = UsPerHour,
+                   z: Double = 2.0, minPoints: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, 0)
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val v2 = col("value").cast(d2)
+    samples
+      .select(col("series_id"), col("ts_us"), col("value"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("value").cast(d2)).over(w).cast("double"))
+      .withColumn("s2", sum(v2 * v2).over(w).cast("double"))
+      .filter(col("n_win") >= minPoints)
+      .withColumn("mean_win", col("s1") / col("n_win"))
+      .withColumn("band", lit(z) * sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / col("n_win")) / col("n_win"), lit(0.0))))
+      .filter(abs(col("value") - col("mean_win")) > col("band"))
+      .select(col("series_id"), col("ts_us"), col("value"),
+        col("n_win"), col("mean_win"), col("band"))
+  }
+
+  /** First-order event-type transition matrix — the Markov-chain view
+    * of user behavior (which event follows which, with MLE
+    * probabilities): consecutive pairs per user under the engine-wide
+    * (ts_us, event_id) total order, counted globally, normalized by
+    * the from-state's outgoing total. Plan: one shuffle by user + a
+    * bounded per-user sort for the lead, then two tiny aggregations
+    * over |event_type|² rows; the outgoing-total join broadcasts. */
+  def transitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = Series.samples(events)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("ts_us"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
+    pairs.join(broadcast(out), "from_type")
+      .withColumn("prob", col("n").cast("double") / col("out_n"))
+  }
+
+  /** Top-k event-type paths (consecutive trigrams per user under the
+    * (ts_us, event_id) total order) — the funnel-discovery query that
+    * tells an analyst which 3-step journeys dominate, before any
+    * hand-built funnel exists. orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition bounded top-k, O(k) driver
+    * merge); the (count desc, path asc) order is total, so the k-th
+    * boundary never depends on partitioning. */
+  def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Series.samples(events)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Gap-filled per-series hourly series (Prometheus staleness
     * semantics, bounded-lookback carry-forward): every bucket from a
     * series' first to last hour appears, each carrying the last value

@@ -358,6 +358,41 @@ class TsOpsSpec extends SparkSpec {
     assert(out.map(r => (r._2, r._3)) == Seq((7200000L, 9.0)))
   }
 
+  test("bandOutliers: breach vs trailing band, thin windows never alarm") {
+    // one series, 6 points a minute apart: five 1.0s then a 100.0 spike.
+    // points 1-4 have n_win < 5 (excluded); point 5 has σ=0 band=0 and
+    // |1-1| > 0 is false; point 6: mean 17.5, pop-var 1361.25,
+    // band 2σ ≈ 73.79 < |100-17.5| = 82.5 → the only alarm
+    val ev = (0 until 6).map { i =>
+      (i.toLong + 1, 1000000000000L + i * 60000000000L, 1L, "click",
+        if (i == 5) 100.0 else 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.bandOutliers(Series.samples(ev))
+      .select("ts_us", "value", "n_win", "mean_win", "band")
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    assert(out.size == 1)
+    val (ts, v, n, mean, band) = out.head
+    assert(ts == 1000000000L + 5 * 60000000L && v == 100.0 && n == 6)
+    assert(math.abs(mean - 17.5) < 1e-12)
+    assert(math.abs(band - 2 * math.sqrt(1361.25)) < 1e-9)
+  }
+
+  test("transitions: per-user lead pairs, MLE row-normalized") {
+    val out = TsOps.transitions(toyEvents)
+      .select("from_type", "to_type", "n", "out_n", "prob")
+      .as[(String, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // user 1: click->click ×2; user 2: view->view ×1 (no cross-user pair)
+    assert(out == Seq(
+      ("click", "click", 2L, 2L, 1.0),
+      ("view", "view", 1L, 1L, 1.0)))
+  }
+
+  test("topPaths: consecutive trigrams per user, two-event users emit none") {
+    val out = TsOps.topPaths(toyEvents)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("click > click > click", 1L)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
