@@ -113,6 +113,8 @@ object SparkEntry {
 
     "events_top_paths" -> ((s, dir) => TsOps.topPaths(t(s, dir, "events"))),
 
+    "events_dau_wau" -> ((s, dir) => TsOps.dauWau(t(s, dir, "events"))),
+
     "ts_last_over_time" -> ((s, dir) =>
       TsOps.lastOverTime(Series.samples(t(s, dir, "events")), T2)),
 
@@ -1574,6 +1576,17 @@ object SparkEntry {
           SELECT c.from_type, c.to_type, c.n, o.out_n,
                  CAST(c.n AS DOUBLE) / o.out_n AS prob
           FROM c JOIN o USING (from_type)""",
+
+    "events_dau_wau" ->
+      s"""WITH ud AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events),
+          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+          sp AS (SELECT ud.day + g.gi AS day, ud.user_id
+                 FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS gi) g),
+          wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                  FROM sp GROUP BY 1)
+          SELECT dau.day, dau.dau, wau.wau,
+                 CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+          FROM dau JOIN wau USING (day)""",
 
     "events_top_paths" ->
       s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -231,6 +231,28 @@ object TsOps {
       .limit(k)
   }
 
+  /** DAU / WAU / stickiness — the standard engagement rollup. A
+    * 7-day DISTINCT-over-window has no scale-clean window form
+    * (count-distinct frames aren't supported, and buffering users per
+    * frame would be O(WAU) state per day); instead each distinct
+    * (user, day) fans out map-side to the 7 window-days it supports
+    * (bounded ×7 explode), and one distinct + one count per day does
+    * the rest — every step partial-aggregates before its exchange.
+    * Output days are those with any activity (inner join with DAU);
+    * stickiness = DAU/WAU ∈ [1/7, 1]. */
+  def dauWau(events: DataFrame): DataFrame = {
+    val ud = Series.samples(events)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", col("dau").cast("double") / col("wau"))
+  }
+
   /** Gap-filled per-series hourly series (Prometheus staleness
     * semantics, bounded-lookback carry-forward): every bucket from a
     * series' first to last hour appears, each carrying the last value

@@ -393,6 +393,24 @@ class TsOpsSpec extends SparkSpec {
     assert(out == Seq(("click > click > click", 1L)))
   }
 
+  test("dauWau: 7-day fan-out distinct, stickiness bounds") {
+    val day = 86400000000000L // ns
+    // user 1 active days 0 and 1; user 2 active day 1 only (twice —
+    // distinct per (user, day) must collapse it)
+    val ev = Seq(
+      (1L, 0L * day + 1000000000L, 1L, "click", 1.0),
+      (2L, 1L * day + 1000000000L, 1L, "click", 1.0),
+      (3L, 1L * day + 2000000000L, 2L, "view", 1.0),
+      (4L, 1L * day + 3000000000L, 2L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.dauWau(ev)
+      .select("day", "dau", "wau", "stickiness")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // day 0: dau=1 (u1), wau=1 (only u1@0 in [-6,0]); day 1: dau=2,
+    // wau covers u1@{0,1} and u2@1 → 2 distinct users
+    assert(out == Seq((0L, 1L, 1L, 1.0), (1L, 2L, 2L, 1.0)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
