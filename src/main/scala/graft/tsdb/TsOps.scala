@@ -192,20 +192,22 @@ object TsOps {
     * probabilities): consecutive pairs per user under the engine-wide
     * (ts_us, event_id) total order, counted globally, normalized by
     * the from-state's outgoing total. Plan: one shuffle by user + a
-    * bounded per-user sort for the lead, then two tiny aggregations
-    * over |event_type|² rows; the outgoing-total join broadcasts. */
+    * bounded per-user sort for the lead, ONE pair aggregation, and
+    * the outgoing total as a sum window over the aggregated
+    * |event_type|² frame — a groupBy+join-back would recompute the
+    * whole lead pipeline on the build side (the bigramLogprob
+    * recompute-per-consumer lesson, caught here by PlanSpec). */
   def transitions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val pairs = Series.samples(events)
+    Series.samples(events)
       .select(col("user_id"), col("event_type").as("from_type"),
         col("ts_us"), col("event_id"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val out = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
-    pairs.join(broadcast(out), "from_type")
+      .withColumn("out_n", sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .withColumn("prob", col("n").cast("double") / col("out_n"))
   }
 

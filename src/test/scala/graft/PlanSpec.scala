@@ -257,6 +257,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "corpus total should broadcast back")
   }
 
+  test("events_top_paths plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("events_top_paths")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("GlobalSort"), "top-k paid a global sort")
+  }
+
+  test("events_transitions: the event stream rides ONE user shuffle, no join") {
+    val p = plan("events_transitions")
+    // the outgoing total is a window over the aggregated pairs frame —
+    // a groupBy+join-back would recompute the lead pipeline per
+    // consumer and show up as a second user_id exchange here
+    assert("hashpartitioning\\(user_id".r.findAllIn(p.toLowerCase).length <= 1,
+      "event stream shuffled by user more than once:\n" + p.take(1500))
+    assert(!p.contains("Join"), "transitions grew a join:\n" + p.take(1200))
+  }
+
+  test("ts_band_outliers: rolling moments in HashAggregate-free window, one series shuffle") {
+    val p = plan("ts_band_outliers")
+    assert(p.contains("Window"), p.take(800))
+    assert("hashpartitioning\\(series_id".r.findAllIn(p.toLowerCase).length <= 1,
+      "sample stream shuffled by series more than once:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("events_dau_wau: both distincts partial-aggregate before their exchange") {
+    val p = plan("events_dau_wau")
+    assert(!p.contains("SortAggregate"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("token-counting scans use the native byte-scan, not the regex array") {
     // corpus_stats counts tokens and must carry the TokenRunCount
     // expression; regexp_extract_all appearing instead means the
