@@ -115,6 +115,12 @@ object SparkEntry {
 
     "events_dau_wau" -> ((s, dir) => TsOps.dauWau(t(s, dir, "events"))),
 
+    // value > 20 for 2 days: probed 67405 active / 29070 firing at
+    // sf0.1 — both states live (the vacuous-match discipline)
+    "ts_alert_firing" -> ((s, dir) =>
+      TsOps.alertFiring(Series.samples(t(s, dir, "events")), 20.0,
+        2L * 86400L * 1000000L)),
+
     "ts_last_over_time" -> ((s, dir) =>
       TsOps.lastOverTime(Series.samples(t(s, dir, "events")), T2)),
 
@@ -1576,6 +1582,21 @@ object SparkEntry {
           SELECT c.from_type, c.to_type, c.n, o.out_n,
                  CAST(c.n AS DOUBLE) / o.out_n AS prob
           FROM c JOIN o USING (from_type)""",
+
+    "ts_alert_firing" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          f AS (SELECT *, value > 20 AS cond,
+                  lag(value > 20, 1, false) OVER w AS prev_cond
+                FROM s WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id)),
+          m AS (SELECT *, CASE WHEN cond AND NOT prev_cond THEN ts_us END AS run_start FROM f),
+          a AS (SELECT *, last_value(run_start IGNORE NULLS) OVER (
+                  PARTITION BY series_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_since_us
+                FROM m)
+          SELECT series_id, ts_us, value, active_since_us,
+                 CASE WHEN ts_us - active_since_us >= 172800000000 THEN 'firing'
+                      ELSE 'pending' END AS state
+          FROM a WHERE cond""",
 
     "events_dau_wau" ->
       s"""WITH ud AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events),

@@ -233,6 +233,37 @@ object TsOps {
       .limit(k)
   }
 
+  /** Prometheus alerting-rule FOR semantics: a threshold alert is
+    * PENDING while its condition holds and FIRING once it has held
+    * continuously for ≥ `forUs` (discrete reading: since the start of
+    * the current unbroken run of condition-true samples — one false
+    * sample resets the clock, exactly the rule evaluator's state
+    * machine). Gaps-and-islands in ONE window pass: lag marks run
+    * starts, an ignore-nulls running last carries the active-since
+    * timestamp — both windows share the (series, (ts,event_id)) sort,
+    * so the operator is one shuffle + one bounded per-series sort.
+    * Output: every active sample with its run start and state. */
+  def alertFiring(samples: DataFrame, threshold: Double,
+                  forUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"), col("event_id"))
+    samples
+      .select(col("series_id"), col("ts_us"), col("event_id"), col("value"))
+      .withColumn("cond", col("value") > lit(threshold))
+      .withColumn("prev_cond", lag(col("cond"), 1, false).over(w))
+      .withColumn("run_start",
+        when(col("cond") && !col("prev_cond"), col("ts_us")))
+      .withColumn("active_since_us",
+        last(col("run_start"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cond"))
+      .withColumn("state",
+        when(col("ts_us") - col("active_since_us") >= forUs, "firing")
+          .otherwise("pending"))
+      .select(col("series_id"), col("ts_us"), col("value"),
+        col("active_since_us"), col("state"))
+  }
+
   /** DAU / WAU / stickiness — the standard engagement rollup. A
     * 7-day DISTINCT-over-window has no scale-clean window form
     * (count-distinct frames aren't supported, and buffering users per

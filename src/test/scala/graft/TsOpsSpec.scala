@@ -411,6 +411,31 @@ class TsOpsSpec extends SparkSpec {
     assert(out == Seq((0L, 1L, 1L, 1.0), (1L, 2L, 2L, 1.0)))
   }
 
+  test("alertFiring: pending until FOR elapses within one unbroken run; a false sample resets") {
+    val h = 3600000000000L // ns per hour
+    // one series: true(0h), true(1h), FALSE(2h), true(3h), true(4h), true(5h)
+    // threshold 10, FOR 90min: 0h/1h pending (1h < 1.5h); reset at 2h;
+    // 3h/4h pending (new run, 1h < 1.5h), 5h firing (2h >= 1.5h)
+    val ev = Seq(
+      (1L, 0L * h, 1L, "click", 20.0),
+      (2L, 1L * h, 1L, "click", 30.0),
+      (3L, 2L * h, 1L, "click", 5.0),
+      (4L, 3L * h, 1L, "click", 25.0),
+      (5L, 4L * h, 1L, "click", 25.0),
+      (6L, 5L * h, 1L, "click", 25.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.alertFiring(Series.samples(ev), 10.0, 5400000000L)
+      .select("ts_us", "active_since_us", "state")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val hu = 3600000000L
+    assert(out == Seq(
+      (0L * hu, 0L, "pending"),
+      (1L * hu, 0L, "pending"),  // 1h < 1.5h
+      (3L * hu, 3L * hu, "pending"),
+      (4L * hu, 3L * hu, "pending"),
+      (5L * hu, 3L * hu, "firing")))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
