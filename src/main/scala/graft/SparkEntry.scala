@@ -115,6 +115,10 @@ object SparkEntry {
 
     "events_dau_wau" -> ((s, dir) => TsOps.dauWau(t(s, dir, "events"))),
 
+    // 1h window: probed 367/20084 purchases attributed at sf0.1 —
+    // both attribution states live (vacuous-match discipline)
+    "events_attribution" -> ((s, dir) => TsOps.attribution(t(s, dir, "events"))),
+
     // value > 20 for 2 days: probed 67405 active / 29070 firing at
     // sf0.1 — both states live (the vacuous-match discipline)
     "ts_alert_firing" -> ((s, dir) =>
@@ -1597,6 +1601,21 @@ object SparkEntry {
                  CASE WHEN ts_us - active_since_us >= 172800000000 THEN 'firing'
                       ELSE 'pending' END AS state
           FROM a WHERE cond""",
+
+    "events_attribution" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
+         l AS (SELECT user_id, ts_us, value FROM s WHERE event_type = 'purchase'),
+         r AS (SELECT DISTINCT user_id, ts_us, ts_us AS click_ts FROM s WHERE event_type = 'click'),
+         j AS (SELECT l.user_id, l.ts_us, l.value, r.click_ts AS last_click_ts
+               FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us),
+         a AS (SELECT *, last_click_ts IS NOT NULL AND ts_us - last_click_ts <= 3600000000 AS attributed
+               FROM j)
+         SELECT ts_us//86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+                CAST(sum(CAST(CASE WHEN attributed THEN value ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE) AS attributed_value,
+                CAST(sum(CAST(CASE WHEN NOT attributed THEN value ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE) AS organic_value
+         FROM a GROUP BY 1""",
 
     "events_dau_wau" ->
       s"""WITH ud AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events),

@@ -264,6 +264,37 @@ object TsOps {
         col("active_since_us"), col("state"))
   }
 
+  /** Batch last-touch attribution — the revenue question behind the
+    * streaming [[graft.streaming.StreamIngest.attributionJoin]]: each
+    * purchase is attributed to the SAME user's most recent click if it
+    * happened within `windowUs` before, and revenue rolls up per day
+    * into attributed vs organic. The last-click lookup rides
+    * [[AsOf.joinAsOf]] (one shuffle + sort of clicks ∪ purchases by
+    * user — never the quadratic per-key theta-join), the window bound
+    * is a post-join comparison, and the rollup is one tiny day-grain
+    * aggregation with exact DECIMAL revenue sums. */
+  def attribution(events: DataFrame, windowUs: Long = 3600000000L): DataFrame = {
+    val sm = Series.samples(events)
+    val purchases = sm.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val clicks = sm.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us")).distinct()
+      .withColumn("click_ts", col("ts_us"))
+    val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    AsOf.joinAsOf(purchases, clicks, Seq("user_id"), "ts_us", "click_ts", "last_click_ts")
+      .withColumn("attributed",
+        col("last_click_ts").isNotNull &&
+          col("ts_us") - col("last_click_ts") <= windowUs)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attributed"), col("value")).otherwise(0.0).cast(d2))
+          .cast("double").as("attributed_value"),
+        sum(when(!col("attributed"), col("value")).otherwise(0.0).cast(d2))
+          .cast("double").as("organic_value"))
+  }
+
   /** DAU / WAU / stickiness — the standard engagement rollup. A
     * 7-day DISTINCT-over-window has no scale-clean window form
     * (count-distinct frames aren't supported, and buffering users per

@@ -436,6 +436,23 @@ class TsOpsSpec extends SparkSpec {
       (5L * hu, 3L * hu, "firing")))
   }
 
+  test("attribution: last click within window attributes, older clicks stay organic") {
+    val m = 60000000000L // ns per minute
+    val ev = Seq(
+      // user 1: click at 0, purchase at 30min (attributed), purchase at
+      // 90min (click 90min old -> organic)
+      (1L, 0L * m, 1L, "click", 0.0),
+      (2L, 30L * m, 1L, "purchase", 10.0),
+      (3L, 90L * m, 1L, "purchase", 7.0),
+      // user 2: purchase with no click ever -> organic
+      (4L, 10L * m, 2L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.attribution(ev)
+      .select("day", "n_purchases", "n_attributed", "attributed_value", "organic_value")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0L, 3L, 1L, 10.0, 12.0)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
