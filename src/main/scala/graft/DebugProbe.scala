@@ -108,6 +108,12 @@ object DebugProbe {
         // and the token-instance explode + global-tf join (unigram LM)
         ("emb_covariance", p => graft.vector.VectorOps.covariance(emb(p)).count()),
         ("unigram_logprob", p => graft.text.TextOps.unigramLogprob(docs(p)).count()),
+        // r8 additions: the union-window as-of (clicks ∪ purchases one
+        // shuffle), the ×7 map-side fan-out + double distinct, and the
+        // gaps-and-islands alert pass
+        ("attribution", p => graft.tsdb.TsOps.attribution(spark.read.parquet(p)).count()),
+        ("dau_wau", p => graft.tsdb.TsOps.dauWau(spark.read.parquet(p)).count()),
+        ("alert_firing", p => graft.tsdb.TsOps.alertFiring(ev(p), 20.0, 172800000000L).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -139,6 +145,9 @@ object DebugProbe {
         "dim_stats" -> ("embeddings", () => embP),
         "emb_covariance" -> ("embeddings", () => embP),
         "unigram_logprob" -> ("documents", () => docsP),
+        "attribution" -> ("events", () => eventsP),
+        "dau_wau" -> ("events", () => eventsP),
+        "alert_firing" -> ("events", () => eventsP),
         "q21_reshape" -> ("lineitem", () => liP))
       val sel = names - "__scale10"
       probes.filter(p => sel.isEmpty || sel.contains(p._1)).foreach { case (nm, f) =>
