@@ -115,6 +115,18 @@ object SparkEntry {
 
     "events_dau_wau" -> ((s, dir) => TsOps.dauWau(t(s, dir, "events"))),
 
+    "events_churn" -> ((s, dir) => TsOps.churn(t(s, dir, "events"))),
+
+    // now = 2024-02-01: every recency is positive and the quartile
+    // spread is live (probed: scores span 1..4 on all three axes)
+    "events_rfm" -> ((s, dir) => TsOps.rfm(t(s, dir, "events"), 1706745600000000L)),
+
+    "events_funnel3" -> ((s, dir) => TsOps.funnel3(t(s, dir, "events"))),
+
+    "events_session_stats" -> ((s, dir) => TsOps.sessionStats(t(s, dir, "events"))),
+
+    "ts_corr_matrix" -> ((s, dir) => TsOps.corrMatrix(t(s, dir, "events"))),
+
     // 1h window: probed 367/20084 purchases attributed at sf0.1 —
     // both attribution states live (vacuous-match discipline)
     "events_attribution" -> ((s, dir) => TsOps.attribution(t(s, dir, "events"))),
@@ -1627,6 +1639,111 @@ object SparkEntry {
           SELECT dau.day, dau.dau, wau.wau,
                  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
           FROM dau JOIN wau USING (day)""",
+
+    "events_churn" ->
+      s"""WITH uw AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events),
+          m AS (SELECT day, user_id, max(cur) AS cur, max(nxt) AS nxt FROM (
+                  SELECT day, user_id, 1 AS cur, 0 AS nxt FROM uw
+                  UNION ALL
+                  SELECT day - 1, user_id, 0, 1 FROM uw) u
+                GROUP BY 1, 2),
+          mx AS (SELECT max(day) AS max_day FROM uw)
+          SELECT m.day, CAST(count(*) AS BIGINT) AS n_active,
+                 CAST(sum(CASE WHEN m.nxt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+                 CAST(sum(CASE WHEN m.nxt = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS churn_rate
+          FROM m, mx WHERE m.cur = 1 AND m.day < mx.max_day GROUP BY 1""",
+
+    "events_rfm" ->
+      s"""WITH per AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_buy_us,
+                  CAST(count(*) AS BIGINT) AS frequency,
+                  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                           AS DECIMAL(28,2))) AS DOUBLE) AS monetary
+                FROM events GROUP BY 1),
+          pr AS (SELECT user_id, (1706745600000000 - last_buy_us)//3600000000 AS recency_hours,
+                  frequency, monetary FROM per),
+          cuts AS (SELECT
+                  round(quantile_cont(recency_hours, 0.25), 6) AS r25,
+                  round(quantile_cont(recency_hours, 0.50), 6) AS r50,
+                  round(quantile_cont(recency_hours, 0.75), 6) AS r75,
+                  round(quantile_cont(frequency, 0.25), 6) AS f25,
+                  round(quantile_cont(frequency, 0.50), 6) AS f50,
+                  round(quantile_cont(frequency, 0.75), 6) AS f75,
+                  round(quantile_cont(monetary, 0.25), 6) AS m25,
+                  round(quantile_cont(monetary, 0.50), 6) AS m50,
+                  round(quantile_cont(monetary, 0.75), 6) AS m75 FROM pr)
+          SELECT user_id, recency_hours, frequency, monetary,
+                 CAST(1 + coalesce(CASE WHEN recency_hours < r25 THEN 1 ELSE 0 END, 0)
+                        + coalesce(CASE WHEN recency_hours < r50 THEN 1 ELSE 0 END, 0)
+                        + coalesce(CASE WHEN recency_hours < r75 THEN 1 ELSE 0 END, 0) AS BIGINT) AS r_score,
+                 CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+                        + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+                        + CASE WHEN frequency > f75 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+                 CAST(1 + CASE WHEN monetary > m25 THEN 1 ELSE 0 END
+                        + CASE WHEN monetary > m50 THEN 1 ELSE 0 END
+                        + CASE WHEN monetary > m75 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+          FROM pr, cuts""",
+
+    "events_funnel3" ->
+      s"""WITH sm AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          v AS (SELECT user_id, min(ts_us) AS view_us FROM sm
+                WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT v.user_id, v.view_us,
+                   min(CASE WHEN c.ts_us >= v.view_us
+                             AND c.ts_us <= v.view_us + 86400000000 THEN c.ts_us END) AS click_us
+                 FROM v LEFT JOIN (SELECT user_id, ts_us FROM sm WHERE event_type = 'click') c
+                   ON c.user_id = v.user_id
+                 GROUP BY 1, 2),
+          s3 AS (SELECT s2.user_id, s2.view_us, s2.click_us,
+                   min(CASE WHEN p.ts_us >= s2.click_us
+                             AND p.ts_us <= s2.click_us + 86400000000 THEN p.ts_us END) AS purchase_us
+                 FROM s2 LEFT JOIN (SELECT user_id, ts_us FROM sm WHERE event_type = 'purchase') p
+                   ON p.user_id = s2.user_id
+                 GROUP BY 1, 2, 3)
+          SELECT user_id, view_us, click_us, purchase_us,
+                 CAST(1 + CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+          FROM s3""",
+
+    "events_session_stats" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 14400000000
+                              THEN 1 ELSE 0 END AS is_new
+               FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM m),
+         ses AS (SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+                  max(ts_us) - min(ts_us) AS dur_us
+                 FROM x GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events,
+                CAST(sum(CASE WHEN n_events >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS multi_share,
+                round(quantile_cont(n_events, 0.95), 6) AS p95_events,
+                round(quantile_cont(dur_us, 0.95), 6) AS p95_dur_us
+         FROM ses""",
+
+    "ts_corr_matrix" ->
+      s"""WITH hc AS (SELECT epoch_us(ts)//3600000000 AS hour, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(a.cnt AS DECIMAL(19,0)) AS x, CAST(b.cnt AS DECIMAL(19,0)) AS y
+                FROM hc a JOIN hc b ON a.hour = b.hour AND a.event_type < b.event_type),
+          st AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_hours,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy
+                 FROM p GROUP BY 1, 2)
+          SELECT type_a, type_b, n_hours,
+                 CASE WHEN n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0
+                      THEN (n_hours * sxy - sx * sy)
+                           / sqrt((n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy))
+                 END AS corr
+          FROM st""",
 
     "events_top_paths" ->
       s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

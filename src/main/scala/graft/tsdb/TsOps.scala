@@ -652,6 +652,186 @@ object TsOps {
       .withColumn("ratio", col("cur_sum") / col("prev_sum"))
   }
 
+  /** Daily churn rollup: of the users active on day d, how many never
+    * appear on day d+1 (day grain — at this corpus's ~2 events/user/
+    * day a weekly grain never fires, the vacuous-match trap). The
+    * day-over-day "present tomorrow?" lookup is NOT a self-join of
+    * the activity frame — each distinct (user, day) EMITS itself
+    * twice map-side (at its own day as `cur`, and at day−1 as the
+    * `nxt` witness), so one re-aggregation answers both questions
+    * (the ts_offset_ratio fixed-lag-emit idiom applied to retention).
+    * The trailing data day is excluded (its tomorrow is unobserved);
+    * the max-day scalar comes from a ts-only column-pruned scan — a
+    * scalar statistic never justifies re-running the distinct. */
+  def churn(events: DataFrame): DataFrame = {
+    val uw = Series.samples(events)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val marks = uw
+      .select(col("user_id"), explode(array(
+        struct(col("day").as("day"), lit(1L).as("cur"), lit(0L).as("nxt")),
+        struct((col("day") - 1).as("day"), lit(0L).as("cur"), lit(1L).as("nxt")))).as("e"))
+      .select(col("user_id"), col("e.day").as("day"),
+        col("e.cur").as("cur"), col("e.nxt").as("nxt"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("cur")).as("cur"), max(col("nxt")).as("nxt"))
+    val maxDay = Series.samples(events)
+      .agg(max(expr("ts_us div 86400000000")).as("max_day"))
+    marks.crossJoin(broadcast(maxDay))
+      .filter(col("cur") === 1L && col("day") < col("max_day"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("nxt") === 0L, 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("churn_rate", col("n_churned").cast("double") / col("n_active"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary, the classic
+    * customer-value grid): one per-user aggregation pass over events,
+    * then quartile scores against three rounded R-7 percentile cuts
+    * broadcast back (the ppl_bucket pattern — a scalar statistic
+    * never justifies a second shuffle, and a global ntile would be a
+    * global sort at corpus scale). Raw metrics compare against
+    * ROUNDED cuts: metrics are exact integers / decimal-derived
+    * doubles, cuts carry the percentile 6dp tolerance, so every
+    * comparison is engine-deterministic. Higher score = better
+    * customer (recent / frequent / high-spend). */
+  def rfm(events: DataFrame, nowUs: Long): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val per = Series.samples(events)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", col("ts_us"))).as("last_buy_us"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0).cast(d2)).cast(d2).as("mon_dec"))
+      // hour grain: every user here is active daily, so day-grain
+      // recency since ANY event is a constant (vacuous quartiles);
+      // hours since the last PURCHASE is the axis with real spread.
+      // Never-purchased users keep NULL recency and score 1 below.
+      .withColumn("recency_hours", expr(s"(${nowUs}L - last_buy_us) div 3600000000"))
+      .withColumn("monetary", col("mon_dec").cast("double"))
+      .persist() // cut aggregate + score projection both read it
+    val cuts = per.agg(
+      round(expr("percentile(recency_hours, 0.25)"), 6).as("r25"),
+      round(expr("percentile(recency_hours, 0.50)"), 6).as("r50"),
+      round(expr("percentile(recency_hours, 0.75)"), 6).as("r75"),
+      round(expr("percentile(frequency, 0.25)"), 6).as("f25"),
+      round(expr("percentile(frequency, 0.50)"), 6).as("f50"),
+      round(expr("percentile(frequency, 0.75)"), 6).as("f75"),
+      round(expr("percentile(monetary, 0.25)"), 6).as("m25"),
+      round(expr("percentile(monetary, 0.50)"), 6).as("m50"),
+      round(expr("percentile(monetary, 0.75)"), 6).as("m75"))
+    def up(v: Column, a: Column, b: Column, c: Column): Column =
+      lit(1L) + (v > a).cast("long") + (v > b).cast("long") + (v > c).cast("long")
+    per.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_hours"), col("frequency"), col("monetary"),
+        (lit(1L) + coalesce((col("recency_hours") < col("r25")).cast("long"), lit(0L))
+          + coalesce((col("recency_hours") < col("r50")).cast("long"), lit(0L))
+          + coalesce((col("recency_hours") < col("r75")).cast("long"), lit(0L))).as("r_score"),
+        up(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_score"),
+        up(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_score"))
+  }
+
+  /** Strict-order three-step funnel (view → click → purchase): first
+    * view per user anchors the funnel, the first click within
+    * `stepUs` AFTER it is step 2, the first purchase within `stepUs`
+    * after THAT click is step 3 (unbounded steps all convert on a
+    * corpus this dense — the vacuous-match trap; 24h windows leave
+    * all three outcomes populated). Two min-after-anchor joins on
+    * user_id — the anchor frames are user-grain (corpus-reduced),
+    * the event sides are single-type filtered scans, and every join
+    * is hash-keyed on user_id (no theta-join; the sequencing lives
+    * in the conditional min). */
+  def funnel3(events: DataFrame,
+              stepUs: Long = 24L * 3600L * 1000000L): DataFrame = {
+    val sm = Series.samples(events)
+    val views = sm.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+    val clicks = sm.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+    val s2 = views.join(clicks, Seq("user_id"), "left")
+      .withColumn("ok", when(col("ts_us") >= col("view_us")
+        && col("ts_us") <= col("view_us") + stepUs, col("ts_us")))
+      .groupBy(col("user_id"), col("view_us"))
+      .agg(min(col("ok")).as("click_us"))
+    val purchases = sm.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+    s2.join(purchases, Seq("user_id"), "left")
+      .withColumn("ok", when(col("ts_us") >= col("click_us")
+        && col("ts_us") <= col("click_us") + stepUs, col("ts_us")))
+      .groupBy(col("user_id"), col("view_us"), col("click_us"))
+      .agg(min(col("ok")).as("purchase_us"))
+      .withColumn("reached",
+        lit(1L) + col("click_us").isNotNull.cast("long")
+          + col("purchase_us").isNotNull.cast("long"))
+  }
+
+  /** Session-shape report over [[sessionize]]'s output: one row of
+    * corpus-level statistics (session count, avg events/session as an
+    * exact-sum mean, multi-event share, R-7 p95s of length and
+    * duration — medians are vacuously the singleton at this event
+    * density, p95s are live; the 4h default gap matches the corpus's
+    * ~7h median inter-event gap where 30min yields ~1.0 events/
+    * session). The aggregation runs over the SESSION frame — already
+    * reduced from events by the sessionize shuffle — so the
+    * single-row collapse is a partial-aggregated scalar pass, never a
+    * second events scan. */
+  def sessionStats(events: DataFrame,
+                   gapUs: Long = 4L * 3600L * 1000000L): DataFrame =
+    sessionize(events, gapUs)
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
+        (sum(when(col("n_events") >= 2, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("multi_share"),
+        round(expr("percentile(n_events, 0.95)"), 6).as("p95_events"),
+        round(expr("percentile(dur_us, 0.95)"), 6).as("p95_dur_us"))
+
+  /** Pearson correlation matrix between event-type HOURLY volume
+    * series — "do errors spike with purchases?" — from exact integer
+    * sufficient statistics. The pairwise match is NOT a self-join of
+    * the hourly frame (the transitions lesson: a self-join re-runs
+    * the upstream aggregation per side): each hour collapses to ONE
+    * row carrying its per-type counts (collect_list bounded by the
+    * type cardinality), and the type×type pairs explode MAP-SIDE from
+    * that row (the emb_covariance within-row pairing idiom). The five
+    * cross-moments sum in exact DECIMAL; r is computed once in double
+    * from the six scalars — identical operands, identical expression,
+    * bit-equal on any engine. Pairs appear only for hours where both
+    * types have samples (inner-match semantics). */
+  def corrMatrix(events: DataFrame): DataFrame = {
+    val d0 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val perHour = Series.samples(events)
+      .groupBy(expr("ts_us div 3600000000").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("hour"))
+      .agg(array_sort(collect_list(struct(col("event_type").as("t"), col("cnt").as("c")))).as("xs"))
+    val pairs = perHour
+      .select(explode(expr(
+        """flatten(transform(xs, (a, i) ->
+             transform(slice(xs, i + 2, size(xs)), b ->
+               struct(a.t AS type_a, b.t AS type_b, a.c AS x, b.c AS y))))""")).as("p"))
+      .select(col("p.type_a"), col("p.type_b"),
+        col("p.x").cast(d0).as("x"), col("p.y").cast(d0).as("y"))
+    pairs.groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .withColumn("vx", col("n_hours") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_hours") * col("syy") - col("sy") * col("sy"))
+      .select(col("type_a"), col("type_b"), col("n_hours"),
+        when(col("vx") > 0 && col("vy") > 0,
+          (col("n_hours") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("vx") * col("vy"))).as("corr"))
+  }
+
   /** Gap-based sessionization over the raw event stream: a session
     * breaks after `gapUs` of inactivity per user. Two windows over the
     * same (user_id × time) sort — Catalyst reuses one shuffle+sort. */

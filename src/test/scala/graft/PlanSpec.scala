@@ -176,6 +176,14 @@ class PlanSpec extends SparkSpec {
       "more than scan-spread + one agg shuffle") // fanOut-less: events scan + group
   }
 
+  test("ts_corr_matrix: within-row pairing — no join, no upstream recompute") {
+    val p = plan("ts_corr_matrix")
+    assert(!p.contains("Join"), "pairing fell back to a self-join:\n" + p.take(1200))
+    // one events scan only: a self-join shape would re-run the hourly
+    // aggregation (and the scan) once per side
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(1200))
+  }
+
   test("linreg family aggregates exact sufficient statistics in HashAggregate") {
     assert(!plan("ts_deriv").contains("SortAggregate"))
     assert(!plan("ts_stddev_over_time").contains("SortAggregate"))

@@ -453,6 +453,107 @@ class TsOpsSpec extends SparkSpec {
     assert(out == Seq((0L, 3L, 1L, 10.0, 12.0)))
   }
 
+  test("churn: day-over-day churn counts, trailing day excluded") {
+    val d = 86400000000000L // ns per day
+    // u1 active days 0,1,2; u2 active days 0,2 — max day 2 excluded.
+    // day 0: active {u1,u2}, churned {u2}; day 1: active {u1}, churned {}
+    val ev = Seq(
+      (1L, 0L * d, 1L, "click", 0.0), (2L, 1L * d, 1L, "click", 0.0),
+      (3L, 2L * d, 1L, "click", 0.0),
+      (4L, 0L * d, 2L, "view", 0.0), (5L, 2L * d, 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.churn(ev)
+      .select("day", "n_active", "n_churned", "churn_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 2L, 1L, 0.5), (1L, 1L, 0L, 0.0)))
+  }
+
+  test("rfm: purchase recency drives r_score, never-purchased user scores 1") {
+    val h = 3600000000000L // ns per hour
+    val nowUs = 50L * 3600000000L
+    val ev = Seq(
+      (1L, 10L * h, 1L, "purchase", 1.0), // recency 40h
+      (2L, 20L * h, 2L, "purchase", 2.0), // recency 30h
+      (3L, 30L * h, 3L, "purchase", 3.0), // recency 20h
+      (4L, 40L * h, 4L, "purchase", 4.0), // recency 10h
+      (5L, 40L * h, 5L, "click", 9.9))    // never purchased
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.rfm(ev, nowUs)
+      .select("user_id", "recency_hours", "r_score", "f_score", "m_score")
+      .as[(Long, Option[Long], Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // recency quartile cuts over [10,20,30,40]: 17.5 / 25 / 32.5;
+    // frequency is the constant 1 (every f_score = 1); monetary cuts
+    // over [0,1,2,3,4]: 1 / 2 / 3
+    assert(out == Seq(
+      (1L, Some(40L), 1L, 1L, 1L),
+      (2L, Some(30L), 2L, 1L, 2L),
+      (3L, Some(20L), 3L, 1L, 3L),
+      (4L, Some(10L), 4L, 1L, 4L),
+      (5L, None, 1L, 1L, 1L)))
+  }
+
+  test("funnel3: 24h step windows gate each stage") {
+    val h = 3600000000000L
+    val ev = Seq(
+      // u1: full funnel inside the windows
+      (1L, 0L * h, 1L, "view", 0.0), (2L, 1L * h, 1L, "click", 0.0),
+      (3L, 2L * h, 1L, "purchase", 5.0),
+      // u2: click misses the 24h window after the first view
+      (4L, 0L * h, 2L, "view", 0.0), (5L, 25L * h, 2L, "click", 0.0),
+      // u3: purchase misses the 24h window after the click
+      (6L, 0L * h, 3L, "view", 0.0), (7L, 1L * h, 3L, "click", 0.0),
+      (8L, 26L * h, 3L, "purchase", 5.0),
+      // u4: no view — not in the funnel at all
+      (9L, 0L * h, 4L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.funnel3(ev)
+      .select("user_id", "reached")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("sessionStats: 4h-gap sessions, multi share and R-7 p95s") {
+    val h = 3600000000000L
+    val ev = Seq(
+      // u1: one 3-event session (dur 2h) + one singleton at 10h
+      (1L, 0L * h, 1L, "click", 0.0), (2L, 1L * h, 1L, "click", 0.0),
+      (3L, 2L * h, 1L, "click", 0.0), (4L, 10L * h, 1L, "click", 0.0),
+      // u2: singleton
+      (5L, 0L * h, 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.sessionStats(ev)
+      .select("n_sessions", "n_users", "avg_events", "multi_share",
+        "p95_events", "p95_dur_us")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(out._1 == 3L && out._2 == 2L)
+    assert(math.abs(out._3 - 5.0 / 3) < 1e-12)
+    assert(math.abs(out._4 - 1.0 / 3) < 1e-12)
+    // R-7 over [1,1,3]: 1 + 0.9·2 = 2.8; durs [0,0,7.2e9]: 0.9·7.2e9
+    assert(out._5 == 2.8 && math.abs(out._6 - 6.48e9) < 1.0)
+  }
+
+  test("corrMatrix: perfect/anti correlation and constant-series NULL") {
+    val h = 3600000000000L
+    def burst(t: String, hour: Long, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, hour * h + i * 1000L, 1L + i, t, 0.0))
+    // hourly counts: click [1,2,3], view [2,4,6] (r=1), error [3,2,1]
+    // (r=-1 vs click), signup [2,2,2] (constant → NULL)
+    val rows = burst("click", 0, 1, 100) ++ burst("click", 1, 2, 200) ++ burst("click", 2, 3, 300) ++
+      burst("view", 0, 2, 400) ++ burst("view", 1, 4, 500) ++ burst("view", 2, 6, 600) ++
+      burst("error", 0, 3, 700) ++ burst("error", 1, 2, 800) ++ burst("error", 2, 1, 900) ++
+      burst("signup", 0, 2, 1000) ++ burst("signup", 1, 2, 1100) ++ burst("signup", 2, 2, 1200)
+    val ev = rows.map { case (id, ts, u, t, v) => (id.toLong, ts, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.corrMatrix(ev)
+      .select("type_a", "type_b", "n_hours", "corr")
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(out(("click", "view")) == ((3L, Some(1.0))))
+    assert(out(("click", "error")) == ((3L, Some(-1.0))))
+    assert(out(("click", "signup"))._2.isEmpty, "constant series must yield NULL")
+    assert(out.size == 6)
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
