@@ -1061,6 +1061,16 @@ object SparkEntry {
 
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docsT(s, dir))),
 
+    "dedup_inflation" -> ((s, dir) => Dedup.inflation(docsT(s, dir))),
+
+    "doc_winnow" -> ((s, dir) => TextOps.winnow(docsT(s, dir))),
+
+    "doc_zipf_alpha" -> ((s, dir) => TextOps.zipfAlpha(docsT(s, dir))),
+
+    "emb_label_margin" -> ((s, dir) => VectorOps.labelMargin(
+      embT(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")))),
+
     "dedup_keep_best" -> ((s, dir) => Dedup.keepBest(docsT(s, dir))),
 
     "doc_split" -> ((s, dir) => Dedup.leakageSafeSplit(docsT(s, dir))),
@@ -2230,6 +2240,71 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""$clustersCtes
          SELECT doc_id, cluster_rep FROM clu""",
+
+    "dedup_inflation" ->
+      s"""$clustersCtes,
+         tk AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+                FROM documents),
+         per AS (SELECT clu.cluster_rep, CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(tk.n_tokens) AS BIGINT) AS t,
+                  CAST(sum(CASE WHEN clu.doc_id = clu.cluster_rep THEN tk.n_tokens ELSE 0 END) AS BIGINT) AS rep_t
+                 FROM clu JOIN tk USING (doc_id) GROUP BY 1)
+         SELECT CAST(sum(m) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                CAST(sum(t) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN m >= 2 THEN t - rep_t ELSE 0 END) AS BIGINT) AS dup_tokens,
+                CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS DOUBLE) / sum(m) AS dup_doc_share,
+                CAST(sum(CASE WHEN m >= 2 THEN t - rep_t ELSE 0 END) AS DOUBLE) / sum(t) AS dup_token_share
+         FROM per""",
+
+    "doc_winnow" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 10))::BIGINT AS h
+               FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)
+               WHERE len(t) >= 3),
+         p AS (SELECT doc_id, h * 1048576 + (1048575 - pos) AS pk, pos FROM g),
+         m AS (SELECT doc_id, min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM p),
+         d AS (SELECT DISTINCT doc_id, sel FROM m)
+         SELECT doc_id, 1048575 - (sel % 1048576) AS pos, sel // 1048576 AS gram_hash FROM d""",
+
+    "doc_zipf_alpha" ->
+      """WITH t0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         v AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t0 GROUP BY 1
+               ORDER BY n DESC, term ASC LIMIT 100),
+         rk AS (SELECT *, row_number() OVER (ORDER BY n DESC, term ASC) AS rank FROM v),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CAST(round(ln(rank), 6) AS DECIMAL(12,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(round(ln(n), 6) AS DECIMAL(12,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(round(ln(rank), 6) AS DECIMAL(12,6))
+                        * CAST(round(ln(n), 6) AS DECIMAL(12,6))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(round(ln(rank), 6) AS DECIMAL(12,6))
+                        * CAST(round(ln(rank), 6) AS DECIMAL(12,6))) AS DOUBLE) AS sxx
+                FROM rk)
+         SELECT k AS n_terms, -(k * sxy - sx * sy) / (k * sxx - sx * sx) AS alpha FROM st""",
+
+    "emb_label_margin" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT label AS clabel, t.i AS dim,
+                 CAST(sum(CAST(round(v[t.i], 6) AS DECIMAL(18,6))) AS DOUBLE) AS s
+               FROM e, (SELECT unnest(range(1, 65)) AS i) t GROUP BY 1, 2),
+         c AS (SELECT clabel, list(s ORDER BY dim) AS cv FROM x GROUP BY 1),
+         d AS (SELECT e.vec_id, e.label, c.clabel,
+                 round(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+               FROM e, c),
+         own AS (SELECT vec_id, label, cos AS own_cos FROM d WHERE label = clabel),
+         oth AS (SELECT vec_id,
+                  max(CAST(round(cos * 1000000 + 1000000, 0) AS BIGINT) * 1024
+                      + (1023 - clabel)) AS pk
+                 FROM d WHERE label <> clabel GROUP BY 1)
+         SELECT o.vec_id, o.label, o.own_cos,
+                CAST(1023 - (pk % 1024) AS BIGINT) AS other_label,
+                CAST(pk // 1024 - 1000000 AS DOUBLE) / 1000000.0 AS other_cos,
+                o.own_cos - CAST(pk // 1024 - 1000000 AS DOUBLE) / 1000000.0 AS margin
+         FROM own o JOIN oth USING (vec_id)""",
 
     "dedup_keep_best" ->
       s"""$clustersCtes,

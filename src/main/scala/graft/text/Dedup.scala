@@ -541,4 +541,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Corpus duplication report — the one-row answer to "how inflated
+    * is this corpus" that decides whether dedup is worth running at
+    * all: doc and cluster counts, the share of docs living in
+    * multi-member duplicate clusters, and the share of TOKENS that
+    * deduplication (keep-lowest-id, [[dedupedCorpus]]'s policy) would
+    * remove. Rides the same two-stage LSH cluster frame as
+    * dedup_clusters (cluster_rep IS the min member, so the kept doc's
+    * tokens are the rep's own); token counts are the native byte-scan
+    * [[TextOps.tokenCount]]; the rollup is two partial-aggregated
+    * shuffles over the cluster frame, never a second corpus pass. */
+  def inflation(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
+                pairSource: Option[DataFrame] = None): DataFrame = {
+    val clu = duplicateClusters(docs, n, threshold, pairSource = pairSource)
+    val tok = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val per = clu.join(tok, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("n_tokens")).as("t"),
+        sum(when(col("doc_id") === col("cluster_rep"), col("n_tokens"))
+          .otherwise(0L)).as("rep_t"))
+    per.agg(
+        sum(col("m")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("m") >= 2, col("m")).otherwise(0L)).as("n_dup_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(when(col("m") >= 2, col("t") - col("rep_t")).otherwise(0L)).as("dup_tokens"))
+      .select(
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_clusters"),
+        col("n_dup_docs").cast("long").as("n_dup_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("dup_tokens").cast("long").as("dup_tokens"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_doc_share"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_token_share"))
+  }
 }

@@ -372,4 +372,70 @@ object TextOps {
         graft.functions.Md5Prefix(col("g"), 15).as("h"))
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fp"))
+
+  /** FULL winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm; [[fingerprint]] keeps only the
+    * global min): every window of `w` consecutive word-`k`-gram
+    * positions selects its minimal hash, ties broken to the RIGHTMOST
+    * position, and the distinct selected (position, hash) set is the
+    * doc's fingerprint. Guarantee: two docs sharing a run of
+    * ≥ w+k−1 tokens share ≥1 selected gram.
+    *
+    * The rightmost-min pick packs (40-bit md5-prefix hash, 20-bit
+    * INVERTED position) into ONE long, so the window reduction is a
+    * plain min() over a LONG (codegen'd, no struct buffers) and the
+    * distinct-of-window-mins collapses map-side before its shuffle.
+    * Per-doc positions must fit 20 bits (1M grams ≈ a 10 MB doc) —
+    * beyond that the pack would collide, so the explode is clamped
+    * and anything larger belongs at [[Dedup.substringSpans]]'s grain
+    * anyway. Leading windows shorter than w participate (they only
+    * re-select early mins — harmless and engine-identical). */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(wordShingles(tokens(col("text")), k)).as(Seq("pos0", "sh")))
+      .filter(col("pos0") < 1048576)
+      .select(col("doc_id"), col("pos0").cast("long").as("pos"),
+        graft.functions.Md5Prefix(col("sh"), 10).as("h"))
+    val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    sh
+      .select(col("doc_id"),
+        min(col("h") * lit(1048576L) + (lit(1048575L) - col("pos"))).over(wn).as("sel"))
+      .distinct()
+      .select(col("doc_id"),
+        (lit(1048575L) - col("sel") % lit(1048576L)).as("pos"),
+        expr("sel div 1048576").as("gram_hash"))
+  }
+
+  /** Zipf slope of the corpus vocabulary (α in freq ∝ rank^−α, the
+    * sanity dial for "does this corpus look like natural language" —
+    * English ≈ 1.0, a flat synthetic vocabulary ≪ 1): least-squares
+    * fit of ln(freq) on ln(rank) over the top-`topN` terms. The
+    * vocabulary reduces through [[vocabTopK]]'s bounded-heap top-k
+    * (never a global sort); the rank window and the regression run
+    * over topN rows only. Determinism: the ts_deriv recipe — rounded
+    * ln inputs cast to narrow DECIMAL(12,6) (products stay exact at
+    * (25,12), never the lossy (38,6)² overflow), exact decimal
+    * sufficient statistics, slope computed once in double. */
+  def zipfAlpha(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d6 = org.apache.spark.sql.types.DecimalType(12, 6)
+    val ranked = vocabTopK(docs, topN)
+      // single-partition window over ≤ topN rows — bounded by design
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("term").asc)))
+      .select(round(log(col("rank")), 6).cast(d6).as("x"),
+        round(log(col("n")), 6).cast(d6).as("y"))
+    ranked
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("n_terms"),
+        (-(col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx"))).as("alpha"))
+  }
 }

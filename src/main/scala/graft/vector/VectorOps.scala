@@ -584,4 +584,49 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
+
+  /** Dataset-cartography label margin (the label-noise detector a
+    * training pipeline runs before finetuning on labeled embeddings;
+    * cf. Swayamdipta et al., EMNLP'20 and classic nearest-class-mean
+    * confusion): each vector's cosine to its OWN class centroid minus
+    * its best OTHER-class centroid. Negative margin = the example
+    * sits closer to another class than its own (mislabeled, boundary,
+    * or just hard).
+    *
+    * Scale shape: class centroids are exact-DECIMAL SUM vectors
+    * (cosine is scale-invariant, so the mean division — and its
+    * round-of-quotient drift — never happens), reduced to an
+    * nLabels×dim frame that broadcasts into ONE corpus pass; the
+    * per-vector best-other argmax packs (rounded cos in micro-units,
+    * inverted label) into ONE long so the corpus-scale max() stays in
+    * codegen'd HashAggregate (labels must fit 10 bits — the struct-
+    * max alternative silently demotes to SortAggregate). */
+  def labelMargin(corpus: DataFrame, roundTo: Int = 6): DataFrame = {
+    // corpus: (vec_id, label, v: array<double>)
+    val sums = corpus
+      .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("clabel"), col("d"))
+      .agg(sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double").as("s"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        s => s.getField("s")).as("cv"))
+    val scored = corpus.crossJoin(broadcast(sums))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
+    val best = scored.filter(col("label") =!= col("clabel"))
+      // round-to-nearest before the long cast: cos*1e6 sits within one
+      // ulp of an integer and truncation would step down half the time
+      .withColumn("pk",
+        round(col("cos") * 1000000 + 1000000, 0).cast("long") * lit(1024L)
+          + (lit(1023L) - col("clabel")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("pk")).as("bpk"))
+      .select(col("vec_id"),
+        (lit(1023L) - col("bpk") % lit(1024L)).as("other_label"),
+        ((expr("bpk div 1024") - lit(1000000L)).cast("double") / 1000000.0).as("other_cos"))
+    own.join(best, Seq("vec_id"))
+      .withColumn("margin", col("own_cos") - col("other_cos"))
+  }
 }

@@ -163,6 +163,23 @@ class DedupSpec extends SparkSpec {
       (7L, 2L, 4L, 1L)))
   }
 
+  test("inflation: duplication report counts docs, clusters, and droppable tokens") {
+    // docs 1,2 identical (10 tokens each); doc 3 unique (4 tokens).
+    // keep-lowest-id keeps doc 1 → dedup would drop doc 2's 10 tokens
+    val docs = Seq(
+      (1L, "x y z w q r s t u v"),
+      (2L, "x y z w q r s t u v"),
+      (3L, "completely different short doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.inflation(docs)
+      .select("n_docs", "n_clusters", "n_dup_docs", "n_tokens",
+        "dup_tokens", "dup_doc_share", "dup_token_share")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(out._1 == 3L && out._2 == 2L && out._3 == 2L)
+    assert(out._4 == 24L && out._5 == 10L)
+    assert(math.abs(out._6 - 2.0 / 3) < 1e-12 && math.abs(out._7 - 10.0 / 24) < 1e-12)
+  }
+
   test("stop-shingle cap bounds join fan-out") {
     // every doc shares shingle "a a a"; with cap 2 the hot shingle is dropped
     val docs = (1L to 10L).map(i => (i, s"a a a unique$i token$i")).toDF("doc_id", "text")

@@ -306,4 +306,38 @@ class TextStatsSpec extends SparkSpec {
     // doc 1: 30 bytes, odd id → WAV with 256+(30*7)%1024 samples @8kHz
     assert(m(1L) == ((1L, "audio", 0L, 0L, 8000L, 256L + 210L)))
   }
+
+  test("winnow: shared ≥ w+k−1 token run guarantees a shared fingerprint; ties pick rightmost") {
+    // docs 1,2 share a 6-token run (= w+k−1 at k=3, w=4) in different
+    // surrounding context — the winnowing guarantee promises at least
+    // one common selected gram hash
+    val docs = Seq(
+      (1L, "p q r one two three four five six z"),
+      (2L, "a b one two three four five six c d"),
+      (3L, "entirely unrelated vocabulary here now"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnow(docs)
+      .select("doc_id", "pos", "gram_hash")
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "shared run produced no shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // positions are valid gram positions (8 tokens → grams 0..7)
+    assert(fp.forall(r => r._2 >= 0 && r._2 <= 7))
+    // all-equal hashes: every window's rightmost position is selected
+    val ties = Seq((9L, "a a a a a a")).toDF("doc_id", "text")
+    val sel = TextOps.winnow(ties).select("pos").as[Long].collect().toSet
+    assert(sel == Set(0L, 1L, 2L, 3L), s"rightmost-tie selection broke: $sel")
+  }
+
+  test("zipfAlpha: an exact 1/rank frequency profile fits alpha = 1") {
+    // counts 12, 6, 4, 3 at ranks 1..4 = 12/rank — a pure power law
+    // with exponent 1
+    val words = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++ Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.zipfAlpha(docs)
+      .select("n_terms", "alpha").as[(Long, Double)].collect().head
+    assert(out._1 == 4L)
+    assert(math.abs(out._2 - 1.0) < 1e-4, s"alpha = ${out._2}")
+  }
 }

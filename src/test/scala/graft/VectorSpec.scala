@@ -146,6 +146,29 @@ class VectorSpec extends SparkSpec {
     assert(lsh.nonEmpty && lsh.subsetOf(brute))
   }
 
+  test("labelMargin: clean examples score positive, a mislabeled one negative, ties pick lowest label") {
+    // 3 orthogonal class directions; vec 4 carries label 0 but sits on
+    // label 1's axis (mislabeled); vec 1 at e1 is equidistant (cos 0)
+    // from the label-1 and label-2 centroids → tie breaks to label 1
+    val vs = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0)),
+      (2L, 0, Seq(1.0, 0.0, 0.0)),
+      (3L, 1, Seq(0.0, 1.0, 0.0)),
+      (4L, 0, Seq(0.0, 1.0, 0.0)), // mislabeled: label 0, on e2
+      (5L, 2, Seq(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "label", "v")
+    val out = VectorOps.labelMargin(vs)
+      .select("vec_id", "label", "own_cos", "other_label", "other_cos", "margin")
+      .as[(Long, Int, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // label-0 centroid = (2,1,0)/√5 direction: vec 1 own ≈ 0.894427
+    assert(out(1L)._3 > 0.8 && out(1L)._6 > 0.8)
+    assert(out(1L)._4 == 1L && out(1L)._5 == 0.0, "cos-0 tie must pick the lowest other label")
+    // the mislabeled vec: own ≈ 0.447, best other = label 1 at 1.0
+    assert(out(4L)._4 == 1L && out(4L)._5 == 1.0)
+    assert(out(4L)._6 < 0, "mislabeled example must have a negative margin")
+  }
+
   test("on real embeddings: lsh candidates ⊂ brute-force universe, top-1 usually agrees") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
