@@ -114,6 +114,17 @@ object DebugProbe {
         ("attribution", p => graft.tsdb.TsOps.attribution(spark.read.parquet(p)).count()),
         ("dau_wau", p => graft.tsdb.TsOps.dauWau(spark.read.parquet(p)).count()),
         ("alert_firing", p => graft.tsdb.TsOps.alertFiring(ev(p), 20.0, 172800000000L).count()),
+        // r8b additions: positional-gram window selection (winnow),
+        // per-hour collect+pair fan-out (corr), distinct double-emit
+        // (churn), user-grain anchor joins (funnel3), and the corpus ×
+        // nLabels broadcast pass (label margins)
+        ("winnow", p => graft.text.TextOps.winnow(docs(p)).count()),
+        ("corr_matrix", p => graft.tsdb.TsOps.corrMatrix(spark.read.parquet(p)).count()),
+        ("churn", p => graft.tsdb.TsOps.churn(spark.read.parquet(p)).count()),
+        ("funnel3", p => graft.tsdb.TsOps.funnel3(spark.read.parquet(p)).count()),
+        ("label_margin", p => graft.vector.VectorOps.labelMargin(
+          spark.read.parquet(p).select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -148,6 +159,11 @@ object DebugProbe {
         "attribution" -> ("events", () => eventsP),
         "dau_wau" -> ("events", () => eventsP),
         "alert_firing" -> ("events", () => eventsP),
+        "winnow" -> ("documents", () => docsP),
+        "corr_matrix" -> ("events", () => eventsP),
+        "churn" -> ("events", () => eventsP),
+        "funnel3" -> ("events", () => eventsP),
+        "label_margin" -> ("embeddings", () => embP),
         "q21_reshape" -> ("lineitem", () => liP))
       val sel = names - "__scale10"
       probes.filter(p => sel.isEmpty || sel.contains(p._1)).foreach { case (nm, f) =>
