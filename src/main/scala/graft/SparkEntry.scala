@@ -117,6 +117,12 @@ object SparkEntry {
 
     "events_churn" -> ((s, dir) => TsOps.churn(t(s, dir, "events"))),
 
+    "events_growth_accounting" -> ((s, dir) => TsOps.growthAccounting(t(s, dir, "events"))),
+
+    "events_power_users" -> ((s, dir) => TsOps.powerUsers(t(s, dir, "events"))),
+
+    "ts_ewma" -> ((s, dir) => TsOps.ewma(Series.samples(t(s, dir, "events")))),
+
     // now = 2024-02-01: every recency is positive and the quartile
     // spread is live (probed: scores span 1..4 on all three axes)
     "events_rfm" -> ((s, dir) => TsOps.rfm(t(s, dir, "events"), 1706745600000000L)),
@@ -1662,6 +1668,55 @@ object SparkEntry {
                  CAST(sum(CASE WHEN m.nxt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
                  CAST(sum(CASE WHEN m.nxt = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS churn_rate
           FROM m, mx WHERE m.cur = 1 AND m.day < mx.max_day GROUP BY 1""",
+
+    "events_growth_accounting" ->
+      s"""WITH ud AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events),
+          fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+          m AS (SELECT day, user_id, max(cur) AS cur, max(prv) AS prv, max(nxt) AS nxt FROM (
+                  SELECT day, user_id, 1 AS cur, 0 AS prv, 0 AS nxt FROM ud
+                  UNION ALL SELECT day + 1, user_id, 0, 1, 0 FROM ud
+                  UNION ALL SELECT day - 1, user_id, 0, 0, 1 FROM ud) u
+                GROUP BY 1, 2),
+          mx AS (SELECT max(day) AS max_day FROM ud)
+          SELECT m.day,
+                 CAST(sum(CASE WHEN m.day = fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                 CAST(sum(CASE WHEN m.prv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                 CAST(sum(CASE WHEN m.prv = 0 AND m.day > fs.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+                 CASE WHEN m.day < mx.max_day
+                      THEN CAST(sum(CASE WHEN m.nxt = 0 THEN 1 ELSE 0 END) AS BIGINT) END AS n_churned
+          FROM m JOIN fs USING (user_id), mx
+          WHERE m.cur = 1 GROUP BY m.day, mx.max_day""",
+
+    "events_power_users" ->
+      s"""WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                  sum(CAST(value AS DECIMAL(28,2))) AS rev_dec
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          pr AS (SELECT user_id, n_purchases, CAST(rev_dec AS DECIMAL(28,2)) AS rev_dec,
+                  CAST(rev_dec AS DOUBLE) AS revenue FROM per),
+          cut AS (SELECT round(quantile_cont(revenue, 0.9), 6) AS c90 FROM pr)
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN revenue > c90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top_users,
+                 CAST(CAST(sum(rev_dec) AS DECIMAL(28,2)) AS DOUBLE) AS total_revenue,
+                 CAST(CAST(sum(CASE WHEN revenue > c90 THEN rev_dec END) AS DECIMAL(28,2)) AS DOUBLE)
+                   / CAST(CAST(sum(rev_dec) AS DECIMAL(28,2)) AS DOUBLE) AS top_revenue_share,
+                 CAST(sum(CASE WHEN revenue > c90 THEN n_purchases ELSE 0 END) AS DOUBLE)
+                   / sum(n_purchases) AS top_purchase_share
+          FROM pr, cut""",
+
+    "ts_ewma" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY ts_us, event_id) AS rn FROM s),
+          e AS (SELECT series_id, rn + g.j AS target,
+                  CAST(power(2, 15 - g.j) AS BIGINT) AS w,
+                  CASE WHEN g.j = 0 THEN ts_us END AS self_ts,
+                  CASE WHEN g.j = 0 THEN value END AS self_value,
+                  value
+                FROM r, (SELECT unnest(range(0, 16)) AS j) g),
+          a AS (SELECT series_id, target, max(self_ts) AS ts_us, max(self_value) AS value,
+                  CAST(sum(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE) AS num,
+                  CAST(sum(w) AS BIGINT) AS den
+                FROM e GROUP BY 1, 2)
+          SELECT series_id, ts_us, value, num / den AS ewma FROM a WHERE ts_us IS NOT NULL""",
 
     "events_rfm" ->
       s"""WITH per AS (SELECT user_id,

@@ -790,6 +790,120 @@ object TsOps {
         round(expr("percentile(n_events, 0.95)"), 6).as("p95_events"),
         round(expr("percentile(dur_us, 0.95)"), 6).as("p95_dur_us"))
 
+  /** Windowed exponential smoothing (the deterministic, bounded-
+    * history cousin of PromQL `holt_winters`): at every sample,
+    * ewma = Σ_{j=0..K−1} value_{t−j}·2^{K−1−j} / Σ 2^{K−1−j} — α=1/2
+    * decay truncated to the trailing K samples, so weights are exact
+    * powers of two and the weighted sum rides exact DECIMAL (the
+    * unbounded recurrence has no scale-clean form: recursive state
+    * breaks partial aggregation, and float accumulation breaks
+    * order-independence).
+    *
+    * Plan shape: one row_number window per series (the per-series
+    * sort every ordered operator pays), then each sample EMITS its
+    * K=16 weighted contributions map-side to the ROWS it influences
+    * (the gapFill/offset emit idiom — never a K-wide window of
+    * per-distance weights, which window frames cannot express); one
+    * re-aggregation keyed (series, target) folds them, and the j=0
+    * self-contribution carries ts/value so no join-back is needed. */
+  def ewma(samples: DataFrame, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"), col("event_id"))
+    samples
+      .select(col("series_id"), col("ts_us"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("series_id"), col("rn"), col("ts_us"), col("value"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("series_id"), (col("rn") + col("j")).as("target"),
+        expr(s"cast(power(2, ${k - 1} - j) as bigint)").as("w"),
+        when(col("j") === 0, col("ts_us")).as("self_ts"),
+        when(col("j") === 0, col("value")).as("self_value"),
+        col("value"))
+      .groupBy(col("series_id"), col("target"))
+      .agg(
+        max(col("self_ts")).as("ts_us"),
+        max(col("self_value")).as("value"),
+        sum(col("value").cast(d2) * col("w")).cast("double").as("num"),
+        sum(col("w")).as("den"))
+      .filter(col("ts_us").isNotNull)
+      .select(col("series_id"), col("ts_us"), col("value"),
+        (col("num") / col("den")).as("ewma"))
+  }
+
+  /** Revenue concentration report ("do 10% of users carry the
+    * business"): one per-user purchase aggregation, the p90 revenue
+    * cut broadcast back (the rfm/ppl_bucket scalar pattern), and a
+    * single-row rollup of the top-decile user / revenue / purchase
+    * shares. Exact DECIMAL revenue throughout; the only doubles are
+    * the final share divisions over identical operands. */
+  def powerUsers(events: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val per = Series.samples(events)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(d2)).cast(d2).as("rev_dec"))
+      .withColumn("revenue", col("rev_dec").cast("double"))
+      .persist() // cut aggregate + rollup both read it
+    val cut = per.agg(round(expr("percentile(revenue, 0.9)"), 6).as("c90"))
+    per.crossJoin(broadcast(cut))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("revenue") > col("c90"), 1L).otherwise(0L)).as("n_top_users"),
+        sum(col("rev_dec")).cast(d2).as("tot_dec"),
+        sum(when(col("revenue") > col("c90"), col("rev_dec"))).cast(d2).as("top_dec"),
+        sum(col("n_purchases")).as("tot_purch"),
+        sum(when(col("revenue") > col("c90"), col("n_purchases"))
+          .otherwise(0L)).as("top_purch"))
+      .select(col("n_users"), col("n_top_users"),
+        col("tot_dec").cast("double").as("total_revenue"),
+        (col("top_dec").cast("double") / col("tot_dec").cast("double")).as("top_revenue_share"),
+        (col("top_purch").cast("double") / col("tot_purch")).as("top_purchase_share"))
+  }
+
+  /** Growth accounting (the new / retained / resurrected / churned
+    * decomposition every growth team reads): per day, users seen for
+    * the first time, users also active the previous day, users
+    * returning after a gap, and — attributed to their LAST active day,
+    * matching [[churn]] — users who don't appear tomorrow. Presence
+    * lookups ride a THREE-way map-side emit over the distinct
+    * (user, day) frame (self + prev-day witness + next-day witness —
+    * the fixed-lag-emit idiom twice over); first-seen day is a
+    * user-grain aggregate joined back by key; day bounds come from a
+    * ts-only scalar scan. DAU = new + retained + resurrected by
+    * construction. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val ud = Series.samples(events)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val marks = ud
+      .select(col("user_id"), explode(array(
+        struct(col("day").as("day"), lit(1L).as("cur"), lit(0L).as("prv"), lit(0L).as("nxt")),
+        struct((col("day") + 1).as("day"), lit(0L).as("cur"), lit(1L).as("prv"), lit(0L).as("nxt")),
+        struct((col("day") - 1).as("day"), lit(0L).as("cur"), lit(0L).as("prv"), lit(1L).as("nxt")))).as("e"))
+      .select(col("user_id"), col("e.day").as("day"),
+        col("e.cur").as("cur"), col("e.prv").as("prv"), col("e.nxt").as("nxt"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("cur")).as("cur"), max(col("prv")).as("prv"), max(col("nxt")).as("nxt"))
+    val maxDay = Series.samples(events)
+      .agg(max(expr("ts_us div 86400000000")).as("max_day"))
+    marks.join(first, "user_id")
+      .crossJoin(broadcast(maxDay))
+      .filter(col("cur") === 1L)
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prv") === 1L, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("prv") === 0L && col("day") > col("first_day"), 1L)
+          .otherwise(0L)).as("n_resurrected"),
+        max(col("max_day")).as("max_day"),
+        sum(when(col("nxt") === 0L, 1L).otherwise(0L)).as("churn_raw"))
+      .select(col("day"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        when(col("day") < col("max_day"), col("churn_raw")).as("n_churned"))
+  }
+
   /** Pearson correlation matrix between event-type HOURLY volume
     * series — "do errors spike with purchases?" — from exact integer
     * sufficient statistics. The pairwise match is NOT a self-join of

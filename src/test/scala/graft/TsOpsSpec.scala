@@ -554,6 +554,56 @@ class TsOpsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("ewma: power-of-two decay over the trailing window, constant series is a fixed point") {
+    val h = 3600000000000L
+    val ev = Seq(
+      (1L, 0L * h, 1L, "click", 1.0),
+      (2L, 1L * h, 1L, "click", 3.0),
+      // second series: constant values — ewma must equal the value
+      (3L, 0L * h, 2L, "view", 7.0),
+      (4L, 1L * h, 2L, "view", 7.0),
+      (5L, 2L * h, 2L, "view", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.ewma(Series.samples(ev))
+      .select("ts_us", "value", "ewma")
+      .as[(Long, Double, Double)].collect().sortBy(r => (r._2, r._1)).toSeq
+    val hu = 3600000000L
+    // series 1 sample 2: (1·2^14 + 3·2^15) / (2^14 + 2^15) = 7/3
+    assert(out(0) == ((0L, 1.0, 1.0)))
+    assert(math.abs(out(1)._3 - 7.0 / 3) < 1e-12 && out(1)._1 == 1L * hu)
+    assert(out.drop(2).forall(_._3 == 7.0), s"constant series drifted: $out")
+  }
+
+  test("powerUsers: top decile by the p90 revenue cut") {
+    val h = 3600000000000L
+    // users 1..10 with one purchase of value = user id → p90 cut 9.1,
+    // top set {10}: revenue share 10/55, purchase share 1/10
+    val ev = (1L to 10L).map(u => (u, u * h, u, "purchase", u.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.powerUsers(ev)
+      .select("n_users", "n_top_users", "total_revenue",
+        "top_revenue_share", "top_purchase_share")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(out._1 == 10L && out._2 == 1L && out._3 == 55.0)
+    assert(math.abs(out._4 - 10.0 / 55) < 1e-12 && math.abs(out._5 - 0.1) < 1e-12)
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned per day, last day's churn is NULL") {
+    val d = 86400000000000L
+    // u1 active days 0,1,3; u2 active day 1 only; max day = 3
+    val ev = Seq(
+      (1L, 0L * d, 1L, "click", 0.0), (2L, 1L * d, 1L, "click", 0.0),
+      (3L, 3L * d, 1L, "click", 0.0), (4L, 1L * d, 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.growthAccounting(ev)
+      .select("day", "n_new", "n_retained", "n_resurrected", "n_churned")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 1L, 0L, 0L, Some(0L)),
+      (1L, 1L, 1L, 0L, Some(2L)),
+      (3L, 0L, 0L, 1L, None)))
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
