@@ -125,6 +125,11 @@ object DebugProbe {
         ("label_margin", p => graft.vector.VectorOps.labelMargin(
           spark.read.parquet(p).select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))).count()),
+        // ×16 per-sample contribution emit (ewma) and the 3-way
+        // presence emit + first-seen join (growth accounting)
+        ("ewma", p => graft.tsdb.TsOps.ewma(ev(p)).count()),
+        ("growth_accounting", p =>
+          graft.tsdb.TsOps.growthAccounting(spark.read.parquet(p)).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -164,6 +169,8 @@ object DebugProbe {
         "churn" -> ("events", () => eventsP),
         "funnel3" -> ("events", () => eventsP),
         "label_margin" -> ("embeddings", () => embP),
+        "ewma" -> ("events", () => eventsP),
+        "growth_accounting" -> ("events", () => eventsP),
         "q21_reshape" -> ("lineitem", () => liP))
       val sel = names - "__scale10"
       probes.filter(p => sel.isEmpty || sel.contains(p._1)).foreach { case (nm, f) =>
