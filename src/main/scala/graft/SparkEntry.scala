@@ -2319,7 +2319,8 @@ object SparkEntry {
                  ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 10))::BIGINT AS h
                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)
                WHERE len(t) >= 3),
-         p AS (SELECT doc_id, h * 1048576 + (1048575 - pos) AS pk, pos FROM g),
+         p AS (SELECT doc_id, h * 1048576 + (1048575 - pos) AS pk, pos FROM g
+               WHERE pos < 1048576),
          m AS (SELECT doc_id, min(pk) OVER (PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM p),
          d AS (SELECT DISTINCT doc_id, sel FROM m)

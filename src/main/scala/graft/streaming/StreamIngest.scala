@@ -267,8 +267,8 @@ object StreamIngest {
       }
   }
 
-  case class AlertIn(series_id: String, ts_us: Long, value: Double)
-  case class AlertRunState(active_since_us: Long, last_ts_us: Long)
+  case class AlertIn(series_id: String, ts_us: Long, event_id: Long, value: Double)
+  case class AlertRunState(active_since_us: Long)
   case class AlertOut(series_id: String, ts_us: Long, value: Double,
                       active_since_us: Long, state: String)
 
@@ -279,28 +279,32 @@ object StreamIngest {
     * FOREVER — so a 100M-series alert rule carries 100M tiny state
     * rows, not history. Each condition-true sample emits pending or
     * firing against `active_since`; one false sample resets the run.
-    * Within a micro-batch samples sort by event time (bounded by the
-    * batch's per-series volume); across batches per-series order is
+    * Within a micro-batch samples sort by the batch operator's
+    * (ts_us, event_id) total order (bounded by the batch's per-series
+    * volume); across batches per-series order is
     * the remote-write path's append order, same as the reference's
     * rule evaluator. Converges to the batch operator on ordered
     * arrival (StreamAlertSpec). */
   def alertStream(samples: DataFrame, threshold: Double,
                   forUs: Long): Dataset[AlertOut] = {
     import samples.sparkSession.implicits._
-    samples.select(col("series_id"), col("ts_us"), col("value")).as[AlertIn]
+    samples.select(col("series_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[AlertIn]
       .groupByKey(_.series_id)
       .flatMapGroupsWithState[AlertRunState, AlertOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (sid: String, rows: Iterator[AlertIn], state: GroupState[AlertRunState]) =>
-          var st = state.getOption.getOrElse(AlertRunState(-1L, -1L))
+          var st = state.getOption.getOrElse(AlertRunState(-1L))
           val out = Seq.newBuilder[AlertOut]
-          rows.toSeq.sortBy(e => (e.ts_us, e.value)).foreach { e =>
+          // the batch operator's (ts_us, event_id) TOTAL order — a
+          // value-based tiebreak would diverge on duplicate timestamps
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
             if (e.value > threshold) {
               val since = if (st.active_since_us >= 0) st.active_since_us else e.ts_us
               out += AlertOut(sid, e.ts_us, e.value, since,
                 if (e.ts_us - since >= forUs) "firing" else "pending")
-              st = AlertRunState(since, e.ts_us)
-            } else st = AlertRunState(-1L, e.ts_us)
+              st = AlertRunState(since)
+            } else st = AlertRunState(-1L)
           }
           state.update(st)
           out.result().iterator

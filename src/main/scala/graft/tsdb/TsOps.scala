@@ -711,7 +711,10 @@ object TsOps {
       // Never-purchased users keep NULL recency and score 1 below.
       .withColumn("recency_hours", expr(s"(${nowUs}L - last_buy_us) div 3600000000"))
       .withColumn("monetary", col("mon_dec").cast("double"))
-      .persist() // cut aggregate + score projection both read it
+      // cut aggregate + score projection both read it; session-shared
+      // via CacheManager subtree match (the ppl_bucket/dedup-family
+      // idiom — Bench clears per family, callers clearCache per job)
+      .persist()
     val cuts = per.agg(
       round(expr("percentile(recency_hours, 0.25)"), 6).as("r25"),
       round(expr("percentile(recency_hours, 0.50)"), 6).as("r50"),
@@ -845,7 +848,9 @@ object TsOps {
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("value").cast(d2)).cast(d2).as("rev_dec"))
       .withColumn("revenue", col("rev_dec").cast("double"))
-      .persist() // cut aggregate + rollup both read it
+      // cut aggregate + rollup both read it (same session-cache idiom
+      // as rfm/ppl_bucket; Bench clears per family)
+      .persist()
     val cut = per.agg(round(expr("percentile(revenue, 0.9)"), 6).as("c90"))
     per.crossJoin(broadcast(cut))
       .agg(

@@ -602,7 +602,11 @@ object VectorOps {
     * codegen'd HashAggregate (labels must fit 10 bits — the struct-
     * max alternative silently demotes to SortAggregate). */
   def labelMargin(corpus: DataFrame, roundTo: Int = 6): DataFrame = {
-    // corpus: (vec_id, label, v: array<double>)
+    // corpus: (vec_id, label, v: array<double>). Centroid ELEMENT
+    // rounding stays at the corpus-wide 6dp input convention (same as
+    // dimStats/covariance); roundTo governs the cosine grain and the
+    // matching pack quantum below.
+    val scale = math.pow(10, roundTo) // exact for roundTo <= 15
     val sums = corpus
       .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("clabel"), col("d"))
@@ -616,16 +620,17 @@ object VectorOps {
     val own = scored.filter(col("label") === col("clabel"))
       .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
     val best = scored.filter(col("label") =!= col("clabel"))
-      // round-to-nearest before the long cast: cos*1e6 sits within one
-      // ulp of an integer and truncation would step down half the time
+      // round-to-nearest before the long cast: cos*scale sits within
+      // one ulp of an integer and truncation would step down half the
+      // time; the +scale offset keeps the packed value non-negative
       .withColumn("pk",
-        round(col("cos") * 1000000 + 1000000, 0).cast("long") * lit(1024L)
+        round(col("cos") * scale + scale, 0).cast("long") * lit(1024L)
           + (lit(1023L) - col("clabel")))
       .groupBy(col("vec_id"))
       .agg(max(col("pk")).as("bpk"))
       .select(col("vec_id"),
         (lit(1023L) - col("bpk") % lit(1024L)).as("other_label"),
-        ((expr("bpk div 1024") - lit(1000000L)).cast("double") / 1000000.0).as("other_cos"))
+        ((expr("bpk div 1024").cast("double") - scale) / scale).as("other_cos"))
     own.join(best, Seq("vec_id"))
       .withColumn("margin", col("own_cos") - col("other_cos"))
   }

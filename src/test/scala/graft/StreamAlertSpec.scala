@@ -17,8 +17,8 @@ class StreamAlertSpec extends SparkSpec {
 
   test("streaming FOR state machine == batch alertFiring across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(String, Long, Double)]
-    val samples = input.toDF().toDF("series_id", "ts_us", "value")
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val samples = input.toDF().toDF("series_id", "ts_us", "event_id", "value")
 
     val q = StreamIngest.alertStream(samples, 10.0, 5400000000L).writeStream
       .format("memory").queryName("alert_stream").outputMode("append").start()
@@ -27,11 +27,11 @@ class StreamAlertSpec extends SparkSpec {
     // true(4h), true(5h) — the run must survive the batch boundary,
     // reset at 2h, and fire at 5h. series B stays below threshold.
     // batch 1 arrives out of order within the batch.
-    input.addData(("A", 1L * hUs, 30.0), ("A", 0L * hUs, 20.0), ("B", 0L * hUs, 5.0))
+    input.addData(("A", 1L * hUs, 2L, 30.0), ("A", 0L * hUs, 1L, 20.0), ("B", 0L * hUs, 7L, 5.0))
     q.processAllAvailable()
-    input.addData(("A", 2L * hUs, 5.0), ("A", 3L * hUs, 25.0))
+    input.addData(("A", 2L * hUs, 3L, 5.0), ("A", 3L * hUs, 4L, 25.0))
     q.processAllAvailable()
-    input.addData(("A", 4L * hUs, 25.0), ("A", 5L * hUs, 25.0), ("B", 5L * hUs, 6.0))
+    input.addData(("A", 4L * hUs, 5L, 25.0), ("A", 5L * hUs, 6L, 25.0), ("B", 5L * hUs, 8L, 6.0))
     q.processAllAvailable()
     q.stop()
 
@@ -64,14 +64,32 @@ class StreamAlertSpec extends SparkSpec {
       s"stream/batch divergence: $batch vs $streamed")
   }
 
+  test("duplicate timestamps follow the batch (ts, event_id) tiebreak") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val samples = input.toDF().toDF("series_id", "ts_us", "event_id", "value")
+    val q = StreamIngest.alertStream(samples, 10.0, 1L * hUs).writeStream
+      .format("memory").queryName("alert_stream_tie").outputMode("append").start()
+    // same ts: event 1 true, event 2 FALSE — batch order processes the
+    // false second, so the run resets and 1h later is a FRESH pending
+    // (a value-ordered sort would process 5.0 first and keep the run)
+    input.addData(("T", 0L, 1L, 30.0), ("T", 0L, 2L, 5.0), ("T", 1L * hUs, 3L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("alert_stream_tie")
+      .select("ts_us", "active_since_us", "state")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((0L, 0L, "pending"), (1L * hUs, 1L * hUs, "pending")))
+  }
+
   test("state stays O(1): a long-running always-true series keeps one run start") {
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(String, Long, Double)]
-    val samples = input.toDF().toDF("series_id", "ts_us", "value")
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val samples = input.toDF().toDF("series_id", "ts_us", "event_id", "value")
     val q = StreamIngest.alertStream(samples, 0.0, 2L * hUs).writeStream
       .format("memory").queryName("alert_stream2").outputMode("append").start()
     (0 until 5).foreach { b =>
-      input.addData((0 until 20).map(i => ("S", (b * 20 + i) * hUs, 1.0)): _*)
+      input.addData((0 until 20).map(i => ("S", (b * 20 + i) * hUs, i.toLong, 1.0)): _*)
       q.processAllAvailable()
     }
     q.stop()
