@@ -18,7 +18,7 @@ object DebugProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    if (names.contains("__scale10")) {
+    if (names.contains("__scale10") || names.contains("__scale100")) {
       // Scale-behavior probe: 10× the sf0.1 tables (ids shifted per
       // copy so cardinalities scale too — 10× users/series/docs, same
       // per-entity density) and time the structurally-riskiest
@@ -27,14 +27,20 @@ object DebugProbe {
       // quadratic plans blow past it. PERF probe only — correctness
       // stays on the driver's own parquet via graft.Verify.
       import org.apache.spark.sql.DataFrame
+      // __scale100 = the same probe at 100 copies (~sf10-class volume:
+      // 10M events, 6M lineitems on local[32]) — documents families are
+      // excluded there (the vowel-dialect trick has only 10 disjoint
+      // alphabets, and 100 mirrored copies would probe data density,
+      // not engine scaling)
+      val factor = if (names.contains("__scale100")) 100L else 10L
       val base = java.nio.file.Files.createTempDirectory("graft_x10").toString
       def x10(name: String, shift: Seq[(String, Long => org.apache.spark.sql.Column)]): String = {
         val t = spark.read.parquet(s"$sfDir/$name.parquet")
-        val big = (0L until 10L).map { k =>
+        val big = (0L until factor).map { k =>
           shift.foldLeft(t) { case (df, (c, f)) => df.withColumn(c, f(k)) }
         }.reduce(_ unionByName _)
         val p = s"$base/$name.parquet"
-        big.write.mode("overwrite").parquet(p)
+        big.repartition(32).write.mode("overwrite").parquet(p)
         p
       }
       lazy val eventsP = x10("events", Seq(
@@ -172,16 +178,19 @@ object DebugProbe {
         "ewma" -> ("events", () => eventsP),
         "growth_accounting" -> ("events", () => eventsP),
         "q21_reshape" -> ("lineitem", () => liP))
-      val sel = names - "__scale10"
-      probes.filter(p => sel.isEmpty || sel.contains(p._1)).foreach { case (nm, f) =>
-        val (tbl, bigPT) = tableFor(nm)
-        val bigP = bigPT()
-        spark.catalog.clearCache() // no cross-run subtree cache leaks
-        val (t1, n1) = time(f(s"$sfDir/$tbl.parquet"))
-        spark.catalog.clearCache()
-        val (t10, n10) = time(f(bigP))
-        println(f"[probe] scale10 $nm%-18s sf0.1 $t1%6.2fs ($n1%9d rows) -> x10 $t10%7.2fs ($n10%10d rows)  ratio ${t10 / t1}%5.1fx")
-      }
+      val sel = names - "__scale10" - "__scale100"
+      probes
+        .filter(p => sel.isEmpty || sel.contains(p._1))
+        .filter(p => factor == 10L || tableFor(p._1)._1 != "documents")
+        .foreach { case (nm, f) =>
+          val (tbl, bigPT) = tableFor(nm)
+          val bigP = bigPT()
+          spark.catalog.clearCache() // no cross-run subtree cache leaks
+          val (t1, n1) = time(f(s"$sfDir/$tbl.parquet"))
+          spark.catalog.clearCache()
+          val (t10, n10) = time(f(bigP))
+          println(f"[probe] scale$factor%-3d $nm%-18s sf0.1 $t1%6.2fs ($n1%9d rows) -> x$factor%-3d $t10%7.2fs ($n10%10d rows)  ratio ${t10 / t1}%5.1fx")
+        }
       spark.stop(); return
     }
     if (names.contains("__explain")) {
