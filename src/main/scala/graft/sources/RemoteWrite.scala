@@ -38,9 +38,17 @@ object RemoteWrite {
     * seeing repeated decode failures on replay should dead-letter the
     * payload — malformed bytes are malformed on every retry. */
   private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
-    private def need(n: Int): Unit =
-      if (pos + n > end) throw new IllegalArgumentException(
+    // LONG arithmetic + non-negativity: a hostile varint length can be
+    // any 64-bit pattern — truncated toInt it wraps negative, which
+    // (a) slips past an int `pos + n > end` check via overflow and
+    // (b) as `pos += len` would move the cursor BACKWARD, turning the
+    // caller's `while (hasMore)` walk into an infinite loop. Found by
+    // the RemoteWriteSpec fuzz pass; same class as Avi.parse's r8 fix.
+    private def need(n: Long): Unit =
+      if (n < 0 || pos.toLong + n > end) throw new IllegalArgumentException(
         s"truncated payload: need $n bytes at $pos, message ends at $end")
+    /** A length prefix: bounded to the remaining message. */
+    private def len(): Int = { val v = varint(); need(v); v.toInt }
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var res = 0L
@@ -61,21 +69,19 @@ object RemoteWrite {
       pos += 8; v
     }
     def sub(): Reader = {
-      val len = varint().toInt
-      need(len)
-      val r = new Reader(buf, pos, pos + len)
-      pos += len; r
+      val n = len()
+      val r = new Reader(buf, pos, pos + n)
+      pos += n; r
     }
     def str(): String = {
-      val len = varint().toInt
-      need(len)
-      val s = new String(buf, pos, len, "UTF-8")
-      pos += len; s
+      val n = len()
+      val s = new String(buf, pos, n, "UTF-8")
+      pos += n; s
     }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
       case 1 => need(8); pos += 8
-      case 2 => val len = varint().toInt; need(len); pos += len
+      case 2 => pos += len()
       case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
@@ -132,9 +138,27 @@ object RemoteWrite {
     out.result()
   }
 
+  /** Hostile-input-safe snappy block decompress, shared by every wire
+    * decode path: corrupt framing rethrows as the decode boundary's
+    * typed IllegalArgumentException (snappy-java throws IOException),
+    * and the CLAIMED uncompressed length is bounded BEFORE the
+    * allocation — a 4-byte hostile header claiming 2 GB must not turn
+    * into a 2 GB buffer on the front door. */
+  private[graft] val MaxUncompressed: Int = 1 << 28 // 256 MiB
+  private[graft] def uncompress(payload: Array[Byte]): Array[Byte] =
+    try {
+      val n = org.xerial.snappy.Snappy.uncompressedLength(payload)
+      if (n > MaxUncompressed) throw new IllegalArgumentException(
+        s"snappy payload claims $n uncompressed bytes (cap $MaxUncompressed)")
+      org.xerial.snappy.Snappy.uncompress(payload)
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"corrupt snappy payload: ${e.getMessage}")
+    }
+
   /** Decode the on-the-wire payload: snappy block → proto body. */
   def decode(payload: Array[Byte]): Seq[Series] =
-    decodeProto(org.xerial.snappy.Snappy.uncompress(payload))
+    decodeProto(uncompress(payload))
 
   // ───────────────────────── wire encode ─────────────────────────
   // (the sender side — used by specs to synthesize payloads, and by
@@ -289,7 +313,7 @@ object RemoteRead {
   }
 
   def decodeRequest(payload: Array[Byte]): Seq[Query] =
-    decodeRequestProto(org.xerial.snappy.Snappy.uncompress(payload))
+    decodeRequestProto(RemoteWrite.uncompress(payload))
 
   /** Client-side request encoder (specs; anyone querying the store
     * over the wire). */
@@ -334,7 +358,7 @@ object RemoteRead {
   }
 
   def decodeResponse(payload: Array[Byte]): Seq[Seq[Series]] = {
-    val bytes = org.xerial.snappy.Snappy.uncompress(payload)
+    val bytes = RemoteWrite.uncompress(payload)
     val out = Seq.newBuilder[Seq[Series]]
     val top = new Reader(bytes, 0, bytes.length)
     while (top.hasMore) {

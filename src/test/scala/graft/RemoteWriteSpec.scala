@@ -106,6 +106,54 @@ class RemoteWriteSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: random and mutated payloads never hang and fail with the typed decode error") {
+    val rnd = new scala.util.Random(42)
+    def check(b: Array[Byte]): Unit =
+      try { RemoteWrite.decodeProto(b); () } catch {
+        case _: IllegalArgumentException => () // the typed decode error
+        case e: Throwable =>
+          fail(s"unexpected ${e.getClass.getName}: ${e.getMessage} on ${b.take(20).mkString(",")}")
+      }
+    // raw random buffers (hostile front-door traffic)
+    for (_ <- 0 until 500) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      check(b)
+    }
+    // single-byte mutations of a VALID payload — length prefixes, wire
+    // types, and varint continuation bits all get corrupted somewhere
+    val good = RemoteWrite.encodeProto(Seq(series("click", 1, 50, 0)))
+    for (_ <- 0 until 500) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      check(b)
+    }
+    // same for the read-request decoder
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      try { RemoteRead.decodeRequestProto(b); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"unexpected ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // and through the snappy layer: corrupt framing must rethrow as
+    // the typed decode error, never IOException or a giant allocation
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      try { RemoteWrite.decode(b); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"snappy path: unexpected ${e.getClass.getName}")
+      }
+    }
+    // a 4-byte header claiming ~2 GB uncompressed: refused by the cap
+    // before any allocation (0xFF,0xFF,0xFF,0x07 varint = 2^31-1)
+    val huge = Array[Byte](-1, -1, -1, 7, 0, 0)
+    val e = intercept[IllegalArgumentException](RemoteWrite.decode(huge))
+    assert(e.getMessage.contains("cap") || e.getMessage.contains("corrupt"))
+  }
+
   test("remote-read request codec roundtrip (matcher types + range)") {
     val qs: Seq[RemoteRead.Query] = Seq(
       (t0, t0 + 3600000L, Seq(MatchEq("event_type", "click"), MatchRe("user_id", "^[12]$"))))
