@@ -123,6 +123,15 @@ object SparkEntry {
 
     "ts_ewma" -> ((s, dir) => TsOps.ewma(Series.samples(t(s, dir, "events")))),
 
+    // the PromQL FRONT DOOR as a gated query: a dashboard-shaped text
+    // query (matchers + range function + by-aggregation + topk)
+    // parsed and planned by graft.promql; liveness is scale-free
+    // (topk keeps 3 of 5 types at any SF)
+    "promql_eval" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """topk(3, sum by (event_type) (sum_over_time({user_id!~"1.*"}[12h])))""",
+      T2)),
+
     // now = 2024-02-01: every recency is positive and the quartile
     // spread is live (probed: scores span 1..4 on all three axes)
     "events_rfm" -> ((s, dir) => TsOps.rfm(t(s, dir, "events"), 1706745600000000L)),
@@ -1702,6 +1711,14 @@ object SparkEntry {
                  CAST(sum(CASE WHEN revenue > c90 THEN n_purchases ELSE 0 END) AS DOUBLE)
                    / sum(n_purchases) AS top_purchase_share
           FROM pr, cut""",
+
+    "promql_eval" ->
+      s"""WITH g AS (SELECT event_type, CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value
+                FROM events
+                WHERE NOT regexp_matches(CAST(user_id AS VARCHAR), '^(?:1.*)$$')
+                  AND epoch_us(ts) BETWEEN $T2 - 43200000000 AND $T2
+                GROUP BY 1)
+          SELECT event_type, value FROM g ORDER BY value DESC, event_type ASC LIMIT 3""",
 
     "ts_ewma" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
