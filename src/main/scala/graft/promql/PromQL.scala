@@ -275,6 +275,49 @@ object PromQL {
            lookbackUs: Long = 5L * 60L * 1000000L): DataFrame =
     evalExpr(Series.samples(events), parse(query), atUs, lookbackUs)
 
+  /** Widest time window the expression can touch (range/lookback +
+    * offset, maxed over every selector) — the store read bound. */
+  private[graft] def maxWindowUs(e: Expr, lookbackUs: Long): Long = e match {
+    case Selector(_, off) => lookbackUs + off
+    case RangeFn(_, Selector(_, off), dur, _) => dur + off
+    case Agg(_, _, a, _) => maxWindowUs(a, lookbackUs)
+    case BinScalar(a, _, _) => maxWindowUs(a, lookbackUs)
+  }
+
+  /** If the expression reads through exactly ONE selector, its
+    * matchers can push into the store scan (chunk partition pruning +
+    * label predicate pushdown); multi-selector expressions read
+    * unpushed and filter per branch. */
+  private[graft] def soleMatchers(e: Expr): Option[Seq[Matcher]] = {
+    def sels(x: Expr): Seq[Selector] = x match {
+      case s: Selector => Seq(s)
+      case RangeFn(_, s, _, _) => Seq(s)
+      case Agg(_, _, a, _) => sels(a)
+      case BinScalar(a, _, _) => sels(a)
+    }
+    sels(e) match { case Seq(one) => Some(one.matchers) case _ => None }
+  }
+
+  /** Evaluate against a [[graft.tsdb.ChunkStore]] — the serving path
+    * behind the HTTP /api/v1/query endpoint. The store read is
+    * bounded to the expression's widest window, single-selector
+    * matchers push into the federated chunk query (partition pruning
+    * does the reference's chunk-overlap check), and labels re-attach
+    * from the store catalog exactly as the remote-read path does.
+    * Store samples carry no event_id (the wire drops it); a constant
+    * surrogate keeps the evaluator's total orders — duplicate
+    * (series, ts) points are already merged by ingest. */
+  def evalStore(store: graft.tsdb.ChunkStore, query: String, atUs: Long,
+                lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
+    val ast = parse(query)
+    val horizon = maxWindowUs(ast, lookbackUs)
+    val ms = soleMatchers(ast).getOrElse(Nil)
+    val samples = store.queryAll(ms, atUs - horizon, atUs)
+      .join(store.catalog(), "series_id")
+      .withColumn("event_id", lit(0L))
+    evalExpr(samples, ast, atUs, lookbackUs)
+  }
+
   private def evalExpr(samples: DataFrame, e: Expr, atUs: Long,
                        lookbackUs: Long): DataFrame = e match {
     case Selector(ms, off) =>

@@ -63,6 +63,7 @@ final class HttpEndpoint(
     port: Int = 0, // 0 = ephemeral (spec-friendly); fixed in production
     readPath: String = "/api/v1/read",
     writePath: String = "/api/v1/write",
+    queryPath: String = "/api/v1/query",
     workerNum: Int = 4,
     spool: Option[String] = None) {
 
@@ -123,9 +124,70 @@ final class HttpEndpoint(
     ex.getRequestURI.getPath match {
       case p if p == writePath => handleWrite(ex, body)
       case p if p == readPath => handleRead(ex, body)
+      case p if p == queryPath => handleQuery(ex)
       case _ => ex.sendResponseHeaders(404, -1)
     }
   }
+
+  /** Prometheus HTTP query API (`GET /api/v1/query?query=…&time=…`,
+    * unix-seconds `time`): the PromQL text front door served straight
+    * off the store — parse, bound the store read to the expression's
+    * widest window, evaluate as one distributed plan
+    * ([[graft.promql.PromQL.evalStore]]), answer the standard
+    * `{"status":"success","data":{"resultType":"vector",…}}` JSON.
+    * Like the remote-read branch, only the bounded instant vector
+    * (per-series or per-group cardinality) materializes on the
+    * driver. Malformed PromQL answers 400 with `"status":"error"` —
+    * the evaluator's typed parse errors surface as bad_data. */
+  private def handleQuery(ex: HttpExchange): Unit =
+    try {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          val k = if (i < 0) kv else kv.substring(0, i)
+          val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+          k -> v
+        }.toMap
+      val q = params.getOrElse("query",
+        throw new IllegalArgumentException("missing query parameter"))
+      val atUs = params.get("time")
+        .map(t => (t.toDouble * 1e6).toLong)
+        .getOrElse(System.currentTimeMillis() * 1000L)
+      val df = graft.promql.PromQL.evalStore(store, q, atUs)
+      val labelCols = df.columns.filterNot(c => c == "value" || c == "series_id")
+      def jstr(s: String) =
+        "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+      val rows = df.collect().map { r =>
+        val metric = labelCols.map(c =>
+          s"${jstr(c)}:${jstr(Option(r.getAs[Any](c)).map(_.toString).getOrElse(""))}")
+          .mkString("{", ",", "}")
+        val v = r.getAs[Any]("value") match {
+          case d: java.lang.Double => d.toString
+          case other => other.toString
+        }
+        s"""{"metric":$metric,"value":[${atUs / 1e6},${jstr(v)}]}"""
+      }
+      val json =
+        s"""{"status":"success","data":{"resultType":"vector","result":[${rows.mkString(",")}]}}"""
+      val bytes = json.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    } catch {
+      case e: IllegalArgumentException =>
+        val msg = ("{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":\"" +
+          Option(e.getMessage).getOrElse("").replace("\\", "\\\\").replace("\"", "\\\"") +
+          "\"}").getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(400, msg.length.toLong)
+        ex.getResponseBody.write(msg)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
 
   private def handleWrite(ex: HttpExchange, body: Array[Byte]): Unit =
     try {

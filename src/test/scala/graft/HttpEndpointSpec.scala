@@ -65,6 +65,47 @@ class HttpEndpointSpec extends SparkSpec {
     } finally endpoint.stop()
   }
 
+  test("PromQL query API: write over the wire, then GET /api/v1/query serves the text query") {
+    val storeDir = Files.createTempDirectory("graft_http_promql").toString
+    val store = new ChunkStore(spark, storeDir)
+    val endpoint = new HttpEndpoint(spark, store)
+    val port = endpoint.start()
+    try {
+      val in: Seq[RemoteWrite.Series] = Seq(
+        (Map("event_type" -> "click", "user_id" -> "1"),
+          Seq((t0, 10.0), (t0 + 60000L, 20.0))),
+        (Map("event_type" -> "click", "user_id" -> "2"),
+          Seq((t0 + 60000L, 5.0))),
+        (Map("event_type" -> "purchase", "user_id" -> "1"),
+          Seq((t0 + 60000L, 100.0))))
+      assert(post(port, "/api/v1/write", RemoteWrite.encode(in))._1 == 200)
+
+      def get(path: String): (Int, String) = {
+        val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (stream == null) "" else
+          try new String(stream.readAllBytes(), "UTF-8") finally stream.close()
+        conn.disconnect()
+        (code, body)
+      }
+      val atS = (t0 + 120000L) / 1000.0
+      val q = java.net.URLEncoder.encode(
+        """sum by (event_type) (sum_over_time({event_type=~"click|purchase"}[1h]))""", "UTF-8")
+      val (code, body) = get(s"/api/v1/query?query=$q&time=$atS")
+      assert(code == 200, body)
+      assert(body.startsWith("""{"status":"success","data":{"resultType":"vector""""), body)
+      assert(body.contains(""""metric":{"event_type":"click"}"""), body)
+      assert(body.contains(""""35.0""""), body)  // 10+20+5
+      assert(body.contains(""""100.0""""), body) // purchase
+      // malformed PromQL → 400 with the error envelope, server stays up
+      val (badCode, badBody) = get(s"/api/v1/query?query=${java.net.URLEncoder.encode("nope(", "UTF-8")}&time=$atS")
+      assert(badCode == 400 && badBody.contains("\"status\":\"error\""), badBody)
+      assert(get(s"/api/v1/query?query=$q&time=$atS")._1 == 200)
+    } finally endpoint.stop()
+  }
+
   test("concurrent writes serialize onto one store without loss") {
     val storeDir = Files.createTempDirectory("graft_http_conc").toString
     val store = new ChunkStore(spark, storeDir)
