@@ -23,6 +23,9 @@ import graft.tsdb.{MatchEq, MatchNeq, MatchNre, MatchRe, Matcher, Series}
   *     topk/bottomk(k,·), quantile(q,·)
   *   - scalar arithmetic (`* / + -` with a number) and comparison
   *     filters (`> < >= <=`, which drop non-matching samples)
+  *   - vector-vector arithmetic with `on(...)` matching — the
+  *     error-rate / ratio shape (`a / on (user_id) b`); default
+  *     matching is the full shared label set
   *
   * Evaluation model: `eval(events, q, atUs)` evaluates the expression
   * AT one instant (range windows are the inclusive [at−d, at], the
@@ -45,6 +48,10 @@ object PromQL {
   final case class Agg(op: String, by: Seq[String], arg: Expr,
                        param: Option[Double] = None) extends Expr
   final case class BinScalar(arg: Expr, op: String, k: Double) extends Expr
+  /** Vector-vector arithmetic with PromQL `on(...)` matching: the
+    * error-rate / ratio shape (`errors / on(user_id) requests`).
+    * Empty `on` = full series-identity matching. */
+  final case class BinVec(lhs: Expr, op: String, on: Seq[String], rhs: Expr) extends Expr
 
   private val RangeFns = Set("rate", "increase", "last_over_time",
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
@@ -128,14 +135,26 @@ object PromQL {
 
     private def parseExpr(): Expr = {
       var e = parseUnary()
-      // scalar binops, left-associative; comparisons filter
+      // binops, left-associative: scalar RHS → BinScalar (comparisons
+      // filter), vector RHS (with optional on(...)) → BinVec
       var done = false
       while (!done) peek match {
         case Some(TSym(op)) if Set("*", "/", "+", "-", ">", "<", ">=", "<=").contains(op) =>
           next()
-          next() match {
-            case TNum(k) => e = BinScalar(e, op, k)
-            case t => err(s"scalar expected after '$op', got $t")
+          peek match {
+            case Some(TNum(k)) => next(); e = BinScalar(e, op, k)
+            case Some(TIdent("on")) =>
+              next(); expectSym("(")
+              val oo = Seq.newBuilder[String]
+              var more = true
+              while (more) next() match {
+                case TIdent(l) => oo += l
+                  peek match { case Some(TSym(",")) => next() case _ => more = false }
+                case t => err(s"label expected in on(...), got $t")
+              }
+              expectSym(")")
+              e = BinVec(e, op, oo.result(), parseUnary())
+            case _ => e = BinVec(e, op, Nil, parseUnary())
           }
         case _ => done = true
       }
@@ -282,6 +301,7 @@ object PromQL {
     case RangeFn(_, Selector(_, off), dur, _) => dur + off
     case Agg(_, _, a, _) => maxWindowUs(a, lookbackUs)
     case BinScalar(a, _, _) => maxWindowUs(a, lookbackUs)
+    case BinVec(l, _, _, r) => math.max(maxWindowUs(l, lookbackUs), maxWindowUs(r, lookbackUs))
   }
 
   /** If the expression reads through exactly ONE selector, its
@@ -294,6 +314,7 @@ object PromQL {
       case RangeFn(_, s, _, _) => Seq(s)
       case Agg(_, _, a, _) => sels(a)
       case BinScalar(a, _, _) => sels(a)
+      case BinVec(l, _, _, r) => sels(l) ++ sels(r)
     }
     sels(e) match { case Seq(one) => Some(one.matchers) case _ => None }
   }
@@ -427,5 +448,32 @@ object PromQL {
         case ">=" => in.filter(col("value") >= k)
         case "<=" => in.filter(col("value") <= k)
       }
+
+    case BinVec(l, op, on, r) =>
+      // both sides are instant vectors; match on `on(...)` labels, or
+      // on every shared label column (series identity for raw
+      // vectors). Inner match: unpaired entries drop, as in PromQL.
+      // (PromQL's 1:1 cardinality check is the caller's contract —
+      // a many-to-many on() match fans out like the join it is.)
+      val lf = evalExpr(samples, l, atUs, lookbackUs)
+      val rf = evalExpr(samples, r, atUs, lookbackUs)
+      val keys =
+        if (on.nonEmpty) on
+        else (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
+      require(keys.nonEmpty, "no shared labels to match on — use on(...)")
+      val lv = lf.select(keys.map(col) :+ col("value").as("lv"): _*)
+      val rv = rf.select(keys.map(col) :+ col("value").as("rv"): _*)
+      val j = lv.join(rv, keys)
+      val out = op match {
+        case "*" => j.withColumn("value", col("lv") * col("rv"))
+        case "/" => j.withColumn("value", col("lv") / col("rv"))
+        case "+" => j.withColumn("value", col("lv") + col("rv"))
+        case "-" => j.withColumn("value", col("lv") - col("rv"))
+        case ">" => j.filter(col("lv") > col("rv")).withColumn("value", col("lv"))
+        case "<" => j.filter(col("lv") < col("rv")).withColumn("value", col("lv"))
+        case ">=" => j.filter(col("lv") >= col("rv")).withColumn("value", col("lv"))
+        case "<=" => j.filter(col("lv") <= col("rv")).withColumn("value", col("lv"))
+      }
+      out.select(keys.map(col) :+ col("value"): _*)
   }
 }

@@ -88,6 +88,21 @@ class PromqlSpec extends SparkSpec {
     assert(q == 2.5) // series counts [2, 3]
   }
 
+  test("vector-vector binary op with on(...) matching — the ratio shape") {
+    val at = 2L * hu
+    val out = PromQL.eval(ev,
+      """count_over_time({event_type="purchase"}[2h]) / on (user_id) count_over_time({event_type="click"}[2h])""",
+      at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    // user 1: 2 purchases / 3 clicks; user 2 has no purchases → dropped
+    assert(out == Seq((1L, 2.0 / 3)))
+    // default matching = shared label set (series identity): purchase
+    // and click series never share a series_id → empty result
+    assert(PromQL.eval(ev,
+      """count_over_time({event_type="purchase"}[2h]) / count_over_time({event_type="click"}[2h])""",
+      at).count() == 0)
+  }
+
   test("offset shifts the evaluation window") {
     val at = 2L * hu
     // offset 1h at t=2h == evaluating at t=1h: only samples <= 1h
