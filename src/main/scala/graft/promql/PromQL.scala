@@ -1,6 +1,7 @@
 package graft.promql
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tsdb.{MatchEq, MatchNeq, MatchNre, MatchRe, Matcher, Series}
@@ -16,48 +17,82 @@ import graft.tsdb.{MatchEq, MatchNeq, MatchNre, MatchRe, Matcher, Series}
   * label-set series identity (label.rs:118-127).
   *
   * Supported subset (the PromQL core a monitoring dashboard uses):
-  *   - instant selectors `{l="v", l2=~"re"}` with 5m lookback, offset
-  *   - range functions over `sel[dur]`: rate, increase, last_over_time,
-  *     count/sum/avg/min/max/stddev_over_time, quantile_over_time(q,·)
-  *   - cross-series aggregation sum/avg/min/max/count with `by (...)`,
-  *     topk/bottomk(k,·), quantile(q,·)
-  *   - scalar arithmetic (`* / + -` with a number) and comparison
-  *     filters (`> < >= <=`, which drop non-matching samples)
-  *   - vector-vector arithmetic with `on(...)` matching — the
-  *     error-rate / ratio shape (`a / on (user_id) b`); default
-  *     matching is the full shared label set
+  *   - instant selectors `{l="v", l2=~"re"}` with 5m lookback, offset,
+  *     and the bare-metric-name sugar `click{…}` (the metric name maps
+  *     to the `event_type` label, this data model's metric-name slot)
+  *   - range functions over `sel[dur]`: rate, irate, increase, delta,
+  *     idelta, deriv, predict_linear(sel[d], t), resets, changes,
+  *     last_over_time, count/sum/avg/min/max/stddev_over_time,
+  *     quantile_over_time(q,·), present_over_time, absent_over_time
+  *   - cross-series aggregation sum/avg/min/max/count with `by (...)`
+  *     or `without (...)`, topk/bottomk(k,·), quantile(q,·)
+  *   - instant math functions abs/ceil/floor/exp/ln/log2/log10/sqrt/
+  *     sgn, round(v[, to]), clamp/clamp_min/clamp_max, absent(v)
+  *   - full binary-operator precedence (PromQL's ladder: ^ then * / %
+  *     then + - then comparisons then and/unless then or), scalars on
+  *     either side, comparison filters with optional `bool`, constant
+  *     folding of scalar-scalar arithmetic
+  *   - vector-vector arithmetic and the set operators and/or/unless
+  *     with `on(...)` matching; default matching is the full shared
+  *     label set
+  *   - RANGE QUERIES ([[evalRange]] / the /api/v1/query_range serving
+  *     path): the whole grid evaluates as ONE distributed plan — each
+  *     sample map-side-emits the grid instants whose window contains
+  *     it (the ts_interpolate ownership idiom, fan-out bounded by
+  *     window/step + 1), then the per-instant aggregations run keyed
+  *     by (labels, grid_ts). Never a per-step loop over instant
+  *     queries: a 1000-point dashboard panel is one job, not 1000.
   *
   * Evaluation model: `eval(events, q, atUs)` evaluates the expression
   * AT one instant (range windows are the inclusive [at−d, at], the
   * engine-wide bound convention) and returns an instant vector as a
   * DataFrame — (series_id, event_type, user_id, value) for raw
-  * vectors, (by-labels…, value) after aggregation. Every physical
-  * shape reuses the plan idioms of the gated operators: matcher
-  * pushdown, one-pass struct min/max for first/last, exact-DECIMAL
-  * sums, R-7 percentiles rounded 6dp, TakeOrdered top-k — so a parsed
-  * query plans identically to its hand-built [[graft.tsdb.TsOps]]
+  * vectors, (by-labels…, value) after aggregation. `evalRange` adds a
+  * `ts_us` grid column to every shape. Every physical shape reuses
+  * the plan idioms of the gated operators: matcher pushdown, one-pass
+  * struct min/max for first/last, exact-DECIMAL sums, R-7 percentiles
+  * rounded 6dp, TakeOrdered / TopKPerKey top-k — so a parsed query
+  * plans identically to its hand-built [[graft.tsdb.TsOps]]
   * composition (spec-pinned in PromqlSpec).
   */
 object PromQL {
 
   // ───────────────────────── AST ─────────────────────────
   sealed trait Expr
+  final case class ScalarLit(v: Double) extends Expr
   final case class Selector(matchers: Seq[Matcher], offsetUs: Long = 0L) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeUs: Long,
                            param: Option[Double] = None) extends Expr
-  final case class Agg(op: String, by: Seq[String], arg: Expr,
+  final case class Agg(op: String, by: Seq[String], without: Boolean, arg: Expr,
                        param: Option[Double] = None) extends Expr
-  final case class BinScalar(arg: Expr, op: String, k: Double) extends Expr
-  /** Vector-vector arithmetic with PromQL `on(...)` matching: the
-    * error-rate / ratio shape (`errors / on(user_id) requests`).
-    * Empty `on` = full series-identity matching. */
-  final case class BinVec(lhs: Expr, op: String, on: Seq[String], rhs: Expr) extends Expr
+  final case class BinScalar(arg: Expr, op: String, k: Double,
+                             scalarLeft: Boolean = false,
+                             boolMode: Boolean = false) extends Expr
+  /** Vector-vector arithmetic / set ops with PromQL `on(...)`
+    * matching: the error-rate / ratio shape
+    * (`errors / on(user_id) requests`), and `and`/`or`/`unless`.
+    * Empty `on` = full shared-label matching. */
+  final case class BinVec(lhs: Expr, op: String, on: Seq[String], rhs: Expr,
+                          boolMode: Boolean = false) extends Expr
+  /** Instant math function over a vector (`abs(v)`, `clamp(v,lo,hi)`,
+    * `round(v[,to])`, `absent(v)`); scalar parameters ride along. */
+  final case class Func(fn: String, arg: Expr, params: Seq[Double] = Nil) extends Expr
 
-  private val RangeFns = Set("rate", "increase", "last_over_time",
+  private val RangeFns = Set("rate", "irate", "increase", "delta", "idelta",
+    "deriv", "predict_linear", "resets", "changes", "last_over_time",
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
-    "max_over_time", "stddev_over_time", "quantile_over_time")
+    "max_over_time", "stddev_over_time", "quantile_over_time",
+    "present_over_time", "absent_over_time")
   private val AggOps = Set("sum", "avg", "min", "max", "count",
     "topk", "bottomk", "quantile")
+  // fn -> number of scalar params after the vector argument
+  private val MathFns: Map[String, (Int, Int)] = Map(
+    "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0), "exp" -> (0, 0),
+    "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0), "sqrt" -> (0, 0),
+    "sgn" -> (0, 0), "round" -> (0, 1), "clamp_min" -> (1, 1),
+    "clamp_max" -> (1, 1), "clamp" -> (2, 2), "absent" -> (0, 0))
+  private val KeyWords = Set("by", "without", "on", "offset", "bool",
+    "and", "or", "unless")
 
   // ───────────────────────── lexer ─────────────────────────
   private sealed trait Tok
@@ -107,8 +142,8 @@ object PromQL {
         out += TStr(sb.toString)
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
-        if (Set("!=", "=~", "!~", ">=", "<=").contains(two)) { out += TSym(two); i += 2 }
-        else if ("{}()[],=<>*/+-".contains(c)) { out += TSym(c.toString); i += 1 }
+        if (Set("!=", "=~", "!~", ">=", "<=", "==").contains(two)) { out += TSym(two); i += 2 }
+        else if ("{}()[],=<>*/+-%^".contains(c)) { out += TSym(c.toString); i += 1 }
         else err(s"unexpected character '$c'")
       }
     }
@@ -116,6 +151,8 @@ object PromQL {
   }
 
   // ───────────────────────── parser ─────────────────────────
+  // Precedence climbing over PromQL's operator ladder (tightest
+  // last): or < and/unless < comparisons < +- < */% < ^ < unary.
   private final class P(toks: Vector[Tok]) {
     private var i = 0
     private def err(m: String) =
@@ -128,89 +165,162 @@ object PromQL {
     }
 
     def parse(): Expr = {
-      val e = parseExpr()
+      val e = parseOr()
       if (i != toks.length) err(s"trailing input from token ${toks(i)}")
       e
     }
 
-    private def parseExpr(): Expr = {
-      var e = parseUnary()
-      // binops, left-associative: scalar RHS → BinScalar (comparisons
-      // filter), vector RHS (with optional on(...)) → BinVec
+    /** Shared binop-tail loop for one precedence level. */
+    private def binLevel(ops: Set[String], sub: () => Expr): Expr = {
+      var e = sub()
       var done = false
       while (!done) peek match {
-        case Some(TSym(op)) if Set("*", "/", "+", "-", ">", "<", ">=", "<=").contains(op) =>
-          next()
-          peek match {
-            case Some(TNum(k)) => next(); e = BinScalar(e, op, k)
-            case Some(TIdent("on")) =>
-              next(); expectSym("(")
-              val oo = Seq.newBuilder[String]
-              var more = true
-              while (more) next() match {
-                case TIdent(l) => oo += l
-                  peek match { case Some(TSym(",")) => next() case _ => more = false }
-                case t => err(s"label expected in on(...), got $t")
-              }
-              expectSym(")")
-              e = BinVec(e, op, oo.result(), parseUnary())
-            case _ => e = BinVec(e, op, Nil, parseUnary())
-          }
+        case Some(TSym(op)) if ops.contains(op) =>
+          next(); e = combine(e, op, parseBool(op), parseOn(), sub())
+        case Some(TIdent(op)) if ops.contains(op) =>
+          next(); e = combine(e, op, boolMode = false, parseOn(), sub())
         case _ => done = true
       }
       e
     }
 
+    private val CmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+
+    private def parseBool(op: String): Boolean =
+      if (CmpOps.contains(op)) peek match {
+        case Some(TIdent("bool")) => next(); true
+        case _ => false
+      } else false
+
+    private def parseOn(): Seq[String] = peek match {
+      case Some(TIdent("on")) => next(); parseLabelList()
+      case _ => Nil
+    }
+
+    private def combine(l: Expr, op: String, boolMode: Boolean,
+                        on: Seq[String], r: Expr): Expr = (l, r) match {
+      case (ScalarLit(a), ScalarLit(b)) =>
+        // constant folding; scalar comparisons need `bool` in PromQL
+        if (CmpOps.contains(op) && !boolMode)
+          err(s"comparison between two scalars needs the bool modifier")
+        ScalarLit(scalarOp(a, op, b))
+      case (ScalarLit(k), v) =>
+        if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
+        BinScalar(v, op, k, scalarLeft = true, boolMode = boolMode)
+      case (v, ScalarLit(k)) =>
+        if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
+        BinScalar(v, op, k, scalarLeft = false, boolMode = boolMode)
+      case (a, b) => BinVec(a, op, on, b, boolMode)
+    }
+
+    private def parseOr(): Expr = binLevel(Set("or"), () => parseAnd())
+    private def parseAnd(): Expr = binLevel(Set("and", "unless"), () => parseCmp())
+    private def parseCmp(): Expr = binLevel(CmpOps, () => parseAdd())
+    private def parseAdd(): Expr = binLevel(Set("+", "-"), () => parseMul())
+    private def parseMul(): Expr = binLevel(Set("*", "/", "%"), () => parsePow())
+    private def parsePow(): Expr = {
+      val base = parseUnary()
+      peek match {
+        case Some(TSym("^")) => // right-associative
+          next(); combine(base, "^", boolMode = false, parseOn(), parsePow())
+        case _ => base
+      }
+    }
+
     private def parseUnary(): Expr = peek match {
-      case Some(TSym("(")) => next(); val e = parseExpr(); expectSym(")"); e
-      case Some(TSym("{")) => parseSelector()
+      case Some(TSym("-")) =>
+        next()
+        parseUnary() match {
+          case ScalarLit(v) => ScalarLit(-v)
+          // vector negation = 0 - v (PromQL's unary minus)
+          case v => BinScalar(v, "-", 0.0, scalarLeft = true)
+        }
+      case Some(TSym("+")) => next(); parseUnary()
+      case Some(TSym("(")) => next(); val e = parseOr(); expectSym(")"); e
+      case Some(TSym("{")) => parseVectorSelector()
+      case Some(TNum(v)) => next(); ScalarLit(v)
       case Some(TIdent(name)) if AggOps.contains(name) => parseAgg(name)
       case Some(TIdent(name)) if RangeFns.contains(name) => parseRangeFn(name)
+      case Some(TIdent(name)) if MathFns.contains(name) => parseFunc(name)
+      case Some(TIdent(name)) if !KeyWords.contains(name) => parseVectorSelector()
       case Some(t) => err(s"unexpected $t")
       case None => err("empty expression")
+    }
+
+    private def parseLabelList(): Seq[String] = {
+      expectSym("(")
+      val bb = Seq.newBuilder[String]
+      peek match {
+        case Some(TSym(")")) => next(); return bb.result()
+        case _ => ()
+      }
+      var more = true
+      while (more) next() match {
+        case TIdent(l) => bb += l
+          peek match { case Some(TSym(",")) => next() case _ => more = false }
+        case t => err(s"label expected, got $t")
+      }
+      expectSym(")")
+      bb.result()
     }
 
     private def parseAgg(op: String): Expr = {
       next() // op
       var by: Seq[String] = Nil
+      var without = false
       peek match {
-        case Some(TIdent("by")) =>
-          next(); expectSym("(")
-          val bb = Seq.newBuilder[String]
-          var more = true
-          while (more) next() match {
-            case TIdent(l) => bb += l
-              peek match { case Some(TSym(",")) => next() case _ => more = false }
-            case t => err(s"label expected in by(...), got $t")
-          }
-          expectSym(")")
-          by = bb.result()
+        case Some(TIdent("by")) => next(); by = parseLabelList()
+        case Some(TIdent("without")) => next(); without = true; by = parseLabelList()
         case _ => ()
       }
       expectSym("(")
       val param: Option[Double] =
         if (op == "topk" || op == "bottomk" || op == "quantile") next() match {
           case TNum(k) => expectSym(","); Some(k)
+          case TSym("-") => next() match {
+            case TNum(k) => expectSym(","); Some(-k)
+            case t => err(s"$op needs a leading scalar parameter, got -$t")
+          }
           case t => err(s"$op needs a leading scalar parameter, got $t")
         } else None
-      val arg = parseExpr()
+      val arg = parseOr()
       expectSym(")")
-      // trailing `by (...)` form
+      // trailing `by (...)` / `without (...)` form
       peek match {
-        case Some(TIdent("by")) if by.isEmpty =>
-          next(); expectSym("(")
-          val bb = Seq.newBuilder[String]
-          var more = true
-          while (more) next() match {
-            case TIdent(l) => bb += l
-              peek match { case Some(TSym(",")) => next() case _ => more = false }
-            case t => err(s"label expected in by(...), got $t")
-          }
-          expectSym(")")
-          by = bb.result()
+        case Some(TIdent("by")) if by.isEmpty && !without =>
+          next(); by = parseLabelList()
+        case Some(TIdent("without")) if by.isEmpty && !without =>
+          next(); without = true; by = parseLabelList()
         case _ => ()
       }
-      Agg(op, by, arg, param)
+      Agg(op, by, without, arg, param)
+    }
+
+    private def parseFunc(fn: String): Expr = {
+      next() // fn
+      expectSym("(")
+      val arg = parseOr()
+      val ps = Seq.newBuilder[Double]
+      var more = true
+      while (more) peek match {
+        case Some(TSym(",")) =>
+          next()
+          next() match {
+            case TNum(v) => ps += v
+            case TSym("-") => next() match {
+              case TNum(v) => ps += -v
+              case t => err(s"scalar parameter expected, got -$t")
+            }
+            case t => err(s"scalar parameter expected, got $t")
+          }
+        case _ => more = false
+      }
+      expectSym(")")
+      val params = ps.result()
+      val (lo, hi) = MathFns(fn)
+      if (params.length < lo || params.length > hi)
+        err(s"$fn takes $lo${if (hi != lo) s"..$hi" else ""} scalar parameter(s), got ${params.length}")
+      Func(fn, arg, params)
     }
 
     private def parseRangeFn(fn: String): Expr = {
@@ -221,7 +331,7 @@ object PromQL {
           case TNum(q) => expectSym(","); Some(q)
           case t => err(s"quantile_over_time needs a scalar, got $t")
         } else None
-      val sel = parseSelector()
+      val sel = parseVectorSelector()
       expectSym("[")
       val dur = next() match {
         case TDur(us) => us
@@ -236,11 +346,48 @@ object PromQL {
           next() match { case TDur(us) => us case t => err(s"duration expected, got $t") }
         case _ => 0L
       }
+      // predict_linear's horizon rides after the range vector
+      val horizon: Option[Double] =
+        if (fn == "predict_linear") {
+          expectSym(",")
+          next() match {
+            case TNum(t) => Some(t)
+            case TDur(us) => Some(us / 1e6)
+            case t => err(s"predict_linear needs a horizon scalar, got $t")
+          }
+        } else param
       expectSym(")")
-      RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, param)
+      RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, horizon)
     }
 
-    private def parseSelector(): Selector = {
+    /** `{m…}`, `name`, or `name{m…}` — the bare metric name is sugar
+      * for an `event_type` equality matcher (this model's metric-name
+      * label), prepended so later matchers can still narrow it. */
+    private def parseVectorSelector(): Selector = {
+      val nameMatcher: Option[Matcher] = peek match {
+        case Some(TIdent(name)) if !KeyWords.contains(name) =>
+          next(); Some(MatchEq("event_type", name))
+        case _ => None
+      }
+      val inner: Selector = peek match {
+        case Some(TSym("{")) => parseBraceSelector()
+        case _ if nameMatcher.isDefined => Selector(Nil, parseOffset())
+        case _ => parseBraceSelector()
+      }
+      inner.copy(matchers = nameMatcher.toSeq ++ inner.matchers)
+    }
+
+    private def parseOffset(): Long = peek match {
+      case Some(TIdent("offset")) =>
+        next()
+        next() match {
+          case TDur(us) => us
+          case t => err(s"duration expected after offset, got $t")
+        }
+      case _ => 0L
+    }
+
+    private def parseBraceSelector(): Selector = {
       expectSym("{")
       val ms = Seq.newBuilder[Matcher]
       var more = peek match { case Some(TSym("}")) => false case _ => true }
@@ -266,17 +413,23 @@ object PromQL {
         peek match { case Some(TSym(",")) => next() case _ => more = false }
       }
       expectSym("}")
-      val off = peek match {
-        case Some(TIdent("offset")) =>
-          next()
-          next() match {
-            case TDur(us) => us
-            case t => throw new IllegalArgumentException(s"duration expected after offset, got $t")
-          }
-        case _ => 0L
-      }
-      Selector(ms.result(), off)
+      Selector(ms.result(), parseOffset())
     }
+  }
+
+  private def scalarOp(a: Double, op: String, b: Double): Double = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => a / b
+    case "%" => a % b
+    case "^" => math.pow(a, b)
+    case "==" => if (a == b) 1.0 else 0.0
+    case "!=" => if (a != b) 1.0 else 0.0
+    case ">" => if (a > b) 1.0 else 0.0
+    case "<" => if (a < b) 1.0 else 0.0
+    case ">=" => if (a >= b) 1.0 else 0.0
+    case "<=" => if (a <= b) 1.0 else 0.0
   }
 
   def parse(q: String): Expr = new P(lex(q)).parse()
@@ -287,21 +440,56 @@ object PromQL {
   private val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
   private val LabelCols = Seq("series_id", "event_type", "user_id")
 
+  /** The evaluation grid: `instant` evaluates AT startUs (== endUs)
+    * and the final frame drops the grid column; a range grid owns the
+    * instants startUs, startUs+stepUs, …, ≤ endUs. */
+  private final case class Grid(startUs: Long, endUs: Long, stepUs: Long,
+                                instant: Boolean) {
+    require(stepUs > 0, s"step must be positive, got $stepUs")
+    require(endUs >= startUs, s"empty grid: end $endUs < start $startUs")
+    def kMax: Long = (endUs - startUs) / stepUs
+  }
+
   /** Evaluate `query` at instant `atUs` over the raw events frame.
     * Raw vectors carry (series_id, event_type, user_id, value);
     * aggregated vectors carry (by-labels…, value). */
   def eval(events: DataFrame, query: String, atUs: Long,
            lookbackUs: Long = 5L * 60L * 1000000L): DataFrame =
-    evalExpr(Series.samples(events), parse(query), atUs, lookbackUs)
+    finish(evalExpr(Series.samples(events), requireVector(parse(query)),
+      Grid(atUs, atUs, 1L, instant = true), lookbackUs))
+
+  /** Evaluate `query` over the grid [startUs, endUs] step `stepUs` —
+    * the /api/v1/query_range shape, as ONE distributed plan. Output
+    * adds a `ts_us` grid-instant column to every result shape. */
+  def evalRange(events: DataFrame, query: String,
+                startUs: Long, endUs: Long, stepUs: Long,
+                lookbackUs: Long = 5L * 60L * 1000000L): DataFrame =
+    evalExpr(Series.samples(events), requireVector(parse(query)),
+      Grid(startUs, endUs, stepUs, instant = false), lookbackUs)
+
+  private def requireVector(e: Expr): Expr = e match {
+    case ScalarLit(v) =>
+      throw new IllegalArgumentException(s"expression is the constant $v, not a vector")
+    case other => other
+  }
+
+  /** Instant queries evaluated internally on a one-instant grid; the
+    * constant grid column drops from the public result. */
+  private def finish(df: DataFrame): DataFrame = {
+    val cols = df.columns.filterNot(_ == "ts_us")
+    df.select(cols.map(col).toSeq: _*)
+  }
 
   /** Widest time window the expression can touch (range/lookback +
     * offset, maxed over every selector) — the store read bound. */
   private[graft] def maxWindowUs(e: Expr, lookbackUs: Long): Long = e match {
     case Selector(_, off) => lookbackUs + off
     case RangeFn(_, Selector(_, off), dur, _) => dur + off
-    case Agg(_, _, a, _) => maxWindowUs(a, lookbackUs)
-    case BinScalar(a, _, _) => maxWindowUs(a, lookbackUs)
-    case BinVec(l, _, _, r) => math.max(maxWindowUs(l, lookbackUs), maxWindowUs(r, lookbackUs))
+    case Agg(_, _, _, a, _) => maxWindowUs(a, lookbackUs)
+    case BinScalar(a, _, _, _, _) => maxWindowUs(a, lookbackUs)
+    case Func(_, a, _) => maxWindowUs(a, lookbackUs)
+    case BinVec(l, _, _, r, _) => math.max(maxWindowUs(l, lookbackUs), maxWindowUs(r, lookbackUs))
+    case ScalarLit(_) => 0L
   }
 
   /** If the expression reads through exactly ONE selector, its
@@ -312,9 +500,11 @@ object PromQL {
     def sels(x: Expr): Seq[Selector] = x match {
       case s: Selector => Seq(s)
       case RangeFn(_, s, _, _) => Seq(s)
-      case Agg(_, _, a, _) => sels(a)
-      case BinScalar(a, _, _) => sels(a)
-      case BinVec(l, _, _, r) => sels(l) ++ sels(r)
+      case Agg(_, _, _, a, _) => sels(a)
+      case BinScalar(a, _, _, _, _) => sels(a)
+      case Func(_, a, _) => sels(a)
+      case BinVec(l, _, _, r, _) => sels(l) ++ sels(r)
+      case ScalarLit(_) => Nil
     }
     sels(e) match { case Seq(one) => Some(one.matchers) case _ => None }
   }
@@ -330,46 +520,94 @@ object PromQL {
     * (series, ts) points are already merged by ingest. */
   def evalStore(store: graft.tsdb.ChunkStore, query: String, atUs: Long,
                 lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
-    val ast = parse(query)
-    val horizon = maxWindowUs(ast, lookbackUs)
-    val ms = soleMatchers(ast).getOrElse(Nil)
-    val samples = store.queryAll(ms, atUs - horizon, atUs)
-      .join(store.catalog(), "series_id")
-      .withColumn("event_id", lit(0L))
-    evalExpr(samples, ast, atUs, lookbackUs)
+    val ast = requireVector(parse(query))
+    finish(evalExpr(storeSamples(store, ast, atUs, atUs, lookbackUs), ast,
+      Grid(atUs, atUs, 1L, instant = true), lookbackUs))
   }
 
-  private def evalExpr(samples: DataFrame, e: Expr, atUs: Long,
+  /** [[evalRange]] off the store — the /api/v1/query_range serving
+    * path. One bounded store read covers the whole grid. */
+  def evalStoreRange(store: graft.tsdb.ChunkStore, query: String,
+                     startUs: Long, endUs: Long, stepUs: Long,
+                     lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
+    val ast = requireVector(parse(query))
+    evalExpr(storeSamples(store, ast, startUs, endUs, lookbackUs), ast,
+      Grid(startUs, endUs, stepUs, instant = false), lookbackUs)
+  }
+
+  private def storeSamples(store: graft.tsdb.ChunkStore, ast: Expr,
+                           startUs: Long, endUs: Long, lookbackUs: Long): DataFrame = {
+    val horizon = maxWindowUs(ast, lookbackUs)
+    val ms = soleMatchers(ast).getOrElse(Nil)
+    store.queryAll(ms, startUs - horizon, endUs)
+      .join(store.catalog(), "series_id")
+      .withColumn("event_id", lit(0L))
+  }
+
+  /** Tag each (already matcher-filtered) sample with the grid
+    * instants whose window [t−off−w, t−off] contains it, as column
+    * `g_ts`. Instant grids take the plain-filter fast path (no
+    * explode); range grids map-side-emit `sequence(kLo, kHi)` — the
+    * fan-out is ≤ w/step + 1 per sample, the Prometheus range-query
+    * cost model. Exact integer arithmetic throughout: the ceil-div
+    * for kLo is only trusted where its numerator is ≥ 0 (negative
+    * values clamp to 0 anyway), and kLo > kHi filters BEFORE the
+    * explode — Spark's sequence(a, b) REVERSES when a > b (the
+    * ts_interpolate lesson). */
+  private def windowed(filtered: DataFrame, offsetUs: Long, windowUs: Long,
+                       g: Grid): DataFrame =
+    if (g.instant) {
+      val at = g.startUs - offsetUs
+      filtered
+        .filter(col("ts_us") >= at - windowUs && col("ts_us") <= at)
+        .withColumn("g_ts", lit(g.startUs))
+    } else {
+      val n1 = s"(ts_us + ${offsetUs} - ${g.startUs})"
+      filtered
+        .filter(col("ts_us") + offsetUs + windowUs >= g.startUs &&
+          col("ts_us") + offsetUs <= g.endUs)
+        .withColumn("k_lo",
+          greatest(lit(0L), expr(s"($n1 + ${g.stepUs} - 1) div ${g.stepUs}")))
+        .withColumn("k_hi",
+          least(lit(g.kMax), expr(s"($n1 + ${windowUs}) div ${g.stepUs}")))
+        .filter(col("k_lo") <= col("k_hi"))
+        .withColumn("k", explode(sequence(col("k_lo"), col("k_hi"))))
+        .withColumn("g_ts", col("k") * g.stepUs + g.startUs)
+        .drop("k_lo", "k_hi", "k")
+    }
+
+  private def evalExpr(samples: DataFrame, e: Expr, g: Grid,
                        lookbackUs: Long): DataFrame = e match {
+    case ScalarLit(v) =>
+      throw new IllegalArgumentException(s"scalar $v where a vector is needed")
+
     case Selector(ms, off) =>
       // instant selector: latest sample within the lookback window,
-      // per series — the one-pass struct-max idiom (ts_last_over_time)
-      val at = atUs - off
-      samples
-        .filter(Matcher.all(ms))
-        .filter(col("ts_us") >= at - lookbackUs && col("ts_us") <= at)
-        // labels are functions of series_id — grouping by all three
-        // keeps them WITHOUT first(string) agg buffers, which silently
-        // demote the whole aggregation to SortAggregate (the struct-max
-        // lesson, SURVEY §5)
-        .groupBy(col("series_id"), col("event_type"), col("user_id"))
+      // per series per grid instant — the one-pass struct-max idiom
+      // (ts_last_over_time). Labels are functions of series_id —
+      // grouping by all three keeps them WITHOUT first(string) agg
+      // buffers, which silently demote the whole aggregation to
+      // SortAggregate (the struct-max lesson, SURVEY §5).
+      windowed(samples.filter(Matcher.all(ms)), off, lookbackUs, g)
+        .groupBy(col("series_id"), col("event_type"), col("user_id"), col("g_ts"))
         .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
         .select(col("series_id"), col("event_type"), col("user_id"),
-          col("l.value").as("value"))
+          col("g_ts").as("ts_us"), col("l.value").as("value"))
 
     case RangeFn(fn, Selector(ms, off), dur, param) =>
-      val at = atUs - off
-      val in = samples
-        .filter(Matcher.all(ms))
-        .filter(col("ts_us") >= at - dur && col("ts_us") <= at)
+      val filtered = samples.filter(Matcher.all(ms))
+      val wf = windowed(filtered, off, dur, g)
       // labels ride as group keys, not first() buffers (see Selector)
-      val g = in.groupBy(col("series_id"), col("event_type"), col("user_id"))
+      val gkeys = Seq(col("series_id"), col("event_type"), col("user_id"), col("g_ts"))
+      val outCols = LabelCols.map(col) :+ col("g_ts").as("ts_us")
       def keyed(valueCol: Column, aggs: (String, Column)*): DataFrame =
-        g.agg(aggs.head._2.as(aggs.head._1),
+        wf.groupBy(gkeys: _*)
+          .agg(aggs.head._2.as(aggs.head._1),
             aggs.tail.map { case (n, c) => c.as(n) }: _*)
-          .select((LabelCols.map(col) :+ valueCol.as("value")): _*)
+          .select((outCols :+ valueCol.as("value")): _*)
       fn match {
         case "count_over_time" => keyed(col("n").cast("double"), "n" -> count(lit(1)))
+        case "present_over_time" => keyed(lit(1.0), "n" -> count(lit(1)))
         case "sum_over_time" =>
           keyed(col("s").cast("double"), "s" -> sum(col("value").cast(d2)).cast(d2))
         case "avg_over_time" =>
@@ -382,47 +620,148 @@ object PromQL {
             "l" -> max(struct(col("ts_us"), col("event_id"), col("value"))))
         case "stddev_over_time" =>
           // exact decimal moments, double math once (ts_stddev shape)
-          keyed(sqrt(col("s2").cast("double") / col("n") -
-              (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n"))),
+          keyed(sqrt(greatest(col("s2").cast("double") / col("n") -
+              (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+            lit(0.0))),
             "s1" -> sum(col("value").cast(d6)).cast("decimal(38,6)"),
             "s2" -> sum((col("value") * col("value")).cast(d6)).cast("decimal(38,6)"),
             "n" -> count(lit(1)))
         case "quantile_over_time" =>
           keyed(col("q"),
             "q" -> round(expr(s"percentile(value, ${param.get})"), 6))
-        case "rate" | "increase" =>
+        case "rate" | "increase" | "delta" =>
           val diff = col("l.value") - col("f.value")
-          val v =
-            if (fn == "increase") diff
-            else when(col("l.ts_us") > col("f.ts_us"),
-              diff / ((col("l.ts_us") - col("f.ts_us")) / lit(1000000.0)))
-              .otherwise(lit(0.0))
+          val v = fn match {
+            case "rate" =>
+              when(col("l.ts_us") > col("f.ts_us"),
+                diff / ((col("l.ts_us") - col("f.ts_us")) / lit(1000000.0)))
+                .otherwise(lit(0.0))
+            case _ => diff // increase and delta share the engine's first/last shape
+          }
           keyed(v,
             "f" -> min(struct(col("ts_us"), col("event_id"), col("value"))),
             "l" -> max(struct(col("ts_us"), col("event_id"), col("value"))))
+        case "irate" | "idelta" =>
+          // last TWO samples per (series, grid instant): the custom
+          // TopKPerKey operator — bounded 2-element heaps per map
+          // partition, ≤2 rows per key shuffled, never a full
+          // per-key window sort (the ts_irate shape, keyed by grid)
+          val last2 = graft.plans.TopKPerKey(
+            wf.select("series_id", "event_type", "user_id", "g_ts",
+              "ts_us", "event_id", "value"),
+            Seq("series_id", "event_type", "user_id", "g_ts"),
+            Seq("ts_us" -> graft.plans.TopKPerKey.Desc,
+              "event_id" -> graft.plans.TopKPerKey.Desc), 2)
+          val a = last2.groupBy(gkeys: _*)
+            .agg(count(lit(1)).as("n"),
+              max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"),
+              min(struct(col("ts_us"), col("event_id"), col("value"))).as("p"))
+          val v =
+            if (fn == "idelta")
+              when(col("n") === 2, col("l.value") - col("p.value")).otherwise(lit(0.0))
+            else
+              when(col("n") === 2 && col("l.ts_us") > col("p.ts_us"),
+                (col("l.value") - col("p.value")) /
+                  ((col("l.ts_us") - col("p.ts_us")) / lit(1000000.0)))
+                .otherwise(lit(0.0))
+          a.select((outCols :+ v.as("value")): _*)
+        case "resets" | "changes" =>
+          // adjacency via ONE lag pass over the samples (total order
+          // ts, event_id), then the gridded count — a pair counts at
+          // grid t only if BOTH ends fall inside t's window
+          val w0 = Window.partitionBy(col("series_id"))
+            .orderBy(col("ts_us"), col("event_id"))
+          val paired = filtered
+            .withColumn("prev_v", lag(col("value"), 1).over(w0))
+            .withColumn("prev_ts", lag(col("ts_us"), 1).over(w0))
+          val pf = windowed(paired, off, dur, g)
+          val pairIn = col("prev_ts").isNotNull &&
+            col("prev_ts") >= col("g_ts") - off - dur
+          val hit =
+            if (fn == "resets") pairIn && col("value") < col("prev_v")
+            else pairIn && col("value") =!= col("prev_v")
+          pf.groupBy(gkeys: _*)
+            .agg(sum(when(hit, 1L).otherwise(0L)).cast("double").as("value"))
+            .select((outCols :+ col("value")): _*)
+        case "deriv" | "predict_linear" =>
+          // per-(series, grid) least-squares over exact integer /
+          // DECIMAL sufficient statistics (the linreg shape,
+          // TsOps.scala:511): x = whole seconds since the window
+          // START (small, so the decimal products stay exact at any
+          // epoch), double math once in a fixed expression
+          val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+          val xxDec = org.apache.spark.sql.types.DecimalType(28, 0)
+          val xDec = org.apache.spark.sql.types.DecimalType(10, 0)
+          val a = wf
+            .withColumn("x", expr(s"(ts_us - (g_ts - ${off} - ${dur})) div 1000000"))
+            .withColumn("y", col("value").cast(dec))
+            .groupBy(gkeys: _*)
+            .agg(count(lit(1)).as("n"),
+              sum(col("x")).as("sx"),
+              sum(col("y")).as("sy"),
+              sum(col("x").cast(xDec) * col("y")).as("sxy"),
+              sum((col("x") * col("x")).cast(xxDec)).as("sxx"))
+          val num = col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")
+          val den = col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")
+          val slope = when(den > 0, num / den).otherwise(lit(0.0))
+          val v =
+            if (fn == "deriv") slope
+            else {
+              // PromQL predict_linear: the fit evaluated at the grid
+              // instant + horizon; x_eval = window seconds + horizon
+              val xEval = lit(dur / 1000000L + param.get)
+              col("sy").cast("double") / col("n") +
+                slope * (xEval - col("sx").cast("double") / col("n"))
+            }
+          a.select((outCols :+ v.as("value")): _*)
+        case "absent_over_time" =>
+          // grid instants whose window holds NO matching sample —
+          // the tiny present set broadcasts against the generated
+          // grid (the TsOps.absent anti-join shape)
+          val present = wf.select(col("g_ts")).distinct()
+          gridFrame(samples, g)
+            .join(broadcast(present), Seq("g_ts"), "left_anti")
+            .select(col("g_ts").as("ts_us"), lit(1.0).as("value"))
       }
 
-    case Agg(op, by, arg, param) =>
-      val in = evalExpr(samples, arg, atUs, lookbackUs)
-      val keys = by.map(col)
+    case Agg(op, by, without, arg, param) =>
+      val in = evalExpr(samples, arg, g, lookbackUs)
+      // `without` drops the listed labels (and the synthetic series
+      // identity); the grid instant is never a label — it always
+      // stays a key
+      val keys: Seq[String] =
+        if (without)
+          in.columns.toSeq.filterNot(c => c == "value" || c == "series_id" ||
+            c == "ts_us" || by.contains(c)) :+ "ts_us"
+        else by :+ "ts_us"
+      val keyCols = keys.map(col)
       op match {
         case "topk" | "bottomk" =>
-          // global top-k of an instant vector: TakeOrderedAndProject
-          // (bounded per-partition heaps). The tiebreak is the frame's
-          // full label set — raw vectors break on series_id, aggregated
-          // vectors on their by-labels — so the k-th boundary is total-
-          // ordered either way
           val k = param.get.toInt
-          val ties = in.columns.filterNot(_ == "value").sorted.map(c => col(c).asc)
-          val sorted =
-            if (op == "topk") in.orderBy((col("value").desc +: ties): _*)
-            else in.orderBy((col("value").asc +: ties): _*)
-          sorted.limit(k)
+          val ties = in.columns.filterNot(_ == "value").sorted
+          if (g.instant) {
+            // global top-k of one instant vector: TakeOrderedAndProject
+            // (bounded per-partition heaps); tiebreak = the frame's
+            // full label set, so the k-th boundary is total-ordered
+            val ord =
+              if (op == "topk") col("value").desc +: ties.map(c => col(c).asc)
+              else col("value").asc +: ties.map(c => col(c).asc)
+            in.orderBy(ord.toSeq: _*).limit(k)
+          } else {
+            // per-grid-instant top-k: the TopKPerKey operator keyed by
+            // the grid column (bounded heaps, ≤k rows per instant per
+            // map partition — never a per-instant sort)
+            val dir = if (op == "topk") graft.plans.TopKPerKey.Desc
+              else graft.plans.TopKPerKey.Asc
+            val order = ("value" -> dir) +:
+              ties.filterNot(_ == "ts_us").map(_ -> (graft.plans.TopKPerKey.Asc: graft.plans.TopKPerKey.Dir)).toSeq
+            graft.plans.TopKPerKey(in, Seq("ts_us"), order, k)
+          }
         case "quantile" =>
           val q = param.get
-          if (by.isEmpty)
-            in.agg(round(expr(s"percentile(value, $q)"), 6).as("value"))
-          else in.groupBy(keys: _*)
+          in.groupBy(keyCols: _*)
             .agg(round(expr(s"percentile(value, $q)"), 6).as("value"))
         case _ =>
           val a = op match {
@@ -432,48 +771,140 @@ object PromQL {
             case "max" => max(col("value"))
             case "count" => count(lit(1)).cast("double")
           }
-          if (by.isEmpty) in.agg(a.as("value"))
-          else in.groupBy(keys: _*).agg(a.as("value"))
+          in.groupBy(keyCols: _*).agg(a.as("value"))
       }
 
-    case BinScalar(arg, op, k) =>
-      val in = evalExpr(samples, arg, atUs, lookbackUs)
+    case BinScalar(arg, op, k, scalarLeft, boolMode) =>
+      val in = evalExpr(samples, arg, g, lookbackUs)
+      val v = col("value")
+      def arith(l: Column, r: Column): Column = op match {
+        case "*" => l * r
+        case "/" => l / r
+        case "+" => l + r
+        case "-" => l - r
+        case "%" => l % r
+        case "^" => pow(l, r)
+      }
+      def cmp(l: Column, r: Column): Column = op match {
+        case ">" => l > r
+        case "<" => l < r
+        case ">=" => l >= r
+        case "<=" => l <= r
+        case "==" => l === r
+        case "!=" => l =!= r
+      }
+      if (Set("*", "/", "+", "-", "%", "^").contains(op))
+        in.withColumn("value",
+          if (scalarLeft) arith(lit(k), v) else arith(v, lit(k)))
+      else {
+        val pred = if (scalarLeft) cmp(lit(k), v) else cmp(v, lit(k))
+        if (boolMode)
+          in.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
+        else in.filter(pred)
+      }
+
+    case Func(fn, arg, params) =>
+      val in = evalExpr(samples, arg, g, lookbackUs)
+      fn match {
+        case "absent" =>
+          // empty input vector → {value: 1} per grid instant; any
+          // match at an instant suppresses it (anti-join against the
+          // tiny distinct of occupied instants)
+          val present = in.select(col("ts_us").as("g_ts")).distinct()
+          gridFrame(samples, g)
+            .join(broadcast(present), Seq("g_ts"), "left_anti")
+            .select(col("g_ts").as("ts_us"), lit(1.0).as("value"))
+        case _ =>
+          val v = col("value")
+          val out = fn match {
+            case "abs" => abs(v)
+            case "ceil" => ceil(v).cast("double")
+            case "floor" => floor(v).cast("double")
+            case "exp" => exp(v)
+            case "ln" => log(v)
+            case "log2" => log2(v)
+            case "log10" => log10(v)
+            case "sqrt" => sqrt(v)
+            case "sgn" => signum(v)
+            case "round" =>
+              // PromQL round: ties toward +Inf, optional to_nearest
+              val to = params.headOption.getOrElse(1.0)
+              floor(v / to + 0.5) * to
+            case "clamp_min" => greatest(v, lit(params.head))
+            case "clamp_max" => least(v, lit(params.head))
+            case "clamp" =>
+              val Seq(lo, hi) = params
+              // PromQL: min > max yields an empty-ish NaN; keep the
+              // deterministic order least(greatest(v, lo), hi)
+              least(greatest(v, lit(lo)), lit(hi))
+          }
+          in.withColumn("value", out)
+      }
+
+    case BinVec(l, op, on, r, boolMode) =>
+      // both sides are instant vectors per grid instant; match on
+      // `on(...)` labels + the grid instant, or on every shared label
+      // column (series identity for raw vectors). Inner match:
+      // unpaired entries drop, as in PromQL. (PromQL's 1:1
+      // cardinality check is the caller's contract — a many-to-many
+      // on() match fans out like the join it is.)
+      val lf = evalExpr(samples, l, g, lookbackUs)
+      val rf = evalExpr(samples, r, g, lookbackUs)
       op match {
-        case "*" => in.withColumn("value", col("value") * k)
-        case "/" => in.withColumn("value", col("value") / k)
-        case "+" => in.withColumn("value", col("value") + k)
-        case "-" => in.withColumn("value", col("value") - k)
-        case ">" => in.filter(col("value") > k)
-        case "<" => in.filter(col("value") < k)
-        case ">=" => in.filter(col("value") >= k)
-        case "<=" => in.filter(col("value") <= k)
+        case "and" | "unless" =>
+          // set ops keep the LEFT side's labels and values; the right
+          // side only contributes its key set (distinct → usually
+          // broadcastable)
+          val keys =
+            if (on.nonEmpty) on :+ "ts_us"
+            else (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
+          val jt = if (op == "and") "left_semi" else "left_anti"
+          lf.join(rf.select(keys.map(col): _*).distinct(), keys.toSeq, jt)
+        case "or" =>
+          // left wins on label-set collision; the right side's
+          // survivors union in. Requires congruent shapes (same
+          // label columns), as PromQL's or effectively does.
+          require(lf.columns.sorted.sameElements(rf.columns.sorted),
+            s"or needs congruent vectors, got ${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}")
+          val keys = lf.columns.filterNot(_ == "value").toSeq
+          val rOnly = rf.join(lf.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          lf.unionByName(rOnly)
+        case _ =>
+          val keys =
+            if (on.nonEmpty) on :+ "ts_us"
+            else (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
+          require(keys.exists(_ != "ts_us"),
+            "no shared labels to match on — use on(...)")
+          val lv = lf.select(keys.map(col) :+ col("value").as("lv"): _*)
+          val rv = rf.select(keys.map(col) :+ col("value").as("rv"): _*)
+          val j = lv.join(rv, keys.toSeq)
+          val out = op match {
+            case "*" => j.withColumn("value", col("lv") * col("rv"))
+            case "/" => j.withColumn("value", col("lv") / col("rv"))
+            case "+" => j.withColumn("value", col("lv") + col("rv"))
+            case "-" => j.withColumn("value", col("lv") - col("rv"))
+            case "%" => j.withColumn("value", col("lv") % col("rv"))
+            case "^" => j.withColumn("value", pow(col("lv"), col("rv")))
+            case c =>
+              val pred = c match {
+                case ">" => col("lv") > col("rv")
+                case "<" => col("lv") < col("rv")
+                case ">=" => col("lv") >= col("rv")
+                case "<=" => col("lv") <= col("rv")
+                case "==" => col("lv") === col("rv")
+                case "!=" => col("lv") =!= col("rv")
+              }
+              if (boolMode)
+                j.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
+              else j.filter(pred).withColumn("value", col("lv"))
+          }
+          out.select(keys.map(col) :+ col("value"): _*)
       }
-
-    case BinVec(l, op, on, r) =>
-      // both sides are instant vectors; match on `on(...)` labels, or
-      // on every shared label column (series identity for raw
-      // vectors). Inner match: unpaired entries drop, as in PromQL.
-      // (PromQL's 1:1 cardinality check is the caller's contract —
-      // a many-to-many on() match fans out like the join it is.)
-      val lf = evalExpr(samples, l, atUs, lookbackUs)
-      val rf = evalExpr(samples, r, atUs, lookbackUs)
-      val keys =
-        if (on.nonEmpty) on
-        else (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
-      require(keys.nonEmpty, "no shared labels to match on — use on(...)")
-      val lv = lf.select(keys.map(col) :+ col("value").as("lv"): _*)
-      val rv = rf.select(keys.map(col) :+ col("value").as("rv"): _*)
-      val j = lv.join(rv, keys)
-      val out = op match {
-        case "*" => j.withColumn("value", col("lv") * col("rv"))
-        case "/" => j.withColumn("value", col("lv") / col("rv"))
-        case "+" => j.withColumn("value", col("lv") + col("rv"))
-        case "-" => j.withColumn("value", col("lv") - col("rv"))
-        case ">" => j.filter(col("lv") > col("rv")).withColumn("value", col("lv"))
-        case "<" => j.filter(col("lv") < col("rv")).withColumn("value", col("lv"))
-        case ">=" => j.filter(col("lv") >= col("rv")).withColumn("value", col("lv"))
-        case "<=" => j.filter(col("lv") <= col("rv")).withColumn("value", col("lv"))
-      }
-      out.select(keys.map(col) :+ col("value"): _*)
   }
+
+  /** The full grid as a tiny generated frame (kMax+1 rows) — the
+    * spine for absent()-style anti-joins. */
+  private def gridFrame(samples: DataFrame, g: Grid): DataFrame =
+    samples.sparkSession.range(g.kMax + 1)
+      .select((col("id") * g.stepUs + g.startUs).as("g_ts"))
 }

@@ -1,12 +1,15 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.promql.PromQL
 import graft.tsdb.{MatchEq, MatchRe, Series, TsOps}
 
 /** The PromQL front door: parser shapes, matcher semantics, and —
   * the load-bearing property — that a parsed query evaluates to the
-  * SAME result as its hand-built TsOps/DataFrame composition. */
+  * SAME result as its hand-built TsOps/DataFrame composition, and
+  * that a RANGE query's one-plan grid evaluation equals the instant
+  * evaluation at every grid point. */
 class PromqlSpec extends SparkSpec {
   import spark.implicits._
 
@@ -27,8 +30,8 @@ class PromqlSpec extends SparkSpec {
   test("parser: selectors, durations, params, by-grouping, precedence, errors") {
     val e = PromQL.parse("""sum by (event_type) (rate({event_type=~"click|view", user_id!="9"}[5m])) > 0.5""")
     e match {
-      case PromQL.BinScalar(PromQL.Agg("sum", Seq("event_type"),
-          PromQL.RangeFn("rate", PromQL.Selector(ms, 0L), dur, None), None), ">", 0.5) =>
+      case PromQL.BinScalar(PromQL.Agg("sum", Seq("event_type"), false,
+          PromQL.RangeFn("rate", PromQL.Selector(ms, 0L), dur, None), None), ">", 0.5, false, false) =>
         assert(dur == 5L * 60L * 1000000L)
         assert(ms == Seq(MatchRe("event_type", "click|view"),
           graft.tsdb.MatchNeq("user_id", "9")))
@@ -39,8 +42,54 @@ class PromqlSpec extends SparkSpec {
     PromQL.parse("""quantile_over_time(0.9, {a="b"}[2h])""")
     PromQL.parse("""topk(3, sum by (event_type) (count_over_time({}[1d])))""")
     intercept[IllegalArgumentException](PromQL.parse("""sum({a="b"""))
-    intercept[IllegalArgumentException](PromQL.parse("""nope({a="b"}[5m])"""))
+    intercept[IllegalArgumentException](PromQL.parse("""nope2 3({a="b"}[5m])"""))
     intercept[IllegalArgumentException](PromQL.parse("""{a="b"} extra"""))
+  }
+
+  test("parser: bare metric names desugar to event_type matchers") {
+    assert(PromQL.parse("""click{user_id="1"}""") ==
+      PromQL.parse("""{event_type="click", user_id="1"}"""))
+    assert(PromQL.parse("""rate(click[5m])""") ==
+      PromQL.parse("""rate({event_type="click"}[5m])"""))
+    assert(PromQL.parse("""click offset 1h""") ==
+      PromQL.Selector(Seq(MatchEq("event_type", "click")), hu))
+  }
+
+  test("parser: operator precedence ladder and constant folding") {
+    // * binds tighter than +: a + b*2 = a + (b*2)
+    PromQL.parse("""{a="1"} + {b="2"} * 2""") match {
+      case PromQL.BinVec(PromQL.Selector(_, _), "+", Nil,
+          PromQL.BinScalar(PromQL.Selector(_, _), "*", 2.0, false, false), false) => ()
+      case other => fail(s"precedence broke: $other")
+    }
+    // comparisons bind looser than arithmetic
+    PromQL.parse("""{a="1"} * 2 > 3""") match {
+      case PromQL.BinScalar(PromQL.BinScalar(_, "*", 2.0, false, false), ">", 3.0, false, false) => ()
+      case other => fail(s"precedence broke: $other")
+    }
+    // scalar-scalar folds; scalar on the left is marked
+    assert(PromQL.parse("""{a="1"} * (2 + 3)""") ==
+      PromQL.BinScalar(PromQL.Selector(Seq(MatchEq("a", "1"))), "*", 5.0))
+    PromQL.parse("""1 - {a="1"}""") match {
+      case PromQL.BinScalar(_, "-", 1.0, true, false) => ()
+      case other => fail(s"scalar-left lost: $other")
+    }
+    // and/unless bind looser than comparison, or loosest
+    PromQL.parse("""{a="1"} > 1 and {b="2"} or {c="3"}""") match {
+      case PromQL.BinVec(PromQL.BinVec(PromQL.BinScalar(_, ">", 1.0, false, false),
+          "and", Nil, _, false), "or", Nil, _, false) => ()
+      case other => fail(s"set-op precedence broke: $other")
+    }
+    // bool modifier on comparisons
+    PromQL.parse("""{a="1"} > bool 1""") match {
+      case PromQL.BinScalar(_, ">", 1.0, false, true) => ()
+      case other => fail(s"bool lost: $other")
+    }
+    // without aggregation modifier
+    PromQL.parse("""sum without (user_id) (click)""") match {
+      case PromQL.Agg("sum", Seq("user_id"), true, _, None) => ()
+      case other => fail(s"without lost: $other")
+    }
   }
 
   test("instant selector: latest sample within lookback, per series") {
@@ -67,6 +116,67 @@ class PromqlSpec extends SparkSpec {
     assert(viaQL == viaOp)
   }
 
+  test("new range functions: delta, irate, idelta, resets, changes, present/absent_over_time") {
+    val at = 2L * hu
+    // delta = last - first per series (user 1: 40-10, user 2: 7-5)
+    val d = PromQL.eval(ev, """delta(click[2h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(d == Seq((1L, 30.0), (2L, 2.0)))
+    // irate = rate of the LAST TWO samples (user 1: (40-20)/3600; user 2
+    // has its two samples 2h apart: (7-5)/7200)
+    val ir = PromQL.eval(ev, """irate(click[2h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toMap
+    assert(math.abs(ir(1L) - 20.0 / 3600) < 1e-12)
+    assert(math.abs(ir(2L) - 2.0 / 7200) < 1e-12)
+    // idelta = last-two value difference
+    val id = PromQL.eval(ev, """idelta(click[2h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(id == Seq((1L, 20.0), (2L, 2.0)))
+    // a counter that resets once and changes twice
+    val rev = Seq(
+      (1L, 0L * h, 1L, "c", 10.0), (2L, 1L * h, 1L, "c", 4.0),
+      (3L, 2L * h, 1L, "c", 4.0), (4L, 3L * h, 1L, "c", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rs = PromQL.eval(rev, """resets({event_type="c"}[3h])""", 3L * hu)
+      .select("value").as[Double].collect().toSeq
+    assert(rs == Seq(1.0))
+    val ch = PromQL.eval(rev, """changes({event_type="c"}[3h])""", 3L * hu)
+      .select("value").as[Double].collect().toSeq
+    assert(ch == Seq(2.0))
+    // window clipping: at t=3h with a 2h window, the pair (0h→1h) falls
+    // outside — only in-window adjacencies count
+    val rs2 = PromQL.eval(rev, """resets({event_type="c"}[2h])""", 3L * hu)
+      .select("value").as[Double].collect().toSeq
+    assert(rs2 == Seq(0.0))
+    // presence
+    assert(PromQL.eval(ev, """present_over_time(view[2h])""", at)
+      .select("value").as[Double].collect().toSeq == Seq(1.0))
+    assert(PromQL.eval(ev, """absent_over_time(nosuch[2h])""", at)
+      .select("value").as[Double].collect().toSeq == Seq(1.0))
+    assert(PromQL.eval(ev, """absent_over_time(view[2h])""", at).count() == 0)
+  }
+
+  test("deriv and predict_linear match the linreg moments") {
+    val at = 2L * hu
+    // user 1 clicks: (0h,10) (1h,20) (2h,40) — least-squares slope
+    // over x in seconds: slope = cov/var = 15/3600^2... compute directly
+    val xs = Seq(0.0, 3600.0, 7200.0); val ys = Seq(10.0, 20.0, 40.0)
+    val n = 3.0
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val dv = PromQL.eval(ev, """deriv({event_type="click", user_id="1"}[2h])""", at)
+      .select("value").as[Double].collect().head
+    assert(math.abs(dv - slope) < 1e-12)
+    // predict_linear at +1h: mean + slope * (x_eval - x_bar),
+    // x_eval = window seconds + horizon
+    val pv = PromQL.eval(ev, """predict_linear({event_type="click", user_id="1"}[2h], 3600)""", at)
+      .select("value").as[Double].collect().head
+    val expect = sy / n + slope * ((7200.0 + 3600.0) - sx / n)
+    assert(math.abs(pv - expect) < 1e-9)
+  }
+
   test("aggregation, topk, scalar math, comparison filter") {
     val at = 2L * hu
     // sum by (event_type) of count_over_time == groupBy count
@@ -77,7 +187,7 @@ class PromqlSpec extends SparkSpec {
     val top = PromQL.eval(ev, """topk(1, sum_over_time({event_type="click"}[2h]))""", at)
       .select("user_id", "value").as[(Long, Double)].collect().toSeq
     assert(top == Seq((1L, 70.0)))
-    // scalar chain is left-associative; comparison drops samples
+    // scalar chain respects precedence; comparison drops samples
     val filtered = PromQL.eval(ev,
       """sum by (event_type) (count_over_time({}[2h])) * 10 > 15""", at)
       .select("event_type", "value").as[(String, Double)].collect().toMap
@@ -86,6 +196,51 @@ class PromqlSpec extends SparkSpec {
     val q = PromQL.eval(ev, """quantile(0.5, count_over_time({event_type="click"}[2h]))""", at)
       .select("value").as[Double].collect().head
     assert(q == 2.5) // series counts [2, 3]
+  }
+
+  test("without-aggregation, math functions, bool, scalar-left") {
+    val at = 2L * hu
+    // without(series_id is implicit, user_id) == by(event_type)
+    val g = PromQL.eval(ev, """sum without (user_id) (count_over_time({}[2h]))""", at)
+      .select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(g == Map("click" -> 5.0, "purchase" -> 2.0, "view" -> 1.0))
+    // math chain: clamp_max(abs(1 - v), k)
+    val m = PromQL.eval(ev,
+      """clamp_max(abs(1 - sum by (event_type) (count_over_time({}[2h]))), 3)""", at)
+      .select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(m == Map("click" -> 3.0, "purchase" -> 1.0, "view" -> 0.0))
+    // round half-up to nearest 0.5; sgn; bool comparison
+    val r = PromQL.eval(ev, """round(sum by (event_type) (count_over_time({}[2h])) / 2, 0.5)""", at)
+      .select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(r == Map("click" -> 2.5, "purchase" -> 1.0, "view" -> 0.5))
+    val b = PromQL.eval(ev, """sum by (event_type) (count_over_time({}[2h])) >= bool 2""", at)
+      .select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(b == Map("click" -> 1.0, "purchase" -> 1.0, "view" -> 0.0))
+    // absent() on an instant vector
+    assert(PromQL.eval(ev, """absent({event_type="nosuch"})""", at)
+      .select("value").as[Double].collect().toSeq == Seq(1.0))
+    assert(PromQL.eval(ev, """absent({event_type="view"})""", at).count() == 0)
+  }
+
+  test("set operators: and, unless, or") {
+    val at = 2L * hu
+    // click-series AND purchase-series matched on user_id → user 1 only,
+    // click's values survive
+    val a = PromQL.eval(ev,
+      """count_over_time(click[2h]) and on (user_id) count_over_time(purchase[2h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    assert(a == Seq((1L, 3.0)))
+    // unless drops the matched entry
+    val u = PromQL.eval(ev,
+      """count_over_time(click[2h]) unless on (user_id) count_over_time(purchase[2h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    assert(u == Seq((2L, 2.0)))
+    // or unions, left wins on collision (congruent raw vectors)
+    val o = PromQL.eval(ev,
+      """count_over_time(click[2h]) or count_over_time(view[2h])""", at)
+      .select("event_type", "user_id", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(o == Seq(("click", 1L, 3.0), ("click", 2L, 2.0), ("view", 11L, 1.0)))
   }
 
   test("vector-vector binary op with on(...) matching — the ratio shape") {
@@ -111,6 +266,51 @@ class PromqlSpec extends SparkSpec {
     assert(out == Seq((1L, 20.0), (2L, 5.0)))
   }
 
+  /** The range-grid property: evalRange(start,end,step) must equal
+    * the union over grid instants t of eval(..., t) ⊎ {ts_us → t} —
+    * the one-plan grid evaluation IS per-instant semantics. */
+  private def rangeMatchesInstants(df: DataFrame, q: String,
+                                   startUs: Long, endUs: Long, stepUs: Long): Unit = {
+    val ranged = PromQL.evalRange(df, q, startUs, endUs, stepUs)
+    val cols = ranged.columns.sorted.toSeq
+    val got = ranged.select(cols.map(col): _*).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val want = (startUs to endUs by stepUs).flatMap { t =>
+      PromQL.eval(df, q, t).withColumn("ts_us", lit(t))
+        .select(cols.map(col): _*).collect().map(_.toSeq)
+    }.sortBy(_.mkString("|"))
+    assert(got == want, s"range grid diverged from instant evals for: $q")
+  }
+
+  test("range queries: the one-plan grid equals per-instant evaluation") {
+    val qs = Seq(
+      """{event_type="click"}""",
+      """sum_over_time(click[90m])""",
+      """rate(click[2h])""",
+      """irate(click[2h])""",
+      """resets({event_type="click"}[2h])""",
+      """deriv(click[2h])""",
+      """sum by (event_type) (count_over_time({}[1h]))""",
+      """count_over_time(purchase[2h]) / on (user_id) count_over_time(click[2h])""",
+      """clamp_max(sum by (event_type) (sum_over_time({}[1h])), 25)""")
+    // off-phase grid (start not sample-aligned) catches boundary math
+    qs.foreach(q => rangeMatchesInstants(ev, q, 30L * 60000000L, 2L * hu + 30L * 60000000L, hu / 2))
+    // absent over a grid: instants before the first view sample
+    rangeMatchesInstants(ev, """absent_over_time(view[1h])""", 0L, 2L * hu, hu)
+  }
+
+  test("range topk is per grid instant") {
+    val out = PromQL.evalRange(ev,
+      """topk(1, sum by (event_type) (count_over_time({}[1h])))""",
+      hu, 2L * hu, hu)
+      .select("ts_us", "event_type", "value").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    // t=1h: clicks 1 within (0,1h]... counts: window [0,1h] has 2 clicks
+    // +1 purchase → click wins; t=2h: window [1h,2h] has 3 clicks → click
+    assert(out.map(_._2) == Seq("click", "click"))
+    assert(out.map(_._1) == Seq(hu, 2L * hu))
+  }
+
   test("a parsed dashboard query plans with matcher pushdown (no post-hoc filtering of the full corpus)") {
     val df = PromQL.eval(spark.read.parquet(s"$sfDir/events.parquet"),
       """sum by (event_type) (sum_over_time({event_type=~"click|purchase"}[7d]))""",
@@ -119,5 +319,17 @@ class PromqlSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") || plan.contains("Filter"), plan.take(600))
     assert(!plan.contains("SortAggregate"), "promql agg fell out of HashAggregate")
+  }
+
+  test("a range query is ONE job with bounded fan-out, not a per-step loop") {
+    val df = PromQL.evalRange(spark.read.parquet(s"$sfDir/events.parquet"),
+      """sum by (event_type) (count_over_time({event_type=~"click|view"}[6h]))""",
+      1705276800000000L, 1705363200000000L, 6L * hu)
+    // one logical plan evaluates the whole grid — a single explode
+    // (the grid emit) and hash aggregations, never N plans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "grid emit missing")
+    assert(!plan.contains("SortAggregate"), "gridded agg fell out of HashAggregate")
+    assert(df.count() > 0)
   }
 }
