@@ -132,6 +132,37 @@ object SparkEntry {
       """topk(3, sum by (event_type) (sum_over_time({user_id!~"1.*"}[12h])))""",
       T2)),
 
+    // RANGE query (the /api/v1/query_range / Grafana-panel shape): the
+    // whole 4-instant grid evaluates as ONE distributed plan — samples
+    // map-side-emit their grid instants (fan-out ≤ window/step + 1),
+    // the aggregation runs keyed by (event_type, grid_ts)
+    "promql_range" -> ((s, dir) => graft.promql.PromQL.evalRange(
+      t(s, dir, "events"),
+      """sum by (event_type) (sum_over_time({event_type=~"click|view"}[6h]))""",
+      T0 + 21600000000L, T0 + 86400000000L, 21600000000L)),
+
+    // irate through the parsed front door: last-2-per-series is the
+    // TopKPerKey bounded-heap operator keyed by (series, grid). Probed
+    // live: 15/60 purchase series have ≥2 samples in the 1d window at
+    // sf0.01 (132/549 at sf0.1) — both the 0.0 and nonzero states occur
+    "promql_irate" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """irate(purchase[1d])""", T2)),
+
+    // math + set-op composition: clamp_max clips 2 series at sf0.01
+    // (13 at sf0.1 — probed, the vacuous-match discipline) and unless
+    // drops click-series whose user also purchased (32/48 survive)
+    "promql_setop" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """clamp_max(count_over_time(click[1d]), 2) unless on (user_id) count_over_time(purchase[1d])""",
+      T2)),
+
+    // predict_linear: per-series least-squares over exact decimal
+    // moments, evaluated 1h past the instant. 27/88 view series are
+    // multi-sample in the 2d window at sf0.01 (332/896 at sf0.1) —
+    // sloped and flat (single-sample) states both live
+    "promql_predict" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """predict_linear({event_type="view"}[2d], 3600)""", T2)),
+
     // now = 2024-02-01: every recency is positive and the quartile
     // spread is live (probed: scores span 1..4 on all three axes)
     "events_rfm" -> ((s, dir) => TsOps.rfm(t(s, dir, "events"), 1706745600000000L)),
@@ -1719,6 +1750,69 @@ object SparkEntry {
                   AND epoch_us(ts) BETWEEN $T2 - 43200000000 AND $T2
                 GROUP BY 1)
           SELECT event_type, value FROM g ORDER BY value DESC, event_type ASC LIMIT 3""",
+
+    // per-(event_type, grid-instant) decimal sum over the inclusive
+    // 6h window at each of the 4 grid instants (flat decimal sum ==
+    // the engine's per-series-then-across-series two-stage: d2 sums
+    // are double-exact at this magnitude, see promql_eval)
+    "promql_range" ->
+      s"""WITH g AS (SELECT ${T0} + 21600000000 * k AS t FROM range(1, 5) r(k)),
+          s AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+                WHERE event_type IN ('click', 'view'))
+          SELECT s.event_type, g.t AS ts_us,
+                 CAST(sum(CAST(s.value AS DECIMAL(28,2))) AS DOUBLE) AS value
+          FROM g JOIN s ON s.ts_us BETWEEN g.t - 21600000000 AND g.t
+          GROUP BY 1, 2""",
+
+    "promql_irate" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   epoch_us(ts) AS ts_us, event_id, value FROM events
+                WHERE event_type = 'purchase'
+                  AND epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY series_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn FROM s)
+          SELECT series_id, event_type, user_id,
+                 CASE WHEN count(*) = 2
+                        AND last(ts_us ORDER BY ts_us, event_id) > first(ts_us ORDER BY ts_us, event_id)
+                      THEN (last(value ORDER BY ts_us, event_id) - first(value ORDER BY ts_us, event_id))
+                           / ((last(ts_us ORDER BY ts_us, event_id) - first(ts_us ORDER BY ts_us, event_id)) / 1000000.0)
+                      ELSE 0.0 END AS value
+          FROM r WHERE rn <= 2 GROUP BY 1, 2, 3""",
+
+    "promql_setop" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   LEAST(CAST(count(*) AS DOUBLE), 2.0) AS value
+                FROM events
+                WHERE event_type = 'click'
+                  AND epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2, 3)
+          SELECT * FROM c WHERE user_id NOT IN
+            (SELECT user_id FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2)""",
+
+    // least-squares moments mirrored from the engine: x = whole
+    // seconds since the window start (exact integer), y through
+    // DECIMAL(18,2), slope/prediction in double with the identical
+    // expression shape (x_eval = 172800 window seconds + 3600 horizon)
+    "promql_predict" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   (epoch_us(ts) - ($T2 - 172800000000)) // 1000000 AS x,
+                   CAST(value AS DECIMAL(18,2)) AS y FROM events
+                WHERE event_type = 'view'
+                  AND epoch_us(ts) BETWEEN $T2 - 172800000000 AND $T2),
+          a AS (SELECT series_id, event_type, user_id, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+                   sum(CAST(x * x AS DECIMAL(28,0))) AS sxx
+                FROM s GROUP BY 1, 2, 3)
+          SELECT series_id, event_type, user_id,
+                 CAST(sy AS DOUBLE) / n +
+                 (CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       THEN (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       ELSE 0.0 END) * (176400.0 - CAST(sx AS DOUBLE) / n) AS value
+          FROM a""",
 
     "ts_ewma" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

@@ -64,6 +64,7 @@ final class HttpEndpoint(
     readPath: String = "/api/v1/read",
     writePath: String = "/api/v1/write",
     queryPath: String = "/api/v1/query",
+    queryRangePath: String = "/api/v1/query_range",
     workerNum: Int = 4,
     spool: Option[String] = None) {
 
@@ -125,6 +126,7 @@ final class HttpEndpoint(
       case p if p == writePath => handleWrite(ex, body)
       case p if p == readPath => handleRead(ex, body)
       case p if p == queryPath => handleQuery(ex)
+      case p if p == queryRangePath => handleQueryRange(ex)
       case _ => ex.sendResponseHeaders(404, -1)
     }
   }
@@ -139,15 +141,63 @@ final class HttpEndpoint(
     * (per-series or per-group cardinality) materializes on the
     * driver. Malformed PromQL answers 400 with `"status":"error"` —
     * the evaluator's typed parse errors surface as bad_data. */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val k = if (i < 0) kv else kv.substring(0, i)
+        val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+        k -> v
+      }.toMap
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** A result row's label set as the JSON `metric` object (series_id
+    * is the engine's synthetic identity, not a Prometheus label). */
+  private def metricJson(labelCols: Array[String], r: org.apache.spark.sql.Row): String =
+    labelCols.map(c =>
+      s"${jstr(c)}:${jstr(Option(r.getAs[Any](c)).map(_.toString).getOrElse(""))}")
+      .mkString("{", ",", "}")
+
+  private def sendJson(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def sendPromError(ex: HttpExchange, e: IllegalArgumentException): Unit =
+    sendJson(ex, 400,
+      "{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":\"" +
+        Option(e.getMessage).getOrElse("").replace("\\", "\\\\").replace("\"", "\\\"") +
+        "\"}")
+
+  /** `step`/duration parameters accept Prometheus spellings: a float
+    * second count ("15", "0.5") or a duration literal ("15s", "1m"). */
+  private def durationUs(s: String): Long = {
+    val m = "^([0-9]+)([smhdw])$".r
+    s match {
+      case m(n, u) =>
+        n.toLong * (u match {
+          case "s" => 1000000L
+          case "m" => 60000000L
+          case "h" => 3600000000L
+          case "d" => 86400000000L
+          case "w" => 604800000000L
+        })
+      case _ => (s.toDouble * 1e6).toLong
+    }
+  }
+
   private def handleQuery(ex: HttpExchange): Unit =
     try {
-      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        .split("&").filter(_.nonEmpty).map { kv =>
-          val i = kv.indexOf('=')
-          val k = if (i < 0) kv else kv.substring(0, i)
-          val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
-          k -> v
-        }.toMap
+      val params = queryParams(ex)
       val q = params.getOrElse("query",
         throw new IllegalArgumentException("missing query parameter"))
       val atUs = params.get("time")
@@ -155,37 +205,62 @@ final class HttpEndpoint(
         .getOrElse(System.currentTimeMillis() * 1000L)
       val df = graft.promql.PromQL.evalStore(store, q, atUs)
       val labelCols = df.columns.filterNot(c => c == "value" || c == "series_id")
-      def jstr(s: String) =
-        "\"" + s.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        } + "\""
       val rows = df.collect().map { r =>
-        val metric = labelCols.map(c =>
-          s"${jstr(c)}:${jstr(Option(r.getAs[Any](c)).map(_.toString).getOrElse(""))}")
-          .mkString("{", ",", "}")
-        val v = r.getAs[Any]("value") match {
-          case d: java.lang.Double => d.toString
-          case other => other.toString
-        }
-        s"""{"metric":$metric,"value":[${atUs / 1e6},${jstr(v)}]}"""
+        val v = r.getAs[Any]("value").toString
+        s"""{"metric":${metricJson(labelCols, r)},"value":[${atUs / 1e6},${jstr(v)}]}"""
       }
-      val json =
-        s"""{"status":"success","data":{"resultType":"vector","result":[${rows.mkString(",")}]}}"""
-      val bytes = json.getBytes("UTF-8")
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
+      sendJson(ex, 200,
+        s"""{"status":"success","data":{"resultType":"vector","result":[${rows.mkString(",")}]}}""")
     } catch {
-      case e: IllegalArgumentException =>
-        val msg = ("{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":\"" +
-          Option(e.getMessage).getOrElse("").replace("\\", "\\\\").replace("\"", "\\\"") +
-          "\"}").getBytes("UTF-8")
-        ex.getResponseHeaders.set("Content-Type", "application/json")
-        ex.sendResponseHeaders(400, msg.length.toLong)
-        ex.getResponseBody.write(msg)
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  /** Prometheus HTTP range-query API (`GET /api/v1/query_range?query=…
+    * &start=…&end=…&step=…`): the Grafana panel call. The WHOLE grid
+    * evaluates as ONE distributed plan ([[graft.promql.PromQL
+    * .evalStoreRange]] — samples map-side-emit their grid instants,
+    * per-instant aggregations run keyed by (labels, grid_ts)); never
+    * a per-step loop of instant queries. Only the grid result
+    * (series × points, the panel's own size) materializes on the
+    * driver, grouped into the standard `resultType: matrix` JSON. */
+  private def handleQueryRange(ex: HttpExchange): Unit =
+    try {
+      val params = queryParams(ex)
+      def need(k: String) = params.getOrElse(k,
+        throw new IllegalArgumentException(s"missing $k parameter"))
+      val q = need("query")
+      val startUs = (need("start").toDouble * 1e6).toLong
+      val endUs = (need("end").toDouble * 1e6).toLong
+      val stepUs = durationUs(need("step"))
+      if (stepUs <= 0) throw new IllegalArgumentException("step must be positive")
+      if (endUs < startUs) throw new IllegalArgumentException("end < start")
+      // same guard as Prometheus: refuse grids that would materialize
+      // an unbounded driver-side result
+      if ((endUs - startUs) / stepUs > 11000)
+        throw new IllegalArgumentException("grid exceeds 11000 points; widen the step")
+      val df = graft.promql.PromQL.evalStoreRange(store, q, startUs, endUs, stepUs)
+      val labelCols = df.columns.filterNot(c =>
+        c == "value" || c == "series_id" || c == "ts_us")
+      // group the bounded matrix by label set, values time-ascending
+      val grouped = new scala.collection.mutable.LinkedHashMap[
+        String, scala.collection.mutable.ArrayBuffer[(Long, String)]]()
+      df.collect().foreach { r =>
+        val key = metricJson(labelCols, r)
+        val t = r.getAs[Long]("ts_us")
+        val v = r.getAs[Any]("value").toString
+        grouped.getOrElseUpdate(key,
+          new scala.collection.mutable.ArrayBuffer[(Long, String)]()) += ((t, v))
+      }
+      val series = grouped.map { case (metric, vs) =>
+        val values = vs.sortBy(_._1)
+          .map { case (t, v) => s"[${t / 1e6},${jstr(v)}]" }.mkString(",")
+        s"""{"metric":$metric,"values":[$values]}"""
+      }
+      sendJson(ex, 200,
+        s"""{"status":"success","data":{"resultType":"matrix","result":[${series.mkString(",")}]}}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
       case _: Exception => ex.sendResponseHeaders(500, -1)
     }
 

@@ -103,6 +103,31 @@ class HttpEndpointSpec extends SparkSpec {
       val (badCode, badBody) = get(s"/api/v1/query?query=${java.net.URLEncoder.encode("nope(", "UTF-8")}&time=$atS")
       assert(badCode == 400 && badBody.contains("\"status\":\"error\""), badBody)
       assert(get(s"/api/v1/query?query=$q&time=$atS")._1 == 200)
+
+      // ── /api/v1/query_range: the Grafana panel call ──
+      // 3-point grid over the same data; the matrix groups values per
+      // label set, time-ascending
+      val rq = java.net.URLEncoder.encode(
+        """sum by (event_type) (count_over_time({event_type="click"}[1m]))""", "UTF-8")
+      val startS = t0 / 1000.0
+      val endS = (t0 + 120000L) / 1000.0
+      val (rc, rbody) = get(s"/api/v1/query_range?query=$rq&start=$startS&end=$endS&step=60")
+      assert(rc == 200, rbody)
+      assert(rbody.startsWith("""{"status":"success","data":{"resultType":"matrix""""), rbody)
+      // inclusive [t-1m, t] windows: t0 holds 1 click; t0+60s holds the
+      // t0 sample plus both 60s samples = 3; t0+120s holds the two 60s
+      // samples = 2
+      assert(rbody.contains(""""metric":{"event_type":"click"}"""), rbody)
+      val values = """\[([0-9.E]+),"([0-9.]+)"\]""".r
+        .findAllMatchIn(rbody).map(m => m.group(2).toDouble).toSeq
+      assert(values == Seq(1.0, 3.0, 2.0), rbody)
+      // parameter validation → 400 envelopes, server stays up
+      assert(get(s"/api/v1/query_range?query=$rq&start=$endS&end=$startS&step=60")._1 == 400)
+      assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=$endS&step=0")._1 == 400)
+      assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=$endS")._1 == 400)
+      // an 86400-point grid at step 1s over a day → refused (11k guard)
+      assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=${startS + 86400}&step=1")._1 == 400)
+      assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=$endS&step=1m")._1 == 200)
     } finally endpoint.stop()
   }
 

@@ -286,6 +286,7 @@ class PromqlSpec extends SparkSpec {
     val qs = Seq(
       """{event_type="click"}""",
       """sum_over_time(click[90m])""",
+      """sum_over_time(click[90m] offset 1h)""",
       """rate(click[2h])""",
       """irate(click[2h])""",
       """resets({event_type="click"}[2h])""",
