@@ -163,6 +163,14 @@ object SparkEntry {
     "promql_predict" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"), """predict_linear({event_type="view"}[2d], 3600)""", T2)),
 
+    // SUBQUERY (the `expr[d:step]` nesting): peak 6h click volume per
+    // series over the last day — the inner sum evaluates at the five
+    // epoch-aligned 6h instants, the outer max aggregates them; the
+    // whole nesting is ONE distributed plan (inner grid emit → inner
+    // aggregation → outer grid emit → outer max)
+    "promql_subquery" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """max_over_time(sum_over_time(click[6h])[1d:6h])""", T2)),
+
     // now = 2024-02-01: every recency is positive and the quartile
     // spread is live (probed: scores span 1..4 on all three axes)
     "events_rfm" -> ((s, dir) => TsOps.rfm(t(s, dir, "events"), 1706745600000000L)),
@@ -1813,6 +1821,20 @@ object SparkEntry {
                             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                        ELSE 0.0 END) * (176400.0 - CAST(sx AS DOUBLE) / n) AS value
           FROM a""",
+
+    // T2 is midnight so the epoch-aligned 6h subquery instants are
+    // exactly T2-1d, +6h, …, T2 (5 of them)
+    "promql_subquery" ->
+      s"""WITH g AS (SELECT ($T2 - 86400000000) + 21600000000 * k AS u FROM range(0, 5) r(k)),
+          s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   epoch_us(ts) AS ts_us, value FROM events
+                WHERE event_type = 'click'),
+          i AS (SELECT series_id, event_type, user_id, g.u,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+                FROM g JOIN s ON s.ts_us BETWEEN g.u - 21600000000 AND g.u
+                GROUP BY 1, 2, 3, 4)
+          SELECT series_id, event_type, user_id, max(v) AS value
+          FROM i GROUP BY 1, 2, 3""",
 
     "ts_ewma" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

@@ -77,6 +77,14 @@ object PromQL {
   /** Instant math function over a vector (`abs(v)`, `clamp(v,lo,hi)`,
     * `round(v[,to])`, `absent(v)`); scalar parameters ride along. */
   final case class Func(fn: String, arg: Expr, params: Seq[Double] = Nil) extends Expr
+  /** A range function over a SUBQUERY — `max_over_time(rate(m[5m])[1h:10m])`:
+    * the inner expression evaluates at every step-aligned instant in
+    * the trailing window, and the outer range function aggregates
+    * those synthetic samples. Prometheus alignment: inner instants
+    * are the multiples of `stepUs` (epoch-aligned). */
+  final case class SubqueryFn(fn: String, inner: Expr, rangeUs: Long,
+                              stepUs: Long, offsetUs: Long = 0L,
+                              param: Option[Double] = None) extends Expr
 
   private val RangeFns = Set("rate", "irate", "increase", "delta", "idelta",
     "deriv", "predict_linear", "resets", "changes", "last_over_time",
@@ -143,7 +151,7 @@ object PromQL {
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("!=", "=~", "!~", ">=", "<=", "==").contains(two)) { out += TSym(two); i += 2 }
-        else if ("{}()[],=<>*/+-%^".contains(c)) { out += TSym(c.toString); i += 1 }
+        else if ("{}()[],=<>*/+-%^:".contains(c)) { out += TSym(c.toString); i += 1 }
         else err(s"unexpected character '$c'")
       }
     }
@@ -331,11 +339,22 @@ object PromQL {
           case TNum(q) => expectSym(","); Some(q)
           case t => err(s"quantile_over_time needs a scalar, got $t")
         } else None
-      val sel = parseVectorSelector()
+      // the argument is a full expression; `sel[d]` needs a plain
+      // selector, `expr[d:step]` (a subquery) takes any vector expr
+      val arg = parseOr()
       expectSym("[")
       val dur = next() match {
         case TDur(us) => us
         case t => err(s"duration expected, got $t")
+      }
+      val subStep: Option[Long] = peek match {
+        case Some(TSym(":")) =>
+          next()
+          next() match {
+            case TDur(us) => Some(us)
+            case t => err(s"subquery step duration expected, got $t")
+          }
+        case _ => None
       }
       expectSym("]")
       // `offset` AFTER the range vector also accepted (PromQL places it
@@ -357,7 +376,15 @@ object PromQL {
           }
         } else param
       expectSym(")")
-      RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, horizon)
+      (subStep, arg) match {
+        case (Some(st), inner) =>
+          if (st <= 0) err("subquery step must be positive")
+          SubqueryFn(fn, inner, dur, st, off, horizon)
+        case (None, sel: Selector) =>
+          RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, horizon)
+        case (None, other) =>
+          err(s"range function $fn over a non-selector needs a subquery [d:step], got $other")
+      }
     }
 
     /** `{m…}`, `name`, or `name{m…}` — the bare metric name is sugar
@@ -485,6 +512,8 @@ object PromQL {
   private[graft] def maxWindowUs(e: Expr, lookbackUs: Long): Long = e match {
     case Selector(_, off) => lookbackUs + off
     case RangeFn(_, Selector(_, off), dur, _) => dur + off
+    case SubqueryFn(_, inner, dur, _, off, _) =>
+      dur + off + maxWindowUs(inner, lookbackUs)
     case Agg(_, _, _, a, _) => maxWindowUs(a, lookbackUs)
     case BinScalar(a, _, _, _, _) => maxWindowUs(a, lookbackUs)
     case Func(_, a, _) => maxWindowUs(a, lookbackUs)
@@ -500,6 +529,7 @@ object PromQL {
     def sels(x: Expr): Seq[Selector] = x match {
       case s: Selector => Seq(s)
       case RangeFn(_, s, _, _) => Seq(s)
+      case SubqueryFn(_, inner, _, _, _, _) => sels(inner)
       case Agg(_, _, _, a, _) => sels(a)
       case BinScalar(a, _, _, _, _) => sels(a)
       case Func(_, a, _) => sels(a)
@@ -595,11 +625,50 @@ object PromQL {
           col("g_ts").as("ts_us"), col("l.value").as("value"))
 
     case RangeFn(fn, Selector(ms, off), dur, param) =>
-      val filtered = samples.filter(Matcher.all(ms))
-      val wf = windowed(filtered, off, dur, g)
-      // labels ride as group keys, not first() buffers (see Selector)
-      val gkeys = Seq(col("series_id"), col("event_type"), col("user_id"), col("g_ts"))
-      val outCols = LabelCols.map(col) :+ col("g_ts").as("ts_us")
+      rangeAgg(samples.filter(Matcher.all(ms)), LabelCols, fn, off, dur, param, g)
+
+    case SubqueryFn(fn, inner, dur, step, off, param) =>
+      // Prometheus subquery: the inner expression evaluates at every
+      // EPOCH-ALIGNED multiple of `step` the outer windows can touch —
+      // one dense inner grid covering [outerStart−off−dur, outerEnd−off]
+      // — and its instant vectors become the synthetic samples the
+      // outer range function aggregates. The whole nesting is still
+      // ONE distributed plan: inner grid emit → inner aggregations →
+      // outer grid emit → outer aggregation.
+      val innerLo = g.startUs - off - dur
+      val innerStart = math.floorDiv(innerLo + step - 1, step) * step // ceil-align
+      val innerEnd = math.floorDiv(g.endUs - off, step) * step
+      require(innerEnd >= innerStart,
+        s"subquery [${dur}us:${step}us] holds no step-aligned instants in the evaluation window")
+      val innerDf = evalExpr(samples, inner,
+        Grid(innerStart, innerEnd, step, instant = false), lookbackUs)
+        // inner grid instants are unique per label set; a constant
+        // surrogate keeps the evaluator's (ts, event_id) total orders
+        .withColumn("event_id", lit(0L))
+      val labels = innerDf.columns.toSeq
+        .filterNot(c => c == "value" || c == "ts_us" || c == "event_id")
+      rangeAgg(innerDf, labels, fn, off, dur, param, g)
+
+    case Agg(op, by, without, arg, param) => evalAgg(samples, op, by, without, arg, param, g, lookbackUs)
+
+    case BinScalar(arg, op, k, scalarLeft, boolMode) => evalBinScalar(samples, arg, op, k, scalarLeft, boolMode, g, lookbackUs)
+
+    case Func(fn, arg, params) => evalFunc(samples, fn, arg, params, g, lookbackUs)
+
+    case BinVec(l, op, on, r, boolMode) => evalBinVec(samples, l, op, on, r, boolMode, g, lookbackUs)
+  }
+
+  /** The range-function engine over ANY labeled frame — `frame`
+    * carries (labelCols…, ts_us, event_id, value); for a plain range
+    * vector that's the matcher-filtered samples, for a subquery it's
+    * the inner expression's gridded result. Labels ride as group
+    * keys, not first() buffers (the struct-max lesson, SURVEY §5). */
+  private def rangeAgg(frame: DataFrame, labelCols: Seq[String], fn: String,
+                       off: Long, dur: Long, param: Option[Double],
+                       g: Grid): DataFrame = {
+      val wf = windowed(frame, off, dur, g)
+      val gkeys = labelCols.map(col) :+ col("g_ts")
+      val outCols = labelCols.map(col) :+ col("g_ts").as("ts_us")
       def keyed(valueCol: Column, aggs: (String, Column)*): DataFrame =
         wf.groupBy(gkeys: _*)
           .agg(aggs.head._2.as(aggs.head._1),
@@ -647,9 +716,8 @@ object PromQL {
           // partition, ≤2 rows per key shuffled, never a full
           // per-key window sort (the ts_irate shape, keyed by grid)
           val last2 = graft.plans.TopKPerKey(
-            wf.select("series_id", "event_type", "user_id", "g_ts",
-              "ts_us", "event_id", "value"),
-            Seq("series_id", "event_type", "user_id", "g_ts"),
+            wf.select((labelCols ++ Seq("g_ts", "ts_us", "event_id", "value")).map(col): _*),
+            labelCols :+ "g_ts",
             Seq("ts_us" -> graft.plans.TopKPerKey.Desc,
               "event_id" -> graft.plans.TopKPerKey.Desc), 2)
           val a = last2.groupBy(gkeys: _*)
@@ -669,9 +737,9 @@ object PromQL {
           // adjacency via ONE lag pass over the samples (total order
           // ts, event_id), then the gridded count — a pair counts at
           // grid t only if BOTH ends fall inside t's window
-          val w0 = Window.partitionBy(col("series_id"))
+          val w0 = Window.partitionBy(labelCols.map(col): _*)
             .orderBy(col("ts_us"), col("event_id"))
-          val paired = filtered
+          val paired = frame
             .withColumn("prev_v", lag(col("value"), 1).over(w0))
             .withColumn("prev_ts", lag(col("ts_us"), 1).over(w0))
           val pf = windowed(paired, off, dur, g)
@@ -721,12 +789,15 @@ object PromQL {
           // the tiny present set broadcasts against the generated
           // grid (the TsOps.absent anti-join shape)
           val present = wf.select(col("g_ts")).distinct()
-          gridFrame(samples, g)
+          gridFrame(frame, g)
             .join(broadcast(present), Seq("g_ts"), "left_anti")
             .select(col("g_ts").as("ts_us"), lit(1.0).as("value"))
       }
+  }
 
-    case Agg(op, by, without, arg, param) =>
+  private def evalAgg(samples: DataFrame, op: String, by: Seq[String],
+                      without: Boolean, arg: Expr, param: Option[Double],
+                      g: Grid, lookbackUs: Long): DataFrame = {
       val in = evalExpr(samples, arg, g, lookbackUs)
       // `without` drops the listed labels (and the synthetic series
       // identity); the grid instant is never a label — it always
@@ -773,8 +844,11 @@ object PromQL {
           }
           in.groupBy(keyCols: _*).agg(a.as("value"))
       }
+  }
 
-    case BinScalar(arg, op, k, scalarLeft, boolMode) =>
+  private def evalBinScalar(samples: DataFrame, arg: Expr, op: String, k: Double,
+                            scalarLeft: Boolean, boolMode: Boolean,
+                            g: Grid, lookbackUs: Long): DataFrame = {
       val in = evalExpr(samples, arg, g, lookbackUs)
       val v = col("value")
       def arith(l: Column, r: Column): Column = op match {
@@ -802,8 +876,10 @@ object PromQL {
           in.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
         else in.filter(pred)
       }
+  }
 
-    case Func(fn, arg, params) =>
+  private def evalFunc(samples: DataFrame, fn: String, arg: Expr,
+                       params: Seq[Double], g: Grid, lookbackUs: Long): DataFrame = {
       val in = evalExpr(samples, arg, g, lookbackUs)
       fn match {
         case "absent" =>
@@ -840,8 +916,11 @@ object PromQL {
           }
           in.withColumn("value", out)
       }
+  }
 
-    case BinVec(l, op, on, r, boolMode) =>
+  private def evalBinVec(samples: DataFrame, l: Expr, op: String, on: Seq[String],
+                         r: Expr, boolMode: Boolean,
+                         g: Grid, lookbackUs: Long): DataFrame = {
       // both sides are instant vectors per grid instant; match on
       // `on(...)` labels + the grid instant, or on every shared label
       // column (series identity for raw vectors). Inner match:

@@ -177,6 +177,35 @@ class PromqlSpec extends SparkSpec {
     assert(math.abs(pv - expect) < 1e-9)
   }
 
+  test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
+    // parser shape
+    PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
+      case PromQL.SubqueryFn("max_over_time",
+          PromQL.RangeFn("rate", _, _, None), r, st, 0L, None) =>
+        assert(r == 3600000000L && st == 600000000L)
+      case other => fail(s"subquery AST broke: $other")
+    }
+    // a non-selector range vector without a subquery step is an error
+    intercept[IllegalArgumentException](PromQL.parse("""rate(sum(click)[5m])"""))
+
+    val at = 2L * hu
+    // inner sum_over_time(click[1h]) at u ∈ {0, 1h, 2h} (epoch-aligned):
+    // u1: 10, 30, 60; u2: 5, 5, 7 → outer max per series
+    val m = PromQL.eval(ev, """max_over_time(sum_over_time(click[1h])[2h:1h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(m == Seq((1L, 60.0), (2L, 7.0)))
+    // aggregated inner: labels become the aggregation's by-set
+    val a = PromQL.eval(ev,
+      """max_over_time(sum by (event_type) (count_over_time({}[1h]))[2h:1h])""", at)
+      .select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(a == Map("click" -> 3.0, "purchase" -> 2.0, "view" -> 1.0))
+    // avg over the subquery instants (u1 clicks: (10+30+60)/3)
+    val av = PromQL.eval(ev,
+      """avg_over_time(sum_over_time({event_type="click", user_id="1"}[1h])[2h:1h])""", at)
+      .select("value").as[Double].collect().toSeq
+    assert(av == Seq(100.0 / 3))
+  }
+
   test("aggregation, topk, scalar math, comparison filter") {
     val at = 2L * hu
     // sum by (event_type) of count_over_time == groupBy count
@@ -293,7 +322,9 @@ class PromqlSpec extends SparkSpec {
       """deriv(click[2h])""",
       """sum by (event_type) (count_over_time({}[1h]))""",
       """count_over_time(purchase[2h]) / on (user_id) count_over_time(click[2h])""",
-      """clamp_max(sum by (event_type) (sum_over_time({}[1h])), 25)""")
+      """clamp_max(sum by (event_type) (sum_over_time({}[1h])), 25)""",
+      """max_over_time(sum_over_time(click[1h])[2h:1h])""",
+      """avg_over_time(rate(click[90m])[2h:30m])""")
     // off-phase grid (start not sample-aligned) catches boundary math
     qs.foreach(q => rangeMatchesInstants(ev, q, 30L * 60000000L, 2L * hu + 30L * 60000000L, hu / 2))
     // absent over a grid: instants before the first view sample
