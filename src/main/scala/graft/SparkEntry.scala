@@ -171,6 +171,24 @@ object SparkEntry {
     "promql_subquery" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"), """max_over_time(sum_over_time(click[6h])[1d:6h])""", T2)),
 
+    // ROLLUP-TIER range query: ingest → close with recording rules →
+    // serve a 6-instant Grafana-style grid ENTIRELY from the at-rest
+    // hourly rollups (no Gorilla decode, no raw scan; windows quantize
+    // to whole buckets, right-open — the Thanos-downsampling trade).
+    // The oracle recomputes the quantized windows from raw rows, so
+    // hash-equality proves the decode-free path returns the exact
+    // pre-aggregation answer
+    "promql_rollup" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_promql_rollup").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2, rollupOnClose = true)
+      store.append(Series.samples(t(s, dir, "events")))
+      store.closeChunksBelow(T1)
+      graft.promql.PromQL.evalStoreRangeRollup(store,
+        """sum by (event_type) (sum_over_time({event_type=~"view|click"}[12h]))""",
+        T0 + 43200000000L, T0 + 259200000000L, 43200000000L)
+    }),
+
     // now = 2024-02-01: every recency is positive and the quartile
     // spread is live (probed: scores span 1..4 on all three axes)
     "events_rfm" -> ((s, dir) => TsOps.rfm(t(s, dir, "events"), 1706745600000000L)),
@@ -1835,6 +1853,17 @@ object SparkEntry {
                 GROUP BY 1, 2, 3, 4)
           SELECT series_id, event_type, user_id, max(v) AS value
           FROM i GROUP BY 1, 2, 3""",
+
+    // the rollup tier quantizes each window to whole hourly buckets
+    // inside the RIGHT-OPEN [t-12h, t); grid = T0+12h .. T0+72h
+    "promql_rollup" ->
+      s"""WITH g AS (SELECT ${T0} + 43200000000 * k AS t FROM range(1, 7) r(k)),
+          s AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+                WHERE event_type IN ('view', 'click'))
+          SELECT s.event_type, g.t AS ts_us,
+                 CAST(sum(CAST(s.value AS DECIMAL(28,2))) AS DOUBLE) AS value
+          FROM g JOIN s ON s.ts_us >= g.t - 43200000000 AND s.ts_us < g.t
+          GROUP BY 1, 2""",
 
     "ts_ewma" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

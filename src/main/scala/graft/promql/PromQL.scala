@@ -574,6 +574,124 @@ object PromQL {
       .withColumn("event_id", lit(0L))
   }
 
+  // ───────────────── rollup-tier serving ─────────────────
+
+  /** [[evalStore]] served from the store's AT-REST HOURLY ROLLUPS
+    * (recording rules / Thanos-downsampling tier) — zero payload
+    * decode, the scan reads pre-aggregated (series, hour) rows.
+    *
+    * The trade is resolution: every range window quantizes to the
+    * whole hourly buckets inside the RIGHT-OPEN [t−d, t) — the only
+    * divergence from the raw tier's inclusive [t−d, t] is a sample
+    * landing exactly on the window's closing instant. Functions that
+    * decompose over buckets serve exactly (sum/count/min/max/avg/
+    * present_over_time, any aggregation / math / binop / subquery
+    * layered on top); per-sample functions (rate, stddev, quantile,
+    * last, resets, …) and instant selectors refuse with a typed error
+    * directing to the raw tier. Windows must be ≥ the 1h grain. */
+  def evalStoreRollup(store: graft.tsdb.ChunkStore, query: String, atUs: Long,
+                      lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
+    val ast = requireVector(parse(query))
+    val g = Grid(atUs, atUs, 1L, instant = true)
+    finish(evalRollup(rollupFrame(store, ast, atUs, atUs, lookbackUs), ast, g, lookbackUs))
+  }
+
+  /** [[evalRange]] off the rollup tier — the query_range serving path
+    * a long-horizon dashboard panel should use: window ≫ grain makes
+    * the rollup scan d/1h-fold smaller than the raw one, and the grid
+    * emit fans out bucket rows, not samples. */
+  def evalStoreRangeRollup(store: graft.tsdb.ChunkStore, query: String,
+                           startUs: Long, endUs: Long, stepUs: Long,
+                           lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
+    val ast = requireVector(parse(query))
+    val g = Grid(startUs, endUs, stepUs, instant = false)
+    evalRollup(rollupFrame(store, ast, startUs, endUs, lookbackUs), ast, g, lookbackUs)
+  }
+
+  private val RollupGrainUs = 3600000000L
+
+  /** Labeled hourly-bucket frame: one row per (series, hour) with the
+    * rollup aggregates; ts_us = bucket start. Single-selector matchers
+    * push into the store's chunk-pruned rollup scan. */
+  private def rollupFrame(store: graft.tsdb.ChunkStore, ast: Expr,
+                          startUs: Long, endUs: Long, lookbackUs: Long): DataFrame = {
+    val horizon = maxWindowUs(ast, lookbackUs)
+    val ms = soleMatchers(ast).getOrElse(Nil)
+    store.queryRollup(ms, startUs - horizon, endUs)
+      .join(store.catalog(), "series_id")
+      .withColumn("ts_us", col("bucket_ms") * 1000)
+  }
+
+  private def evalRollup(rollups: DataFrame, e: Expr, g: Grid,
+                         lookbackUs: Long): DataFrame = e match {
+    case ScalarLit(v) =>
+      throw new IllegalArgumentException(s"scalar $v where a vector is needed")
+    case Selector(_, _) =>
+      throw new IllegalArgumentException(
+        "instant selectors need per-sample data (rollups hold no last value) — use the raw tier")
+    case RangeFn(fn, Selector(ms, off), dur, param) =>
+      rollupRangeAgg(rollups.filter(Matcher.all(ms)), fn, off, dur, param, g)
+    case SubqueryFn(fn, inner, dur, step, off, param) =>
+      // inner vectors come from the rollup tier; the outer range
+      // function aggregates SYNTHETIC instant samples, so the full
+      // raw-tier rangeAgg applies (no further quantization)
+      val innerLo = g.startUs - off - dur
+      val innerStart = math.floorDiv(innerLo + step - 1, step) * step
+      val innerEnd = math.floorDiv(g.endUs - off, step) * step
+      require(innerEnd >= innerStart,
+        s"subquery [${dur}us:${step}us] holds no step-aligned instants in the evaluation window")
+      val innerDf = evalRollup(rollups, inner,
+        Grid(innerStart, innerEnd, step, instant = false), lookbackUs)
+        .withColumn("event_id", lit(0L))
+      val labels = innerDf.columns.toSeq
+        .filterNot(c => c == "value" || c == "ts_us" || c == "event_id")
+      rangeAgg(innerDf, labels, fn, off, dur, param, g)
+    case Agg(op, by, without, arg, param) =>
+      evalAgg(evalRollup(rollups, _, g, lookbackUs), op, by, without, arg, param, g)
+    case BinScalar(arg, op, k, scalarLeft, boolMode) =>
+      evalBinScalar(evalRollup(rollups, _, g, lookbackUs), arg, op, k, scalarLeft, boolMode)
+    case Func(fn, arg, params) =>
+      evalFunc(evalRollup(rollups, _, g, lookbackUs), fn, arg, params, g)
+    case BinVec(l, op, on, r, boolMode) =>
+      evalBinVec(evalRollup(rollups, _, g, lookbackUs), l, op, on, r, boolMode)
+  }
+
+  /** Range functions that decompose over hourly buckets, computed
+    * from the rollup aggregates. A bucket belongs to grid instant t
+    * iff it lies ENTIRELY inside the right-open [t−off−d, t−off) —
+    * expressed through the same [[windowed]] emit with the bounds
+    * shifted by one grain (lower bound: t ≥ bucket_end + off). */
+  private def rollupRangeAgg(frame: DataFrame, fn: String, off: Long, dur: Long,
+                             param: Option[Double], g: Grid): DataFrame = {
+    require(dur >= RollupGrainUs,
+      s"rollup tier serves windows >= the 1h grain, got ${dur}us — use the raw tier")
+    val wf = windowed(frame, off + RollupGrainUs, dur - RollupGrainUs, g)
+    val gkeys = LabelCols.map(col) :+ col("g_ts")
+    val outCols = LabelCols.map(col) :+ col("g_ts").as("ts_us")
+    def keyed(valueCol: Column, aggs: (String, Column)*): DataFrame =
+      wf.groupBy(gkeys: _*)
+        .agg(aggs.head._2.as(aggs.head._1),
+          aggs.tail.map { case (n, c) => c.as(n) }: _*)
+        .select((outCols :+ valueCol.as("value")): _*)
+    fn match {
+      case "count_over_time" =>
+        keyed(col("n").cast("double"), "n" -> sum(col("n_points")))
+      case "present_over_time" => keyed(lit(1.0), "n" -> count(lit(1)))
+      case "sum_over_time" =>
+        // bucket sums are DECIMAL(28,2)-exact doubles (exactSum), so
+        // the re-sum in d2 equals the raw tier's per-sample sum
+        keyed(col("s").cast("double"), "s" -> sum(col("sum_value").cast(d2)).cast(d2))
+      case "avg_over_time" =>
+        keyed(col("s").cast("double") / col("n"),
+          "s" -> sum(col("sum_value").cast(d2)).cast(d2), "n" -> sum(col("n_points")))
+      case "min_over_time" => keyed(col("m"), "m" -> min(col("min_value")))
+      case "max_over_time" => keyed(col("m"), "m" -> max(col("max_value")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$other needs per-sample resolution (rollups hold n/min/max/sum per hour) — use the raw tier")
+    }
+  }
+
   /** Tag each (already matcher-filtered) sample with the grid
     * instants whose window [t−off−w, t−off] contains it, as column
     * `g_ts`. Instant grids take the plain-filter fast path (no
@@ -649,13 +767,17 @@ object PromQL {
         .filterNot(c => c == "value" || c == "ts_us" || c == "event_id")
       rangeAgg(innerDf, labels, fn, off, dur, param, g)
 
-    case Agg(op, by, without, arg, param) => evalAgg(samples, op, by, without, arg, param, g, lookbackUs)
+    case Agg(op, by, without, arg, param) =>
+      evalAgg(evalExpr(samples, _, g, lookbackUs), op, by, without, arg, param, g)
 
-    case BinScalar(arg, op, k, scalarLeft, boolMode) => evalBinScalar(samples, arg, op, k, scalarLeft, boolMode, g, lookbackUs)
+    case BinScalar(arg, op, k, scalarLeft, boolMode) =>
+      evalBinScalar(evalExpr(samples, _, g, lookbackUs), arg, op, k, scalarLeft, boolMode)
 
-    case Func(fn, arg, params) => evalFunc(samples, fn, arg, params, g, lookbackUs)
+    case Func(fn, arg, params) =>
+      evalFunc(evalExpr(samples, _, g, lookbackUs), fn, arg, params, g)
 
-    case BinVec(l, op, on, r, boolMode) => evalBinVec(samples, l, op, on, r, boolMode, g, lookbackUs)
+    case BinVec(l, op, on, r, boolMode) =>
+      evalBinVec(evalExpr(samples, _, g, lookbackUs), l, op, on, r, boolMode)
   }
 
   /** The range-function engine over ANY labeled frame — `frame`
@@ -795,10 +917,10 @@ object PromQL {
       }
   }
 
-  private def evalAgg(samples: DataFrame, op: String, by: Seq[String],
+  private def evalAgg(rec: Expr => DataFrame, op: String, by: Seq[String],
                       without: Boolean, arg: Expr, param: Option[Double],
-                      g: Grid, lookbackUs: Long): DataFrame = {
-      val in = evalExpr(samples, arg, g, lookbackUs)
+                      g: Grid): DataFrame = {
+      val in = rec(arg)
       // `without` drops the listed labels (and the synthetic series
       // identity); the grid instant is never a label — it always
       // stays a key
@@ -846,10 +968,9 @@ object PromQL {
       }
   }
 
-  private def evalBinScalar(samples: DataFrame, arg: Expr, op: String, k: Double,
-                            scalarLeft: Boolean, boolMode: Boolean,
-                            g: Grid, lookbackUs: Long): DataFrame = {
-      val in = evalExpr(samples, arg, g, lookbackUs)
+  private def evalBinScalar(rec: Expr => DataFrame, arg: Expr, op: String, k: Double,
+                            scalarLeft: Boolean, boolMode: Boolean): DataFrame = {
+      val in = rec(arg)
       val v = col("value")
       def arith(l: Column, r: Column): Column = op match {
         case "*" => l * r
@@ -878,16 +999,16 @@ object PromQL {
       }
   }
 
-  private def evalFunc(samples: DataFrame, fn: String, arg: Expr,
-                       params: Seq[Double], g: Grid, lookbackUs: Long): DataFrame = {
-      val in = evalExpr(samples, arg, g, lookbackUs)
+  private def evalFunc(rec: Expr => DataFrame, fn: String, arg: Expr,
+                       params: Seq[Double], g: Grid): DataFrame = {
+      val in = rec(arg)
       fn match {
         case "absent" =>
           // empty input vector → {value: 1} per grid instant; any
           // match at an instant suppresses it (anti-join against the
           // tiny distinct of occupied instants)
           val present = in.select(col("ts_us").as("g_ts")).distinct()
-          gridFrame(samples, g)
+          gridFrame(in, g)
             .join(broadcast(present), Seq("g_ts"), "left_anti")
             .select(col("g_ts").as("ts_us"), lit(1.0).as("value"))
         case _ =>
@@ -918,17 +1039,16 @@ object PromQL {
       }
   }
 
-  private def evalBinVec(samples: DataFrame, l: Expr, op: String, on: Seq[String],
-                         r: Expr, boolMode: Boolean,
-                         g: Grid, lookbackUs: Long): DataFrame = {
+  private def evalBinVec(rec: Expr => DataFrame, l: Expr, op: String, on: Seq[String],
+                         r: Expr, boolMode: Boolean): DataFrame = {
       // both sides are instant vectors per grid instant; match on
       // `on(...)` labels + the grid instant, or on every shared label
       // column (series identity for raw vectors). Inner match:
       // unpaired entries drop, as in PromQL. (PromQL's 1:1
       // cardinality check is the caller's contract — a many-to-many
       // on() match fans out like the join it is.)
-      val lf = evalExpr(samples, l, g, lookbackUs)
-      val rf = evalExpr(samples, r, g, lookbackUs)
+      val lf = rec(l)
+      val rf = rec(r)
       op match {
         case "and" | "unless" =>
           // set ops keep the LEFT side's labels and values; the right

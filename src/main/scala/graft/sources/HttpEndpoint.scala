@@ -172,6 +172,15 @@ final class HttpEndpoint(
     ex.getResponseBody.write(bytes)
   }
 
+  /** `tier=raw` (default) serves per-sample data; `tier=rollup`
+    * serves from the at-rest hourly rollups (decode-free,
+    * bucket-quantized windows — see PromQL.evalStoreRollup). */
+  private def tierOf(params: Map[String, String]): String =
+    params.getOrElse("tier", "raw") match {
+      case t @ ("raw" | "rollup") => t
+      case other => throw new IllegalArgumentException(s"unknown tier '$other'")
+    }
+
   private def sendPromError(ex: HttpExchange, e: IllegalArgumentException): Unit =
     sendJson(ex, 400,
       "{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":\"" +
@@ -203,7 +212,10 @@ final class HttpEndpoint(
       val atUs = params.get("time")
         .map(t => (t.toDouble * 1e6).toLong)
         .getOrElse(System.currentTimeMillis() * 1000L)
-      val df = graft.promql.PromQL.evalStore(store, q, atUs)
+      val df = tierOf(params) match {
+        case "rollup" => graft.promql.PromQL.evalStoreRollup(store, q, atUs)
+        case _ => graft.promql.PromQL.evalStore(store, q, atUs)
+      }
       val labelCols = df.columns.filterNot(c => c == "value" || c == "series_id")
       val rows = df.collect().map { r =>
         val v = r.getAs[Any]("value").toString
@@ -239,7 +251,12 @@ final class HttpEndpoint(
       // an unbounded driver-side result
       if ((endUs - startUs) / stepUs > 11000)
         throw new IllegalArgumentException("grid exceeds 11000 points; widen the step")
-      val df = graft.promql.PromQL.evalStoreRange(store, q, startUs, endUs, stepUs)
+      val df = tierOf(params) match {
+        // the long-horizon panel path: decode-free pre-aggregated scan
+        case "rollup" =>
+          graft.promql.PromQL.evalStoreRangeRollup(store, q, startUs, endUs, stepUs)
+        case _ => graft.promql.PromQL.evalStoreRange(store, q, startUs, endUs, stepUs)
+      }
       val labelCols = df.columns.filterNot(c =>
         c == "value" || c == "series_id" || c == "ts_us")
       // group the bounded matrix by label set, values time-ascending

@@ -128,6 +128,9 @@ class HttpEndpointSpec extends SparkSpec {
       // an 86400-point grid at step 1s over a day → refused (11k guard)
       assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=${startS + 86400}&step=1")._1 == 400)
       assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=$endS&step=1m")._1 == 200)
+      // unknown tier → 400 envelope (this store has no rollups; the
+      // rollup tier itself is specced in PromqlSpec)
+      assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=$endS&step=60&tier=nope")._1 == 400)
     } finally endpoint.stop()
   }
 

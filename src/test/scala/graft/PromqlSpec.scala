@@ -343,6 +343,62 @@ class PromqlSpec extends SparkSpec {
     assert(out.map(_._1) == Seq(hu, 2L * hu))
   }
 
+  test("rollup tier: decode-free serving equals the raw tier on aligned windows; per-sample functions refuse") {
+    val hm = 300000000000L // 5 min in ns
+    // samples strictly INSIDE hourly buckets (h + 5min): on hour-aligned
+    // grids the raw inclusive [t−d, t] and the rollup tier's right-open
+    // quantized [t−d, t) then hold identical sample sets
+    val rv = Seq(
+      (1L, 0L * h + hm, 1L, "click", 10.0),
+      (2L, 1L * h + hm, 1L, "click", 20.0),
+      (3L, 2L * h + hm, 1L, "click", 40.0),
+      (4L, 0L * h + hm, 2L, "click", 5.0),
+      (5L, 2L * h + hm, 2L, "click", 7.0),
+      (6L, 1L * h + hm, 1L, "purchase", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_promql_rollup").toString
+    val store = new graft.tsdb.ChunkStore(spark, dir,
+      chunkMs = 86400000L, rollupOnClose = true)
+    store.append(Series.samples(rv))
+    store.closeChunksBelow(10L * 86400000000L)
+
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    // every rollup-servable function + an aggregation on top, on a
+    // 2-instant hour-aligned grid — raw == rollup, row for row
+    for (q <- Seq(
+        """sum by (event_type) (sum_over_time({event_type="click"}[2h]))""",
+        """count_over_time(click[2h])""",
+        """min_over_time(click[2h])""",
+        """max_over_time(click[2h])""",
+        """avg_over_time(click[3h])""",
+        """present_over_time(purchase[2h])""",
+        """max_over_time(sum_over_time(click[1h])[2h:1h])""")) {
+      val raw = sortedRows(PromQL.evalStoreRange(store, q, 2L * hu, 3L * hu, hu))
+      val rolled = sortedRows(PromQL.evalStoreRangeRollup(store, q, 2L * hu, 3L * hu, hu))
+      assert(raw == rolled, s"rollup tier diverged from raw for: $q")
+      assert(raw.nonEmpty, s"vacuous parity for: $q")
+    }
+    // instant form works too and drops the grid column
+    // quantized window [0, 2h) = buckets 0 and 1: 10+20+5
+    val inst = PromQL.evalStoreRollup(store,
+      """sum by (event_type) (sum_over_time(click[2h]))""", 2L * hu)
+      .select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(inst == Map("click" -> 35.0))
+    // per-sample semantics refuse with a typed error naming the raw tier
+    for (bad <- Seq(
+        """rate(click[2h])""",
+        """{event_type="click"}""",
+        """sum_over_time(click[30m])""",
+        """quantile_over_time(0.9, click[2h])""")) {
+      val e = intercept[IllegalArgumentException](
+        PromQL.evalStoreRollup(store, bad, 3L * hu).collect())
+      assert(e.getMessage.contains("raw tier"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("a parsed dashboard query plans with matcher pushdown (no post-hoc filtering of the full corpus)") {
     val df = PromQL.eval(spark.read.parquet(s"$sfDir/events.parquet"),
       """sum by (event_type) (sum_over_time({event_type=~"click|purchase"}[7d]))""",
