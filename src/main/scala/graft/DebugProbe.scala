@@ -136,6 +136,14 @@ object DebugProbe {
         ("ewma", p => graft.tsdb.TsOps.ewma(ev(p)).count()),
         ("growth_accounting", p =>
           graft.tsdb.TsOps.growthAccounting(spark.read.parquet(p)).count()),
+        // r8c additions: the PromQL range-grid emit (72 instants,
+        // fan-out 7 per sample) and the two-level subquery nesting
+        ("promql_range", p => graft.promql.PromQL.evalRange(spark.read.parquet(p),
+          """sum by (event_type) (sum_over_time({event_type=~"click|view"}[6h]))""",
+          1704088800000000L, 1704348000000000L, 3600000000L).count()),
+        ("promql_subquery", p => graft.promql.PromQL.eval(spark.read.parquet(p),
+          """max_over_time(sum_over_time(click[6h])[1d:6h])""",
+          1705708800000000L).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -177,6 +185,8 @@ object DebugProbe {
         "label_margin" -> ("embeddings", () => embP),
         "ewma" -> ("events", () => eventsP),
         "growth_accounting" -> ("events", () => eventsP),
+        "promql_range" -> ("events", () => eventsP),
+        "promql_subquery" -> ("events", () => eventsP),
         "q21_reshape" -> ("lineitem", () => liP))
       val sel = names - "__scale10" - "__scale100"
       probes

@@ -171,6 +171,15 @@ object SparkEntry {
     "promql_subquery" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"), """max_over_time(sum_over_time(click[6h])[1d:6h])""", T2)),
 
+    // many-to-one vector matching (group_left): each series' share of
+    // its event type's daily volume — the one side is the tiny
+    // per-type aggregate (broadcasts at scale), the many side keeps
+    // its full label set
+    "promql_groupleft" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """count_over_time({}[1d]) / on (event_type) group_left sum by (event_type) (count_over_time({}[1d]))""",
+      T2)),
+
     // ROLLUP-TIER range query: ingest → close with recording rules →
     // serve a 6-instant Grafana-style grid ENTIRELY from the at-rest
     // hourly rollups (no Gorilla decode, no raw scan; windows quantize
@@ -1853,6 +1862,16 @@ object SparkEntry {
                 GROUP BY 1, 2, 3, 4)
           SELECT series_id, event_type, user_id, max(v) AS value
           FROM i GROUP BY 1, 2, 3""",
+
+    "promql_groupleft" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   count(*) AS n FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2, 3),
+          t AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS total FROM c GROUP BY 1)
+          SELECT c.series_id, c.event_type, c.user_id,
+                 CAST(c.n AS DOUBLE) / t.total AS value
+          FROM c JOIN t USING (event_type)""",
 
     // the rollup tier quantizes each window to whole hourly buckets
     // inside the RIGHT-OPEN [t-12h, t); grid = T0+12h .. T0+72h

@@ -68,12 +68,22 @@ object PromQL {
   final case class BinScalar(arg: Expr, op: String, k: Double,
                              scalarLeft: Boolean = false,
                              boolMode: Boolean = false) extends Expr
-  /** Vector-vector arithmetic / set ops with PromQL `on(...)`
-    * matching: the error-rate / ratio shape
-    * (`errors / on(user_id) requests`), and `and`/`or`/`unless`.
-    * Empty `on` = full shared-label matching. */
-  final case class BinVec(lhs: Expr, op: String, on: Seq[String], rhs: Expr,
-                          boolMode: Boolean = false) extends Expr
+  /** Vector-matching spec for binary ops: `on(...)` restricts the
+    * match keys, `ignoring(...)` removes labels from the shared set,
+    * `group_left`/`group_right` (group = -1 / +1) declare many-to-one
+    * matching where the MANY side keeps its full label set — the
+    * share-of-total shape (`v / on(k) group_left sum by (k) (v)`). */
+  final case class VecMatch(on: Seq[String] = Nil, ignoring: Seq[String] = Nil,
+                            group: Int = 0) {
+    require(on.isEmpty || ignoring.isEmpty, "on(...) and ignoring(...) are exclusive")
+  }
+  /** Vector-vector arithmetic / set ops with PromQL vector matching:
+    * the error-rate / ratio shape (`errors / on(user_id) requests`),
+    * and `and`/`or`/`unless`. Default = full shared-label matching. */
+  final case class BinVec(lhs: Expr, op: String, matching: VecMatch, rhs: Expr,
+                          boolMode: Boolean = false) extends Expr {
+    def on: Seq[String] = matching.on
+  }
   /** Instant math function over a vector (`abs(v)`, `clamp(v,lo,hi)`,
     * `round(v[,to])`, `absent(v)`); scalar parameters ride along. */
   final case class Func(fn: String, arg: Expr, params: Seq[Double] = Nil) extends Expr
@@ -99,8 +109,8 @@ object PromQL {
     "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0), "sqrt" -> (0, 0),
     "sgn" -> (0, 0), "round" -> (0, 1), "clamp_min" -> (1, 1),
     "clamp_max" -> (1, 1), "clamp" -> (2, 2), "absent" -> (0, 0))
-  private val KeyWords = Set("by", "without", "on", "offset", "bool",
-    "and", "or", "unless")
+  private val KeyWords = Set("by", "without", "on", "ignoring", "offset",
+    "bool", "group_left", "group_right", "and", "or", "unless")
 
   // ───────────────────────── lexer ─────────────────────────
   private sealed trait Tok
@@ -184,9 +194,9 @@ object PromQL {
       var done = false
       while (!done) peek match {
         case Some(TSym(op)) if ops.contains(op) =>
-          next(); e = combine(e, op, parseBool(op), parseOn(), sub())
+          next(); e = combine(e, op, parseBool(op), parseVecMatch(op), sub())
         case Some(TIdent(op)) if ops.contains(op) =>
-          next(); e = combine(e, op, boolMode = false, parseOn(), sub())
+          next(); e = combine(e, op, boolMode = false, parseVecMatch(op), sub())
         case _ => done = true
       }
       e
@@ -200,13 +210,34 @@ object PromQL {
         case _ => false
       } else false
 
-    private def parseOn(): Seq[String] = peek match {
-      case Some(TIdent("on")) => next(); parseLabelList()
-      case _ => Nil
+    /** `on(...)` | `ignoring(...)`, then optional `group_left` /
+      * `group_right`. PromQL's label-COPY list on the group modifier
+      * is not supported (rejected with a clear error) — the engine's
+      * label space is closed, so there is nothing to copy. */
+    private def parseVecMatch(op: String): VecMatch = {
+      val m = peek match {
+        case Some(TIdent("on")) => next(); VecMatch(on = parseLabelList())
+        case Some(TIdent("ignoring")) => next(); VecMatch(ignoring = parseLabelList())
+        case _ => VecMatch()
+      }
+      peek match {
+        case Some(TIdent(g @ ("group_left" | "group_right"))) =>
+          next()
+          if (Set("and", "or", "unless").contains(op))
+            err(s"set op $op takes no group modifier")
+          peek match {
+            case Some(TSym("(")) =>
+              if (parseLabelList().nonEmpty)
+                err(s"$g label-copy lists are not supported (closed label space)")
+            case _ => ()
+          }
+          m.copy(group = if (g == "group_left") -1 else 1)
+        case _ => m
+      }
     }
 
     private def combine(l: Expr, op: String, boolMode: Boolean,
-                        on: Seq[String], r: Expr): Expr = (l, r) match {
+                        m: VecMatch, r: Expr): Expr = (l, r) match {
       case (ScalarLit(a), ScalarLit(b)) =>
         // constant folding; scalar comparisons need `bool` in PromQL
         if (CmpOps.contains(op) && !boolMode)
@@ -218,7 +249,7 @@ object PromQL {
       case (v, ScalarLit(k)) =>
         if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
         BinScalar(v, op, k, scalarLeft = false, boolMode = boolMode)
-      case (a, b) => BinVec(a, op, on, b, boolMode)
+      case (a, b) => BinVec(a, op, m, b, boolMode)
     }
 
     private def parseOr(): Expr = binLevel(Set("or"), () => parseAnd())
@@ -230,7 +261,7 @@ object PromQL {
       val base = parseUnary()
       peek match {
         case Some(TSym("^")) => // right-associative
-          next(); combine(base, "^", boolMode = false, parseOn(), parsePow())
+          next(); combine(base, "^", boolMode = false, parseVecMatch("^"), parsePow())
         case _ => base
       }
     }
@@ -652,8 +683,8 @@ object PromQL {
       evalBinScalar(evalRollup(rollups, _, g, lookbackUs), arg, op, k, scalarLeft, boolMode)
     case Func(fn, arg, params) =>
       evalFunc(evalRollup(rollups, _, g, lookbackUs), fn, arg, params, g)
-    case BinVec(l, op, on, r, boolMode) =>
-      evalBinVec(evalRollup(rollups, _, g, lookbackUs), l, op, on, r, boolMode)
+    case BinVec(l, op, m, r, boolMode) =>
+      evalBinVec(evalRollup(rollups, _, g, lookbackUs), l, op, m, r, boolMode)
   }
 
   /** Range functions that decompose over hourly buckets, computed
@@ -776,8 +807,8 @@ object PromQL {
     case Func(fn, arg, params) =>
       evalFunc(evalExpr(samples, _, g, lookbackUs), fn, arg, params, g)
 
-    case BinVec(l, op, on, r, boolMode) =>
-      evalBinVec(evalExpr(samples, _, g, lookbackUs), l, op, on, r, boolMode)
+    case BinVec(l, op, m, r, boolMode) =>
+      evalBinVec(evalExpr(samples, _, g, lookbackUs), l, op, m, r, boolMode)
   }
 
   /** The range-function engine over ANY labeled frame — `frame`
@@ -1039,26 +1070,38 @@ object PromQL {
       }
   }
 
-  private def evalBinVec(rec: Expr => DataFrame, l: Expr, op: String, on: Seq[String],
+  private def evalBinVec(rec: Expr => DataFrame, l: Expr, op: String, m: VecMatch,
                          r: Expr, boolMode: Boolean): DataFrame = {
       // both sides are instant vectors per grid instant; match on
-      // `on(...)` labels + the grid instant, or on every shared label
-      // column (series identity for raw vectors). Inner match:
-      // unpaired entries drop, as in PromQL. (PromQL's 1:1
-      // cardinality check is the caller's contract — a many-to-many
-      // on() match fans out like the join it is.)
+      // `on(...)` labels + the grid instant, on the shared label set
+      // minus `ignoring(...)`, or on every shared label column
+      // (series identity for raw vectors). Inner match: unpaired
+      // entries drop, as in PromQL. Without a group modifier the
+      // match is expected 1:1 (PromQL's cardinality check is the
+      // caller's contract — a many-to-many on() match fans out like
+      // the join it is); group_left/group_right declare many-to-one
+      // and keep the MANY side's full label set.
       val lf = rec(l)
       val rf = rec(r)
+      def matchKeys: Seq[String] =
+        if (m.on.nonEmpty) m.on :+ "ts_us"
+        else {
+          val shared = (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
+          // ignoring(...) drops the listed labels AND the synthetic
+          // series identity (a function of ALL labels, it would
+          // re-tighten the match ignoring just loosened)
+          if (m.ignoring.nonEmpty)
+            shared.filterNot(c => c == "series_id" || m.ignoring.contains(c))
+          else shared
+        }
       op match {
         case "and" | "unless" =>
           // set ops keep the LEFT side's labels and values; the right
           // side only contributes its key set (distinct → usually
           // broadcastable)
-          val keys =
-            if (on.nonEmpty) on :+ "ts_us"
-            else (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
+          val keys = matchKeys
           val jt = if (op == "and") "left_semi" else "left_anti"
-          lf.join(rf.select(keys.map(col): _*).distinct(), keys.toSeq, jt)
+          lf.join(rf.select(keys.map(col): _*).distinct(), keys, jt)
         case "or" =>
           // left wins on label-set collision; the right side's
           // survivors union in. Requires congruent shapes (same
@@ -1069,37 +1112,63 @@ object PromQL {
           val rOnly = rf.join(lf.select(keys.map(col): _*).distinct(), keys, "left_anti")
           lf.unionByName(rOnly)
         case _ =>
-          val keys =
-            if (on.nonEmpty) on :+ "ts_us"
-            else (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
+          val keys = matchKeys
           require(keys.exists(_ != "ts_us"),
             "no shared labels to match on — use on(...)")
-          val lv = lf.select(keys.map(col) :+ col("value").as("lv"): _*)
-          val rv = rf.select(keys.map(col) :+ col("value").as("rv"): _*)
-          val j = lv.join(rv, keys.toSeq)
-          val out = op match {
-            case "*" => j.withColumn("value", col("lv") * col("rv"))
-            case "/" => j.withColumn("value", col("lv") / col("rv"))
-            case "+" => j.withColumn("value", col("lv") + col("rv"))
-            case "-" => j.withColumn("value", col("lv") - col("rv"))
-            case "%" => j.withColumn("value", col("lv") % col("rv"))
-            case "^" => j.withColumn("value", pow(col("lv"), col("rv")))
-            case c =>
-              val pred = c match {
-                case ">" => col("lv") > col("rv")
-                case "<" => col("lv") < col("rv")
-                case ">=" => col("lv") >= col("rv")
-                case "<=" => col("lv") <= col("rv")
-                case "==" => col("lv") === col("rv")
-                case "!=" => col("lv") =!= col("rv")
-              }
-              if (boolMode)
-                j.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
-              else j.filter(pred).withColumn("value", col("lv"))
+          def arith(lv: Column, rv: Column): Option[Column] = op match {
+            case "*" => Some(lv * rv)
+            case "/" => Some(lv / rv)
+            case "+" => Some(lv + rv)
+            case "-" => Some(lv - rv)
+            case "%" => Some(lv % rv)
+            case "^" => Some(pow(lv, rv))
+            case _ => None
           }
-          out.select(keys.map(col) :+ col("value"): _*)
+          def cmp(lv: Column, rv: Column): Column = op match {
+            case ">" => lv > rv
+            case "<" => lv < rv
+            case ">=" => lv >= rv
+            case "<=" => lv <= rv
+            case "==" => lv === rv
+            case "!=" => lv =!= rv
+          }
+          if (m.group == 0) {
+            val lv = lf.select(keys.map(col) :+ col("value").as("lv"): _*)
+            val rv = rf.select(keys.map(col) :+ col("value").as("rv"): _*)
+            val j = lv.join(rv, keys)
+            val out = arith(col("lv"), col("rv")) match {
+              case Some(v) => j.withColumn("value", v)
+              case None =>
+                val pred = cmp(col("lv"), col("rv"))
+                if (boolMode) j.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
+                else j.filter(pred).withColumn("value", col("lv"))
+            }
+            out.select(keys.map(col) :+ col("value"): _*)
+          } else {
+            // many-to-one: the MANY side keeps its label set; the one
+            // side contributes (keys, value) — tiny after its own
+            // aggregation, so the join broadcasts at scale
+            val manyIsLeft = m.group == -1
+            val many = (if (manyIsLeft) lf else rf).withColumnRenamed("value", "_many_v")
+            val one = (if (manyIsLeft) rf else lf)
+              .select(keys.map(col) :+ col("value").as("_one_v"): _*)
+            val j = many.join(one, keys)
+            val (lv, rv) =
+              if (manyIsLeft) (col("_many_v"), col("_one_v"))
+              else (col("_one_v"), col("_many_v"))
+            val out = arith(lv, rv) match {
+              case Some(v) => j.withColumn("value", v)
+              case None =>
+                val pred = cmp(lv, rv)
+                if (boolMode) j.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
+                else j.filter(pred).withColumn("value", lv)
+            }
+            val outCols = many.columns.filterNot(_ == "_many_v").toSeq :+ "value"
+            out.select(outCols.map(col): _*)
+          }
       }
   }
+
 
   /** The full grid as a tiny generated frame (kMax+1 rows) — the
     * spine for absent()-style anti-joins. */

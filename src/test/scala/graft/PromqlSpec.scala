@@ -58,7 +58,7 @@ class PromqlSpec extends SparkSpec {
   test("parser: operator precedence ladder and constant folding") {
     // * binds tighter than +: a + b*2 = a + (b*2)
     PromQL.parse("""{a="1"} + {b="2"} * 2""") match {
-      case PromQL.BinVec(PromQL.Selector(_, _), "+", Nil,
+      case PromQL.BinVec(PromQL.Selector(_, _), "+", PromQL.VecMatch(Nil, Nil, 0),
           PromQL.BinScalar(PromQL.Selector(_, _), "*", 2.0, false, false), false) => ()
       case other => fail(s"precedence broke: $other")
     }
@@ -77,7 +77,7 @@ class PromqlSpec extends SparkSpec {
     // and/unless bind looser than comparison, or loosest
     PromQL.parse("""{a="1"} > 1 and {b="2"} or {c="3"}""") match {
       case PromQL.BinVec(PromQL.BinVec(PromQL.BinScalar(_, ">", 1.0, false, false),
-          "and", Nil, _, false), "or", Nil, _, false) => ()
+          "and", PromQL.VecMatch(Nil, Nil, 0), _, false), "or", PromQL.VecMatch(Nil, Nil, 0), _, false) => ()
       case other => fail(s"set-op precedence broke: $other")
     }
     // bool modifier on comparisons
@@ -270,6 +270,42 @@ class PromqlSpec extends SparkSpec {
       .select("event_type", "user_id", "value").as[(String, Long, Double)]
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(o == Seq(("click", 1L, 3.0), ("click", 2L, 2.0), ("view", 11L, 1.0)))
+  }
+
+  test("ignoring(...) and group_left/group_right many-to-one matching") {
+    val at = 2L * hu
+    // ignoring(event_type) == on(user_id) here: the only other shared
+    // label (series_id drops implicitly — it re-tightens what ignoring
+    // loosened)
+    val viaOn = PromQL.eval(ev,
+      """count_over_time(purchase[2h]) / on (user_id) count_over_time(click[2h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    val viaIgn = PromQL.eval(ev,
+      """count_over_time(purchase[2h]) / ignoring (event_type) count_over_time(click[2h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    assert(viaOn == viaIgn && viaOn == Seq((1L, 2.0 / 3)))
+    // share-of-total: per-series count / per-type total, the MANY side
+    // keeps its full label set
+    val share = PromQL.eval(ev,
+      """count_over_time({}[2h]) / on (event_type) group_left sum by (event_type) (count_over_time({}[2h]))""",
+      at)
+      .select("event_type", "user_id", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(share == Seq(("click", 1L, 3.0 / 5), ("click", 2L, 2.0 / 5),
+      ("purchase", 1L, 1.0), ("view", 11L, 1.0)))
+    // group_right mirrors (one side on the left)
+    val shareR = PromQL.eval(ev,
+      """sum by (event_type) (count_over_time({}[2h])) / on (event_type) group_right count_over_time({}[2h])""",
+      at)
+      .select("event_type", "user_id", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(shareR == Seq(("click", 1L, 5.0 / 3), ("click", 2L, 2.5),
+      ("purchase", 1L, 1.0), ("view", 11L, 1.0)))
+    // label-copy lists are rejected, set ops take no group modifier
+    intercept[IllegalArgumentException](
+      PromQL.parse("""a / on (x) group_left (lbl) b"""))
+    intercept[IllegalArgumentException](
+      PromQL.parse("""a and on (x) group_left b"""))
   }
 
   test("vector-vector binary op with on(...) matching — the ratio shape") {
