@@ -180,6 +180,16 @@ object SparkEntry {
       """count_over_time({}[1d]) / on (event_type) group_left sum by (event_type) (count_over_time({}[1d]))""",
       T2)),
 
+    // ALERT RULE over a full PromQL expression (avg event value per
+    // type per 6h window > 50 for 12h) on a 40-instant grid — the
+    // expression is scale-invariant (value distribution, not volume)
+    // and both states are live at both SFs (probed: 7 firing / 80
+    // pending at sf0.01, 18/74 at sf0.1), with gaps that reset runs
+    "promql_alert" -> ((s, dir) => graft.promql.PromQL.alertRule(
+      t(s, dir, "events"),
+      """sum by (event_type) (sum_over_time({}[6h])) / sum by (event_type) (count_over_time({}[6h])) > 50""",
+      43200000000L, T0 + 21600000000L, T0 + 864000000000L, 21600000000L)),
+
     // ROLLUP-TIER range query: ingest → close with recording rules →
     // serve a 6-instant Grafana-style grid ENTIRELY from the at-rest
     // hourly rollups (no Gorilla decode, no raw scan; windows quantize
@@ -1872,6 +1882,26 @@ object SparkEntry {
           SELECT c.series_id, c.event_type, c.user_id,
                  CAST(c.n AS DOUBLE) / t.total AS value
           FROM c JOIN t USING (event_type)""",
+
+    // the engine's avg = decimal sum (double) / count (double); the
+    // islands pass mirrors ts_alert_firing restated on the grid
+    "promql_alert" ->
+      s"""WITH g AS (SELECT ${T0} + 21600000000 * k AS t FROM range(1, 41) r(k)),
+          s AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+          c AS (SELECT s.event_type, g.t,
+                   CAST(sum(CAST(s.value AS DECIMAL(28,2))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS a
+                FROM g JOIN s ON s.ts_us BETWEEN g.t - 21600000000 AND g.t
+                GROUP BY 1, 2),
+          act AS (SELECT event_type, t, a FROM c WHERE a > 50),
+          r AS (SELECT *, t - 21600000000 * row_number()
+                   OVER (PARTITION BY event_type ORDER BY t) AS grp FROM act),
+          runs AS (SELECT event_type, t, a,
+                   min(t) OVER (PARTITION BY event_type, grp) AS since FROM r)
+          SELECT event_type, t AS ts_us, a AS value, since AS active_since_us,
+                 CASE WHEN t - since >= 43200000000 THEN 'firing'
+                      ELSE 'pending' END AS state
+          FROM runs""",
 
     // the rollup tier quantizes each window to whole hourly buckets
     // inside the RIGHT-OPEN [t-12h, t); grid = T0+12h .. T0+72h

@@ -24,6 +24,9 @@ import graft.tsdb.{MatchEq, MatchNeq, MatchNre, MatchRe, Matcher, Series}
   *     idelta, deriv, predict_linear(sel[d], t), resets, changes,
   *     last_over_time, count/sum/avg/min/max/stddev_over_time,
   *     quantile_over_time(q,·), present_over_time, absent_over_time
+  *   - SUBQUERIES `expr[d:step]`: the inner expression evaluates at
+  *     every epoch-aligned step instant, its vectors become synthetic
+  *     samples for the outer range function (one nested plan)
   *   - cross-series aggregation sum/avg/min/max/count with `by (...)`
   *     or `without (...)`, topk/bottomk(k,·), quantile(q,·)
   *   - instant math functions abs/ceil/floor/exp/ln/log2/log10/sqrt/
@@ -33,8 +36,10 @@ import graft.tsdb.{MatchEq, MatchNeq, MatchNre, MatchRe, Matcher, Series}
   *     either side, comparison filters with optional `bool`, constant
   *     folding of scalar-scalar arithmetic
   *   - vector-vector arithmetic and the set operators and/or/unless
-  *     with `on(...)` matching; default matching is the full shared
-  *     label set
+  *     with full vector matching: `on(...)`, `ignoring(...)`, and
+  *     many-to-one `group_left`/`group_right` (the many side keeps
+  *     its labels; the one side broadcasts); default matching is the
+  *     full shared label set
   *   - RANGE QUERIES ([[evalRange]] / the /api/v1/query_range serving
   *     path): the whole grid evaluates as ONE distributed plan — each
   *     sample map-side-emits the grid instants whose window contains
@@ -42,6 +47,14 @@ import graft.tsdb.{MatchEq, MatchNeq, MatchNre, MatchRe, Matcher, Series}
   *     window/step + 1), then the per-instant aggregations run keyed
   *     by (labels, grid_ts). Never a per-step loop over instant
   *     queries: a 1000-point dashboard panel is one job, not 1000.
+  *   - ROLLUP-TIER serving ([[evalStoreRollup]]/[[evalStoreRangeRollup]],
+  *     HTTP `tier=rollup`): the decomposable range functions served
+  *     from the store's at-rest hourly recording rules — decode-free,
+  *     windows quantized to whole buckets (right-open), per-sample
+  *     functions refuse with a typed error naming the raw tier
+  *   - ALERT RULES ([[alertRule]]/[[alertRuleStore]]): `expr` + `for:`
+  *     over any expression — grid evaluation then a label-generic
+  *     gaps-and-islands pass → pending/firing with active_since
   *
   * Evaluation model: `eval(events, q, atUs)` evaluates the expression
   * AT one instant (range windows are the inclusive [at−d, at], the
@@ -603,6 +616,54 @@ object PromQL {
     store.queryAll(ms, startUs - horizon, endUs)
       .join(store.catalog(), "series_id")
       .withColumn("event_id", lit(0L))
+  }
+
+  /** A Prometheus ALERT RULE over ANY PromQL expression — the full
+    * alerting semantics (`expr` + `for:`) the reference's users run
+    * through Prometheus on top of the TSDB, as one batch plan.
+    *
+    * `query` is the rule's expression, normally ending in a
+    * comparison filter (`… > threshold`); a label set is ACTIVE at a
+    * grid instant iff the query returns a sample there (exactly the
+    * Prometheus evaluator, which ticks per evaluation interval). The
+    * FOR clause is the gaps-and-islands pass over the grid (the
+    * ts_alert_firing shape, label-generic): a run starts where the
+    * previous grid instant was inactive, `active_since_us` carries
+    * the run start, state = firing once continuously active ≥ forUs,
+    * else pending. One window pass over the (labels × active
+    * instants) frame — tiny next to the samples the grid evaluation
+    * already aggregated. */
+  def alertRule(events: DataFrame, query: String, forUs: Long,
+                startUs: Long, endUs: Long, stepUs: Long,
+                lookbackUs: Long = 5L * 60L * 1000000L): DataFrame =
+    alertStates(evalRange(events, query, startUs, endUs, stepUs, lookbackUs),
+      forUs, stepUs)
+
+  /** [[alertRule]] off the store — rule evaluation on the serving
+    * path (one bounded read for the whole grid). */
+  def alertRuleStore(store: graft.tsdb.ChunkStore, query: String, forUs: Long,
+                     startUs: Long, endUs: Long, stepUs: Long,
+                     lookbackUs: Long = 5L * 60L * 1000000L): DataFrame =
+    alertStates(evalStoreRange(store, query, startUs, endUs, stepUs, lookbackUs),
+      forUs, stepUs)
+
+  private def alertStates(active: DataFrame, forUs: Long, stepUs: Long): DataFrame = {
+    val labels = active.columns.toSeq.filterNot(c => c == "value" || c == "ts_us")
+    require(labels.nonEmpty, "alert rule needs a labeled vector, not a bare scalar")
+    val w = Window.partitionBy(labels.map(col): _*).orderBy(col("ts_us"))
+    active
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("run_start",
+        when(col("prev_ts").isNull || col("prev_ts") =!= col("ts_us") - stepUs,
+          col("ts_us")))
+      .withColumn("active_since_us",
+        last(col("run_start"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("state",
+        when(col("ts_us") - col("active_since_us") >= forUs, "firing")
+          .otherwise("pending"))
+      .select((labels.map(col) :+ col("ts_us") :+ col("value") :+
+        col("active_since_us") :+ col("state")): _*)
   }
 
   // ───────────────── rollup-tier serving ─────────────────

@@ -379,6 +379,33 @@ class PromqlSpec extends SparkSpec {
     assert(out.map(_._1) == Seq(hu, 2L * hu))
   }
 
+  test("alert rules: FOR semantics over any expression's grid, gaps reset the run") {
+    // per-hour click counts: active (>1) at 1h..4h, gap at 5h, active
+    // again 6h..7h — FOR 2h ⇒ pending at run starts +1 step, firing
+    // from the 3rd consecutive instant; the 6h run never reaches FOR
+    val ae = Seq(
+      (1L, 1L * h, 1L, "click", 1.0), (2L, 1L * h, 2L, "click", 1.0),
+      (3L, 2L * h, 1L, "click", 1.0), (4L, 2L * h, 2L, "click", 1.0),
+      (5L, 3L * h, 1L, "click", 1.0), (6L, 3L * h, 2L, "click", 1.0),
+      (7L, 4L * h, 1L, "click", 1.0), (8L, 4L * h, 2L, "click", 1.0),
+      (9L, 5L * h, 1L, "click", 1.0), // count 1 at 5h → inactive
+      (10L, 6L * h, 1L, "click", 1.0), (11L, 6L * h, 2L, "click", 1.0),
+      (12L, 7L * h, 1L, "click", 1.0), (13L, 7L * h, 2L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // 30m windows on the hourly grid: each instant sees only its own
+    // hour's samples (a 1h inclusive window would bleed the previous
+    // hour's and close the gap)
+    val out = PromQL.alertRule(ae,
+      """sum by (event_type) (count_over_time(click[30m])) > 1""",
+      2L * hu, 0L, 7L * hu, hu)
+      .select("ts_us", "state", "active_since_us")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L * hu, "pending", 1L * hu), (2L * hu, "pending", 1L * hu),
+      (3L * hu, "firing", 1L * hu), (4L * hu, "firing", 1L * hu),
+      (6L * hu, "pending", 6L * hu), (7L * hu, "pending", 6L * hu)))
+  }
+
   test("rollup tier: decode-free serving equals the raw tier on aligned windows; per-sample functions refuse") {
     val hm = 300000000000L // 5 min in ns
     // samples strictly INSIDE hourly buckets (h + 5min): on hour-aligned
