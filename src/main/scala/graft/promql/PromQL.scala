@@ -87,7 +87,7 @@ object PromQL {
     * matching where the MANY side keeps its full label set — the
     * share-of-total shape (`v / on(k) group_left sum by (k) (v)`). */
   final case class VecMatch(on: Seq[String] = Nil, ignoring: Seq[String] = Nil,
-                            group: Int = 0) {
+                            group: Int = 0, onDefined: Boolean = false) {
     require(on.isEmpty || ignoring.isEmpty, "on(...) and ignoring(...) are exclusive")
   }
   /** Vector-vector arithmetic / set ops with PromQL vector matching:
@@ -147,18 +147,38 @@ object PromQL {
       } else if (c.isDigit || (c == '.' && i + 1 < q.length && q(i + 1).isDigit)) {
         val j = i
         while (i < q.length && (q(i).isDigit || q(i) == '.')) i += 1
-        // a trailing duration unit makes it a duration literal
-        if (i < q.length && "smhdw".contains(q(i)) && !q.substring(j, i).contains('.')) {
-          val n = q.substring(j, i).toLong
-          val unit = q(i) match {
-            case 's' => 1000000L
-            case 'm' => 60L * 1000000L
-            case 'h' => 3600L * 1000000L
-            case 'd' => 86400L * 1000000L
-            case 'w' => 7L * 86400L * 1000000L
+        // a trailing duration unit makes it a duration literal; units
+        // are Prometheus's (ms s m h d w) and compounds chain (1h30m)
+        def unitAt(): Option[(Long, Int)] =
+          if (i >= q.length) None
+          else q(i) match {
+            case 'm' if i + 1 < q.length && q(i + 1) == 's' => Some((1000L, 2))
+            case 's' => Some((1000000L, 1))
+            case 'm' => Some((60L * 1000000L, 1))
+            case 'h' => Some((3600L * 1000000L, 1))
+            case 'd' => Some((86400L * 1000000L, 1))
+            case 'w' => Some((7L * 86400L * 1000000L, 1))
+            case _ => None
           }
-          i += 1
-          out += TDur(n * unit)
+        if (!q.substring(j, i).contains('.') && unitAt().isDefined) {
+          var total = 0L
+          var n = q.substring(j, i).toLong
+          var more = true
+          while (more) {
+            unitAt() match {
+              case Some((mul, w)) =>
+                total += n * mul
+                i += w
+                if (i < q.length && q(i).isDigit) {
+                  val j2 = i
+                  while (i < q.length && q(i).isDigit) i += 1
+                  n = q.substring(j2, i).toLong
+                  if (unitAt().isEmpty) err("trailing digits after duration")
+                } else more = false
+              case None => err("malformed duration")
+            }
+          }
+          out += TDur(total)
         } else out += TNum(q.substring(j, i).toDouble)
       } else if (c == '"' || c == '\'') {
         val quote = c
@@ -229,7 +249,8 @@ object PromQL {
       * label space is closed, so there is nothing to copy. */
     private def parseVecMatch(op: String): VecMatch = {
       val m = peek match {
-        case Some(TIdent("on")) => next(); VecMatch(on = parseLabelList())
+        case Some(TIdent("on")) =>
+          next(); VecMatch(on = parseLabelList(), onDefined = true)
         case Some(TIdent("ignoring")) => next(); VecMatch(ignoring = parseLabelList())
         case _ => VecMatch()
       }
@@ -253,6 +274,8 @@ object PromQL {
                         m: VecMatch, r: Expr): Expr = (l, r) match {
       case (ScalarLit(a), ScalarLit(b)) =>
         // constant folding; scalar comparisons need `bool` in PromQL
+        if (Set("and", "or", "unless").contains(op))
+          err(s"set op $op is not defined between scalars")
         if (CmpOps.contains(op) && !boolMode)
           err(s"comparison between two scalars needs the bool modifier")
         ScalarLit(scalarOp(a, op, b))
@@ -281,13 +304,15 @@ object PromQL {
 
     private def parseUnary(): Expr = peek match {
       case Some(TSym("-")) =>
+        // unary minus binds LOOSER than ^ (PromQL: -2^2 = -(2^2)),
+        // so the operand parses at the power level
         next()
-        parseUnary() match {
+        parsePow() match {
           case ScalarLit(v) => ScalarLit(-v)
           // vector negation = 0 - v (PromQL's unary minus)
           case v => BinScalar(v, "-", 0.0, scalarLeft = true)
         }
-      case Some(TSym("+")) => next(); parseUnary()
+      case Some(TSym("+")) => next(); parsePow()
       case Some(TSym("(")) => next(); val e = parseOr(); expectSym(")"); e
       case Some(TSym("{")) => parseVectorSelector()
       case Some(TNum(v)) => next(); ScalarLit(v)
@@ -505,9 +530,29 @@ object PromQL {
 
   def parse(q: String): Expr = new P(lex(q)).parse()
 
+  /** Parse one Prometheus duration literal (`15s`, `1h30m`, `500ms`)
+    * to microseconds. */
+  def parseDuration(s: String): Long = lex(s) match {
+    case Vector(TDur(us)) => us
+    case _ => throw new IllegalArgumentException(s"not a duration: $s")
+  }
+
   // ───────────────────────── evaluator ─────────────────────────
 
   private val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+
+  /** PromQL arithmetic is IEEE double arithmetic — x/0 = ±Inf,
+    * 0/0 = NaN, x%0 = NaN — but Spark 4 runs ANSI mode by default,
+    * where a zero divisor THROWS mid-job. These guards keep division
+    * total with PromQL's values (the `when` evaluates lazily per
+    * row, so the ANSI path never sees a zero divisor). */
+  private def ieeeDiv(l: Column, r: Column): Column =
+    when(r =!= 0.0, l / r)
+      .when(l > 0, lit(Double.PositiveInfinity))
+      .when(l < 0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
+  private def ieeeMod(l: Column, r: Column): Column =
+    when(r =!= 0.0, l % r).otherwise(lit(Double.NaN))
   private val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
   private val LabelCols = Seq("series_id", "event_type", "user_id")
 
@@ -758,13 +803,8 @@ object PromQL {
     require(dur >= RollupGrainUs,
       s"rollup tier serves windows >= the 1h grain, got ${dur}us — use the raw tier")
     val wf = windowed(frame, off + RollupGrainUs, dur - RollupGrainUs, g)
-    val gkeys = LabelCols.map(col) :+ col("g_ts")
-    val outCols = LabelCols.map(col) :+ col("g_ts").as("ts_us")
     def keyed(valueCol: Column, aggs: (String, Column)*): DataFrame =
-      wf.groupBy(gkeys: _*)
-        .agg(aggs.head._2.as(aggs.head._1),
-          aggs.tail.map { case (n, c) => c.as(n) }: _*)
-        .select((outCols :+ valueCol.as("value")): _*)
+      gridKeyed(wf, LabelCols)(valueCol, aggs: _*)
     fn match {
       case "count_over_time" =>
         keyed(col("n").cast("double"), "n" -> sum(col("n_points")))
@@ -872,6 +912,16 @@ object PromQL {
       evalBinVec(evalExpr(samples, _, g, lookbackUs), l, op, m, r, boolMode)
   }
 
+  /** One grid-keyed aggregation: group by (labels, grid instant),
+    * rename the grid column to ts_us, project the value expression —
+    * the output shape every range-function family shares. */
+  private def gridKeyed(wf: DataFrame, labelCols: Seq[String])
+                       (valueCol: Column, aggs: (String, Column)*): DataFrame =
+    wf.groupBy((labelCols.map(col) :+ col("g_ts")): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .select(((labelCols.map(col) :+ col("g_ts").as("ts_us")) :+ valueCol.as("value")): _*)
+
   /** The range-function engine over ANY labeled frame — `frame`
     * carries (labelCols…, ts_us, event_id, value); for a plain range
     * vector that's the matcher-filtered samples, for a subquery it's
@@ -884,10 +934,7 @@ object PromQL {
       val gkeys = labelCols.map(col) :+ col("g_ts")
       val outCols = labelCols.map(col) :+ col("g_ts").as("ts_us")
       def keyed(valueCol: Column, aggs: (String, Column)*): DataFrame =
-        wf.groupBy(gkeys: _*)
-          .agg(aggs.head._2.as(aggs.head._1),
-            aggs.tail.map { case (n, c) => c.as(n) }: _*)
-          .select((outCols :+ valueCol.as("value")): _*)
+        gridKeyed(wf, labelCols)(valueCol, aggs: _*)
       fn match {
         case "count_over_time" => keyed(col("n").cast("double"), "n" -> count(lit(1)))
         case "present_over_time" => keyed(lit(1.0), "n" -> count(lit(1)))
@@ -1024,9 +1071,11 @@ object PromQL {
       val keyCols = keys.map(col)
       op match {
         case "topk" | "bottomk" =>
+          // the grouping clause partitions the top-k: `topk(k, v) by (l)`
+          // keeps k per l (and always per grid instant)
           val k = param.get.toInt
           val ties = in.columns.filterNot(_ == "value").sorted
-          if (g.instant) {
+          if (g.instant && keys == Seq("ts_us")) {
             // global top-k of one instant vector: TakeOrderedAndProject
             // (bounded per-partition heaps); tiebreak = the frame's
             // full label set, so the k-th boundary is total-ordered
@@ -1035,14 +1084,14 @@ object PromQL {
               else col("value").asc +: ties.map(c => col(c).asc)
             in.orderBy(ord.toSeq: _*).limit(k)
           } else {
-            // per-grid-instant top-k: the TopKPerKey operator keyed by
-            // the grid column (bounded heaps, ≤k rows per instant per
-            // map partition — never a per-instant sort)
+            // per-(group, grid-instant) top-k: the TopKPerKey operator
+            // (bounded heaps, ≤k rows per key per map partition —
+            // never a per-key sort)
             val dir = if (op == "topk") graft.plans.TopKPerKey.Desc
               else graft.plans.TopKPerKey.Asc
             val order = ("value" -> dir) +:
-              ties.filterNot(_ == "ts_us").map(_ -> (graft.plans.TopKPerKey.Asc: graft.plans.TopKPerKey.Dir)).toSeq
-            graft.plans.TopKPerKey(in, Seq("ts_us"), order, k)
+              ties.filterNot(keys.contains).map(_ -> (graft.plans.TopKPerKey.Asc: graft.plans.TopKPerKey.Dir)).toSeq
+            graft.plans.TopKPerKey(in, keys, order, k)
           }
         case "quantile" =>
           val q = param.get
@@ -1066,10 +1115,10 @@ object PromQL {
       val v = col("value")
       def arith(l: Column, r: Column): Column = op match {
         case "*" => l * r
-        case "/" => l / r
+        case "/" => ieeeDiv(l, r)
         case "+" => l + r
         case "-" => l - r
-        case "%" => l % r
+        case "%" => ieeeMod(l, r)
         case "^" => pow(l, r)
       }
       def cmp(l: Column, r: Column): Column = op match {
@@ -1110,9 +1159,17 @@ object PromQL {
             case "ceil" => ceil(v).cast("double")
             case "floor" => floor(v).cast("double")
             case "exp" => exp(v)
-            case "ln" => log(v)
-            case "log2" => log2(v)
-            case "log10" => log10(v)
+            // Spark's log family returns NULL off-domain; PromQL is
+            // IEEE: ln(0) = -Inf, ln(x<0) = NaN
+            case "ln" | "log2" | "log10" =>
+              val f: Column => Column = fn match {
+                case "ln" => log(_)
+                case "log2" => log2(_)
+                case _ => log10(_)
+              }
+              when(v > 0, f(v))
+                .when(v === 0, lit(Double.NegativeInfinity))
+                .otherwise(lit(Double.NaN))
             case "sqrt" => sqrt(v)
             case "sgn" => signum(v)
             case "round" =>
@@ -1145,7 +1202,7 @@ object PromQL {
       val lf = rec(l)
       val rf = rec(r)
       def matchKeys: Seq[String] =
-        if (m.on.nonEmpty) m.on :+ "ts_us"
+        if (m.onDefined) (m.on :+ "ts_us").distinct
         else {
           val shared = (lf.columns.toSet intersect rf.columns.toSet - "value").toSeq.sorted
           // ignoring(...) drops the listed labels AND the synthetic
@@ -1165,23 +1222,34 @@ object PromQL {
           lf.join(rf.select(keys.map(col): _*).distinct(), keys, jt)
         case "or" =>
           // left wins on label-set collision; the right side's
-          // survivors union in. Requires congruent shapes (same
-          // label columns), as PromQL's or effectively does.
-          require(lf.columns.sorted.sameElements(rf.columns.sorted),
-            s"or needs congruent vectors, got ${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}")
-          val keys = lf.columns.filterNot(_ == "value").toSeq
-          val rOnly = rf.join(lf.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          lf.unionByName(rOnly)
+          // survivors union in. With explicit on(...)/ignoring(...)
+          // the collision signature is the match-key set and the
+          // shapes may differ (missing labels null-fill); the default
+          // signature is the full label set, which requires congruent
+          // shapes, as PromQL's or effectively does.
+          if (m.onDefined || m.ignoring.nonEmpty) {
+            val keys = matchKeys
+            val rOnly = rf.join(lf.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            lf.unionByName(rOnly, allowMissingColumns = true)
+          } else {
+            require(lf.columns.sorted.sameElements(rf.columns.sorted),
+              s"or needs congruent vectors, got ${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}")
+            val keys = lf.columns.filterNot(_ == "value").toSeq
+            val rOnly = rf.join(lf.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            lf.unionByName(rOnly)
+          }
         case _ =>
           val keys = matchKeys
-          require(keys.exists(_ != "ts_us"),
+          // explicit on() = match on no labels (both sides global per
+          // instant); without it, an all-shared match needs real labels
+          require(m.onDefined || keys.exists(_ != "ts_us"),
             "no shared labels to match on — use on(...)")
           def arith(lv: Column, rv: Column): Option[Column] = op match {
             case "*" => Some(lv * rv)
-            case "/" => Some(lv / rv)
+            case "/" => Some(ieeeDiv(lv, rv))
             case "+" => Some(lv + rv)
             case "-" => Some(lv - rv)
-            case "%" => Some(lv % rv)
+            case "%" => Some(ieeeMod(lv, rv))
             case "^" => Some(pow(lv, rv))
             case _ => None
           }

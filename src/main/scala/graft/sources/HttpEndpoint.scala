@@ -165,6 +165,15 @@ final class HttpEndpoint(
       s"${jstr(c)}:${jstr(Option(r.getAs[Any](c)).map(_.toString).getOrElse(""))}")
       .mkString("{", ",", "}")
 
+  /** A sample value in Prometheus JSON spelling: "+Inf"/"-Inf"/"NaN"
+    * (Double.toString says "Infinity"); defensive on null. */
+  private def promVal(a: Any): String = a match {
+    case null => "NaN"
+    case d: java.lang.Double =>
+      if (d.isInfinite) { if (d > 0) "+Inf" else "-Inf" } else d.toString
+    case other => other.toString
+  }
+
   private def sendJson(ex: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes("UTF-8")
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -183,26 +192,15 @@ final class HttpEndpoint(
 
   private def sendPromError(ex: HttpExchange, e: IllegalArgumentException): Unit =
     sendJson(ex, 400,
-      "{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":\"" +
-        Option(e.getMessage).getOrElse("").replace("\\", "\\\\").replace("\"", "\\\"") +
-        "\"}")
+      "{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":" +
+        jstr(Option(e.getMessage).getOrElse("")) + "}")
 
   /** `step`/duration parameters accept Prometheus spellings: a float
-    * second count ("15", "0.5") or a duration literal ("15s", "1m"). */
-  private def durationUs(s: String): Long = {
-    val m = "^([0-9]+)([smhdw])$".r
-    s match {
-      case m(n, u) =>
-        n.toLong * (u match {
-          case "s" => 1000000L
-          case "m" => 60000000L
-          case "h" => 3600000000L
-          case "d" => 86400000000L
-          case "w" => 604800000000L
-        })
-      case _ => (s.toDouble * 1e6).toLong
-    }
-  }
+    * second count ("15", "0.5") or a duration literal ("15s",
+    * "1h30m", "500ms" — the shared PromQL duration grammar). */
+  private def durationUs(s: String): Long =
+    try graft.promql.PromQL.parseDuration(s)
+    catch { case _: IllegalArgumentException => (s.toDouble * 1e6).toLong }
 
   private def handleQuery(ex: HttpExchange): Unit =
     try {
@@ -218,7 +216,7 @@ final class HttpEndpoint(
       }
       val labelCols = df.columns.filterNot(c => c == "value" || c == "series_id")
       val rows = df.collect().map { r =>
-        val v = r.getAs[Any]("value").toString
+        val v = promVal(r.getAs[Any]("value"))
         s"""{"metric":${metricJson(labelCols, r)},"value":[${atUs / 1e6},${jstr(v)}]}"""
       }
       sendJson(ex, 200,
@@ -249,7 +247,7 @@ final class HttpEndpoint(
       if (endUs < startUs) throw new IllegalArgumentException("end < start")
       // same guard as Prometheus: refuse grids that would materialize
       // an unbounded driver-side result
-      if ((endUs - startUs) / stepUs > 11000)
+      if ((endUs - startUs) / stepUs >= 11000)
         throw new IllegalArgumentException("grid exceeds 11000 points; widen the step")
       val df = tierOf(params) match {
         // the long-horizon panel path: decode-free pre-aggregated scan
@@ -265,7 +263,7 @@ final class HttpEndpoint(
       df.collect().foreach { r =>
         val key = metricJson(labelCols, r)
         val t = r.getAs[Long]("ts_us")
-        val v = r.getAs[Any]("value").toString
+        val v = promVal(r.getAs[Any]("value"))
         grouped.getOrElseUpdate(key,
           new scala.collection.mutable.ArrayBuffer[(Long, String)]()) += ((t, v))
       }

@@ -58,7 +58,7 @@ class PromqlSpec extends SparkSpec {
   test("parser: operator precedence ladder and constant folding") {
     // * binds tighter than +: a + b*2 = a + (b*2)
     PromQL.parse("""{a="1"} + {b="2"} * 2""") match {
-      case PromQL.BinVec(PromQL.Selector(_, _), "+", PromQL.VecMatch(Nil, Nil, 0),
+      case PromQL.BinVec(PromQL.Selector(_, _), "+", PromQL.VecMatch(Nil, Nil, 0, false),
           PromQL.BinScalar(PromQL.Selector(_, _), "*", 2.0, false, false), false) => ()
       case other => fail(s"precedence broke: $other")
     }
@@ -77,7 +77,7 @@ class PromqlSpec extends SparkSpec {
     // and/unless bind looser than comparison, or loosest
     PromQL.parse("""{a="1"} > 1 and {b="2"} or {c="3"}""") match {
       case PromQL.BinVec(PromQL.BinVec(PromQL.BinScalar(_, ">", 1.0, false, false),
-          "and", PromQL.VecMatch(Nil, Nil, 0), _, false), "or", PromQL.VecMatch(Nil, Nil, 0), _, false) => ()
+          "and", PromQL.VecMatch(Nil, Nil, 0, false), _, false), "or", PromQL.VecMatch(Nil, Nil, 0, false), _, false) => ()
       case other => fail(s"set-op precedence broke: $other")
     }
     // bool modifier on comparisons
@@ -175,6 +175,47 @@ class PromqlSpec extends SparkSpec {
       .select("value").as[Double].collect().head
     val expect = sy / n + slope * ((7200.0 + 3600.0) - sx / n)
     assert(math.abs(pv - expect) < 1e-9)
+  }
+
+  test("review fixes: unary-minus precedence, durations, scalar set ops, IEEE arithmetic, topk by, or with on(), empty on()") {
+    val at = 2L * hu
+    // unary minus binds looser than ^ (PromQL: -2^2 = -4)
+    assert(PromQL.parse("-2^2") == PromQL.ScalarLit(-4.0))
+    // ms + compound duration literals, shared with the HTTP layer
+    PromQL.parse("""count_over_time({a="b"}[1h30m])""") // lexes as one duration
+    assert(PromQL.parseDuration("1h30m") == 5400000000L)
+    assert(PromQL.parseDuration("500ms") == 500000L)
+    intercept[IllegalArgumentException](PromQL.parseDuration("1m30"))
+    // set ops between scalars are a typed error, not a MatchError
+    intercept[IllegalArgumentException](PromQL.parse("1 and 2"))
+    // IEEE arithmetic under Spark's ANSI mode: /0 is ±Inf/NaN, %0 NaN,
+    // ln(0) -Inf, ln(<0) NaN — never a SparkArithmeticException
+    def one(q: String): Double =
+      PromQL.eval(ev, q, at).select("value").as[Double].collect().head
+    assert(one("""sum(count_over_time({}[2h])) / 0""").isPosInfinity)
+    assert(one("""(0 - sum(count_over_time({}[2h]))) / 0""").isNegInfinity)
+    assert(one("""sum(count_over_time({}[2h])) % 0""").isNaN)
+    assert(one("""ln(sum(count_over_time({}[2h])) - 8)""").isNegInfinity)
+    assert(one("""ln(0 - sum(count_over_time({}[2h])))""").isNaN)
+    // topk honors the grouping clause: one winner per event_type
+    val t1 = PromQL.eval(ev, """topk(1, count_over_time({}[2h])) by (event_type)""", at)
+      .select("event_type", "value").as[(String, Double)].collect().sortBy(_._1).toSeq
+    assert(t1 == Seq(("click", 3.0), ("purchase", 2.0), ("view", 1.0)))
+    // or honors on(): purchase's user 1 collides with a click user
+    assert(PromQL.eval(ev,
+      """count_over_time(click[2h]) or on (user_id) count_over_time(purchase[2h])""", at)
+      .select("event_type").as[String].collect().toSet == Set("click"))
+    // ...but view's user 11 has no purchase collision → both survive
+    assert(PromQL.eval(ev,
+      """count_over_time(purchase[2h]) or on (user_id) count_over_time(view[2h])""", at)
+      .select("event_type").as[String].collect().toSet == Set("purchase", "view"))
+    // explicit on() = match on no labels: share of the GLOBAL total
+    val shares = PromQL.eval(ev,
+      """count_over_time({}[2h]) / on () group_left sum (count_over_time({}[2h]))""", at)
+      .select("event_type", "user_id", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(shares == Seq(("click", 1L, 3.0 / 8), ("click", 2L, 2.0 / 8),
+      ("purchase", 1L, 2.0 / 8), ("view", 11L, 1.0 / 8)))
   }
 
   test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
