@@ -180,6 +180,13 @@ object SparkEntry {
       """count_over_time({}[1d]) / on (event_type) group_left sum by (event_type) (count_over_time({}[1d]))""",
       T2)),
 
+    // label functions: the daily count histogram via count_values —
+    // each per-series count becomes a label, output = how many series
+    // share that count (integer-valued doubles stringify identically
+    // across engines: "3.0")
+    "promql_count_values" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """count_values("n", count_over_time({}[1d]))""", T2)),
+
     // ALERT RULE over a full PromQL expression (avg event value per
     // type per 6h window > 50 for 12h) on a 40-instant grid — the
     // expression is scale-invariant (value distribution, not volume)
@@ -1882,6 +1889,14 @@ object SparkEntry {
           SELECT c.series_id, c.event_type, c.user_id,
                  CAST(c.n AS DOUBLE) / t.total AS value
           FROM c JOIN t USING (event_type)""",
+
+    "promql_count_values" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, count(*) AS cnt FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1)
+          SELECT CAST(CAST(cnt AS DOUBLE) AS VARCHAR) AS n,
+                 CAST(count(*) AS DOUBLE) AS value
+          FROM c GROUP BY 1""",
 
     // the engine's avg = decimal sum (double) / count (double); the
     // islands pass mirrors ts_alert_firing restated on the grid

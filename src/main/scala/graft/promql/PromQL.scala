@@ -98,8 +98,11 @@ object PromQL {
     def on: Seq[String] = matching.on
   }
   /** Instant math function over a vector (`abs(v)`, `clamp(v,lo,hi)`,
-    * `round(v[,to])`, `absent(v)`); scalar parameters ride along. */
-  final case class Func(fn: String, arg: Expr, params: Seq[Double] = Nil) extends Expr
+    * `round(v[,to])`, `absent(v)`); scalar parameters ride along, and
+    * the label functions (label_replace/label_join/count_values)
+    * carry string parameters. */
+  final case class Func(fn: String, arg: Expr, params: Seq[Double] = Nil,
+                        strParams: Seq[String] = Nil) extends Expr
   /** A range function over a SUBQUERY — `max_over_time(rate(m[5m])[1h:10m])`:
     * the inner expression evaluates at every step-aligned instant in
     * the trailing window, and the outer range function aggregates
@@ -122,6 +125,10 @@ object PromQL {
     "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0), "sqrt" -> (0, 0),
     "sgn" -> (0, 0), "round" -> (0, 1), "clamp_min" -> (1, 1),
     "clamp_max" -> (1, 1), "clamp" -> (2, 2), "absent" -> (0, 0))
+  // label functions: fn -> (string-arg count, vector-arg position)
+  // count_values("dst", v) leads with the string; label_replace /
+  // label_join lead with the vector
+  private val LabelFns = Set("label_replace", "label_join", "count_values")
   private val KeyWords = Set("by", "without", "on", "ignoring", "offset",
     "bool", "group_left", "group_right", "and", "or", "unless")
 
@@ -319,6 +326,7 @@ object PromQL {
       case Some(TIdent(name)) if AggOps.contains(name) => parseAgg(name)
       case Some(TIdent(name)) if RangeFns.contains(name) => parseRangeFn(name)
       case Some(TIdent(name)) if MathFns.contains(name) => parseFunc(name)
+      case Some(TIdent(name)) if LabelFns.contains(name) => parseLabelFn(name)
       case Some(TIdent(name)) if !KeyWords.contains(name) => parseVectorSelector()
       case Some(t) => err(s"unexpected $t")
       case None => err("empty expression")
@@ -398,6 +406,36 @@ object PromQL {
       if (params.length < lo || params.length > hi)
         err(s"$fn takes $lo${if (hi != lo) s"..$hi" else ""} scalar parameter(s), got ${params.length}")
       Func(fn, arg, params)
+    }
+
+    /** `label_replace(v, "dst", "repl", "src", "re")`,
+      * `label_join(v, "dst", "sep", "src"...)`,
+      * `count_values("dst", v)`. */
+    private def parseLabelFn(fn: String): Expr = {
+      next() // fn
+      expectSym("(")
+      def str(): String = next() match {
+        case TStr(v) => v
+        case t => err(s"$fn needs a quoted string, got $t")
+      }
+      val e = fn match {
+        case "count_values" =>
+          val dst = str(); expectSym(",")
+          val arg = parseOr()
+          Func(fn, arg, Nil, Seq(dst))
+        case _ =>
+          val arg = parseOr()
+          val ss = Seq.newBuilder[String]
+          while (peek == Some(TSym(","))) { next(); ss += str() }
+          val strs = ss.result()
+          if (fn == "label_replace" && strs.length != 4)
+            err("label_replace(v, dst, replacement, src, regex) takes 4 strings")
+          if (fn == "label_join" && strs.length < 3)
+            err("label_join(v, dst, separator, src...) takes >= 3 strings")
+          Func(fn, arg, Nil, strs)
+      }
+      expectSym(")")
+      e
     }
 
     private def parseRangeFn(fn: String): Expr = {
@@ -605,7 +643,7 @@ object PromQL {
       dur + off + maxWindowUs(inner, lookbackUs)
     case Agg(_, _, _, a, _) => maxWindowUs(a, lookbackUs)
     case BinScalar(a, _, _, _, _) => maxWindowUs(a, lookbackUs)
-    case Func(_, a, _) => maxWindowUs(a, lookbackUs)
+    case Func(_, a, _, _) => maxWindowUs(a, lookbackUs)
     case BinVec(l, _, _, r, _) => math.max(maxWindowUs(l, lookbackUs), maxWindowUs(r, lookbackUs))
     case ScalarLit(_) => 0L
   }
@@ -621,7 +659,7 @@ object PromQL {
       case SubqueryFn(_, inner, _, _, _, _) => sels(inner)
       case Agg(_, _, _, a, _) => sels(a)
       case BinScalar(a, _, _, _, _) => sels(a)
-      case Func(_, a, _) => sels(a)
+      case Func(_, a, _, _) => sels(a)
       case BinVec(l, _, _, r, _) => sels(l) ++ sels(r)
       case ScalarLit(_) => Nil
     }
@@ -787,8 +825,8 @@ object PromQL {
       evalAgg(evalRollup(rollups, _, g, lookbackUs), op, by, without, arg, param, g)
     case BinScalar(arg, op, k, scalarLeft, boolMode) =>
       evalBinScalar(evalRollup(rollups, _, g, lookbackUs), arg, op, k, scalarLeft, boolMode)
-    case Func(fn, arg, params) =>
-      evalFunc(evalRollup(rollups, _, g, lookbackUs), fn, arg, params, g)
+    case Func(fn, arg, params, strParams) =>
+      evalFunc(evalRollup(rollups, _, g, lookbackUs), fn, arg, params, strParams, g)
     case BinVec(l, op, m, r, boolMode) =>
       evalBinVec(evalRollup(rollups, _, g, lookbackUs), l, op, m, r, boolMode)
   }
@@ -905,8 +943,8 @@ object PromQL {
     case BinScalar(arg, op, k, scalarLeft, boolMode) =>
       evalBinScalar(evalExpr(samples, _, g, lookbackUs), arg, op, k, scalarLeft, boolMode)
 
-    case Func(fn, arg, params) =>
-      evalFunc(evalExpr(samples, _, g, lookbackUs), fn, arg, params, g)
+    case Func(fn, arg, params, strParams) =>
+      evalFunc(evalExpr(samples, _, g, lookbackUs), fn, arg, params, strParams, g)
 
     case BinVec(l, op, m, r, boolMode) =>
       evalBinVec(evalExpr(samples, _, g, lookbackUs), l, op, m, r, boolMode)
@@ -1141,9 +1179,39 @@ object PromQL {
   }
 
   private def evalFunc(rec: Expr => DataFrame, fn: String, arg: Expr,
-                       params: Seq[Double], g: Grid): DataFrame = {
+                       params: Seq[Double], strParams: Seq[String],
+                       g: Grid): DataFrame = {
       val in = rec(arg)
+      def labelCol(name: String): Column =
+        if (in.columns.contains(name)) col(name).cast("string") else lit("")
+      def checkDst(dst: String): Unit =
+        require(dst != "value" && dst != "ts_us" && dst != "series_id",
+          s"$fn cannot write the reserved column $dst")
       fn match {
+        case "label_replace" =>
+          // PromQL: if `regex` matches `src` IN FULL, dst becomes the
+          // replacement ($1-style backrefs, same syntax in Spark);
+          // otherwise the series keeps its old dst (absent = "")
+          val Seq(dst, repl, srcName, re) = strParams
+          checkDst(dst)
+          val anchored = s"^(?:$re)$$"
+          val src = labelCol(srcName)
+          in.withColumn(dst,
+            when(src.rlike(anchored), regexp_replace(src, anchored, repl))
+              .otherwise(labelCol(dst)))
+        case "label_join" =>
+          val dst = strParams.head
+          checkDst(dst)
+          val sep = strParams(1)
+          val parts = strParams.drop(2).map(labelCol)
+          in.withColumn(dst, concat_ws(sep, parts: _*))
+        case "count_values" =>
+          // the sample VALUE becomes a label; count per (value, instant)
+          val dst = strParams.head
+          checkDst(dst)
+          in.withColumn(dst, col("value").cast("string"))
+            .groupBy(col(dst), col("ts_us"))
+            .agg(count(lit(1)).cast("double").as("value"))
         case "absent" =>
           // empty input vector → {value: 1} per grid instant; any
           // match at an instant suppresses it (anti-join against the

@@ -218,6 +218,33 @@ class PromqlSpec extends SparkSpec {
       ("purchase", 1L, 2.0 / 8), ("view", 11L, 1.0 / 8)))
   }
 
+  test("label functions: label_replace, label_join, count_values") {
+    val at = 2L * hu
+    // label_replace: full-match rewrites, non-match keeps the old dst
+    val lr = PromQL.eval(ev,
+      """label_replace(count_over_time({}[2h]), "kind", "$1ing", "event_type", "(click|view)")""", at)
+      .select("event_type", "kind").as[(String, String)].collect().toSet
+    assert(lr == Set(("click", "clicking"), ("view", "viewing"), ("purchase", "")))
+    // label_join concatenates existing labels into a new one
+    val lj = PromQL.eval(ev,
+      """label_join(count_over_time(purchase[2h]), "uid", "-", "event_type", "user_id")""", at)
+      .select("uid").as[String].collect().toSeq
+    assert(lj == Seq("purchase-1"))
+    // the new label participates in matching downstream
+    val m = PromQL.eval(ev,
+      """sum by (kind) (label_replace(count_over_time({}[2h]), "kind", "engage", "event_type", "click|view"))""", at)
+      .select("kind", "value").as[(String, Double)].collect().toMap
+    assert(m == Map("engage" -> 6.0, "" -> 2.0))
+    // count_values: the value becomes a label, output = occurrences
+    val cv = PromQL.eval(ev, """count_values("n", count_over_time({}[2h]))""", at)
+      .select("n", "value").as[(String, Double)].collect().toMap
+    // series counts: click-u1 3, click-u2 2, purchase 2, view 1
+    assert(cv == Map("3.0" -> 1.0, "2.0" -> 2.0, "1.0" -> 1.0))
+    // reserved destinations refuse
+    intercept[IllegalArgumentException](PromQL.eval(ev,
+      """count_values("value", count_over_time({}[2h]))""", at))
+  }
+
   test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
     // parser shape
     PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
