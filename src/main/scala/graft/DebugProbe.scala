@@ -260,6 +260,53 @@ object DebugProbe {
       run("x10", big)
       spark.stop(); return
     }
+    if (names.contains("__promqltier")) {
+      // Raw vs rollup serving on DENSE series — the regime the rollup
+      // tier exists for: 50 series × 1 sample/10s × 30 days = 13M
+      // samples, vs 50 × 720 hourly rollup rows (360× smaller scan,
+      // zero Gorilla decode). The month-of-daily-windows dashboard
+      // query runs through both tiers. (Results differ only at exact
+      // window-closing instants — raw is right-closed, rollup
+      // right-open; the probe prints both row counts.)
+      import graft.tsdb.ChunkStore
+      val t0 = 1704067200000000L
+      val nSeries = 50L
+      val samples = spark.range(nSeries * 30L * 8640L).select(
+        (col("id") % nSeries).as("sid"),
+        expr(s"(id div $nSeries) * 10000000 + $t0").as("ts_us"),
+        col("id"))
+        .select(
+          graft.tsdb.Series.seriesId(Seq(
+            "event_type" -> concat(lit("m"), (col("sid") % 5).cast("string")),
+            "user_id" -> expr("sid div 5").cast("string"))).as("series_id"),
+          col("ts_us"), col("id").as("event_id"),
+          (col("sid") + (col("ts_us") % 97)).cast("double").as("value"),
+          concat(lit("m"), (col("sid") % 5).cast("string")).as("event_type"),
+          expr("sid div 5").as("user_id"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_tier").toString
+      val store = new ChunkStore(spark, dir, chunkMs = 86400000L,
+        filesPerChunkPerAppend = 2, rollupOnClose = true)
+      store.append(samples)
+      store.closeChunksBelow(t0 + 40L * 86400000000L)
+      val q = """sum by (event_type) (sum_over_time({}[1d]))"""
+      val gridStart = t0 + 7L * 86400000000L
+      val gridEnd = t0 + 29L * 86400000000L
+      val step = 86400000000L
+      def time(f: => Long): (Double, Long) = {
+        val t = System.nanoTime(); val n = f
+        ((System.nanoTime() - t) / 1e9, n)
+      }
+      // min-of-2 like the bench (run 1 pays codegen)
+      def best(f: => Long): (Double, Long) = { val a = time(f); val b = time(f)
+        (math.min(a._1, b._1), b._2) }
+      val (rawT, rawN) = best(
+        graft.promql.PromQL.evalStoreRange(store, q, gridStart, gridEnd, step).count())
+      val (rollT, rollN) = best(
+        graft.promql.PromQL.evalStoreRangeRollup(store, q, gridStart, gridEnd, step).count())
+      println(f"[probe] promqltier raw    $rawT%6.2fs ($rawN rows)")
+      println(f"[probe] promqltier rollup $rollT%6.2fs ($rollN rows)  speedup ${rawT / rollT}%4.1fx")
+      spark.stop(); return
+    }
     if (names.contains("__http")) {
       // the wire front door end-to-end on a live ephemeral port:
       // remote-write a slice of real events, remote-read it back
