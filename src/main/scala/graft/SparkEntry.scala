@@ -180,6 +180,19 @@ object SparkEntry {
       """count_over_time({}[1d]) / on (event_type) group_left sum by (event_type) (count_over_time({}[1d]))""",
       T2)),
 
+    // Holt-Winters double exponential smoothing per series (the one
+    // sequential range function — folds the window's time-ordered
+    // values with aggregate()). sf=0.5, tf=0.25 are exactly binary-
+    // representable, so both engines' per-op IEEE sequences are
+    // identical. 15/60 purchase series have the required >= 2 samples
+    // at sf0.01 (132/549 at sf0.1)
+    "promql_holt" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """holt_winters(purchase[1d], 0.5, 0.25)""", T2)),
+
+    // cross-series population stddev of the per-series daily sums
+    "promql_stddev" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """stddev by (event_type) (sum_over_time({}[1d]))""", T2)),
+
     // label functions: the daily count histogram via count_values —
     // each per-series count becomes a label, output = how many series
     // share that count (integer-valued doubles stringify identically
@@ -1889,6 +1902,49 @@ object SparkEntry {
           SELECT c.series_id, c.event_type, c.user_id,
                  CAST(c.n AS DOUBLE) / t.total AS value
           FROM c JOIN t USING (event_type)""",
+
+    // the recursion mirrors the engine's fold exactly: init
+    // (s=x1, b=x2-x1), each step s' = 0.5x + 0.5(s+b),
+    // b' = 0.25(s'-s) + 0.75b — all factors exactly binary
+    "promql_holt" ->
+      s"""WITH RECURSIVE s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   epoch_us(ts) AS ts_us, event_id, value FROM events
+                WHERE event_type = 'purchase'
+                  AND epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2),
+          o AS (SELECT *, row_number() OVER (PARTITION BY series_id
+                   ORDER BY ts_us, event_id) AS rn FROM s),
+          n AS (SELECT series_id, max(rn) AS mx FROM o GROUP BY 1),
+          r AS (SELECT o1.series_id, o1.event_type, o1.user_id,
+                   CAST(o1.value AS DOUBLE) AS sv,
+                   CAST(o2.value - o1.value AS DOUBLE) AS bv, 1 AS i
+                FROM o o1 JOIN o o2 ON o2.series_id = o1.series_id AND o2.rn = 2
+                WHERE o1.rn = 1
+                UNION ALL
+                SELECT r.series_id, r.event_type, r.user_id,
+                   0.5 * o.value + 0.5 * (r.sv + r.bv),
+                   0.25 * ((0.5 * o.value + 0.5 * (r.sv + r.bv)) - r.sv) + 0.75 * r.bv,
+                   r.i + 1
+                FROM r JOIN o ON o.series_id = r.series_id AND o.rn = r.i + 1)
+          SELECT r.series_id, r.event_type, r.user_id, r.sv AS value
+          FROM r JOIN n ON n.series_id = r.series_id WHERE r.i = n.mx""",
+
+    // moments mirrored from the engine: per-series decimal daily sums
+    // (double-exact), then s1/s2 through DECIMAL(38,6), variance and
+    // sqrt in double with the identical expression shape
+    "promql_stddev" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2),
+          a AS (SELECT event_type,
+                   CAST(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE) AS s1,
+                   CAST(CAST(sum(CAST(v * v AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE) AS s2,
+                   count(*) AS n
+                FROM c GROUP BY 1)
+          SELECT event_type,
+                 sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS value
+          FROM a""",
 
     "promql_count_values" ->
       s"""WITH c AS (SELECT $SeriesIdSql AS series_id, count(*) AS cnt FROM events

@@ -75,7 +75,8 @@ object PromQL {
   final case class ScalarLit(v: Double) extends Expr
   final case class Selector(matchers: Seq[Matcher], offsetUs: Long = 0L) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeUs: Long,
-                           param: Option[Double] = None) extends Expr
+                           param: Option[Double] = None,
+                           param2: Option[Double] = None) extends Expr
   final case class Agg(op: String, by: Seq[String], without: Boolean, arg: Expr,
                        param: Option[Double] = None) extends Expr
   final case class BinScalar(arg: Expr, op: String, k: Double,
@@ -115,10 +116,11 @@ object PromQL {
   private val RangeFns = Set("rate", "irate", "increase", "delta", "idelta",
     "deriv", "predict_linear", "resets", "changes", "last_over_time",
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
-    "max_over_time", "stddev_over_time", "quantile_over_time",
-    "present_over_time", "absent_over_time")
+    "max_over_time", "stddev_over_time", "stdvar_over_time",
+    "quantile_over_time", "present_over_time", "absent_over_time",
+    "holt_winters")
   private val AggOps = Set("sum", "avg", "min", "max", "count",
-    "topk", "bottomk", "quantile")
+    "stddev", "stdvar", "group", "topk", "bottomk", "quantile")
   // fn -> number of scalar params after the vector argument
   private val MathFns: Map[String, (Int, Int)] = Map(
     "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0), "exp" -> (0, 0),
@@ -472,23 +474,33 @@ object PromQL {
           next() match { case TDur(us) => us case t => err(s"duration expected, got $t") }
         case _ => 0L
       }
-      // predict_linear's horizon rides after the range vector
-      val horizon: Option[Double] =
-        if (fn == "predict_linear") {
-          expectSym(",")
-          next() match {
-            case TNum(t) => Some(t)
-            case TDur(us) => Some(us / 1e6)
-            case t => err(s"predict_linear needs a horizon scalar, got $t")
-          }
-        } else param
+      // predict_linear's horizon / holt_winters' (sf, tf) ride after
+      // the range vector
+      def trailingScalar(what: String): Double = {
+        expectSym(",")
+        next() match {
+          case TNum(t) => t
+          case TDur(us) => us / 1e6
+          case t => err(s"$fn needs $what, got $t")
+        }
+      }
+      val (p1, p2): (Option[Double], Option[Double]) = fn match {
+        case "predict_linear" => (Some(trailingScalar("a horizon scalar")), None)
+        case "holt_winters" =>
+          val sf = trailingScalar("a smoothing factor")
+          val tf = trailingScalar("a trend factor")
+          if (sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1)
+            err("holt_winters factors must be in (0, 1)")
+          (Some(sf), Some(tf))
+        case _ => (param, None)
+      }
       expectSym(")")
       (subStep, arg) match {
         case (Some(st), inner) =>
           if (st <= 0) err("subquery step must be positive")
-          SubqueryFn(fn, inner, dur, st, off, horizon)
+          SubqueryFn(fn, inner, dur, st, off, p1)
         case (None, sel: Selector) =>
-          RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, horizon)
+          RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, p1, p2)
         case (None, other) =>
           err(s"range function $fn over a non-selector needs a subquery [d:step], got $other")
       }
@@ -638,7 +650,7 @@ object PromQL {
     * offset, maxed over every selector) — the store read bound. */
   private[graft] def maxWindowUs(e: Expr, lookbackUs: Long): Long = e match {
     case Selector(_, off) => lookbackUs + off
-    case RangeFn(_, Selector(_, off), dur, _) => dur + off
+    case RangeFn(_, Selector(_, off), dur, _, _) => dur + off
     case SubqueryFn(_, inner, dur, _, off, _) =>
       dur + off + maxWindowUs(inner, lookbackUs)
     case Agg(_, _, _, a, _) => maxWindowUs(a, lookbackUs)
@@ -655,7 +667,7 @@ object PromQL {
   private[graft] def soleMatchers(e: Expr): Option[Seq[Matcher]] = {
     def sels(x: Expr): Seq[Selector] = x match {
       case s: Selector => Seq(s)
-      case RangeFn(_, s, _, _) => Seq(s)
+      case RangeFn(_, s, _, _, _) => Seq(s)
       case SubqueryFn(_, inner, _, _, _, _) => sels(inner)
       case Agg(_, _, _, a, _) => sels(a)
       case BinScalar(a, _, _, _, _) => sels(a)
@@ -804,7 +816,7 @@ object PromQL {
     case Selector(_, _) =>
       throw new IllegalArgumentException(
         "instant selectors need per-sample data (rollups hold no last value) — use the raw tier")
-    case RangeFn(fn, Selector(ms, off), dur, param) =>
+    case RangeFn(fn, Selector(ms, off), dur, param, _) =>
       rollupRangeAgg(rollups.filter(Matcher.all(ms)), fn, off, dur, param, g)
     case SubqueryFn(fn, inner, dur, step, off, param) =>
       // inner vectors come from the rollup tier; the outer range
@@ -912,8 +924,8 @@ object PromQL {
         .select(col("series_id"), col("event_type"), col("user_id"),
           col("g_ts").as("ts_us"), col("l.value").as("value"))
 
-    case RangeFn(fn, Selector(ms, off), dur, param) =>
-      rangeAgg(samples.filter(Matcher.all(ms)), LabelCols, fn, off, dur, param, g)
+    case RangeFn(fn, Selector(ms, off), dur, param, param2) =>
+      rangeAgg(samples.filter(Matcher.all(ms)), LabelCols, fn, off, dur, param, g, param2)
 
     case SubqueryFn(fn, inner, dur, step, off, param) =>
       // Prometheus subquery: the inner expression evaluates at every
@@ -967,7 +979,7 @@ object PromQL {
     * keys, not first() buffers (the struct-max lesson, SURVEY §5). */
   private def rangeAgg(frame: DataFrame, labelCols: Seq[String], fn: String,
                        off: Long, dur: Long, param: Option[Double],
-                       g: Grid): DataFrame = {
+                       g: Grid, param2: Option[Double] = None): DataFrame = {
       val wf = windowed(frame, off, dur, g)
       val gkeys = labelCols.map(col) :+ col("g_ts")
       val outCols = labelCols.map(col) :+ col("g_ts").as("ts_us")
@@ -986,14 +998,43 @@ object PromQL {
         case "last_over_time" =>
           keyed(col("l.value"),
             "l" -> max(struct(col("ts_us"), col("event_id"), col("value"))))
-        case "stddev_over_time" =>
+        case "stddev_over_time" | "stdvar_over_time" =>
           // exact decimal moments, double math once (ts_stddev shape)
-          keyed(sqrt(greatest(col("s2").cast("double") / col("n") -
-              (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
-            lit(0.0))),
+          val variance = greatest(col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+            lit(0.0))
+          keyed(if (fn == "stddev_over_time") sqrt(variance) else variance,
             "s1" -> sum(col("value").cast(d6)).cast("decimal(38,6)"),
             "s2" -> sum((col("value") * col("value")).cast(d6)).cast("decimal(38,6)"),
             "n" -> count(lit(1)))
+        case "holt_winters" =>
+          // Prometheus's Holt-Winters double exponential smoothing is
+          // inherently sequential per window, so it folds the window's
+          // time-ordered values with the aggregate() higher-order
+          // function — one deterministic expression, state O(1),
+          // buffer bounded by the window's sample count (the
+          // gorilla-pack bound argument; ObjectHashAggregate).
+          // s1 = x1, b1 = x2 - x1; then for each later x:
+          //   s' = sf*x + (1-sf)(s+b); b' = tf*(s'-s) + (1-tf)b.
+          // Needs >= 2 samples, as in Prometheus.
+          val sf = param.get
+          val tf = param2.get
+          keyed(expr(s"""
+            CASE WHEN size(xs) >= 2 THEN
+              aggregate(
+                slice(xs, 2, size(xs) - 1),
+                named_struct(
+                  's', CAST(element_at(xs, 1) AS DOUBLE),
+                  'b', CAST(element_at(xs, 2) - element_at(xs, 1) AS DOUBLE)),
+                (st, x) -> named_struct(
+                  's', $sf * x + (1 - $sf) * (st.s + st.b),
+                  'b', $tf * (($sf * x + (1 - $sf) * (st.s + st.b)) - st.s)
+                       + (1 - $tf) * st.b),
+                st -> st.s)
+            END"""),
+            "xs" -> expr(
+              "transform(array_sort(collect_list(struct(ts_us, event_id, value))), p -> p.value)"))
+            .filter(col("value").isNotNull)
         case "quantile_over_time" =>
           keyed(col("q"),
             "q" -> round(expr(s"percentile(value, ${param.get})"), 6))
@@ -1135,6 +1176,18 @@ object PromQL {
           val q = param.get
           in.groupBy(keyCols: _*)
             .agg(round(expr(s"percentile(value, $q)"), 6).as("value"))
+        case "stddev" | "stdvar" =>
+          // population moments across series, decimal-exact then one
+          // double expression (the stddev_over_time shape)
+          val a = in.groupBy(keyCols: _*).agg(
+            sum(col("value").cast(d6)).cast("decimal(38,6)").as("s1"),
+            sum((col("value") * col("value")).cast(d6)).cast("decimal(38,6)").as("s2"),
+            count(lit(1)).as("n"))
+          val variance = greatest(col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+            lit(0.0))
+          a.select((keyCols :+
+            (if (op == "stddev") sqrt(variance) else variance).as("value")): _*)
         case _ =>
           val a = op match {
             case "sum" => sum(col("value").cast(d6)).cast("double")
@@ -1142,6 +1195,8 @@ object PromQL {
             case "min" => min(col("value"))
             case "max" => max(col("value"))
             case "count" => count(lit(1)).cast("double")
+            // PromQL `group`: presence — every group collapses to 1
+            case "group" => max(lit(1.0))
           }
           in.groupBy(keyCols: _*).agg(a.as("value"))
       }

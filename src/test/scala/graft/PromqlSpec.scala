@@ -31,7 +31,7 @@ class PromqlSpec extends SparkSpec {
     val e = PromQL.parse("""sum by (event_type) (rate({event_type=~"click|view", user_id!="9"}[5m])) > 0.5""")
     e match {
       case PromQL.BinScalar(PromQL.Agg("sum", Seq("event_type"), false,
-          PromQL.RangeFn("rate", PromQL.Selector(ms, 0L), dur, None), None), ">", 0.5, false, false) =>
+          PromQL.RangeFn("rate", PromQL.Selector(ms, 0L), dur, None, None), None), ">", 0.5, false, false) =>
         assert(dur == 5L * 60L * 1000000L)
         assert(ms == Seq(MatchRe("event_type", "click|view"),
           graft.tsdb.MatchNeq("user_id", "9")))
@@ -218,6 +218,37 @@ class PromqlSpec extends SparkSpec {
       ("purchase", 1L, 2.0 / 8), ("view", 11L, 1.0 / 8)))
   }
 
+  test("holt_winters, stdvar_over_time, stddev/stdvar/group aggregators") {
+    val at = 2L * hu
+    // holt_winters hand-fold: u1 clicks (10,20,40) sf=tf=0.5 →
+    // s=10,b=10; x=20: s'=20,b'=10; x=40: s'=0.5*40+0.5*30=35
+    // u2 clicks (5,7): s=5,b=2; x=7: s'=0.5*7+0.5*7=7
+    val hw = PromQL.eval(ev, """holt_winters(click[2h], 0.5, 0.5)""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(hw == Seq((1L, 35.0), (2L, 7.0)))
+    // single-sample series drop (view has 1 sample), like Prometheus
+    assert(PromQL.eval(ev, """holt_winters(view[2h], 0.5, 0.5)""", at).count() == 0)
+    intercept[IllegalArgumentException](PromQL.parse("""holt_winters(v[1h], 1.5, 0.5)"""))
+    // stdvar_over_time = stddev_over_time squared (u1 clicks var:
+    // E[x^2]-E[x]^2 over 10,20,40 = 700/3... use exact: 2100/3 - (70/3)^2)
+    val sv = PromQL.eval(ev, """stdvar_over_time({event_type="click", user_id="1"}[2h])""", at)
+      .select("value").as[Double].collect().head
+    val sd = PromQL.eval(ev, """stddev_over_time({event_type="click", user_id="1"}[2h])""", at)
+      .select("value").as[Double].collect().head
+    assert(math.abs(sv - sd * sd) < 1e-9)
+    // cross-series aggregators: stddev/stdvar over series counts [3,2]
+    // per click type; group collapses to 1
+    val sdev = PromQL.eval(ev, """stddev by (event_type) (count_over_time(click[2h]))""", at)
+      .select("value").as[Double].collect().head
+    assert(math.abs(sdev - 0.5) < 1e-12) // counts 3 and 2 → stddev 0.5
+    val svar = PromQL.eval(ev, """stdvar by (event_type) (count_over_time(click[2h]))""", at)
+      .select("value").as[Double].collect().head
+    assert(math.abs(svar - 0.25) < 1e-12)
+    val grp = PromQL.eval(ev, """group by (event_type) (count_over_time({}[2h]))""", at)
+      .select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(grp == Map("click" -> 1.0, "purchase" -> 1.0, "view" -> 1.0))
+  }
+
   test("label functions: label_replace, label_join, count_values") {
     val at = 2L * hu
     // label_replace: full-match rewrites, non-match keeps the old dst
@@ -249,7 +280,7 @@ class PromqlSpec extends SparkSpec {
     // parser shape
     PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
       case PromQL.SubqueryFn("max_over_time",
-          PromQL.RangeFn("rate", _, _, None), r, st, 0L, None) =>
+          PromQL.RangeFn("rate", _, _, None, None), r, st, 0L, None) =>
         assert(r == 3600000000L && st == 600000000L)
       case other => fail(s"subquery AST broke: $other")
     }
