@@ -180,6 +180,31 @@ object SparkEntry {
       """count_over_time({}[1d]) / on (event_type) group_left sum by (event_type) (count_over_time({}[1d]))""",
       T2)),
 
+    // REMOTE-READ FEDERATION in the graded gate: ingest into a store,
+    // serve it over the live HTTP endpoint, then read it BACK through
+    // the distributed slice-fetch client (4 executor-side fetches) —
+    // wire codec roundtrip, remote matcher pushdown, slice
+    // partitioning, and the canonical-md5 series identity all under
+    // the hash gate. Evaluated eagerly (persist + count) so the
+    // loopback server can stop before the frame is consumed.
+    "fed_read" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_fed").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      store.append(Series.samples(t(s, dir, "events")))
+      val ep = new graft.sources.HttpEndpoint(s, store)
+      val port = ep.start()
+      try {
+        val df = graft.sources.Federation.readSamples(s,
+            s"http://127.0.0.1:$port/api/v1/read",
+            Seq(graft.tsdb.MatchRe("event_type", "click|view")), T0, T1, timeSlices = 4)
+          .select("series_id", "event_type", "user_id", "ts_us", "value")
+          .persist()
+        df.count()
+        df
+      } finally ep.stop()
+    }),
+
     // Holt-Winters double exponential smoothing per series (the one
     // sequential range function — folds the window's time-ordered
     // values with aggregate()). sf=0.5, tf=0.25 are exactly binary-
@@ -1902,6 +1927,15 @@ object SparkEntry {
           SELECT c.series_id, c.event_type, c.user_id,
                  CAST(c.n AS DOUBLE) / t.total AS value
           FROM c JOIN t USING (event_type)""",
+
+    // the wire carries ms — federated ts_us are ms-truncated
+    "fed_read" ->
+      s"""SELECT $SeriesIdSql AS series_id, event_type,
+                 CAST(user_id AS VARCHAR) AS user_id,
+                 (epoch_us(ts) // 1000) * 1000 AS ts_us, value
+          FROM events
+          WHERE event_type IN ('click', 'view')
+            AND epoch_us(ts) BETWEEN $T0 AND $T1""",
 
     // the recursion mirrors the engine's fold exactly: init
     // (s=x1, b=x2-x1), each step s' = 0.5x + 0.5(s+b),

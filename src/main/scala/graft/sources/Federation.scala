@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.net.{HttpURLConnection, URI}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.Matcher
+
+/** Remote-read FEDERATION CLIENT: query any Prometheus-compatible
+  * remote-read endpoint (another graft store's [[HttpEndpoint]], a
+  * real Prometheus, Thanos, the reference monolith — anything
+  * speaking the prompb wire) into a DataFrame. This inverts the
+  * reference's ecosystem role (monolith SERVES remote-read,
+  * src/server.rs:96-131): the engine can now also be the READER,
+  * so a Spark job can join remote live metrics against local
+  * history, or migrate a remote store into a [[graft.tsdb.ChunkStore]]
+  * with one write.
+  *
+  * Scale shape: the query's time range splits into `timeSlices`
+  * non-overlapping slices and EACH SLICE IS FETCHED BY AN EXECUTOR
+  * TASK (a flatMap over the slice dataset — no driver-side fetch
+  * loop). Each task holds one slice's matching samples (bounded by
+  * slice duration × selected series — pick slices accordingly); the
+  * matcher pushdown happens on the REMOTE side, which runs its own
+  * pruned store query per slice. The wire carries millisecond
+  * timestamps, so federated samples are ms-truncated (the protocol's
+  * resolution, not a lossy choice here).
+  */
+object Federation {
+
+  /** One fetched sample: the full remote label set plus (ms-grain)
+    * event time. */
+  final case class FedSample(labels: Map[String, String], ts_us: Long, value: Double)
+
+  /** Fetch `[startUs, endUs]` (inclusive) of every series matching
+    * `ms` from `url` (a remote-read POST endpoint), as a DataFrame of
+    * (labels map, ts_us, value). `timeSlices` > 1 distributes the
+    * fetch across executor tasks on non-overlapping ms slices. */
+  def read(spark: SparkSession, url: String, ms: Seq[Matcher],
+           startUs: Long, endUs: Long, timeSlices: Int = 1): DataFrame = {
+    require(timeSlices >= 1, s"timeSlices must be >= 1, got $timeSlices")
+    import spark.implicits._
+    val startMs = startUs / 1000
+    val endMs = endUs / 1000
+    // non-overlapping inclusive ms slices covering [startMs, endMs]
+    val span = endMs - startMs + 1
+    val slices = (0L until timeSlices.toLong).map { i =>
+      val a = startMs + span * i / timeSlices
+      val b = startMs + span * (i + 1) / timeSlices - 1
+      (a, b)
+    }.filter { case (a, b) => b >= a }
+    slices.toDS()
+      .repartition(slices.size) // one fetch per task
+      .flatMap { case (aMs, bMs) =>
+        fetchSlice(url, ms, aMs, bMs)
+      }
+      .toDF()
+  }
+
+  /** [[read]] projected onto the engine's sample model: series_id =
+    * md5 of the sorted `k=v` label canonicalization (bit-identical to
+    * [[graft.tsdb.Series.seriesId]], so federated samples join local
+    * catalogs), plus the graft label columns and a constant event_id
+    * surrogate — directly consumable by TsOps / PromQL. */
+  def readSamples(spark: SparkSession, url: String, ms: Seq[Matcher],
+                  startUs: Long, endUs: Long, timeSlices: Int = 1): DataFrame =
+    read(spark, url, ms, startUs, endUs, timeSlices)
+      .withColumn("series_id", canonicalSeriesId("labels"))
+      .withColumn("event_type", coalesce(col("labels")("event_type"), lit("")))
+      .withColumn("user_id", coalesce(col("labels")("user_id"), lit("")))
+      .withColumn("event_id", lit(0L))
+      .select("series_id", "event_type", "user_id", "ts_us", "event_id", "value")
+
+  /** md5 over the sorted `k=v` join — the dynamic-map twin of
+    * [[graft.tsdb.Series.canonical]] (same bytes, same id, so
+    * federated series ids equal the local store's). */
+  def canonicalSeriesId(labelsCol: String): Column =
+    md5(concat_ws(",",
+      expr(s"transform(array_sort(map_entries($labelsCol)), e -> concat(e.key, '=', e.value))")))
+
+  /** One slice fetch: POST the snappy/protobuf ReadRequest, decode
+    * the response, flatten to samples. Runs INSIDE an executor task.
+    * Non-2xx answers raise IOException with the status (a federation
+    * read must fail loudly, not return a silent partial). */
+  private def fetchSlice(url: String, ms: Seq[Matcher],
+                         aMs: Long, bMs: Long): Iterator[FedSample] = {
+    val body = RemoteRead.encodeRequest(Seq((aMs, bMs, ms)))
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    conn.setRequestProperty("Content-Type", "application/x-protobuf")
+    conn.setRequestProperty("Content-Encoding", "snappy")
+    conn.getOutputStream.write(body)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    if (code / 100 != 2) {
+      conn.disconnect()
+      throw new java.io.IOException(
+        s"remote-read $url answered $code for slice [$aMs, $bMs]ms")
+    }
+    val bytes = try conn.getInputStream.readAllBytes() finally conn.getInputStream.close()
+    conn.disconnect()
+    RemoteRead.decodeResponse(bytes).iterator.flatMap { result =>
+      result.iterator.flatMap { case (labels, pts) =>
+        pts.iterator.map { case (tsMs, v) => FedSample(labels, tsMs * 1000, v) }
+      }
+    }
+  }
+}

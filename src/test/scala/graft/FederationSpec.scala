@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Federation, HttpEndpoint}
+import graft.tsdb.{ChunkStore, MatchEq, Series, TsOps}
+
+/** Remote-read federation: a second engine (or Prometheus) becomes a
+  * DataFrame source. Loopback drill: store → HTTP endpoint → the
+  * distributed slice-fetch client → sample-model frame that joins
+  * local surfaces bit-identically. */
+class FederationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val h = 3600000000000L // ns per hour (ms-aligned — the wire is ms)
+  // 2024 epoch: the store's ingest guard rejects ts_us <= 0 (the
+  // null-coercion trap), so federation data starts at a real instant
+  private val t0 = 1704067200000000L // us
+  private val t0n = t0 * 1000L       // ns
+  private def ev = Seq(
+    (1L, t0n + 0L * h, 1L, "click", 10.0),
+    (2L, t0n + 1L * h, 1L, "click", 20.0),
+    (3L, t0n + 2L * h, 1L, "click", 40.0),
+    (4L, t0n + 0L * h, 2L, "click", 5.0),
+    (5L, t0n + 2L * h, 2L, "click", 7.0),
+    (6L, t0n + 1L * h, 1L, "purchase", 100.0),
+    (7L, t0n + 2L * h, 11L, "view", 1.0))
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("federated read equals the local samples; slices neither lose nor duplicate; matchers push remotely") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fed").toString
+    val store = new ChunkStore(spark, dir, chunkMs = 86400000L)
+    store.append(Series.samples(ev))
+    val endpoint = new HttpEndpoint(spark, store)
+    val port = endpoint.start()
+    val url = s"http://127.0.0.1:$port/api/v1/read"
+    try {
+      val local = Series.samples(ev)
+        .select(col("series_id"), col("event_type"),
+          col("user_id").cast("string").as("user_id"), col("ts_us"), col("value"))
+      def fetched(ms: Seq[graft.tsdb.Matcher], slices: Int) =
+        Federation.readSamples(spark, url, ms, t0, t0 + 3L * 3600000000L, slices)
+          .select("series_id", "event_type", "user_id", "ts_us", "value")
+      // all series, one slice: bit-identical rows (incl. the md5
+      // series ids — the canonicalization matches Series.seriesId)
+      val one = fetched(Nil, 1).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val want = local.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(one == want && one.size == 7)
+      // 3 slices: same rows — non-overlapping inclusive slices neither
+      // drop nor duplicate boundary samples
+      val three = fetched(Nil, 3).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(three == want)
+      // matcher pushdown happens on the REMOTE side
+      val clicks = fetched(Seq(MatchEq("event_type", "click")), 2)
+      assert(clicks.select("event_type").distinct().collect().map(_.getString(0)).toSeq == Seq("click"))
+      assert(clicks.count() == 5)
+      // federated samples drive local operators identically
+      val rFed = TsOps.rate(fetched(Seq(MatchEq("event_type", "click")), 2)
+          .withColumn("event_id", lit(0L)))
+        .select("series_id", "rate_per_sec").as[(String, Double)].collect().toMap
+      val rLoc = TsOps.rate(Series.samples(ev).filter(col("event_type") === "click"))
+        .select("series_id", "rate_per_sec").as[(String, Double)].collect().toMap
+      assert(rFed == rLoc)
+    } finally endpoint.stop()
+    // a dead remote fails loudly, not silently partial
+    val dead = Federation.readSamples(spark, url, Nil, t0, t0 + 3L * 3600000000L, 2)
+    intercept[org.apache.spark.SparkException](dead.collect())
+  }
+}
