@@ -761,6 +761,43 @@ object PromQL {
         col("active_since_us") :+ col("state")): _*)
   }
 
+  /** Evaluate a PromQL query against a REMOTE Prometheus-compatible
+    * store (remote-read federation — [[graft.sources.Federation]]):
+    * the read is bounded to the expression's widest window,
+    * single-selector matchers push to the REMOTE side (its own store
+    * pruning), the fetch distributes across `timeSlices` executor
+    * tasks, and the function/aggregation layer then runs as one
+    * local distributed plan. A Grafana panel over a remote Prometheus
+    * becomes a Spark job without copying the store first. */
+  def evalFederated(spark: org.apache.spark.sql.SparkSession, url: String,
+                    query: String, atUs: Long,
+                    timeSlices: Int = 1,
+                    lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
+    val ast = requireVector(parse(query))
+    finish(evalExpr(federatedSamples(spark, url, ast, atUs, atUs, timeSlices, lookbackUs),
+      ast, Grid(atUs, atUs, 1L, instant = true), lookbackUs))
+  }
+
+  /** [[evalRange]] over a remote store — one bounded federated read
+    * covers the whole grid. */
+  def evalFederatedRange(spark: org.apache.spark.sql.SparkSession, url: String,
+                         query: String, startUs: Long, endUs: Long, stepUs: Long,
+                         timeSlices: Int = 1,
+                         lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
+    val ast = requireVector(parse(query))
+    evalExpr(federatedSamples(spark, url, ast, startUs, endUs, timeSlices, lookbackUs),
+      ast, Grid(startUs, endUs, stepUs, instant = false), lookbackUs)
+  }
+
+  private def federatedSamples(spark: org.apache.spark.sql.SparkSession, url: String,
+                               ast: Expr, startUs: Long, endUs: Long,
+                               timeSlices: Int, lookbackUs: Long): DataFrame = {
+    val horizon = maxWindowUs(ast, lookbackUs)
+    val ms = soleMatchers(ast).getOrElse(Nil)
+    graft.sources.Federation.readSamples(spark, url, ms,
+      startUs - horizon, endUs, timeSlices)
+  }
+
   // ───────────────── rollup-tier serving ─────────────────
 
   /** [[evalStore]] served from the store's AT-REST HOURLY ROLLUPS

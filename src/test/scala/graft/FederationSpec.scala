@@ -61,6 +61,15 @@ class FederationSpec extends SparkSpec {
       val rLoc = TsOps.rate(Series.samples(ev).filter(col("event_type") === "click"))
         .select("series_id", "rate_per_sec").as[(String, Double)].collect().toMap
       assert(rFed == rLoc)
+      // federated PromQL == store-served PromQL (matchers push to the
+      // remote side; the function layer runs locally)
+      val q = """sum by (event_type) (sum_over_time({event_type=~"click|purchase"}[2h]))"""
+      val at = t0 + 2L * 3600000000L
+      val viaFed = graft.promql.PromQL.evalFederated(spark, url, q, at, timeSlices = 2)
+        .select("event_type", "value").as[(String, Double)].collect().toMap
+      val viaStore = graft.promql.PromQL.evalStore(store, q, at)
+        .select("event_type", "value").as[(String, Double)].collect().toMap
+      assert(viaFed == viaStore && viaFed.nonEmpty)
     } finally endpoint.stop()
     // a dead remote fails loudly, not silently partial
     val dead = Federation.readSamples(spark, url, Nil, t0, t0 + 3L * 3600000000L, 2)
