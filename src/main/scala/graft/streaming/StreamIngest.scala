@@ -385,6 +385,56 @@ object StreamIngest {
     * closed store (the reference's background swap+compress,
     * src/db.rs:265-303, driven here by data progress instead of a
     * timer thread — deterministic and replay-safe). */
+  /** Continuous PromQL RULE EVALUATION — the Prometheus evaluator
+    * loop as a streaming sink. Each micro-batch (1) appends to the
+    * store (batch-scoped, replay-idempotent), then (2) evaluates the
+    * rule expression over the step-aligned instants the batch's DATA
+    * PROGRESS covers ([min ts, max ts] — no wall clock, deterministic
+    * on replay) via [[graft.promql.PromQL.alertRuleStore]], and (3)
+    * overwrites those instants' partitions of the alerts table.
+    *
+    * Idempotence + late data share one mechanism: an instant's alert
+    * rows are a pure function of the store content and the instant,
+    * and writes are per-instant dynamic-partition overwrites — a
+    * replayed batch rewrites identical rows; a late batch touching an
+    * already-evaluated instant REFRESHES it against the now-complete
+    * store (self-healing, where a log-append sink would duplicate or
+    * go stale). FOR runs older than the evaluated grid clip their
+    * `active_since_us` at the grid's lookback edge (forUs + one step
+    * back), but the pending/firing STATE is exact — a run active
+    * through the whole lookback has already been active ≥ forUs. */
+  def startRuleSink(events: DataFrame, store: graft.tsdb.ChunkStore,
+                    checkpoint: String, query: String, forUs: Long,
+                    stepUs: Long, alertsDir: String) = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val samples = graft.tsdb.Series.samples(batch).persist()
+        store.appendBatch(samples, batchId)
+        val mm = samples.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+        if (!mm.isNullAt(1)) {
+          val first = Math.floorDiv(mm.getLong(0) + stepUs - 1, stepUs) * stepUs
+          val last = Math.floorDiv(mm.getLong(1), stepUs) * stepUs
+          if (last >= first) {
+            // lookback edge aligned DOWN to the step grid, so every
+            // evaluated instant stays epoch-step-aligned even when
+            // forUs is not a step multiple
+            val gridStart = Math.floorDiv(first - forUs, stepUs) * stepUs - stepUs
+            graft.promql.PromQL.alertRuleStore(store, query, forUs,
+                gridStart, last, stepUs)
+              .filter(col("ts_us") >= first)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ts_us").parquet(alertsDir)
+          }
+        }
+        samples.unpersist(blocking = false)
+        ()
+      }
+      .start()
+  }
+
   def startChunkSinkCompacting(events: DataFrame, store: graft.tsdb.ChunkStore,
                                checkpoint: String,
                                closeLagUs: Long = 2L * 3600 * 1000 * 1000,
