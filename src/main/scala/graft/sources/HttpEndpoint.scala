@@ -127,6 +127,11 @@ final class HttpEndpoint(
       case p if p == readPath => handleRead(ex, body)
       case p if p == queryPath => handleQuery(ex)
       case p if p == queryRangePath => handleQueryRange(ex)
+      case "/api/v1/labels" => handleLabels(ex)
+      case "/api/v1/series" => handleSeries(ex)
+      case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
+        handleLabelValues(ex,
+          p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
       case _ => ex.sendResponseHeaders(404, -1)
     }
   }
@@ -274,6 +279,78 @@ final class HttpEndpoint(
       }
       sendJson(ex, 200,
         s"""{"status":"success","data":{"resultType":"matrix","result":[${series.mkString(",")}]}}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  // ── Prometheus metadata API (Grafana's autocomplete calls) ──
+  // GET /api/v1/labels, /api/v1/label/<name>/values, /api/v1/series —
+  // all served from the store CATALOG (never a sample scan): optional
+  // match[] PromQL selectors filter it, optional start/end
+  // (unix seconds) restrict to chunks overlapping the range
+  // (partition pruning on both tiers). Only the bounded label/series
+  // metadata materializes on the driver.
+
+  /** The catalog frame a metadata request sees: time-bounded when
+    * start/end given, matcher-filtered per match[] selector (multiple
+    * match[] params union, as in Prometheus). */
+  private def metaCatalog(params: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val cat = (params.get("start"), params.get("end")) match {
+      case (Some(s), Some(e)) =>
+        store.catalogInRange((s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong)
+      case _ => store.catalog()
+    }
+    // the query string may carry repeated match[] keys; queryParams
+    // keeps the last — accept both spellings match[] and match
+    val sels = params.get("match[]").orElse(params.get("match")).toSeq
+      .map { s =>
+        graft.promql.PromQL.parse(s) match {
+          case graft.promql.PromQL.Selector(ms, _) => ms
+          case other => throw new IllegalArgumentException(
+            s"match[] must be a selector, got $other")
+        }
+      }
+    if (sels.isEmpty) cat
+    else sels.map(ms => cat.filter(graft.tsdb.Matcher.all(ms))).reduce(_ unionByName _).distinct()
+  }
+
+  private def handleLabels(ex: HttpExchange): Unit =
+    try {
+      val cat = metaCatalog(queryParams(ex))
+      val names = cat.columns.filterNot(_ == "series_id").sorted
+      sendJson(ex, 200,
+        s"""{"status":"success","data":[${names.map(jstr).mkString(",")}]}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  private def handleLabelValues(ex: HttpExchange, label: String): Unit =
+    try {
+      val cat = metaCatalog(queryParams(ex))
+      if (!cat.columns.contains(label) || label == "series_id")
+        sendJson(ex, 200, """{"status":"success","data":[]}""")
+      else {
+        val values = cat.select(org.apache.spark.sql.functions.col(label).cast("string"))
+          .distinct().collect().map(_.getString(0)).sorted
+        sendJson(ex, 200,
+          s"""{"status":"success","data":[${values.map(jstr).mkString(",")}]}""")
+      }
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  private def handleSeries(ex: HttpExchange): Unit =
+    try {
+      val cat = metaCatalog(queryParams(ex))
+      val labelCols = cat.columns.filterNot(_ == "series_id").sorted
+      val rows = cat.select(labelCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect()
+        .map(r => metricJson(labelCols, r)).sorted
+      sendJson(ex, 200,
+        s"""{"status":"success","data":[${rows.mkString(",")}]}""")
     } catch {
       case e: IllegalArgumentException => sendPromError(ex, e)
       case _: Exception => ex.sendResponseHeaders(500, -1)

@@ -459,6 +459,30 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     }
   }
 
+  /** The catalog restricted to series with data in chunks overlapping
+    * [startUs, endUs] — the Prometheus series/labels metadata APIs'
+    * time bound. Both tiers are chunk-partitioned, so the bound is
+    * partition pruning on each side; chunk grain is the resolution
+    * (a series is "active" if its CHUNK overlaps, as in Prometheus's
+    * block-grain series listing). */
+  def catalogInRange(startUs: Long, endUs: Long): DataFrame = {
+    val lo = startUs / chunkUs
+    val hi = endUs / chunkUs
+    val inRange = (df: DataFrame) => df.filter(col("chunk") >= lo && col("chunk") <= hi)
+    val liveCat =
+      if (liveChunkIdsListed().isEmpty) None
+      else Some(inRange(live()).select("series_id", "event_type", "user_id"))
+    val closedCat =
+      if (!exists(catalogPath)) None
+      else Some(inRange(readChunked(catalogPath)).select("series_id", "event_type", "user_id"))
+    (liveCat, closedCat) match {
+      case (Some(a), Some(b)) => a.unionByName(b).distinct()
+      case (Some(a), None) => a.distinct()
+      case (None, Some(b)) => b.distinct()
+      case _ => catalog().limit(0)
+    }
+  }
+
   private def hasClosed: Boolean = exists(closedPath)
 
   /** Closed-chunk id set, from the partition DIRECTORY NAMES (a

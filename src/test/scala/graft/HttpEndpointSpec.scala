@@ -131,6 +131,29 @@ class HttpEndpointSpec extends SparkSpec {
       // unknown tier → 400 envelope (this store has no rollups; the
       // rollup tier itself is specced in PromqlSpec)
       assert(get(s"/api/v1/query_range?query=$rq&start=$startS&end=$endS&step=60&tier=nope")._1 == 400)
+
+      // ── metadata API (Grafana autocomplete): labels / values / series ──
+      val (lc, lbody) = get("/api/v1/labels")
+      assert(lc == 200 && lbody == """{"status":"success","data":["event_type","user_id"]}""", lbody)
+      val (vc, vbody) = get("/api/v1/label/event_type/values")
+      assert(vc == 200 && vbody == """{"status":"success","data":["click","purchase"]}""", vbody)
+      // match[] narrows (a PromQL selector, bare-name sugar included)
+      val (vc2, vbody2) = get(
+        s"/api/v1/label/user_id/values?match[]=${java.net.URLEncoder.encode("click", "UTF-8")}")
+      assert(vc2 == 200 && vbody2 == """{"status":"success","data":["1","2"]}""", vbody2)
+      // unknown label → empty list, not an error (Prometheus behavior)
+      assert(get("/api/v1/label/nope/values")._2.contains(""""data":[]"""))
+      val (sc, sbody) = get(
+        s"/api/v1/series?match[]=${java.net.URLEncoder.encode("""{user_id="1"}""", "UTF-8")}")
+      assert(sc == 200 && sbody ==
+        """{"status":"success","data":[{"event_type":"click","user_id":"1"},{"event_type":"purchase","user_id":"1"}]}""",
+        sbody)
+      // time bounds restrict to overlapping chunks: a window starting
+      // after all data → no series
+      val farS = (t0 + 90L * 86400000L) / 1000.0
+      assert(get(s"/api/v1/series?start=$farS&end=${farS + 3600}")._2.contains(""""data":[]"""))
+      // malformed match[] → 400 envelope
+      assert(get(s"/api/v1/series?match[]=${java.net.URLEncoder.encode("sum(", "UTF-8")}")._1 == 400)
     } finally endpoint.stop()
   }
 
