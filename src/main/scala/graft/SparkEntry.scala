@@ -185,8 +185,9 @@ object SparkEntry {
     // the distributed slice-fetch client (4 executor-side fetches) —
     // wire codec roundtrip, remote matcher pushdown, slice
     // partitioning, and the canonical-md5 series identity all under
-    // the hash gate. Evaluated eagerly (persist + count) so the
-    // loopback server can stop before the frame is consumed.
+    // the hash gate. Materialized to a scratch parquet inside the
+    // closure (a HARD lineage cut — a cached frame could still
+    // recompute against the by-then-stopped loopback server).
     "fed_read" -> ((s, dir) => {
       val store = new ChunkStore(s,
         java.nio.file.Files.createTempDirectory("graft_q_fed").toString,
@@ -194,15 +195,15 @@ object SparkEntry {
       store.append(Series.samples(t(s, dir, "events")))
       val ep = new graft.sources.HttpEndpoint(s, store)
       val port = ep.start()
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q_fed_out").toString
       try {
-        val df = graft.sources.Federation.readSamples(s,
+        graft.sources.Federation.readSamples(s,
             s"http://127.0.0.1:$port/api/v1/read",
             Seq(graft.tsdb.MatchRe("event_type", "click|view")), T0, T1, timeSlices = 4)
           .select("series_id", "event_type", "user_id", "ts_us", "value")
-          .persist()
-        df.count()
-        df
+          .write.mode("overwrite").parquet(outDir)
       } finally ep.stop()
+      s.read.parquet(outDir)
     }),
 
     // Holt-Winters double exponential smoothing per series (the one
@@ -1928,14 +1929,16 @@ object SparkEntry {
                  CAST(c.n AS DOUBLE) / t.total AS value
           FROM c JOIN t USING (event_type)""",
 
-    // the wire carries ms — federated ts_us are ms-truncated
+    // the wire carries ms — federated ts_us are ms-truncated, and the
+    // ms-grain range covers WHOLE milliseconds (a sample in the last
+    // partial ms of the range is included)
     "fed_read" ->
       s"""SELECT $SeriesIdSql AS series_id, event_type,
                  CAST(user_id AS VARCHAR) AS user_id,
                  (epoch_us(ts) // 1000) * 1000 AS ts_us, value
           FROM events
           WHERE event_type IN ('click', 'view')
-            AND epoch_us(ts) BETWEEN $T0 AND $T1""",
+            AND epoch_us(ts) // 1000 BETWEEN ${T0 / 1000} AND ${T1 / 1000}""",
 
     // the recursion mirrors the engine's fold exactly: init
     // (s=x1, b=x2-x1), each step s' = 0.5x + 0.5(s+b),

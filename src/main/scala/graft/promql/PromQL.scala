@@ -111,7 +111,8 @@ object PromQL {
     * are the multiples of `stepUs` (epoch-aligned). */
   final case class SubqueryFn(fn: String, inner: Expr, rangeUs: Long,
                               stepUs: Long, offsetUs: Long = 0L,
-                              param: Option[Double] = None) extends Expr
+                              param: Option[Double] = None,
+                              param2: Option[Double] = None) extends Expr
 
   private val RangeFns = Set("rate", "irate", "increase", "delta", "idelta",
     "deriv", "predict_linear", "resets", "changes", "last_over_time",
@@ -498,7 +499,7 @@ object PromQL {
       (subStep, arg) match {
         case (Some(st), inner) =>
           if (st <= 0) err("subquery step must be positive")
-          SubqueryFn(fn, inner, dur, st, off, p1)
+          SubqueryFn(fn, inner, dur, st, off, p1, p2)
         case (None, sel: Selector) =>
           RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, p1, p2)
         case (None, other) =>
@@ -603,6 +604,19 @@ object PromQL {
       .otherwise(lit(Double.NaN))
   private def ieeeMod(l: Column, r: Column): Column =
     when(r =!= 0.0, l % r).otherwise(lit(Double.NaN))
+
+  /** The shared population-moment trio (exact DECIMAL sums, one
+    * double expression) used by both the *_over_time and the
+    * cross-series stddev/stdvar — one definition so the two tiers
+    * cannot drift. */
+  private def momentAggs: Seq[(String, Column)] = Seq(
+    "s1" -> sum(col("value").cast(d6)).cast("decimal(38,6)"),
+    "s2" -> sum((col("value") * col("value")).cast(d6)).cast("decimal(38,6)"),
+    "n" -> count(lit(1)))
+  private def varianceOfMoments: Column =
+    greatest(col("s2").cast("double") / col("n") -
+      (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+      lit(0.0))
   private val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
   private val LabelCols = Seq("series_id", "event_type", "user_id")
 
@@ -651,7 +665,7 @@ object PromQL {
   private[graft] def maxWindowUs(e: Expr, lookbackUs: Long): Long = e match {
     case Selector(_, off) => lookbackUs + off
     case RangeFn(_, Selector(_, off), dur, _, _) => dur + off
-    case SubqueryFn(_, inner, dur, _, off, _) =>
+    case SubqueryFn(_, inner, dur, _, off, _, _) =>
       dur + off + maxWindowUs(inner, lookbackUs)
     case Agg(_, _, _, a, _) => maxWindowUs(a, lookbackUs)
     case BinScalar(a, _, _, _, _) => maxWindowUs(a, lookbackUs)
@@ -668,7 +682,7 @@ object PromQL {
     def sels(x: Expr): Seq[Selector] = x match {
       case s: Selector => Seq(s)
       case RangeFn(_, s, _, _, _) => Seq(s)
-      case SubqueryFn(_, inner, _, _, _, _) => sels(inner)
+      case SubqueryFn(_, inner, _, _, _, _, _) => sels(inner)
       case Agg(_, _, _, a, _) => sels(a)
       case BinScalar(a, _, _, _, _) => sels(a)
       case Func(_, a, _, _) => sels(a)
@@ -855,7 +869,7 @@ object PromQL {
         "instant selectors need per-sample data (rollups hold no last value) — use the raw tier")
     case RangeFn(fn, Selector(ms, off), dur, param, _) =>
       rollupRangeAgg(rollups.filter(Matcher.all(ms)), fn, off, dur, param, g)
-    case SubqueryFn(fn, inner, dur, step, off, param) =>
+    case SubqueryFn(fn, inner, dur, step, off, param, param2) =>
       // inner vectors come from the rollup tier; the outer range
       // function aggregates SYNTHETIC instant samples, so the full
       // raw-tier rangeAgg applies (no further quantization)
@@ -869,7 +883,7 @@ object PromQL {
         .withColumn("event_id", lit(0L))
       val labels = innerDf.columns.toSeq
         .filterNot(c => c == "value" || c == "ts_us" || c == "event_id")
-      rangeAgg(innerDf, labels, fn, off, dur, param, g)
+      rangeAgg(innerDf, labels, fn, off, dur, param, g, param2)
     case Agg(op, by, without, arg, param) =>
       evalAgg(evalRollup(rollups, _, g, lookbackUs), op, by, without, arg, param, g)
     case BinScalar(arg, op, k, scalarLeft, boolMode) =>
@@ -964,7 +978,7 @@ object PromQL {
     case RangeFn(fn, Selector(ms, off), dur, param, param2) =>
       rangeAgg(samples.filter(Matcher.all(ms)), LabelCols, fn, off, dur, param, g, param2)
 
-    case SubqueryFn(fn, inner, dur, step, off, param) =>
+    case SubqueryFn(fn, inner, dur, step, off, param, param2) =>
       // Prometheus subquery: the inner expression evaluates at every
       // EPOCH-ALIGNED multiple of `step` the outer windows can touch —
       // one dense inner grid covering [outerStart−off−dur, outerEnd−off]
@@ -984,7 +998,7 @@ object PromQL {
         .withColumn("event_id", lit(0L))
       val labels = innerDf.columns.toSeq
         .filterNot(c => c == "value" || c == "ts_us" || c == "event_id")
-      rangeAgg(innerDf, labels, fn, off, dur, param, g)
+      rangeAgg(innerDf, labels, fn, off, dur, param, g, param2)
 
     case Agg(op, by, without, arg, param) =>
       evalAgg(evalExpr(samples, _, g, lookbackUs), op, by, without, arg, param, g)
@@ -1037,13 +1051,9 @@ object PromQL {
             "l" -> max(struct(col("ts_us"), col("event_id"), col("value"))))
         case "stddev_over_time" | "stdvar_over_time" =>
           // exact decimal moments, double math once (ts_stddev shape)
-          val variance = greatest(col("s2").cast("double") / col("n") -
-            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
-            lit(0.0))
-          keyed(if (fn == "stddev_over_time") sqrt(variance) else variance,
-            "s1" -> sum(col("value").cast(d6)).cast("decimal(38,6)"),
-            "s2" -> sum((col("value") * col("value")).cast(d6)).cast("decimal(38,6)"),
-            "n" -> count(lit(1)))
+          keyed(if (fn == "stddev_over_time") sqrt(varianceOfMoments)
+            else varianceOfMoments,
+            momentAggs: _*)
         case "holt_winters" =>
           // Prometheus's Holt-Winters double exponential smoothing is
           // inherently sequential per window, so it folds the window's
@@ -1214,17 +1224,14 @@ object PromQL {
           in.groupBy(keyCols: _*)
             .agg(round(expr(s"percentile(value, $q)"), 6).as("value"))
         case "stddev" | "stdvar" =>
-          // population moments across series, decimal-exact then one
-          // double expression (the stddev_over_time shape)
+          // population moments across series — the SAME momentAggs /
+          // varianceOfMoments as the *_over_time family
           val a = in.groupBy(keyCols: _*).agg(
-            sum(col("value").cast(d6)).cast("decimal(38,6)").as("s1"),
-            sum((col("value") * col("value")).cast(d6)).cast("decimal(38,6)").as("s2"),
-            count(lit(1)).as("n"))
-          val variance = greatest(col("s2").cast("double") / col("n") -
-            (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
-            lit(0.0))
+            momentAggs.head._2.as(momentAggs.head._1),
+            momentAggs.tail.map { case (n, c) => c.as(n) }: _*)
           a.select((keyCols :+
-            (if (op == "stddev") sqrt(variance) else variance).as("value")): _*)
+            (if (op == "stddev") sqrt(varianceOfMoments)
+             else varianceOfMoments).as("value")): _*)
         case _ =>
           val a = op match {
             case "sum" => sum(col("value").cast(d6)).cast("double")

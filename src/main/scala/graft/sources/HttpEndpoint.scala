@@ -146,14 +146,20 @@ final class HttpEndpoint(
     * (per-series or per-group cardinality) materializes on the
     * driver. Malformed PromQL answers 400 with `"status":"error"` —
     * the evaluator's typed parse errors surface as bad_data. */
-  private def queryParams(ex: HttpExchange): Map[String, String] =
+  /** All query parameters in order — keys URL-decoded too (clients
+    * send match%5B%5D=), repeats preserved (Prometheus's match[]
+    * unions). */
+  private def queryParamsMulti(ex: HttpExchange): Seq[(String, String)] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      .split("&").filter(_.nonEmpty).map { kv =>
+      .split("&").filter(_.nonEmpty).toSeq.map { kv =>
         val i = kv.indexOf('=')
-        val k = if (i < 0) kv else kv.substring(0, i)
+        val k = java.net.URLDecoder.decode(if (i < 0) kv else kv.substring(0, i), "UTF-8")
         val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
         k -> v
-      }.toMap
+      }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    queryParamsMulti(ex).toMap
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -295,15 +301,15 @@ final class HttpEndpoint(
   /** The catalog frame a metadata request sees: time-bounded when
     * start/end given, matcher-filtered per match[] selector (multiple
     * match[] params union, as in Prometheus). */
-  private def metaCatalog(params: Map[String, String]): org.apache.spark.sql.DataFrame = {
-    val cat = (params.get("start"), params.get("end")) match {
+  private def metaCatalog(params: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val pmap = params.toMap
+    val cat = (pmap.get("start"), pmap.get("end")) match {
       case (Some(s), Some(e)) =>
         store.catalogInRange((s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong)
       case _ => store.catalog()
     }
-    // the query string may carry repeated match[] keys; queryParams
-    // keeps the last — accept both spellings match[] and match
-    val sels = params.get("match[]").orElse(params.get("match")).toSeq
+    // repeated match[] selectors UNION, as in Prometheus
+    val sels = params.collect { case (k, v) if k == "match[]" || k == "match" => v }
       .map { s =>
         graft.promql.PromQL.parse(s) match {
           case graft.promql.PromQL.Selector(ms, _) => ms
@@ -317,8 +323,13 @@ final class HttpEndpoint(
 
   private def handleLabels(ex: HttpExchange): Unit =
     try {
-      val cat = metaCatalog(queryParams(ex))
-      val names = cat.columns.filterNot(_ == "series_id").sorted
+      val cat = metaCatalog(queryParamsMulti(ex))
+      // label NAMES of the matched in-range series — every catalog
+      // label is present on every series, so nonempty ⇒ all columns,
+      // empty ⇒ [] (Prometheus semantics, not the static schema)
+      val names =
+        if (cat.limit(1).count() == 0) Array.empty[String]
+        else cat.columns.filterNot(_ == "series_id").sorted
       sendJson(ex, 200,
         s"""{"status":"success","data":[${names.map(jstr).mkString(",")}]}""")
     } catch {
@@ -328,7 +339,7 @@ final class HttpEndpoint(
 
   private def handleLabelValues(ex: HttpExchange, label: String): Unit =
     try {
-      val cat = metaCatalog(queryParams(ex))
+      val cat = metaCatalog(queryParamsMulti(ex))
       if (!cat.columns.contains(label) || label == "series_id")
         sendJson(ex, 200, """{"status":"success","data":[]}""")
       else {
@@ -344,7 +355,7 @@ final class HttpEndpoint(
 
   private def handleSeries(ex: HttpExchange): Unit =
     try {
-      val cat = metaCatalog(queryParams(ex))
+      val cat = metaCatalog(queryParamsMulti(ex))
       val labelCols = cat.columns.filterNot(_ == "series_id").sorted
       val rows = cat.select(labelCols.map(org.apache.spark.sql.functions.col): _*)
         .distinct().collect()

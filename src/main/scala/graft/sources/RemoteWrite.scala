@@ -390,7 +390,11 @@ object RemoteRead {
     // same for all of them
     val cat = store.catalog()
     val results = decodeRequest(payload).map { case (sMs, eMs, ms) =>
-      val rows = store.queryAll(ms, sMs * 1000, eMs * 1000)
+      // the wire is ms-grain: [sMs, eMs] covers those WHOLE
+      // milliseconds, so the us-grain store query extends to the last
+      // us of eMs — otherwise sub-ms sample tails fall between two
+      // adjacent federation slices (lost by both)
+      val rows = store.queryAll(ms, sMs * 1000, eMs * 1000 + 999)
       rows.join(cat, "series_id")
         .groupBy(col("series_id"), col("event_type"), col("user_id"))
         .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))

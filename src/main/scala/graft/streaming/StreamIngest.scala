@@ -407,6 +407,14 @@ object StreamIngest {
                     checkpoint: String, query: String, forUs: Long,
                     stepUs: Long, alertsDir: String) = {
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    // the batch's REFRESH RANGE: its data [lo, hi] can change any
+    // instant whose window touches it (t ≤ hi + widest-window) and,
+    // through the FOR run it extends, the state of instants up to
+    // forUs further (beyond that a run is ≥ forUs old on its own and
+    // already firing) — so evaluate and rewrite every step-aligned
+    // instant in [ceil(lo), floor(hi + window + forUs)]
+    val windowUs = graft.promql.PromQL.maxWindowUs(
+      graft.promql.PromQL.parse(query), 5L * 60L * 1000000L)
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -415,18 +423,27 @@ object StreamIngest {
         val mm = samples.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
         if (!mm.isNullAt(1)) {
           val first = Math.floorDiv(mm.getLong(0) + stepUs - 1, stepUs) * stepUs
-          val last = Math.floorDiv(mm.getLong(1), stepUs) * stepUs
+          val last = Math.floorDiv(mm.getLong(1) + windowUs + forUs, stepUs) * stepUs
           if (last >= first) {
             // lookback edge aligned DOWN to the step grid, so every
             // evaluated instant stays epoch-step-aligned even when
             // forUs is not a step multiple
             val gridStart = Math.floorDiv(first - forUs, stepUs) * stepUs - stepUs
-            graft.promql.PromQL.alertRuleStore(store, query, forUs,
+            val out = graft.promql.PromQL.alertRuleStore(store, query, forUs,
                 gridStart, last, stepUs)
               .filter(col("ts_us") >= first)
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ts_us").parquet(alertsDir)
+            // exact refresh = clear-then-append: an instant whose
+            // alert DISAPPEARS on re-evaluation must lose its old
+            // rows, and dynamic overwrite only rewrites partitions
+            // that still produce data
+            val fs = new org.apache.hadoop.fs.Path(alertsDir)
+              .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+            var t = first
+            while (t <= last) {
+              fs.delete(new org.apache.hadoop.fs.Path(alertsDir, s"ts_us=$t"), true)
+              t += stepUs
+            }
+            out.write.mode("append").partitionBy("ts_us").parquet(alertsDir)
           }
         }
         samples.unpersist(blocking = false)

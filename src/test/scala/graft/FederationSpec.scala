@@ -24,7 +24,11 @@ class FederationSpec extends SparkSpec {
     (4L, t0n + 0L * h, 2L, "click", 5.0),
     (5L, t0n + 2L * h, 2L, "click", 7.0),
     (6L, t0n + 1L * h, 1L, "purchase", 100.0),
-    (7L, t0n + 2L * h, 11L, "view", 1.0))
+    (7L, t0n + 2L * h, 11L, "view", 1.0),
+    // a SUB-MILLISECOND tail (ts = …+90m+500us): the ms-grain wire
+    // truncates it, and slice boundaries must not lose it (the range
+    // covers whole milliseconds server-side)
+    (8L, t0n + 90L * 60000000000L + 500000L, 1L, "view", 3.0))
     .toDF("event_id", "ts", "user_id", "event_type", "value")
 
   test("federated read equals the local samples; slices neither lose nor duplicate; matchers push remotely") {
@@ -37,7 +41,8 @@ class FederationSpec extends SparkSpec {
     try {
       val local = Series.samples(ev)
         .select(col("series_id"), col("event_type"),
-          col("user_id").cast("string").as("user_id"), col("ts_us"), col("value"))
+          col("user_id").cast("string").as("user_id"),
+          expr("(ts_us div 1000) * 1000").as("ts_us"), col("value"))
       def fetched(ms: Seq[graft.tsdb.Matcher], slices: Int) =
         Federation.readSamples(spark, url, ms, t0, t0 + 3L * 3600000000L, slices)
           .select("series_id", "event_type", "user_id", "ts_us", "value")
@@ -45,7 +50,7 @@ class FederationSpec extends SparkSpec {
       // series ids — the canonicalization matches Series.seriesId)
       val one = fetched(Nil, 1).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
       val want = local.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
-      assert(one == want && one.size == 7)
+      assert(one == want && one.size == 8)
       // 3 slices: same rows — non-overlapping inclusive slices neither
       // drop nor duplicate boundary samples
       val three = fetched(Nil, 3).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq

@@ -152,6 +152,11 @@ class HttpEndpointSpec extends SparkSpec {
       // after all data → no series
       val farS = (t0 + 90L * 86400000L) / 1000.0
       assert(get(s"/api/v1/series?start=$farS&end=${farS + 3600}")._2.contains(""""data":[]"""))
+      // repeated match[] UNION (Prometheus semantics) and the
+      // percent-encoded key spelling clients actually send
+      val (mc, mbody) = get("/api/v1/series?match%5B%5D=click&match%5B%5D=purchase")
+      assert(mc == 200 && mbody.contains(""""event_type":"click"""") &&
+        mbody.contains(""""event_type":"purchase""""), mbody)
       // malformed match[] → 400 envelope
       assert(get(s"/api/v1/series?match[]=${java.net.URLEncoder.encode("sum(", "UTF-8")}")._1 == 400)
     } finally endpoint.stop()

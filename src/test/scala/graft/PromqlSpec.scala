@@ -280,7 +280,7 @@ class PromqlSpec extends SparkSpec {
     // parser shape
     PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
       case PromQL.SubqueryFn("max_over_time",
-          PromQL.RangeFn("rate", _, _, None, None), r, st, 0L, None) =>
+          PromQL.RangeFn("rate", _, _, None, None), r, st, 0L, None, None) =>
         assert(r == 3600000000L && st == 600000000L)
       case other => fail(s"subquery AST broke: $other")
     }
@@ -298,6 +298,13 @@ class PromqlSpec extends SparkSpec {
       """max_over_time(sum by (event_type) (count_over_time({}[1h]))[2h:1h])""", at)
       .select("event_type", "value").as[(String, Double)].collect().toMap
     assert(a == Map("click" -> 3.0, "purchase" -> 2.0, "view" -> 1.0))
+    // holt_winters over a subquery threads BOTH factors through
+    // (inner sums u1: 10,30,60 → fold with sf=tf=0.5 gives 55;
+    // u2: 5,5,7 → 6)
+    val hwSub = PromQL.eval(ev,
+      """holt_winters(sum_over_time(click[1h])[2h:1h], 0.5, 0.5)""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(hwSub == Seq((1L, 55.0), (2L, 6.0)))
     // avg over the subquery instants (u1 clicks: (10+30+60)/3)
     val av = PromQL.eval(ev,
       """avg_over_time(sum_over_time({event_type="click", user_id="1"}[1h])[2h:1h])""", at)

@@ -71,14 +71,33 @@ class StreamRuleSpec extends SparkSpec {
         6L -> "pending", 7L -> "pending"))
 
       // LATE DATA: a second hour-5 click arrives — hour 5 becomes
-      // active retroactively; its instants re-evaluate against the
-      // now-complete store and the run heals into one long run
+      // active retroactively, and the refresh range (its window +
+      // FOR reach) rewrites hours 5..7 against the now-complete
+      // store: the two runs heal into one and the WHOLE table equals
+      // the one-shot batch evaluation of the complete data
       input.addData((560L, ns(5L), 2L, "click", 1.0))
       sink.processAllAvailable()
       val healed = spark.read.parquet(alertsDir)
-        .select(col("ts_us").cast("long"), col("state"))
-        .as[(Long, String)].collect().sortBy(_._1).toMap
-      assert(healed((t0 + 5L * hu)) == "firing") // active since hour 1 now
+        .select(col("ts_us").cast("long"), col("state"), col("active_since_us"))
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      val healedBatch = PromQL.alertRule(
+        all.union(Seq((560L, ns(5L), 2L, "click", 1.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")),
+        query, 2L * hu, t0 + 1L * hu, t0 + 7L * hu, hu)
+        .select(col("ts_us"), col("state"), col("active_since_us"))
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      // STATE equals the batch answer everywhere (the exactness
+      // contract); active_since may clip LATER for runs older than a
+      // refresh batch's evaluated grid (the documented trade) but
+      // never earlier, and never past its own instant
+      assert(healed.map(r => (r._1, r._2)) == healedBatch.map(r => (r._1, r._2)),
+        s"\nhealed=$healed\nbatch=$healedBatch")
+      healed.zip(healedBatch).foreach { case ((ts, _, since), (_, _, bSince)) =>
+        assert(since >= bSince && since <= ts, s"active_since $since vs batch $bSince at $ts")
+      }
+      assert(healed.map(r => (r._1 - t0) / hu -> r._2) == Seq(
+        1L -> "pending", 2L -> "pending", 3L -> "firing", 4L -> "firing",
+        5L -> "firing", 6L -> "firing", 7L -> "firing"))
     } finally sink.stop()
   }
 }
