@@ -73,7 +73,11 @@ object PromQL {
   // ───────────────────────── AST ─────────────────────────
   sealed trait Expr
   final case class ScalarLit(v: Double) extends Expr
-  final case class Selector(matchers: Seq[Matcher], offsetUs: Long = 0L) extends Expr
+  /** `atUs` pins the selector's evaluation instant (the PromQL `@`
+    * modifier): the selector reads as-of that absolute time at EVERY
+    * output grid instant. */
+  final case class Selector(matchers: Seq[Matcher], offsetUs: Long = 0L,
+                            atUs: Option[Long] = None) extends Expr
   final case class RangeFn(fn: String, sel: Selector, rangeUs: Long,
                            param: Option[Double] = None,
                            param2: Option[Double] = None) extends Expr
@@ -204,7 +208,7 @@ object PromQL {
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("!=", "=~", "!~", ">=", "<=", "==").contains(two)) { out += TSym(two); i += 2 }
-        else if ("{}()[],=<>*/+-%^:".contains(c)) { out += TSym(c.toString); i += 1 }
+        else if ("{}()[],=<>*/+-%^:@".contains(c)) { out += TSym(c.toString); i += 1 }
         else err(s"unexpected character '$c'")
       }
     }
@@ -467,14 +471,15 @@ object PromQL {
         case _ => None
       }
       expectSym("]")
-      // `offset` AFTER the range vector also accepted (PromQL places it
-      // on the selector; both spellings resolve to the same AST)
+      // `offset` / `@` AFTER the range vector also accepted (PromQL
+      // places them on the selector; both spellings resolve alike)
       val off = peek match {
         case Some(TIdent("offset")) =>
           next()
           next() match { case TDur(us) => us case t => err(s"duration expected, got $t") }
         case _ => 0L
       }
+      val atPin = parseAt()
       // predict_linear's horizon / holt_winters' (sf, tf) ride after
       // the range vector
       def trailingScalar(what: String): Double = {
@@ -501,7 +506,8 @@ object PromQL {
           if (st <= 0) err("subquery step must be positive")
           SubqueryFn(fn, inner, dur, st, off, p1, p2)
         case (None, sel: Selector) =>
-          RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off), dur, p1, p2)
+          RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off,
+            atUs = atPin.orElse(sel.atUs)), dur, p1, p2)
         case (None, other) =>
           err(s"range function $fn over a non-selector needs a subquery [d:step], got $other")
       }
@@ -518,7 +524,7 @@ object PromQL {
       }
       val inner: Selector = peek match {
         case Some(TSym("{")) => parseBraceSelector()
-        case _ if nameMatcher.isDefined => Selector(Nil, parseOffset())
+        case _ if nameMatcher.isDefined => Selector(Nil, parseOffset(), parseAt())
         case _ => parseBraceSelector()
       }
       inner.copy(matchers = nameMatcher.toSeq ++ inner.matchers)
@@ -532,6 +538,18 @@ object PromQL {
           case t => err(s"duration expected after offset, got $t")
         }
       case _ => 0L
+    }
+
+    /** The `@ <unix seconds>` evaluation-time pin. PromQL also allows
+      * `@ start()`/`@ end()`; only the literal form is supported. */
+    private def parseAt(): Option[Long] = peek match {
+      case Some(TSym("@")) =>
+        next()
+        next() match {
+          case TNum(v) => Some((v * 1e6).toLong)
+          case t => err(s"unix-seconds timestamp expected after @, got $t")
+        }
+      case _ => None
     }
 
     private def parseBraceSelector(): Selector = {
@@ -560,7 +578,7 @@ object PromQL {
         peek match { case Some(TSym(",")) => next() case _ => more = false }
       }
       expectSym("}")
-      Selector(ms.result(), parseOffset())
+      Selector(ms.result(), parseOffset(), parseAt())
     }
   }
 
@@ -663,8 +681,8 @@ object PromQL {
   /** Widest time window the expression can touch (range/lookback +
     * offset, maxed over every selector) — the store read bound. */
   private[graft] def maxWindowUs(e: Expr, lookbackUs: Long): Long = e match {
-    case Selector(_, off) => lookbackUs + off
-    case RangeFn(_, Selector(_, off), dur, _, _) => dur + off
+    case Selector(_, off, _) => lookbackUs + off
+    case RangeFn(_, Selector(_, off, _), dur, _, _) => dur + off
     case SubqueryFn(_, inner, dur, _, off, _, _) =>
       dur + off + maxWindowUs(inner, lookbackUs)
     case Agg(_, _, _, a, _) => maxWindowUs(a, lookbackUs)
@@ -672,6 +690,31 @@ object PromQL {
     case Func(_, a, _, _) => maxWindowUs(a, lookbackUs)
     case BinVec(l, _, _, r, _) => math.max(maxWindowUs(l, lookbackUs), maxWindowUs(r, lookbackUs))
     case ScalarLit(_) => 0L
+  }
+
+  /** Absolute read intervals contributed by `@`-pinned selectors —
+    * they read OUTSIDE the evaluation range, so every serving path
+    * widens its store read to cover them. */
+  private[graft] def pinBounds(e: Expr, lookbackUs: Long): Seq[(Long, Long)] = e match {
+    case Selector(_, off, Some(at)) => Seq((at - off - lookbackUs, at - off))
+    case RangeFn(_, Selector(_, off, Some(at)), dur, _, _) => Seq((at - off - dur, at - off))
+    case RangeFn(_, _, _, _, _) => Nil
+    case Selector(_, _, None) => Nil
+    case SubqueryFn(_, inner, _, _, _, _, _) => pinBounds(inner, lookbackUs)
+    case Agg(_, _, _, a, _) => pinBounds(a, lookbackUs)
+    case BinScalar(a, _, _, _, _) => pinBounds(a, lookbackUs)
+    case Func(_, a, _, _) => pinBounds(a, lookbackUs)
+    case BinVec(l, _, _, r, _) => pinBounds(l, lookbackUs) ++ pinBounds(r, lookbackUs)
+    case ScalarLit(_) => Nil
+  }
+
+  /** The serving paths' store read range: the evaluation range widened
+    * by the expression's window AND any @-pinned absolute reads. */
+  private def readBounds(ast: Expr, startUs: Long, endUs: Long,
+                         lookbackUs: Long): (Long, Long) = {
+    val horizon = maxWindowUs(ast, lookbackUs)
+    val pins = pinBounds(ast, lookbackUs)
+    ((startUs - horizon) +: pins.map(_._1)).min -> (endUs +: pins.map(_._2)).max
   }
 
   /** If the expression reads through exactly ONE selector, its
@@ -720,9 +763,9 @@ object PromQL {
 
   private def storeSamples(store: graft.tsdb.ChunkStore, ast: Expr,
                            startUs: Long, endUs: Long, lookbackUs: Long): DataFrame = {
-    val horizon = maxWindowUs(ast, lookbackUs)
+    val (lo, hi) = readBounds(ast, startUs, endUs, lookbackUs)
     val ms = soleMatchers(ast).getOrElse(Nil)
-    store.queryAll(ms, startUs - horizon, endUs)
+    store.queryAll(ms, lo, hi)
       .join(store.catalog(), "series_id")
       .withColumn("event_id", lit(0L))
   }
@@ -806,10 +849,9 @@ object PromQL {
   private def federatedSamples(spark: org.apache.spark.sql.SparkSession, url: String,
                                ast: Expr, startUs: Long, endUs: Long,
                                timeSlices: Int, lookbackUs: Long): DataFrame = {
-    val horizon = maxWindowUs(ast, lookbackUs)
+    val (lo, hi) = readBounds(ast, startUs, endUs, lookbackUs)
     val ms = soleMatchers(ast).getOrElse(Nil)
-    graft.sources.Federation.readSamples(spark, url, ms,
-      startUs - horizon, endUs, timeSlices)
+    graft.sources.Federation.readSamples(spark, url, ms, lo, hi, timeSlices)
   }
 
   // ───────────────── rollup-tier serving ─────────────────
@@ -853,9 +895,9 @@ object PromQL {
     * push into the store's chunk-pruned rollup scan. */
   private def rollupFrame(store: graft.tsdb.ChunkStore, ast: Expr,
                           startUs: Long, endUs: Long, lookbackUs: Long): DataFrame = {
-    val horizon = maxWindowUs(ast, lookbackUs)
+    val (lo, hi) = readBounds(ast, startUs, endUs, lookbackUs)
     val ms = soleMatchers(ast).getOrElse(Nil)
-    store.queryRollup(ms, startUs - horizon, endUs)
+    store.queryRollup(ms, lo, hi)
       .join(store.catalog(), "series_id")
       .withColumn("ts_us", col("bucket_ms") * 1000)
   }
@@ -864,10 +906,14 @@ object PromQL {
                          lookbackUs: Long): DataFrame = e match {
     case ScalarLit(v) =>
       throw new IllegalArgumentException(s"scalar $v where a vector is needed")
-    case Selector(_, _) =>
+    case Selector(_, _, _) =>
       throw new IllegalArgumentException(
         "instant selectors need per-sample data (rollups hold no last value) — use the raw tier")
-    case RangeFn(fn, Selector(ms, off), dur, param, _) =>
+    case RangeFn(fn, sel, dur, p1, p2) if sel.atUs.isDefined =>
+      pinToGrid(evalRollup(rollups,
+        RangeFn(fn, sel.copy(atUs = None), dur, p1, p2),
+        Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs), g)
+    case RangeFn(fn, Selector(ms, off, None), dur, param, _) =>
       rollupRangeAgg(rollups.filter(Matcher.all(ms)), fn, off, dur, param, g)
     case SubqueryFn(fn, inner, dur, step, off, param, param2) =>
       // inner vectors come from the rollup tier; the outer range
@@ -962,7 +1008,18 @@ object PromQL {
     case ScalarLit(v) =>
       throw new IllegalArgumentException(s"scalar $v where a vector is needed")
 
-    case Selector(ms, off) =>
+    case sel @ Selector(_, _, Some(atP)) =>
+      // the @ modifier: evaluate AT the pinned absolute instant, then
+      // replicate the (tiny) result to every output grid instant
+      pinToGrid(evalExpr(samples, sel.copy(atUs = None),
+        Grid(atP, atP, 1L, instant = true), lookbackUs), g)
+
+    case RangeFn(fn, sel, dur, p1, p2) if sel.atUs.isDefined =>
+      pinToGrid(evalExpr(samples,
+        RangeFn(fn, sel.copy(atUs = None), dur, p1, p2),
+        Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs), g)
+
+    case Selector(ms, off, None) =>
       // instant selector: latest sample within the lookback window,
       // per series per grid instant — the one-pass struct-max idiom
       // (ts_last_over_time). Labels are functions of series_id —
@@ -975,7 +1032,7 @@ object PromQL {
         .select(col("series_id"), col("event_type"), col("user_id"),
           col("g_ts").as("ts_us"), col("l.value").as("value"))
 
-    case RangeFn(fn, Selector(ms, off), dur, param, param2) =>
+    case RangeFn(fn, Selector(ms, off, None), dur, param, param2) =>
       rangeAgg(samples.filter(Matcher.all(ms)), LabelCols, fn, off, dur, param, g, param2)
 
     case SubqueryFn(fn, inner, dur, step, off, param, param2) =>
@@ -1465,6 +1522,14 @@ object PromQL {
       }
   }
 
+
+  /** Replicate a pinned instant vector (constant ts_us) across the
+    * output grid — the result is per-series small and the grid tiny,
+    * so the broadcast cross join is bounded. */
+  private def pinToGrid(pinned: DataFrame, g: Grid): DataFrame =
+    if (g.instant) pinned.withColumn("ts_us", lit(g.startUs))
+    else pinned.drop("ts_us").crossJoin(
+      broadcast(gridFrame(pinned, g).withColumnRenamed("g_ts", "ts_us")))
 
   /** The full grid as a tiny generated frame (kMax+1 rows) — the
     * spine for absent()-style anti-joins. */

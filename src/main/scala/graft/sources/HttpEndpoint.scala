@@ -312,7 +312,7 @@ final class HttpEndpoint(
     val sels = params.collect { case (k, v) if k == "match[]" || k == "match" => v }
       .map { s =>
         graft.promql.PromQL.parse(s) match {
-          case graft.promql.PromQL.Selector(ms, _) => ms
+          case graft.promql.PromQL.Selector(ms, _, _) => ms
           case other => throw new IllegalArgumentException(
             s"match[] must be a selector, got $other")
         }

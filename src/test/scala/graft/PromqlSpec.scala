@@ -31,7 +31,7 @@ class PromqlSpec extends SparkSpec {
     val e = PromQL.parse("""sum by (event_type) (rate({event_type=~"click|view", user_id!="9"}[5m])) > 0.5""")
     e match {
       case PromQL.BinScalar(PromQL.Agg("sum", Seq("event_type"), false,
-          PromQL.RangeFn("rate", PromQL.Selector(ms, 0L), dur, None, None), None), ">", 0.5, false, false) =>
+          PromQL.RangeFn("rate", PromQL.Selector(ms, 0L, None), dur, None, None), None), ">", 0.5, false, false) =>
         assert(dur == 5L * 60L * 1000000L)
         assert(ms == Seq(MatchRe("event_type", "click|view"),
           graft.tsdb.MatchNeq("user_id", "9")))
@@ -58,8 +58,8 @@ class PromqlSpec extends SparkSpec {
   test("parser: operator precedence ladder and constant folding") {
     // * binds tighter than +: a + b*2 = a + (b*2)
     PromQL.parse("""{a="1"} + {b="2"} * 2""") match {
-      case PromQL.BinVec(PromQL.Selector(_, _), "+", PromQL.VecMatch(Nil, Nil, 0, false),
-          PromQL.BinScalar(PromQL.Selector(_, _), "*", 2.0, false, false), false) => ()
+      case PromQL.BinVec(PromQL.Selector(_, _, _), "+", PromQL.VecMatch(Nil, Nil, 0, false),
+          PromQL.BinScalar(PromQL.Selector(_, _, _), "*", 2.0, false, false), false) => ()
       case other => fail(s"precedence broke: $other")
     }
     // comparisons bind looser than arithmetic
@@ -274,6 +274,38 @@ class PromqlSpec extends SparkSpec {
     // reserved destinations refuse
     intercept[IllegalArgumentException](PromQL.eval(ev,
       """count_values("value", count_over_time({}[2h]))""", at))
+  }
+
+  test("@ modifier pins a selector's evaluation instant") {
+    val at = 2L * hu
+    // parse shapes (selector-level and after-the-bracket spellings)
+    PromQL.parse("""click @ 3600""") match {
+      case PromQL.Selector(_, 0L, Some(p)) => assert(p == hu)
+      case other => fail(s"@ lost: $other")
+    }
+    PromQL.parse("""rate(click[5m] @ 3600)""") match {
+      case PromQL.RangeFn("rate", PromQL.Selector(_, 0L, Some(p)), _, None, None) =>
+        assert(p == hu)
+      case other => fail(s"@ lost on range vector: $other")
+    }
+    // pinned evaluation ignores the outer instant: @1h at t=2h equals
+    // the unpinned evaluation at t=1h
+    val pinned = PromQL.eval(ev, """sum_over_time(click[2h] @ 3600)""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val direct = PromQL.eval(ev, """sum_over_time(click[2h])""", 1L * hu)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(pinned == direct && pinned == Seq((1L, 30.0), (2L, 5.0)))
+    // over a range grid, a pinned vector is constant at every instant;
+    // the ratio-to-fixed-baseline shape works
+    val r = PromQL.evalRange(ev,
+      """sum_over_time(click[1h]) / on (user_id) sum_over_time(click[1h] @ 3600)""",
+      1L * hu, 2L * hu, hu)
+      .select("ts_us", "user_id", "value").as[(Long, Long, Double)]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    // u1 baseline @1h = 30 (10+20): t=1h 30/30=1, t=2h (20+40)/30=2;
+    // u2 baseline = 5 (the 0h sample): t=1h 5/5=1, t=2h 7/5=1.4
+    assert(r == Seq((1L * hu, 1L, 1.0), (1L * hu, 2L, 1.0),
+      (2L * hu, 1L, 2.0), (2L * hu, 2L, 1.4)))
   }
 
   test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
