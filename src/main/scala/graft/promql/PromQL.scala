@@ -116,7 +116,8 @@ object PromQL {
   final case class SubqueryFn(fn: String, inner: Expr, rangeUs: Long,
                               stepUs: Long, offsetUs: Long = 0L,
                               param: Option[Double] = None,
-                              param2: Option[Double] = None) extends Expr
+                              param2: Option[Double] = None,
+                              atUs: Option[Long] = None) extends Expr
 
   private val RangeFns = Set("rate", "irate", "increase", "delta", "idelta",
     "deriv", "predict_linear", "resets", "changes", "last_over_time",
@@ -178,9 +179,16 @@ object PromQL {
           var total = 0L
           var n = q.substring(j, i).toLong
           var more = true
+          // Prometheus's duration grammar takes each unit at most once,
+          // in strictly descending magnitude (1h30m, never 1m1h/5s5s) —
+          // out-of-order compounds are typos, reject them loudly
+          var lastMul = Long.MaxValue
           while (more) {
             unitAt() match {
               case Some((mul, w)) =>
+                if (mul >= lastMul)
+                  err("compound duration units must be strictly descending (e.g. 1h30m, not 1m1h)")
+                lastMul = mul
                 total += n * mul
                 i += w
                 if (i < q.length && q(i).isDigit) {
@@ -292,12 +300,20 @@ object PromQL {
           err(s"set op $op is not defined between scalars")
         if (CmpOps.contains(op) && !boolMode)
           err(s"comparison between two scalars needs the bool modifier")
+        if (m != VecMatch())
+          err(s"vector matching (on/ignoring/group_*) is not allowed between scalars")
         ScalarLit(scalarOp(a, op, b))
       case (ScalarLit(k), v) =>
         if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
+        // Prometheus rejects vector matching on vector-scalar ops —
+        // silently dropping the modifier would be a silent wrong answer
+        if (m != VecMatch())
+          err(s"vector matching (on/ignoring/group_*) is not allowed on vector-scalar $op")
         BinScalar(v, op, k, scalarLeft = true, boolMode = boolMode)
       case (v, ScalarLit(k)) =>
         if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
+        if (m != VecMatch())
+          err(s"vector matching (on/ignoring/group_*) is not allowed on vector-scalar $op")
         BinScalar(v, op, k, scalarLeft = false, boolMode = boolMode)
       case (a, b) => BinVec(a, op, m, b, boolMode)
     }
@@ -385,6 +401,10 @@ object PromQL {
           next(); without = true; by = parseLabelList()
         case _ => ()
       }
+      // a negative k is never meaningful and would surface as an opaque
+      // Spark error (HTTP 500) at run time — reject at parse time (400)
+      if ((op == "topk" || op == "bottomk") && param.exists(_ < 0))
+        err(s"$op needs a non-negative scalar k, got ${param.get}")
       Agg(op, by, without, arg, param)
     }
 
@@ -504,7 +524,9 @@ object PromQL {
       (subStep, arg) match {
         case (Some(st), inner) =>
           if (st <= 0) err("subquery step must be positive")
-          SubqueryFn(fn, inner, dur, st, off, p1, p2)
+          // `@` after the subquery brackets pins the whole subquery's
+          // evaluation instant (threaded, not silently dropped)
+          SubqueryFn(fn, inner, dur, st, off, p1, p2, atPin)
         case (None, sel: Selector) =>
           RangeFn(fn, sel.copy(offsetUs = sel.offsetUs + off,
             atUs = atPin.orElse(sel.atUs)), dur, p1, p2)
@@ -683,7 +705,7 @@ object PromQL {
   private[graft] def maxWindowUs(e: Expr, lookbackUs: Long): Long = e match {
     case Selector(_, off, _) => lookbackUs + off
     case RangeFn(_, Selector(_, off, _), dur, _, _) => dur + off
-    case SubqueryFn(_, inner, dur, _, off, _, _) =>
+    case SubqueryFn(_, inner, dur, _, off, _, _, _) =>
       dur + off + maxWindowUs(inner, lookbackUs)
     case Agg(_, _, _, a, _) => maxWindowUs(a, lookbackUs)
     case BinScalar(a, _, _, _, _) => maxWindowUs(a, lookbackUs)
@@ -700,7 +722,12 @@ object PromQL {
     case RangeFn(_, Selector(_, off, Some(at)), dur, _, _) => Seq((at - off - dur, at - off))
     case RangeFn(_, _, _, _, _) => Nil
     case Selector(_, _, None) => Nil
-    case SubqueryFn(_, inner, _, _, _, _, _) => pinBounds(inner, lookbackUs)
+    case SubqueryFn(_, inner, dur, _, off, _, _, Some(at)) =>
+      // the pinned subquery reads [at−off−dur−innerWindow, at−off]
+      // at an ABSOLUTE instant, outside the evaluation range
+      (at - off - dur - maxWindowUs(inner, lookbackUs), at - off) +:
+        pinBounds(inner, lookbackUs)
+    case SubqueryFn(_, inner, _, _, _, _, _, None) => pinBounds(inner, lookbackUs)
     case Agg(_, _, _, a, _) => pinBounds(a, lookbackUs)
     case BinScalar(a, _, _, _, _) => pinBounds(a, lookbackUs)
     case Func(_, a, _, _) => pinBounds(a, lookbackUs)
@@ -725,7 +752,7 @@ object PromQL {
     def sels(x: Expr): Seq[Selector] = x match {
       case s: Selector => Seq(s)
       case RangeFn(_, s, _, _, _) => Seq(s)
-      case SubqueryFn(_, inner, _, _, _, _, _) => sels(inner)
+      case SubqueryFn(_, inner, _, _, _, _, _, _) => sels(inner)
       case Agg(_, _, _, a, _) => sels(a)
       case BinScalar(a, _, _, _, _) => sels(a)
       case Func(_, a, _, _) => sels(a)
@@ -915,7 +942,13 @@ object PromQL {
         Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs), g)
     case RangeFn(fn, Selector(ms, off, None), dur, param, _) =>
       rollupRangeAgg(rollups.filter(Matcher.all(ms)), fn, off, dur, param, g)
-    case SubqueryFn(fn, inner, dur, step, off, param, param2) =>
+    case sq @ SubqueryFn(_, _, _, _, _, _, _, Some(at)) =>
+      // `@` on the subquery: evaluate the WHOLE subquery at the pinned
+      // absolute instant, then replicate to the output grid (the same
+      // shape as a pinned RangeFn)
+      pinToGrid(evalRollup(rollups, sq.copy(atUs = None),
+        Grid(at, at, 1L, instant = true), lookbackUs), g)
+    case SubqueryFn(fn, inner, dur, step, off, param, param2, None) =>
       // inner vectors come from the rollup tier; the outer range
       // function aggregates SYNTHETIC instant samples, so the full
       // raw-tier rangeAgg applies (no further quantization)
@@ -1035,7 +1068,12 @@ object PromQL {
     case RangeFn(fn, Selector(ms, off, None), dur, param, param2) =>
       rangeAgg(samples.filter(Matcher.all(ms)), LabelCols, fn, off, dur, param, g, param2)
 
-    case SubqueryFn(fn, inner, dur, step, off, param, param2) =>
+    case sq @ SubqueryFn(_, _, _, _, _, _, _, Some(at)) =>
+      // `@` on the subquery pins its evaluation instant: evaluate the
+      // whole nesting once at `at`, replicate to the output grid
+      pinToGrid(evalExpr(samples, sq.copy(atUs = None),
+        Grid(at, at, 1L, instant = true), lookbackUs), g)
+    case SubqueryFn(fn, inner, dur, step, off, param, param2, None) =>
       // Prometheus subquery: the inner expression evaluates at every
       // EPOCH-ALIGNED multiple of `step` the outer windows can touch —
       // one dense inner grid covering [outerStart−off−dur, outerEnd−off]

@@ -303,10 +303,15 @@ final class HttpEndpoint(
     * match[] params union, as in Prometheus). */
   private def metaCatalog(params: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val pmap = params.toMap
+    // each bound applies INDEPENDENTLY (Prometheus semantics): a
+    // single-sided request defaults the missing side to ±infinity
+    // (clamped so the chunk-grain division can't overflow)
     val cat = (pmap.get("start"), pmap.get("end")) match {
-      case (Some(s), Some(e)) =>
-        store.catalogInRange((s.toDouble * 1e6).toLong, (e.toDouble * 1e6).toLong)
-      case _ => store.catalog()
+      case (None, None) => store.catalog()
+      case (s, e) =>
+        def us(v: Option[String], dflt: Long): Long =
+          v.map(x => (x.toDouble * 1e6).toLong).getOrElse(dflt)
+        store.catalogInRange(us(s, Long.MinValue / 4), us(e, Long.MaxValue / 4))
     }
     // repeated match[] selectors UNION, as in Prometheus
     val sels = params.collect { case (k, v) if k == "match[]" || k == "match" => v }

@@ -435,14 +435,26 @@ object StreamIngest {
             // exact refresh = clear-then-append: an instant whose
             // alert DISAPPEARS on re-evaluation must lose its old
             // rows, and dynamic overwrite only rewrites partitions
-            // that still produce data
-            val fs = new org.apache.hadoop.fs.Path(alertsDir)
+            // that still produce data. ONE directory listing, then
+            // delete only the partitions that EXIST in the refresh
+            // range — a small step with a wide window+FOR reach spans
+            // thousands of grid instants, and a blind per-instant
+            // delete is that many blocking filesystem calls per batch
+            // (object-store latency would dominate); the existing set
+            // is bounded by what earlier batches actually wrote
+            val root = new org.apache.hadoop.fs.Path(alertsDir)
+            val fs = root
               .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-            var t = first
-            while (t <= last) {
-              fs.delete(new org.apache.hadoop.fs.Path(alertsDir, s"ts_us=$t"), true)
-              t += stepUs
-            }
+            if (fs.exists(root))
+              fs.listStatus(root).foreach { st =>
+                val n = st.getPath.getName
+                if (n.startsWith("ts_us=")) {
+                  val t = try n.stripPrefix("ts_us=").toLong catch {
+                    case _: NumberFormatException => Long.MinValue
+                  }
+                  if (t >= first && t <= last) fs.delete(st.getPath, true)
+                }
+              }
             out.write.mode("append").partitionBy("ts_us").parquet(alertsDir)
           }
         }

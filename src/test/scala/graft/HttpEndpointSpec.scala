@@ -152,6 +152,14 @@ class HttpEndpointSpec extends SparkSpec {
       // after all data → no series
       val farS = (t0 + 90L * 86400000L) / 1000.0
       assert(get(s"/api/v1/series?start=$farS&end=${farS + 3600}")._2.contains(""""data":[]"""))
+      // each bound applies INDEPENDENTLY (r9 review fix): start-only
+      // after all data → empty; end-only before all data → empty;
+      // start-only before all data → everything
+      assert(get(s"/api/v1/series?start=$farS")._2.contains(""""data":[]"""))
+      assert(get(s"/api/v1/series?end=${(t0 - 90L * 86400000L) / 1000.0}")._2
+        .contains(""""data":[]"""))
+      assert(get(s"/api/v1/series?start=${(t0 - 90L * 86400000L) / 1000.0}")._2
+        .contains(""""event_type":"click""""))
       // repeated match[] UNION (Prometheus semantics) and the
       // percent-encoded key spelling clients actually send
       val (mc, mbody) = get("/api/v1/series?match%5B%5D=click&match%5B%5D=purchase")

@@ -308,11 +308,42 @@ class PromqlSpec extends SparkSpec {
       (2L * hu, 1L, 2.0), (2L * hu, 2L, 1.4)))
   }
 
+  test("r9 review fixes: @ on subqueries threads, vector-scalar rejects matching, topk k >= 0, descending duration units") {
+    // `@` after subquery brackets is THREADED, not silently dropped:
+    // pinned at 2h, evaluated at 4h == unpinned evaluated at 2h
+    PromQL.parse("""max_over_time(rate(click[5m])[1h:10m] @ 7200)""") match {
+      case PromQL.SubqueryFn("max_over_time", _, _, _, 0L, None, None, Some(p)) =>
+        assert(p == 2L * hu)
+      case other => fail(s"@ lost on subquery: $other")
+    }
+    val pinned = PromQL.eval(ev,
+      """max_over_time(sum_over_time(click[1h])[2h:1h] @ 7200)""", 4L * hu)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val direct = PromQL.eval(ev,
+      """max_over_time(sum_over_time(click[1h])[2h:1h])""", 2L * hu)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(pinned == direct && pinned == Seq((1L, 60.0), (2L, 7.0)))
+    // vector matching on vector-scalar ops is a typed parse error
+    // (Prometheus rejects it; dropping the modifier would be silent)
+    intercept[IllegalArgumentException](PromQL.parse("""click / on(user_id) 2"""))
+    intercept[IllegalArgumentException](PromQL.parse("""2 * ignoring(user_id) click"""))
+    intercept[IllegalArgumentException](PromQL.parse("""1 + on(x) 2"""))
+    // negative k rejects at parse time (400), not as an opaque run-time
+    // Spark error (500); quantile's negative φ stays legal (NaN result)
+    intercept[IllegalArgumentException](PromQL.parse("""topk(-3, click)"""))
+    intercept[IllegalArgumentException](PromQL.parse("""bottomk(-1, click)"""))
+    PromQL.parse("""quantile(-0.5, click)""")
+    // compound durations need strictly descending unique units
+    intercept[IllegalArgumentException](PromQL.parseDuration("1m1h"))
+    intercept[IllegalArgumentException](PromQL.parseDuration("5s5s"))
+    assert(PromQL.parseDuration("1h30m5s") == 5405000000L)
+  }
+
   test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
     // parser shape
     PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
       case PromQL.SubqueryFn("max_over_time",
-          PromQL.RangeFn("rate", _, _, None, None), r, st, 0L, None, None) =>
+          PromQL.RangeFn("rate", _, _, None, None), r, st, 0L, None, None, None) =>
         assert(r == 3600000000L && st == 600000000L)
       case other => fail(s"subquery AST broke: $other")
     }
