@@ -226,6 +226,18 @@ object SparkEntry {
     "promql_count_values" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"), """count_values("n", count_over_time({}[1d]))""", T2)),
 
+    // histogram_quantile through the front door — the latency-dashboard
+    // staple: per-type interpolated median of the per-series daily
+    // sums, bucketed to decade bounds in-language (ceil·10 = the
+    // bucket's UPPER bound, the le convention) and counted into an
+    // le-labeled vector by count_values' by-clause. The evaluator
+    // cumsums per (type, instant) — window partitions sized by the
+    // BUCKET count, never series cardinality
+    "promql_histogram_quantile" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """histogram_quantile(0.5, count_values by (event_type) ("le", ceil(sum_over_time({}[1d]) / 10) * 10))""",
+      T2)),
+
     // ALERT RULE over a full PromQL expression (avg event value per
     // type per 6h window > 50 for 12h) on a 40-instant grid — the
     // expression is scale-invariant (value distribution, not volume)
@@ -1990,6 +2002,30 @@ object SparkEntry {
           SELECT CAST(CAST(cnt AS DOUBLE) AS VARCHAR) AS n,
                  CAST(count(*) AS DOUBLE) AS value
           FROM c GROUP BY 1""",
+
+    // mirrors the engine step-for-step: decimal-exact daily sums →
+    // decade upper bounds → per-(type, le) series counts → window
+    // cumsum ordered by le → linear interpolation in the crossing
+    // bucket (lower edge = previous bound, 0 for a positive first
+    // bound), identical association order in the arithmetic
+    "promql_histogram_quantile" ->
+      s"""WITH c AS (SELECT event_type, $SeriesIdSql AS series_id,
+                   ceil(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / 10) * 10 AS le
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2),
+          b AS (SELECT event_type, le, CAST(count(*) AS DOUBLE) AS n FROM c GROUP BY 1, 2),
+          w AS (SELECT event_type, le, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+                   sum(n) OVER (PARTITION BY event_type) AS total,
+                   lag(le) OVER (PARTITION BY event_type ORDER BY le) AS prev_le
+                FROM b)
+          SELECT event_type,
+                 round(COALESCE(prev_le, CASE WHEN le > 0 THEN 0 ELSE le END)
+                       + (le - COALESCE(prev_le, CASE WHEN le > 0 THEN 0 ELSE le END))
+                         * (total * 0.5 - (cum - n)) / n, 6) AS value
+          FROM w
+          WHERE (cum - n) < total * 0.5 AND cum >= total * 0.5""",
 
     // the engine's avg = decimal sum (double) / count (double); the
     // islands pass mirrors ts_alert_firing restated on the grid

@@ -137,6 +137,9 @@ object PromQL {
   // count_values("dst", v) leads with the string; label_replace /
   // label_join lead with the vector
   private val LabelFns = Set("label_replace", "label_join", "count_values")
+  // histogram_quantile(φ, v) leads with the scalar; the vector must
+  // carry an `le` bucket label at evaluation time
+  private val HistFns = Set("histogram_quantile")
   private val KeyWords = Set("by", "without", "on", "ignoring", "offset",
     "bool", "group_left", "group_right", "and", "or", "unless")
 
@@ -350,6 +353,7 @@ object PromQL {
       case Some(TIdent(name)) if RangeFns.contains(name) => parseRangeFn(name)
       case Some(TIdent(name)) if MathFns.contains(name) => parseFunc(name)
       case Some(TIdent(name)) if LabelFns.contains(name) => parseLabelFn(name)
+      case Some(TIdent(name)) if HistFns.contains(name) => parseHistogramQuantile()
       case Some(TIdent(name)) if !KeyWords.contains(name) => parseVectorSelector()
       case Some(t) => err(s"unexpected $t")
       case None => err("empty expression")
@@ -435,11 +439,38 @@ object PromQL {
       Func(fn, arg, params)
     }
 
+    /** `histogram_quantile(φ, v)` — the scalar leads, the vector
+      * follows; the φ literal rides in `params`. */
+    private def parseHistogramQuantile(): Expr = {
+      next() // fn
+      expectSym("(")
+      val phi = next() match {
+        case TNum(q) => q
+        case TSym("-") => next() match {
+          case TNum(q) => -q
+          case t => err(s"histogram_quantile needs a leading scalar, got -$t")
+        }
+        case t => err(s"histogram_quantile needs a leading scalar, got $t")
+      }
+      expectSym(",")
+      val arg = parseOr()
+      expectSym(")")
+      Func("histogram_quantile", arg, Seq(phi))
+    }
+
     /** `label_replace(v, "dst", "repl", "src", "re")`,
       * `label_join(v, "dst", "sep", "src"...)`,
-      * `count_values("dst", v)`. */
+      * `count_values("dst", v)` — which, being an AGGREGATION operator
+      * in Prometheus's grammar, also takes an optional `by (...)`
+      * clause (leading or trailing) keeping the listed labels as
+      * group keys; the by-labels ride in strParams after dst. */
     private def parseLabelFn(fn: String): Expr = {
       next() // fn
+      var by: Seq[String] = Nil
+      if (fn == "count_values") peek match {
+        case Some(TIdent("by")) => next(); by = parseLabelList()
+        case _ => ()
+      }
       expectSym("(")
       def str(): String = next() match {
         case TStr(v) => v
@@ -462,7 +493,15 @@ object PromQL {
           Func(fn, arg, Nil, strs)
       }
       expectSym(")")
-      e
+      if (fn == "count_values" && by.isEmpty) peek match {
+        case Some(TIdent("by")) => next(); by = parseLabelList()
+        case _ => ()
+      }
+      e match {
+        case f @ Func("count_values", _, _, _) if by.nonEmpty =>
+          f.copy(strParams = f.strParams ++ by)
+        case other => other
+      }
     }
 
     private def parseRangeFn(fn: String): Expr = {
@@ -1400,12 +1439,70 @@ object PromQL {
           val parts = strParams.drop(2).map(labelCol)
           in.withColumn(dst, concat_ws(sep, parts: _*))
         case "count_values" =>
-          // the sample VALUE becomes a label; count per (value, instant)
+          // the sample VALUE becomes a label; count per (value, instant,
+          // by-labels) — the by-clause labels survive as group keys
+          // (Prometheus's aggregation-operator semantics)
           val dst = strParams.head
+          val by = strParams.tail
           checkDst(dst)
+          by.foreach(b => require(in.columns.contains(b),
+            s"count_values by ($b): the vector has no such label"))
           in.withColumn(dst, col("value").cast("string"))
-            .groupBy(col(dst), col("ts_us"))
+            .groupBy((col(dst) +: col("ts_us") +: by.map(col)): _*)
             .agg(count(lit(1)).cast("double").as("value"))
+        case "histogram_quantile" =>
+          // Prometheus's latency staple, over the engine's bucket
+          // convention: the vector must carry an `le` label holding
+          // each bucket's UPPER bound (count_values("le", …) and
+          // label_replace create one), with DENSE per-bucket counts —
+          // the ts_value_histogram convention ("cumulative left to
+          // the reader"), so the evaluator does the cumsum itself.
+          // Scale shape: the window partitions by (labels, instant),
+          // sized by the BUCKET COUNT — never sample or series
+          // cardinality — so no partition can become a straggler.
+          require(in.columns.contains("le"),
+            "histogram_quantile needs a bucket vector carrying an `le` label — got labels [" +
+              in.columns.filterNot(Set("value", "ts_us", "event_id")).mkString(", ") +
+              "]; count_values(\"le\", …) or label_replace can create one")
+          val phi = params.head
+          val grp = in.columns.toSeq.filterNot(Set("le", "value", "event_id")) // ts_us stays
+          // non-numeric le buckets are skipped (Prometheus parses le
+          // leniently and ignores failures); +Inf is the overflow
+          // bucket — a quantile crossing into it reports the highest
+          // finite bound, as in Prometheus
+          val b = in.withColumn("le_n", col("le").cast("double"))
+            .filter(col("le_n").isNotNull)
+          if (phi < 0 || phi > 1)
+            b.groupBy(grp.map(col): _*)
+              .agg(lit(if (phi < 0) Double.NegativeInfinity
+                else Double.PositiveInfinity).as("value"))
+          else if (phi == 0)
+            // rank 0 sits at the lowest bucket's lower edge (0 when
+            // the bound is positive, the bound itself otherwise)
+            b.groupBy(grp.map(col): _*).agg(min(col("le_n")).as("lo"))
+              .select(grp.map(col) :+
+                when(col("lo") > 0, 0.0).otherwise(col("lo")).as("value"): _*)
+          else {
+            val w = Window.partitionBy(grp.map(col): _*).orderBy(col("le_n"))
+            val wAll = Window.partitionBy(grp.map(col): _*)
+            // the crossing bucket's lower edge: the previous bound, or
+            // 0 for a first bucket with positive bound (Prometheus's
+            // convention; a non-positive first bound interpolates to
+            // itself, i.e. the result is the bound)
+            val lower = coalesce(lag(col("le_n"), 1).over(w),
+              when(col("le_n") > 0, lit(0.0)).otherwise(col("le_n")))
+            b.withColumn("n", col("value"))
+              .withColumn("cum", sum(col("n")).over(w))
+              .withColumn("total", sum(col("n")).over(wAll))
+              .withColumn("prev", col("cum") - col("n"))
+              .withColumn("lower", lower)
+              .filter(col("prev") < col("total") * phi &&
+                col("cum") >= col("total") * phi)
+              .select(grp.map(col) :+
+                round(when(col("le_n") === Double.PositiveInfinity, col("lower"))
+                  .otherwise(col("lower") + (col("le_n") - col("lower")) *
+                    (col("total") * phi - col("prev")) / col("n")), 6).as("value"): _*)
+          }
         case "absent" =>
           // empty input vector → {value: 1} per grid instant; any
           // match at an instant suppresses it (anti-join against the

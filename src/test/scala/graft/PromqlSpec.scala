@@ -339,6 +339,45 @@ class PromqlSpec extends SparkSpec {
     assert(PromQL.parseDuration("1h30m5s") == 5405000000L)
   }
 
+  test("histogram_quantile: interpolated quantile over an le-labeled bucket vector") {
+    val at = 2L * hu
+    def one(q: String): Seq[(String, Double)] =
+      PromQL.eval(ev, q, at).collect().map(r =>
+        (r.schema.fieldNames.filterNot(_ == "value").map(n => r.get(r.fieldIndex(n)).toString).mkString(","),
+          r.getDouble(r.fieldIndex("value")))).toSeq.sortBy(_._1)
+    // sum_over_time(click[2h]) @ 2h: u1 = 70, u2 = 12 → buckets
+    // {12: 1 series, 70: 1 series}, total 2. φ=0.5 → rank 1 crosses
+    // the first bucket (lower edge 0): 0 + 12·(1−0)/1 = 12
+    val q = """histogram_quantile(%s, count_values("le", sum_over_time(click[2h])))"""
+    assert(one(q.format("0.5")).map(_._2) == Seq(12.0))
+    // φ=0.75 → rank 1.5 crosses the 70-bucket: 12 + 58·0.5/1 = 41
+    assert(one(q.format("0.75")).map(_._2) == Seq(41.0))
+    // φ=1 → the highest bound; φ=0 → the lowest bucket's lower edge
+    assert(one(q.format("1")).map(_._2) == Seq(70.0))
+    assert(one(q.format("0")).map(_._2) == Seq(0.0))
+    // out-of-range φ, Prometheus edges
+    assert(one(q.format("-1")).map(_._2) == Seq(Double.NegativeInfinity))
+    assert(one(q.format("2")).map(_._2) == Seq(Double.PositiveInfinity))
+    // count_values' by-clause keeps labels as group keys: per-type
+    // medians — click crosses at 12, purchase (one 230-bucket) at
+    // 0 + 230·0.5 = 115, view at 1·0.5 = 0.5
+    val byType = PromQL.eval(ev,
+      """histogram_quantile(0.5, count_values by (event_type) ("le", sum_over_time({}[2h])))""",
+      at).select("event_type", "value").as[(String, Double)].collect().sortBy(_._1).toSeq
+    assert(byType == Seq(("click", 12.0), ("purchase", 115.0), ("view", 0.5)))
+    // +Inf is the overflow bucket: a quantile crossing into it reports
+    // the highest FINITE bound (click@2h: u1 40/(40−7)=1.212121…,
+    // u2 7/0=+Inf; φ=0.9 → rank 1.8 lands in the Inf bucket)
+    val inf = PromQL.eval(ev,
+      """histogram_quantile(0.9, count_values("le", click / (click - 7)))""", at)
+      .select("value").as[Double].collect().toSeq
+    assert(inf == Seq(math.floor(40.0 / 33.0 * 1e6 + 0.5) / 1e6))
+    // graceful refusal on a non-conforming vector (no le label)
+    val e = intercept[IllegalArgumentException](
+      PromQL.eval(ev, """histogram_quantile(0.5, click)""", at))
+    assert(e.getMessage.contains("le"))
+  }
+
   test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
     // parser shape
     PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
