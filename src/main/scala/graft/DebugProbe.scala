@@ -526,6 +526,13 @@ object DebugProbe {
           .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
       }
       def minOf2(label: String, f: => DataFrame): Unit = {
+        // clear the cache BETWEEN shapes (not between runs): the r9
+        // bigramLogprob persists its pre-aggregate, and the cache
+        // substitutes into any canonically-identical subtree — the
+        // window/r5 shapes would silently ride it and the A/B would
+        // compare nothing. Within a shape, run 2 keeps the bench's
+        // warm-cache min-of-2 semantics.
+        spark.catalog.clearCache()
         val ts = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           f.write.format("noop").mode("overwrite").save()
@@ -572,6 +579,84 @@ object DebugProbe {
       minOf2("bigram_preagg@10x", TextOps.bigramLogprob(docs10))
       minOf2("bigram_r5shape@10x", oldShape(docs10))
       minOf2("bigram_window@10x", windowShape(docs10))
+      spark.stop(); return
+    }
+    if (names.contains("__bigramskew")) {
+      // Zipf-skew drill (r8 verdict item 2): ONE synthetic hot bigram
+      // stamped into 30% of docs. The r8 window shape puts every
+      // (hot-bigram, doc) row into ONE window partition = one task —
+      // the straggler AQE cannot split; the r9 persisted join-back
+      // absorbs the hot key in map-side partials and the doc-level
+      // join is AQE-skew-splittable. Report wall clock AND the
+      // longest single task per shape — the straggler shows in the
+      // max-task number even where total wall clock hides it.
+      import org.apache.spark.sql.DataFrame
+      import graft.text.TextOps
+      def windowShape(docs: DataFrame): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val bgc = docs
+          .select(col("doc_id"), explode(TextOps.wordShingles(TextOps.tokens(col("text")), 2)).as("bg"))
+          .select(col("doc_id"), xxhash64(col("bg")).as("hb"),
+            xxhash64(substring_index(col("bg"), " ", 1)).as("ha"))
+          .groupBy(col("doc_id"), col("hb"), col("ha"))
+          .agg(count(lit(1)).as("cnt"))
+        val uni = docs
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
+        bgc.withColumn("c2", sum(col("cnt")).over(Window.partitionBy(col("hb"))))
+          .join(uni, "ha")
+          .select(col("doc_id"), col("cnt"),
+            round(log(col("c2").cast("double") / col("c1")), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).as("n_transitions"),
+            sum(col("lp6") * col("cnt")).cast("double").as("sum_logprob"))
+          .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
+      }
+      val hot = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(lit("zzhot zzkey "), col("text"))).otherwise(col("text")))
+      val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = if (te.taskInfo != null) te.taskInfo.duration else 0L
+          var cur = maxTaskMs.get
+          while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get
+        }
+      })
+      def drill(label: String, f: => DataFrame): Unit = {
+        val rs = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          maxTaskMs.set(0)
+          val t0 = System.nanoTime()
+          f.write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9, maxTaskMs.get / 1000.0)
+        }
+        val best = rs.minBy(_._1)
+        println(f"[probe] $label%-22s wall=${best._1}%.2fs maxTask=${best._2}%.2fs " +
+          rs.map(r => f"(${r._1}%.2f,${r._2}%.2f)").mkString(" "))
+      }
+      drill("bigramskew_join@1x", TextOps.bigramLogprob(hot))
+      drill("bigramskew_window@1x", windowShape(hot))
+      // 10×: dialect-shifted copies (cross-copy bigrams disjoint) but
+      // the SAME hot bigram stamped in every copy — the hot window
+      // partition grows linearly with the corpus while everything
+      // else stays per-key constant; the straggler shows as the
+      // window's maxTask pulling away from the join's
+      val dialect = "aeioubcdfghjklmnp"
+      val base10 = java.nio.file.Files.createTempDirectory("graft_bgskew10").toString
+      (0L until 10L).map { k =>
+        hot.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text",
+            concat(when(pmod(col("doc_id"), lit(10)) < 3, lit("zzhot zzkey "))
+              .otherwise(lit("")),
+              translate(col("text"), "aeiou", dialect.substring(k.toInt, k.toInt + 5))))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$base10/documents.parquet")
+      val hot10 = spark.read.parquet(s"$base10/documents.parquet")
+      drill("bigramskew_join@10x", TextOps.bigramLogprob(hot10))
+      drill("bigramskew_window@10x", windowShape(hot10))
       spark.stop(); return
     }
     if (names.contains("__stages")) {

@@ -217,18 +217,28 @@ object TextOps {
     * order scores low).
     *
     * Plan: bigrams are the n=2 word shingles (map-side zip — no
-    * self-join), pre-aggregated ONCE to per-(doc, bigram) counts so
-    * every downstream exchange carries distinct-bigrams-per-doc rows,
-    * not token instances (hb functionally determines ha, so adding ha
-    * to the grouping key costs no cardinality); the corpus-wide
-    * bigram count is a sum-over-hb WINDOW on that same frame — the
-    * explode+aggregate pipeline appears ONCE in the DAG, where the r7
-    * groupBy+join-back recomputed it per consumer, and at real corpus
-    * scale the per-bigram count side is too big to broadcast, so the
-    * join would degrade to this same shuffle-by-hb plus a second full
-    * explode (A/B-measured fastest of the three shapes at 1× and 10×,
-    * DebugProbe __bigram). Per-transition weighting multiplies the
-    * 6dp-rounded logprob by the exact instance count in DECIMAL —
+    * self-join), pre-aggregated ONCE to per-(doc, bigram) counts and
+    * PERSISTED (hb functionally determines ha, so adding ha to the
+    * grouping key costs no cardinality). The per-bigram score table
+    * then computes at VOCABULARY level — corpus bigram count c2 via a
+    * partial-aggregated groupBy(hb), unigram denominator joined at
+    * vocab grain — and joins back to the doc-level frame ONCE on hb.
+    * Three 100 TB properties drive this shape, replacing the r8
+    * window: (1) no `PARTITION BY hb` window — bigram frequencies are
+    * Zipf-distributed, so that window puts every ("of the", doc) row
+    * in ONE task, a straggler no config fixes (AQE splits skewed
+    * JOINS, not skewed window partitions), while here the hot key is
+    * absorbed map-side by the partial aggregate and the one skewed
+    * doc-level join-back is AQE-skew-splittable; (2) the tokenize+
+    * explode pipeline runs ONCE — the persist is the reuse mechanism,
+    * because Catalyst prunes different column sets into the two
+    * consumer branches, making their subtrees non-identical so
+    * exchange/stage reuse can never fire on them (measured: the r7
+    * join-back paid a full second explode for exactly this reason);
+    * (3) the score table is vocab-sized, so the optimizer/AQE is free
+    * to broadcast it when it fits and shuffle when it doesn't — at no
+    * recompute risk either way. Per-transition weighting multiplies
+    * the 6dp-rounded logprob by the exact instance count in DECIMAL —
     * identical totals to per-instance summing. Docs with fewer than
     * two tokens have no transitions and emit no row. */
   def bigramLogprob(docs: DataFrame): DataFrame = {
@@ -238,15 +248,19 @@ object TextOps {
         xxhash64(substring_index(col("bg"), " ", 1)).as("ha"))
       .groupBy(col("doc_id"), col("hb"), col("ha"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val uni = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
-    bgc.withColumn("c2", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("hb"))))
+    // vocab-grain score table: c2 per bigram (map-side partials absorb
+    // the Zipf-hot key), ha recovered by max() (functional dependency)
+    val lp = bgc.groupBy(col("hb"))
+      .agg(sum(col("cnt")).as("c2"), max(col("ha")).as("ha"))
       .join(uni, "ha")
-      .select(col("doc_id"), col("cnt"),
+      .select(col("hb"),
         round(log(col("c2").cast("double") / col("c1")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
+    bgc.join(lp, "hb")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("cnt")).as("n_transitions"),

@@ -152,6 +152,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("doc_bigram_logprob: no Zipf-keyed window; explode pipeline runs once (persisted diamond); score join at vocab grain") {
+    val df = SparkEntry.queries("doc_bigram_logprob")(spark, sfDir)
+    df.count()
+    // a PARTITION BY hb window puts every ("of the", doc) row in one
+    // task at corpus scale — AQE splits skewed joins, not windows
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"Zipf-keyed window crept back:\n${p.take(2000)}")
+    // both consumers must read the SHARED persisted bgc frame: in the
+    // optimized logical plan the cache is a LEAF (InMemoryRelation),
+    // so any LIVE shingle-explode Generate means a branch recomputes
+    // the tokenize pipeline instead of reading the cache — the r7
+    // measured cost. Exchange/stage reuse can't replace the persist
+    // because Catalyst prunes different column sets into the two
+    // branches, making their subtrees non-identical.
+    val lp = df.queryExecution.optimizedPlan
+    val cacheLeaves = lp.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.length
+    val liveShingleExplodes = lp.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        if g.generator.toString.contains("CASE WHEN") => g
+    }.length
+    assert(cacheLeaves >= 2, s"bgc not read through the shared cache:\n$lp")
+    assert(liveShingleExplodes == 0,
+      s"a live (uncached) shingle explode pipeline exists — it would run per consumer:\n$lp")
+  }
+
   test("q12_shipmode: the shipdate filter reaches the lineitem scan") {
     val p = plan("q12_shipmode")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
