@@ -1037,9 +1037,35 @@ object PromQL {
           "s" -> sum(col("sum_value").cast(d2)).cast(d2), "n" -> sum(col("n_points")))
       case "min_over_time" => keyed(col("m"), "m" -> min(col("min_value")))
       case "max_over_time" => keyed(col("m"), "m" -> max(col("max_value")))
+      case "rate" | "increase" | "delta" | "last_over_time" =>
+        // the counter family serves decode-free from the per-bucket
+        // first/last points (the Thanos-downsampling design): on the
+        // quantized whole-bucket windows, min/max of the bucket
+        // endpoints IS the raw window's first/last sample, so the
+        // result equals the raw tier exactly (PromqlSpec-pinned)
+        require(frame.columns.contains("first_point"),
+          s"$fn on the rollup tier needs per-bucket first/last points — " +
+            "these rollups predate counter aggregates; rebuild them " +
+            "(re-close or backfillRollups) or use the raw tier")
+        if (fn == "last_over_time")
+          keyed(col("l.value"), "l" -> max(col("last_point")))
+        else {
+          val diff = col("l.value") - col("f.value")
+          val v = fn match {
+            case "rate" =>
+              when(col("l.ts_us") > col("f.ts_us"),
+                diff / ((col("l.ts_us") - col("f.ts_us")) / lit(1000000.0)))
+                .otherwise(lit(0.0))
+            case _ => diff // increase and delta share the engine's first/last shape
+          }
+          keyed(v,
+            "f" -> min(col("first_point")),
+            "l" -> max(col("last_point")))
+        }
       case other =>
         throw new IllegalArgumentException(
-          s"$other needs per-sample resolution (rollups hold n/min/max/sum per hour) — use the raw tier")
+          s"$other needs per-sample resolution (rollups hold n/min/max/sum " +
+            "and per-bucket first/last per hour) — use the raw tier")
     }
   }
 

@@ -59,7 +59,14 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
         count(lit(1)).as("n_points"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        TsOps.exactSum(col("value"), 2).as("sum_value"))
+        TsOps.exactSum(col("value"), 2).as("sum_value"),
+        // per-bucket first/last sample (the Thanos-downsampling
+        // counter aggregates): struct order (ts, event_id, value) is
+        // the engine's sample total order, so rate/increase/delta can
+        // serve decode-free from rollups — first/last over a union of
+        // whole buckets equals the raw window's first/last exactly
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("first_point"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("last_point"))
       .withColumn("avg_value", col("sum_value") / col("n_points"))
   }
 

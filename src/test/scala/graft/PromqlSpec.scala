@@ -646,7 +646,15 @@ class PromqlSpec extends SparkSpec {
         """max_over_time(click[2h])""",
         """avg_over_time(click[3h])""",
         """present_over_time(purchase[2h])""",
-        """max_over_time(sum_over_time(click[1h])[2h:1h])""")) {
+        """max_over_time(sum_over_time(click[1h])[2h:1h])""",
+        // counter family (r9): per-bucket first/last points make
+        // rate/increase/delta/last_over_time exact on whole-bucket
+        // windows — the Thanos-downsampling design
+        """rate(click[2h])""",
+        """increase(click[2h])""",
+        """delta(click[3h])""",
+        """last_over_time(click[2h])""",
+        """sum by (event_type) (rate(click[2h]))""")) {
       val raw = sortedRows(PromQL.evalStoreRange(store, q, 2L * hu, 3L * hu, hu))
       val rolled = sortedRows(PromQL.evalStoreRangeRollup(store, q, 2L * hu, 3L * hu, hu))
       assert(raw == rolled, s"rollup tier diverged from raw for: $q")
@@ -658,9 +666,13 @@ class PromqlSpec extends SparkSpec {
       """sum by (event_type) (sum_over_time(click[2h]))""", 2L * hu)
       .select("event_type", "value").as[(String, Double)].collect().toMap
     assert(inst == Map("click" -> 35.0))
-    // per-sample semantics refuse with a typed error naming the raw tier
+    // per-sample semantics refuse with a typed error naming the raw
+    // tier (rate moved OFF this list in r9 — it now serves from the
+    // per-bucket first/last points; irate/stddev stay genuinely
+    // per-sample)
     for (bad <- Seq(
-        """rate(click[2h])""",
+        """irate(click[2h])""",
+        """stddev_over_time(click[2h])""",
         """{event_type="click"}""",
         """sum_over_time(click[30m])""",
         """quantile_over_time(0.9, click[2h])""")) {
