@@ -129,6 +129,8 @@ final class HttpEndpoint(
       case p if p == queryRangePath => handleQueryRange(ex)
       case "/api/v1/labels" => handleLabels(ex)
       case "/api/v1/series" => handleSeries(ex)
+      case "/api/v1/rules" => handleRules(ex)
+      case "/api/v1/alerts" => handleAlerts(ex)
       case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
         handleLabelValues(ex,
           p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
@@ -395,6 +397,102 @@ final class HttpEndpoint(
     } catch {
       case _: IllegalArgumentException | _: java.io.IOException =>
         ex.sendResponseHeaders(400, -1)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  // ── Prometheus rules/alerts API (the Grafana/alertmanager READ
+  // side of alerting — the inverse of the role server.rs plays for
+  // samples) ──
+  // Rules REGISTER on the endpoint (the same rule spec startRuleSink
+  // takes); GET /api/v1/rules lists them with their current state and
+  // active alerts, GET /api/v1/alerts flattens the active alerts.
+  // Evaluation is ON READ against the store — one bounded distributed
+  // grid evaluation per registered rule per request (alert-grain
+  // output only materializes on the driver). The evaluation instant
+  // is DATA-driven: the newest chunk's upper bound (never wall
+  // clock — historical stores answer honestly), overridable with
+  // ?time=<unix seconds> for dashboards scrubbing the past.
+
+  final case class RegisteredRule(name: String, query: String,
+                                  forUs: Long, stepUs: Long)
+  private val ruleRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, RegisteredRule]()
+
+  /** Register (or replace) an alerting rule. Parse errors surface
+    * HERE, at registration — a rule that cannot parse must never sit
+    * in the registry answering 500s on every scrape. */
+  def registerRule(name: String, query: String, forUs: Long, stepUs: Long): Unit = {
+    require(stepUs > 0, s"rule $name: step must be positive")
+    graft.promql.PromQL.parse(query) // typed failure now, not on read
+    ruleRegistry.put(name, RegisteredRule(name, query, forUs, stepUs))
+  }
+
+  def unregisterRule(name: String): Unit = ruleRegistry.remove(name)
+
+  /** One rule's alerts at the evaluation instant: rows of
+    * (labels → value, state, active_since_us). The grid reaches back
+    * `for` + one step so runs old enough to fire are seen firing. */
+  private def currentAlerts(r: RegisteredRule, atUs: Long): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val gridEnd = Math.floorDiv(atUs, r.stepUs) * r.stepUs
+    val gridStart = Math.floorDiv(gridEnd - r.forUs, r.stepUs) * r.stepUs - r.stepUs
+    val df = graft.promql.PromQL.alertRuleStore(store, r.query, r.forUs,
+        gridStart, gridEnd, r.stepUs)
+      .filter(col("ts_us") === gridEnd)
+    val labelCols = df.columns.filterNot(Set("value", "ts_us", "state",
+      "active_since_us", "series_id").contains).sorted
+    df.collect().toSeq.map { row =>
+      val labels = (s"${jstr("alertname")}:${jstr(r.name)}" +:
+        labelCols.map(c => s"${jstr(c)}:${jstr(
+          Option(row.getAs[Any](c)).map(_.toString).getOrElse(""))}").toSeq)
+        .mkString("{", ",", "}")
+      val sinceUs = row.getAs[Long]("active_since_us")
+      val alertJson =
+        s"""{"labels":$labels,"annotations":{},"state":${jstr(row.getAs[String]("state"))},""" +
+          s""""activeAt":${jstr(java.time.Instant.ofEpochMilli(sinceUs / 1000).toString)},""" +
+          s""""value":${jstr(promVal(row.getAs[Any]("value")))}}"""
+      (alertJson, row.getAs[String]("state"), sinceUs)
+    }
+  }
+
+  private def evalInstantUs(params: Map[String, String]): Long =
+    params.get("time").map(t => (t.toDouble * 1e6).toLong)
+      .orElse(store.dataHorizonUs)
+      .getOrElse(throw new IllegalArgumentException(
+        "store holds no data and no ?time= given — nothing to evaluate rules at"))
+
+  private def handleRules(ex: HttpExchange): Unit =
+    try {
+      val at = evalInstantUs(queryParams(ex))
+      import scala.jdk.CollectionConverters._
+      val ruleJsons = ruleRegistry.values.asScala.toSeq.sortBy(_.name).map { r =>
+        val alerts = currentAlerts(r, at)
+        // rule state = worst of its alerts (firing > pending > inactive)
+        val state =
+          if (alerts.exists(_._2 == "firing")) "firing"
+          else if (alerts.nonEmpty) "pending"
+          else "inactive"
+        s"""{"state":${jstr(state)},"name":${jstr(r.name)},"query":${jstr(r.query)},""" +
+          s""""duration":${r.forUs / 1000000.0},"labels":{},"annotations":{},""" +
+          s""""alerts":[${alerts.map(_._1).mkString(",")}],"health":"ok","type":"alerting"}"""
+      }
+      sendJson(ex, 200,
+        s"""{"status":"success","data":{"groups":[{"name":"graft","file":"","rules":[${ruleJsons.mkString(",")}]}]}}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  private def handleAlerts(ex: HttpExchange): Unit =
+    try {
+      val at = evalInstantUs(queryParams(ex))
+      import scala.jdk.CollectionConverters._
+      val alerts = ruleRegistry.values.asScala.toSeq.sortBy(_.name)
+        .flatMap(r => currentAlerts(r, at).map(_._1))
+      sendJson(ex, 200,
+        s"""{"status":"success","data":{"alerts":[${alerts.mkString(",")}]}}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
       case _: Exception => ex.sendResponseHeaders(500, -1)
     }
 

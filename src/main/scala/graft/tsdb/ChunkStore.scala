@@ -126,6 +126,17 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     else fs.listStatus(hp).map(_.getPath.getName).toSeq
   }
 
+  /** Chunk-grain upper bound of stored data — the exclusive end of
+    * the newest chunk (live or closed), from directory listings only
+    * (never a Spark job). The alerting read side uses it as the
+    * default "now" so rule evaluation is DATA-driven, not wall-clock
+    * driven (the closeChunksBelow design decision, applied to
+    * serving). */
+  def dataHorizonUs: Option[Long] = {
+    val ids = closedChunkIds() ++ liveChunkIdsListed()
+    if (ids.isEmpty) None else Some((ids.max + 1) * chunkUs)
+  }
+
   /** Live chunk ids from the partition DIRECTORY NAMES (both
     * layouts) — a metadata listing, never a Spark job. */
   private def liveChunkIdsListed(): Set[Long] = {

@@ -170,6 +170,65 @@ class HttpEndpointSpec extends SparkSpec {
     } finally endpoint.stop()
   }
 
+  test("rules/alerts API: registered rule evaluates against the store; firing alert surfaces in Prometheus shape") {
+    val storeDir = Files.createTempDirectory("graft_http_rules").toString
+    val store = new ChunkStore(spark, storeDir)
+    val endpoint = new HttpEndpoint(spark, store)
+    val port = endpoint.start()
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (stream == null) "" else
+          try new String(stream.readAllBytes(), "UTF-8") finally stream.close()
+        conn.disconnect()
+        (code, body)
+      }
+      // two clicks in every 30m bucket over [t0, t0+160m] — the rule
+      // (>1 per 30m window, FOR 1h) is active at every instant of the
+      // evaluation grid, so the run is old enough to FIRE
+      val samples = (0 to 5).flatMap(k => Seq(
+        (t0 + k * 1800000L, 1.0), (t0 + k * 1800000L + 600000L, 1.0)))
+      val in: Seq[RemoteWrite.Series] = Seq(
+        (Map("event_type" -> "click", "user_id" -> "1"), samples))
+      assert(post(port, "/api/v1/write", RemoteWrite.encode(in))._1 == 200)
+      // empty registry answers the valid empty envelope
+      assert(get("/api/v1/alerts")._2 ==
+        """{"status":"success","data":{"alerts":[]}}""")
+      // a rule that can't parse refuses AT REGISTRATION, never 500s a scrape
+      intercept[IllegalArgumentException](
+        endpoint.registerRule("bad", "nope(", 0L, 1800000000L))
+      intercept[IllegalArgumentException](
+        endpoint.registerRule("bad", "click", 0L, 0L))
+      endpoint.registerRule("clickstorm",
+        """sum by (event_type) (count_over_time(click[30m])) > 1""",
+        3600000000L, 1800000000L)
+      val teS = (t0 + 9000000L) / 1000.0 // t0 + 150m, step-aligned
+      val (rc, rbody) = get(s"/api/v1/rules?time=$teS")
+      assert(rc == 200, rbody)
+      assert(rbody.startsWith("""{"status":"success","data":{"groups":["""), rbody)
+      assert(rbody.contains(""""name":"clickstorm""""), rbody)
+      assert(rbody.contains(""""state":"firing""""), rbody)
+      assert(rbody.contains(""""duration":3600.0"""), rbody)
+      assert(rbody.contains(""""type":"alerting""""), rbody)
+      val (ac, abody) = get(s"/api/v1/alerts?time=$teS")
+      assert(ac == 200, abody)
+      assert(abody.contains(""""alertname":"clickstorm"""") &&
+        abody.contains(""""event_type":"click"""") &&
+        abody.contains(""""state":"firing""""), abody)
+      // the run entered the grid at t0+60m (grid start + FOR reach)
+      assert(abody.contains(""""activeAt":"2024-01-01T01:00:00Z""""), abody)
+      // no ?time= → the DATA horizon (newest chunk bound), never wall
+      // clock: still a valid success envelope on this historical store
+      assert(get("/api/v1/rules")._2.startsWith("""{"status":"success""""))
+      endpoint.unregisterRule("clickstorm")
+      assert(get(s"/api/v1/alerts?time=$teS")._2 ==
+        """{"status":"success","data":{"alerts":[]}}""")
+    } finally endpoint.stop()
+  }
+
   test("concurrent writes serialize onto one store without loss") {
     val storeDir = Files.createTempDirectory("graft_http_conc").toString
     val store = new ChunkStore(spark, storeDir)
