@@ -192,7 +192,12 @@ object PromQL {
                 if (mul >= lastMul)
                   err("compound duration units must be strictly descending (e.g. 1h30m, not 1m1h)")
                 lastMul = mul
-                total += n * mul
+                // exact arithmetic: a silent Long wrap would turn a
+                // hostile "1e15w"-style literal into a NEGATIVE
+                // duration and a silently-empty window
+                total =
+                  try Math.addExact(total, Math.multiplyExact(n, mul))
+                  catch { case _: ArithmeticException => err("duration overflows") }
                 i += w
                 if (i < q.length && q(i).isDigit) {
                   val j2 = i
@@ -234,7 +239,12 @@ object PromQL {
     private def err(m: String) =
       throw new IllegalArgumentException(s"PromQL parse error at token $i: $m")
     private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
-    private def next(): Tok = { val t = toks(i); i += 1; t }
+    private def next(): Tok = {
+      // truncated input must answer the 400 class, not an
+      // IndexOutOfBounds 500 (found by PromqlFuzzSpec mutant 25)
+      if (i >= toks.length) err("unexpected end of query")
+      val t = toks(i); i += 1; t
+    }
     private def expectSym(s: String): Unit = next() match {
       case TSym(`s`) => ()
       case t => err(s"expected '$s', got $t")
@@ -244,6 +254,18 @@ object PromQL {
       val e = parseOr()
       if (i != toks.length) err(s"trailing input from token ${toks(i)}")
       e
+    }
+
+    // recursion-depth cap: the parser is recursive descent, so a
+    // hostile "abs(abs(abs(…" from the HTTP query param would
+    // otherwise blow the JVM stack (a 500, and a crashed worker
+    // thread) — 200 nested expressions is far beyond any real
+    // dashboard query and well inside the default stack
+    private var depth = 0
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 200) err("expression nests deeper than 200 levels")
+      try body finally depth -= 1
     }
 
     /** Shared binop-tail loop for one precedence level. */
@@ -321,7 +343,7 @@ object PromQL {
       case (a, b) => BinVec(a, op, m, b, boolMode)
     }
 
-    private def parseOr(): Expr = binLevel(Set("or"), () => parseAnd())
+    private def parseOr(): Expr = descend(binLevel(Set("or"), () => parseAnd()))
     private def parseAnd(): Expr = binLevel(Set("and", "unless"), () => parseCmp())
     private def parseCmp(): Expr = binLevel(CmpOps, () => parseAdd())
     private def parseAdd(): Expr = binLevel(Set("+", "-"), () => parseMul())
@@ -563,6 +585,12 @@ object PromQL {
       (subStep, arg) match {
         case (Some(st), inner) =>
           if (st <= 0) err("subquery step must be positive")
+          // the HTTP boundary's 11k-point guard covers the OUTER grid
+          // only; an adversarial [10000d:1ms] would make the INNER
+          // grid unbounded — cap it at parse time (400, not an
+          // unbounded plan)
+          if (dur / st > 11000)
+            err(s"subquery range spans more than 11000 steps; widen the step")
           // `@` after the subquery brackets pins the whole subquery's
           // evaluation instant (threaded, not silently dropped)
           SubqueryFn(fn, inner, dur, st, off, p1, p2, atPin)
