@@ -144,6 +144,23 @@ object DebugProbe {
         ("promql_subquery", p => graft.promql.PromQL.eval(spark.read.parquet(p),
           """max_over_time(sum_over_time(click[6h])[1d:6h])""",
           1705708800000000L).count()),
+        // r9 addition: the full federation path at scale — ingest into
+        // a store, serve over a live HTTP endpoint, multi-slice
+        // distributed remote read-back (slices fetch in executor
+        // tasks; matchers push remotely)
+        ("federation", p => {
+          val dir = java.nio.file.Files.createTempDirectory("x10_fedstore").toString
+          val st = new graft.tsdb.ChunkStore(spark, dir, chunkMs = 86400000L,
+            filesPerChunkPerAppend = 2)
+          st.append(ev(p))
+          val ep = new graft.sources.HttpEndpoint(spark, st)
+          val port = ep.start()
+          try graft.sources.Federation.readSamples(spark,
+              s"http://127.0.0.1:$port/api/v1/read",
+              Seq(graft.tsdb.MatchRe("event_type", "click|view")),
+              1704067200000000L, 1704412800000000L, timeSlices = 8).count()
+          finally ep.stop()
+        }),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -187,6 +204,7 @@ object DebugProbe {
         "growth_accounting" -> ("events", () => eventsP),
         "promql_range" -> ("events", () => eventsP),
         "promql_subquery" -> ("events", () => eventsP),
+        "federation" -> ("events", () => eventsP),
         "q21_reshape" -> ("lineitem", () => liP))
       val sel = names - "__scale10" - "__scale100"
       probes
