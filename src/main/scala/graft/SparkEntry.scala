@@ -238,6 +238,22 @@ object SparkEntry {
       """histogram_quantile(0.5, count_values by (event_type) ("le", ceil(sum_over_time({}[1d]) / 10) * 10))""",
       T2)),
 
+    // date-part + timestamp composition (the staleness-dashboard
+    // shape "when did each series last report"): per-series last
+    // sample time over a 30d lookback (the --query.lookback-delta
+    // knob), its day-of-week via the value-as-unix-seconds date
+    // family, presentation-sorted
+    "promql_date" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """sort_desc(day_of_week(timestamp({})))""",
+      T2, lookbackUs = 30L * 86400L * 1000000L)),
+
+    // trig/degree chain with the engine's round-to-nearest (6dp
+    // absorbs last-ULP libm drift across engines, the ln precedent)
+    "promql_math" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """round(deg(atan(sum by (event_type) (sum_over_time({}[1d])) / 1000)), 0.000001)""",
+      T2)),
+
     // ALERT RULE over a full PromQL expression (avg event value per
     // type per 6h window > 50 for 12h) on a 40-instant grid — the
     // expression is scale-invariant (value distribution, not volume)
@@ -2021,6 +2037,31 @@ object SparkEntry {
           SELECT CAST(CAST(cnt AS DOUBLE) AS VARCHAR) AS n,
                  CAST(count(*) AS DOUBLE) AS value
           FROM c GROUP BY 1""",
+
+    // per-series winning sample by (ts, event_id) over the 30d
+    // lookback; DuckDB dayofweek shares Prometheus's 0=Sunday
+    // convention; the engine truncates value-seconds toward zero
+    "promql_date" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   epoch_us(ts) AS ts_us, event_id FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 2592000000000 AND $T2),
+          l AS (SELECT series_id, event_type, user_id,
+                   last(ts_us ORDER BY ts_us, event_id) AS lts
+                FROM s GROUP BY 1, 2, 3)
+          SELECT series_id, event_type, user_id,
+                 CAST(dayofweek(to_timestamp(CAST(floor((lts / 1000000.0)) AS BIGINT))) AS DOUBLE) AS value
+          FROM l""",
+
+    // identical float spelling: floor(deg(atan(x/1000)) / 1e-6 + 0.5) * 1e-6
+    "promql_math" ->
+      s"""WITH c AS (SELECT event_type,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1)
+          SELECT event_type,
+                 floor(degrees(atan(v / 1000)) / 0.000001 + 0.5) * 0.000001 AS value
+          FROM c""",
 
     // mirrors the engine step-for-step: decimal-exact daily sums →
     // decade upper bounds → per-(type, le) series counts → window

@@ -132,7 +132,20 @@ object PromQL {
     "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0), "exp" -> (0, 0),
     "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0), "sqrt" -> (0, 0),
     "sgn" -> (0, 0), "round" -> (0, 1), "clamp_min" -> (1, 1),
-    "clamp_max" -> (1, 1), "clamp" -> (2, 2), "absent" -> (0, 0))
+    "clamp_max" -> (1, 1), "clamp" -> (2, 2), "absent" -> (0, 0),
+    // trigonometric family (PromQL since 2.31) + degree conversions
+    "sin" -> (0, 0), "cos" -> (0, 0), "tan" -> (0, 0),
+    "asin" -> (0, 0), "acos" -> (0, 0), "atan" -> (0, 0),
+    "sinh" -> (0, 0), "cosh" -> (0, 0), "tanh" -> (0, 0),
+    "deg" -> (0, 0), "rad" -> (0, 0),
+    // date-part family: interprets the vector's VALUES as unix
+    // seconds (UTC), as Prometheus does
+    "minute" -> (0, 0), "hour" -> (0, 0), "day_of_week" -> (0, 0),
+    "day_of_month" -> (0, 0), "day_of_year" -> (0, 0),
+    "month" -> (0, 0), "year" -> (0, 0), "days_in_month" -> (0, 0),
+    // presentation sort of an instant vector; timestamp(sel) reports
+    // each series' last-sample time as the value
+    "sort" -> (0, 0), "sort_desc" -> (0, 0), "timestamp" -> (0, 0))
   // label functions: fn -> (string-arg count, vector-arg position)
   // count_values("dst", v) leads with the string; label_replace /
   // label_join lead with the vector
@@ -371,6 +384,8 @@ object PromQL {
       case Some(TSym("(")) => next(); val e = parseOr(); expectSym(")"); e
       case Some(TSym("{")) => parseVectorSelector()
       case Some(TNum(v)) => next(); ScalarLit(v)
+      case Some(TIdent("pi")) => // nullary: folds to the constant
+        next(); expectSym("("); expectSym(")"); ScalarLit(math.Pi)
       case Some(TIdent(name)) if AggOps.contains(name) => parseAgg(name)
       case Some(TIdent(name)) if RangeFns.contains(name) => parseRangeFn(name)
       case Some(TIdent(name)) if MathFns.contains(name) => parseFunc(name)
@@ -629,14 +644,19 @@ object PromQL {
       case _ => 0L
     }
 
-    /** The `@ <unix seconds>` evaluation-time pin. PromQL also allows
-      * `@ start()`/`@ end()`; only the literal form is supported. */
+    /** The `@ <unix seconds>` evaluation-time pin; `@ start()` and
+      * `@ end()` parse to sentinels the entry points resolve against
+      * the query's actual evaluation range (they cannot be known at
+      * parse time). */
     private def parseAt(): Option[Long] = peek match {
       case Some(TSym("@")) =>
         next()
         next() match {
           case TNum(v) => Some((v * 1e6).toLong)
-          case t => err(s"unix-seconds timestamp expected after @, got $t")
+          case TIdent(k @ ("start" | "end")) =>
+            expectSym("("); expectSym(")")
+            Some(if (k == "start") AtStartSentinel else AtEndSentinel)
+          case t => err(s"unix-seconds timestamp or start()/end() expected after @, got $t")
         }
       case _ => None
     }
@@ -742,7 +762,7 @@ object PromQL {
     * aggregated vectors carry (by-labels…, value). */
   def eval(events: DataFrame, query: String, atUs: Long,
            lookbackUs: Long = 5L * 60L * 1000000L): DataFrame =
-    finish(evalExpr(Series.samples(events), requireVector(parse(query)),
+    finish(evalExpr(Series.samples(events), prepared(query, atUs, atUs),
       Grid(atUs, atUs, 1L, instant = true), lookbackUs))
 
   /** Evaluate `query` over the grid [startUs, endUs] step `stepUs` —
@@ -751,7 +771,7 @@ object PromQL {
   def evalRange(events: DataFrame, query: String,
                 startUs: Long, endUs: Long, stepUs: Long,
                 lookbackUs: Long = 5L * 60L * 1000000L): DataFrame =
-    evalExpr(Series.samples(events), requireVector(parse(query)),
+    evalExpr(Series.samples(events), prepared(query, startUs, endUs),
       Grid(startUs, endUs, stepUs, instant = false), lookbackUs)
 
   private def requireVector(e: Expr): Expr = e match {
@@ -759,6 +779,38 @@ object PromQL {
       throw new IllegalArgumentException(s"expression is the constant $v, not a vector")
     case other => other
   }
+
+  // `@ start()` / `@ end()` pins: the parser cannot know the
+  // evaluation range, so it emits these sentinels and every entry
+  // point resolves them against its actual bounds before evaluation
+  // (for an instant query both resolve to the instant, as in
+  // Prometheus). The sentinels never survive past `prepared`.
+  private[promql] val AtStartSentinel = Long.MinValue + 1
+  private[promql] val AtEndSentinel = Long.MinValue + 2
+  private def resolvePin(at: Option[Long], s: Long, e: Long): Option[Long] =
+    at.map {
+      case AtStartSentinel => s
+      case AtEndSentinel => e
+      case v => v
+    }
+  private def resolveAt(x: Expr, s: Long, e: Long): Expr = x match {
+    case sel: Selector => sel.copy(atUs = resolvePin(sel.atUs, s, e))
+    case RangeFn(fn, sel, d, p1, p2) =>
+      RangeFn(fn, sel.copy(atUs = resolvePin(sel.atUs, s, e)), d, p1, p2)
+    case sq: SubqueryFn =>
+      sq.copy(inner = resolveAt(sq.inner, s, e), atUs = resolvePin(sq.atUs, s, e))
+    case a: Agg => a.copy(arg = resolveAt(a.arg, s, e))
+    case b: BinScalar => b.copy(arg = resolveAt(b.arg, s, e))
+    case f: Func => f.copy(arg = resolveAt(f.arg, s, e))
+    case bv: BinVec =>
+      bv.copy(lhs = resolveAt(bv.lhs, s, e), rhs = resolveAt(bv.rhs, s, e))
+    case lit: ScalarLit => lit
+  }
+
+  /** Parse, resolve @ start()/end() against the evaluation range,
+    * and require a vector — the shared front of every entry point. */
+  private def prepared(query: String, startUs: Long, endUs: Long): Expr =
+    requireVector(resolveAt(parse(query), startUs, endUs))
 
   /** Instant queries evaluated internally on a one-instant grid; the
     * constant grid column drops from the public result. */
@@ -840,7 +892,7 @@ object PromQL {
     * (series, ts) points are already merged by ingest. */
   def evalStore(store: graft.tsdb.ChunkStore, query: String, atUs: Long,
                 lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
-    val ast = requireVector(parse(query))
+    val ast = prepared(query, atUs, atUs)
     finish(evalExpr(storeSamples(store, ast, atUs, atUs, lookbackUs), ast,
       Grid(atUs, atUs, 1L, instant = true), lookbackUs))
   }
@@ -850,7 +902,7 @@ object PromQL {
   def evalStoreRange(store: graft.tsdb.ChunkStore, query: String,
                      startUs: Long, endUs: Long, stepUs: Long,
                      lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
-    val ast = requireVector(parse(query))
+    val ast = prepared(query, startUs, endUs)
     evalExpr(storeSamples(store, ast, startUs, endUs, lookbackUs), ast,
       Grid(startUs, endUs, stepUs, instant = false), lookbackUs)
   }
@@ -924,7 +976,7 @@ object PromQL {
                     query: String, atUs: Long,
                     timeSlices: Int = 1,
                     lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
-    val ast = requireVector(parse(query))
+    val ast = prepared(query, atUs, atUs)
     finish(evalExpr(federatedSamples(spark, url, ast, atUs, atUs, timeSlices, lookbackUs),
       ast, Grid(atUs, atUs, 1L, instant = true), lookbackUs))
   }
@@ -935,7 +987,7 @@ object PromQL {
                          query: String, startUs: Long, endUs: Long, stepUs: Long,
                          timeSlices: Int = 1,
                          lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
-    val ast = requireVector(parse(query))
+    val ast = prepared(query, startUs, endUs)
     evalExpr(federatedSamples(spark, url, ast, startUs, endUs, timeSlices, lookbackUs),
       ast, Grid(startUs, endUs, stepUs, instant = false), lookbackUs)
   }
@@ -965,7 +1017,7 @@ object PromQL {
     * directing to the raw tier. Windows must be ≥ the 1h grain. */
   def evalStoreRollup(store: graft.tsdb.ChunkStore, query: String, atUs: Long,
                       lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
-    val ast = requireVector(parse(query))
+    val ast = prepared(query, atUs, atUs)
     val g = Grid(atUs, atUs, 1L, instant = true)
     finish(evalRollup(rollupFrame(store, ast, atUs, atUs, lookbackUs), ast, g, lookbackUs))
   }
@@ -977,7 +1029,7 @@ object PromQL {
   def evalStoreRangeRollup(store: graft.tsdb.ChunkStore, query: String,
                            startUs: Long, endUs: Long, stepUs: Long,
                            lookbackUs: Long = 5L * 60L * 1000000L): DataFrame = {
-    val ast = requireVector(parse(query))
+    val ast = prepared(query, startUs, endUs)
     val g = Grid(startUs, endUs, stepUs, instant = false)
     evalRollup(rollupFrame(store, ast, startUs, endUs, lookbackUs), ast, g, lookbackUs)
   }
@@ -1193,6 +1245,21 @@ object PromQL {
 
     case BinScalar(arg, op, k, scalarLeft, boolMode) =>
       evalBinScalar(evalExpr(samples, _, g, lookbackUs), arg, op, k, scalarLeft, boolMode)
+
+    case Func("timestamp", sel: Selector, _, _) if sel.atUs.isDefined =>
+      pinToGrid(evalExpr(samples,
+        Func("timestamp", sel.copy(atUs = None), Nil, Nil),
+        Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs), g)
+
+    case Func("timestamp", Selector(ms, off, None), _, _) =>
+      // Prometheus timestamp(v): each series' winning sample's OWN
+      // time (unix seconds) as the value — the instant-selector
+      // struct-max shape, projecting l.ts_us instead of l.value
+      windowed(samples.filter(Matcher.all(ms)), off, lookbackUs, g)
+        .groupBy(col("series_id"), col("event_type"), col("user_id"), col("g_ts"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("l"))
+        .select(col("series_id"), col("event_type"), col("user_id"),
+          col("g_ts").as("ts_us"), (col("l.ts_us") / 1e6).as("value"))
 
     case Func(fn, arg, params, strParams) =>
       evalFunc(evalExpr(samples, _, g, lookbackUs), fn, arg, params, strParams, g)
@@ -1565,8 +1632,23 @@ object PromQL {
           gridFrame(in, g)
             .join(broadcast(present), Seq("g_ts"), "left_anti")
             .select(col("g_ts").as("ts_us"), lit(1.0).as("value"))
+        case "sort" | "sort_desc" =>
+          // presentation order of an instant vector; ties broken by
+          // the full label set so the order is total (Prometheus
+          // leaves range-grid order to the client)
+          val ties = in.columns.filterNot(_ == "value").sorted.map(col(_).asc)
+          val lead = if (fn == "sort") col("value").asc else col("value").desc
+          in.orderBy((lead +: ties).toSeq: _*)
+        case "timestamp" =>
+          // the supported shape — a plain selector — is intercepted in
+          // evalExpr where the winning sample's own time is at hand
+          throw new IllegalArgumentException(
+            "timestamp() needs a plain selector over per-sample data (raw tier)")
         case _ =>
           val v = col("value")
+          // the date-part family interprets the value as unix seconds
+          // UTC, truncated toward zero like Prometheus's int64 cast
+          def ts = timestamp_seconds(floor(v).cast("long"))
           val out = fn match {
             case "abs" => abs(v)
             case "ceil" => ceil(v).cast("double")
@@ -1596,6 +1678,28 @@ object PromQL {
               // PromQL: min > max yields an empty-ish NaN; keep the
               // deterministic order least(greatest(v, lo), hi)
               least(greatest(v, lit(lo)), lit(hi))
+            // trig family: plain JVM libm through codegen'd Spark
+            // functions; asin/acos are IEEE NaN off-domain already
+            case "sin" => sin(v)
+            case "cos" => cos(v)
+            case "tan" => tan(v)
+            case "asin" => asin(v)
+            case "acos" => acos(v)
+            case "atan" => atan(v)
+            case "sinh" => sinh(v)
+            case "cosh" => cosh(v)
+            case "tanh" => tanh(v)
+            case "deg" => degrees(v)
+            case "rad" => radians(v)
+            case "minute" => minute(ts).cast("double")
+            case "hour" => hour(ts).cast("double")
+            // Prometheus: 0 = Sunday … 6; Spark dayofweek: 1 = Sunday
+            case "day_of_week" => (dayofweek(ts) - 1).cast("double")
+            case "day_of_month" => dayofmonth(ts).cast("double")
+            case "day_of_year" => dayofyear(ts).cast("double")
+            case "month" => month(ts).cast("double")
+            case "year" => year(ts).cast("double")
+            case "days_in_month" => dayofmonth(last_day(ts)).cast("double")
           }
           in.withColumn("value", out)
       }

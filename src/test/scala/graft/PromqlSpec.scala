@@ -339,6 +339,49 @@ class PromqlSpec extends SparkSpec {
     assert(PromQL.parseDuration("1h30m5s") == 5405000000L)
   }
 
+  test("r9 function batch: trig/pi, date parts, sort, timestamp, @ start()/end()") {
+    val at = 2L * hu
+    def vals(q: String): Seq[Double] =
+      PromQL.eval(ev, q, at).select("value").as[Double].collect().sorted.toSeq
+    // trig + pi + deg/rad ride the scalar ladder
+    assert(vals("""sin(count_over_time(click[30m]))""") == Seq(math.sin(1.0), math.sin(1.0)))
+    assert(vals("""deg(count_over_time(click[30m]))""") == Seq(math.toDegrees(1.0), math.toDegrees(1.0)))
+    assert(vals("""pi() * count_over_time(click[30m])""") == Seq(math.Pi, math.Pi))
+    assert(PromQL.parse("pi()") == PromQL.ScalarLit(math.Pi))
+    // date parts interpret values as unix seconds (UTC): click sums
+    // scaled to whole days — epoch day n has dow (4 + n) mod 7
+    val dow = PromQL.eval(ev, """day_of_week(sum_over_time(click[2h]) * 86400)""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(dow == Seq((1L, ((4 + 70) % 7).toDouble), (2L, ((4 + 12) % 7).toDouble)), dow)
+    assert(vals("""days_in_month(click * 86400)""") == Seq(28.0, 31.0)) // day 40 = Feb, day 10 = Jan
+    assert(vals("""year(click)""") == Seq(1970.0, 1970.0))
+    // timestamp(sel): the winning sample's OWN time, seconds
+    assert(vals("""timestamp(click)""") == Seq(7200.0, 7200.0))
+    // at the 1h pin only u1 has a sample inside the 5m lookback
+    assert(vals("""timestamp(click @ 3600)""") == Seq(3600.0))
+    // sort/sort_desc: presentation order survives collect
+    val sd = PromQL.eval(ev, """sort_desc(sum_over_time(click[2h]))""", at)
+      .select("value").as[Double].collect().toSeq
+    assert(sd == Seq(70.0, 12.0), sd)
+    assert(PromQL.eval(ev, """sort(sum_over_time(click[2h]))""", at)
+      .select("value").as[Double].collect().toSeq == Seq(12.0, 70.0))
+    // @ start() / @ end() resolve against the evaluation range: on the
+    // [1h, 2h] grid the pinned vector is constant at the bound's value
+    val r = PromQL.evalRange(ev, """sum_over_time(click[1h] @ start())""", 1L * hu, 2L * hu, hu)
+      .select("ts_us", "user_id", "value").as[(Long, Long, Double)]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(r == Seq((hu, 1L, 30.0), (hu, 2L, 5.0), (2L * hu, 1L, 30.0), (2L * hu, 2L, 5.0)), r)
+    val re = PromQL.evalRange(ev, """sum_over_time(click[1h] @ end())""", 1L * hu, 2L * hu, hu)
+      .select("ts_us", "user_id", "value").as[(Long, Long, Double)]
+      .collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(re == Seq((hu, 1L, 60.0), (hu, 2L, 7.0), (2L * hu, 1L, 60.0), (2L * hu, 2L, 7.0)), re)
+    // instant query: start = end = the instant, so the pin is a no-op
+    assert(vals("""sum_over_time(click[2h] @ start())""") == vals("""sum_over_time(click[2h])"""))
+    // timestamp over a non-selector refuses typed
+    intercept[IllegalArgumentException](
+      PromQL.eval(ev, """timestamp(sum(click))""", at))
+  }
+
   test("histogram_quantile: interpolated quantile over an le-labeled bucket vector") {
     val at = 2L * hu
     def one(q: String): Seq[(String, Double)] =
