@@ -238,6 +238,24 @@ object SparkEntry {
       """histogram_quantile(0.5, count_values by (event_type) ("le", ceil(sum_over_time({}[1d]) / 10) * 10))""",
       T2)),
 
+    // the INFO-METRIC JOIN idiom (up * on(instance) group_left(ver)
+    // build_info): a synthesized per-user tier label (nested
+    // label_replace: even user ids → heavy, the rest → light via the
+    // absent-"" default) copied onto each user's daily click count by
+    // group_left's label-copy list
+    "promql_info_join" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """count_over_time(click[1d]) * on (user_id) group_left(tier) label_replace(label_replace(count_over_time(click[1d]) * 0 + 1, "tier", "heavy", "user_id", "[0-9]*[02468]"), "tier", "light", "tier", "")""",
+      T2)),
+
+    // scalar() normalization: each click series' share of the total
+    // daily click count, in percent, 6dp round-to-nearest (the
+    // per-instant dynamic scalar joins on the grid instant only)
+    "promql_share_scalar" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """round((count_over_time(click[1d]) / scalar(sum(count_over_time(click[1d])))) * 100, 0.000001)""",
+      T2)),
+
     // date-part + timestamp composition (the staleness-dashboard
     // shape "when did each series last report"): per-series last
     // sample time over a 30d lookback (the --query.lookback-delta
@@ -2037,6 +2055,31 @@ object SparkEntry {
           SELECT CAST(CAST(cnt AS DOUBLE) AS VARCHAR) AS n,
                  CAST(count(*) AS DOUBLE) AS value
           FROM c GROUP BY 1""",
+
+    "promql_info_join" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   CAST(count(*) AS DOUBLE) AS cnt
+                FROM events
+                WHERE event_type = 'click'
+                  AND epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2, 3)
+          SELECT series_id, event_type, user_id,
+                 CASE WHEN user_id % 2 = 0 THEN 'heavy' ELSE 'light' END AS tier,
+                 cnt * 1.0 AS value
+          FROM c""",
+
+    // identical float spelling: floor(((cnt / tot) * 100) / 1e-6 + 0.5) * 1e-6
+    "promql_share_scalar" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   CAST(count(*) AS DOUBLE) AS cnt
+                FROM events
+                WHERE event_type = 'click'
+                  AND epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2, 3),
+          t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c)
+          SELECT series_id, event_type, user_id,
+                 floor(((cnt / tot) * 100) / 0.000001 + 0.5) * 0.000001 AS value
+          FROM c, t""",
 
     // per-series winning sample by (ts, event_id) over the 30d
     // lookback; DuckDB dayofweek shares Prometheus's 0=Sunday

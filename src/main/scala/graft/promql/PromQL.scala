@@ -92,9 +92,22 @@ object PromQL {
     * matching where the MANY side keeps its full label set — the
     * share-of-total shape (`v / on(k) group_left sum by (k) (v)`). */
   final case class VecMatch(on: Seq[String] = Nil, ignoring: Seq[String] = Nil,
-                            group: Int = 0, onDefined: Boolean = false) {
+                            group: Int = 0, onDefined: Boolean = false,
+                            copyLabels: Seq[String] = Nil) {
     require(on.isEmpty || ignoring.isEmpty, "on(...) and ignoring(...) are exclusive")
   }
+  /** `vector(s)` — a constant one-element vector with no labels at
+    * every grid instant (the `or vector(0)` fallback idiom). */
+  final case class VectorLit(v: Double) extends Expr
+  /** `scalar(v)` — the inner vector's single element per grid
+    * instant, NaN when it holds 0 or >1 elements; combines with
+    * vectors like a (per-instant, dynamic) scalar. */
+  final case class ScalarOf(inner: Expr) extends Expr
+  /** Vector-op-scalar where the scalar side is a runtime `scalar(v)`
+    * (per grid instant) rather than a literal. */
+  final case class BinScalarDyn(arg: Expr, op: String, scalar: ScalarOf,
+                                scalarLeft: Boolean = false,
+                                boolMode: Boolean = false) extends Expr
   /** Vector-vector arithmetic / set ops with PromQL vector matching:
     * the error-rate / ratio shape (`errors / on(user_id) requests`),
     * and `and`/`or`/`unless`. Default = full shared-label matching. */
@@ -319,13 +332,15 @@ object PromQL {
           next()
           if (Set("and", "or", "unless").contains(op))
             err(s"set op $op takes no group modifier")
-          peek match {
-            case Some(TSym("(")) =>
-              if (parseLabelList().nonEmpty)
-                err(s"$g label-copy lists are not supported (closed label space)")
-            case _ => ()
+          // the label-COPY list: group_left(lbl…) carries the ONE
+          // side's listed labels onto the many side's result (the
+          // info-metric join idiom) — the post-transformation label
+          // space is open (label_replace/count_values create columns)
+          val copies = peek match {
+            case Some(TSym("(")) => parseLabelList()
+            case _ => Nil
           }
-          m.copy(group = if (g == "group_left") -1 else 1)
+          m.copy(group = if (g == "group_left") -1 else 1, copyLabels = copies)
         case _ => m
       }
     }
@@ -341,6 +356,20 @@ object PromQL {
         if (m != VecMatch())
           err(s"vector matching (on/ignoring/group_*) is not allowed between scalars")
         ScalarLit(scalarOp(a, op, b))
+      case (ScalarOf(_), ScalarOf(_)) =>
+        err("scalar() on both sides of a binary op is not supported")
+      case (_: ScalarOf, ScalarLit(_)) | (ScalarLit(_), _: ScalarOf) =>
+        err("scalar()-with-literal operations are not supported (fold the literal instead)")
+      case (sc: ScalarOf, v) =>
+        if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
+        if (m != VecMatch())
+          err(s"vector matching (on/ignoring/group_*) is not allowed on vector-scalar $op")
+        BinScalarDyn(v, op, sc, scalarLeft = true, boolMode = boolMode)
+      case (v, sc: ScalarOf) =>
+        if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
+        if (m != VecMatch())
+          err(s"vector matching (on/ignoring/group_*) is not allowed on vector-scalar $op")
+        BinScalarDyn(v, op, sc, scalarLeft = false, boolMode = boolMode)
       case (ScalarLit(k), v) =>
         if (Set("and", "or", "unless").contains(op)) err(s"set op $op needs two vectors")
         // Prometheus rejects vector matching on vector-scalar ops —
@@ -386,6 +415,22 @@ object PromQL {
       case Some(TNum(v)) => next(); ScalarLit(v)
       case Some(TIdent("pi")) => // nullary: folds to the constant
         next(); expectSym("("); expectSym(")"); ScalarLit(math.Pi)
+      case Some(TIdent("vector")) =>
+        next(); expectSym("(")
+        val inner = parseOr()
+        expectSym(")")
+        inner match {
+          case ScalarLit(v) => VectorLit(v)
+          case other => err(s"vector(s) takes a scalar expression, got $other")
+        }
+      case Some(TIdent("scalar")) =>
+        next(); expectSym("(")
+        val inner = parseOr()
+        expectSym(")")
+        inner match {
+          case lit: ScalarLit => lit // scalar(constant) folds
+          case e => ScalarOf(e)
+        }
       case Some(TIdent(name)) if AggOps.contains(name) => parseAgg(name)
       case Some(TIdent(name)) if RangeFns.contains(name) => parseRangeFn(name)
       case Some(TIdent(name)) if MathFns.contains(name) => parseFunc(name)
@@ -804,6 +849,11 @@ object PromQL {
     case f: Func => f.copy(arg = resolveAt(f.arg, s, e))
     case bv: BinVec =>
       bv.copy(lhs = resolveAt(bv.lhs, s, e), rhs = resolveAt(bv.rhs, s, e))
+    case bd: BinScalarDyn =>
+      bd.copy(arg = resolveAt(bd.arg, s, e),
+        scalar = ScalarOf(resolveAt(bd.scalar.inner, s, e)))
+    case so: ScalarOf => ScalarOf(resolveAt(so.inner, s, e))
+    case vl: VectorLit => vl
     case lit: ScalarLit => lit
   }
 
@@ -830,6 +880,10 @@ object PromQL {
     case BinScalar(a, _, _, _, _) => maxWindowUs(a, lookbackUs)
     case Func(_, a, _, _) => maxWindowUs(a, lookbackUs)
     case BinVec(l, _, _, r, _) => math.max(maxWindowUs(l, lookbackUs), maxWindowUs(r, lookbackUs))
+    case BinScalarDyn(a, _, ScalarOf(inner), _, _) =>
+      math.max(maxWindowUs(a, lookbackUs), maxWindowUs(inner, lookbackUs))
+    case ScalarOf(inner) => maxWindowUs(inner, lookbackUs)
+    case VectorLit(_) => 0L
     case ScalarLit(_) => 0L
   }
 
@@ -851,6 +905,10 @@ object PromQL {
     case BinScalar(a, _, _, _, _) => pinBounds(a, lookbackUs)
     case Func(_, a, _, _) => pinBounds(a, lookbackUs)
     case BinVec(l, _, _, r, _) => pinBounds(l, lookbackUs) ++ pinBounds(r, lookbackUs)
+    case BinScalarDyn(a, _, ScalarOf(inner), _, _) =>
+      pinBounds(a, lookbackUs) ++ pinBounds(inner, lookbackUs)
+    case ScalarOf(inner) => pinBounds(inner, lookbackUs)
+    case VectorLit(_) => Nil
     case ScalarLit(_) => Nil
   }
 
@@ -876,6 +934,9 @@ object PromQL {
       case BinScalar(a, _, _, _, _) => sels(a)
       case Func(_, a, _, _) => sels(a)
       case BinVec(l, _, _, r, _) => sels(l) ++ sels(r)
+      case BinScalarDyn(arg2, _, ScalarOf(inner), _, _) => sels(arg2) ++ sels(inner)
+      case ScalarOf(inner) => sels(inner)
+      case VectorLit(_) => Nil
       case ScalarLit(_) => Nil
     }
     sels(e) match { case Seq(one) => Some(one.matchers) case _ => None }
@@ -1090,6 +1151,13 @@ object PromQL {
       evalFunc(evalRollup(rollups, _, g, lookbackUs), fn, arg, params, strParams, g)
     case BinVec(l, op, m, r, boolMode) =>
       evalBinVec(evalRollup(rollups, _, g, lookbackUs), l, op, m, r, boolMode)
+    case VectorLit(v) =>
+      gridFrame(rollups, g).select(col("g_ts").as("ts_us"), lit(v).as("value"))
+    case ScalarOf(inner) =>
+      scalarFrame(evalRollup(rollups, inner, g, lookbackUs))
+    case BinScalarDyn(arg, op, ScalarOf(inner), scalarLeft, boolMode) =>
+      evalBinScalarDyn(evalRollup(rollups, _, g, lookbackUs), arg, op, inner,
+        scalarLeft, boolMode)
   }
 
   /** Range functions that decompose over hourly buckets, computed
@@ -1266,6 +1334,17 @@ object PromQL {
 
     case BinVec(l, op, m, r, boolMode) =>
       evalBinVec(evalExpr(samples, _, g, lookbackUs), l, op, m, r, boolMode)
+
+    case VectorLit(v) =>
+      // one label-less element at every grid instant (kMax+1 rows)
+      gridFrame(samples, g).select(col("g_ts").as("ts_us"), lit(v).as("value"))
+
+    case ScalarOf(inner) =>
+      scalarFrame(evalExpr(samples, inner, g, lookbackUs))
+
+    case BinScalarDyn(arg, op, ScalarOf(inner), scalarLeft, boolMode) =>
+      evalBinScalarDyn(evalExpr(samples, _, g, lookbackUs), arg, op, inner,
+        scalarLeft, boolMode)
   }
 
   /** One grid-keyed aggregation: group by (labels, grid instant),
@@ -1499,6 +1578,59 @@ object PromQL {
           }
           in.groupBy(keyCols: _*).agg(a.as("value"))
       }
+  }
+
+  /** Prometheus scalar(v): the single element's value per grid
+    * instant, NaN when the vector holds 0 or >1 elements at that
+    * instant (instants with NO rows anywhere simply produce none —
+    * matching Prometheus, where the scalar is NaN but the vector side
+    * of any op has nothing to pair it with). */
+  private def scalarFrame(in: DataFrame): DataFrame =
+    in.groupBy(col("ts_us"))
+      .agg(count(lit(1)).as("_n"), max(col("value")).as("_v"))
+      .select(col("ts_us"),
+        when(col("_n") === 1, col("_v")).otherwise(lit(Double.NaN)).as("value"))
+
+  /** Vector-op-scalar(v): the per-instant scalar joins the vector on
+    * the grid instant only — at most kMax+1 rows, always broadcast.
+    * IEEE NaN semantics on the comparison path (a NaN scalar fails
+    * every comparison except !=), where Spark's native ordering would
+    * rank NaN above every double. */
+  private def evalBinScalarDyn(rec: Expr => DataFrame, arg: Expr, op: String,
+                               scalarInner: Expr, scalarLeft: Boolean,
+                               boolMode: Boolean): DataFrame = {
+    val in = rec(arg)
+    val sf = broadcast(scalarFrame(rec(scalarInner))
+      .withColumnRenamed("value", "_sc"))
+    val j = in.join(sf, Seq("ts_us"), "left")
+    val sc = coalesce(col("_sc"), lit(Double.NaN))
+    val v = col("value")
+    def arith(l: Column, r: Column): Column = op match {
+      case "*" => l * r
+      case "/" => ieeeDiv(l, r)
+      case "+" => l + r
+      case "-" => l - r
+      case "%" => ieeeMod(l, r)
+      case "^" => pow(l, r)
+    }
+    def cmp(l: Column, r: Column): Column = op match {
+      case ">" => l > r
+      case "<" => l < r
+      case ">=" => l >= r
+      case "<=" => l <= r
+      case "==" => l === r
+      case "!=" => l =!= r
+    }
+    val out =
+      if (Set("*", "/", "+", "-", "%", "^").contains(op))
+        j.withColumn("value", if (scalarLeft) arith(sc, v) else arith(v, sc))
+      else {
+        val raw = if (scalarLeft) cmp(sc, v) else cmp(v, sc)
+        val pred = when(isnan(sc) || isnan(v), lit(op == "!=")).otherwise(raw)
+        if (boolMode) j.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
+        else j.filter(pred)
+      }
+    out.drop("_sc")
   }
 
   private def evalBinScalar(rec: Expr => DataFrame, arg: Expr, op: String, k: Double,
@@ -1792,12 +1924,23 @@ object PromQL {
             out.select(keys.map(col) :+ col("value"): _*)
           } else {
             // many-to-one: the MANY side keeps its label set; the one
-            // side contributes (keys, value) — tiny after its own
-            // aggregation, so the join broadcasts at scale
+            // side contributes (keys, copy-labels, value) — tiny after
+            // its own aggregation, so the join broadcasts at scale.
+            // group_left(lbl…) copies the listed ONE-side labels onto
+            // the result (the info-metric join idiom), overwriting any
+            // same-named many-side column as Prometheus does
             val manyIsLeft = m.group == -1
-            val many = (if (manyIsLeft) lf else rf).withColumnRenamed("value", "_many_v")
-            val one = (if (manyIsLeft) rf else lf)
-              .select(keys.map(col) :+ col("value").as("_one_v"): _*)
+            val oneSrc = if (manyIsLeft) rf else lf
+            val copies = m.copyLabels.filterNot(keys.contains)
+            copies.foreach(c => require(oneSrc.columns.contains(c),
+              s"group_${if (manyIsLeft) "left" else "right"}($c): the one side has no label $c " +
+                s"(labels: ${oneSrc.columns.filterNot(_ == "value").mkString(", ")})"))
+            val many = copies
+              .foldLeft(if (manyIsLeft) lf else rf)((df, c) =>
+                if (df.columns.contains(c)) df.drop(c) else df)
+              .withColumnRenamed("value", "_many_v")
+            val one = oneSrc
+              .select((keys.map(col) ++ copies.map(col)) :+ col("value").as("_one_v"): _*)
             val j = many.join(one, keys)
             val (lv, rv) =
               if (manyIsLeft) (col("_many_v"), col("_one_v"))
@@ -1809,7 +1952,8 @@ object PromQL {
                 if (boolMode) j.withColumn("value", when(pred, lit(1.0)).otherwise(lit(0.0)))
                 else j.filter(pred).withColumn("value", lv)
             }
-            val outCols = many.columns.filterNot(_ == "_many_v").toSeq :+ "value"
+            val outCols =
+              (many.columns.filterNot(_ == "_many_v").toSeq ++ copies) :+ "value"
             out.select(outCols.map(col): _*)
           }
       }

@@ -58,7 +58,7 @@ class PromqlSpec extends SparkSpec {
   test("parser: operator precedence ladder and constant folding") {
     // * binds tighter than +: a + b*2 = a + (b*2)
     PromQL.parse("""{a="1"} + {b="2"} * 2""") match {
-      case PromQL.BinVec(PromQL.Selector(_, _, _), "+", PromQL.VecMatch(Nil, Nil, 0, false),
+      case PromQL.BinVec(PromQL.Selector(_, _, _), "+", PromQL.VecMatch(Nil, Nil, 0, false, Nil),
           PromQL.BinScalar(PromQL.Selector(_, _, _), "*", 2.0, false, false), false) => ()
       case other => fail(s"precedence broke: $other")
     }
@@ -77,7 +77,7 @@ class PromqlSpec extends SparkSpec {
     // and/unless bind looser than comparison, or loosest
     PromQL.parse("""{a="1"} > 1 and {b="2"} or {c="3"}""") match {
       case PromQL.BinVec(PromQL.BinVec(PromQL.BinScalar(_, ">", 1.0, false, false),
-          "and", PromQL.VecMatch(Nil, Nil, 0, false), _, false), "or", PromQL.VecMatch(Nil, Nil, 0, false), _, false) => ()
+          "and", PromQL.VecMatch(Nil, Nil, 0, false, Nil), _, false), "or", PromQL.VecMatch(Nil, Nil, 0, false, Nil), _, false) => ()
       case other => fail(s"set-op precedence broke: $other")
     }
     // bool modifier on comparisons
@@ -552,11 +552,57 @@ class PromqlSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(shareR == Seq(("click", 1L, 5.0 / 3), ("click", 2L, 2.5),
       ("purchase", 1L, 1.0), ("view", 11L, 1.0)))
-    // label-copy lists are rejected, set ops take no group modifier
-    intercept[IllegalArgumentException](
-      PromQL.parse("""a / on (x) group_left (lbl) b"""))
+    // label-copy lists parse (r9); set ops take no group modifier
+    PromQL.parse("""a / on (x) group_left (lbl) b""")
     intercept[IllegalArgumentException](
       PromQL.parse("""a and on (x) group_left b"""))
+  }
+
+  test("r9: group_left label copy, vector(), scalar()") {
+    val at = 2L * hu
+    // info-metric join: the one side synthesizes a `tier` label via
+    // label_replace; group_left(tier) copies it onto the many side
+    val withTier = PromQL.eval(ev,
+      """count_over_time(click[2h]) * on (user_id) group_left(tier) label_replace(count_over_time(click[2h]) * 0 + 1, "tier", "gold", "user_id", "1")""",
+      at)
+    val rows = withTier.select("user_id", "tier", "value")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    // u1 matched the regex → gold; u2 kept the absent-"" default
+    assert(rows == Seq((1L, "gold", 3.0), (2L, "", 2.0)), rows)
+    // a copy label missing on the one side refuses with a typed error
+    val e = intercept[IllegalArgumentException](PromQL.eval(ev,
+      """count_over_time(click[2h]) * on (user_id) group_left(nope) count_over_time(purchase[2h])""",
+      at).collect())
+    assert(e.getMessage.contains("nope"))
+    // vector(0) fallback: a matcher with no series at the instant
+    // yields the constant
+    val fb = PromQL.eval(ev,
+      """sum(count_over_time({event_type="nothere"}[2h])) or vector(0)""", at)
+      .select("value").as[Double].collect().toSeq
+    assert(fb == Seq(0.0), fb)
+    // and when the left side EXISTS, it wins
+    val fb2 = PromQL.eval(ev,
+      """sum(count_over_time(click[2h])) or vector(0)""", at)
+      .select("value").as[Double].collect().toSeq
+    assert(fb2 == Seq(5.0), fb2)
+    // scalar(): normalize a vector by a 1-element aggregate
+    val sc = PromQL.eval(ev,
+      """count_over_time(click[2h]) / scalar(sum(count_over_time(click[2h])))""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(sc == Seq((1L, 3.0 / 5), (2L, 2.0 / 5)), sc)
+    // a >1-element inner vector makes scalar() NaN — arithmetic
+    // propagates it, comparisons drop (IEEE, not Spark NaN ordering)
+    val nan = PromQL.eval(ev,
+      """count_over_time(click[2h]) * scalar(count_over_time(click[2h]))""", at)
+      .select("value").as[Double].collect().toSeq
+    assert(nan.length == 2 && nan.forall(_.isNaN), nan)
+    assert(PromQL.eval(ev,
+      """count_over_time(click[2h]) > scalar(count_over_time(click[2h]))""", at)
+      .count() == 0)
+    // scalar(constant) folds; scalar-scalar refuses
+    assert(PromQL.parse("scalar(3)") == PromQL.ScalarLit(3.0))
+    intercept[IllegalArgumentException](
+      PromQL.parse("scalar(a) + scalar(b)"))
   }
 
   test("vector-vector binary op with on(...) matching — the ratio shape") {
