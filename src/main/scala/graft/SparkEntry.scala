@@ -1314,6 +1314,12 @@ object SparkEntry {
 
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docsT(s, dir))),
 
+    // GPT-style sequence packing: concatenate per shard in doc_id
+    // order, cut every 2048 tokens — each doc's token-offset span and
+    // the training bins it straddles (the training-prep step between
+    // a filtered corpus and fixed-length sequences)
+    "doc_pack" -> ((s, dir) => TextOps.pack(docsT(s, dir))),
+
     "lang_id" -> ((s, dir) => TextOps.langId(docsT(s, dir))),
 
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsT(s, dir))),
@@ -2926,6 +2932,19 @@ object SparkEntry {
                   / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS stop_ratio,
                 CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) * 1.0 / length(text) AS upper_ratio
          FROM documents""",
+
+    // same window arithmetic: per-shard (doc_id mod 16) running token
+    // offsets in doc_id order, integer-divided into 2048-token bins
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS shard,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+              FROM documents),
+          p AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+              FROM t WHERE n_tokens > 0)
+          SELECT doc_id, shard, n_tokens, end_off - n_tokens AS start_off,
+                 (end_off - n_tokens) // 2048 AS bin_first,
+                 (end_off - 1) // 2048 AS bin_last
+          FROM p""",
 
     "token_count" ->
       """SELECT doc_id,

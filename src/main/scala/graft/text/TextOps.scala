@@ -423,6 +423,37 @@ object TextOps {
         expr("sel div 1048576").as("gram_hash"))
   }
 
+  /** GPT-style sequence packing — the training-prep step that turns a
+    * document corpus into fixed-length training sequences: documents
+    * CONCATENATE in a deterministic order and the token stream cuts
+    * every `budget` tokens, so each doc maps to a token-offset span
+    * [start_off, start_off + n_tokens) and the bins it straddles
+    * (bin_first..bin_last). Packing is inherently sequential, so it
+    * runs per SHARD — exactly how real pipelines shard corpora into
+    * independent input files — with shard = doc_id mod `shards`
+    * (deterministic across engines, unlike a hash). The window
+    * partition is a shard: bounded at corpus/shards BY CONSTRUCTION,
+    * and `shards` is the scale knob (a 100 TB corpus packs with
+    * shards sized so one shard ≈ one worker's file; there is no
+    * Zipf-style hot key because shards are uniform by residue).
+    * Zero-token docs drop (nothing to pack). */
+  def pack(docs: DataFrame, budget: Long = 2048, shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shards > 0, "pack needs a positive budget and shard count")
+    val toks = docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    toks
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_off"),
+        expr(s"start_off div $budget").as("bin_first"),
+        expr(s"(end_off - 1) div $budget").as("bin_last"))
+  }
+
   /** Zipf slope of the corpus vocabulary (α in freq ∝ rank^−α, the
     * sanity dial for "does this corpus look like natural language" —
     * English ≈ 1.0, a flat synthetic vocabulary ≪ 1): least-squares

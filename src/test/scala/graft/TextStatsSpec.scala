@@ -340,4 +340,26 @@ class TextStatsSpec extends SparkSpec {
     assert(out._1 == 4L)
     assert(math.abs(out._2 - 1.0) < 1e-4, s"alpha = ${out._2}")
   }
+
+  test("pack: per-shard running offsets, boundary straddle, zero-token drop") {
+    // one shard (mod 1): docs of 3, 4, 5 tokens under budget 6 —
+    // doc 3 (5 tokens at offset 7) straddles the 6|12 boundary
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"),
+      (3L, "h i j k l"),
+      (4L, "!!! ???")) // zero alphanumeric tokens → drops
+      .toDF("doc_id", "text")
+    val got = TextOps.pack(docs, budget = 6, shards = 1)
+      .select("doc_id", "shard", "n_tokens", "start_off", "bin_first", "bin_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 0L, 0L, 0L),
+      (2L, 0L, 4L, 3L, 0L, 1L), // tokens 3..6 straddle the first cut
+      (3L, 0L, 5L, 7L, 1L, 1L)), got)
+    // two shards: offsets restart per shard (odd docs pack separately)
+    val sharded = TextOps.pack(docs, budget = 6, shards = 2)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sharded == Seq((1L, 0L), (2L, 0L), (3L, 3L)), sharded)
+  }
 }
