@@ -862,6 +862,16 @@ object PromQL {
   private def prepared(query: String, startUs: Long, endUs: Long): Expr =
     requireVector(resolveAt(parse(query), startUs, endUs))
 
+  /** Parse a BARE selector (the `match[]` parameter shape), resolving
+    * `@ start()`/`@ end()` pins against [startUs, endUs]; anything
+    * that is not a plain selector refuses typed. */
+  def parseSelector(s: String, startUs: Long, endUs: Long): Selector =
+    resolveAt(parse(s), startUs, endUs) match {
+      case sel: Selector => sel
+      case other =>
+        throw new IllegalArgumentException(s"match[] must be a selector, got $other")
+    }
+
   /** Instant queries evaluated internally on a one-instant grid; the
     * constant grid column drops from the public result. */
   private def finish(df: DataFrame): DataFrame = {

@@ -131,6 +131,7 @@ final class HttpEndpoint(
       case "/api/v1/series" => handleSeries(ex)
       case "/api/v1/rules" => handleRules(ex)
       case "/api/v1/alerts" => handleAlerts(ex)
+      case "/federate" => handleFederate(ex)
       case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
         handleLabelValues(ex,
           p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
@@ -491,6 +492,59 @@ final class HttpEndpoint(
         .flatMap(r => currentAlerts(r, at).map(_._1))
       sendJson(ex, 200,
         s"""{"status":"success","data":{"alerts":[${alerts.mkString(",")}]}}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  /** Prometheus FEDERATION endpoint (`GET /federate?match[]=…`): the
+    * current sample of every matched series in the text exposition
+    * format, so a DOWNSTREAM Prometheus can scrape this engine as a
+    * target — the read-surface complement of the remote-read pair.
+    * Instant-vector semantics (latest sample within the lookback,
+    * honoring a selector's offset/@ pin); multiple match[] union;
+    * `?time=` overrides the data-driven evaluation instant. The
+    * metric name is the series' event_type (the bare-name sugar
+    * inverted), remaining labels ride in the braces, timestamps in
+    * milliseconds — the exposition contract. Only the bounded
+    * per-series vector materializes on the driver. */
+  private def handleFederate(ex: HttpExchange): Unit =
+    try {
+      import org.apache.spark.sql.functions.{col, max, struct}
+      val params = queryParamsMulti(ex)
+      val at = evalInstantUs(params.toMap)
+      val lookbackUs = 5L * 60L * 1000000L
+      val sels = params.collect { case (k, v) if k == "match[]" || k == "match" => v }
+      if (sels.isEmpty)
+        throw new IllegalArgumentException("federate needs at least one match[] selector")
+      val frames = sels.map { s =>
+        val sel = graft.promql.PromQL.parseSelector(s, at, at)
+        val eff = sel.atUs.getOrElse(at) - sel.offsetUs
+        store.queryAll(sel.matchers, eff - lookbackUs, eff)
+          .groupBy(col("series_id"))
+          .agg(max(struct(col("ts_us"), col("value"))).as("l"))
+          .join(store.catalog(), "series_id") // labels live in the catalog
+          .select(col("event_type"), col("user_id"),
+            col("l.ts_us").as("ts_us"), col("l.value").as("value"))
+      }
+      val rows = frames.reduce(_ unionByName _).distinct().collect()
+        .sortBy(r => (r.getAs[String]("event_type"), r.getAs[Any]("user_id").toString))
+      def esc(s: String): String =
+        s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      val sb = new StringBuilder
+      var lastName = ""
+      rows.foreach { r =>
+        val name = r.getAs[String]("event_type")
+        if (name != lastName) { sb ++= s"# TYPE ${esc(name)} untyped\n"; lastName = name }
+        sb ++= esc(name)
+        sb ++= s"""{user_id="${esc(r.getAs[Any]("user_id").toString)}"} """
+        sb ++= promVal(r.getAs[Any]("value"))
+        sb ++= s" ${r.getAs[Long]("ts_us") / 1000}\n"
+      }
+      val bytes = sb.toString.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
     } catch {
       case e: IllegalArgumentException => sendPromError(ex, e)
       case _: Exception => ex.sendResponseHeaders(500, -1)

@@ -167,6 +167,21 @@ class HttpEndpointSpec extends SparkSpec {
         mbody.contains(""""event_type":"purchase""""), mbody)
       // malformed match[] → 400 envelope
       assert(get(s"/api/v1/series?match[]=${java.net.URLEncoder.encode("sum(", "UTF-8")}")._1 == 400)
+
+      // ── /federate: text exposition of the current samples, so a
+      // downstream Prometheus can scrape this engine as a target ──
+      val (fc, fbody) = get(s"/federate?match[]=click&match[]=purchase&time=$atS")
+      assert(fc == 200, fbody)
+      assert(fbody ==
+        s"""# TYPE click untyped
+           |click{user_id="1"} 20.0 ${t0 + 60000L}
+           |click{user_id="2"} 5.0 ${t0 + 60000L}
+           |# TYPE purchase untyped
+           |purchase{user_id="1"} 100.0 ${t0 + 60000L}
+           |""".stripMargin, fbody)
+      // no match[] → 400; non-selector match[] → 400
+      assert(get(s"/federate?time=$atS")._1 == 400)
+      assert(get(s"/federate?match[]=${java.net.URLEncoder.encode("sum(click)", "UTF-8")}&time=$atS")._1 == 400)
     } finally endpoint.stop()
   }
 
