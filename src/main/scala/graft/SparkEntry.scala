@@ -206,6 +206,31 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // the PULL half of the ecosystem under the gate: ingest → live
+    // /federate endpoint → text-exposition scrape client → sample
+    // frame. Instant-vector semantics with the 30d lookback-delta
+    // (each series' LAST report — the staleness shape; the 5m default
+    // is near-vacuous at T2, probed 1 sample at sf0.01), and series
+    // ids round-trip bit-identically through the exposition text
+    // (canonical md5); ms-grain wire timestamps
+    "fed_scrape" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_scrape").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      store.append(Series.samples(t(s, dir, "events")))
+      val ep = new graft.sources.HttpEndpoint(s, store)
+      val port = ep.start()
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q_scrape_out").toString
+      try {
+        graft.sources.Federation.scrapeSamples(s,
+            s"http://127.0.0.1:$port/federate?match%5B%5D=%7B%7D&time=${T2 / 1000000}&lookback=30d",
+            T2)
+          .select("series_id", "event_type", "user_id", "ts_us", "value")
+          .write.mode("overwrite").parquet(outDir)
+      } finally ep.stop()
+      s.read.parquet(outDir)
+    }),
+
     // Holt-Winters double exponential smoothing per series (the one
     // sequential range function — folds the window's time-ordered
     // values with aggregate()). sf=0.5, tf=0.25 are exactly binary-
@@ -2003,6 +2028,19 @@ object SparkEntry {
     // the wire carries ms — federated ts_us are ms-truncated, and the
     // ms-grain range covers WHOLE milliseconds (a sample in the last
     // partial ms of the range is included)
+    // per-series LAST sample over the 30d lookback, ms-truncated at
+    // the exposition wire; ts ties break by value (the struct-max
+    // order on event_id-less store samples)
+    "fed_scrape" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type,
+                   CAST(user_id AS VARCHAR) AS user_id,
+                   epoch_us(ts) AS ts_us, value FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 2592000000000 AND $T2)
+          SELECT series_id, event_type, user_id,
+                 (max(ts_us) // 1000) * 1000 AS ts_us,
+                 last(value ORDER BY ts_us, value) AS value
+          FROM s GROUP BY 1, 2, 3""",
+
     "fed_read" ->
       s"""SELECT $SeriesIdSql AS series_id, event_type,
                  CAST(user_id AS VARCHAR) AS user_id,

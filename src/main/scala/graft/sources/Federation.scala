@@ -72,6 +72,95 @@ object Federation {
       .withColumn("event_id", lit(0L))
       .select("series_id", "event_type", "user_id", "ts_us", "event_id", "value")
 
+  /** Scrape a Prometheus TEXT-EXPOSITION target once (`/federate`, a
+    * node exporter, any /metrics page) — the PULL half of the
+    * ecosystem, where remote-read/write are the push-storage half.
+    * One GET parsed to (labels, ts_us, value); the metric NAME joins
+    * the label set as `event_type` (the engine's metric-name label),
+    * so scraping this engine's own /federate round-trips to
+    * BIT-IDENTICAL series ids. Lines without a timestamp stamp
+    * `defaultTsUs`. The fetch runs in one executor task — a scrape is
+    * one bounded page by contract; malformed lines fail the whole
+    * scrape loudly (the Prometheus rule: a target that half-parses is
+    * a broken target, not half data). */
+  def scrape(spark: SparkSession, url: String, defaultTsUs: Long): DataFrame = {
+    import spark.implicits._
+    Seq(url).toDS()
+      .repartition(1)
+      .flatMap(u => fetchScrape(u, defaultTsUs))
+      .toDF()
+  }
+
+  /** [[scrape]] projected onto the engine's sample model (the
+    * [[readSamples]] twin). */
+  def scrapeSamples(spark: SparkSession, url: String, defaultTsUs: Long): DataFrame =
+    scrape(spark, url, defaultTsUs)
+      .withColumn("series_id", canonicalSeriesId("labels"))
+      .withColumn("event_type", coalesce(col("labels")("event_type"), lit("")))
+      .withColumn("user_id", coalesce(col("labels")("user_id"), lit("")))
+      .withColumn("event_id", lit(0L))
+      .select("series_id", "event_type", "user_id", "ts_us", "event_id", "value")
+
+  private val ExpositionLine =
+    """^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+))?\s*$""".r
+  private val ExpositionLabel =
+    """([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"""".r
+
+  /** Parse one exposition page. Package-private for direct spec
+    * coverage of the escapes and special values. */
+  private[graft] def parseExposition(text: String,
+                                       defaultTsUs: Long): Iterator[FedSample] = {
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'n' => sb += '\n'
+            case c => sb += c
+          }
+          i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+    def num(s: String): Double = s match {
+      case "+Inf" | "Inf" => Double.PositiveInfinity
+      case "-Inf" => Double.NegativeInfinity
+      case o => o.toDouble // handles NaN via Java parsing
+    }
+    text.linesIterator.zipWithIndex
+      .filterNot { case (l, _) => l.isEmpty || l.startsWith("#") }
+      .map {
+        case (ExpositionLine(name, labelStr, valueStr, tsStr), _) =>
+          val labels = Option(labelStr).map { ls =>
+            ExpositionLabel.findAllMatchIn(ls)
+              .map(m => m.group(1) -> unescape(m.group(2))).toMap
+          }.getOrElse(Map.empty)
+          val ts = Option(tsStr).map(_.toLong * 1000).getOrElse(defaultTsUs)
+          FedSample(labels + ("event_type" -> name), ts, num(valueStr))
+        case (line, i) =>
+          throw new java.io.IOException(
+            s"exposition parse error at line ${i + 1}: '$line'")
+      }
+  }
+
+  /** One scrape fetch + parse; runs inside an executor task. */
+  private def fetchScrape(url: String, defaultTsUs: Long): Iterator[FedSample] = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    val code = conn.getResponseCode
+    if (code / 100 != 2) {
+      conn.disconnect()
+      throw new java.io.IOException(s"scrape $url answered $code")
+    }
+    val text = try new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      finally conn.getInputStream.close()
+    conn.disconnect()
+    parseExposition(text, defaultTsUs)
+  }
+
   /** md5 over the sorted `k=v` join — the dynamic-map twin of
     * [[graft.tsdb.Series.canonical]] (same bytes, same id, so
     * federated series ids equal the local store's). */

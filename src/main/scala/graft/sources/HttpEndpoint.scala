@@ -513,7 +513,11 @@ final class HttpEndpoint(
       import org.apache.spark.sql.functions.{col, max, struct}
       val params = queryParamsMulti(ex)
       val at = evalInstantUs(params.toMap)
-      val lookbackUs = 5L * 60L * 1000000L
+      // ?lookback= mirrors Prometheus's --query.lookback-delta (which
+      // /federate honors): how far back a series may have last
+      // reported and still count as current
+      val lookbackUs = params.toMap.get("lookback").map(durationUs)
+        .getOrElse(5L * 60L * 1000000L)
       val sels = params.collect { case (k, v) if k == "match[]" || k == "match" => v }
       if (sels.isEmpty)
         throw new IllegalArgumentException("federate needs at least one match[] selector")

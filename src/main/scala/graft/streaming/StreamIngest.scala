@@ -464,6 +464,37 @@ object StreamIngest {
       .start()
   }
 
+  /** The Prometheus PULL loop as a streaming sink: scrape a
+    * text-exposition target (`/federate`, any /metrics page) on a
+    * processing-time cadence and append each page into the store as
+    * one idempotent batch-scoped chunk append. The rate source is the
+    * tick; its rows carry nothing — each trigger re-scrapes the LIVE
+    * target, which is the pull model's semantics (there is no replay
+    * of a scrape: on recovery a re-run batch re-reads the target's
+    * CURRENT page, and the batch-scoped append keeps the store
+    * consistent — same as Prometheus, where a restarted scraper
+    * simply scrapes now). Lines without a timestamp stamp the scrape
+    * wall-clock instant, exactly as a Prometheus scrape would. */
+  def startScrapeSink(spark: org.apache.spark.sql.SparkSession,
+                      url: String, store: graft.tsdb.ChunkStore,
+                      checkpoint: String,
+                      intervalMs: Long = 15000L) = {
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", 1)
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        val samples = graft.sources.Federation.scrapeSamples(
+          spark, url, System.currentTimeMillis() * 1000L)
+        store.appendBatch(samples, batchId)
+        ()
+      }
+      .start()
+  }
+
   def startChunkSinkCompacting(events: DataFrame, store: graft.tsdb.ChunkStore,
                                checkpoint: String,
                                closeLagUs: Long = 2L * 3600 * 1000 * 1000,

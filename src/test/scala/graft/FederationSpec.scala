@@ -80,4 +80,64 @@ class FederationSpec extends SparkSpec {
     val dead = Federation.readSamples(spark, url, Nil, t0, t0 + 3L * 3600000000L, 2)
     intercept[org.apache.spark.SparkException](dead.collect())
   }
+
+  test("exposition parser: labels, escapes, special values, default timestamp, loud malformed") {
+    val page =
+      "# HELP x whatever\n" +
+        "# TYPE x counter\n" +
+        "click{user_id=\"1\"} 20.0 1704070800000\n" +
+        "weird{a=\"q\\\"uote\",b=\"back\\\\slash\",c=\"new\\nline\"} +Inf\n" +
+        "bare_no_labels 3.5 1704070800001\n" +
+        "nan_metric{} NaN 1704070800002\n"
+    val out = Federation.parseExposition(page, 42000000L).toSeq
+    assert(out.length == 4)
+    assert(out(0) == Federation.FedSample(
+      Map("event_type" -> "click", "user_id" -> "1"), 1704070800000000L, 20.0))
+    assert(out(1).labels == Map("event_type" -> "weird",
+      "a" -> "q\"uote", "b" -> "back\\slash", "c" -> "new\nline"))
+    assert(out(1).value.isPosInfinity && out(1).ts_us == 42000000L) // no ts → default
+    assert(out(2) == Federation.FedSample(Map("event_type" -> "bare_no_labels"),
+      1704070800001000L, 3.5))
+    assert(out(3).value.isNaN)
+    intercept[java.io.IOException](
+      Federation.parseExposition("not a metric line at all {", 0L).toSeq)
+  }
+
+  test("scrape loop: /federate → scrape client → second store; series ids round-trip bit-identically") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_scrapeA").toString
+    val a = new ChunkStore(spark, dirA, chunkMs = 86400000L)
+    a.append(Series.samples(ev))
+    val endpoint = new HttpEndpoint(spark, a)
+    val port = endpoint.start()
+    try {
+      val at = t0 + 2L * 3600000000L
+      val url = s"http://127.0.0.1:$port/federate?match%5B%5D=%7B%7D&time=${at / 1000000}"
+      // one-shot scrape: latest sample per series, ids == local catalog
+      val scraped = Federation.scrapeSamples(spark, url, at)
+      val got = scraped.select("series_id", "event_type", "user_id", "ts_us", "value")
+        .as[(String, String, String, Long, Double)].collect().sortBy(r => (r._2, r._3)).toSeq
+      val localIds = a.catalog().select("series_id").as[String].collect().toSet
+      assert(got.map(_._1).toSet.subsetOf(localIds),
+        "scraped series ids must equal the local store's (canonical md5)")
+      // lookback 5m at t0+2h: the 2h-instant samples win
+      assert(got.map(r => (r._2, r._3, r._5)).toSet ==
+        Set(("click", "1", 40.0), ("click", "2", 7.0), ("view", "11", 1.0)))
+      // the streaming pull loop: tick → scrape → batch-scoped append
+      val dirB = java.nio.file.Files.createTempDirectory("graft_scrapeB").toString
+      val b = new ChunkStore(spark, dirB, chunkMs = 86400000L)
+      val ck = java.nio.file.Files.createTempDirectory("graft_scrape_ck").toString
+      val q = graft.streaming.StreamIngest.startScrapeSink(spark, url, b, ck,
+        intervalMs = 300L)
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < deadline &&
+          (b.dataHorizonUs.isEmpty || b.query(Nil, t0, at).count() < 3)) Thread.sleep(200)
+      } finally q.stop()
+      val viaB = b.query(Nil, t0, at)
+        .join(b.catalog(), "series_id")
+        .select("event_type", "user_id", "value")
+        .as[(String, String, Double)].collect().toSet
+      assert(viaB == Set(("click", "1", 40.0), ("click", "2", 7.0), ("view", "11", 1.0)), viaB)
+    } finally endpoint.stop()
+  }
 }
