@@ -290,6 +290,14 @@ object SparkEntry {
       t(s, dir, "events"), """sort_desc(day_of_week(timestamp({})))""",
       T2, lookbackUs = 30L * 86400L * 1000000L)),
 
+    // the staleness dashboard's core expression: seconds since each
+    // series last reported — time() (the evaluation instant as a
+    // per-instant dynamic scalar) minus timestamp() (each series'
+    // winning sample time), 30d lookback-delta
+    "promql_time" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"), """time() - timestamp({})""",
+      T2, lookbackUs = 30L * 86400L * 1000000L)),
+
     // trig/degree chain with the engine's round-to-nearest (6dp
     // absorbs last-ULP libm drift across engines, the ln precedent)
     "promql_math" -> ((s, dir) => graft.promql.PromQL.eval(
@@ -2137,6 +2145,18 @@ object SparkEntry {
                 FROM s GROUP BY 1, 2, 3)
           SELECT series_id, event_type, user_id,
                  CAST(dayofweek(to_timestamp(CAST(floor((lts / 1000000.0)) AS BIGINT))) AS DOUBLE) AS value
+          FROM l""",
+
+    // identical float spelling: (T2/1e6) - (lts/1e6), scalar-left
+    "promql_time" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   epoch_us(ts) AS ts_us, event_id FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 2592000000000 AND $T2),
+          l AS (SELECT series_id, event_type, user_id,
+                   last(ts_us ORDER BY ts_us, event_id) AS lts
+                FROM s GROUP BY 1, 2, 3)
+          SELECT series_id, event_type, user_id,
+                 ($T2 / 1000000.0) - (lts / 1000000.0) AS value
           FROM l""",
 
     // identical float spelling: floor(deg(atan(x/1000)) / 1e-6 + 0.5) * 1e-6

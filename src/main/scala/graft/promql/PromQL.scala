@@ -99,6 +99,12 @@ object PromQL {
   /** `vector(s)` — a constant one-element vector with no labels at
     * every grid instant (the `or vector(0)` fallback idiom). */
   final case class VectorLit(v: Double) extends Expr
+  /** `time()`'s underlying vector: one label-less element per grid
+    * instant whose VALUE is that instant in unix seconds. `time()`
+    * itself parses to ScalarOf(TimeVec) — a per-instant dynamic
+    * scalar — and `vector(time())` unwraps back to the vector, the
+    * canonical date-function idiom (`hour(vector(time()))`). */
+  case object TimeVec extends Expr
   /** `scalar(v)` — the inner vector's single element per grid
     * instant, NaN when it holds 0 or >1 elements; combines with
     * vectors like a (per-instant, dynamic) scalar. */
@@ -415,12 +421,15 @@ object PromQL {
       case Some(TNum(v)) => next(); ScalarLit(v)
       case Some(TIdent("pi")) => // nullary: folds to the constant
         next(); expectSym("("); expectSym(")"); ScalarLit(math.Pi)
+      case Some(TIdent("time")) => // the evaluation instant, as a scalar
+        next(); expectSym("("); expectSym(")"); ScalarOf(TimeVec)
       case Some(TIdent("vector")) =>
         next(); expectSym("(")
         val inner = parseOr()
         expectSym(")")
         inner match {
           case ScalarLit(v) => VectorLit(v)
+          case ScalarOf(iv) => iv // vector(scalar-of-vector) unwraps
           case other => err(s"vector(s) takes a scalar expression, got $other")
         }
       case Some(TIdent("scalar")) =>
@@ -853,6 +862,7 @@ object PromQL {
       bd.copy(arg = resolveAt(bd.arg, s, e),
         scalar = ScalarOf(resolveAt(bd.scalar.inner, s, e)))
     case so: ScalarOf => ScalarOf(resolveAt(so.inner, s, e))
+    case TimeVec => TimeVec
     case vl: VectorLit => vl
     case lit: ScalarLit => lit
   }
@@ -893,7 +903,7 @@ object PromQL {
     case BinScalarDyn(a, _, ScalarOf(inner), _, _) =>
       math.max(maxWindowUs(a, lookbackUs), maxWindowUs(inner, lookbackUs))
     case ScalarOf(inner) => maxWindowUs(inner, lookbackUs)
-    case VectorLit(_) => 0L
+    case VectorLit(_) | TimeVec => 0L
     case ScalarLit(_) => 0L
   }
 
@@ -918,7 +928,7 @@ object PromQL {
     case BinScalarDyn(a, _, ScalarOf(inner), _, _) =>
       pinBounds(a, lookbackUs) ++ pinBounds(inner, lookbackUs)
     case ScalarOf(inner) => pinBounds(inner, lookbackUs)
-    case VectorLit(_) => Nil
+    case VectorLit(_) | TimeVec => Nil
     case ScalarLit(_) => Nil
   }
 
@@ -946,7 +956,7 @@ object PromQL {
       case BinVec(l, _, _, r, _) => sels(l) ++ sels(r)
       case BinScalarDyn(arg2, _, ScalarOf(inner), _, _) => sels(arg2) ++ sels(inner)
       case ScalarOf(inner) => sels(inner)
-      case VectorLit(_) => Nil
+      case VectorLit(_) | TimeVec => Nil
       case ScalarLit(_) => Nil
     }
     sels(e) match { case Seq(one) => Some(one.matchers) case _ => None }
@@ -1163,6 +1173,9 @@ object PromQL {
       evalBinVec(evalRollup(rollups, _, g, lookbackUs), l, op, m, r, boolMode)
     case VectorLit(v) =>
       gridFrame(rollups, g).select(col("g_ts").as("ts_us"), lit(v).as("value"))
+    case TimeVec =>
+      gridFrame(rollups, g).select(col("g_ts").as("ts_us"),
+        (col("g_ts") / lit(1e6)).as("value"))
     case ScalarOf(inner) =>
       scalarFrame(evalRollup(rollups, inner, g, lookbackUs))
     case BinScalarDyn(arg, op, ScalarOf(inner), scalarLeft, boolMode) =>
@@ -1348,6 +1361,10 @@ object PromQL {
     case VectorLit(v) =>
       // one label-less element at every grid instant (kMax+1 rows)
       gridFrame(samples, g).select(col("g_ts").as("ts_us"), lit(v).as("value"))
+
+    case TimeVec =>
+      gridFrame(samples, g).select(col("g_ts").as("ts_us"),
+        (col("g_ts") / lit(1e6)).as("value"))
 
     case ScalarOf(inner) =>
       scalarFrame(evalExpr(samples, inner, g, lookbackUs))

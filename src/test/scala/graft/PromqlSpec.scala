@@ -380,6 +380,16 @@ class PromqlSpec extends SparkSpec {
     // timestamp over a non-selector refuses typed
     intercept[IllegalArgumentException](
       PromQL.eval(ev, """timestamp(sum(click))""", at))
+    // time(): the evaluation instant as a per-instant scalar; 2h into
+    // 1970-01-01 is a Thursday (dow 4)
+    assert(vals("""day_of_week(vector(time()))""") == Seq(4.0))
+    assert(vals("""click - time()""").sorted == Seq(7.0 - 7200, 40.0 - 7200).sorted)
+    // on a range grid time() varies per instant
+    val ht = PromQL.evalRange(ev, """hour(vector(time()))""", 0L, 3L * hu, hu)
+      .select("ts_us", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ht == Seq((0L, 0.0), (hu, 1.0), (2L * hu, 2.0), (3L * hu, 3.0)), ht)
+    // staleness seconds: time() - timestamp(sel)
+    assert(vals("""time() - timestamp(click)""") == Seq(0.0, 0.0))
   }
 
   test("histogram_quantile: interpolated quantile over an le-labeled bucket vector") {
