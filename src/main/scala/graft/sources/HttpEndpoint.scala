@@ -125,8 +125,8 @@ final class HttpEndpoint(
     ex.getRequestURI.getPath match {
       case p if p == writePath => handleWrite(ex, body)
       case p if p == readPath => handleRead(ex, body)
-      case p if p == queryPath => handleQuery(ex)
-      case p if p == queryRangePath => handleQueryRange(ex)
+      case p if p == queryPath => handleQuery(ex, body)
+      case p if p == queryRangePath => handleQueryRange(ex, body)
       case "/api/v1/labels" => handleLabels(ex)
       case "/api/v1/series" => handleSeries(ex)
       case "/api/v1/rules" => handleRules(ex)
@@ -153,13 +153,27 @@ final class HttpEndpoint(
     * send match%5B%5D=), repeats preserved (Prometheus's match[]
     * unions). */
   private def queryParamsMulti(ex: HttpExchange): Seq[(String, String)] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      .split("&").filter(_.nonEmpty).toSeq.map { kv =>
-        val i = kv.indexOf('=')
-        val k = java.net.URLDecoder.decode(if (i < 0) kv else kv.substring(0, i), "UTF-8")
-        val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
-        k -> v
-      }
+    parseForm(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+
+  private def parseForm(s: String): Seq[(String, String)] =
+    s.split("&").filter(_.nonEmpty).toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      val k = java.net.URLDecoder.decode(if (i < 0) kv else kv.substring(0, i), "UTF-8")
+      val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      k -> v
+    }
+
+  /** URI params, plus — for a form-encoded POST — the body's (the
+    * spelling Grafana and promtool actually send to the query APIs;
+    * body params win on collision, as in Prometheus's Go server). */
+  private def paramsWithBody(ex: HttpExchange, body: Array[Byte]): Seq[(String, String)] = {
+    val uriParams = queryParamsMulti(ex)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if ("POST".equalsIgnoreCase(ex.getRequestMethod) && body.nonEmpty &&
+        ct.takeWhile(_ != ';').trim == "application/x-www-form-urlencoded")
+      uriParams ++ parseForm(new String(body, "UTF-8"))
+    else uriParams
+  }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     queryParamsMulti(ex).toMap
@@ -216,9 +230,9 @@ final class HttpEndpoint(
     try graft.promql.PromQL.parseDuration(s)
     catch { case _: IllegalArgumentException => (s.toDouble * 1e6).toLong }
 
-  private def handleQuery(ex: HttpExchange): Unit =
+  private def handleQuery(ex: HttpExchange, body: Array[Byte]): Unit =
     try {
-      val params = queryParams(ex)
+      val params = paramsWithBody(ex, body).toMap
       val q = params.getOrElse("query",
         throw new IllegalArgumentException("missing query parameter"))
       val atUs = params.get("time")
@@ -248,9 +262,9 @@ final class HttpEndpoint(
     * a per-step loop of instant queries. Only the grid result
     * (series × points, the panel's own size) materializes on the
     * driver, grouped into the standard `resultType: matrix` JSON. */
-  private def handleQueryRange(ex: HttpExchange): Unit =
+  private def handleQueryRange(ex: HttpExchange, body: Array[Byte]): Unit =
     try {
-      val params = queryParams(ex)
+      val params = paramsWithBody(ex, body).toMap
       def need(k: String) = params.getOrElse(k,
         throw new IllegalArgumentException(s"missing $k parameter"))
       val q = need("query")

@@ -99,6 +99,19 @@ class HttpEndpointSpec extends SparkSpec {
       assert(body.contains(""""metric":{"event_type":"click"}"""), body)
       assert(body.contains(""""35.0""""), body)  // 10+20+5
       assert(body.contains(""""100.0""""), body) // purchase
+      // POST form-encoded body (the spelling Grafana/promtool send):
+      // same answer as the GET
+      val formConn = URI.create(s"http://127.0.0.1:$port/api/v1/query").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      formConn.setRequestMethod("POST")
+      formConn.setDoOutput(true)
+      formConn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      formConn.getOutputStream.write(s"query=$q&time=$atS".getBytes("UTF-8"))
+      formConn.getOutputStream.close()
+      assert(formConn.getResponseCode == 200)
+      val formBody = new String(formConn.getInputStream.readAllBytes(), "UTF-8")
+      formConn.disconnect()
+      assert(formBody == body, "POST form answer must equal the GET answer")
       // malformed PromQL → 400 with the error envelope, server stays up
       val (badCode, badBody) = get(s"/api/v1/query?query=${java.net.URLEncoder.encode("nope(", "UTF-8")}&time=$atS")
       assert(badCode == 400 && badBody.contains("\"status\":\"error\""), badBody)
