@@ -132,8 +132,11 @@ object Bench {
       // pair — the non-uniform run1/run2 spread is the load-contention
       // fingerprint (a quiet box shows run1 > run2 uniformly from JIT;
       // a loaded box shows erratic spreads on untouched code)
+      // locale-independent number spelling (f"%.3f" renders a decimal
+      // COMMA on comma-decimal locales — invalid JSON; found by review)
       val runsJson = detailed.map { case (k, rs) =>
-        "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+        "\"" + k + "\":[" +
+          rs.map(r => (math.round(r * 1000) / 1000.0).toString).mkString(",") + "]"
       }.mkString("{", ",", "}")
       val fileJson = json.dropRight(1) + s""","runs":$runsJson}"""
       java.nio.file.Files.write(out, fileJson.getBytes("UTF-8"))

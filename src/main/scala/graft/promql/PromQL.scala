@@ -429,7 +429,14 @@ object PromQL {
         expectSym(")")
         inner match {
           case ScalarLit(v) => VectorLit(v)
-          case ScalarOf(iv) => iv // vector(scalar-of-vector) unwraps
+          // vector(time()) unwraps to the grid vector (identical
+          // semantics, no aggregation); any OTHER scalar() stays a
+          // ScalarOf node — it already evaluates to the label-less
+          // one-element-per-instant vector Prometheus specifies
+          // (unwrapping would wrongly return the inner vector with
+          // its labels and multiplicity; found by review)
+          case ScalarOf(TimeVec) => TimeVec
+          case so: ScalarOf => so
           case other => err(s"vector(s) takes a scalar expression, got $other")
         }
       case Some(TIdent("scalar")) =>
@@ -1157,6 +1164,15 @@ object PromQL {
       val innerEnd = math.floorDiv(g.endUs - off, step) * step
       require(innerEnd >= innerStart,
         s"subquery [${dur}us:${step}us] holds no step-aligned instants in the evaluation window")
+      // evaluation-time inner-grid cap: the parse-time dur/step check
+      // bounds only the PER-WINDOW fan-out — on a RANGE query the
+      // inner grid spans the whole evaluation range plus the window,
+      // so a fine inner step under a wide outer range would still
+      // explode every sample into (lookback/step) rows (found by
+      // review; the same 11k contract as the HTTP outer-grid guard)
+      require((innerEnd - innerStart) / step < 11000,
+        s"subquery inner grid spans more than 11000 instants " +
+          s"([${dur}us:${step}us] against this evaluation range) — widen the step")
       val innerDf = evalRollup(rollups, inner,
         Grid(innerStart, innerEnd, step, instant = false), lookbackUs)
         .withColumn("event_id", lit(0L))
@@ -1218,8 +1234,19 @@ object PromQL {
           s"$fn on the rollup tier needs per-bucket first/last points — " +
             "these rollups predate counter aggregates; rebuild them " +
             "(re-close or backfillRollups) or use the raw tier")
+        // the column check is frame-level only: a store MIXING pre-
+        // and post-change rollup files infers the new schema and reads
+        // old files back as NULL structs, which min/max would fold
+        // into a SILENT rate = 0.0 — the per-row assert makes the
+        // mixed generation refuse loudly instead (found by review;
+        // the queryRollup missing-chunk guard's row-grain sibling)
+        val guarded = expr(
+          s"assert_true(first_point IS NOT NULL, 'rollup rows without " +
+            s"first/last points (closed before counter aggregates) — " +
+            s"rebuild rollups or use the raw tier for $fn')")
         if (fn == "last_over_time")
-          keyed(col("l.value"), "l" -> max(col("last_point")))
+          keyed(col("l.value"),
+            "l" -> max(when(guarded.isNull, col("last_point"))))
         else {
           val diff = col("l.value") - col("f.value")
           val v = fn match {
@@ -1230,8 +1257,8 @@ object PromQL {
             case _ => diff // increase and delta share the engine's first/last shape
           }
           keyed(v,
-            "f" -> min(col("first_point")),
-            "l" -> max(col("last_point")))
+            "f" -> min(when(guarded.isNull, col("first_point"))),
+            "l" -> max(when(guarded.isNull, col("last_point"))))
         }
       case other =>
         throw new IllegalArgumentException(
@@ -1322,6 +1349,15 @@ object PromQL {
       val innerEnd = math.floorDiv(g.endUs - off, step) * step
       require(innerEnd >= innerStart,
         s"subquery [${dur}us:${step}us] holds no step-aligned instants in the evaluation window")
+      // evaluation-time inner-grid cap: the parse-time dur/step check
+      // bounds only the PER-WINDOW fan-out — on a RANGE query the
+      // inner grid spans the whole evaluation range plus the window,
+      // so a fine inner step under a wide outer range would still
+      // explode every sample into (lookback/step) rows (found by
+      // review; the same 11k contract as the HTTP outer-grid guard)
+      require((innerEnd - innerStart) / step < 11000,
+        s"subquery inner grid spans more than 11000 instants " +
+          s"([${dur}us:${step}us] against this evaluation range) — widen the step")
       val innerDf = evalExpr(samples, inner,
         Grid(innerStart, innerEnd, step, instant = false), lookbackUs)
         // inner grid instants are unique per label set; a constant

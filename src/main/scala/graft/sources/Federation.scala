@@ -132,8 +132,18 @@ object Federation {
     text.linesIterator.zipWithIndex
       .filterNot { case (l, _) => l.isEmpty || l.startsWith("#") }
       .map {
-        case (ExpositionLine(name, labelStr, valueStr, tsStr), _) =>
+        case (line @ ExpositionLine(name, labelStr, valueStr, tsStr), i) =>
           val labels = Option(labelStr).map { ls =>
+            // the label section must parse IN FULL: a half-parsed
+            // section (unquoted value, stray token) silently dropping
+            // pairs would land the sample under the WRONG canonical
+            // series id — exactly the half-data this parser's loud
+            // contract forbids (found by review)
+            val residue = ExpositionLabel.replaceAllIn(ls, "")
+              .replaceAll("[,\\s]", "")
+            if (residue.nonEmpty)
+              throw new java.io.IOException(
+                s"exposition label parse error at line ${i + 1}: '$line'")
             ExpositionLabel.findAllMatchIn(ls)
               .map(m => m.group(1) -> unescape(m.group(2))).toMap
           }.getOrElse(Map.empty)

@@ -487,9 +487,22 @@ object StreamIngest {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (_: DataFrame, batchId: Long) =>
-        val samples = graft.sources.Federation.scrapeSamples(
-          spark, url, System.currentTimeMillis() * 1000L)
-        store.appendBatch(samples, batchId)
+        // a failed scrape is a DOWN TARGET for one interval, not a
+        // dead scraper: swallow the tick's failure and keep polling
+        // (the Prometheus pull semantics; a propagated exception
+        // would TERMINATE the streaming query permanently — found by
+        // review). Parse failures surface the same way: the target is
+        // broken this tick, log and retry next tick.
+        try {
+          val samples = graft.sources.Federation.scrapeSamples(
+            spark, url, System.currentTimeMillis() * 1000L)
+          store.appendBatch(samples, batchId)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[startScrapeSink] scrape of $url failed for batch $batchId " +
+                s"(target down this interval): ${e.getMessage}")
+        }
         ()
       }
       .start()

@@ -240,7 +240,15 @@ object TextOps {
     * recompute risk either way. Per-transition weighting multiplies
     * the 6dp-rounded logprob by the exact instance count in DECIMAL —
     * identical totals to per-instance summing. Docs with fewer than
-    * two tokens have no transitions and emit no row. */
+    * two tokens have no transitions and emit no row.
+    *
+    * Cache ownership: the persist is deliberately UNPAIRED (the
+    * minhashEstimatedPairs session-cache idiom) — unpersisting before
+    * the caller's action would defeat the diamond, and the cache also
+    * legitimately serves a caller's repeated runs. Long-lived sessions
+    * reclaim it at their natural boundaries (Bench clears per family;
+    * probes clear between shapes precisely because the cache
+    * substitutes into canonically-identical subtrees). */
   def bigramLogprob(docs: DataFrame): DataFrame = {
     val bgc = docs
       .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("bg"))

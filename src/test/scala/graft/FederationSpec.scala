@@ -101,6 +101,31 @@ class FederationSpec extends SparkSpec {
     assert(out(3).value.isNaN)
     intercept[java.io.IOException](
       Federation.parseExposition("not a metric line at all {", 0L).toSeq)
+    // review fix: a HALF-parsing label section (unquoted value) must
+    // fail the scrape, not silently drop the label and file the
+    // sample under the wrong series id
+    intercept[java.io.IOException](
+      Federation.parseExposition("m{user_id=1} 5", 0L).toSeq)
+    intercept[java.io.IOException](
+      Federation.parseExposition("m{user_id=\"1\", junk} 5", 0L).toSeq)
+  }
+
+  test("review fix: a dead scrape target is a down target for one tick, not a dead sink") {
+    val dirB = java.nio.file.Files.createTempDirectory("graft_scrape_dead").toString
+    val b = new ChunkStore(spark, dirB, chunkMs = 86400000L)
+    val ck = java.nio.file.Files.createTempDirectory("graft_scrape_dead_ck").toString
+    // port 1 answers nothing: every scrape fails
+    val q = graft.streaming.StreamIngest.startScrapeSink(spark,
+      "http://127.0.0.1:1/federate", b, ck, intervalMs = 200L)
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      // wait until at least two batches have RUN (and failed)
+      while (System.currentTimeMillis() < deadline && q.lastProgress == null)
+        Thread.sleep(100)
+      Thread.sleep(600)
+      assert(q.isActive, "a transient scrape failure must not kill the pull loop")
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
   }
 
   test("scrape loop: /federate → scrape client → second store; series ids round-trip bit-identically") {

@@ -613,6 +613,19 @@ class PromqlSpec extends SparkSpec {
     assert(PromQL.parse("scalar(3)") == PromQL.ScalarLit(3.0))
     intercept[IllegalArgumentException](
       PromQL.parse("scalar(a) + scalar(b)"))
+    // review fixes: vector(scalar(v)) is the LABEL-LESS one-element
+    // vector (NaN here: two click series), never the inner vector
+    val vs = PromQL.eval(ev, """vector(scalar(click))""", at)
+    assert(vs.columns.toSeq == Seq("value"))
+    val vsRows = vs.as[Double].collect().toSeq
+    assert(vsRows.length == 1 && vsRows.head.isNaN, vsRows)
+    // the subquery INNER grid caps at evaluation time on range
+    // queries too — the parse-time dur/step check alone cannot see
+    // the outer range
+    val e2 = intercept[IllegalArgumentException](
+      PromQL.evalRange(ev, """max_over_time(rate(click[5m])[10s:1ms])""",
+        0L, 2L * hu, hu).collect())
+    assert(e2.getMessage.contains("inner grid"), e2.getMessage)
   }
 
   test("vector-vector binary op with on(...) matching — the ratio shape") {
@@ -753,7 +766,12 @@ class PromqlSpec extends SparkSpec {
         """increase(click[2h])""",
         """delta(click[3h])""",
         """last_over_time(click[2h])""",
-        """sum by (event_type) (rate(click[2h]))""")) {
+        """sum by (event_type) (rate(click[2h]))""",
+        // r9 function families ride the shared evaluator on BOTH tiers
+        """histogram_quantile(0.5, count_values("le", sum_over_time(click[2h])))""",
+        """sum_over_time(click[2h]) / scalar(sum(sum_over_time(click[2h])))""",
+        """sum(sum_over_time({event_type="nothere"}[2h])) or vector(0)""",
+        """day_of_week(vector(time()))""")) {
       val raw = sortedRows(PromQL.evalStoreRange(store, q, 2L * hu, 3L * hu, hu))
       val rolled = sortedRows(PromQL.evalStoreRangeRollup(store, q, 2L * hu, 3L * hu, hu))
       assert(raw == rolled, s"rollup tier diverged from raw for: $q")
@@ -779,6 +797,39 @@ class PromqlSpec extends SparkSpec {
         PromQL.evalStoreRollup(store, bad, 3L * hu).collect())
       assert(e.getMessage.contains("raw tier"), s"$bad: ${e.getMessage}")
     }
+  }
+
+  test("review fix: rollups without first/last points refuse rate LOUDLY, never a silent 0.0") {
+    val rv = Seq(
+      (1L, 0L * h + 300000000000L, 1L, "click", 10.0),
+      (2L, 1L * h + 300000000000L, 1L, "click", 20.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_oldgen_rollup").toString
+    val store = new graft.tsdb.ChunkStore(spark, dir,
+      chunkMs = 86400000L, rollupOnClose = true)
+    store.append(Series.samples(rv))
+    store.closeChunksBelow(10L * 86400000000L)
+    // simulate a PRE-counter-aggregate generation: rewrite the rollup
+    // partition without the first/last struct columns
+    val rollupPath = s"$dir/rollup"
+    val legacy = spark.read.parquet(rollupPath)
+      .drop("first_point", "last_point")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_oldgen_tmp").toString
+    legacy.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(rollupPath), true)
+    // keep the chunk partition layout the reader expects
+    spark.read.parquet(tmp).write.partitionBy("chunk").parquet(rollupPath)
+    val store2 = new graft.tsdb.ChunkStore(spark, dir,
+      chunkMs = 86400000L, rollupOnClose = true)
+    // frame-level guard: columns absent entirely → typed refusal
+    val e = intercept[IllegalArgumentException](
+      PromQL.evalStoreRollup(store2, """rate(click[2h])""", 2L * hu).collect())
+    assert(e.getMessage.contains("first/last"), e.getMessage)
+    // decomposable functions still serve fine from the legacy schema
+    assert(PromQL.evalStoreRollup(store2,
+      """sum_over_time(click[2h])""", 2L * hu).collect().nonEmpty)
   }
 
   test("a parsed dashboard query plans with matcher pushdown (no post-hoc filtering of the full corpus)") {
