@@ -125,6 +125,10 @@ object DebugProbe {
         // (churn), user-grain anchor joins (funnel3), and the corpus ×
         // nLabels broadcast pass (label margins)
         ("winnow", p => graft.text.TextOps.winnow(docs(p)).count()),
+        // r9: sequence packing — per-shard running-offset window; the
+        // shard count is the scale knob, so the 10× run holds it
+        // fixed and the per-shard window grows 10× (the honest risk)
+        ("doc_pack", p => graft.text.TextOps.pack(docs(p)).count()),
         ("corr_matrix", p => graft.tsdb.TsOps.corrMatrix(spark.read.parquet(p)).count()),
         ("churn", p => graft.tsdb.TsOps.churn(spark.read.parquet(p)).count()),
         ("funnel3", p => graft.tsdb.TsOps.funnel3(spark.read.parquet(p)).count()),
@@ -196,6 +200,7 @@ object DebugProbe {
         "dau_wau" -> ("events", () => eventsP),
         "alert_firing" -> ("events", () => eventsP),
         "winnow" -> ("documents", () => docsP),
+        "doc_pack" -> ("documents", () => docsP),
         "corr_matrix" -> ("events", () => eventsP),
         "churn" -> ("events", () => eventsP),
         "funnel3" -> ("events", () => eventsP),
