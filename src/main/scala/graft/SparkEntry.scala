@@ -422,6 +422,24 @@ object SparkEntry {
         .select("series_id", "ts_us", "value")
     }),
 
+    // the ADMIN DELETION verb under the gate: ingest → close → delete
+    // one event type's samples for days 1-3 → federated read-back.
+    // The oracle recomputes the store's post-delete truth from the raw
+    // events, so hash-equality proves the chunk-rewrite surgery
+    // (payload unpack/re-pack, catalog shrink, emptied-partition
+    // removal) loses exactly the matched range and nothing else
+    "ts_delete_series" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_delete").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      store.append(Series.samples(t(s, dir, "events")))
+      store.closeChunksBelow(T1)
+      store.deleteSeries(Seq(MatchEq("event_type", "click")),
+        T0 + 86400000000L, T0 + 3L * 86400000000L)
+      store.queryAll(Nil, T0, T1 - 1)
+        .select("series_id", "ts_us", "value")
+    }),
+
     "ts_rollup_served" -> ((s, dir) => {
       // THE RECORDING-RULE SERVING PATH in the graded gate: same
       // ingest-and-close as ts_query_chunked but with rollupOnClose
@@ -1694,6 +1712,14 @@ object SparkEntry {
       s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
           WHERE event_type = 'view'
             AND epoch_us(ts) BETWEEN 1704067200000000 AND $T2""",
+
+    // the post-delete truth recomputed from raw events: everything in
+    // the closed window EXCEPT the matched type's days 1-3
+    "ts_delete_series" ->
+      s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE epoch_us(ts) BETWEEN $T0 AND $T1 - 1
+            AND NOT (event_type = 'click'
+              AND epoch_us(ts) BETWEEN ${T0 + 86400000000L} AND ${T0 + 3L * 86400000000L})""",
 
     // the raw-path answer the rollup-served query must equal: hourly
     // aggregates recomputed from source rows over the CLOSED range

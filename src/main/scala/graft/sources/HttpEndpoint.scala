@@ -132,6 +132,7 @@ final class HttpEndpoint(
       case "/api/v1/rules" => handleRules(ex)
       case "/api/v1/alerts" => handleAlerts(ex)
       case "/federate" => handleFederate(ex)
+      case "/api/v1/admin/tsdb/delete_series" => handleDeleteSeries(ex, body)
       case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
         handleLabelValues(ex,
           p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
@@ -508,6 +509,40 @@ final class HttpEndpoint(
         s"""{"status":"success","data":{"alerts":[${alerts.mkString(",")}]}}""")
     } catch {
       case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  /** Prometheus's admin deletion API (`POST /api/v1/admin/tsdb/
+    * delete_series?match[]=…[&start=…&end=…]`): drops the matched
+    * series' samples in the range from the closed tier
+    * ([[ChunkStore.deleteSeries]] rewrites the affected chunks).
+    * Missing bounds default to everything up to the data horizon;
+    * success answers 204 like Prometheus. A range touching live
+    * chunks answers 400 with the close-first direction. */
+  private def handleDeleteSeries(ex: HttpExchange, body: Array[Byte]): Unit =
+    try {
+      if (!"POST".equalsIgnoreCase(ex.getRequestMethod)) {
+        ex.sendResponseHeaders(405, -1); return
+      }
+      val params = paramsWithBody(ex, body)
+      val pmap = params.toMap
+      val sels = params.collect { case (k, v) if k == "match[]" || k == "match" => v }
+      if (sels.isEmpty)
+        throw new IllegalArgumentException("delete_series needs at least one match[] selector")
+      val startUs = pmap.get("start").map(s => (s.toDouble * 1e6).toLong).getOrElse(0L)
+      val endUs = pmap.get("end").map(e => (e.toDouble * 1e6).toLong)
+        .orElse(store.dataHorizonUs).getOrElse(0L)
+      sels.foreach { s =>
+        val sel = graft.promql.PromQL.parseSelector(s, startUs, endUs)
+        store.deleteSeries(sel.matchers, startUs, endUs)
+      }
+      ex.sendResponseHeaders(204, -1)
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case e: IllegalStateException =>
+        sendJson(ex, 400,
+          "{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":" +
+            jstr(Option(e.getMessage).getOrElse("")) + "}")
       case _: Exception => ex.sendResponseHeaders(500, -1)
     }
 

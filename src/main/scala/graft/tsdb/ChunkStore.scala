@@ -634,6 +634,86 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
       .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
   }
 
+  /** Prometheus's admin deletion verb (POST /api/v1/admin/tsdb/
+    * delete_series): drop every sample of the matched series inside
+    * [startUs, endUs] from the CLOSED tier, rewriting the affected
+    * chunks' payloads, catalog and rollups from the surviving
+    * samples. Only matched series' payloads decode/re-pack; untouched
+    * series' payloads and rollup rows carry over byte-identical. A
+    * chunk left with no samples loses its partition directories
+    * entirely (dynamic overwrite cannot erase a partition that
+    * produces no rows). Closed-tier only: a range touching
+    * not-yet-closed chunks refuses with a typed error directing
+    * closeChunksBelow — the head-block analog of Prometheus, where
+    * live deletions are tombstones that only compaction
+    * materializes. Idempotent (re-running the same delete rewrites
+    * the same survivors); NOT crash-atomic across the three
+    * directories — an interrupted delete re-runs to heal, exactly
+    * like Prometheus's delete_series + clean_tombstones pair. */
+  def deleteSeries(ms: Seq[Matcher], startUs: Long, endUs: Long): Unit = {
+    require(ms.nonEmpty,
+      "delete_series needs at least one matcher — refusing to delete the whole store implicitly")
+    val lo = startUs / chunkUs
+    val hi = endUs / chunkUs
+    val closedIds = closedChunkIds()
+    val affected = closedIds.filter(c => c >= lo && c <= hi)
+    val liveOnly = liveChunkIdsListed().filter(c => c >= lo && c <= hi).diff(closedIds)
+    if (liveOnly.nonEmpty)
+      throw new IllegalStateException(
+        s"delete_series range touches live (not yet closed) chunks " +
+          s"${liveOnly.toSeq.sorted.mkString(",")} — close them first " +
+          "(closeChunksBelow); live deletion is the head-block case Prometheus tombstones")
+    if (affected.isEmpty) return
+    val inAffected = (df: DataFrame) => df.filter(col("chunk").isInCollection(affected))
+    val cat = inAffected(readChunked(catalogPath))
+    val doomed = cat.filter(Matcher.all(ms)).select("chunk", "series_id")
+    val payloads = inAffected(readChunked(closedPath))
+    val untouched = payloads.join(doomed, Seq("chunk", "series_id"), "left_anti")
+      .select("series_id", "chunk", "payload")
+    // matched series: decode, drop the range, re-pack the survivors
+    // (chunk re-derives from ts — samples never cross their chunk)
+    val surviving = Gorilla.unpack(
+        payloads.join(doomed, Seq("chunk", "series_id"), "left_semi"))
+      .filter(!(col("ts_us") >= startUs && col("ts_us") <= endUs))
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val newPayloads = untouched
+      .unionByName(Gorilla.packWithChunk(surviving)
+        .select("series_id", "chunk", "payload"))
+      .persist()
+    try {
+      // catalog = surviving series per chunk, labels from the old rows
+      newPayloads.select("chunk", "series_id").distinct()
+        .join(cat, Seq("chunk", "series_id"))
+        .select("chunk", "series_id", "event_type", "user_id")
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk").parquet(catalogPath)
+      if (rollupOnClose && exists(rollupPath)) {
+        // untouched series keep their original rollup rows; matched
+        // series recompute from the survivors (event_id surrogate —
+        // sample timestamps are unique per series, so first/last
+        // struct order never consults it)
+        val oldRollups = inAffected(readChunked(rollupPath))
+        val kept = oldRollups.join(doomed, Seq("chunk", "series_id"), "left_anti")
+        val recomputed = rollup1h(surviving.withColumn("event_id", lit(0L)))
+        kept.unionByName(recomputed, allowMissingColumns = true)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("chunk").parquet(rollupPath)
+      }
+      newPayloads
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk").parquet(closedPath)
+      // chunks with zero survivors: dynamic overwrite wrote nothing
+      // there — remove their partition directories outright
+      val survivorChunks = newPayloads.select("chunk").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = hfs
+      for (c <- affected.diff(survivorChunks);
+           d <- Seq(closedPath, catalogPath, rollupPath))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$d/chunk=$c"), true)
+    } finally newPayloads.unpersist(blocking = false)
+    closedIdsCache = None
+  }
+
   /** Federated query: closed chunks (compressed) ∪ live chunks not
     * yet closed — the reference's merge across current + secondary
     * chunks. */

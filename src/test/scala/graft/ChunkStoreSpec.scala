@@ -258,4 +258,48 @@ class ChunkStoreSpec extends SparkSpec {
     store.compactLive()
     assert(store.live().count() == rowsBefore.size)
   }
+
+  test("deleteSeries: range-scoped closed-tier deletion rewrites payloads/catalog/rollups; empty chunks vanish; live refuses") {
+    val h = 3600000000000L // ns
+    val t0 = 1704067200000000L
+    val t0n = t0 * 1000L
+    val ev = Seq(
+      // click/u1 in chunks (days) 0, 1, 2; purchase/u1 in day 1
+      (1L, t0n + 1L * h, 1L, "click", 10.0),
+      (2L, t0n + 25L * h, 1L, "click", 20.0),
+      (3L, t0n + 49L * h, 1L, "click", 40.0),
+      (4L, t0n + 26L * h, 1L, "purchase", 100.0),
+      // a series that exists ONLY in day 1 and only as click/u2
+      (5L, t0n + 27L * h, 2L, "click", 5.0),
+      // day 5 stays LIVE (not closed)
+      (6L, t0n + 121L * h, 1L, "click", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_delete").toString
+    val store = new ChunkStore(spark, dir, chunkMs = 86400000L, rollupOnClose = true)
+    store.append(Series.samples(ev))
+    store.closeChunksBelow(t0 + 96L * 3600000000L) // close days 0..3
+    val dayUs = 86400000000L
+    // a range touching the live day-5 chunk refuses with direction
+    val live = intercept[IllegalStateException](
+      store.deleteSeries(Seq(MatchEq("event_type", "click")), t0, t0 + 200L * 3600000000L))
+    assert(live.getMessage.contains("close"), live.getMessage)
+    // delete clicks in day 1 only
+    store.deleteSeries(Seq(MatchEq("event_type", "click")), t0 + dayUs, t0 + 2 * dayUs - 1)
+    val left = store.queryAll(Nil, t0, t0 + 4 * dayUs)
+      .select("ts_us", "value").as[(Long, Double)].collect().toSet
+    // day-1 clicks (20.0, 5.0) gone; day-0/2 clicks + day-1 purchase stay
+    assert(left == Set((t0 + 1L * 3600000000L, 10.0),
+      (t0 + 49L * 3600000000L, 40.0), (t0 + 26L * 3600000000L, 100.0)), left)
+    // catalog: click/u2 existed only in day 1 — its catalog rows are gone
+    assert(store.catalog().filter(col("user_id") === 2L).count() == 0)
+    // rollups stay consistent: the guard sees no missing chunks and
+    // the decode-free tier serves the post-delete truth
+    val roll = store.queryRollup(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs)
+    assert(roll.agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 50.0)
+    // idempotent: re-running the same delete changes nothing
+    store.deleteSeries(Seq(MatchEq("event_type", "click")), t0 + dayUs, t0 + 2 * dayUs - 1)
+    assert(store.queryAll(Nil, t0, t0 + 4 * dayUs).count() == 3)
+    // matcher-less deletion refuses
+    intercept[IllegalArgumentException](store.deleteSeries(Nil, t0, t0 + dayUs))
+  }
 }

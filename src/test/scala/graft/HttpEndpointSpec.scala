@@ -257,6 +257,48 @@ class HttpEndpointSpec extends SparkSpec {
     } finally endpoint.stop()
   }
 
+  test("admin delete_series over HTTP: 204 + post-delete reads reflect it; live range answers 400") {
+    val storeDir = Files.createTempDirectory("graft_http_del").toString
+    val store = new ChunkStore(spark, storeDir, chunkMs = 3600000L)
+    val endpoint = new HttpEndpoint(spark, store)
+    val port = endpoint.start()
+    try {
+      val in: Seq[RemoteWrite.Series] = Seq(
+        (Map("event_type" -> "click", "user_id" -> "1"),
+          Seq((t0, 10.0), (t0 + 3600000L, 20.0))),
+        (Map("event_type" -> "purchase", "user_id" -> "1"),
+          Seq((t0, 100.0))))
+      assert(post(port, "/api/v1/write", RemoteWrite.encode(in))._1 == 200)
+      def postForm(path: String, form: String): Int = {
+        val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+        conn.getOutputStream.write(form.getBytes("UTF-8"))
+        conn.getOutputStream.close()
+        val c = conn.getResponseCode
+        conn.disconnect()
+        c
+      }
+      // live chunks → 400 with the close-first direction
+      assert(postForm("/api/v1/admin/tsdb/delete_series",
+        s"match%5B%5D=click&start=${t0 / 1000.0}&end=${(t0 + 7200000L) / 1000.0}") == 400)
+      store.closeChunksBelow((t0 + 7200000L) * 1000L)
+      // GET is not a deletion verb
+      val getConn = URI.create(
+        s"http://127.0.0.1:$port/api/v1/admin/tsdb/delete_series?match%5B%5D=click").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(getConn.getResponseCode == 405); getConn.disconnect()
+      // the real deletion: clicks in the first hour only
+      assert(postForm("/api/v1/admin/tsdb/delete_series",
+        s"match%5B%5D=click&start=${t0 / 1000.0}&end=${(t0 + 3599999L) / 1000.0}") == 204)
+      val left = store.queryAll(Nil, t0 * 1000L, (t0 + 7200000L) * 1000L)
+        .select("value").collect().map(_.getDouble(0)).toSet
+      assert(left == Set(20.0, 100.0), left)
+    } finally endpoint.stop()
+  }
+
   test("concurrent writes serialize onto one store without loss") {
     val storeDir = Files.createTempDirectory("graft_http_conc").toString
     val store = new ChunkStore(spark, storeDir)
