@@ -1365,6 +1365,11 @@ object SparkEntry {
 
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docsT(s, dir))),
 
+    // the filter-tuning curve: docs/tokens surviving the
+    // stopword-ratio cut at each 0.05 step — the sweep a pipeline
+    // runs BEFORE committing to doc_quality_gate's threshold
+    "doc_quality_sweep" -> ((s, dir) => TextOps.qualitySweep(docsT(s, dir))),
+
     // GPT-style sequence packing: concatenate per shard in doc_id
     // order, cut every 2048 tokens — each doc's token-offset span and
     // the training bins it straddles (the training-prep step between
@@ -3016,6 +3021,22 @@ object SparkEntry {
                   / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS stop_ratio,
                 CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) * 1.0 / length(text) AS upper_ratio
          FROM documents""",
+
+    // identical bucket arithmetic (floor of the double ratio over
+    // 0.05, clamped at 10) and the same reverse-cumulative window
+    "doc_quality_sweep" ->
+      """WITH q AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b')) AS BIGINT) AS n_stop
+             FROM documents),
+          b AS (SELECT least(CAST(floor((CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) / 0.05) AS BIGINT), 10) AS bucket,
+               n_tokens FROM q),
+          p AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_toks FROM b GROUP BY 1)
+          SELECT bucket,
+               CAST(sum(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT) AS docs_surviving,
+               CAST(sum(n_toks) OVER (ORDER BY bucket DESC) AS BIGINT) AS tokens_surviving
+          FROM p""",
 
     // same window arithmetic: per-shard (doc_id mod 16) running token
     // offsets in doc_id order, integer-divided into 2048-token bins

@@ -431,6 +431,31 @@ object TextOps {
         expr("sel div 1048576").as("gram_hash"))
   }
 
+  /** Filter-tuning curve — the question every corpus pipeline answers
+    * before committing to a threshold: how many documents (and
+    * tokens) survive the stopword-ratio filter at each cut? Docs
+    * bucket by ratio twentieths (clamped at 10 = ratio ≥ 0.5), one
+    * aggregation to per-bucket counts, then a REVERSE cumulative sum
+    * over the ≤11 bucket rows — the single-partition window is
+    * bounded by construction (11 rows whatever the corpus size), so
+    * the curve costs one corpus pass + a driver-trivial fold. Output:
+    * (bucket, docs_surviving, tokens_surviving) where bucket b means
+    * "threshold 0.05·b"; empty buckets don't emit (the curve is a
+    * step function — absent steps repeat the next row's value). */
+  def qualitySweep(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quality(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        least(floor(col("stop_ratio") / 0.05), lit(10L)).cast("long").as("bucket"))
+    val per = q.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select(col("bucket"),
+      sum(col("n_docs")).over(w).as("docs_surviving"),
+      sum(col("n_toks")).over(w).as("tokens_surviving"))
+  }
+
   /** GPT-style sequence packing — the training-prep step that turns a
     * document corpus into fixed-length training sequences: documents
     * CONCATENATE in a deterministic order and the token stream cuts

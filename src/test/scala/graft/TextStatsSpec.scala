@@ -341,6 +341,18 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(out._2 - 1.0) < 1e-4, s"alpha = ${out._2}")
   }
 
+  test("qualitySweep: reverse-cumulative survival per stopword-ratio bucket") {
+    val docs = Seq(
+      (1L, "the cat"),                                          // ratio 0.5  → bucket 10
+      (2L, "cat dog"),                                          // ratio 0    → bucket 0
+      (3L, "the the cat dog cat dog cat dog cat dog"))          // ratio 0.2  → bucket 4
+      .toDF("doc_id", "text")
+    val out = TextOps.qualitySweep(docs)
+      .select("bucket", "docs_surviving", "tokens_surviving")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 3L, 14L), (4L, 2L, 12L), (10L, 1L, 2L)), out)
+  }
+
   test("pack: per-shard running offsets, boundary straddle, zero-token drop") {
     // one shard (mod 1): docs of 3, 4, 5 tokens under budget 6 —
     // doc 3 (5 tokens at offset 7) straddles the 6|12 boundary
