@@ -3044,11 +3044,11 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, doc_id % 16 AS shard,
                  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
               FROM documents),
-          p AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_off
+          p AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS end_off
               FROM t WHERE n_tokens > 0)
-          SELECT doc_id, shard, n_tokens, end_off - n_tokens AS start_off,
-                 (end_off - n_tokens) // 2048 AS bin_first,
-                 (end_off - 1) // 2048 AS bin_last
+          SELECT doc_id, shard, n_tokens, CAST(end_off - n_tokens AS BIGINT) AS start_off,
+                 CAST((end_off - n_tokens) // 2048 AS BIGINT) AS bin_first,
+                 CAST((end_off - 1) // 2048 AS BIGINT) AS bin_last
           FROM p""",
 
     "token_count" ->
