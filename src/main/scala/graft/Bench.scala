@@ -92,14 +92,43 @@ object Bench {
     // quiet-box per-query reference (committed): flat {"name":sec,…};
     // it only adjudicates runs at ITS scale factor — comparing a
     // different SF's timings against it would flag scale, not load
+    // resolution order: explicit env override, cwd, then the directory
+    // holding this class's jar/classes — the cwd-only lookup silently
+    // no-op'd suspect adjudication when the bench ran from another cwd
     val refs: Map[String, Double] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_reference.json")), "UTF-8")
+        val fromCodeSource: Option[java.nio.file.Path] =
+          try {
+            // target/scala-2.13/classes (or the jar) sits under the repo
+            // root — walk ancestors looking for the committed reference
+            var p = java.nio.file.Paths.get(
+              Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+            var found: Option[java.nio.file.Path] = None
+            while (p != null && found.isEmpty) {
+              val cand = p.resolve("bench_reference.json")
+              if (java.nio.file.Files.exists(cand)) found = Some(cand)
+              p = p.getParent
+            }
+            found
+          } catch { case _: Throwable => None }
+        val candidates = Seq(
+          sys.env.get("SPARK_GRAFT_BENCH_REF").map(java.nio.file.Paths.get(_)),
+          Some(java.nio.file.Paths.get("bench_reference.json")),
+          fromCodeSource
+        ).flatten
+        val path = candidates.find(java.nio.file.Files.exists(_)).getOrElse(
+          java.nio.file.Paths.get("bench_reference.json"))
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val refSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
         if (refSf.exists(s => !sfDir.endsWith(s))) Map.empty
-        else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else {
+          // only pairs INSIDE the "queries" object — the top-level
+          // keys (comment/sf) and any future siblings must not register
+          val inQueries = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(inQueries)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     val suspects = results.collect {
       case (name, v) if v >= 0 &&

@@ -647,9 +647,12 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * closeChunksBelow — the head-block analog of Prometheus, where
     * live deletions are tombstones that only compaction
     * materializes. Idempotent (re-running the same delete rewrites
-    * the same survivors); NOT crash-atomic across the three
-    * directories — an interrupted delete re-runs to heal, exactly
-    * like Prometheus's delete_series + clean_tombstones pair. */
+    * the same survivors). Staged: survivors are fully written to a
+    * staging area (breaking lineage from the directories being
+    * replaced) before any partition swap, so a crash leaves each
+    * partition wholly old or wholly new, never half-overwritten; an
+    * interrupted delete re-runs to heal, exactly like Prometheus's
+    * delete_series + clean_tombstones pair. */
   def deleteSeries(ms: Seq[Matcher], startUs: Long, endUs: Long): Unit = {
     require(ms.nonEmpty,
       "delete_series needs at least one matcher — refusing to delete the whole store implicitly")
@@ -679,38 +682,72 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     val newPayloads = untouched
       .unionByName(Gorilla.packWithChunk(surviving)
         .select("series_id", "chunk", "payload"))
-      .persist()
-    try {
-      // catalog = surviving series per chunk, labels from the old rows
-      newPayloads.select("chunk", "series_id").distinct()
-        .join(cat, Seq("chunk", "series_id"))
-        .select("chunk", "series_id", "event_type", "user_id")
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("chunk").parquet(catalogPath)
-      if (rollupOnClose && exists(rollupPath)) {
-        // untouched series keep their original rollup rows; matched
-        // series recompute from the survivors (event_id surrogate —
-        // sample timestamps are unique per series, so first/last
-        // struct order never consults it)
-        val oldRollups = inAffected(readChunked(rollupPath))
-        val kept = oldRollups.join(doomed, Seq("chunk", "series_id"), "left_anti")
-        val recomputed = rollup1h(surviving.withColumn("event_id", lit(0L)))
-        kept.unionByName(recomputed, allowMissingColumns = true)
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("chunk").parquet(rollupPath)
-      }
-      newPayloads
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("chunk").parquet(closedPath)
-      // chunks with zero survivors: dynamic overwrite wrote nothing
-      // there — remove their partition directories outright
-      val survivorChunks = newPayloads.select("chunk").distinct()
-        .collect().map(_.getLong(0)).toSet
-      val fs = hfs
-      for (c <- affected.diff(survivorChunks);
-           d <- Seq(closedPath, catalogPath, rollupPath))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$d/chunk=$c"), true)
-    } finally newPayloads.unpersist(blocking = false)
+    // STAGE: every rewritten frame lands in a staging area first, with
+    // all reads of the live directories completing before any of them
+    // is touched. The previous persist-then-dynamic-overwrite shape
+    // read and overwrote the SAME paths with only an in-memory cache
+    // between them — cache eviction (or executor loss) mid-write would
+    // recompute survivors from a half-overwritten source. Staging makes
+    // the overwrite a pure directory swap of already-durable data: a
+    // crash before any swap leaves the store untouched (stale staging
+    // is discarded on the next attempt), a crash mid-swap leaves whole
+    // partitions either old or new — and re-running the same delete
+    // heals either state (old partitions re-delete, new ones have
+    // nothing left to match).
+    val staging = s"$path/_delete_staging"
+    val stagedClosed = s"$staging/closed"
+    val stagedCatalog = s"$staging/closed_catalog"
+    val stagedRollup = s"$staging/rollup"
+    val fs = hfs
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    newPayloads.write.partitionBy("chunk").parquet(stagedClosed)
+    // survivors re-read FROM STAGING — downstream derivations depend
+    // on durable bytes, not on lineage over the directories the swap
+    // is about to replace
+    val stagedPayloads = readChunked(stagedClosed)
+    // catalog = surviving series per chunk, labels from the old rows
+    stagedPayloads.select("chunk", "series_id").distinct()
+      .join(cat, Seq("chunk", "series_id"))
+      .select("chunk", "series_id", "event_type", "user_id")
+      .write.partitionBy("chunk").parquet(stagedCatalog)
+    val withRollups = rollupOnClose && exists(rollupPath)
+    if (withRollups) {
+      // affected chunks' rollups rebuild WHOLESALE from the staged
+      // survivors rather than keep-untouched ∪ recompute-matched: the
+      // split depends on re-deriving `doomed` from the catalog, which
+      // a crash between the catalog swap and the rollup swap has
+      // already emptied — a re-run would then carry stale rollup rows
+      // for deleted samples. A full rebuild is a pure function of the
+      // staged payloads, so every crash state heals. Cost: decoding
+      // untouched series' payloads too, but only within the affected
+      // chunk range (deletes are a rare, range-scoped admin verb).
+      // event_id surrogate — sample timestamps are unique per series,
+      // so first/last struct order never consults it.
+      rollup1h(
+        Gorilla.unpack(stagedPayloads)
+          .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+          .withColumn("event_id", lit(0L)))
+        .write.partitionBy("chunk").parquet(stagedRollup)
+    }
+    // SWAP: per affected chunk, drop the old partition directory and
+    // move the staged one into place (absent staged dir = zero
+    // survivors in that chunk). Directory rename is the same
+    // near-atomic unit MinhashStore.compact relies on. Order is
+    // load-bearing: payloads swap BEFORE the catalog, so a crash
+    // between them leaves the catalog still naming the doomed series
+    // and a re-run can re-match (nothing survives to delete) — the
+    // reverse order would orphan payload rows the catalog no longer
+    // knows, and a re-run could not identify them.
+    val swapPairs =
+      Seq(stagedClosed -> closedPath, stagedCatalog -> catalogPath) ++
+        (if (withRollups) Seq(stagedRollup -> rollupPath) else Nil)
+    for (c <- affected; (src, dst) <- swapPairs) {
+      val oldDir = new org.apache.hadoop.fs.Path(s"$dst/chunk=$c")
+      val newDir = new org.apache.hadoop.fs.Path(s"$src/chunk=$c")
+      fs.delete(oldDir, true)
+      if (fs.exists(newDir)) fs.rename(newDir, oldDir)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     closedIdsCache = None
   }
 

@@ -302,4 +302,75 @@ class ChunkStoreSpec extends SparkSpec {
     // matcher-less deletion refuses
     intercept[IllegalArgumentException](store.deleteSeries(Nil, t0, t0 + dayUs))
   }
+
+  test("deleteSeries staged swap: stale staging discarded; every interrupted-swap state re-runs to a correct store") {
+    val h = 3600000000000L // ns
+    val t0 = 1704067200000000L
+    val t0n = t0 * 1000L
+    val dayUs = 86400000000L
+    def freshStore(): (String, ChunkStore) = {
+      val ev = Seq(
+        (1L, t0n + 1L * h, 1L, "click", 10.0),
+        (2L, t0n + 25L * h, 1L, "click", 20.0),
+        (3L, t0n + 49L * h, 1L, "click", 40.0),
+        (4L, t0n + 26L * h, 1L, "purchase", 100.0),
+        (5L, t0n + 27L * h, 2L, "click", 5.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val dir = Files.createTempDirectory("graft_delete_swap").toString
+      val store = new ChunkStore(spark, dir, chunkMs = 86400000L, rollupOnClose = true)
+      store.append(Series.samples(ev))
+      store.closeChunksBelow(t0 + 96L * 3600000000L)
+      (dir, store)
+    }
+    def doDelete(s: ChunkStore): Unit =
+      s.deleteSeries(Seq(MatchEq("event_type", "click")), t0 + dayUs, t0 + 2 * dayUs - 1)
+    def assertHealthy(dir: String, s: ChunkStore): Unit = {
+      val left = s.queryAll(Nil, t0, t0 + 4 * dayUs)
+        .select("ts_us", "value").as[(Long, Double)].collect().toSet
+      assert(left == Set((t0 + 1L * 3600000000L, 10.0),
+        (t0 + 49L * 3600000000L, 40.0), (t0 + 26L * 3600000000L, 100.0)), left)
+      assert(s.catalog().filter(col("user_id") === 2L).count() == 0)
+      val roll = s.queryRollup(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs)
+      assert(roll.agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 50.0)
+      assert(!new java.io.File(dir, "_delete_staging").exists(),
+        "staging area must be cleaned up after a completed delete")
+    }
+
+    // 1) a crashed predecessor's stale staging area (garbage content)
+    //    is discarded, not merged, by the next attempt
+    val (dirA, storeA) = freshStore()
+    val stale = new java.io.File(dirA, "_delete_staging/closed/chunk=999")
+    stale.mkdirs()
+    Files.write(stale.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    doDelete(storeA)
+    assertHealthy(dirA, storeA)
+
+    // 2) crash-state matrix: stage completed, swap interrupted after
+    //    each tier of the day-1 chunk (payloads → catalog → rollup, the
+    //    code's swap order). Build each state by snapshotting the
+    //    pre-delete partition dirs, running the real delete, then
+    //    restoring the not-yet-swapped tiers — re-running the SAME
+    //    delete must heal every state.
+    for (restoredTiers <- Seq(
+        Seq("closed", "closed_catalog", "rollup"), // crashed before any swap of this chunk
+        Seq("closed_catalog", "rollup"),           // payloads swapped, rest old
+        Seq("rollup"))) {                          // payloads+catalog swapped, rollup old
+      val (dir, store) = freshStore()
+      val c1 = (t0 + dayUs) / dayUs // the day-1 chunk's absolute id
+      val snap = Files.createTempDirectory("graft_delete_snap").toString
+      for (t <- Seq("closed", "closed_catalog", "rollup")) {
+        val src = new java.io.File(s"$dir/$t/chunk=$c1")
+        assert(src.exists(), s"expected pre-delete $t/chunk=$c1")
+        org.apache.commons.io.FileUtils.copyDirectory(src, new java.io.File(s"$snap/$t"))
+      }
+      doDelete(store)
+      for (t <- restoredTiers) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$t/chunk=$c1"))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"$snap/$t"), new java.io.File(s"$dir/$t/chunk=$c1"))
+      }
+      doDelete(store) // the heal re-run
+      assertHealthy(dir, store)
+    }
+  }
 }
