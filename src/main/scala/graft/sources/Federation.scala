@@ -103,27 +103,57 @@ object Federation {
 
   private val ExpositionLine =
     """^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+))?\s*$""".r
-  private val ExpositionLabel =
-    """([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"""".r
+  /** Linear scanner for a `name="value",...` label section. The
+    * previous regex (`(?:\\.|[^"\\])*`) recursed one Java-regex stack
+    * frame PER VALUE CHARACTER — a ~1 MB label value from a hostile
+    * scrape target blew the task stack with StackOverflowError (found
+    * by FedFuzzSpec). One pass, heap bounded by the input, and the
+    * loud parse-in-full contract holds: ANY residue refuses the line —
+    * a half-parsed section silently dropping pairs would land the
+    * sample under the WRONG canonical series id. */
+  private def parseLabelSection(ls: String, lineNo: Int, line: String): Map[String, String] = {
+    def fail(): Nothing = throw new java.io.IOException(
+      s"exposition label parse error at line $lineNo: '${line.take(200)}'")
+    def isNameStart(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+    def isNameChar(c: Char) = isNameStart(c) || (c >= '0' && c <= '9')
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val n = ls.length
+    while (i < n) {
+      while (i < n && (ls(i) == ',' || ls(i) == ' ' || ls(i) == '\t')) i += 1
+      if (i < n) {
+        val s0 = i
+        if (!isNameStart(ls(i))) fail()
+        i += 1
+        while (i < n && isNameChar(ls(i))) i += 1
+        val name = ls.substring(s0, i)
+        if (i >= n || ls(i) != '=') fail()
+        i += 1
+        if (i >= n || ls(i) != '"') fail()
+        i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          ls(i) match {
+            case '\\' =>
+              if (i + 1 >= n) fail() // lone trailing backslash
+              sb += (ls(i + 1) match { case 'n' => '\n'; case c => c })
+              i += 2
+            case '"' => closed = true; i += 1
+            case c => sb += c; i += 1
+          }
+        }
+        if (!closed) fail() // unterminated quote
+        out += name -> sb.toString
+      }
+    }
+    out.result()
+  }
 
   /** Parse one exposition page. Package-private for direct spec
     * coverage of the escapes and special values. */
   private[graft] def parseExposition(text: String,
                                        defaultTsUs: Long): Iterator[FedSample] = {
-    def unescape(s: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        if (s(i) == '\\' && i + 1 < s.length) {
-          s(i + 1) match {
-            case 'n' => sb += '\n'
-            case c => sb += c
-          }
-          i += 2
-        } else { sb += s(i); i += 1 }
-      }
-      sb.toString
-    }
     def num(s: String): Double = s match {
       case "+Inf" | "Inf" => Double.PositiveInfinity
       case "-Inf" => Double.NegativeInfinity
@@ -133,20 +163,9 @@ object Federation {
       .filterNot { case (l, _) => l.isEmpty || l.startsWith("#") }
       .map {
         case (line @ ExpositionLine(name, labelStr, valueStr, tsStr), i) =>
-          val labels = Option(labelStr).map { ls =>
-            // the label section must parse IN FULL: a half-parsed
-            // section (unquoted value, stray token) silently dropping
-            // pairs would land the sample under the WRONG canonical
-            // series id — exactly the half-data this parser's loud
-            // contract forbids (found by review)
-            val residue = ExpositionLabel.replaceAllIn(ls, "")
-              .replaceAll("[,\\s]", "")
-            if (residue.nonEmpty)
-              throw new java.io.IOException(
-                s"exposition label parse error at line ${i + 1}: '$line'")
-            ExpositionLabel.findAllMatchIn(ls)
-              .map(m => m.group(1) -> unescape(m.group(2))).toMap
-          }.getOrElse(Map.empty)
+          val labels = Option(labelStr)
+            .map(ls => parseLabelSection(ls, i + 1, line))
+            .getOrElse(Map.empty[String, String])
           val ts = Option(tsStr).map(_.toLong * 1000).getOrElse(defaultTsUs)
           FedSample(labels + ("event_type" -> name), ts, num(valueStr))
         case (line, i) =>
