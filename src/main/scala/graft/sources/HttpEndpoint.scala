@@ -66,7 +66,13 @@ final class HttpEndpoint(
     queryPath: String = "/api/v1/query",
     queryRangePath: String = "/api/v1/query_range",
     workerNum: Int = 4,
-    spool: Option[String] = None) {
+    spool: Option[String] = None,
+    // /federate materializes every matched series' current sample on
+    // the driver to serialize the text page (the wire boundary, same
+    // semantics as Prometheus federation) — this cap makes a match[]
+    // that matches EVERYTHING at 100× cardinality degrade loudly
+    // (422) instead of collecting an unbounded vector
+    federateSeriesCap: Int = 100000) {
 
   private val writeLock = new Object
   private val spoolSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -471,9 +477,14 @@ final class HttpEndpoint(
     }
   }
 
+  // data-driven "now" = the newest SAMPLE's timestamp, not the newest
+  // chunk's exclusive ceiling: on coarse chunks (daily) the ceiling
+  // sits up to a day above the last sample, so instant-vector
+  // endpoints with the 5m default lookback would answer empty unless
+  // callers pass ?time=/?lookback= (the r9 fed_scrape workaround)
   private def evalInstantUs(params: Map[String, String]): Long =
     params.get("time").map(t => (t.toDouble * 1e6).toLong)
-      .orElse(store.dataHorizonUs)
+      .orElse(store.newestSampleTsUs)
       .getOrElse(throw new IllegalArgumentException(
         "store holds no data and no ?time= given — nothing to evaluate rules at"))
 
@@ -580,7 +591,19 @@ final class HttpEndpoint(
           .select(col("event_type"), col("user_id"),
             col("l.ts_us").as("ts_us"), col("l.value").as("value"))
       }
-      val rows = frames.reduce(_ unionByName _).distinct().collect()
+      // cap + 1 bounds the driver materialization even when the check
+      // fails — the overflow row proves the cap was crossed without
+      // collecting the whole vector
+      val capped = frames.reduce(_ unionByName _).distinct()
+        .limit(federateSeriesCap + 1).collect()
+      if (capped.length > federateSeriesCap) {
+        sendJson(ex, 422,
+          "{\"status\":\"error\",\"errorType\":\"too_many_series\",\"error\":" +
+            jstr(s"federate match[] selects more than $federateSeriesCap series — " +
+              "narrow the selector or raise federateSeriesCap") + "}")
+        return
+      }
+      val rows = capped
         .sortBy(r => (r.getAs[String]("event_type"), r.getAs[Any]("user_id").toString))
       def esc(s: String): String =
         s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")

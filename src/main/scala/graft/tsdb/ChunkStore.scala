@@ -137,6 +137,28 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     if (ids.isEmpty) None else Some((ids.max + 1) * chunkUs)
   }
 
+  /** Timestamp of the newest SAMPLE (live or closed) — one bounded
+    * Spark job over the newest chunk only. The serving default
+    * [[dataHorizonUs]] is chunk-grain: on coarse chunks (e.g. daily)
+    * the newest sample can sit hours below the chunk ceiling, so an
+    * instant-vector default of horizon + 5m lookback federates an
+    * empty page. Endpoints that need "the data's now" use this
+    * instead; cost is one chunk's scan (decode only if that chunk is
+    * closed), acceptable at request rate. */
+  def newestSampleTsUs: Option[Long] = {
+    val closedIds = closedChunkIds()
+    val liveIds = liveChunkIdsListed()
+    val ids = closedIds ++ liveIds
+    if (ids.isEmpty) return None
+    val c = ids.max
+    val rows =
+      if (liveIds.contains(c) && !closedIds.contains(c))
+        live().filter(col("chunk") === c)
+      else readClosed(c)
+    val m = rows.agg(max(col("ts_us"))).collect()(0)
+    if (m.isNullAt(0)) dataHorizonUs else Some(m.getLong(0))
+  }
+
   /** Live chunk ids from the partition DIRECTORY NAMES (both
     * layouts) — a metadata listing, never a Spark job. */
   private def liveChunkIdsListed(): Set[Long] = {

@@ -198,6 +198,50 @@ class HttpEndpointSpec extends SparkSpec {
     } finally endpoint.stop()
   }
 
+  test("federate: default instant is the newest SAMPLE, not the chunk ceiling; series cap answers 422") {
+    val storeDir = Files.createTempDirectory("graft_http_fedcap").toString
+    // DAILY chunks: the newest sample sits 23h below the chunk's
+    // exclusive ceiling, so the old dataHorizonUs default + 5m
+    // lookback federated an empty page unless callers passed
+    // ?time=/?lookback= (the r9 fed_scrape workaround)
+    val store = new ChunkStore(spark, storeDir, chunkMs = 86400000L)
+    val endpoint = new HttpEndpoint(spark, store, federateSeriesCap = 2)
+    val port = endpoint.start()
+    try {
+      val in: Seq[RemoteWrite.Series] = Seq(
+        (Map("event_type" -> "click", "user_id" -> "1"),
+          Seq((t0, 1.0), (t0 + 3600000L, 2.0))),
+        (Map("event_type" -> "click", "user_id" -> "2"),
+          Seq((t0 + 3600000L, 3.0))),
+        (Map("event_type" -> "purchase", "user_id" -> "1"),
+          Seq((t0 + 3500000L, 4.0))))
+      assert(post(port, "/api/v1/write", RemoteWrite.encode(in))._1 == 200)
+      def get(path: String): (Int, String) = {
+        val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (stream == null) "" else
+          try new String(stream.readAllBytes(), "UTF-8") finally stream.close()
+        conn.disconnect()
+        (code, body)
+      }
+      // NO ?time=, NO ?lookback=: the instant defaults to the newest
+      // sample (t0+1h), so the default 5m lookback still sees both
+      // click series (at t0+1h) and the purchase 100s earlier
+      val (code, body) = get("/federate?match[]=click")
+      assert(code == 200, body)
+      assert(body.contains(s"""click{user_id="1"} 2.0 ${t0 + 3600000L}"""), body)
+      assert(body.contains(s"""click{user_id="2"} 3.0 ${t0 + 3600000L}"""), body)
+      // cap: the match-everything selector selects 3 series > cap 2 →
+      // typed 422, bounded driver materialization
+      val (cc, cbody) = get(s"/federate?match[]=${java.net.URLEncoder.encode("{}", "UTF-8")}")
+      assert(cc == 422 && cbody.contains("too_many_series"), s"$cc $cbody")
+      // under the cap the same store still serves
+      assert(get("/federate?match[]=click")._1 == 200)
+    } finally endpoint.stop()
+  }
+
   test("rules/alerts API: registered rule evaluates against the store; firing alert surfaces in Prometheus shape") {
     val storeDir = Files.createTempDirectory("graft_http_rules").toString
     val store = new ChunkStore(spark, storeDir)
