@@ -170,8 +170,10 @@ object PromQL {
   // label_join lead with the vector
   private val LabelFns = Set("label_replace", "label_join", "count_values")
   // histogram_quantile(φ, v) leads with the scalar; the vector must
-  // carry an `le` bucket label at evaluation time
-  private val HistFns = Set("histogram_quantile")
+  // carry an `le` bucket label at evaluation time. The `_cum` variant
+  // takes CUMULATIVE buckets (the Prometheus *_bucket wire convention)
+  // where the base spelling takes the engine's DENSE per-bucket counts
+  private val HistFns = Set("histogram_quantile", "histogram_quantile_cum")
   private val KeyWords = Set("by", "without", "on", "ignoring", "offset",
     "bool", "group_left", "group_right", "and", "or", "unless")
 
@@ -451,7 +453,7 @@ object PromQL {
       case Some(TIdent(name)) if RangeFns.contains(name) => parseRangeFn(name)
       case Some(TIdent(name)) if MathFns.contains(name) => parseFunc(name)
       case Some(TIdent(name)) if LabelFns.contains(name) => parseLabelFn(name)
-      case Some(TIdent(name)) if HistFns.contains(name) => parseHistogramQuantile()
+      case Some(TIdent(name)) if HistFns.contains(name) => parseHistogramQuantile(name)
       case Some(TIdent(name)) if !KeyWords.contains(name) => parseVectorSelector()
       case Some(t) => err(s"unexpected $t")
       case None => err("empty expression")
@@ -539,21 +541,21 @@ object PromQL {
 
     /** `histogram_quantile(φ, v)` — the scalar leads, the vector
       * follows; the φ literal rides in `params`. */
-    private def parseHistogramQuantile(): Expr = {
+    private def parseHistogramQuantile(fn: String): Expr = {
       next() // fn
       expectSym("(")
       val phi = next() match {
         case TNum(q) => q
         case TSym("-") => next() match {
           case TNum(q) => -q
-          case t => err(s"histogram_quantile needs a leading scalar, got -$t")
+          case t => err(s"$fn needs a leading scalar, got -$t")
         }
-        case t => err(s"histogram_quantile needs a leading scalar, got $t")
+        case t => err(s"$fn needs a leading scalar, got $t")
       }
       expectSym(",")
       val arg = parseOr()
       expectSym(")")
-      Func("histogram_quantile", arg, Seq(phi))
+      Func(fn, arg, Seq(phi))
     }
 
     /** `label_replace(v, "dst", "repl", "src", "re")`,
@@ -1766,18 +1768,27 @@ object PromQL {
           in.withColumn(dst, col("value").cast("string"))
             .groupBy((col(dst) +: col("ts_us") +: by.map(col)): _*)
             .agg(count(lit(1)).cast("double").as("value"))
-        case "histogram_quantile" =>
-          // Prometheus's latency staple, over the engine's bucket
-          // convention: the vector must carry an `le` label holding
-          // each bucket's UPPER bound (count_values("le", …) and
-          // label_replace create one), with DENSE per-bucket counts —
-          // the ts_value_histogram convention ("cumulative left to
-          // the reader"), so the evaluator does the cumsum itself.
-          // Scale shape: the window partitions by (labels, instant),
-          // sized by the BUCKET COUNT — never sample or series
-          // cardinality — so no partition can become a straggler.
+        case "histogram_quantile" | "histogram_quantile_cum" =>
+          // Prometheus's latency staple. TWO BUCKET CONVENTIONS,
+          // spelled apart because guessing between them silently
+          // corrupts quantiles:
+          //  - `histogram_quantile`: the ENGINE's convention — DENSE
+          //    per-bucket counts, as count_values("le", …) and
+          //    ts_value_histogram emit ("cumulative left to the
+          //    reader"; the evaluator does the cumsum itself). Feeding
+          //    it real scraped *_bucket series double-cumsums.
+          //  - `histogram_quantile_cum`: the PROMETHEUS wire
+          //    convention — CUMULATIVE le buckets, exactly what a
+          //    scrape client or /federate hands back from *_bucket
+          //    series. Buckets are monotonized (running max, the
+          //    Prometheus ensureMonotonic repair) then differenced to
+          //    dense; a group whose highest bucket is not +Inf answers
+          //    NaN, as Prometheus does.
+          // Scale shape (both): windows partition by (labels,
+          // instant), sized by the BUCKET COUNT — never sample or
+          // series cardinality — so no partition can straggle.
           require(in.columns.contains("le"),
-            "histogram_quantile needs a bucket vector carrying an `le` label — got labels [" +
+            s"$fn needs a bucket vector carrying an `le` label — got labels [" +
               in.columns.filterNot(Set("value", "ts_us", "event_id")).mkString(", ") +
               "]; count_values(\"le\", …) or label_replace can create one")
           val phi = params.head
@@ -1786,18 +1797,47 @@ object PromQL {
           // leniently and ignores failures); +Inf is the overflow
           // bucket — a quantile crossing into it reports the highest
           // finite bound, as in Prometheus
-          val b = in.withColumn("le_n", col("le").cast("double"))
+          val bRaw = in.withColumn("le_n", col("le").cast("double"))
             .filter(col("le_n").isNotNull)
+          val b =
+            if (fn != "histogram_quantile_cum") bRaw
+            else {
+              val wOrd = Window.partitionBy(grp.map(col): _*).orderBy(col("le_n"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+              val wGrp = Window.partitionBy(grp.map(col): _*)
+              bRaw
+                // a group without the +Inf overflow bucket cannot
+                // answer (Prometheus: NaN) — flag it through the
+                // shared dense path below
+                .withColumn("__no_inf",
+                  max(when(col("le_n") === Double.PositiveInfinity, 1).otherwise(0))
+                    .over(wGrp) === 0)
+                .withColumn("__cum_fixed", max(col("value")).over(wOrd))
+                .withColumn("value",
+                  col("__cum_fixed") - coalesce(
+                    lag(col("__cum_fixed"), 1).over(
+                      Window.partitionBy(grp.map(col): _*).orderBy(col("le_n"))),
+                    lit(0.0)))
+                .drop("__cum_fixed")
+            }
+          def withNaN(res: DataFrame): DataFrame =
+            if (fn != "histogram_quantile_cum") res
+            else res.withColumn("value",
+              when(col("__no_inf"), lit(Double.NaN)).otherwise(col("value")))
+              .drop("__no_inf")
+          // the per-group NaN flag rides the grouping keys through each
+          // branch (constant within a group, so it never splits one)
+          val grpK = if (fn == "histogram_quantile_cum") grp :+ "__no_inf" else grp
           if (phi < 0 || phi > 1)
-            b.groupBy(grp.map(col): _*)
+            withNaN(b.groupBy(grpK.map(col): _*)
               .agg(lit(if (phi < 0) Double.NegativeInfinity
-                else Double.PositiveInfinity).as("value"))
+                else Double.PositiveInfinity).as("value")))
           else if (phi == 0)
             // rank 0 sits at the lowest bucket's lower edge (0 when
             // the bound is positive, the bound itself otherwise)
-            b.groupBy(grp.map(col): _*).agg(min(col("le_n")).as("lo"))
-              .select(grp.map(col) :+
-                when(col("lo") > 0, 0.0).otherwise(col("lo")).as("value"): _*)
+            withNaN(b.groupBy(grpK.map(col): _*).agg(min(col("le_n")).as("lo"))
+              .select(grpK.map(col) :+
+                when(col("lo") > 0, 0.0).otherwise(col("lo")).as("value"): _*))
           else {
             val w = Window.partitionBy(grp.map(col): _*).orderBy(col("le_n"))
             val wAll = Window.partitionBy(grp.map(col): _*)
@@ -1807,17 +1847,17 @@ object PromQL {
             // itself, i.e. the result is the bound)
             val lower = coalesce(lag(col("le_n"), 1).over(w),
               when(col("le_n") > 0, lit(0.0)).otherwise(col("le_n")))
-            b.withColumn("n", col("value"))
+            withNaN(b.withColumn("n", col("value"))
               .withColumn("cum", sum(col("n")).over(w))
               .withColumn("total", sum(col("n")).over(wAll))
               .withColumn("prev", col("cum") - col("n"))
               .withColumn("lower", lower)
               .filter(col("prev") < col("total") * phi &&
                 col("cum") >= col("total") * phi)
-              .select(grp.map(col) :+
+              .select(grpK.map(col) :+
                 round(when(col("le_n") === Double.PositiveInfinity, col("lower"))
                   .otherwise(col("lower") + (col("le_n") - col("lower")) *
-                    (col("total") * phi - col("prev")) / col("n")), 6).as("value"): _*)
+                    (col("total") * phi - col("prev")) / col("n")), 6).as("value"): _*))
           }
         case "absent" =>
           // empty input vector → {value: 1} per grid instant; any

@@ -431,6 +431,49 @@ class PromqlSpec extends SparkSpec {
     assert(e.getMessage.contains("le"))
   }
 
+  test("histogram_quantile_cum: Prometheus cumulative *_bucket convention — differencing, monotonic repair, NaN without +Inf") {
+    val at = 2L * hu
+    // bucket series encoded as user_id = upper bound (99 ↦ +Inf via
+    // label_replace), value = CUMULATIVE count at the instant — the
+    // exact shape a scrape client hands back from *_bucket series
+    val buckets = Seq(
+      // well-formed: cum [1→2, 3→4, Inf→5] = dense [2, 2, 1]
+      (1L, 2L * h, 1L, "cum_ok", 2.0),
+      (2L, 2L * h, 3L, "cum_ok", 4.0),
+      (3L, 2L * h, 99L, "cum_ok", 5.0),
+      // highest bucket is NOT +Inf → Prometheus answers NaN
+      (4L, 2L * h, 1L, "cum_noinf", 2.0),
+      (5L, 2L * h, 3L, "cum_noinf", 4.0),
+      // counter-reset dip: cum [1→4, 3→2, Inf→5] monotonizes to
+      // [4, 4, 5] = dense [4, 0, 1] (the ensureMonotonic repair)
+      (6L, 2L * h, 1L, "cum_dip", 4.0),
+      (7L, 2L * h, 3L, "cum_dip", 2.0),
+      (8L, 2L * h, 99L, "cum_dip", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def q(metric: String, phi: String = "0.5"): String =
+      s"""histogram_quantile_cum($phi, sum by (le) (label_replace(label_replace($metric, "le", "$$1", "user_id", "(.*)"), "le", "Inf", "le", "99")))"""
+    def one(query: String): Seq[Double] =
+      PromQL.eval(buckets, query, at).select("value").as[Double].collect().toSeq
+    // rank 2.5 of 5 crosses the 3-bucket: 1 + (3−1)·(2.5−2)/2 = 1.5 —
+    // equal to histogram_quantile over the equivalent DENSE buckets
+    assert(one(q("cum_ok")) == Seq(1.5))
+    // feeding the same cumulative data to the DENSE spelling
+    // double-cumsums (the silent corruption the split spelling
+    // prevents): 2/6/11 ≠ 2/4/5 — assert they disagree
+    val dense = PromQL.eval(buckets,
+      q("cum_ok").replace("histogram_quantile_cum", "histogram_quantile"), at)
+      .select("value").as[Double].collect().toSeq
+    assert(dense != Seq(1.5), s"dense spelling must not equal cum on cumulative input, got $dense")
+    // no +Inf overflow bucket → NaN, as Prometheus
+    val noinf = one(q("cum_noinf"))
+    assert(noinf.size == 1 && noinf.head.isNaN, noinf)
+    // dip repaired by running max: dense [4,0,1], rank 2.5 in the
+    // first bucket: 0 + 1·2.5/4 = 0.625
+    assert(one(q("cum_dip")) == Seq(0.625))
+    // out-of-range φ keeps the Prometheus edges even for cum
+    assert(one(q("cum_ok", "2")) == Seq(Double.PositiveInfinity))
+  }
+
   test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
     // parser shape
     PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
