@@ -440,6 +440,26 @@ object SparkEntry {
         .select("series_id", "ts_us", "value")
     }),
 
+    // the ADMIN BACKUP verb under the gate: ingest → close → snapshot
+    // → destructive delete → RESTORE from the snapshot → federated
+    // read-back. The oracle is the plain PRE-delete truth recomputed
+    // from raw events, so hash-equality proves the snapshot captured
+    // the whole closed tier (payloads + catalog) and restore swapped
+    // it back losslessly
+    "ts_snapshot_restore" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_snap").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      store.append(Series.samples(t(s, dir, "events")))
+      store.closeChunksBelow(T1)
+      store.snapshot(Some("gate"))
+      store.deleteSeries(Seq(MatchEq("event_type", "click")),
+        T0 + 86400000000L, T0 + 3L * 86400000000L)
+      store.restoreSnapshot("gate")
+      store.queryAll(Nil, T0, T1 - 1)
+        .select("series_id", "ts_us", "value")
+    }),
+
     "ts_rollup_served" -> ((s, dir) => {
       // THE RECORDING-RULE SERVING PATH in the graded gate: same
       // ingest-and-close as ts_query_chunked but with rollupOnClose
@@ -1725,6 +1745,12 @@ object SparkEntry {
           WHERE epoch_us(ts) BETWEEN $T0 AND $T1 - 1
             AND NOT (event_type = 'click'
               AND epoch_us(ts) BETWEEN ${T0 + 86400000000L} AND ${T0 + 3L * 86400000000L})""",
+
+    // the restored truth = the FULL closed window, as if the delete
+    // between snapshot and restore never happened
+    "ts_snapshot_restore" ->
+      s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE epoch_us(ts) BETWEEN $T0 AND $T1 - 1""",
 
     // the raw-path answer the rollup-served query must equal: hourly
     // aggregates recomputed from source rows over the CLOSED range

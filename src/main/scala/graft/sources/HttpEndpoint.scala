@@ -139,6 +139,7 @@ final class HttpEndpoint(
       case "/api/v1/alerts" => handleAlerts(ex)
       case "/federate" => handleFederate(ex)
       case "/api/v1/admin/tsdb/delete_series" => handleDeleteSeries(ex, body)
+      case "/api/v1/admin/tsdb/snapshot" => handleSnapshot(ex, body)
       case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
         handleLabelValues(ex,
           p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
@@ -554,6 +555,26 @@ final class HttpEndpoint(
         sendJson(ex, 400,
           "{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":" +
             jstr(Option(e.getMessage).getOrElse("")) + "}")
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  /** Prometheus's admin snapshot verb (`POST /api/v1/admin/tsdb/
+    * snapshot[?name=…]`): point-in-time copy of the closed tier into
+    * `snapshots/<name>` ([[ChunkStore.snapshot]] — pure file I/O over
+    * immutable parquet, no Spark job). Answers the Prometheus shape
+    * `{"status":"success","data":{"name":…}}`. An empty store (nothing
+    * closed) answers 400 with the close-first direction. */
+  private def handleSnapshot(ex: HttpExchange, body: Array[Byte]): Unit =
+    try {
+      if (!"POST".equalsIgnoreCase(ex.getRequestMethod)) {
+        ex.sendResponseHeaders(405, -1); return
+      }
+      val name = paramsWithBody(ex, body).toMap.get("name")
+      val snap = store.snapshot(name)
+      sendJson(ex, 200,
+        s"""{"status":"success","data":{"name":${jstr(snap)}}}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
       case _: Exception => ex.sendResponseHeaders(500, -1)
     }
 

@@ -640,6 +640,101 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   def readClosed(chunk: Long): DataFrame =
     Gorilla.unpack(spark.read.parquet(closedPath).filter(col("chunk") === chunk))
 
+  // ─────────────────── snapshots (admin backup verb) ───────────────────
+
+  private def snapshotsRoot = s"$path/snapshots"
+  private val SnapTiers = Seq("closed", "closed_catalog", "rollup")
+
+  /** Point-in-time SNAPSHOT of the closed tier (Prometheus's
+    * `POST /api/v1/admin/tsdb/snapshot`, the backup half of the admin
+    * family deleteSeries opened): the closed-chunk id set is pinned
+    * FIRST, then exactly those partition directories of
+    * closed/catalog/rollup copy into `snapshots/<name>/` (staged under
+    * a dot-temp dir, renamed into place — a crashed snapshot leaves
+    * only an ignorable temp, never a half-visible name). The closed
+    * tier is immutable parquet, so the copy is pure file I/O — no
+    * decode, no Spark job; chunks closed AFTER the pin are simply not
+    * part of this snapshot. A snapshot directory is itself a valid
+    * closed-only store rooted at `snapshots/<name>` ([[openSnapshot]]),
+    * and [[restoreSnapshot]] swaps it back wholesale. Returns the
+    * snapshot name. */
+  def snapshot(name: Option[String] = None): String = {
+    val ids = closedChunkIds()
+    require(ids.nonEmpty,
+      "nothing closed to snapshot — the snapshot verb covers the closed tier; run closeChunksBelow first")
+    val snapName = name.getOrElse {
+      val t = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssX")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+      s"$t-${java.util.UUID.randomUUID().toString.take(8)}"
+    }
+    require(snapName.matches("[A-Za-z0-9._-]+"),
+      s"snapshot name '$snapName' — use only [A-Za-z0-9._-]")
+    val fs = hfs
+    val dest = new org.apache.hadoop.fs.Path(s"$snapshotsRoot/$snapName")
+    require(!fs.exists(dest), s"snapshot $snapName already exists")
+    val tmp = new org.apache.hadoop.fs.Path(s"$snapshotsRoot/.tmp-$snapName")
+    fs.delete(tmp, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (tier <- SnapTiers; c <- ids) {
+      val src = new org.apache.hadoop.fs.Path(s"$path/$tier/chunk=$c")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src,
+          fs, new org.apache.hadoop.fs.Path(s"$tmp/$tier/chunk=$c"), false, conf)
+    }
+    if (exists(retentionPath))
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(retentionPath),
+        fs, new org.apache.hadoop.fs.Path(s"$tmp/_retention"), false, conf)
+    val manifest =
+      s"""{"name":"$snapName","chunks":[${ids.toSeq.sorted.mkString(",")}],""" +
+        s""""chunk_ms":$chunkMs,"created_ms":${System.currentTimeMillis()}}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"snapshot rename failed for $snapName")
+    snapName
+  }
+
+  /** Snapshot names present under this store, sorted. */
+  def listSnapshots(): Seq[String] =
+    listNames(snapshotsRoot).filterNot(_.startsWith(".")).sorted
+
+  /** Open a snapshot as a READ-ONLY closed-only store (same chunk
+    * grain; rollup serving iff the snapshot carries rollups). */
+  def openSnapshot(name: String): ChunkStore = {
+    require(exists(s"$snapshotsRoot/$name"), s"no snapshot named $name under $snapshotsRoot")
+    new ChunkStore(spark, s"$snapshotsRoot/$name", chunkMs = chunkUs / 1000,
+      rollupOnClose = rollupOnClose)
+  }
+
+  /** Restore the closed tier WHOLESALE from a snapshot: every closed/
+    * catalog/rollup partition currently in the store is replaced by
+    * the snapshot's set (chunks closed after the snapshot are dropped —
+    * that is what restoring a backup means; live raw chunks are left
+    * untouched). Same staged discipline as [[deleteSeries]]: the copy
+    * lands in a staging dir first, then whole tier directories swap. */
+  def restoreSnapshot(name: String): Unit = {
+    val snapDir = s"$snapshotsRoot/$name"
+    require(exists(snapDir), s"no snapshot named $name under $snapshotsRoot")
+    val fs = hfs
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_restore_staging")
+    fs.delete(staging, true)
+    for (tier <- SnapTiers) {
+      val src = new org.apache.hadoop.fs.Path(s"$snapDir/$tier")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src,
+          fs, new org.apache.hadoop.fs.Path(staging, tier), false, conf)
+    }
+    for (tier <- SnapTiers) {
+      val staged = new org.apache.hadoop.fs.Path(staging, tier)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$tier")
+      fs.delete(live, true)
+      if (fs.exists(staged)) fs.rename(staged, live)
+    }
+    fs.delete(staging, true)
+    closedIdsCache = None
+  }
+
   /** Matcher + range query over CLOSED chunks: prune by chunk range,
     * resolve matchers against the per-chunk catalog (label filters run
     * on the small catalog, never on decoded samples), decode only the

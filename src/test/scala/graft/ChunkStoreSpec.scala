@@ -303,6 +303,58 @@ class ChunkStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.deleteSeries(Nil, t0, t0 + dayUs))
   }
 
+  test("snapshot → delete → restore round-trip; snapshots are readable stores; stale temp ignored") {
+    val h = 3600000000000L // ns
+    val t0 = 1704067200000000L
+    val t0n = t0 * 1000L
+    val dayUs = 86400000000L
+    val ev = Seq(
+      (1L, t0n + 1L * h, 1L, "click", 10.0),
+      (2L, t0n + 25L * h, 1L, "click", 20.0),
+      (3L, t0n + 49L * h, 1L, "click", 40.0),
+      (4L, t0n + 26L * h, 1L, "purchase", 100.0),
+      (5L, t0n + 27L * h, 2L, "click", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_snapshot").toString
+    val store = new ChunkStore(spark, dir, chunkMs = 86400000L, rollupOnClose = true)
+    // nothing closed yet → snapshot refuses with direction
+    store.append(Series.samples(ev))
+    val empty = intercept[IllegalArgumentException](store.snapshot())
+    assert(empty.getMessage.contains("close"), empty.getMessage)
+    store.closeChunksBelow(t0 + 96L * 3600000000L)
+    def allRows(s: ChunkStore): Set[(Long, Double)] =
+      s.queryAll(Nil, t0, t0 + 4 * dayUs)
+        .select("ts_us", "value").as[(Long, Double)].collect().toSet
+    val before = allRows(store)
+    assert(before.size == 5)
+
+    // a crashed predecessor's temp dir is invisible to the verb
+    new java.io.File(dir, "snapshots/.tmp-dead").mkdirs()
+    val snap = store.snapshot(Some("pre-delete"))
+    assert(snap == "pre-delete" && store.listSnapshots() == Seq("pre-delete"))
+    intercept[IllegalArgumentException](store.snapshot(Some("pre-delete"))) // duplicate
+    intercept[IllegalArgumentException](store.snapshot(Some("../escape"))) // hostile name
+
+    // mutate the store: delete all day-1 clicks
+    store.deleteSeries(Seq(MatchEq("event_type", "click")), t0 + dayUs, t0 + 2 * dayUs - 1)
+    assert(allRows(store).size == 3)
+
+    // the snapshot still holds the pre-delete truth, as a plain
+    // closed-only store — raw queries AND the rollup tier
+    val snapStore = store.openSnapshot("pre-delete")
+    assert(allRows(snapStore) == before)
+    val roll = snapStore.queryRollup(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs)
+    assert(roll.agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 75.0)
+
+    // restore: the store serves the pre-delete truth again
+    store.restoreSnapshot("pre-delete")
+    assert(allRows(store) == before)
+    assert(store.queryRollup(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs)
+      .agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 75.0)
+    // unknown snapshot refuses
+    intercept[IllegalArgumentException](store.restoreSnapshot("nope"))
+  }
+
   test("deleteSeries staged swap: stale staging discarded; every interrupted-swap state re-runs to a correct store") {
     val h = 3600000000000L // ns
     val t0 = 1704067200000000L

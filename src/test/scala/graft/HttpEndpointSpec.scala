@@ -334,12 +334,30 @@ class HttpEndpointSpec extends SparkSpec {
         s"http://127.0.0.1:$port/api/v1/admin/tsdb/delete_series?match%5B%5D=click").toURL
         .openConnection().asInstanceOf[HttpURLConnection]
       assert(getConn.getResponseCode == 405); getConn.disconnect()
+      // snapshot BEFORE deleting (the backup half of the admin family):
+      // GET is 405; POST answers the Prometheus success shape
+      val snapGet = URI.create(s"http://127.0.0.1:$port/api/v1/admin/tsdb/snapshot").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      assert(snapGet.getResponseCode == 405); snapGet.disconnect()
+      val snapConn = URI.create(
+        s"http://127.0.0.1:$port/api/v1/admin/tsdb/snapshot?name=before-del").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      snapConn.setRequestMethod("POST")
+      snapConn.setDoOutput(true)
+      snapConn.getOutputStream.close()
+      assert(snapConn.getResponseCode == 200)
+      val snapBody = new String(snapConn.getInputStream.readAllBytes(), "UTF-8")
+      snapConn.disconnect()
+      assert(snapBody == """{"status":"success","data":{"name":"before-del"}}""", snapBody)
       // the real deletion: clicks in the first hour only
       assert(postForm("/api/v1/admin/tsdb/delete_series",
         s"match%5B%5D=click&start=${t0 / 1000.0}&end=${(t0 + 3599999L) / 1000.0}") == 204)
       val left = store.queryAll(Nil, t0 * 1000L, (t0 + 7200000L) * 1000L)
         .select("value").collect().map(_.getDouble(0)).toSet
       assert(left == Set(20.0, 100.0), left)
+      // the snapshot restores the deleted click
+      store.restoreSnapshot("before-del")
+      assert(store.queryAll(Nil, t0 * 1000L, (t0 + 7200000L) * 1000L).count() == 3)
     } finally endpoint.stop()
   }
 
