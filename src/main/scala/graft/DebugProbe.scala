@@ -604,6 +604,36 @@ object DebugProbe {
       minOf2("bigram_window@10x", windowShape(docs10))
       spark.stop(); return
     }
+    if (names.contains("__packshards")) {
+      // doc_pack shard-count guidance (r9 verdict ask #7): per-shard
+      // packing is SEQUENTIAL by construction (a running-sum window in
+      // doc_id order), so the job runs at most `shards` concurrent
+      // tasks no matter how many cores the cluster has — shards is the
+      // parallelism knob, chosen like input-file sharding in a real
+      // pipeline. Sweep shards at 50× corpus volume (plain id-shift
+      // mirrors — packing has NO cross-doc interaction, so mirrored
+      // text is as honest as new text here, unlike the dedup probes)
+      // and print the wall-clock curve.
+      import graft.text.TextOps
+      val base = java.nio.file.Files.createTempDirectory("graft_packshards").toString
+      val t = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0L until 50L).map { k =>
+        t.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val docs10 = spark.read.parquet(s"$base/documents.parquet")
+      for (sh <- Seq(4, 16, 32, 64, 128, 256)) {
+        val rs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          TextOps.pack(docs10, shards = sh)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] pack@50x shards=$sh min=${rs.min}%.2fs " +
+          s"runs=${rs.map(r => f"$r%.2f").mkString("/")}")
+      }
+      spark.stop(); return
+    }
     if (names.contains("__bigramskew")) {
       // Zipf-skew drill (r8 verdict item 2): ONE synthetic hot bigram
       // stamped into 30% of docs. The r8 window shape puts every
