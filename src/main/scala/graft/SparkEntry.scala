@@ -263,6 +263,25 @@ object SparkEntry {
       """histogram_quantile(0.5, count_values by (event_type) ("le", ceil(sum_over_time({}[1d]) / 10) * 10))""",
       T2)),
 
+    // the CUMULATIVE (Prometheus wire) bucket convention end-to-end:
+    // per-type cumulative le buckets hand-rolled exactly the way
+    // dashboards do it — one `sum(v <= bool B)` arm per bound (each
+    // arm counts the series at or below the bound, so counts are
+    // cumulative BY CONSTRUCTION) or-unioned with le stamped via the
+    // absent-"" label_replace idiom, +Infinity overflow arm counting
+    // everything — then histogram_quantile_cum differences adjacent
+    // buckets and interpolates (r10; the dense spelling would
+    // double-cumsum this input)
+    "promql_histogram_quantile_cum" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      Seq(20, 50, 100, 200, 500, 1000)
+        .map(b => s"""label_replace(sum by (event_type) (sum_over_time({}[1d]) <= bool $b), "le", "$b", "le", "")""")
+        .mkString(
+          "histogram_quantile_cum(0.5, ",
+          " or ",
+          """ or label_replace(sum by (event_type) (sum_over_time({}[1d]) >= bool 0), "le", "Infinity", "le", ""))"""),
+      T2)),
+
     // the INFO-METRIC JOIN idiom (up * on(instance) group_left(ver)
     // build_info): a synthesized per-user tier label (nested
     // label_replace: even user ids → heavy, the rest → light via the
@@ -2250,6 +2269,35 @@ object SparkEntry {
                          * (total * 0.5 - (cum - n)) / n, 6) AS value
           FROM w
           WHERE (cum - n) < total * 0.5 AND cum >= total * 0.5""",
+
+    // cumulative-convention quantile: per-bound series counts at or
+    // below each bound (cumulative by construction), differenced to
+    // dense by the lag window exactly as the engine does, then the
+    // same crossing-bucket interpolation as the dense oracle above
+    "promql_histogram_quantile_cum" ->
+      s"""WITH c AS (SELECT event_type, $SeriesIdSql AS series_id,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2),
+          bounds(le) AS (VALUES (20.0),(50.0),(100.0),(200.0),(500.0),(1000.0),(CAST('Infinity' AS DOUBLE))),
+          cum AS (SELECT event_type, le,
+                   CAST(count(*) FILTER (WHERE v <= le) AS DOUBLE) AS cum,
+                   CAST(count(*) AS DOUBLE) AS total
+                FROM c CROSS JOIN bounds GROUP BY 1, 2),
+          w AS (SELECT event_type, le, cum, total,
+                   cum - COALESCE(lag(cum) OVER (PARTITION BY event_type ORDER BY le), 0) AS n,
+                   COALESCE(lag(cum) OVER (PARTITION BY event_type ORDER BY le), 0) AS prev,
+                   lag(le) OVER (PARTITION BY event_type ORDER BY le) AS prev_le
+                FROM cum)
+          SELECT event_type,
+                 round(CASE WHEN le = CAST('Infinity' AS DOUBLE)
+                       THEN COALESCE(prev_le, CASE WHEN le > 0 THEN 0 ELSE le END)
+                       ELSE COALESCE(prev_le, CASE WHEN le > 0 THEN 0 ELSE le END)
+                       + (le - COALESCE(prev_le, CASE WHEN le > 0 THEN 0 ELSE le END))
+                         * (total * 0.5 - prev) / n END, 6) AS value
+          FROM w
+          WHERE prev < total * 0.5 AND cum >= total * 0.5""",
 
     // the engine's avg = decimal sum (double) / count (double); the
     // islands pass mirrors ts_alert_firing restated on the grid
