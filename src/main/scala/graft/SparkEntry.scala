@@ -1527,6 +1527,13 @@ object SparkEntry {
       VectorOps.dimStats(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
 
+    "emb_quantize" -> ((s, dir) =>
+      // int8 quantization profile (per-dim scale + reconstruction
+      // error) — the ANN-store compression pass; one explode, scales
+      // broadcast back, two 64-group aggregations
+      VectorOps.quantizeStats(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
     "emb_covariance" -> ((s, dir) =>
       // dimension-pair covariance (upper triangle) — the PCA/whitening
       // input; pair products built map-side per row, corpus never
@@ -3590,6 +3597,27 @@ object SparkEntry {
                 CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(x) AS mean_v,
                 min(x) AS min_v, max(x) AS max_v
          FROM e WHERE x IS NOT NULL GROUP BY 1""",
+
+    // mirrors the engine expression-for-expression: exact maxabs →
+    // one double division per scale; q and err are single IEEE
+    // expressions; only err² rounds (12dp) before the exact decimal
+    // sum; duckdb round() and Spark HALF_UP agree on the non-negative
+    // err² and on half-away-from-zero q rounding
+    "emb_quantize" ->
+      """WITH e AS (SELECT t.i AS dim, CAST(CAST(embedding AS DOUBLE[])[t.i] AS DOUBLE) AS x
+                    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+                    WHERE CAST(embedding AS DOUBLE[])[t.i] IS NOT NULL),
+         s AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM e GROUP BY 1),
+         q AS (SELECT e.dim, e.x, s.scale,
+                  CASE WHEN s.scale = 0 THEN 0.0
+                       ELSE greatest(least(round(e.x / s.scale, 0), 127.0), -127.0) END AS q
+               FROM e JOIN s USING (dim)),
+         r AS (SELECT dim, scale, x - q * scale AS err FROM q)
+         SELECT dim, max(scale) AS scale, CAST(count(*) AS BIGINT) AS n,
+                max(abs(err)) AS max_abs_err,
+                sqrt(CAST(sum(CAST(round(err * err, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*)) AS rmse
+         FROM r GROUP BY 1""",
 
     "emb_covariance" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),

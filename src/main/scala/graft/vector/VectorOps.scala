@@ -439,6 +439,45 @@ object VectorOps {
       .select(col("dim"), col("n"), (col("sx") / col("n")).as("mean_v"),
         col("min_v"), col("max_v"))
 
+  /** Symmetric per-dimension INT8 quantization profile — the
+    * compression step an ANN store takes before sharding a 100 TB
+    * embedding corpus (4× smaller vectors, SIMD-friendly distance):
+    * scale_d = max|x_d| / 127, q = clamp(round(x/scale), ±127), and
+    * the table reports per-dimension scale + reconstruction error
+    * (max absolute error and RMSE) so the caller can see which
+    * dimensions survive int8 and which need the fp path.
+    *
+    * Plan at 100 TB: one explode pass; the per-dim scales are a
+    * dim-count frame broadcast back onto the exploded rows; both
+    * aggregations are per-dim (64 groups) with map-side partials —
+    * the corpus never self-joins or shuffles beyond the two per-dim
+    * aggregates. Determinism: scale and err are single fixed IEEE
+    * expressions over exact inputs (float→double cast is exact, max
+    * is exact); only err² is rounded (12dp) before the exact DECIMAL
+    * sum, and RMSE is one double sqrt over exact operands — the
+    * ts_deriv recipe. A zero-scale (all-zero) dimension quantizes to
+    * q=0 rather than dividing by zero. */
+  def quantizeStats(corpus: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val xd = corpus
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x").cast("double").as("x"))
+    val scales = xd.groupBy(col("dim"))
+      .agg((max(abs(col("x"))) / 127.0).as("scale"))
+    xd.join(broadcast(scales), Seq("dim"))
+      .withColumn("q", when(col("scale") === 0.0, lit(0.0))
+        .otherwise(greatest(least(round(col("x") / col("scale"), 0), lit(127.0)), lit(-127.0))))
+      .withColumn("err", col("x") - col("q") * col("scale"))
+      .groupBy(col("dim"))
+      .agg(
+        max(col("scale")).as("scale"),
+        count(lit(1)).as("n"),
+        max(abs(col("err"))).as("max_abs_err"),
+        sum(round(col("err") * col("err"), 12).cast(dec)).as("sse"))
+      .select(col("dim"), col("scale"), col("n"), col("max_abs_err"),
+        sqrt(col("sse").cast("double") / col("n")).as("rmse"))
+  }
+
   /** Upper-triangle covariance matrix of the embedding corpus — the
     * whitening / PCA-input profile (which dimension pairs co-vary;
     * the off-diagonal mass a decorrelating transform would remove).

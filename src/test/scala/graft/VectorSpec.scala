@@ -65,6 +65,31 @@ class VectorSpec extends SparkSpec {
     assert(d1._4 == -1.0 && d1._5 == 1.0)
   }
 
+  test("quantizeStats: int8 scales, reconstruction error, zero-dim guard") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, -2.0)),
+      (2L, Seq(0.5, 0.0, 2.54)))
+      .toDF("vec_id", "v")
+    val out = VectorOps.quantizeStats(corpus)
+      .select("dim", "scale", "n", "max_abs_err", "rmse")
+      .as[(Long, Double, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L) && out.forall(_._3 == 2L))
+    // dim 1: scale 1/127; 1.0 → q=127 exact; 0.5 → q=round(63.5)=64,
+    // err = 0.5 − 64/127
+    val s1 = 1.0 / 127
+    assert(out(0)._2 == s1)
+    val e1 = math.abs(0.5 - 64 * s1)
+    assert(math.abs(out(0)._4 - e1) < 1e-12, out(0).toString)
+    assert(math.abs(out(0)._5 - math.sqrt(
+      (math.rint(e1 * e1 * 1e12) / 1e12) / 2)) < 1e-12)
+    // dim 2: all-zero → scale 0, q 0, zero error (no division blowup)
+    assert(out(1)._2 == 0.0 && out(1)._4 == 0.0 && out(1)._5 == 0.0)
+    // dim 3: scale 2.54/127 = 0.02; both values quantize exactly
+    // (−2 → −100, 2.54 → 127)
+    assert(out(2)._2 == 2.54 / 127)
+    assert(out(2)._4 < 1e-15 && out(2)._5 < 1e-15)
+  }
+
   test("covariance: diagonal matches population variance, symmetry-free upper triangle") {
     val out = VectorOps.covariance(toy.select($"vec_id", $"v"), dim = 3)
       .select("di", "dj", "n", "cov")
