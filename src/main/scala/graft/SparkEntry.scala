@@ -1339,6 +1339,13 @@ object SparkEntry {
     "dedup_jaccard_twostage" -> ((s, dir) =>
       Dedup.ngramJaccardTwoStage(docsT(s, dir))),
 
+    "dedup_containment" -> ((s, dir) =>
+      // directional containment over the SAME LSH candidates — the
+      // quotation/boilerplate/superset detector Jaccard misses when
+      // the host doc is much larger (recall stays Jaccard-bounded by
+      // the candidate step; substring spans cover the finer grain)
+      Dedup.containmentPairs(docsT(s, dir))),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsT(s, dir))),
 
     "dedup_keep" -> ((s, dir) =>
@@ -2871,6 +2878,27 @@ object SparkEntry {
     },
 
     "dedup_jaccard_twostage" -> twoStageOracle,
+
+    // the containment twin of the two-stage oracle: same candidate
+    // CTEs, directional |A∩B|/|A| instead of the union denominator
+    "dedup_containment" ->
+      s"""$minhashCtes,
+         nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.doc_a
+                   JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+                   GROUP BY 1, 2)
+         SELECT i.doc_a, i.doc_b, i.n_inter,
+                CAST(i.n_inter AS DOUBLE) / na.n AS cont_a_in_b,
+                CAST(i.n_inter AS DOUBLE) / nb.n AS cont_b_in_a,
+                greatest(CAST(i.n_inter AS DOUBLE) / na.n,
+                         CAST(i.n_inter AS DOUBLE) / nb.n) AS max_containment
+         FROM inter i
+         JOIN nsh na ON na.doc_id = i.doc_a
+         JOIN nsh nb ON nb.doc_id = i.doc_b
+         WHERE greatest(CAST(i.n_inter AS DOUBLE) / na.n,
+                        CAST(i.n_inter AS DOUBLE) / nb.n) >= 0.5""",
 
     "dedup_keep" ->
       s"""WITH $twoStagePairsBody

@@ -287,6 +287,44 @@ object Dedup {
       .persist()
   }
 
+  /** Directional n-gram CONTAINMENT over the LSH candidate pairs —
+    * the asymmetric sibling of [[ngramJaccardTwoStage]]: cont(a→b) =
+    * |A∩B| / |A| flags a document (mostly) embedded in another even
+    * where Jaccard stays low because the host is much larger —
+    * quotation, boilerplate-wrapping, version-supersets. Reports both
+    * directions plus max_containment and keeps pairs at or above
+    * `threshold` on the max.
+    *
+    * Scale + recall bound, stated honestly: candidates come from the
+    * SAME MinHash band buckets as the Jaccard path (no all-pairs, no
+    * shingle-keyed self-join), and MinHash estimates JACCARD — a tiny
+    * doc swallowed by a huge one may never collide in any band, so
+    * this operator's recall is Jaccard-bounded by design; the
+    * sub-document grain is [[substringSpans]]'s job (positional
+    * k-grams, no candidate step). Verification cost is identical to
+    * the Jaccard verify: candidate pairs join per-doc distinct-shingle
+    * sets, intersection is a map-side array_intersect. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                       numPerm: Int = 16, bandSize: Int = 4): DataFrame = {
+    val cand = minhashLshPairs(docs, n, numPerm, bandSize)
+    val sets = shingles(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"), count(lit(1)).as("n_sh"))
+      .persist() // read once per join side below
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b"))
+      .withColumn("max_containment", greatest(col("cont_a_in_b"), col("cont_b_in_a")))
+      .filter(col("max_containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("cont_a_in_b"), col("cont_b_in_a"), col("max_containment"))
+  }
+
   /** The pipeline-completing operator: the deduplicated corpus.
     * Greedy keep-lowest-id: a doc survives unless some lower-id doc is
     * near-duplicate of it (appears as doc_b in the pair list, which is

@@ -68,6 +68,30 @@ class DedupSpec extends SparkSpec {
     assert(two.subsetOf(exact))
   }
 
+  test("containment: directional scores flag a doc embedded in a larger host") {
+    val docs = toyDocs.unionByName(Seq(
+      // doc 1 verbatim plus a tail: 1 is fully CONTAINED in 6 while
+      // jaccard(1,6) is only 7/10 — the asymmetry the operator exists for
+      (6L, "the quick brown fox jumps over the lazy dog with extra tail"))
+      .toDF("doc_id", "text"))
+    val c = Dedup.containmentPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a", "max_containment")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // exact dup: both directions 1.0
+    assert(c((1L, 4L)) == ((1.0, 1.0, 1.0)))
+    // the embedding pair: A fully inside B, B only 70% inside A
+    assert(c((1L, 6L)) == ((1.0, 0.7, 1.0)))
+    // every reported pair satisfies max = greatest of the directions
+    c.values.foreach { case (ab, ba, m) => assert(m == math.max(ab, ba)) }
+    // and max_containment ≥ jaccard is a theorem (same intersection,
+    // smaller denominator) — cross-check against the exact operator
+    val j = Dedup.ngramJaccardPairs(docs, 3, 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    c.foreach { case (k, (_, _, m)) => j.get(k).foreach(jv => assert(m >= jv)) }
+  }
+
   test("two-stage pair source recalls every exact pair on the real corpus") {
     // the keep/clusters/split chain rides the two-stage generator, so
     // its recall against the exact operator is load-bearing — and an
