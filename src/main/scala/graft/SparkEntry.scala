@@ -1472,6 +1472,14 @@ object SparkEntry {
 
     "corpus_mix_weights" -> ((s, dir) => TextOps.mixWeights(docsT(s, dir))),
 
+    // the data-mixing ALLOCATION step: a 25k-token budget split across
+    // sources by the α-smoothed weights with one deterministic
+    // redistribution round — at sf0.01 the budget is ~92% of the
+    // corpus so small sources SATURATE and the redistribution branch
+    // exercises; at sf0.1 it is ~9% and the proportional branch rules
+    "corpus_budget_alloc" -> ((s, dir) =>
+      TextOps.budgetAlloc(docsT(s, dir), budget = 25000L)),
+
     "corpus_stats" -> ((s, dir) =>
       // per-(source, lang) corpus rollup — the reporting query every
       // ingest pipeline runs; map-side token counts, one aggregation
@@ -3571,6 +3579,35 @@ object SparkEntry {
          SELECT source, n_docs, n_tokens,
                 CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE) AS weight
          FROM w, t""",
+
+    // mirrors budgetAlloc stage-for-stage: decimal-exact weights, one
+    // floor(double-ratio × budget) per allocation in the engine's
+    // association order, integer arithmetic after; tw2 NULL (all
+    // sources saturated) short-circuits redistribution to 0
+    "corpus_budget_alloc" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS avail_tokens
+                    FROM documents GROUP BY 1),
+         w AS (SELECT *, CAST(round(pow(CAST(avail_tokens AS DOUBLE), 0.7), 6) AS DECIMAL(28,6)) AS w6 FROM s),
+         t AS (SELECT CAST(sum(w6) AS DECIMAL(38,6)) AS tw FROM w),
+         a1 AS (SELECT w.*, CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE) AS weight,
+                  least(avail_tokens,
+                    CAST(floor(25000.0 * (CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT)) AS alloc1
+                FROM w, t),
+         l AS (SELECT 25000 - sum(alloc1) AS leftover,
+                 CAST(sum(CASE WHEN avail_tokens > alloc1 THEN w6 END) AS DECIMAL(38,6)) AS tw2
+               FROM a1),
+         f AS (SELECT a1.*, CASE WHEN avail_tokens > alloc1 AND tw2 IS NOT NULL
+                  THEN least(avail_tokens - alloc1,
+                       CAST(floor(CAST(leftover AS DOUBLE)
+                            * (CAST(w6 AS DOUBLE) / CAST(tw2 AS DOUBLE))) AS BIGINT))
+                  ELSE 0 END AS alloc2
+               FROM a1, l)
+         SELECT source, n_docs, avail_tokens, weight,
+                CAST(alloc1 + alloc2 AS BIGINT) AS alloc_tokens,
+                CAST(alloc1 + alloc2 AS DOUBLE) / 25000.0 AS share,
+                CAST(alloc1 + alloc2 AS DOUBLE) / avail_tokens AS fill_ratio
+         FROM f""",
 
     "corpus_stats" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

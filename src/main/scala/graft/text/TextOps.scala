@@ -328,6 +328,55 @@ object TextOps {
         (col("w6").cast("double") / col("tw").cast("double")).as("weight"))
   }
 
+  /** Token-budget ALLOCATION across sources — the data-mixing step
+    * after [[mixWeights]]: given a total training-token budget, each
+    * source gets floor(budget · w_s) tokens capped at what it has,
+    * and the shortfall from capped (small) sources redistributes
+    * proportionally to the UNSATURATED sources' weights in one
+    * deterministic round (the waterfilling first step — one round is
+    * the documented contract, not an iterate-to-fixpoint). Reports
+    * per source: available tokens, target weight, allocated tokens,
+    * achieved share of budget, and fill ratio (allocated/available —
+    * 1.0 means the source is exhausted and a bigger budget starts
+    * repeating its data).
+    *
+    * Scale shape: ONE corpus pass (the tokenCount aggregation); all
+    * later arithmetic runs on the per-source frame (bounded by source
+    * cardinality) with single-row totals broadcast back. Determinism:
+    * weights are 6dp-DECIMAL exact sums ([[mixWeights]]' recipe);
+    * each allocation is floor(double-ratio × integer) in one fixed
+    * association order, then pure integer arithmetic. */
+  def budgetAlloc(docs: DataFrame, budget: Long, alpha: Double = 0.7): DataFrame = {
+    require(budget > 0, "budget must be positive — a zero budget has no shares to report")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val s = docs
+      .select(col("source"), tokenCount(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
+      .withColumn("w6", round(pow(col("avail_tokens").cast("double"), lit(alpha)), 6).cast(dec))
+    val tot = s.agg(sum(col("w6")).as("tw"))
+    val a1 = s.crossJoin(broadcast(tot))
+      .withColumn("weight", col("w6").cast("double") / col("tw").cast("double"))
+      .withColumn("alloc1",
+        least(col("avail_tokens"),
+          floor(lit(budget.toDouble) * col("weight")).cast("long")))
+    val left = a1.agg(
+      (lit(budget) - sum(col("alloc1"))).as("leftover"),
+      sum(when(col("avail_tokens") > col("alloc1"), col("w6"))).as("tw2"))
+    a1.crossJoin(broadcast(left))
+      .withColumn("alloc2",
+        when(col("avail_tokens") > col("alloc1") && col("tw2").isNotNull,
+          least(col("avail_tokens") - col("alloc1"),
+            floor(col("leftover").cast("double") *
+              (col("w6").cast("double") / col("tw2").cast("double"))).cast("long")))
+          .otherwise(lit(0L)))
+      .withColumn("alloc_tokens", col("alloc1") + col("alloc2"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"), col("weight"),
+        col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") / budget.toDouble).as("share"),
+        (col("alloc_tokens").cast("double") / col("avail_tokens")).as("fill_ratio"))
+  }
+
   /** Corpus vocabulary top-k: global token counts, highest-count
     * first with a term tiebreak. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition bounded top-k merged on

@@ -219,6 +219,37 @@ class TextStatsSpec extends SparkSpec {
     assert(uni.forall(w => math.abs(w - 0.5) < 1e-12))
   }
 
+  test("budgetAlloc: proportional fill, saturation cap, one redistribution round") {
+    // srcA 8 tokens, srcB 1 token; α=0.5 → w = (2.828427, 1.0),
+    // T = 3.828427
+    val corpus = Seq(
+      (1L, "a b c d", "srcA"), (2L, "e f g h", "srcA"),
+      (3L, "x", "srcB"))
+      .toDF("doc_id", "text", "source")
+    def run(budget: Long): Map[String, (Long, Long, Double, Double)] =
+      TextOps.budgetAlloc(corpus, budget, alpha = 0.5)
+        .select("source", "avail_tokens", "alloc_tokens", "share", "fill_ratio")
+        .as[(String, Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val wa = math.rint(math.sqrt(8.0) * 1e6) / 1e6
+    val T = wa + 1.0
+    // budget 6: srcB's target floor(6·1/T)=1 saturates it exactly
+    // (fill 1.0); srcA takes floor(6·wa/T)=4 then the leftover 1 in
+    // the redistribution round (sole unsaturated source) → 5 of 8
+    val b6 = run(6)
+    assert(b6("srcB") == ((1L, 1L, 1.0 / 6, 1.0)), b6("srcB").toString)
+    val a1 = math.floor(6.0 * (wa / T)).toLong // 4
+    assert(a1 == 4L)
+    assert(b6("srcA")._2 == 5L && b6("srcA")._4 == 5.0 / 8, b6("srcA").toString)
+    // budget 100 > corpus: every source exhausts, nothing blows up on
+    // the all-saturated (tw2 = null) redistribution edge
+    val b100 = run(100)
+    assert(b100("srcA") == ((8L, 8L, 0.08, 1.0)))
+    assert(b100("srcB") == ((1L, 1L, 0.01, 1.0)))
+    // zero budget refuses typed (ANSI division contract)
+    intercept[IllegalArgumentException](run(0))
+  }
+
   test("commonness: mean corpus df of each doc's distinct tokens") {
     val corpus = Seq((1L, "x y"), (2L, "x z"), (3L, "x x q")).toDF("doc_id", "text")
     val out = TextOps.commonness(corpus)
