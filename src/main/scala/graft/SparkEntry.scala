@@ -1614,6 +1614,14 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.attachVideo(docsT(s, dir)))
         .withColumnRenamed("n_samples", "n_frames")),
 
+    "multimodal_audio_features" -> ((s, dir) =>
+      // REAL WAV decode → per-window RMS + zero-crossing profile; the
+      // oracle recomputes both from the deterministic PCM synthesis
+      // formula (sample i = (byte(text, i mod len) − 96)·250) without
+      // ever touching the container — hash-equality proves the wire
+      // bytes, the JDK decode, and the window arithmetic end-to-end
+      Multimodal.audioFeatures(Multimodal.attachMedia(docsT(s, dir)))),
+
     "multimodal_video_frames" -> ((s, dir) =>
       // the frame-sampling fan-out path with REAL per-frame decode:
       // container parse → evenly-sampled JPEG frames → decode →
@@ -3749,6 +3757,29 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 256 + ((strlen(text) * 7) % 1024) END AS BIGINT) AS n_samples
          FROM documents""",
+
+    // recomputes the per-window features from the PCM synthesis
+    // formula alone (samples = (byte(text, i mod len) − 96)·250,
+    // n = 256 + 7·len mod 1024; window of sample i = i·4 div n; a
+    // zero-crossing counts when both pair members share the window);
+    // rms = one sqrt over the exact integer sum of squares
+    "multimodal_audio_features" ->
+      """WITH a AS (SELECT doc_id, text, strlen(text) AS len,
+                      256 + (strlen(text) * 7) % 1024 AS n
+                    FROM documents WHERE doc_id % 2 = 1),
+         u AS (SELECT doc_id, text, len, n, unnest(range(0, n)) AS i FROM a),
+         v AS (SELECT doc_id, i, CAST(i * 4 // n AS BIGINT) AS w,
+                 ((CASE WHEN len = 0 THEN 120
+                        ELSE ascii(substr(text, CAST(i % len AS INT) + 1, 1)) END) - 96) * 250 AS s
+               FROM u),
+         p AS (SELECT doc_id, i, w, s,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+                 lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+               FROM v)
+         SELECT doc_id, w AS window_idx, CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(count(*) FILTER (WHERE w2 = w AND (s < 0) <> (s2 < 0)) AS BIGINT) AS n_zero_cross,
+                sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+         FROM p GROUP BY 1, 2""",
 
     // video geometry formulas (Multimodal.vidW/vidH/vidFrames):
     // width 16+len%24, height 12+len%12, frames 3+len%5 — predicted

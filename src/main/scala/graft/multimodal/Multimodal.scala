@@ -403,6 +403,60 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Per-window AUDIO features over the real PCM: each clip's samples
+    * split into `nWindows` contiguous windows (sample i → window
+    * i·W div total — the same integer rule the oracle restates), and
+    * each window reports sample count, zero-crossing count (adjacent
+    * sign changes whose BOTH samples sit in the window) and RMS
+    * energy — the voice-activity / silence-trim profile an audio
+    * pipeline computes before transcription. The decode is the real
+    * JDK WAV path ([[features]]' audio branch); RMS is one sqrt over
+    * an exact integer sum of squares, so the number is deterministic
+    * bit-for-bit. Non-audio rows are ignored. */
+  def audioFeatures(media: DataFrame, nWindows: Int = 4): DataFrame = {
+    require(nWindows > 0, "audioFeatures needs at least one window")
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("window_idx", LongType),
+      StructField("n_samples", LongType),
+      StructField("n_zero_cross", LongType),
+      StructField("rms", DoubleType)))
+    val rdd = media.select("doc_id", "media", "kind").rdd
+      .filter(_.getString(2) == "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          val total = in.getFrameLength.toInt
+          val pcm = new Array[Byte](total * 2)
+          var read = 0
+          while (read < pcm.length) {
+            val k = in.read(pcm, read, pcm.length - read)
+            if (k <= 0) read = pcm.length else read += k
+          }
+          in.close()
+          def s(i: Int): Int = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          val n = new Array[Long](nWindows)
+          val zc = new Array[Long](nWindows)
+          val sq = new Array[Long](nWindows)
+          var i = 0
+          while (i < total) {
+            val w = (i.toLong * nWindows / total).toInt
+            n(w) += 1
+            sq(w) += s(i).toLong * s(i)
+            if (i + 1 < total && ((i + 1).toLong * nWindows / total).toInt == w &&
+              ((s(i) < 0) != (s(i + 1) < 0))) zc(w) += 1
+            i += 1
+          }
+          (0 until nWindows).filter(n(_) > 0).map(w =>
+            Row(r.getLong(0), w.toLong, n(w), zc(w),
+              math.sqrt(sq(w).toDouble / n(w))))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Decode [[frameSample]] output (doc_id, frame_idx, frame) — the
     * frames are PNG — back to per-frame pixel dims. Closes the video
     * evidence loop: AVI encode → container parse → JPEG decode → PNG

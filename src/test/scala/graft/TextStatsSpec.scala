@@ -87,6 +87,29 @@ class TextStatsSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("audioFeatures: real WAV decode, hand-computed RMS and zero-crossings") {
+    // doc 1: text "a" → every sample = ('a'−96)·250 = 250, constant
+    // positive → zero crossings 0, rms exactly 250
+    // doc 3: "a?" → samples alternate 250, ('?'−96)·250 = −8250 →
+    // every within-window adjacent pair crosses
+    val d = Seq((1L, "a"), (3L, "a?")).toDF("doc_id", "text")
+    val f = Multimodal.audioFeatures(Multimodal.attachMedia(d))
+      .select("doc_id", "window_idx", "n_samples", "n_zero_cross", "rms")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(f.length == 8) // 2 audio docs × 4 windows
+    val d1 = f.filter(_._1 == 1L)
+    assert(d1.map(_._3).sum == 256 + 7 % 1024) // n = 263 samples total
+    d1.foreach { case (_, _, _, zc, rms) => assert(zc == 0L && rms == 250.0) }
+    val d3 = f.filter(_._1 == 3L)
+    assert(d3.map(_._3).sum == 256 + 14 % 1024) // 270
+    d3.foreach { case (_, _, n, zc, rms) =>
+      assert(zc == n - 1, s"alternating signal must cross at every within-window pair")
+      // rms² = mean of the window's {250², 8250²} mixture — bounded by
+      // the pure tones on either side
+      assert(rms > 250.0 && rms < 8250.0)
+    }
+  }
+
   test("redact strips emails and id-numbers with typed placeholders") {
     // the shipped corpus has NO pii (verified: 0 docs match either
     // pattern), so the oracle hash-match alone cannot prove redaction
