@@ -1346,6 +1346,12 @@ object SparkEntry {
       // the candidate step; substring spans cover the finer grain)
       Dedup.containmentPairs(docsT(s, dir))),
 
+    "dedup_bucket_stats" -> ((s, dir) =>
+      // per-band bucket occupancy + the EXACT candidate-pair count a
+      // band would emit (Σ k·(k−1)/2) — the quadratic-blowup early
+      // warning, read before any pair join runs
+      Dedup.lshBucketStats(docsT(s, dir))),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsT(s, dir))),
 
     "dedup_keep" -> ((s, dir) =>
@@ -1421,6 +1427,12 @@ object SparkEntry {
     // the training bins it straddles (the training-prep step between
     // a filtered corpus and fixed-length sequences)
     "doc_pack" -> ((s, dir) => TextOps.pack(docsT(s, dir))),
+
+    "doc_pack_bins" -> ((s, dir) =>
+      // the loader-facing bin manifest: per (shard, bin) doc count,
+      // filled token slots and fill ratio (padding shows as the final
+      // bin's shortfall); straddled-bin explode, pure integer clips
+      TextOps.packBins(docsT(s, dir))),
 
     "lang_id" -> ((s, dir) => TextOps.langId(docsT(s, dir))),
 
@@ -2895,6 +2907,19 @@ object SparkEntry {
 
     "dedup_jaccard_twostage" -> twoStageOracle,
 
+    // the band CTE keys buckets as (band, bh) where the engine folds
+    // the band id into one hash — identical partitioning, so every
+    // occupancy count matches
+    "dedup_bucket_stats" ->
+      s"""$minhashCtes,
+         k AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS k FROM band GROUP BY 1, 2)
+         SELECT CAST(band AS INT) AS band,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(count(*) FILTER (WHERE k > 1) AS BIGINT) AS n_colliding_buckets,
+                max(k) AS max_bucket,
+                CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_candidate_pairs
+         FROM k GROUP BY 1""",
+
     // the containment twin of the two-stage oracle: same candidate
     // CTEs, directional |A∩B|/|A| instead of the union denominator
     "dedup_containment" ->
@@ -3162,6 +3187,24 @@ object SparkEntry {
                CAST(sum(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT) AS docs_surviving,
                CAST(sum(n_toks) OVER (ORDER BY bucket DESC) AS BIGINT) AS tokens_surviving
           FROM p""",
+
+    // the bin explode over the packed spans, clipped to bin edges;
+    // every window-sum-derived quantity casts to BIGINT (the doc_pack
+    // HUGEINT lesson)
+    "doc_pack_bins" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS shard,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+              FROM documents),
+          p AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS end_off
+              FROM t WHERE n_tokens > 0),
+          b AS (SELECT shard, end_off - n_tokens AS start_off, end_off,
+                 unnest(range((end_off - n_tokens) // 2048, (end_off - 1) // 2048 + 1)) AS bin
+              FROM p)
+          SELECT shard, CAST(bin AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(least(end_off, (bin + 1) * 2048) - greatest(start_off, bin * 2048)) AS BIGINT) AS n_tokens,
+                 CAST(sum(least(end_off, (bin + 1) * 2048) - greatest(start_off, bin * 2048)) AS DOUBLE) / 2048.0 AS fill_ratio
+          FROM b GROUP BY 1, 2""",
 
     // same window arithmetic: per-shard (doc_id mod 16) running token
     // offsets in doc_id order, integer-divided into 2048-token bins

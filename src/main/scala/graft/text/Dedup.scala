@@ -216,6 +216,28 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH bucket-occupancy profile — the quadratic-blowup EARLY
+    * WARNING an operator reads before running candidate generation at
+    * 100 TB: per band, how many buckets exist, how many actually
+    * collide, the largest bucket, and the exact candidate-pair count
+    * the band would emit (Σ k·(k−1)/2). A boilerplate-heavy corpus
+    * shows up here as one enormous bucket (pairs ≈ k²/2) BEFORE the
+    * join runs, which is when re-sharding or a stop-shingle cap is
+    * still cheap. Cost: the signature aggregation the dedup family
+    * already shares plus two bounded aggregations — no pair is ever
+    * materialized. */
+  def lshBucketStats(docs: DataFrame, n: Int = 3, numPerm: Int = 16,
+                     bandSize: Int = 4): DataFrame =
+    minhashBands(minhashSignatures(docs, n, numPerm), numPerm, bandSize)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_colliding_buckets"),
+        max(col("k")).as("max_bucket"),
+        sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
+
   /** LSH candidate pairs scored by SIGNATURE AGREEMENT instead of an
     * exact shingle-set verify: est_jaccard = matching components /
     * numPerm (E[agree/k] = J, Broder'97). This is the verification

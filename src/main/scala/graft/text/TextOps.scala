@@ -536,6 +536,27 @@ object TextOps {
         expr(s"(end_off - 1) div $budget").as("bin_last"))
   }
 
+  /** Bin manifest for [[pack]] output — what the training-data loader
+    * actually consumes: per (shard, bin), how many documents overlap
+    * the bin, how many of its `budget` token slots are filled, and the
+    * fill ratio (1.0 everywhere except each shard's final bin — the
+    * padding the packer will write). Derived by exploding each doc's
+    * straddled-bin range (sequence(bin_first, bin_last), bounded by
+    * doc_tokens/budget + 1 bins per doc) and clipping the span to the
+    * bin edges — pure integer arithmetic, one aggregation. */
+  def packBins(docs: DataFrame, budget: Long = 2048, shards: Int = 16): DataFrame =
+    pack(docs, budget, shards)
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .withColumn("bin", explode(sequence(col("bin_first"), col("bin_last"))))
+      .withColumn("tok_in_bin",
+        least(col("end_off"), (col("bin") + 1) * budget) -
+          greatest(col("start_off"), col("bin") * budget))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_in_bin")).as("n_tokens"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / budget.toDouble)
+
   /** Zipf slope of the corpus vocabulary (α in freq ∝ rank^−α, the
     * sanity dial for "does this corpus look like natural language" —
     * English ≈ 1.0, a flat synthetic vocabulary ≪ 1): least-squares

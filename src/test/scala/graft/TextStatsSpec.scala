@@ -428,4 +428,42 @@ class TextStatsSpec extends SparkSpec {
       .select("doc_id", "start_off").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(sharded == Seq((1L, 0L), (2L, 0L), (3L, 3L)), sharded)
   }
+
+  test("packBins: bins partition every token, only the final bin underfills") {
+    // same 3+4+5=12 tokens on one shard, budget 6 → exactly two FULL
+    // bins; doc 2 straddles (counted in both), doc 3 sits in bin 1
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val bins = TextOps.packBins(docs, budget = 6, shards = 1)
+      .select("shard", "bin", "n_docs", "n_tokens", "fill_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(bins == Seq((0L, 0L, 2L, 6L, 1.0), (0L, 1L, 2L, 6L, 1.0)), bins)
+    // budget 5 → 12 tokens = 2 full bins + a 2-token tail bin
+    val tail = TextOps.packBins(docs, budget = 5, shards = 1)
+      .select("bin", "n_tokens", "fill_ratio")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(tail.map(_._2) == Seq(5L, 5L, 2L), tail)
+    assert(tail.last._3 == 0.4 && tail.init.forall(_._3 == 1.0))
+    // conservation: bin token sums equal the packed total
+    assert(tail.map(_._2).sum == 12L)
+  }
+
+  test("lshBucketStats: per-band occupancy and the exact implied pair count") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "completely different words entirely here now today"))
+      .toDF("doc_id", "text")
+    val st = graft.text.Dedup.lshBucketStats(docs)
+      .select("band", "n_buckets", "n_colliding_buckets", "max_bucket", "n_candidate_pairs")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(st.map(_._1) == Seq(0, 1, 2, 3))
+    // identical docs share EVERY band bucket: each band sees the (1,2)
+    // collision and nothing else → 2 buckets (pair + singleton), one
+    // colliding, max 2, exactly 1 implied pair
+    st.foreach { case (_, nb, nc, mx, np) =>
+      assert(nb == 2L && nc == 1L && mx == 2L && np == 1L, st.toString)
+    }
+  }
 }
