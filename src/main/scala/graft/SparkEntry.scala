@@ -479,6 +479,25 @@ object SparkEntry {
         .select("series_id", "ts_us", "value")
     }),
 
+    // TIERED retention under the gate: ingest → close with rollups →
+    // retireRaw the first two days (their Gorilla payloads are GONE
+    // from disk; ChunkStoreSpec pins that and the loud raw refusal) →
+    // serve the WHOLE range from the surviving rollup tier. The
+    // oracle recomputes the hourly aggregates from raw source rows,
+    // so hash-equality proves the long-retention tier answers
+    // history the raw tier no longer holds, exactly
+    "ts_tiered_serving" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_tiered").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2, rollupOnClose = true)
+      store.append(Series.samples(t(s, dir, "events")))
+      store.closeChunksBelow(T1)
+      store.retireRaw(T0 + 2L * 86400000000L)
+      store.queryRollup(Seq(MatchEq("event_type", "click")), T0, T1 - 1)
+        .select("series_id", "bucket_ms", "n_points",
+          "min_value", "max_value", "sum_value", "avg_value")
+    }),
+
     "ts_rollup_served" -> ((s, dir) => {
       // THE RECORDING-RULE SERVING PATH in the graded gate: same
       // ingest-and-close as ts_query_chunked but with rollupOnClose
@@ -1812,6 +1831,20 @@ object SparkEntry {
     "ts_snapshot_restore" ->
       s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
           WHERE epoch_us(ts) BETWEEN $T0 AND $T1 - 1""",
+
+    // after retireRaw the rollup tier must still answer the FULL
+    // closed range — the same hourly recompute, click series
+    "ts_tiered_serving" ->
+      s"""SELECT $SeriesIdSql AS series_id,
+                 (epoch_us(ts)//3600000000)*3600000 AS bucket_ms,
+                 CAST(count(*) AS BIGINT) AS n_points,
+                 min(value) AS min_value, max(value) AS max_value,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE)/count(*) AS avg_value
+          FROM events
+          WHERE event_type = 'click'
+            AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1
+          GROUP BY 1, 2""",
 
     // the raw-path answer the rollup-served query must equal: hourly
     // aggregates recomputed from source rows over the CLOSED range

@@ -42,6 +42,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   private val closedPath = s"$path/closed"
   private val catalogPath = s"$path/closed_catalog"
   private val retentionPath = s"$path/_retention"
+  private val rawRetentionPath = s"$path/_raw_retention"
   private val rollupPath = s"$path/rollup"
 
   /** Per-(chunk, series) hourly rollup of a raw sample frame — the
@@ -229,7 +230,13 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     val routed = samples
       .filter(col("ts_us") > 0)
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
-    val aboveHorizon = retainedFrom() match {
+    // both horizons exclude at ingest: fully-retired history AND
+    // raw-retired history (a late raw row below the raw horizon would
+    // re-close its chunk and clobber the historical rollup with a
+    // rollup of just itself)
+    val horizon = (retainedFrom().toSeq ++ rawRetainedFrom().toSeq)
+      .reduceOption((a: Long, b: Long) => math.max(a, b))
+    val aboveHorizon = horizon match {
       case Some(limit) => routed.filter(col("chunk") >= limit)
       case None => routed
     }
@@ -253,6 +260,32 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     v
   }
 
+  /** First chunk id that still has RAW payloads (exclusive raw-tier
+    * retention horizon — [[retireRaw]]); same one-line persistence. */
+  @volatile private var rawRetentionCache: Option[Option[Long]] = None
+
+  private def rawRetainedFrom(): Option[Long] = rawRetentionCache.getOrElse {
+    val v =
+      if (!exists(rawRetentionPath)) None
+      else {
+        val in = hfs.open(new org.apache.hadoop.fs.Path(rawRetentionPath))
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    rawRetentionCache = Some(v)
+    v
+  }
+
+  /** Raw ranges below this refuse with a pointer to the rollup tier. */
+  private def assertRawServable(startUs: Long): Unit =
+    rawRetainedFrom().foreach { limit =>
+      if (startUs / chunkUs < limit)
+        throw new IllegalStateException(
+          s"ChunkStore at $path: raw payloads before chunk $limit " +
+            s"(ts < ${limit * chunkUs}us) were retired to the rollup tier (retireRaw) — " +
+            "serve that range with queryRollup, or start the raw query at or after the horizon")
+    }
+
   /** Retention enforcement — drop ALL data in chunks that end strictly
     * below `beforeUs` (Prometheus-style retention.time; a store that
     * only grows is not deployable at 100 TB/day). Deletion is
@@ -270,7 +303,10 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     val out = fs.create(new org.apache.hadoop.fs.Path(retentionPath), true)
     try out.write(newLimit.toString.getBytes("UTF-8")) finally out.close()
     retentionCache = Some(Some(newLimit))
-    val closedBelow = closedChunkIds().filter(_ < newLimit)
+    // raw-retired chunks are absent from the closed-id set but still
+    // hold catalog/rollup partitions — full retirement must drop those
+    // too, so the id set unions the rollup-tier listing
+    val closedBelow = (closedChunkIds() ++ rollupChunkIdsListed()).filter(_ < newLimit)
     closedBelow.foreach { c =>
       Seq(s"$closedPath/chunk=$c", s"$catalogPath/chunk=$c",
         s"$rollupPath/chunk=$c").foreach { p =>
@@ -294,6 +330,53 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     }
     closedIdsCache = None // retired ids must leave the ingest guard
     closedBelow ++ liveBelow
+  }
+
+  /** TIERED retention (the Thanos/Prometheus long-retention model —
+    * raw for days, downsampled for years): drop the RAW Gorilla
+    * payloads of closed chunks ending strictly below `beforeUs` while
+    * KEEPING their catalog and hourly rollups, so [[queryRollup]] and
+    * the metadata APIs keep serving the whole history at 1/360th the
+    * bytes. Raw reads ([[queryAll]]/[[queryClosed]]) that dip below
+    * the horizon refuse LOUDLY with a pointer to the rollup tier —
+    * the payload dirs are gone, and silently-empty would read as
+    * no-data. Appends below the horizon drop at ingest (a late raw
+    * row would re-close the chunk and clobber the historical rollup
+    * with a rollup of just itself). Refuses when the range covers
+    * live chunks (close first) or chunks without rollups (backfill
+    * first) — dropping raw without a rollup would be data LOSS, not
+    * tiering. Horizon persists (`_raw_retention`, monotone max).
+    * Returns the raw-retired chunk ids. */
+  def retireRaw(beforeUs: Long): Set[Long] = {
+    require(rollupOnClose || exists(rollupPath),
+      "retireRaw needs the rollup tier — build the store with rollupOnClose=true " +
+        "(or backfillRollups) so the history stays servable")
+    val limit = beforeUs / chunkUs
+    val newLimit = rawRetainedFrom().fold(limit)(math.max(_, limit))
+    val closedIds = closedChunkIds()
+    val liveBelow = liveChunkIdsListed().diff(closedIds).filter(_ < newLimit)
+    if (liveBelow.nonEmpty)
+      throw new IllegalStateException(
+        s"retireRaw range covers live (not yet closed) chunks " +
+          s"${liveBelow.toSeq.sorted.mkString(",")} — close them first (closeChunksBelow)")
+    val closedBelow = closedIds.filter(_ < newLimit)
+    val noRollup = closedBelow.diff(rollupChunkIdsListed())
+    if (noRollup.nonEmpty)
+      throw new IllegalStateException(
+        s"retireRaw would DROP chunks ${noRollup.toSeq.sorted.mkString(",")} outright — " +
+          "they have no rollups (closed before rollupOnClose); run backfillRollups() first")
+    val fs = hfs
+    val out = fs.create(new org.apache.hadoop.fs.Path(rawRetentionPath), true)
+    try out.write(newLimit.toString.getBytes("UTF-8")) finally out.close()
+    rawRetentionCache = Some(Some(newLimit))
+    closedBelow.foreach { c =>
+      val hp = new org.apache.hadoop.fs.Path(s"$closedPath/chunk=$c")
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    if (exists(closedPath) && !listNames(closedPath).exists(_.startsWith("chunk=")))
+      fs.delete(new org.apache.hadoop.fs.Path(closedPath), true)
+    closedIdsCache = None
+    closedBelow
   }
 
   /** Idempotent per-micro-batch append for streaming sinks: batch
@@ -659,7 +742,10 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * and [[restoreSnapshot]] swaps it back wholesale. Returns the
     * snapshot name. */
   def snapshot(name: Option[String] = None): String = {
-    val ids = closedChunkIds()
+    // union with the rollup listing: a tiered store's raw-retired
+    // chunks live only as catalog+rollup partitions, and a backup
+    // that silently dropped them would lose the long-retention tier
+    val ids = closedChunkIds() ++ rollupChunkIdsListed()
     require(ids.nonEmpty,
       "nothing closed to snapshot — the snapshot verb covers the closed tier; run closeChunksBelow first")
     val snapName = name.getOrElse {
@@ -681,9 +767,10 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
         org.apache.hadoop.fs.FileUtil.copy(fs, src,
           fs, new org.apache.hadoop.fs.Path(s"$tmp/$tier/chunk=$c"), false, conf)
     }
-    if (exists(retentionPath))
-      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(retentionPath),
-        fs, new org.apache.hadoop.fs.Path(s"$tmp/_retention"), false, conf)
+    for ((rp, nm) <- Seq(retentionPath -> "_retention", rawRetentionPath -> "_raw_retention")
+         if exists(rp))
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(rp),
+        fs, new org.apache.hadoop.fs.Path(s"$tmp/$nm"), false, conf)
     val manifest =
       s"""{"name":"$snapName","chunks":[${ids.toSeq.sorted.mkString(",")}],""" +
         s""""chunk_ms":$chunkMs,"created_ms":${System.currentTimeMillis()}}"""
@@ -740,6 +827,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * on the small catalog, never on decoded samples), decode only the
     * payloads of matching series. */
   def queryClosed(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    assertRawServable(startUs)
     val inRange = (df: DataFrame) =>
       df.filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)
     val cat = inRange(readChunked(catalogPath))
@@ -872,6 +960,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * yet closed — the reference's merge across current + secondary
     * chunks. */
   def queryAll(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    assertRawServable(startUs)
     if (!hasClosed) return query(ms, startUs, endUs)
     val closedIds = closedChunkIds()
     // fully compacted stores have no raw files left — reading the

@@ -303,6 +303,59 @@ class ChunkStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.deleteSeries(Nil, t0, t0 + dayUs))
   }
 
+  test("retireRaw: payloads drop, rollups serve, raw reads refuse loudly, guards hold across restart") {
+    val h = 3600000000000L // ns
+    val t0 = 1704067200000000L
+    val t0n = t0 * 1000L
+    val dayUs = 86400000000L
+    val ev = Seq(
+      (1L, t0n + 1L * h, 1L, "click", 10.0),
+      (2L, t0n + 25L * h, 1L, "click", 20.0),
+      (3L, t0n + 49L * h, 1L, "click", 40.0),
+      (4L, t0n + 26L * h, 1L, "purchase", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_tiered").toString
+    val store = new ChunkStore(spark, dir, chunkMs = 86400000L, rollupOnClose = true)
+    store.append(Series.samples(ev))
+    // live chunks below the horizon refuse (close first)
+    val liveErr = intercept[IllegalStateException](store.retireRaw(t0 + 4 * dayUs))
+    assert(liveErr.getMessage.contains("close"), liveErr.getMessage)
+    store.closeChunksBelow(t0 + 96L * 3600000000L)
+    val c0 = t0 / dayUs
+    // raw-retire days 0 and 1
+    val retired = store.retireRaw(t0 + 2 * dayUs)
+    assert(retired == Set(c0, c0 + 1), retired)
+    // payload dirs GONE; catalog and rollup partitions SURVIVE
+    assert(!new java.io.File(s"$dir/closed/chunk=$c0").exists())
+    assert(new java.io.File(s"$dir/closed_catalog/chunk=$c0").exists())
+    assert(new java.io.File(s"$dir/rollup/chunk=$c0").exists())
+    // rollup tier serves the WHOLE history, including retired days
+    val roll = store.queryRollup(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs)
+    assert(roll.agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 70.0)
+    // raw reads dipping below the horizon refuse with direction...
+    val err = intercept[IllegalStateException](store.queryAll(Nil, t0, t0 + 3 * dayUs).count())
+    assert(err.getMessage.contains("queryRollup"), err.getMessage)
+    // ...while raw reads at or after it still serve
+    assert(store.queryAll(Nil, t0 + 2 * dayUs, t0 + 3 * dayUs).count() == 1)
+    // late append below the raw horizon drops at ingest, ACROSS RESTART
+    val reopened = new ChunkStore(spark, dir, chunkMs = 86400000L, rollupOnClose = true)
+    reopened.append(Seq((9L, t0n + 2L * h, 1L, "click", 99.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .transform(Series.samples))
+    assert(!new java.io.File(s"$dir/live/chunk=$c0").exists(),
+      "a late raw row below the raw horizon must not resurface")
+    // snapshot of a tiered store carries the rollup-only chunks and
+    // the raw horizon; the opened snapshot refuses raw reads the same
+    reopened.snapshot(Some("tiered"))
+    val snap = reopened.openSnapshot("tiered")
+    assert(snap.queryRollup(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs)
+      .agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 70.0)
+    // full retirement still removes the rollup-only partitions
+    reopened.retire(t0 + dayUs)
+    assert(!new java.io.File(s"$dir/rollup/chunk=$c0").exists())
+    assert(!new java.io.File(s"$dir/closed_catalog/chunk=$c0").exists())
+  }
+
   test("snapshot → delete → restore round-trip; snapshots are readable stores; stale temp ignored") {
     val h = 3600000000000L // ns
     val t0 = 1704067200000000L
