@@ -1371,6 +1371,11 @@ object SparkEntry {
       // warning, read before any pair join runs
       Dedup.lshBucketStats(docsT(s, dir))),
 
+    "dedup_sweep" -> ((s, dir) =>
+      // threshold-tuning curve over ONE verified-pair pass: per τ the
+      // surviving pairs, dropped docs (keep-lowest-id), corpus left
+      Dedup.dedupSweep(docsT(s, dir))),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsT(s, dir))),
 
     "dedup_keep" -> ((s, dir) =>
@@ -2952,6 +2957,25 @@ object SparkEntry {
                 max(k) AS max_bucket,
                 CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_candidate_pairs
          FROM k GROUP BY 1""",
+
+    // one verified-pair pass, re-thresholded per τ; the survivor count
+    // applies the keep-lowest-id rule (distinct doc_b)
+    "dedup_sweep" ->
+      s"""WITH $twoStagePairsBody,
+         pj AS (SELECT i.doc_a, i.doc_b,
+                  CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS j
+                FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+                JOIN nsh nb ON nb.doc_id = i.doc_b
+                WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3),
+         taus(tau) AS (VALUES (0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)),
+         per AS (SELECT t.tau, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+                 FROM taus t JOIN pj ON pj.j >= t.tau GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT t.tau, COALESCE(per.n_pairs, 0) AS n_pairs,
+                COALESCE(per.n_docs_dropped, 0) AS n_docs_dropped,
+                tot.n_docs - COALESCE(per.n_docs_dropped, 0) AS n_docs_surviving
+         FROM taus t LEFT JOIN per ON per.tau = t.tau CROSS JOIN tot""",
 
     // the containment twin of the two-stage oracle: same candidate
     // CTEs, directional |A∩B|/|A| instead of the union denominator

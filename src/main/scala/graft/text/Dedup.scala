@@ -347,6 +347,35 @@ object Dedup {
         col("cont_a_in_b"), col("cont_b_in_a"), col("max_containment"))
   }
 
+  /** Dedup threshold-tuning curve — the jaccard sibling of
+    * [[TextOps.qualitySweep]]: ONE verified-pair pass, then for each
+    * candidate threshold the surviving pair count, the docs the
+    * keep-lowest-id rule would drop, and the surviving corpus size.
+    * The knob-tuning table an operator reads before committing a
+    * threshold to a 100 TB dedup run; cost is the two-stage pair set
+    * (already session-shared) times a ≤|thresholds| explode of the
+    * PAIRS (near-dup-sized, tiny vs the corpus). */
+  def dedupSweep(docs: DataFrame,
+                 thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "dedupSweep needs at least one threshold")
+    val pairs = ngramJaccardTwoStage(docs, threshold = thresholds.min)
+    val taus = docs.sparkSession.createDataFrame(
+      thresholds.map(Tuple1(_))).toDF("tau")
+    val perTau = pairs
+      .select(explode(array(thresholds.map(lit): _*)).as("tau"),
+        col("jaccard"), col("doc_b"))
+      .filter(col("jaccard") >= col("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    val total = docs.agg(count(lit(1)).as("n_docs")).persist()
+    taus.join(perTau, Seq("tau"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_dropped"))
+      .crossJoin(broadcast(total))
+      .select(col("tau"), col("n_pairs"), col("n_docs_dropped"),
+        (col("n_docs") - col("n_docs_dropped")).as("n_docs_surviving"))
+  }
+
   /** The pipeline-completing operator: the deduplicated corpus.
     * Greedy keep-lowest-id: a doc survives unless some lower-id doc is
     * near-duplicate of it (appears as doc_b in the pair list, which is

@@ -92,6 +92,30 @@ class DedupSpec extends SparkSpec {
     c.foreach { case (k, (_, _, m)) => j.get(k).foreach(jv => assert(m >= jv)) }
   }
 
+  test("dedupSweep: the threshold curve steps where pair jaccards sit") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),  // exact dup: j = 1.0
+      (3L, "a b c d e f g h i z"),  // 7 of 8 shingles shared: j = 7/9 ≈ 0.778
+      (4L, "q r s t u v w x y zz")) // unrelated
+      .toDF("doc_id", "text")
+    val curve = Dedup.dedupSweep(docs)
+      .select("tau", "n_pairs", "n_docs_dropped", "n_docs_surviving")
+      .as[(Double, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(curve.map(_._1) == Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    // the (1,2) exact pair survives every τ; the (1,3)/(2,3) pairs at
+    // ~0.778 drop out at τ=0.8 — so the curve must STEP between 0.7
+    // and 0.8, and the strict-dup tail must be exactly one pair
+    val at07 = curve.find(_._1 == 0.7).get
+    val at08 = curve.find(_._1 == 0.8).get
+    assert(at08._2 == 1L && at08._3 == 1L && at08._4 == 3L, at08.toString)
+    assert(at07._2 > at08._2, s"expected a step between 0.7 and 0.8: $curve")
+    // monotone: pairs and drops never increase with τ
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3)
+    }
+  }
+
   test("two-stage pair source recalls every exact pair on the real corpus") {
     // the keep/clusters/split chain rides the two-stage generator, so
     // its recall against the exact operator is load-bearing — and an
