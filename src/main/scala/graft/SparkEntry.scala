@@ -206,6 +206,33 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // the WRITE half of the migration story under the gate: local
+    // samples relayed OUT over the remote-write wire (snappy/protobuf
+    // POSTs from executor tasks, driver never holds a sample) into a
+    // second live store, then read back federated. The oracle is the
+    // ms-truncated source filter, so hash-equality proves the encode →
+    // HTTP → decode → ingest chain loses exactly the sub-ms tails the
+    // protocol cannot carry and nothing else
+    "fed_relay" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_relay").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      val ep = new graft.sources.HttpEndpoint(s, store)
+      val port = ep.start()
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q_relay_out").toString
+      try {
+        val src = Series.samples(t(s, dir, "events"))
+          .filter(col("event_type") === "signup" &&
+            col("ts_us") >= T0 && col("ts_us") <= T1)
+          .repartition(4)
+        graft.sources.Federation.relay(src, s"http://127.0.0.1:$port/api/v1/write")
+        store.queryAll(Nil, T0, T1)
+          .select("series_id", "ts_us", "value")
+          .write.mode("overwrite").parquet(outDir)
+      } finally ep.stop()
+      s.read.parquet(outDir)
+    }),
+
     // the PULL half of the ecosystem under the gate: ingest → live
     // /federate endpoint → text-exposition scrape client → sample
     // frame. Instant-vector semantics with the 30d lookback-delta
@@ -2204,6 +2231,16 @@ object SparkEntry {
                  (max(ts_us) // 1000) * 1000 AS ts_us,
                  last(value ORDER BY ts_us, value) AS value
           FROM s GROUP BY 1, 2, 3""",
+
+    // the relayed store holds the ms-truncated signup samples; the
+    // query range [T0, T1] is µs-inclusive so the last ms bucket's
+    // sub-ms tail still falls inside
+    "fed_relay" ->
+      s"""SELECT $SeriesIdSql AS series_id,
+                 (epoch_us(ts) // 1000) * 1000 AS ts_us, value
+          FROM events
+          WHERE event_type = 'signup'
+            AND epoch_us(ts) BETWEEN $T0 AND $T1""",
 
     "fed_read" ->
       s"""SELECT $SeriesIdSql AS series_id, event_type,

@@ -190,6 +190,57 @@ object Federation {
     parseExposition(text, defaultTsUs)
   }
 
+  /** Remote-write RELAY — the WRITE half of the migration story
+    * ([[read]]/[[readSamples]] are the read half): stream a sample
+    * frame OUT to any remote-write endpoint (another graft store's
+    * [[HttpEndpoint]], Prometheus, a vendor agent) as snappy/protobuf
+    * WriteRequests. EACH PARTITION POSTS FROM ITS EXECUTOR TASK — the
+    * driver never materializes a sample — batched at
+    * `maxSamplesPerRequest` rows per request with per-batch series
+    * grouping; a non-2xx answer fails the task loudly (Spark retries
+    * the partition, and the receiver's idempotence story is the
+    * wire's at-least-once contract, same as Prometheus remote-write).
+    * The wire carries millisecond timestamps — sub-ms tails truncate,
+    * the protocol's resolution. Expects the sample model columns
+    * (event_type, user_id, ts_us, value); returns samples sent. */
+  def relay(samples: DataFrame, url: String,
+            maxSamplesPerRequest: Int = 5000): Long = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples
+      .select(col("event_type").cast("string"), col("user_id").cast("string"),
+        expr("ts_us div 1000").cast("long"), col("value").cast("double"))
+      .as[(String, String, Long, Double)]
+      .mapPartitions { it =>
+        var sent = 0L
+        it.grouped(maxSamplesPerRequest).foreach { batch =>
+          val series: Seq[RemoteWrite.Series] = batch
+            .groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
+            .map { case ((et, uid), rows) =>
+              (Map("event_type" -> et, "user_id" -> uid),
+                rows.map(r => (r._3, r._4)).toSeq)
+            }
+          val body = RemoteWrite.encode(series)
+          val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.setConnectTimeout(30000)
+          conn.setReadTimeout(120000)
+          conn.setRequestProperty("Content-Type", "application/x-protobuf")
+          conn.setRequestProperty("Content-Encoding", "snappy")
+          conn.getOutputStream.write(body)
+          conn.getOutputStream.close()
+          val code = conn.getResponseCode
+          conn.disconnect()
+          if (code / 100 != 2)
+            throw new java.io.IOException(s"remote-write relay to $url answered $code")
+          sent += batch.size
+        }
+        Iterator.single(sent)
+      }
+      .collect().sum // one count per partition — bounded by task count
+  }
+
   /** md5 over the sorted `k=v` join — the dynamic-map twin of
     * [[graft.tsdb.Series.canonical]] (same bytes, same id, so
     * federated series ids equal the local store's). */

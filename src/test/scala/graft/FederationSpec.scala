@@ -110,6 +110,31 @@ class FederationSpec extends SparkSpec {
       Federation.parseExposition("m{user_id=\"1\", junk} 5", 0L).toSeq)
   }
 
+  test("relay: executor-side remote-write POSTs land losslessly at ms grain; non-2xx fails loudly") {
+    import spark.implicits._
+    val dirB = java.nio.file.Files.createTempDirectory("graft_relay_b").toString
+    val b = new ChunkStore(spark, dirB, chunkMs = 86400000L)
+    val ep = new HttpEndpoint(spark, b)
+    val port = ep.start()
+    try {
+      val src = Series.samples(ev)
+      val sent = Federation.relay(src.repartition(3),
+        s"http://127.0.0.1:$port/api/v1/write", maxSamplesPerRequest = 2)
+      assert(sent == src.count())
+      val got = b.live().select("series_id", "ts_us", "value")
+        .as[(String, Long, Double)].collect().toSet
+      val expect = src
+        .select(col("series_id"), (expr("ts_us div 1000") * 1000).as("ts_us"), col("value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == expect && got.nonEmpty)
+      // a non-2xx endpoint fails the relay loudly, not silently
+      val e = intercept[org.apache.spark.SparkException](
+        Federation.relay(src, s"http://127.0.0.1:$port/nope"))
+      assert(e.getMessage.contains("relay") || Option(e.getCause).exists(
+        _.getMessage.contains("relay")), e.getMessage.take(200))
+    } finally ep.stop()
+  }
+
   test("review fix: a dead scrape target is a down target for one tick, not a dead sink") {
     val dirB = java.nio.file.Files.createTempDirectory("graft_scrape_dead").toString
     val b = new ChunkStore(spark, dirB, chunkMs = 86400000L)
