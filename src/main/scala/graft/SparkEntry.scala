@@ -145,6 +145,31 @@ object SparkEntry {
     // TopKPerKey bounded-heap operator keyed by (series, grid). Probed
     // live: 15/60 purchase series have ≥2 samples in the 1d window at
     // sf0.01 (132/549 at sf0.1) — both the 0.0 and nonzero states occur
+    // a RECORDING RULE under the gate: the promql_range expression
+    // evaluated once over the store and APPENDED BACK as first-class
+    // series (record: job:traffic:sum6h), then selected back out like
+    // any ingested metric. The oracle recomputes the expression and
+    // re-derives the recorded series ids (name label = rule name,
+    // user_id = the surviving group label), so hash-equality proves
+    // the evaluate → relabel → append → select loop end-to-end
+    "promql_record" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_record").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      // the ruler writes its OWN store (the Thanos-Ruler shape):
+      // recorded user_id values are label strings, and the source
+      // store here is numerically keyed
+      val ruleStore = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_record_dst").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      store.append(Series.samples(t(s, dir, "events")))
+      graft.promql.PromQL.recordRule(store, ruleStore, "job:traffic:sum6h",
+        """sum by (event_type) (sum_over_time({event_type=~"click|view"}[6h]))""",
+        T0 + 21600000000L, T0 + 86400000000L, 21600000000L)
+      ruleStore.queryAll(Seq(MatchEq("event_type", "job:traffic:sum6h")), T0, T1)
+        .select("series_id", "ts_us", "value")
+    }),
+
     "promql_irate" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"), """irate(purchase[1d])""", T2)),
 
@@ -2138,6 +2163,19 @@ object SparkEntry {
           s AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
                 WHERE event_type IN ('click', 'view'))
           SELECT s.event_type, g.t AS ts_us,
+                 CAST(sum(CAST(s.value AS DECIMAL(28,2))) AS DOUBLE) AS value
+          FROM g JOIN s ON s.ts_us BETWEEN g.t - 21600000000 AND g.t
+          GROUP BY 1, 2""",
+
+    // the recorded series re-derived: name label = the rule name,
+    // user_id = the surviving event_type group value, same md5
+    // canonicalization as any ingested series
+    "promql_record" ->
+      s"""WITH g AS (SELECT ${T0} + 21600000000 * k AS t FROM range(1, 5) r(k)),
+          s AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+                WHERE event_type IN ('click', 'view'))
+          SELECT md5('event_type=job:traffic:sum6h,user_id=' || s.event_type) AS series_id,
+                 g.t AS ts_us,
                  CAST(sum(CAST(s.value AS DECIMAL(28,2))) AS DOUBLE) AS value
           FROM g JOIN s ON s.ts_us BETWEEN g.t - 21600000000 AND g.t
           GROUP BY 1, 2""",

@@ -194,7 +194,12 @@ object PromQL {
       if (c.isWhitespace) i += 1
       else if (c.isLetter || c == '_') {
         val j = i
-        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        // ':' continues an identifier — Prometheus metric names allow
+        // colons (the recording-rule naming convention job:metric:op,
+        // which recordRule writes), and the subquery colon is safe:
+        // it always follows a duration, where ':' cannot START an
+        // identifier and still lexes as the symbol
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_' || q(i) == ':')) i += 1
         out += TIdent(q.substring(j, i))
       } else if (c.isDigit || (c == '.' && i + 1 < q.length && q(i + 1).isDigit)) {
         val j = i
@@ -1004,6 +1009,51 @@ object PromQL {
     store.queryAll(ms, lo, hi)
       .join(store.catalog(), "series_id")
       .withColumn("event_id", lit(0L))
+  }
+
+  /** A Prometheus RECORDING RULE: evaluate `query` on an epoch-grid
+    * over the store and APPEND the result back as first-class series —
+    * `record: ruleName` in rule-file terms. The recorded metric name
+    * is `ruleName` (riding the engine's event_type name label);
+    * user_id carries the result's remaining label values joined ':'
+    * in column-name order ("" when the expression aggregated every
+    * label away) so distinct result series stay distinct. Recorded
+    * samples then serve like any ingested series — selectors,
+    * federation, chunk close, rollups — which is the whole point of
+    * recording rules: pay the expensive expression once per grid, not
+    * per dashboard refresh. Results land in `dest` (default: a rule
+    * store BESIDE the source is the deployment shape — Thanos Ruler
+    * writes its own TSDB; recorded user_id values are label STRINGS,
+    * and appending them into a store whose user_id column is numeric
+    * would mix parquet types in one directory). The append rides the
+    * dest store's normal ingest guard (closed chunks refuse the
+    * write), and re-running the same rule over the same grid APPENDS
+    * duplicates — run it from one scheduler per store, the Prometheus
+    * deployment shape. Returns the number of recorded samples. */
+  def recordRule(store: graft.tsdb.ChunkStore, dest: graft.tsdb.ChunkStore,
+                 ruleName: String, query: String,
+                 startUs: Long, endUs: Long, stepUs: Long,
+                 lookbackUs: Long = 5L * 60L * 1000000L): Long = {
+    require(ruleName.nonEmpty, "recording rules need a metric name")
+    val res = evalStoreRange(store, query, startUs, endUs, stepUs, lookbackUs)
+    val labelCols = res.columns
+      .filterNot(Set("ts_us", "value", "event_id", "series_id").contains).sorted
+    val uid =
+      if (labelCols.isEmpty) lit("")
+      else concat_ws(":", labelCols.map(c => col(c).cast("string")): _*)
+    val samples = res.select(
+      lit(ruleName).as("event_type"),
+      uid.as("user_id"),
+      col("ts_us"),
+      col("value").cast("double").as("value"),
+      lit(0L).as("event_id"))
+    val withId = samples.select(
+      graft.tsdb.Series.seriesId(Seq(
+        "event_type" -> col("event_type"), "user_id" -> col("user_id"))).as("series_id"),
+      col("event_type"), col("user_id"), col("ts_us"), col("value"), col("event_id"))
+    withId.persist()
+    try { dest.append(withId); withId.count() }
+    finally withId.unpersist(blocking = false)
   }
 
   /** A Prometheus ALERT RULE over ANY PromQL expression — the full

@@ -474,6 +474,35 @@ class PromqlSpec extends SparkSpec {
     assert(one(q("cum_ok", "2")) == Seq(Double.PositiveInfinity))
   }
 
+  test("recordRule: recorded series are first-class metrics, colon names parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_record").toString
+    val store = new graft.tsdb.ChunkStore(spark, dir, chunkMs = 86400000L)
+    val ruleStore = new graft.tsdb.ChunkStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_record_dst").toString,
+      chunkMs = 86400000L)
+    store.append(graft.tsdb.Series.samples(ev))
+    val n = PromQL.recordRule(store, ruleStore, "type:value:sum2h",
+      """sum by (event_type) (sum_over_time({}[2h]))""",
+      hu, 2L * hu, hu)
+    assert(n > 0)
+    // the recorded metric selects by BARE COLON NAME (the recording-
+    // rule convention — the lexer must take ':' in identifiers) and
+    // composes into further expressions like any ingested series
+    val got = PromQL.evalStore(ruleStore, """sum(type:value:sum2h)""", 2L * hu)
+      .select("value").as[Double].collect().toSeq
+    // at 2h: the store's ingest guard drops the ts=0 samples (non-
+    // positive timestamps), so click = 20+40+7 = 67, purchase 230,
+    // view 1 → 298
+    assert(got == Seq(298.0), got)
+    // labels survive as user_id (the surviving group value)
+    val byLabel = PromQL.evalStore(ruleStore,
+      """type:value:sum2h{user_id="purchase"}""", 2L * hu)
+      .select("value").as[Double].collect().toSeq
+    assert(byLabel == Seq(230.0), byLabel)
+    // the subquery colon still lexes as the symbol after a duration
+    PromQL.parse("""max_over_time(sum(click)[2h:1h])""")
+  }
+
   test("subqueries: inner expr on an epoch-aligned step grid, outer range fn over it") {
     // parser shape
     PromQL.parse("""max_over_time(rate(click[5m])[1h:10m])""") match {
