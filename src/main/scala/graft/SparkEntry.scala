@@ -1637,6 +1637,13 @@ object SparkEntry {
       VectorOps.quantizeStats(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
 
+    "emb_mrl_curve" -> ((s, dir) =>
+      // Matryoshka prefix-fidelity: mean energy fraction + cosine of
+      // each vector against its own L-prefix, per candidate L — the
+      // truncate-for-cheap-ANN dial; one pass, map-side scalars
+      VectorOps.mrlCurve(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
     "emb_covariance" -> ((s, dir) =>
       // dimension-pair covariance (upper triangle) — the PCA/whitening
       // input; pair products built map-side per row, corpus never
@@ -3845,6 +3852,23 @@ object SparkEntry {
                 CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(x) AS mean_v,
                 min(x) AS min_v, max(x) AS max_v
          FROM e WHERE x IS NOT NULL GROUP BY 1""",
+
+    // per-vector energy fractions via sequential list folds (the same
+    // left-to-right order as Spark's aggregate()), rounded 6dp before
+    // the exact decimal mean
+    "emb_mrl_curve" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT t.l AS prefix_len,
+                 CASE WHEN tot = 0 OR tot IS NULL THEN 0.0
+                      ELSE COALESCE(list_sum(list_transform(v[1:t.l], x -> x * x)), 0.0) / tot
+                 END AS frac
+               FROM (SELECT v, list_sum(list_transform(v, x -> x * x)) AS tot FROM e) s,
+                    (SELECT unnest([8, 16, 32, 64]) AS l) t)
+         SELECT CAST(prefix_len AS BIGINT) AS prefix_len,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(frac, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_energy_frac,
+                CAST(sum(CAST(round(sqrt(frac), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_cos
+         FROM p GROUP BY 1""",
 
     // mirrors the engine expression-for-expression: exact maxabs →
     // one double division per scale; q and err are single IEEE

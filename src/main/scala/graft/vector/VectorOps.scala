@@ -439,6 +439,39 @@ object VectorOps {
       .select(col("dim"), col("n"), (col("sx") / col("n")).as("mean_v"),
         col("min_v"), col("max_v"))
 
+  /** Matryoshka (MRL) prefix-fidelity curve: for each candidate
+    * prefix length, the mean fraction of every vector's squared norm
+    * captured by its first L components and the mean cosine between
+    * the vector and its own prefix (= √frac — exact, since the prefix
+    * is the vector's orthogonal projection). The dial a pipeline
+    * reads before truncating embeddings for cheap ANN tiers: a curve
+    * already ≈1 at L=16 means 4× cheaper vectors for free; a flat
+    * curve means the embedding spreads information and truncation
+    * would cost recall. One corpus pass (|prefixes| map-side scalars
+    * per row, no explode), one bounded aggregation; per-vector
+    * fractions round to 6dp before the exact decimal mean (the
+    * ts_deriv recipe). Zero vectors contribute fraction 0. */
+  def mrlCurve(corpus: DataFrame, prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ > 0), "prefix lengths must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val full = aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)
+    val perPrefix = prefixes.map { l =>
+      val pre = aggregate(slice(col("v"), 1, l), lit(0.0), (acc, x) => acc + x * x)
+      struct(lit(l).as("prefix_len"),
+        when(col("__full") === 0.0, 0.0).otherwise(pre / col("__full")).as("frac"))
+    }
+    corpus
+      .withColumn("__full", full)
+      .select(explode(array(perPrefix: _*)).as("p"))
+      .select(col("p.prefix_len").cast("long").as("prefix_len"),
+        round(col("p.frac"), 6).cast(dec).as("f6"),
+        round(sqrt(col("p.frac")), 6).cast(dec).as("c6"))
+      .groupBy(col("prefix_len"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("f6")).cast("double") / count(lit(1))).as("mean_energy_frac"),
+        (sum(col("c6")).cast("double") / count(lit(1))).as("mean_cos"))
+  }
+
   /** Symmetric per-dimension INT8 quantization profile — the
     * compression step an ANN store takes before sharding a 100 TB
     * embedding corpus (4× smaller vectors, SIMD-friendly distance):

@@ -90,6 +90,24 @@ class VectorSpec extends SparkSpec {
     assert(out(2)._4 < 1e-15 && out(2)._5 < 1e-15)
   }
 
+  test("mrlCurve: energy fractions by prefix, cos = sqrt(frac), zero-vector guard") {
+    val corpus = Seq(
+      (1L, Seq(3.0, 4.0, 0.0, 0.0)), // all energy in the first 2 dims
+      (2L, Seq(0.0, 0.0, 0.0, 5.0)), // none until the last dim
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))) // zero vector → frac 0
+      .toDF("vec_id", "v")
+    val out = VectorOps.mrlCurve(corpus, prefixes = Seq(2, 4))
+      .select("prefix_len", "n", "mean_energy_frac", "mean_cos")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(2L, 4L) && out.forall(_._2 == 3L))
+    // L=2: fracs (1, 0, 0) → mean 1/3; cos (1, 0, 0) → 1/3
+    assert(math.abs(out(0)._3 - 1.0 / 3) < 1e-6)
+    assert(math.abs(out(0)._4 - 1.0 / 3) < 1e-6)
+    // L=4: full prefixes → fracs (1, 1, 0), cos likewise → 2/3
+    assert(math.abs(out(1)._3 - 2.0 / 3) < 1e-6)
+    assert(math.abs(out(1)._4 - 2.0 / 3) < 1e-6)
+  }
+
   test("covariance: diagonal matches population variance, symmetry-free upper triangle") {
     val out = VectorOps.covariance(toy.select($"vec_id", $"v"), dim = 3)
       .select("di", "dj", "n", "cov")
