@@ -111,6 +111,14 @@ object Bench {
             }
             found
           } catch { case _: Throwable => None }
+        // an EXPLICIT override that does not resolve is an operator
+        // error — failing loudly beats silently adjudicating against
+        // a different baseline (the exact bug class this lookup fixes)
+        sys.env.get("SPARK_GRAFT_BENCH_REF").foreach { p =>
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_BENCH_REF=$p does not exist")
+        }
         val candidates = Seq(
           sys.env.get("SPARK_GRAFT_BENCH_REF").map(java.nio.file.Paths.get(_)),
           Some(java.nio.file.Paths.get("bench_reference.json")),
@@ -129,7 +137,10 @@ object Bench {
           "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(inQueries)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        case e: IllegalArgumentException => throw e // explicit override errors stay loud
+        case _: Throwable => Map.empty
+      }
     val suspects = results.collect {
       case (name, v) if v >= 0 &&
         refs.get(name).exists(r => v > 3 * r && v - r > 0.5) => name

@@ -428,6 +428,17 @@ object Multimodal {
         rows.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          // the window math below indexes 16-bit mono little-endian
+          // frames — a stereo or 8/24-bit clip would silently
+          // interleave channels or mis-stride, and a streamed header
+          // reporting NOT_SPECIFIED (-1) frames would blow the
+          // allocation; refuse typed instead (review fix)
+          val fmt = in.getFormat
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+            in.getFrameLength >= 0 && !fmt.isBigEndian,
+            s"audioFeatures expects 16-bit mono little-endian PCM with a known " +
+              s"frame count, got channels=${fmt.getChannels} bits=${fmt.getSampleSizeInBits} " +
+              s"bigEndian=${fmt.isBigEndian} frames=${in.getFrameLength}")
           val total = in.getFrameLength.toInt
           val pcm = new Array[Byte](total * 2)
           var read = 0

@@ -1029,7 +1029,12 @@ object PromQL {
     * dest store's normal ingest guard (closed chunks refuse the
     * write), and re-running the same rule over the same grid APPENDS
     * duplicates — run it from one scheduler per store, the Prometheus
-    * deployment shape. Returns the number of recorded samples. */
+    * deployment shape. Returns the number of samples the rule store
+    * SERVES for `ruleName` over the grid range after the append — the
+    * observable truth, not the evaluated row count: dest's ingest
+    * guard silently DROPS rows routed to closed chunks or below its
+    * retention horizons, and a scheduler must see that as a shortfall
+    * (0 for a fully-dropped write), not a success. */
   def recordRule(store: graft.tsdb.ChunkStore, dest: graft.tsdb.ChunkStore,
                  ruleName: String, query: String,
                  startUs: Long, endUs: Long, stepUs: Long,
@@ -1051,9 +1056,9 @@ object PromQL {
       graft.tsdb.Series.seriesId(Seq(
         "event_type" -> col("event_type"), "user_id" -> col("user_id"))).as("series_id"),
       col("event_type"), col("user_id"), col("ts_us"), col("value"), col("event_id"))
-    withId.persist()
-    try { dest.append(withId); withId.count() }
-    finally withId.unpersist(blocking = false)
+    dest.append(withId)
+    dest.queryAll(Seq(graft.tsdb.MatchEq("event_type", ruleName)), startUs, endUs)
+      .count()
   }
 
   /** A Prometheus ALERT RULE over ANY PromQL expression — the full

@@ -78,6 +78,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * not needed. Bucket bounds are inclusive of any bucket overlapping
     * [startUs, endUs]. */
   def queryRollup(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    assertNoPendingClosedSwap()
     require(exists(rollupPath),
       s"ChunkStore at $path has no rollups — they are written on chunk close " +
         "when the store is built with rollupOnClose=true; for raw-resolution " +
@@ -146,19 +147,29 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * empty page. Endpoints that need "the data's now" use this
     * instead; cost is one chunk's scan (decode only if that chunk is
     * closed), acceptable at request rate. */
-  def newestSampleTsUs: Option[Long] = {
+  def newestSampleTsUs: Option[Long] = newestTsCache.getOrElse {
     val closedIds = closedChunkIds()
     val liveIds = liveChunkIdsListed()
     val ids = closedIds ++ liveIds
-    if (ids.isEmpty) return None
-    val c = ids.max
-    val rows =
-      if (liveIds.contains(c) && !closedIds.contains(c))
-        live().filter(col("chunk") === c)
-      else readClosed(c)
-    val m = rows.agg(max(col("ts_us"))).collect()(0)
-    if (m.isNullAt(0)) dataHorizonUs else Some(m.getLong(0))
+    val v =
+      if (ids.isEmpty) None
+      else {
+        val c = ids.max
+        val rows =
+          if (liveIds.contains(c) && !closedIds.contains(c))
+            live().filter(col("chunk") === c)
+          else readClosed(c)
+        val m = rows.agg(max(col("ts_us"))).collect()(0)
+        if (m.isNullAt(0)) dataHorizonUs else Some(m.getLong(0))
+      }
+    newestTsCache = Some(v)
+    v
   }
+
+  // cached newest-sample answer (review fix: an uncached scan made
+  // every ?time=-less serving request pay a newest-chunk decode);
+  // every mutating verb that can move the newest sample clears it
+  @volatile private var newestTsCache: Option[Option[Long]] = None
 
   /** Live chunk ids from the partition DIRECTORY NAMES (both
     * layouts) — a metadata listing, never a Spark job. */
@@ -202,6 +213,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     assertLayout(batchScoped = false)
     clustered(guardedRouted(samples))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
+    newestTsCache = None
   }
 
   /** Direct appends write `live/chunk=…`, streaming batch appends
@@ -276,6 +288,20 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     v
   }
 
+  /** Closed-tier reads refuse while an interrupted delete/restore
+    * swap is pending — partitions may be mid-move; re-running the
+    * interrupted verb heals (the live-tier `_compact_pending` rule,
+    * applied to the closed tier). */
+  private def assertNoPendingClosedSwap(): Unit = {
+    require(!exists(s"$path/$DeletePendingMarker"),
+      s"ChunkStore at $path: a series deletion was interrupted mid-swap — " +
+        "re-run deleteSeries (any arguments) or touch the store with the same " +
+        "verb to heal before reading the closed tier")
+    require(!exists(s"$path/$RestorePendingMarker"),
+      s"ChunkStore at $path: a snapshot restore was interrupted mid-swap — " +
+        "re-run restoreSnapshot to heal before reading the closed tier")
+  }
+
   /** Raw ranges below this refuse with a pointer to the rollup tier. */
   private def assertRawServable(startUs: Long): Unit =
     rawRetainedFrom().foreach { limit =>
@@ -329,6 +355,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
     closedIdsCache = None // retired ids must leave the ingest guard
+    newestTsCache = None
     closedBelow ++ liveBelow
   }
 
@@ -376,6 +403,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     if (exists(closedPath) && !listNames(closedPath).exists(_.startsWith("chunk=")))
       fs.delete(new org.apache.hadoop.fs.Path(closedPath), true)
     closedIdsCache = None
+    newestTsCache = None
     closedBelow
   }
 
@@ -404,6 +432,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
           .write.mode("overwrite").partitionBy("chunk")
           .parquet(s"$livePath/batch=$batchId")
     } finally guarded.unpersist(blocking = false)
+    newestTsCache = None
   }
 
   /** Cluster on (chunk, salt-of-series) before a partitioned write:
@@ -804,23 +833,70 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     require(exists(snapDir), s"no snapshot named $name under $snapshotsRoot")
     val fs = hfs
     val conf = spark.sparkContext.hadoopConfiguration
+    // a predecessor that crashed after its commit marker: complete it
+    // first (its staging holds the only copy of some tiers)
+    val pending = new org.apache.hadoop.fs.Path(path, RestorePendingMarker)
+    if (fs.exists(pending)) completeRestoreSwap(fs, pending)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_restore_staging")
     fs.delete(staging, true)
+    val RetentionFiles = Seq("_retention", "_raw_retention")
     for (tier <- SnapTiers) {
       val src = new org.apache.hadoop.fs.Path(s"$snapDir/$tier")
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src,
           fs, new org.apache.hadoop.fs.Path(staging, tier), false, conf)
     }
-    for (tier <- SnapTiers) {
-      val staged = new org.apache.hadoop.fs.Path(staging, tier)
-      val live = new org.apache.hadoop.fs.Path(s"$path/$tier")
-      fs.delete(live, true)
-      if (fs.exists(staged)) fs.rename(staged, live)
+    for (f <- RetentionFiles) {
+      val src = new org.apache.hadoop.fs.Path(s"$snapDir/$f")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src,
+          fs, new org.apache.hadoop.fs.Path(staging, f), false, conf)
     }
-    fs.delete(staging, true)
-    closedIdsCache = None
+    // the marker records what must be REMOVED WITHOUT REPLACEMENT —
+    // tiers and retention markers the snapshot does not carry (review
+    // fix: restore previously left the store's retention horizons
+    // pointing at tier states the restored data no longer has, so the
+    // serving guards refused data the store actually held)
+    val removeOnly = (SnapTiers ++ RetentionFiles)
+      .filterNot(e => fs.exists(new org.apache.hadoop.fs.Path(s"$snapDir/$e")))
+    val mOut = fs.create(pending, true)
+    try mOut.write(removeOnly.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    completeRestoreSwap(fs, pending)
   }
+
+  /** Idempotent-resumable second half of [[restoreSnapshot]] (the
+    * [[completeDeleteSwap]] shape at whole-tier grain): staged tiers
+    * and retention markers swap in with checked renames, the marker's
+    * remove list drops what the snapshot does not carry, then staging
+    * and the marker clear and every serving cache resets. */
+  private def completeRestoreSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                  marker: org.apache.hadoop.fs.Path): Unit = {
+    val staging = s"$path/_restore_staging"
+    val removeOnly = {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+    for (e <- SnapTiers ++ Seq("_retention", "_raw_retention")) {
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/$e")
+      val live = new org.apache.hadoop.fs.Path(s"$path/$e")
+      if (fs.exists(staged)) {
+        fs.delete(live, true)
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"restore swap failed for $e")
+      }
+    }
+    removeOnly.foreach(e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$e"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(marker, false)
+    closedIdsCache = None
+    newestTsCache = None
+    retentionCache = None
+    rawRetentionCache = None
+  }
+
+  private val RestorePendingMarker = "_restore_pending"
 
   /** Matcher + range query over CLOSED chunks: prune by chunk range,
     * resolve matchers against the per-chunk catalog (label filters run
@@ -828,6 +904,7 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * payloads of matching series. */
   def queryClosed(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
     assertRawServable(startUs)
+    assertNoPendingClosedSwap()
     val inRange = (df: DataFrame) =>
       df.filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)
     val cat = inRange(readChunked(catalogPath))
@@ -861,6 +938,16 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
   def deleteSeries(ms: Seq[Matcher], startUs: Long, endUs: Long): Unit = {
     require(ms.nonEmpty,
       "delete_series needs at least one matcher — refusing to delete the whole store implicitly")
+    // a predecessor that crashed AFTER its commit marker left a swap
+    // whose only copy of some partitions is the staging area —
+    // complete it FIRST, before any directory listing informs this
+    // run's chunk math (an early empty-affected return must not skip
+    // the heal)
+    locally {
+      val fs0 = hfs
+      val pending = new org.apache.hadoop.fs.Path(path, DeletePendingMarker)
+      if (fs0.exists(pending)) completeDeleteSwap(fs0, pending)
+    }
     val lo = startUs / chunkUs
     val hi = endUs / chunkUs
     val closedIds = closedChunkIds()
@@ -871,6 +958,18 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
         s"delete_series range touches live (not yet closed) chunks " +
           s"${liveOnly.toSeq.sorted.mkString(",")} — close them first " +
           "(closeChunksBelow); live deletion is the head-block case Prometheus tombstones")
+    // raw-retired chunks live only as catalog+rollup partitions — this
+    // verb rewrites from raw payloads, so the matched samples in that
+    // range CANNOT be deleted here and silently skipping them would
+    // leave the "deleted" series serving from the rollup tier (the
+    // privacy-delete footgun). Refuse with the working alternatives.
+    rawRetainedFrom().foreach { rawLimit =>
+      if (lo < rawLimit)
+        throw new IllegalStateException(
+          s"delete_series range dips below the raw retention horizon (chunk $rawLimit): " +
+            "those chunks hold only rollups, which this verb cannot rewrite — " +
+            "retire(beforeUs) the rollup-only history, or start the delete at the horizon")
+    }
     if (affected.isEmpty) return
     val inAffected = (df: DataFrame) => df.filter(col("chunk").isInCollection(affected))
     val cat = inAffected(readChunked(catalogPath))
@@ -934,32 +1033,70 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
           .withColumn("event_id", lit(0L)))
         .write.partitionBy("chunk").parquet(stagedRollup)
     }
-    // SWAP: per affected chunk, drop the old partition directory and
-    // move the staged one into place (absent staged dir = zero
-    // survivors in that chunk). Directory rename is the same
-    // near-atomic unit MinhashStore.compact relies on. Order is
-    // load-bearing: payloads swap BEFORE the catalog, so a crash
-    // between them leaves the catalog still naming the doomed series
-    // and a re-run can re-match (nothing survives to delete) — the
-    // reverse order would orphan payload rows the catalog no longer
-    // knows, and a re-run could not identify them.
-    val swapPairs =
-      Seq(stagedClosed -> closedPath, stagedCatalog -> catalogPath) ++
-        (if (withRollups) Seq(stagedRollup -> rollupPath) else Nil)
-    for (c <- affected; (src, dst) <- swapPairs) {
-      val oldDir = new org.apache.hadoop.fs.Path(s"$dst/chunk=$c")
-      val newDir = new org.apache.hadoop.fs.Path(s"$src/chunk=$c")
-      fs.delete(oldDir, true)
-      if (fs.exists(newDir)) fs.rename(newDir, oldDir)
+    // COMMIT MARKER then SWAP (the compactLive `_pending` protocol —
+    // review fix: the bare delete-then-rename loop had a per-chunk
+    // crash window where the only copy of a partition sat in staging,
+    // which the next attempt's stale-staging discard would destroy).
+    // The marker records the (tier, chunk) partitions that must be
+    // REMOVED WITHOUT REPLACEMENT (zero-survivor chunks); everything
+    // else the completion pass derives from the staged directories
+    // themselves, so from this point the swap is redoable from disk
+    // alone: closed-tier reads refuse while the marker exists, and
+    // the next deleteSeries call completes the pending swap first.
+    val removeOnly = for {
+      (name, src) <- Seq("closed" -> stagedClosed, "closed_catalog" -> stagedCatalog) ++
+        (if (withRollups) Seq("rollup" -> stagedRollup) else Nil)
+      c <- affected.toSeq.sorted
+      if !fs.exists(new org.apache.hadoop.fs.Path(s"$src/chunk=$c"))
+    } yield s"$name/chunk=$c"
+    val marker = new org.apache.hadoop.fs.Path(path, DeletePendingMarker)
+    val mOut = fs.create(marker, true)
+    try mOut.write(removeOnly.mkString("\n").getBytes("UTF-8")) finally mOut.close()
+    completeDeleteSwap(fs, marker)
+  }
+
+  private val DeletePendingMarker = "_delete_pending"
+
+  /** Idempotent-resumable second half of [[deleteSeries]] (the
+    * [[compactLive]] completion shape): staged partition dirs swap in
+    * (payloads before catalog — a crash between them leaves the
+    * catalog still naming the doomed series so a re-run can
+    * re-match; the reverse order would orphan payload rows), the
+    * marker's remove-without-replacement list drops zero-survivor
+    * partitions, then staging and the marker clear. Safe from any
+    * crash point: a staged dir still present means its swap has not
+    * completed; a swapped partition leaves no staged dir and is never
+    * touched again. */
+  private def completeDeleteSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 marker: org.apache.hadoop.fs.Path): Unit = {
+    val staging = s"$path/_delete_staging"
+    val removeOnly = {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      finally in.close()
     }
+    for ((name, liveRoot) <- Seq("closed" -> closedPath,
+           "closed_catalog" -> catalogPath, "rollup" -> rollupPath);
+         d <- listNames(s"$staging/$name").filter(_.startsWith("chunk="))) {
+      val liveDir = new org.apache.hadoop.fs.Path(s"$liveRoot/$d")
+      fs.delete(liveDir, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$name/$d"), liveDir))
+        throw new java.io.IOException(s"delete swap failed for $name/$d")
+    }
+    removeOnly.foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(marker, false)
     closedIdsCache = None
+    newestTsCache = None
   }
 
   /** Federated query: closed chunks (compressed) ∪ live chunks not
     * yet closed — the reference's merge across current + secondary
     * chunks. */
   def queryAll(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    assertNoPendingClosedSwap() // before hasClosed — a mid-swap crash can
+    // leave the whole closed dir in staging, which would misread as live-only
     assertRawServable(startUs)
     if (!hasClosed) return query(ms, startUs, endUs)
     val closedIds = closedChunkIds()

@@ -350,6 +350,12 @@ class ChunkStoreSpec extends SparkSpec {
     val snap = reopened.openSnapshot("tiered")
     assert(snap.queryRollup(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs)
       .agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 70.0)
+    // delete_series dipping below the raw horizon refuses — silently
+    // skipping the rollup-only chunks would leave "deleted" series
+    // serving from the rollup tier (the privacy-delete footgun)
+    val del = intercept[IllegalStateException](
+      reopened.deleteSeries(Seq(MatchEq("event_type", "click")), t0, t0 + 3 * dayUs))
+    assert(del.getMessage.contains("rollup"), del.getMessage)
     // full retirement still removes the rollup-only partitions
     reopened.retire(t0 + dayUs)
     assert(!new java.io.File(s"$dir/rollup/chunk=$c0").exists())
@@ -406,6 +412,30 @@ class ChunkStoreSpec extends SparkSpec {
       .agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 75.0)
     // unknown snapshot refuses
     intercept[IllegalArgumentException](store.restoreSnapshot("nope"))
+
+    // restore resets the RETENTION GUARDS to the snapshot's state
+    // (review fix): raw-retire AFTER the snapshot, then restore — the
+    // payloads are back AND the raw horizon is gone, so raw reads
+    // serve instead of refusing data the store actually holds
+    store.closeChunksBelow(t0 + 96L * 3600000000L)
+    store.retireRaw(t0 + 2 * dayUs)
+    intercept[IllegalStateException](store.queryAll(Nil, t0, t0 + 4 * dayUs).count())
+    store.restoreSnapshot("pre-delete")
+    assert(allRows(store) == before)
+    // a marker-crash mid-restore heals on re-run and reads refuse
+    // meanwhile (the _delete_pending discipline, restore flavor):
+    // simulate the worst state — a tier moved out with only the
+    // staging copy on disk
+    new java.io.File(s"$dir/_restore_staging").mkdirs()
+    assert(new java.io.File(s"$dir/closed")
+      .renameTo(new java.io.File(s"$dir/_restore_staging/closed")))
+    Files.write(new java.io.File(dir, "_restore_pending").toPath, Array.empty[Byte])
+    val g2 = intercept[IllegalArgumentException](
+      store.queryAll(Nil, t0, t0 + 4 * dayUs).count())
+    assert(g2.getMessage.contains("restore"), g2.getMessage)
+    store.restoreSnapshot("pre-delete")
+    assert(allRows(store) == before)
+    assert(!new java.io.File(dir, "_restore_pending").exists())
   }
 
   test("deleteSeries staged swap: stale staging discarded; every interrupted-swap state re-runs to a correct store") {
@@ -449,6 +479,28 @@ class ChunkStoreSpec extends SparkSpec {
     Files.write(stale.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
     doDelete(storeA)
     assertHealthy(dirA, storeA)
+
+    // 1b) commit-marker protocol (review fix): while _delete_pending
+    //     exists, closed-tier reads refuse; the previously-FATAL state
+    //     (old partition deleted, only copy in staging, marker set) is
+    //     healed by the next deleteSeries call completing the swap
+    //     BEFORE its own stale-staging discard
+    val (dirM, storeM) = freshStore()
+    doDelete(storeM)
+    val c1m = (t0 + dayUs) / dayUs
+    // simulate a crash mid-swap: the day-1 closed partition moved to
+    // staging, marker present with nothing to remove-without-replace
+    val stagedDir = new java.io.File(s"$dirM/_delete_staging/closed")
+    stagedDir.mkdirs()
+    assert(new java.io.File(s"$dirM/closed/chunk=$c1m")
+      .renameTo(new java.io.File(s"$dirM/_delete_staging/closed/chunk=$c1m")))
+    Files.write(new java.io.File(dirM, "_delete_pending").toPath, Array.empty[Byte])
+    val gate = intercept[IllegalArgumentException](
+      storeM.queryAll(Nil, t0, t0 + 4 * dayUs).count())
+    assert(gate.getMessage.contains("interrupted"), gate.getMessage)
+    doDelete(storeM) // completes the pending swap, then no-op re-delete
+    assertHealthy(dirM, storeM)
+    assert(!new java.io.File(dirM, "_delete_pending").exists())
 
     // 2) crash-state matrix: stage completed, swap interrupted after
     //    each tier of the day-1 chunk (payloads → catalog → rollup, the
