@@ -165,6 +165,29 @@ object DebugProbe {
               1704067200000000L, 1704412800000000L, timeSlices = 8).count()
           finally ep.stop()
         }),
+        // r10 additions: the tiered-retention serve (store build +
+        // retireRaw + rollup serve), the containment/bucket-stats/
+        // sweep dedup family riders, the mixing/packing/embedding
+        // profile passes, and real-WAV audio feature extraction
+        ("tiered_serving", p => {
+          val dir = java.nio.file.Files.createTempDirectory("x10_tiered").toString
+          val st = new graft.tsdb.ChunkStore(spark, dir, chunkMs = 86400000L,
+            filesPerChunkPerAppend = 2, rollupOnClose = true)
+          st.append(ev(p))
+          st.closeChunksBelow(1704412800000000L)
+          st.retireRaw(1704067200000000L + 2L * 86400000000L)
+          st.queryRollup(Seq(graft.tsdb.MatchEq("event_type", "click")),
+            1704067200000000L, 1704412799999999L).count()
+        }),
+        ("containment", p => graft.text.Dedup.containmentPairs(docs(p)).count()),
+        ("bucket_stats", p => graft.text.Dedup.lshBucketStats(docs(p)).count()),
+        ("dedup_sweep", p => graft.text.Dedup.dedupSweep(docs(p)).count()),
+        ("budget_alloc", p => graft.text.TextOps.budgetAlloc(docs(p), 250000L).count()),
+        ("pack_bins", p => graft.text.TextOps.packBins(docs(p)).count()),
+        ("emb_quantize", p => graft.vector.VectorOps.quantizeStats(emb(p)).count()),
+        ("mrl_curve", p => graft.vector.VectorOps.mrlCurve(emb(p)).count()),
+        ("audio_features", p => graft.multimodal.Multimodal.audioFeatures(
+          graft.multimodal.Multimodal.attachMedia(docs(p))).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -210,7 +233,16 @@ object DebugProbe {
         "promql_range" -> ("events", () => eventsP),
         "promql_subquery" -> ("events", () => eventsP),
         "federation" -> ("events", () => eventsP),
-        "q21_reshape" -> ("lineitem", () => liP))
+        "q21_reshape" -> ("lineitem", () => liP),
+        "tiered_serving" -> ("events", () => eventsP),
+        "containment" -> ("documents", () => docsP),
+        "bucket_stats" -> ("documents", () => docsP),
+        "dedup_sweep" -> ("documents", () => docsP),
+        "budget_alloc" -> ("documents", () => docsP),
+        "pack_bins" -> ("documents", () => docsP),
+        "emb_quantize" -> ("embeddings", () => embP),
+        "mrl_curve" -> ("embeddings", () => embP),
+        "audio_features" -> ("documents", () => docsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))
