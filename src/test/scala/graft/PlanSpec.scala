@@ -330,4 +330,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("token_run_count"), p.take(1200))
     assert(!p.contains("regexp_extract_all"), "corpus_stats re-grew the token array")
   }
+
+  test("emb_quantize: per-dim scales broadcast back; no self-join, hash aggregates only") {
+    val p = plan("emb_quantize")
+    assert(p.contains("BroadcastHashJoin"), "scales must broadcast onto the exploded rows:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("emb_mrl_curve: one corpus pass — no join, map-side prefix scalars only") {
+    val p = plan("emb_mrl_curve")
+    assert(!p.contains("Join"), "mrl curve must never join:\n" + p.take(1200))
+    assert(p.split("Scan parquet").length - 1 <= 1, "mrl curve scanned the corpus more than once")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("corpus_budget_alloc: allocation arithmetic stays on broadcast singletons, no shuffle of the corpus beyond the source agg") {
+    val p = plan("corpus_budget_alloc")
+    // the two single-row totals must broadcast (cross-join of a
+    // 1-row frame plans as BroadcastNestedLoopJoin — that is the
+    // INTENDED shape here, bounded by construction)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "per-source frame sort-merge-joined a singleton")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("dedup_bucket_stats: bounded aggregations, never a pair join") {
+    val df = graft.text.Dedup.lshBucketStats(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the occupancy profile must not build candidate pairs — no join
+    // of the band frame against itself
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "bucket stats joined the band frame:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+  }
 }
