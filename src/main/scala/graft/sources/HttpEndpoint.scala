@@ -140,6 +140,8 @@ final class HttpEndpoint(
       case "/federate" => handleFederate(ex)
       case "/api/v1/admin/tsdb/delete_series" => handleDeleteSeries(ex, body)
       case "/api/v1/admin/tsdb/snapshot" => handleSnapshot(ex, body)
+      case "/api/v1/status/buildinfo" => handleBuildInfo(ex)
+      case "/api/v1/status/tsdb" => handleStatusTsdb(ex)
       case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
         handleLabelValues(ex,
           p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
@@ -555,6 +557,51 @@ final class HttpEndpoint(
         sendJson(ex, 400,
           "{\"status\":\"error\",\"errorType\":\"bad_data\",\"error\":" +
             jstr(Option(e.getMessage).getOrElse("")) + "}")
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  /** `GET /api/v1/status/buildinfo` — the version handshake Grafana
+    * performs before enabling feature-gated panels. Static JSON in
+    * the Prometheus shape; the version string advertises a modern
+    * API surface. */
+  private def handleBuildInfo(ex: HttpExchange): Unit =
+    sendJson(ex, 200,
+      """{"status":"success","data":{"version":"2.50.0","revision":"graft",""" +
+        """"branch":"","buildUser":"","buildDate":"","goVersion":""}}""")
+
+  /** `GET /api/v1/status/tsdb` — Prometheus's cardinality dashboard:
+    * head stats (series count, chunk count, data time bounds) plus
+    * the top metric names by series count and per-label value counts.
+    * One bounded Spark job over the series catalog (label grain, not
+    * sample grain); chunk counts and time bounds are directory
+    * listings. The numbers describe THIS store's whole retained
+    * range — the engine's analog of Prometheus's head block. */
+  private def handleStatusTsdb(ex: HttpExchange): Unit =
+    try {
+      import org.apache.spark.sql.functions.{col, countDistinct, count, lit}
+      val cat = store.catalog().persist()
+      try {
+        val numSeries = cat.count()
+        val byMetric = cat.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("event_type").asc)
+          .limit(10).collect()
+          .map(r => s"""{"name":${jstr(r.getString(0))},"value":${r.getLong(1)}}""")
+        val labelCounts = cat.agg(
+          countDistinct(col("event_type")).as("et"),
+          countDistinct(col("user_id")).as("uid")).collect()(0)
+        val chunkCount = store.chunkCount
+        val (minT, maxT) = store.dataBoundsMs
+        sendJson(ex, 200,
+          s"""{"status":"success","data":{"headStats":{"numSeries":$numSeries,""" +
+            s""""chunkCount":$chunkCount,"minTime":$minT,"maxTime":$maxT},""" +
+            s""""seriesCountByMetricName":[${byMetric.mkString(",")}],""" +
+            s""""labelValueCountByLabelName":[""" +
+            s"""{"name":"event_type","value":${labelCounts.getLong(0)}},""" +
+            s"""{"name":"user_id","value":${labelCounts.getLong(1)}}]}}""")
+      } finally cat.unpersist(blocking = false)
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
       case _: Exception => ex.sendResponseHeaders(500, -1)
     }
 

@@ -139,6 +139,21 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     if (ids.isEmpty) None else Some((ids.max + 1) * chunkUs)
   }
 
+  /** Chunk-partition count across live ∪ closed ∪ rollup-only — a
+    * directory listing (the tsdb-status surface). */
+  def chunkCount: Long =
+    (closedChunkIds() ++ liveChunkIdsListed() ++ rollupChunkIdsListed()).size.toLong
+
+  /** Chunk-grain data bounds in MILLISECONDS (the Prometheus
+    * tsdb-status shape): start of the oldest chunk, exclusive end of
+    * the newest; (0, 0) when empty. Rollup-only chunks (tiered
+    * retention) count — their history still serves. */
+  def dataBoundsMs: (Long, Long) = {
+    val ids = closedChunkIds() ++ liveChunkIdsListed() ++ rollupChunkIdsListed()
+    if (ids.isEmpty) (0L, 0L)
+    else (ids.min * chunkUs / 1000, (ids.max + 1) * chunkUs / 1000)
+  }
+
   /** Timestamp of the newest SAMPLE (live or closed) — one bounded
     * Spark job over the newest chunk only. The serving default
     * [[dataHorizonUs]] is chunk-grain: on coarse chunks (e.g. daily)

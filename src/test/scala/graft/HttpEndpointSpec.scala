@@ -181,6 +181,18 @@ class HttpEndpointSpec extends SparkSpec {
       // malformed match[] → 400 envelope
       assert(get(s"/api/v1/series?match[]=${java.net.URLEncoder.encode("sum(", "UTF-8")}")._1 == 400)
 
+      // ── status API: the Grafana handshake + cardinality dashboard ──
+      val (bic, bibody) = get("/api/v1/status/buildinfo")
+      assert(bic == 200 && bibody.contains("\"version\":\"2.50.0\""), bibody)
+      val (tc, tbody) = get("/api/v1/status/tsdb")
+      assert(tc == 200, tbody)
+      // 3 series (click/u1, click/u2, purchase/u1), labels 2 types + 2 uids
+      assert(tbody.contains("\"numSeries\":3"), tbody)
+      assert(tbody.contains("""{"name":"click","value":2}"""), tbody)
+      assert(tbody.contains("""{"name":"event_type","value":2}"""), tbody)
+      assert(tbody.contains("""{"name":"user_id","value":2}"""), tbody)
+      assert(tbody.contains(s""""minTime":$t0"""), tbody)
+
       // ── /federate: text exposition of the current samples, so a
       // downstream Prometheus can scrape this engine as a target ──
       val (fc, fbody) = get(s"/federate?match[]=click&match[]=purchase&time=$atS")
