@@ -1510,6 +1510,13 @@ object SparkEntry {
       // bin's shortfall); straddled-bin explode, pure integer clips
       TextOps.packBins(docsT(s, dir))),
 
+    "doc_chunk_spans" -> ((s, dir) =>
+      // retrieval/RAG chunking: sliding 32-token windows with 8
+      // overlap (sized so the ~54-token corpus docs really split);
+      // chunk_hash = md5 of the token slice proves token-accurate
+      // extraction; row-local, zero shuffles
+      TextOps.chunkSpans(docsT(s, dir), size = 32, overlap = 8)),
+
     "lang_id" -> ((s, dir) => TextOps.langId(docsT(s, dir))),
 
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsT(s, dir))),
@@ -3326,6 +3333,22 @@ object SparkEntry {
                CAST(sum(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT) AS docs_surviving,
                CAST(sum(n_toks) OVER (ORDER BY bucket DESC) AS BIGINT) AS tokens_surviving
           FROM p""",
+
+    // same window arithmetic + the token-slice md5 (DuckDB list
+    // slicing is 1-based inclusive like Spark's slice)
+    "doc_chunk_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+              FROM documents),
+          c AS (SELECT doc_id, toks, n,
+                 1 + CAST(floor((greatest(n - 32, 0) + 23) / 24.0) AS BIGINT) AS n_chunks
+              FROM t WHERE n > 0),
+          e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+                 CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens,
+                 md5(array_to_string(toks[CAST(chunk_idx * 24 + 1 AS BIGINT):CAST(chunk_idx * 24 + least(32, n - chunk_idx * 24) AS BIGINT)], ' ')) AS chunk_hash
+          FROM e""",
 
     // the bin explode over the packed spans, clipped to bin edges;
     // every window-sum-derived quantity casts to BIGINT (the doc_pack

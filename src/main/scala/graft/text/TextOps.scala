@@ -536,6 +536,41 @@ object TextOps {
         expr(s"(end_off - 1) div $budget").as("bin_last"))
   }
 
+  /** Sliding token-window CHUNKING manifest — the retrieval/RAG prep
+    * step ([[pack]] concatenates docs into training sequences; this
+    * splits each doc into overlapping windows for embedding and
+    * indexing): windows of `size` tokens starting every
+    * `size − overlap` tokens, the last window clipped to the doc end.
+    * Each row carries the window's token span AND the md5 of the
+    * space-joined token slice, so the oracle proves token-accurate
+    * extraction, not just span arithmetic. One map-side pass — the
+    * per-doc explode is bounded by n_tokens/stride; no shuffle at
+    * all (chunking is embarrassingly row-local). Zero-token docs
+    * emit nothing. */
+  def chunkSpans(docs: DataFrame, size: Long = 128, overlap: Long = 32): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "chunkSpans needs size > overlap >= 0 — equal would never advance")
+    val stride = size - overlap
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size_(col("toks")))
+      .filter(col("n") > 0)
+    toks
+      .withColumn("n_chunks",
+        lit(1L) + floor((greatest(col("n") - size, lit(0L)) + stride - 1) / stride).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("len", least(lit(size), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("len").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"), col("len").cast("int"))))
+          .as("chunk_hash"))
+  }
+
+  // functions.size clashes with the `size` parameter name above
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c).cast("long")
+
   /** Bin manifest for [[pack]] output — what the training-data loader
     * actually consumes: per (shard, bin), how many documents overlap
     * the bin, how many of its `budget` token slots are filled, and the

@@ -429,6 +429,40 @@ class TextStatsSpec extends SparkSpec {
     assert(sharded == Seq((1L, 0L), (2L, 0L), (3L, 3L)), sharded)
   }
 
+  test("chunkSpans: sliding windows with overlap, clipped tail, token-exact hashes") {
+    // 10 tokens, size 4, overlap 1 → stride 3 → exactly 3 windows
+    // [t0..t3][t3..t6][t6..t9] — the last window REACHES the doc end,
+    // so no redundant overlap-only tail is emitted; 9 tokens would
+    // clip the last window to 3 (doc 4 below)
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "only three words"),
+      (3L, "!!!"), // zero tokens → no chunks
+      (4L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkSpans(docs, size = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens", "chunk_hash")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3, r._4)) ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L)), d1.toString)
+    // hashes are the md5 of the space-joined slices — spot-check
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1(0)._5 == m("a b c d"))
+    assert(d1(2)._5 == m("g h i j"))
+    // the 9-token doc clips its final window to 3 tokens
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.map(r => (r._3, r._4)) == Seq((0L, 4L), (3L, 4L), (6L, 3L)), d4.toString)
+    assert(d4.last._5 == m("g h i"))
+    // a short doc is one clipped chunk; zero-token docs vanish
+    assert(out.filter(_._1 == 2L).map(r => (r._3, r._4)) == Seq((0L, 3L)))
+    assert(!out.exists(_._1 == 3L))
+    // every token of every doc is covered: window spans are contiguous
+    // with exactly `overlap` shared tokens until the final clip
+    d1.sliding(2).foreach { case Seq(a, b) => assert(a._3 + a._4 - b._3 == 1L) }
+    // degenerate parameters refuse
+    intercept[IllegalArgumentException](TextOps.chunkSpans(docs, 4, 4))
+  }
+
   test("packBins: bins partition every token, only the final bin underfills") {
     // same 3+4+5=12 tokens on one shard, budget 6 → exactly two FULL
     // bins; doc 2 straddles (counted in both), doc 3 sits in bin 1
