@@ -511,6 +511,27 @@ object SparkEntry {
         .select("series_id", "ts_us", "value")
     }),
 
+    // the BACKFILL / out-of-order ingest verb under the gate: ingest
+    // everything EXCEPT a withheld ~14% slice → close the whole window
+    // (the withheld rows' chunks are now packed, so a plain append
+    // would drop them — the reference's db.rs ingest-guard reject) →
+    // backfill the withheld slice → federated read-back. The oracle is
+    // the view series over ALL events, so hash-equality proves the
+    // closed-chunk merge surgery (payload decode/union/re-pack, catalog
+    // growth for series newly appearing in a chunk, staged swap) loses
+    // nothing and the live/closed routing split lands every late row
+    "ts_backfill" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_backfill").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      val sm = Series.samples(t(s, dir, "events"))
+      store.append(sm.filter(col("event_id") % 7 =!= 0))
+      store.closeChunksBelow(T1)
+      store.backfill(sm.filter(col("event_id") % 7 === 0))
+      store.queryAll(Seq(MatchEq("event_type", "view")), T0, T2)
+        .select("series_id", "ts_us", "value")
+    }),
+
     // the ADMIN BACKUP verb under the gate: ingest → close → snapshot
     // → destructive delete → RESTORE from the snapshot → federated
     // read-back. The oracle is the plain PRE-delete truth recomputed
@@ -1896,6 +1917,13 @@ object SparkEntry {
           WHERE epoch_us(ts) BETWEEN $T0 AND $T1 - 1
             AND NOT (event_type = 'click'
               AND epoch_us(ts) BETWEEN ${T0 + 86400000000L} AND ${T0 + 3L * 86400000000L})""",
+
+    // after the backfill every view-series sample — withheld slice
+    // included — must serve from the federated store over the full range
+    "ts_backfill" ->
+      s"""SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events
+          WHERE event_type = 'view'
+            AND epoch_us(ts) BETWEEN $T0 AND $T2""",
 
     // the restored truth = the FULL closed window, as if the delete
     // between snapshot and restore never happened

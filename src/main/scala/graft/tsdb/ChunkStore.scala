@@ -254,21 +254,29 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     * closed-id set, so only the horizon can exclude it). */
   private def guardedRouted(samples: DataFrame): DataFrame = {
     val closed = closedChunkIds()
+    val aboveHorizon = routedAboveHorizon(samples)
+    if (closed.isEmpty) aboveHorizon
+    else aboveHorizon.filter(!col("chunk").isInCollection(closed))
+  }
+
+  /** Chunk routing + the ingest-time horizon guards, WITHOUT the
+    * closed-chunk drop — the shared first half of [[guardedRouted]]
+    * (normal ingest, which must not write under a packed chunk) and
+    * [[backfill]] (which merges into packed chunks deliberately).
+    * Both horizons exclude here: fully-retired history AND raw-retired
+    * history (a late raw row below the raw horizon would re-close its
+    * chunk and clobber the historical rollup with a rollup of just
+    * itself). */
+  private def routedAboveHorizon(samples: DataFrame): DataFrame = {
     val routed = samples
       .filter(col("ts_us") > 0)
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
-    // both horizons exclude at ingest: fully-retired history AND
-    // raw-retired history (a late raw row below the raw horizon would
-    // re-close its chunk and clobber the historical rollup with a
-    // rollup of just itself)
     val horizon = (retainedFrom().toSeq ++ rawRetainedFrom().toSeq)
       .reduceOption((a: Long, b: Long) => math.max(a, b))
-    val aboveHorizon = horizon match {
+    horizon match {
       case Some(limit) => routed.filter(col("chunk") >= limit)
       case None => routed
     }
-    if (closed.isEmpty) aboveHorizon
-    else aboveHorizon.filter(!col("chunk").isInCollection(closed))
   }
 
   /** First retained chunk id (exclusive retention horizon), persisted
@@ -1104,6 +1112,112 @@ final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 360000
     fs.delete(marker, false)
     closedIdsCache = None
     newestTsCache = None
+  }
+
+  /** Prometheus-style BACKFILL / out-of-order ingest (the capability
+    * Prometheus grew as the OOO window + `promtool tsdb
+    * create-blocks-from`; the reference's db.rs ingest guard simply
+    * rejects out-of-chunk appends — this verb is the recovery path for
+    * exactly those rejects). Samples routed to live or not-yet-seen
+    * chunks take the NORMAL append path; samples routed to
+    * already-CLOSED chunks merge into the at-rest tier by rewriting
+    * only the receiving (chunk, series) payloads — untouched series'
+    * payloads carry over byte-identical, new series join the chunk
+    * catalog, and affected chunks' rollups rebuild wholesale from the
+    * staged survivors (a pure function of staged bytes, so every crash
+    * state heals — the [[deleteSeries]] argument). In the closed-chunk
+    * merge exact duplicate samples collapse, so re-running the same
+    * backfill of late data is a no-op; rows routed to live follow
+    * plain [[append]] semantics (at-least-once, deduplicated only by
+    * the caller), same as any other ingest.
+    * The whole closed-tier rewrite rides the [[deleteSeries]]
+    * staged-swap + commit-marker protocol: a crash before the marker
+    * leaves the store untouched, a crash after it is completed by the
+    * next backfill/delete call (reads refuse while pending). Horizon
+    * guards apply unchanged: history below the retention or
+    * raw-retention horizon drops at ingest (same rationale as
+    * [[append]] — it could only resurface or clobber rollups).
+    * Scale shape: the rewrite decodes only the (chunk, series) pairs
+    * that actually receive late rows, the merge/distinct shuffles only
+    * the affected chunks' samples, and the staged write is
+    * partition-parallel per chunk — cost is proportional to the late
+    * data's chunk footprint, never the store. */
+  def backfill(samples: DataFrame): Unit = {
+    locally {
+      val fs0 = hfs
+      val pending = new org.apache.hadoop.fs.Path(path, DeletePendingMarker)
+      if (fs0.exists(pending)) completeDeleteSwap(fs0, pending)
+    }
+    assertLayout(batchScoped = false)
+    val routed = routedAboveHorizon(samples)
+    val closedIds = closedChunkIds()
+    val fresh =
+      if (closedIds.isEmpty) routed
+      else routed.filter(!col("chunk").isInCollection(closedIds))
+    clustered(fresh)
+      .write.mode("append").partitionBy("chunk").parquet(livePath)
+    newestTsCache = None
+    if (closedIds.isEmpty) return
+    val late = routed.filter(col("chunk").isInCollection(closedIds))
+      .select("series_id", "event_type", "user_id", "chunk", "ts_us", "value")
+    // chunk-grain metadata: the distinct chunk ids receiving late rows
+    val affected = late.select("chunk").distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (affected.isEmpty) return
+    val inAffected = (df: DataFrame) => df.filter(col("chunk").isInCollection(affected))
+    val touched = late.select("chunk", "series_id").distinct()
+    val payloads = inAffected(readChunked(closedPath))
+    val untouched = payloads.join(touched, Seq("chunk", "series_id"), "left_anti")
+      .select("series_id", "chunk", "payload")
+    // receiving series: decode, union the late rows, collapse exact
+    // duplicates (idempotence), re-pack (chunk re-derives from ts —
+    // samples never cross their chunk)
+    val merged = Gorilla.unpack(
+        payloads.join(touched, Seq("chunk", "series_id"), "left_semi"))
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      .select("series_id", "chunk", "ts_us", "value")
+      .unionByName(late.select("series_id", "chunk", "ts_us", "value"))
+      .distinct()
+    val newPayloads = untouched
+      .unionByName(Gorilla.packWithChunk(merged)
+        .select("series_id", "chunk", "payload"))
+    val staging = s"$path/_delete_staging"
+    val stagedClosed = s"$staging/closed"
+    val stagedCatalog = s"$staging/closed_catalog"
+    val stagedRollup = s"$staging/rollup"
+    val fs = hfs
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    newPayloads.write.partitionBy("chunk").parquet(stagedClosed)
+    val stagedPayloads = readChunked(stagedClosed)
+    // catalog = staged series per chunk, labels from the old catalog
+    // rows ∪ the late rows' own labels (a backfilled series may be NEW
+    // to its chunk); label tuples determine series_id, so the
+    // union-distinct is exactly one row per (chunk, series)
+    val labels = inAffected(readChunked(catalogPath))
+      .select("chunk", "series_id", "event_type", "user_id")
+      .unionByName(late.select("chunk", "series_id", "event_type", "user_id"))
+      .distinct()
+    stagedPayloads.select("chunk", "series_id").distinct()
+      .join(labels, Seq("chunk", "series_id"))
+      .write.partitionBy("chunk").parquet(stagedCatalog)
+    val withRollups = rollupOnClose && exists(rollupPath)
+    if (withRollups) {
+      // wholesale rebuild from staged payloads — the deleteSeries
+      // crash-state argument; event_id surrogate as there (sample
+      // timestamps are unique per series)
+      rollup1h(
+        Gorilla.unpack(stagedPayloads)
+          .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+          .withColumn("event_id", lit(0L)))
+        .write.partitionBy("chunk").parquet(stagedRollup)
+    }
+    // commit marker then swap — backfill never empties a partition, so
+    // the remove-without-replacement list is empty; the completion
+    // pass derives everything else from the staged directories
+    val marker = new org.apache.hadoop.fs.Path(path, DeletePendingMarker)
+    val mOut = fs.create(marker, true)
+    try mOut.write(Array.emptyByteArray) finally mOut.close()
+    completeDeleteSwap(fs, marker)
   }
 
   /** Federated query: closed chunks (compressed) ∪ live chunks not

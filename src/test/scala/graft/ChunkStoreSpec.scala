@@ -438,6 +438,79 @@ class ChunkStoreSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_restore_pending").exists())
   }
 
+  test("backfill: late rows merge into closed chunks (payloads, catalog growth, rollups); fresh rows go live; dup collapse; untouched payloads byte-identical; heal") {
+    val h = 3600000000000L // ns
+    val t0 = 1704067200000000L
+    val t0n = t0 * 1000L
+    val dayUs = 86400000000L
+    val ev = Seq(
+      (1L, t0n + 1L * h, 1L, "click", 10.0),     // day0  series A
+      (2L, t0n + 25L * h, 1L, "click", 20.0),    // day1  A
+      (3L, t0n + 49L * h, 1L, "click", 40.0),    // day2  A
+      (4L, t0n + 26L * h, 1L, "purchase", 100.0) // day1  B (stays untouched)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    val store = new ChunkStore(spark, dir, chunkMs = 86400000L, rollupOnClose = true)
+    store.append(Series.samples(ev))
+    store.closeChunksBelow(t0 + 72L * 3600000000L) // chunks day0..day2 closed
+
+    val bId = store.catalog().filter(col("event_type") === "purchase")
+      .select("series_id").as[String].head()
+    def bPayload(): Array[Byte] = spark.read.parquet(s"$dir/closed")
+      .filter(col("series_id") === bId).select("payload")
+      .as[Array[Byte]].head()
+    val bBefore = bPayload()
+
+    val lateClosed = Seq(
+      (10L, t0n + 30L * h, 1L, "click", 21.0), // existing series, closed day1
+      (11L, t0n + 2L * h, 2L, "click", 7.0),   // NEW series C into closed day0
+      (12L, t0n + 25L * h, 1L, "click", 20.0), // exact duplicate of event 2 — must collapse
+      (14L, 0L, 1L, "click", 1.0)              // non-positive ts — ingest guard drops
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lateFresh = Seq(
+      (13L, t0n + 121L * h, 1L, "click", 99.0) // day5 — not closed, must route to live
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    store.backfill(Series.samples(lateClosed.unionByName(lateFresh)))
+
+    val got = store.queryAll(Nil, t0, t0 + 10 * dayUs)
+      .select("ts_us", "value").as[(Long, Double)].collect().toSet
+    val hUs = 3600000000L
+    assert(got == Set(
+      (t0 + 1L * hUs, 10.0), (t0 + 25L * hUs, 20.0), (t0 + 49L * hUs, 40.0),
+      (t0 + 26L * hUs, 100.0), (t0 + 30L * hUs, 21.0), (t0 + 2L * hUs, 7.0),
+      (t0 + 121L * hUs, 99.0)), got)
+
+    // catalog grew the new series in its closed chunk
+    assert(store.catalog().filter(col("user_id") === 2L).count() == 1)
+    // fresh row sits in LIVE (day5 chunk dir), not a rewritten closed chunk
+    assert(new java.io.File(s"$dir/live/chunk=${(t0 + 121L * hUs) / dayUs}").exists())
+    // rollups of the affected chunks rebuilt: full-range sum includes late rows once
+    val roll = store.queryRollup(Nil, t0, t0 + 3 * dayUs - 1)
+    assert(roll.agg(sum(col("sum_value"))).collect()(0).getDouble(0) == 198.0)
+    // untouched series' payload carried over byte-identical
+    assert(java.util.Arrays.equals(bBefore, bPayload()))
+
+    // idempotence of the closed merge: same late data again changes nothing
+    store.backfill(Series.samples(lateClosed))
+    assert(store.queryAll(Nil, t0, t0 + 10 * dayUs).count() == 7)
+
+    // interrupted-swap heal: marker present → reads refuse; the next
+    // backfill completes the pending swap before its own work
+    val c1 = (t0 + dayUs) / dayUs
+    new java.io.File(s"$dir/_delete_staging/closed").mkdirs()
+    assert(new java.io.File(s"$dir/closed/chunk=$c1")
+      .renameTo(new java.io.File(s"$dir/_delete_staging/closed/chunk=$c1")))
+    Files.write(new java.io.File(dir, "_delete_pending").toPath, Array.empty[Byte])
+    val gate = intercept[IllegalArgumentException](
+      store.queryAll(Nil, t0, t0 + 4 * dayUs).count())
+    assert(gate.getMessage.contains("interrupted"), gate.getMessage)
+    store.backfill(Series.samples(lateClosed))
+    assert(!new java.io.File(dir, "_delete_pending").exists())
+    assert(store.queryAll(Nil, t0, t0 + 10 * dayUs).count() == 7)
+    assert(!new java.io.File(dir, "_delete_staging").exists(),
+      "staging area must be cleaned up after a completed backfill")
+  }
+
   test("deleteSeries staged swap: stale staging discarded; every interrupted-swap state re-runs to a correct store") {
     val h = 3600000000000L // ns
     val t0 = 1704067200000000L
