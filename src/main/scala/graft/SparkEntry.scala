@@ -176,6 +176,19 @@ object SparkEntry {
     // math + set-op composition: clamp_max clips 2 series at sf0.01
     // (13 at sf0.1 — probed, the vacuous-match discipline) and unless
     // drops click-series whose user also purchased (32/48 survive)
+    // Prometheus 3.x's experimental cardinality-limiting aggregators,
+    // gated together through the or-branch: the 25 lowest-hash click
+    // series' weekly sample counts ∪ the deterministic ~35% hash-slice
+    // of the view series'. The sampling key is the canonical series
+    // md5, so the pick is stable across evaluations AND engines;
+    // limit_ratio evaluates as a pure filter (zero shuffle), limitk as
+    // a bounded heap — both are the tools that keep a 100 TB dashboard
+    // query from returning a million series
+    "promql_limitk" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """limitk(25, count_over_time({event_type="click"}[7d])) or limit_ratio(0.35, count_over_time({event_type="view"}[7d]))""",
+      T2)),
+
     "promql_setop" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
       """clamp_max(count_over_time(click[1d]), 2) unless on (user_id) count_over_time(purchase[1d])""",
@@ -2236,6 +2249,24 @@ object SparkEntry {
                            / ((last(ts_us ORDER BY ts_us, event_id) - first(ts_us ORDER BY ts_us, event_id)) / 1000000.0)
                       ELSE 0.0 END AS value
           FROM r WHERE rn <= 2 GROUP BY 1, 2, 3""",
+
+    // the sampling hash IS the canonical series md5: limitk = the 25
+    // lexicographically-smallest ids, limit_ratio(0.35) = ids whose
+    // first 8 hex chars sit below 0x59999999 (= floor(0.35 * 2^32))
+    "promql_limitk" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   CAST(count(*) AS DOUBLE) AS value FROM events
+                WHERE event_type = 'click'
+                  AND epoch_us(ts) BETWEEN $T2 - 604800000000 AND $T2
+                GROUP BY 1, 2, 3),
+          v AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   CAST(count(*) AS DOUBLE) AS value FROM events
+                WHERE event_type = 'view'
+                  AND epoch_us(ts) BETWEEN $T2 - 604800000000 AND $T2
+                GROUP BY 1, 2, 3)
+          SELECT * FROM (SELECT * FROM c ORDER BY series_id LIMIT 25)
+          UNION ALL
+          SELECT * FROM v WHERE substr(series_id, 1, 8) < '59999999'""",
 
     "promql_setop" ->
       s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,

@@ -145,7 +145,8 @@ object PromQL {
     "quantile_over_time", "present_over_time", "absent_over_time",
     "holt_winters")
   private val AggOps = Set("sum", "avg", "min", "max", "count",
-    "stddev", "stdvar", "group", "topk", "bottomk", "quantile")
+    "stddev", "stdvar", "group", "topk", "bottomk", "quantile",
+    "limitk", "limit_ratio")
   // fn -> number of scalar params after the vector argument
   private val MathFns: Map[String, (Int, Int)] = Map(
     "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0), "exp" -> (0, 0),
@@ -492,7 +493,8 @@ object PromQL {
       }
       expectSym("(")
       val param: Option[Double] =
-        if (op == "topk" || op == "bottomk" || op == "quantile") next() match {
+        if (op == "topk" || op == "bottomk" || op == "quantile" ||
+            op == "limitk" || op == "limit_ratio") next() match {
           case TNum(k) => expectSym(","); Some(k)
           case TSym("-") => next() match {
             case TNum(k) => expectSym(","); Some(-k)
@@ -512,8 +514,13 @@ object PromQL {
       }
       // a negative k is never meaningful and would surface as an opaque
       // Spark error (HTTP 500) at run time — reject at parse time (400)
-      if ((op == "topk" || op == "bottomk") && param.exists(_ < 0))
+      if ((op == "topk" || op == "bottomk" || op == "limitk") && param.exists(_ < 0))
         err(s"$op needs a non-negative scalar k, got ${param.get}")
+      // Prometheus clamps an out-of-range limit_ratio to [-1, 1] with a
+      // warning; a typed parse error beats a silent clamp here (the
+      // caller's ratio is simply wrong)
+      if (op == "limit_ratio" && param.exists(r => r < -1.0 || r > 1.0))
+        err(s"limit_ratio needs a ratio in [-1, 1], got ${param.get}")
       Agg(op, by, without, arg, param)
     }
 
@@ -1672,6 +1679,42 @@ object PromQL {
             val order = ("value" -> dir) +:
               ties.filterNot(keys.contains).map(_ -> (graft.plans.TopKPerKey.Asc: graft.plans.TopKPerKey.Dir)).toSeq
             graft.plans.TopKPerKey(in, keys, order, k)
+          }
+        case "limitk" | "limit_ratio" =>
+          // Prometheus 3.x's experimental cardinality-limiting
+          // aggregators, made fully DETERMINISTIC: the sampling key is
+          // the md5 of the canonical sorted label string (the engine's
+          // series identity), so repeated evaluations — and the DuckDB
+          // oracle — pick exactly the same series. Labels and values
+          // pass through unchanged, as in topk.
+          val labels = in.columns.toSeq
+            .filterNot(c => c == "value" || c == "ts_us" || c == "series_id").sorted
+          val hashCol = md5(concat_ws(",",
+            labels.map(c => concat(lit(c + "="), col(c).cast("string"))): _*))
+          if (op == "limitk") {
+            // an instant vector holds ≤1 row per series, so "k series
+            // per (group, instant)" = k rows per key: bounded heaps
+            // over the hash order (TopKPerKey), never a per-key sort
+            val k = param.get.toInt
+            graft.plans.TopKPerKey(in.withColumn("_lk_hash", hashCol), keys,
+              Seq("_lk_hash" -> (graft.plans.TopKPerKey.Asc: graft.plans.TopKPerKey.Dir)),
+              k).drop("_lk_hash")
+          } else {
+            // hash-fraction sampling on the first 8 md5 hex chars
+            // (fixed width ⇒ lexicographic == numeric): r ≥ 0 keeps the
+            // bottom-r fraction, r < 0 the complementary top fraction,
+            // so limit_ratio(r, v) ∪ limit_ratio(r-1, v) == v exactly
+            // (the Prometheus partitioning contract). A pure FILTER —
+            // no shuffle, no state: the cheapest possible cardinality
+            // cap, and it composes with pushdown when the labels are
+            // scan columns.
+            val r = param.get
+            def hex(f: Double): String =
+              f"${math.max(0L, math.min(0xffffffffL, (f * 4294967296.0).toLong))}%08x"
+            val h8 = substring(hashCol, 1, 8)
+            if (r >= 1.0 || r <= -1.0) in
+            else if (r >= 0) in.filter(h8 < lit(hex(r)))
+            else in.filter(h8 >= lit(hex(1.0 + r)))
           }
         case "quantile" =>
           val q = param.get

@@ -715,6 +715,42 @@ class PromqlSpec extends SparkSpec {
       at).count() == 0)
   }
 
+  test("limitk / limit_ratio: deterministic pick, grouping, complement contract, parse guards") {
+    val at = 2L * hu
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // the deterministic sampling key is the canonical series md5 — the
+    // spec computes it independently to predict the pick
+    val h1 = md5hex("event_type=click,user_id=1")
+    val h2 = md5hex("event_type=click,user_id=2")
+    val keepUser = if (h1 < h2) 1L else 2L
+    val keptCount = if (keepUser == 1L) 3.0 else 2.0
+    val lk = PromQL.eval(ev, """limitk(1, count_over_time({event_type="click"}[3h]))""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSeq
+    assert(lk == Seq((keepUser, keptCount)), lk)
+
+    // grouping partitions the limit: one series per event_type
+    val lkBy = PromQL.eval(ev, """limitk(1, count_over_time({}[3h])) by (event_type)""", at)
+      .select("event_type").as[String].collect().toSeq.sorted
+    assert(lkBy == Seq("click", "purchase", "view"), lkBy)
+
+    // the Prometheus partitioning contract: limit_ratio(r) and
+    // limit_ratio(r-1) split the vector exactly, no overlap, no loss
+    def ratio(r: String) = PromQL.eval(ev,
+        s"""limit_ratio($r, count_over_time({event_type="click"}[3h]))""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    val full = PromQL.eval(ev, """count_over_time({event_type="click"}[3h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    val lo = ratio("0.4"); val hi = ratio("-0.6")
+    assert((lo ++ hi) == full && (lo & hi).isEmpty, (lo, hi, full))
+    assert(ratio("1.0") == full)
+
+    // guards: out-of-range ratio and negative k refuse at parse
+    intercept[IllegalArgumentException](PromQL.parse("""limit_ratio(1.5, {a="b"})"""))
+    intercept[IllegalArgumentException](PromQL.parse("""limitk(-2, {a="b"})"""))
+  }
+
   test("offset shifts the evaluation window") {
     val at = 2L * hu
     // offset 1h at t=2h == evaluating at t=1h: only samples <= 1h
