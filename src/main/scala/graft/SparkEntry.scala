@@ -1517,6 +1517,16 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         0.4)),
 
+    // ANN EVALUATION: recall@10 of the LSH index against brute-force
+    // ground truth on a 50-query sample — the ann-benchmarks metric a
+    // pipeline runs before trusting an approximate index at corpus
+    // scale. Per-query n_exact/n_hit/recall
+    "ann_recall_eval" -> ((s, dir) => {
+      val e = embT(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      VectorOps.recallAtK(e, col("vec_id") < 50, 10)
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embT(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -3316,6 +3326,44 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+
+    // recall@10 = |lsh top-10 ∩ exact top-10| / |exact top-10| per
+    // query: the exact and LSH CTE pipelines are the two proven ANN
+    // oracles (same rounding, same tiebreak), joined at query grain
+    "ann_recall_eval" ->
+      """WITH planes AS (
+           SELECT p, d, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substr(h, 2, 1)) - 1 - 128 AS k
+           FROM (SELECT p, d, md5('plane' || p || '#' || d) AS h
+                 FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(1, 65)) AS d))),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ex AS (SELECT vec_id, d, v[d] AS x FROM e, (SELECT unnest(range(1, 65)) AS d)),
+         proj AS (SELECT vec_id, p, sum(CAST(x AS DECIMAL(18,9)) * k) AS pr
+                  FROM ex JOIN planes USING (d) GROUP BY 1, 2),
+         buck AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(7 - p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM proj GROUP BY 1),
+         cb AS (SELECT e.vec_id, v, bucket FROM e JOIN buck USING (vec_id)),
+         ql AS (SELECT vec_id AS q_id, v AS qv, bucket FROM cb WHERE vec_id < 50),
+         ls AS (SELECT q_id, cb.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM cb JOIN ql USING (bucket) WHERE cb.vec_id <> q_id),
+         lr AS (SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM ls) WHERE rank <= 10),
+         qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 50),
+         es AS (SELECT q_id, e.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM e CROSS JOIN qe WHERE e.vec_id <> q_id),
+         er AS (SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM es) WHERE rank <= 10)
+         SELECT er.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(lr.vec_id) AS BIGINT) AS n_hit,
+                round(count(lr.vec_id) / count(*), 6) AS recall
+         FROM er LEFT JOIN lr ON lr.q_id = er.q_id AND lr.vec_id = er.vec_id
+         GROUP BY 1""",
 
     "ann_lsh_topk" ->
       """WITH planes AS (

@@ -657,6 +657,33 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** ANN quality evaluation — recall@k of the LSH path against the
+    * exact brute-force ground truth on a bounded query sample (the
+    * standard ANN benchmark metric, cf. ann-benchmarks). Per query:
+    * |approx top-k ∩ exact top-k| / |exact top-k|. The exact side is
+    * the guarded brute-force baseline — this evaluator is exactly WHY
+    * that baseline exists: ground truth on a query sample validates
+    * the approximate index that serves the full corpus. Scale shape:
+    * both paths share the one corpus scan, the query side broadcasts,
+    * and the hit join + count are query×k grain — the corpus never
+    * self-joins. Both ranked paths use the same 6dp rounding and
+    * (cos desc, vec_id asc) tiebreak, so the k-th boundary is
+    * total-ordered and the recall is deterministic. */
+  def recallAtK(corpus: DataFrame, queryIds: Column, k: Int = 10,
+                nPlanes: Int = 8, dim: Int = 64,
+                maxRows: Long = 1000000L, force: Boolean = false): DataFrame = {
+    val exact = cosineTopK(corpus, corpus.filter(queryIds), k,
+        maxRows = maxRows, force = force)
+      .select(col("q_id"), col("vec_id"))
+    val approx = lshTopK(corpus, queryIds, k, nPlanes, dim)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Dataset-cartography label margin (the label-noise detector a
     * training pipeline runs before finetuning on labeled embeddings;
     * cf. Swayamdipta et al., EMNLP'20 and classic nearest-class-mean

@@ -39,6 +39,25 @@ class VectorSpec extends SparkSpec {
       force = true).count() >= 1)
   }
 
+  test("recallAtK: per-query recall equals the independent exact∩approx intersection") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val r = VectorOps.recallAtK(e, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.length == 5 && r.forall(_._2 == 10), r.toSeq)
+    assert(r.forall { case (_, ne, nh, rec) =>
+      nh >= 0 && nh <= ne && rec == math.round(nh.toDouble / ne * 1e6) / 1e6 }, r.toSeq)
+    // n_hit must equal the intersection of the two public paths,
+    // computed independently here
+    val exact = VectorOps.cosineTopK(e, e.filter(col("vec_id") < 5), 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.lshTopK(e, col("vec_id") < 5, 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hits = (exact & approx).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(r.forall { case (q, _, nh, _) => hits.getOrElse(q, 0L) == nh }, r.toSeq)
+  }
+
   test("cellSummary: occupancy covers the corpus, norms aggregate exactly") {
     // nCells=2 → centroids = vecs 0,1 (lowest ids); all of 0,1,4 lean
     // to their best-cos cell, 2 is orthogonal, 3 antipodal
