@@ -1563,6 +1563,13 @@ object SparkEntry {
 
     "lang_id" -> ((s, dir) => TextOps.langId(docsT(s, dir))),
 
+    // CLASSIFIER EVALUATION: langId's confusion matrix against the
+    // corpus's ground-truth lang labels — per (true, predicted) cell
+    // counts + share of the true language. The share window runs over
+    // the already-aggregated ≤ |langs|×(|langs|+1) matrix, so it is
+    // corpus-size-free
+    "doc_lang_confusion" -> ((s, dir) => TextOps.langConfusion(docsT(s, dir))),
+
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(docsT(s, dir))),
 
     "doc_redact" -> ((s, dir) => TextOps.redact(docsT(s, dir))),
@@ -3509,6 +3516,27 @@ object SparkEntry {
                FROM scored)
          SELECT doc_id, CASE WHEN score > 0 THEN cand_lang ELSE 'unknown' END AS pred_lang, score
          FROM r WHERE rn = 1""",
+
+    // the same scored/argmax pipeline as lang_id, reduced to the
+    // (true, predicted) matrix with per-true-language shares
+    "doc_lang_confusion" ->
+      """WITH scored AS (
+           SELECT doc_id, 'en' AS cand_lang, CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS BIGINT) AS score FROM documents
+           UNION ALL
+           SELECT doc_id, 'es', CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las|una|por|con|del)\b')) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT doc_id, 'de', CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\b')) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT doc_id, 'fr', CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|une|dans|pour|que|qui)\b')) AS BIGINT) FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+               FROM scored),
+         p AS (SELECT doc_id, CASE WHEN score > 0 THEN cand_lang ELSE 'unknown' END AS pred_lang
+               FROM r WHERE rn = 1)
+         SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(count(*) AS DOUBLE) /
+                      CAST(sum(count(*)) OVER (PARTITION BY d.lang) AS DOUBLE), 6) AS frac
+         FROM documents d JOIN p USING (doc_id)
+         GROUP BY 1, 2""",
 
     "doc_fingerprint" ->
       """SELECT doc_id,

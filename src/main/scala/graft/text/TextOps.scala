@@ -93,6 +93,26 @@ object TextOps {
         col("best.score").as("score"))
   }
 
+  /** Classifier EVALUATION for [[langId]]: the confusion matrix of
+    * predicted vs ground-truth language labels, with each cell's
+    * share of its true-language row count — the accuracy/confusion
+    * report a pipeline reads before trusting the heuristic to route a
+    * corpus. One corpus pass (the langId projection + one hash
+    * aggregation); the share window runs over the ALREADY-AGGREGATED
+    * matrix — at most |langs|×(|langs|+1) rows whatever the corpus
+    * size, so the single-partition window is free by construction. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pred = langId(docs).select(col("doc_id"), col("pred_lang"))
+    val cells = docs.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang")
+    cells.withColumn("frac",
+      round(col("n") / sum(col("n")).over(w), 6))
+  }
+
   /** PII scrubbing: redact emails and long digit runs (id-like
     * numbers) with typed placeholders, counting each. Pure
     * regexp_replace — codegen'd, streams through the scan, and the

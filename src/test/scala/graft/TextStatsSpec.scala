@@ -19,6 +19,19 @@ class TextStatsSpec extends SparkSpec {
     assert(q == ((30L, 6L, 2L, 2L, 1L))) // "the","it" stopwords; ','!' punct; 'T' upper
   }
 
+  test("langConfusion: cells count (true, pred) pairs, shares are per-true-language") {
+    val d = Seq(
+      (1L, "the cat and the dog of it", "en"),
+      (2L, "el que los por con del", "en"),  // en doc that reads as es → off-diagonal
+      (3L, "der und das ist nicht", "de"),
+      (4L, "zzz qqq", "fr"))                 // nothing matches → unknown
+      .toDF("doc_id", "text", "lang")
+    val m = TextOps.langConfusion(d).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(m == Set(("en", "en", 1L, 0.5), ("en", "es", 1L, 0.5),
+      ("de", "de", 1L, 1.0), ("fr", "unknown", 1L, 1.0)), m)
+  }
+
   test("TokenRunCount == size(regexp tokens) on edges, unicode, and the real corpus") {
     // the native byte-scan must match the regex EXACTLY — it replaces
     // it in every counting site
