@@ -176,6 +176,15 @@ object SparkEntry {
     // math + set-op composition: clamp_max clips 2 series at sf0.01
     // (13 at sf0.1 — probed, the vacuous-match discipline) and unless
     // drops click-series whose user also purchased (32/48 survive)
+    // PromQL's experimental robust-spread function: weekly per-series
+    // median absolute deviation — the madOutliers two-pass percentile
+    // shape on the grid frame, intermediate median rounded to the 6dp
+    // cross-engine convention
+    "promql_mad" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """mad_over_time({event_type="view"}[7d])""",
+      T2)),
+
     // Prometheus 3.x's experimental cardinality-limiting aggregators,
     // gated together through the or-branch: the 25 lowest-hash click
     // series' weekly sample counts ∪ the deterministic ~35% hash-slice
@@ -2266,6 +2275,17 @@ object SparkEntry {
                            / ((last(ts_us ORDER BY ts_us, event_id) - first(ts_us ORDER BY ts_us, event_id)) / 1000000.0)
                       ELSE 0.0 END AS value
           FROM r WHERE rn <= 2 GROUP BY 1, 2, 3""",
+
+    "promql_mad" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id, value FROM events
+                WHERE event_type = 'view'
+                  AND epoch_us(ts) BETWEEN $T2 - 604800000000 AND $T2),
+          m AS (SELECT series_id, round(quantile_cont(value, 0.5), 6) AS med
+                FROM s GROUP BY 1)
+          SELECT s.series_id, s.event_type, s.user_id,
+                 round(quantile_cont(abs(value - med), 0.5), 6) AS value
+          FROM s JOIN m USING (series_id)
+          GROUP BY 1, 2, 3""",
 
     // the sampling hash IS the canonical series md5: limitk = the 25
     // lexicographically-smallest ids, limit_ratio(0.35) = ids whose

@@ -143,7 +143,7 @@ object PromQL {
     "count_over_time", "sum_over_time", "avg_over_time", "min_over_time",
     "max_over_time", "stddev_over_time", "stdvar_over_time",
     "quantile_over_time", "present_over_time", "absent_over_time",
-    "holt_winters")
+    "holt_winters", "mad_over_time")
   private val AggOps = Set("sum", "avg", "min", "max", "count",
     "stddev", "stdvar", "group", "topk", "bottomk", "quantile",
     "limitk", "limit_ratio")
@@ -1546,6 +1546,23 @@ object PromQL {
         case "quantile_over_time" =>
           keyed(col("q"),
             "q" -> round(expr(s"percentile(value, ${param.get})"), 6))
+        case "mad_over_time" =>
+          // median absolute deviation per window (PromQL's
+          // experimental robust-spread function) — the ts_mad_outliers
+          // two-pass shape on the grid frame: per-(labels, instant)
+          // medians, deviations rejoin, second R-7 percentile. Both
+          // aggregations reduce window→1 row; the rejoin is on the
+          // already-shuffled group keys, and both engines' percentile
+          // interpolate identically (R-7).
+          // intermediate median rounds to the 6dp convention BEFORE
+          // the deviations (the madOutliers cross-engine discipline:
+          // a last-bit R-7 difference must not propagate)
+          val med = wf.groupBy(gkeys: _*)
+            .agg(round(expr("percentile(value, 0.5)"), 6).as("_med"))
+          wf.join(med, labelCols :+ "g_ts")
+            .groupBy(gkeys: _*)
+            .agg(round(expr("percentile(abs(value - _med), 0.5)"), 6).as("value"))
+            .select((outCols :+ col("value")): _*)
         case "rate" | "increase" | "delta" =>
           val diff = col("l.value") - col("f.value")
           val v = fn match {

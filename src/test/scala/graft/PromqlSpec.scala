@@ -715,6 +715,15 @@ class PromqlSpec extends SparkSpec {
       at).count() == 0)
   }
 
+  test("mad_over_time: per-series median absolute deviation over the window") {
+    val at = 2L * hu
+    // user 1: values 10,20,40 → med 20, deviations 10,0,20 → MAD 10
+    // user 2: values 5,7 → med 6, deviations 1,1 → MAD 1
+    val out = PromQL.eval(ev, """mad_over_time({event_type="click"}[3h])""", at)
+      .select("user_id", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 10.0), (2L, 1.0)), out)
+  }
+
   test("limitk / limit_ratio: deterministic pick, grouping, complement contract, parse guards") {
     val at = 2L * hu
     def md5hex(s: String): String =
