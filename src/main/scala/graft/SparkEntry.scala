@@ -1526,6 +1526,15 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         0.4)),
 
+    // EMBEDDING CARTOGRAPHY: the dominant principal component by
+    // power iteration — one covariance pass over the corpus, then the
+    // iteration runs on the dim² matrix frame only (corpus-free).
+    // Exact-decimal matvecs + 6dp re-round per iteration make the
+    // arithmetic engine-independent
+    "emb_pca_power" -> ((s, dir) => VectorOps.pcaTopComponent(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     // ANN EVALUATION: recall@10 of the LSH index against brute-force
     // ground truth on a 50-query sample — the ann-benchmarks metric a
     // pipeline runs before trusting an approximate index at corpus
@@ -4082,6 +4091,40 @@ object SparkEntry {
          SELECT g.di, g.dj, g.n, sxy / n AS e_xy,
                 sxy / n - (mi.sx / n) * (mj.sx / n) AS cov
          FROM g JOIN m mi ON mi.d = g.di JOIN m mj ON mj.d = g.dj""",
+
+    // the engine's power iteration restated: covariance (the proven
+    // emb_covariance pipeline) rounded to 6dp, mirrored to the full
+    // matrix, then three unrolled matvec+normalize rounds — decimal
+    // sums, 6dp re-round before each norm, IEEE sqrt/divide
+    "emb_pca_power" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+         x AS (SELECT vec_id, t.i AS d, CAST(round(arr[t.i], 6) AS DECIMAL(18,6)) AS x
+               FROM e, (SELECT unnest(range(1, 65)) AS i) t),
+         m AS (SELECT d, CAST(sum(x) AS DOUBLE) AS sx FROM x GROUP BY 1),
+         p AS (SELECT a.d AS di, b.d AS dj, a.x * b.x AS prod
+               FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d),
+         g AS (SELECT di, dj, CAST(count(prod) AS BIGINT) AS n,
+                      CAST(sum(prod) AS DOUBLE) AS sxy
+               FROM p GROUP BY 1, 2),
+         covu AS (SELECT g.di, g.dj,
+                    CAST(round(sxy / n - (mi.sx / n) * (mj.sx / n), 6) AS DECIMAL(18,6)) AS c
+                  FROM g JOIN m mi ON mi.d = g.di JOIN m mj ON mj.d = g.dj),
+         cov AS (SELECT di, dj, c FROM covu
+                 UNION ALL
+                 SELECT dj AS di, di AS dj, c FROM covu WHERE di <> dj),
+         u1 AS (SELECT di, round(CAST(sum(c * CAST(0.125 AS DECIMAL(18,6))) AS DOUBLE), 6) AS u
+                FROM cov GROUP BY 1),
+         n1 AS (SELECT sqrt(CAST(sum(CAST(u AS DECIMAL(18,6)) * CAST(u AS DECIMAL(18,6))) AS DOUBLE)) AS nm FROM u1),
+         v1 AS (SELECT di AS dj, CAST(round(u / nm, 6) AS DECIMAL(18,6)) AS w FROM u1, n1),
+         u2 AS (SELECT di, round(CAST(sum(c * w) AS DOUBLE), 6) AS u
+                FROM cov JOIN v1 USING (dj) GROUP BY 1),
+         n2 AS (SELECT sqrt(CAST(sum(CAST(u AS DECIMAL(18,6)) * CAST(u AS DECIMAL(18,6))) AS DOUBLE)) AS nm FROM u2),
+         v2 AS (SELECT di AS dj, CAST(round(u / nm, 6) AS DECIMAL(18,6)) AS w FROM u2, n2),
+         u3 AS (SELECT di, round(CAST(sum(c * w) AS DOUBLE), 6) AS u
+                FROM cov JOIN v2 USING (dj) GROUP BY 1),
+         n3 AS (SELECT sqrt(CAST(sum(CAST(u AS DECIMAL(18,6)) * CAST(u AS DECIMAL(18,6))) AS DOUBLE)) AS nm FROM u3)
+         SELECT di AS d, round(u / nm, 6) AS loading, round(nm, 6) AS eigenvalue
+         FROM u3, n3""",
 
     "emb_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label, t.i AS dim,

@@ -549,6 +549,55 @@ object VectorOps {
           (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
   }
 
+  /** Top principal component by POWER ITERATION over the covariance
+    * matrix (embedding-cartography: the dominant variance direction +
+    * its eigenvalue — anisotropy/rogue-dimension diagnostics, the
+    * first step of the whitening a pipeline runs on raw encoder
+    * output). The corpus-scale work is exactly one [[covariance]]
+    * pass; the iteration then runs ENTIRELY on the dim² matrix frame
+    * (persisted, corpus-free — dim is a schema property), so the cost
+    * never grows with rows. Cross-engine determinism by construction:
+    * matvec sums are exact DECIMAL over 6dp-rounded inputs
+    * (order-independent), each round's unnormalized vector re-rounds
+    * to 6dp before the norm (sum of exact decimal squares), and
+    * sqrt/divide are pointwise IEEE — the same arithmetic restates in
+    * any engine. Sign and convergence follow from the deterministic
+    * uniform init (orthogonal-init failure is measure-zero on real
+    * data); `iters` is small because the diagnostic needs the
+    * direction and scale, not machine-epsilon convergence. Output:
+    * (d, loading, eigenvalue) with eigenvalue = ‖C·v‖ of the last
+    * round (→ the true eigenvalue as v converges). */
+  def pcaTopComponent(corpus: DataFrame, dim: Int = 64, iters: Int = 3,
+                      roundTo: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val covU = covariance(corpus, dim, roundTo)
+      .select(col("di"), col("dj"), round(col("cov"), roundTo).cast(dec).as("c"))
+    val covFull = covU.unionByName(
+        covU.filter(col("di") =!= col("dj"))
+          .select(col("dj").as("di"), col("di").as("dj"), col("c")))
+      .persist()
+    val spark = corpus.sparkSession
+    val v0 = math.round(1.0 / math.sqrt(dim.toDouble) * 1e6) / 1e6
+    var v: DataFrame = spark.range(1, dim + 1)
+      .select(col("id").as("dj"), lit(v0).cast(dec).as("w"))
+    var out: DataFrame = null
+    for (i <- 1 to iters) {
+      val u = covFull.join(broadcast(v), "dj")
+        .groupBy(col("di"))
+        .agg(round(sum(col("c") * col("w")).cast("double"), roundTo).as("u"))
+      val nn = u.agg(
+        sqrt(sum(col("u").cast(dec) * col("u").cast(dec)).cast("double")).as("_norm"))
+      val un = u.crossJoin(broadcast(nn))
+      v = un.select(col("di").as("dj"),
+        round(col("u") / col("_norm"), roundTo).cast(dec).as("w"))
+      if (i == iters)
+        out = un.select(col("di").as("d"),
+          round(col("u") / col("_norm"), roundTo).as("loading"),
+          round(col("_norm"), roundTo).as("eigenvalue"))
+    }
+    out
+  }
+
   /** Class centroids: the mean embedding per label, one (label, dim)
     * row per component — the nearest-class-mean classifier / dataset
     * cartography primitive. Same explode-then-aggregate shape as

@@ -143,6 +143,22 @@ class VectorSpec extends SparkSpec {
     assert(out.find(r => r._1 == 1 && r._2 == 3).get._4 == 0.0)
   }
 
+  test("pcaTopComponent: recovers the dominant direction, unit norm, shared eigenvalue") {
+    // all points on the line y = 4x/3 → rank-1 covariance whose top
+    // eigenvector is exactly ±(0.6, 0.8)
+    val d = Seq(
+      (0L, Array(3.0, 4.0)), (1L, Array(6.0, 8.0)),
+      (2L, Array(-3.0, -4.0)), (3L, Array(0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val r = VectorOps.pcaTopComponent(d, dim = 2, iters = 5)
+      .orderBy("d").select("loading", "eigenvalue").as[(Double, Double)].collect()
+    val (l1, l2) = (r(0)._1, r(1)._1)
+    assert(math.abs(math.abs(l1) - 0.6) < 1e-3 && math.abs(math.abs(l2) - 0.8) < 1e-3, r.toSeq)
+    assert(l1 * l2 > 0, "components of one direction share a sign")
+    assert(math.abs(l1 * l1 + l2 * l2 - 1.0) < 1e-3, "unit norm")
+    assert(r(0)._2 > 0 && r(0)._2 == r(1)._2, "one eigenvalue, every row")
+  }
+
   test("labelCentroids: mean embedding per label as (label, dim) rows") {
     val labeled = Seq(
       (0, Array(1.0, 3.0)),
