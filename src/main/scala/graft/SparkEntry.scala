@@ -1545,6 +1545,15 @@ object SparkEntry {
       VectorOps.recallAtK(e, col("vec_id") < 50, 10)
     }),
 
+    // the IVF sibling of ann_recall_eval: recall@10 of cell-probe
+    // search vs the same brute-force ground truth — together they are
+    // the index-selection evidence (LSH vs IVF) a pipeline reads
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = embT(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      VectorOps.recallAtKIvf(e, col("vec_id") < 50, 10)
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embT(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -3362,6 +3371,52 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+
+    // the proven IVF oracle pipeline (vec_id<50 queries) + the exact
+    // pipeline, joined at query grain into per-query recall
+    "ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         ac AS (SELECT e.vec_id, c.c_id,
+                  round(list_dot_product(v, cv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id, c_id AS cell FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                  FROM ac) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 50),
+         qc AS (SELECT q.q_id, c.c_id,
+                  round(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM q CROSS JOIN c),
+         probe AS (SELECT q_id, c_id AS cell FROM (
+                    SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                    FROM qc) WHERE rn <= 4),
+         s AS (SELECT q.q_id, a.vec_id,
+                 round(list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+               FROM probe p
+               JOIN asg a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id
+               JOIN q ON q.q_id = p.q_id
+               WHERE a.vec_id <> q.q_id),
+         ir AS (SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM s) WHERE rank <= 10),
+         es AS (SELECT q_id, e.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         er AS (SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM es) WHERE rank <= 10)
+         SELECT er.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(ir.vec_id) AS BIGINT) AS n_hit,
+                round(count(ir.vec_id) / count(*), 6) AS recall
+         FROM er LEFT JOIN ir ON ir.q_id = er.q_id AND ir.vec_id = er.vec_id
+         GROUP BY 1""",
 
     // recall@10 = |lsh top-10 ∩ exact top-10| / |exact top-10| per
     // query: the exact and LSH CTE pipelines are the two proven ANN

@@ -720,18 +720,32 @@ object VectorOps {
     * total-ordered and the recall is deterministic. */
   def recallAtK(corpus: DataFrame, queryIds: Column, k: Int = 10,
                 nPlanes: Int = 8, dim: Int = 64,
-                maxRows: Long = 1000000L, force: Boolean = false): DataFrame = {
-    val exact = cosineTopK(corpus, corpus.filter(queryIds), k,
-        maxRows = maxRows, force = force)
-      .select(col("q_id"), col("vec_id"))
-    val approx = lshTopK(corpus, queryIds, k, nPlanes, dim)
-      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("q_id", "vec_id"), "left")
+                maxRows: Long = 1000000L, force: Boolean = false): DataFrame =
+    recallOf(
+      cosineTopK(corpus, corpus.filter(queryIds), k,
+        maxRows = maxRows, force = force),
+      lshTopK(corpus, queryIds, k, nPlanes, dim))
+
+  /** [[recallAtK]] for the IVF path: the same exact-vs-approx join,
+    * approximate side served by [[ivfTopK]] cell probes. */
+  def recallAtKIvf(corpus: DataFrame, queryIds: Column, k: Int = 10,
+                   nCells: Int = 16, nProbe: Int = 4,
+                   maxRows: Long = 1000000L, force: Boolean = false): DataFrame =
+    recallOf(
+      cosineTopK(corpus, corpus.filter(queryIds), k,
+        maxRows = maxRows, force = force),
+      ivfTopK(corpus, queryIds, k, nCells, nProbe))
+
+  /** Shared recall join: both frames carry (q_id, vec_id, …) ranked
+    * rows; output is per-query n_exact/n_hit/recall. */
+  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("vec_id"))
+      .join(approx.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
       .select(col("q_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
-  }
 
   /** Dataset-cartography label margin (the label-noise detector a
     * training pipeline runs before finetuning on labeled embeddings;

@@ -56,6 +56,16 @@ class VectorSpec extends SparkSpec {
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
     val hits = (exact & approx).groupBy(_._1).view.mapValues(_.size.toLong).toMap
     assert(r.forall { case (q, _, nh, _) => hits.getOrElse(q, 0L) == nh }, r.toSeq)
+
+    // the IVF variant obeys the same bounds and intersection identity
+    val ri = VectorOps.recallAtKIvf(e, col("vec_id") < 5, k = 10)
+      .select("q_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(ri.length == 5 && ri.forall { case (_, ne, nh, _) => ne == 10 && nh <= ne }, ri.toSeq)
+    val ivf = VectorOps.ivfTopK(e, col("vec_id") < 5, 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ihits = (exact & ivf).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(ri.forall { case (q, _, nh, _) => ihits.getOrElse(q, 0L) == nh }, ri.toSeq)
   }
 
   test("cellSummary: occupancy covers the corpus, norms aggregate exactly") {
