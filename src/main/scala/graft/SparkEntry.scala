@@ -1444,6 +1444,12 @@ object SparkEntry {
 
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(docsT(s, dir))),
 
+    // the measured MinHash S-curve: per 0.05 jaccard bucket, the
+    // fraction of true near-dup pairs the banded LSH emits — the
+    // numPerm/bandSize selection evidence read before candidate
+    // generation runs at corpus scale
+    "dedup_lsh_recall" -> ((s, dir) => Dedup.lshRecallCurve(docsT(s, dir))),
+
     "dedup_minhash_est" -> ((s, dir) =>
       // LSH candidates scored by signature agreement (est_jaccard =
       // agree/16) — the estimator MinhashStore.probe applies to its
@@ -3134,6 +3140,27 @@ object SparkEntry {
          WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3""",
 
     "dedup_minhash" -> minhashOracle,
+
+    // truth = the brute-force jaccard pipeline down to 0.1 (df-capped
+    // exactly as the engine's), candidates = the shared minhash CTEs;
+    // left-join at pair grain, bucket at 0.05
+    "dedup_lsh_recall" ->
+      s"""$minhashCtes,
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         shc AS (SELECT sh.* FROM sh
+                 JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) k USING (sh)),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                   FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b,
+                     CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) AS jaccard
+                   FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+                   WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.1)
+         SELECT CAST(floor(jaccard * 20) AS BIGINT) AS j_bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(c.doc_a) AS BIGINT) AS n_caught,
+                round(count(c.doc_a) / count(*), 6) AS catch_rate
+         FROM truth t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+         GROUP BY 1""",
 
     "dedup_minhash_est" -> {
       val agree = (0 until 16)

@@ -238,6 +238,31 @@ object Dedup {
         max(col("k")).as("max_bucket"),
         sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
 
+  /** The EMPIRICAL MinHash S-CURVE — per exact-Jaccard bucket (0.05
+    * grain), what fraction of true near-dup pairs the banded LSH
+    * actually emits as candidates. The measured counterpart of the
+    * textbook P(caught) = 1−(1−j^r)^b curve, and the evidence for
+    * choosing numPerm/bandSize BEFORE running candidate generation on
+    * 100 TB: a threshold sitting on the curve's cliff means the band
+    * scheme silently loses near-dups at exactly the similarity the
+    * pipeline cares about. Truth side = the guarded brute-force
+    * jaccard pairs down to `floor` (a LOW floor on a bounded corpus —
+    * sampling duty, like the ANN recall evaluator); candidate side =
+    * the same banded join the production dedup runs. Output:
+    * (j_bucket, n_pairs, n_caught, catch_rate). */
+  def lshRecallCurve(docs: DataFrame, n: Int = 3, floorJ: Double = 0.1,
+                     numPerm: Int = 16, bandSize: Int = 4): DataFrame = {
+    val truth = ngramJaccardPairs(docs, n, floorJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = minhashLshPairs(docs, n, numPerm, bandSize)
+      .withColumn("caught", lit(1))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 20).cast("long").as("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("caught")).as("n_caught"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_caught"),
+        round(col("n_caught") / col("n_pairs"), 6).as("catch_rate"))
+  }
+
   /** LSH candidate pairs scored by SIGNATURE AGREEMENT instead of an
     * exact shingle-set verify: est_jaccard = matching components /
     * numPerm (E[agree/k] = J, Broder'97). This is the verification

@@ -116,6 +116,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshRecallCurve equals the independently-bucketed truth∩candidate counts on the real corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.lshRecallCurve(docs)
+      .select("j_bucket", "n_pairs", "n_caught", "catch_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.forall { case (b, np, nc, cr) =>
+      b >= 2 && np > 0 && nc >= 0 && nc <= np &&
+        cr == math.round(nc.toDouble / np * 1e6) / 1e6 }, got.toSeq)
+    // independent recomputation from the two public frames
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.1)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val cand = Dedup.minhashLshPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val want = truth.groupBy(t => math.floor(t._3 * 20).toLong).map { case (b, ps) =>
+      (b, ps.length.toLong, ps.count(p => cand((p._1, p._2))).toLong)
+    }
+    assert(got.map(g => (g._1, g._2, g._3)).toSet == want.toSet, want.toSeq.sortBy(_._1).mkString(","))
+    // an exact-dup bucket (j = 1.0 → bucket 20) must be fully caught:
+    // identical shingle sets hash to identical signatures
+    got.find(_._1 == 20L).foreach { case (_, np, nc, _) => assert(nc == np) }
+  }
+
   test("two-stage pair source recalls every exact pair on the real corpus") {
     // the keep/clusters/split chain rides the two-stage generator, so
     // its recall against the exact operator is load-bearing — and an
