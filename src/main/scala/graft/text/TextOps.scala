@@ -71,14 +71,14 @@ object TextOps {
     "de" -> "\\b(der|die|und|das|ist|nicht|ein|mit|sich|auf)\\b",
     "fr" -> "\\b(le|la|les|des|est|une|dans|pour|que|qui)\\b")
 
-  def langId(docs: DataFrame): DataFrame = {
-    // ONE projection scores every language and argmaxes via
-    // greatest(struct(score, tiebreak, lang)) — map-side, zero
-    // shuffles, one corpus pass (v.s. a per-language unionAll scan +
-    // row_number window = 4 passes and a shuffle+sort). The tiebreak
-    // field ranks languages in REVERSE alphabetical order so the
-    // struct max realizes (score DESC, lang ASC) — the same total
-    // order the window argmax used.
+  /** The [[langId]] argmax as a bare column over `text` — shared by
+    * langId (per-doc output) and [[langConfusion]] (matrix grain), so
+    * both stay ONE map-side projection with zero joins. */
+  private def langBest: Column = {
+    // greatest(struct(score, tiebreak, lang)) — the tiebreak field
+    // ranks languages in REVERSE alphabetical order so the struct max
+    // realizes (score DESC, lang ASC), the same total order a window
+    // argmax would use.
     val langsAsc = LangMarkers.map(_._1).sorted
     val candidates = LangMarkers.map { case (lang, re) =>
       struct(
@@ -86,7 +86,14 @@ object TextOps {
         lit(langsAsc.length - 1 - langsAsc.indexOf(lang)).as("tb"),
         lit(lang).as("lang"))
     }
-    docs.select(col("doc_id"), greatest(candidates: _*).as("best"))
+    greatest(candidates: _*)
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    // ONE projection scores every language and argmaxes — map-side,
+    // zero shuffles, one corpus pass (v.s. a per-language unionAll
+    // scan + row_number window = 4 passes and a shuffle+sort).
+    docs.select(col("doc_id"), langBest.as("best"))
       .select(
         col("doc_id"),
         when(col("best.score") > 0, col("best.lang")).otherwise(lit("unknown")).as("pred_lang"),
@@ -103,9 +110,11 @@ object TextOps {
     * size, so the single-partition window is free by construction. */
   def langConfusion(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pred = langId(docs).select(col("doc_id"), col("pred_lang"))
-    val cells = docs.select(col("doc_id"), col("lang"))
-      .join(pred, "doc_id")
+    val cells = docs
+      .select(col("lang"), langBest.as("best"))
+      .select(col("lang"),
+        when(col("best.score") > 0, col("best.lang"))
+          .otherwise(lit("unknown")).as("pred_lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang")

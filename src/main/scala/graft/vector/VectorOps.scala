@@ -737,10 +737,13 @@ object VectorOps {
       ivfTopK(corpus, queryIds, k, nCells, nProbe))
 
   /** Shared recall join: both frames carry (q_id, vec_id, …) ranked
-    * rows; output is per-query n_exact/n_hit/recall. */
+    * rows; output is per-query n_exact/n_hit/recall. The approx side
+    * is ≤ queries×k rows BY CONSTRUCTION (top-k output), so it
+    * broadcasts explicitly — the rank-window output has no stats and
+    * would otherwise sort-merge two bounded frames. */
   private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("vec_id"))
-      .join(approx.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
+      .join(broadcast(approx.select(col("q_id"), col("vec_id"), lit(1).as("hit"))),
         Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))

@@ -355,6 +355,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("doc_lang_confusion: one corpus pass, no join — the matrix aggregates map-side") {
+    val p = plan("doc_lang_confusion")
+    assert(p.split("Scan parquet").length - 1 <= 1,
+      "lang confusion scanned the corpus more than once:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "lang confusion joined instead of projecting:\n" + p.take(1200))
+  }
+
+  test("promql_limitk: limitk rides bounded TopKPerKey heaps; limit_ratio is a pure filter") {
+    val p = plan("promql_limitk")
+    assert(p.contains("TopKPerKey"), "limitk must use the bounded-heap operator:\n" + p.take(1500))
+    // the ratio branch adds a FILTER on the hash prefix, never a join
+    // or extra exchange — substring(md5(...)) shows up in a Filter node
+    assert(p.contains("Filter") && p.contains("substring"), p.take(1500))
+  }
+
+  test("emb_pca_power: the corpus never self-joins; iteration joins broadcast the tiny vector") {
+    val p = plan("emb_pca_power")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "power iteration sort-merge-joined a dim-bounded frame:\n" + p.take(1500))
+  }
+
+  test("ann recall evals: the corpus-side work is the two ranked paths, no extra corpus scan in the recall join") {
+    // the recall join operates on query×k rows — both inputs are the
+    // proven topk pipelines; the join itself must broadcast
+    for (q <- Seq("ann_recall_eval", "ann_ivf_recall")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(1200))
+      assert(!p.contains("SortMergeJoin"), s"$q recall join did not broadcast:\n" + p.take(1200))
+    }
+  }
+
   test("dedup_bucket_stats: bounded aggregations, never a pair join") {
     val df = graft.text.Dedup.lshBucketStats(
       spark.read.parquet(s"$sfDir/documents.parquet"))
