@@ -790,6 +790,122 @@ object PromQL {
     case _ => throw new IllegalArgumentException(s"not a duration: $s")
   }
 
+  // ───────────────────────── formatter ─────────────────────────
+
+  /** Prometheus's `/api/v1/format_query` printer: the parsed AST back
+    * as canonical PromQL text. CONTRACT (spec-pinned, fuzz-driven):
+    * for any query this engine parses, parse(format(parse(q))) ==
+    * parse(q) — the printer loses nothing the evaluator sees.
+    * Parenthesization is conservative (sub-expressions of binary ops
+    * always wrap), never relying on precedence. */
+  def format(e: Expr): String = e match {
+    case ScalarLit(v) => fmtNum(v)
+    case s: Selector => s"{${fmtMatchers(s.matchers)}}${fmtMods(s.offsetUs, s.atUs)}"
+    case RangeFn(fn, sel, range, p, p2) =>
+      val lead = if (fn == "quantile_over_time") s"${fmtNum(p.get)}, " else ""
+      val trail = fn match {
+        case "predict_linear" => s", ${fmtNum(p.get)}"
+        case "holt_winters" => s", ${fmtNum(p.get)}, ${fmtNum(p2.get)}"
+        case _ => ""
+      }
+      s"$fn($lead{${fmtMatchers(sel.matchers)}}[${fmtDur(range)}]${fmtMods(sel.offsetUs, sel.atUs)}$trail)"
+    case SubqueryFn(fn, inner, range, step, off, p, p2, at) =>
+      val lead = if (fn == "quantile_over_time") s"${fmtNum(p.get)}, " else ""
+      val trail = fn match {
+        case "predict_linear" => s", ${fmtNum(p.get)}"
+        case "holt_winters" => s", ${fmtNum(p.get)}, ${fmtNum(p2.get)}"
+        case _ => ""
+      }
+      s"$fn($lead(${format(inner)})[${fmtDur(range)}:${fmtDur(step)}]${fmtMods(off, at)}$trail)"
+    case Agg(op, by, without, arg, param) =>
+      val grouping =
+        if (without) s" without (${by.mkString(", ")})"
+        else if (by.nonEmpty) s" by (${by.mkString(", ")})"
+        else ""
+      val lead = param.map(p => s"${fmtNum(p)}, ").getOrElse("")
+      s"$op$grouping ($lead${format(arg)})"
+    case BinScalar(arg, op, k, scalarLeft, boolMode) =>
+      val b = if (boolMode) " bool" else ""
+      if (scalarLeft) s"${fmtNum(k)} $op$b (${format(arg)})"
+      else s"(${format(arg)}) $op$b ${fmtNum(k)}"
+    case BinScalarDyn(arg, op, scalar, scalarLeft, boolMode) =>
+      val b = if (boolMode) " bool" else ""
+      if (scalarLeft) s"${format(scalar)} $op$b (${format(arg)})"
+      else s"(${format(arg)}) $op$b ${format(scalar)}"
+    case BinVec(l, op, m, r, boolMode) =>
+      val b = if (boolMode) " bool" else ""
+      s"(${format(l)}) $op$b${fmtMatch(m)} (${format(r)})"
+    case ScalarOf(TimeVec) => "time()"
+    case ScalarOf(inner) => s"scalar(${format(inner)})"
+    case TimeVec => "vector(time())"
+    case VectorLit(v) => s"vector(${fmtNum(v)})"
+    case Func(fn @ ("histogram_quantile" | "histogram_quantile_cum"), arg, params, _) =>
+      s"$fn(${fmtNum(params.head)}, ${format(arg)})"
+    case Func("count_values", arg, _, strParams) =>
+      val by = if (strParams.length > 1) s" by (${strParams.tail.mkString(", ")})" else ""
+      s"""count_values("${fmtStr(strParams.head)}", ${format(arg)})$by"""
+    case Func(fn @ ("label_replace" | "label_join"), arg, _, strParams) =>
+      s"$fn(${format(arg)}, ${strParams.map(s => "\"" + fmtStr(s) + "\"").mkString(", ")})"
+    case Func(fn, arg, params, _) =>
+      s"$fn(${format(arg)}${params.map(p => s", ${fmtNum(p)}").mkString})"
+  }
+
+  /** `/api/v1/format_query` front door: parse + print. */
+  def formatQuery(q: String): String = format(parse(q))
+
+  private def fmtNum(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15 && !v.isInfinity) v.toLong.toString
+    else v.toString
+
+  private def fmtStr(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def fmtMatchers(ms: Seq[Matcher]): String = ms.map {
+    case graft.tsdb.MatchEq(k, v) => s"""$k="${fmtStr(v)}""""
+    case graft.tsdb.MatchNeq(k, v) => s"""$k!="${fmtStr(v)}""""
+    case graft.tsdb.MatchRe(k, v) => s"""$k=~"${fmtStr(v)}""""
+    case graft.tsdb.MatchNre(k, v) => s"""$k!~"${fmtStr(v)}""""
+  }.mkString(", ")
+
+  private def fmtMods(offsetUs: Long, atUs: Option[Long]): String = {
+    val off = if (offsetUs != 0L) s" offset ${fmtDur(offsetUs)}" else ""
+    val at = atUs match {
+      case Some(AtStartSentinel) => " @ start()"
+      case Some(AtEndSentinel) => " @ end()"
+      case Some(us) => s" @ ${fmtNum(us / 1e6)}"
+      case None => ""
+    }
+    off + at
+  }
+
+  private def fmtMatch(m: VecMatch): String = {
+    val keys =
+      if (m.onDefined) s" on (${m.on.mkString(", ")})"
+      else if (m.ignoring.nonEmpty) s" ignoring (${m.ignoring.mkString(", ")})"
+      else ""
+    val grp =
+      if (m.group < 0) s" group_left(${m.copyLabels.mkString(", ")})"
+      else if (m.group > 0) s" group_right(${m.copyLabels.mkString(", ")})"
+      else ""
+    keys + grp
+  }
+
+  /** Microseconds → the compact descending-unit Prometheus spelling
+    * (`1h30m`, `500ms`); `0s` for zero. Durations in this AST always
+    * come from parsed text, so they are whole milliseconds. */
+  def fmtDur(us: Long): String = {
+    if (us == 0L) return "0s"
+    val units = Seq("w" -> 604800000000L, "d" -> 86400000000L,
+      "h" -> 3600000000L, "m" -> 60000000L, "s" -> 1000000L, "ms" -> 1000L)
+    val sb = new StringBuilder
+    var rest = us
+    for ((u, size) <- units if rest >= size) {
+      sb.append(rest / size).append(u)
+      rest %= size
+    }
+    sb.toString
+  }
+
   // ───────────────────────── evaluator ─────────────────────────
 
   private val d2 = org.apache.spark.sql.types.DecimalType(28, 2)

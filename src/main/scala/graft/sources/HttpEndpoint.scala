@@ -142,6 +142,9 @@ final class HttpEndpoint(
       case "/api/v1/admin/tsdb/snapshot" => handleSnapshot(ex, body)
       case "/api/v1/status/buildinfo" => handleBuildInfo(ex)
       case "/api/v1/status/tsdb" => handleStatusTsdb(ex)
+      case "/api/v1/status/flags" => handleStatusFlags(ex)
+      case "/api/v1/status/runtimeinfo" => handleRuntimeInfo(ex)
+      case "/api/v1/format_query" => handleFormatQuery(ex, body)
       case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
         handleLabelValues(ex,
           p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
@@ -568,6 +571,61 @@ final class HttpEndpoint(
     sendJson(ex, 200,
       """{"status":"success","data":{"version":"2.50.0","revision":"graft",""" +
         """"branch":"","buildUser":"","buildDate":"","goVersion":""}}""")
+
+  /** `GET|POST /api/v1/format_query?query=…` — Prometheus's PromQL
+    * pretty-printer (2.46+, the editor/linter handshake): parse +
+    * [[graft.promql.PromQL.format]]. The printer's contract
+    * (PromqlFormatSpec, fuzz-driven) is parse∘format == identity on
+    * the AST, so the canonical spelling never drifts from the
+    * grammar. Malformed input answers the 400 bad_data envelope. */
+  private def handleFormatQuery(ex: HttpExchange, body: Array[Byte]): Unit =
+    try {
+      val q = paramsWithBody(ex, body).collectFirst { case ("query", v) => v }
+        .getOrElse(throw new IllegalArgumentException("format_query needs a query= parameter"))
+      sendJson(ex, 200,
+        s"""{"status":"success","data":${jstr(graft.promql.PromQL.formatQuery(q))}}""")
+    } catch {
+      case e: IllegalArgumentException => sendPromError(ex, e)
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  /** `GET /api/v1/status/flags` — the operative engine configuration
+    * in Prometheus's flag-map shape: the chunk grain, the retention
+    * horizons (from the store's persisted horizon files, us-precise),
+    * and the federation cardinality cap. Directory-listing grain,
+    * never a Spark job. */
+  private def handleStatusFlags(ex: HttpExchange): Unit =
+    try {
+      val (minT, maxT) = store.dataBoundsMs
+      sendJson(ex, 200,
+        s"""{"status":"success","data":{""" +
+          s""""storage.tsdb.chunk-duration":${jstr(graft.promql.PromQL.fmtDur(store.chunkUs))},""" +
+          s""""storage.tsdb.path":${jstr(store.path)},""" +
+          s""""web.federate.series-cap":"$federateSeriesCap",""" +
+          s""""storage.tsdb.min-time-ms":"$minT","storage.tsdb.max-time-ms":"$maxT"}}""")
+    } catch {
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  /** `GET /api/v1/status/runtimeinfo` — the liveness/uptime handshake
+    * (Grafana's datasource test page reads it): server start time,
+    * chunk/series shape of the store. Catalog-free: every field is a
+    * directory listing or a constant. */
+  private def handleRuntimeInfo(ex: HttpExchange): Unit =
+    try {
+      sendJson(ex, 200,
+        s"""{"status":"success","data":{""" +
+          s""""startTime":${jstr(startedAtIso)},""" +
+          s""""CWD":${jstr(System.getProperty("user.dir", ""))},""" +
+          s""""reloadConfigSuccess":true,""" +
+          s""""chunkDuration":${jstr(graft.promql.PromQL.fmtDur(store.chunkUs))},""" +
+          s""""chunkCount":${store.chunkCount}}}""")
+    } catch {
+      case _: Exception => ex.sendResponseHeaders(500, -1)
+    }
+
+  private val startedAtIso: String =
+    java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
 
   /** `GET /api/v1/status/tsdb` — Prometheus's cardinality dashboard:
     * head stats (series count, chunk count, data time bounds) plus

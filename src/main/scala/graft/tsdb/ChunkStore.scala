@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * Appends are per-chunk parquet writes: on a cluster each micro-batch
   * lands in its hour partition and never rewrites history.
   */
-final class ChunkStore(spark: SparkSession, path: String, chunkMs: Long = 3600000L,
+final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 3600000L,
                        filesPerChunkPerAppend: Int = 8,
                        rollupOnClose: Boolean = false) {
   // rollups are hourly; a chunk that does not contain WHOLE hourly

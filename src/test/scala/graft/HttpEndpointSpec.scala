@@ -547,6 +547,41 @@ class HttpEndpointSpec extends SparkSpec {
     }
   }
 
+  test("format_query pretty-prints; status flags/runtimeinfo answer the handshake shapes") {
+    val storeDir = Files.createTempDirectory("graft_http_fmt").toString
+    val store = new ChunkStore(spark, storeDir, chunkMs = 86400000L)
+    val endpoint = new HttpEndpoint(spark, store)
+    val port = endpoint.start()
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (stream == null) "" else
+          try new String(stream.readAllBytes(), "UTF-8") finally stream.close()
+        conn.disconnect()
+        (code, body)
+      }
+      val q = java.net.URLEncoder.encode("""sum by(event_type)(rate(click[ 5m ]))""", "UTF-8")
+      val (code, body) = get(s"/api/v1/format_query?query=$q")
+      assert(code == 200, body)
+      assert(body ==
+        """{"status":"success","data":"sum by (event_type) (rate({event_type=\"click\"}[5m]))"}""",
+        body)
+      // malformed query → the 400 bad_data envelope, not a 500
+      val (badCode, badBody) = get(s"/api/v1/format_query?query=${java.net.URLEncoder.encode("sum(((", "UTF-8")}")
+      assert(badCode == 400 && badBody.contains(""""status":"error""""), badBody)
+      assert(get("/api/v1/format_query")._1 == 400)
+
+      val (fc, flags) = get("/api/v1/status/flags")
+      assert(fc == 200 && flags.contains(""""storage.tsdb.chunk-duration":"1d""""), flags)
+      val (rc, rt) = get("/api/v1/status/runtimeinfo")
+      assert(rc == 200 && rt.contains(""""reloadConfigSuccess":true""") &&
+        rt.contains(""""startTime":"""), rt)
+    } finally endpoint.stop()
+  }
+
   test("path triage 404s unknown paths; malformed payloads answer 400") {
     val storeDir = Files.createTempDirectory("graft_http_404").toString
     val endpoint = new HttpEndpoint(spark, new ChunkStore(spark, storeDir))
