@@ -188,6 +188,34 @@ object DebugProbe {
         ("mrl_curve", p => graft.vector.VectorOps.mrlCurve(emb(p)).count()),
         ("audio_features", p => graft.multimodal.Multimodal.audioFeatures(
           graft.multimodal.Multimodal.attachMedia(docs(p))).count()),
+        // r10 continuation: the backfill closed-chunk merge (store
+        // build + withheld-slice backfill + federated read-back), the
+        // two recall evaluators (brute-force × approx joins over a 10×
+        // corpus), the S-curve truth∩candidate pass, the covariance
+        // power iteration, the one-pass confusion matrix, and the
+        // cardinality-limiting aggregators
+        ("backfill", p => {
+          val dir = java.nio.file.Files.createTempDirectory("x10_backfill").toString
+          val st = new graft.tsdb.ChunkStore(spark, dir, chunkMs = 86400000L,
+            filesPerChunkPerAppend = 2)
+          val sm = ev(p)
+          st.append(sm.filter(col("event_id") % 7 =!= 0))
+          st.closeChunksBelow(1704412800000000L)
+          st.backfill(sm.filter(col("event_id") % 7 === 0))
+          st.queryAll(Nil, 1704067200000000L, 1705708800000000L).count()
+        }),
+        ("ann_recall", p => graft.vector.VectorOps.recallAtK(
+          emb(p), col("vec_id") < 50, 10).count()),
+        ("ivf_recall", p => graft.vector.VectorOps.recallAtKIvf(
+          emb(p), col("vec_id") < 50, 10).count()),
+        ("lsh_recall", p => graft.text.Dedup.lshRecallCurve(docs(p)).count()),
+        ("pca_power", p => graft.vector.VectorOps.pcaTopComponent(emb(p)).count()),
+        ("lang_confusion", p => graft.text.TextOps.langConfusion(docs(p)).count()),
+        ("promql_limitk", p => graft.promql.PromQL.eval(spark.read.parquet(p),
+          """limitk(25, count_over_time({event_type="click"}[7d])) or limit_ratio(0.35, count_over_time({event_type="view"}[7d]))""",
+          1705708800000000L).count()),
+        ("promql_mad", p => graft.promql.PromQL.eval(spark.read.parquet(p),
+          """mad_over_time({event_type="view"}[7d])""", 1705708800000000L).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -242,7 +270,15 @@ object DebugProbe {
         "pack_bins" -> ("documents", () => docsP),
         "emb_quantize" -> ("embeddings", () => embP),
         "mrl_curve" -> ("embeddings", () => embP),
-        "audio_features" -> ("documents", () => docsP))
+        "audio_features" -> ("documents", () => docsP),
+        "backfill" -> ("events", () => eventsP),
+        "ann_recall" -> ("embeddings", () => embP),
+        "ivf_recall" -> ("embeddings", () => embP),
+        "lsh_recall" -> ("documents", () => docsP),
+        "pca_power" -> ("embeddings", () => embP),
+        "lang_confusion" -> ("documents", () => docsP),
+        "promql_limitk" -> ("events", () => eventsP),
+        "promql_mad" -> ("events", () => eventsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))
