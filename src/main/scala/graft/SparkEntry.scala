@@ -1540,6 +1540,14 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         0.4)),
 
+    // PRODUCT QUANTIZATION profile: per-(subspace, code) occupancy +
+    // mean squared reconstruction error against deterministic
+    // first-k codebooks — the IVF-PQ compression-quality report; one
+    // corpus pass, codebook broadcast, struct-min argmin
+    "emb_pq_profile" -> ((s, dir) => VectorOps.pqProfile(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     // EMBEDDING CARTOGRAPHY: the dominant principal component by
     // power iteration — one covariance pass over the corpus, then the
     // iteration runs on the dim² matrix frame only (corpus-free).
@@ -4181,6 +4189,26 @@ object SparkEntry {
          SELECT g.di, g.dj, g.n, sxy / n AS e_xy,
                 sxy / n - (mi.sx / n) * (mj.sx / n) AS cov
          FROM g JOIN m mi ON mi.d = g.di JOIN m mj ON mj.d = g.dj""",
+
+    // subspace slices v[s*16+1 : (s+1)*16], codebook = the first 16
+    // vectors' slices, L2 via three dot products (list_dot_product
+    // folds left-to-right like the engine's sequential dot), 6dp
+    // round before the argmin and the decimal mse sum
+    "emb_pq_profile" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sub AS (SELECT vec_id, t.s, v[t.s*16+1 : t.s*16+16] AS xs
+                 FROM e, (SELECT unnest(range(4)) AS s) t),
+         cb AS (SELECT vec_id AS code, s, xs AS cs FROM sub WHERE vec_id < 16),
+         d AS (SELECT sub.vec_id, sub.s, cb.code,
+                 round(list_dot_product(xs, xs) + list_dot_product(cs, cs)
+                       - 2 * list_dot_product(xs, cs), 6) AS d2
+               FROM sub JOIN cb USING (s)),
+         a AS (SELECT vec_id, s, code, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+                FROM d) WHERE rn = 1)
+         SELECT s AS subspace, code, CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mse
+         FROM a GROUP BY 1, 2""",
 
     // the engine's power iteration restated: covariance (the proven
     // emb_covariance pipeline) rounded to 6dp, mirrored to the full

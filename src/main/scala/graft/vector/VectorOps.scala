@@ -549,6 +549,46 @@ object VectorOps {
           (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
   }
 
+  /** PRODUCT-QUANTIZATION profile (Jégou et al., PAMI'11 — the
+    * vector-compression workhorse behind IVF-PQ indexes): the vector
+    * splits into `m` contiguous subspaces, each quantized against a
+    * deterministic k-entry codebook (the first k vectors' slices —
+    * the ivfCentroids convention, so any engine restates it);
+    * output is per-(subspace, code) occupancy and mean squared
+    * reconstruction error — the compression-quality report read
+    * before committing a corpus to PQ codes (dead codes and a hot
+    * mse subspace both mean re-training). Scale shape: the codebook
+    * (m×k slices) broadcasts into ONE corpus pass; the argmin packs
+    * into a struct-min inside HashAggregate; squared distances come
+    * from three sequential-fold dots (bit-equal to SQL), round to
+    * 6dp BEFORE the argmin and the exact-decimal mse sum, so ties
+    * and sums are engine-independent. */
+  def pqProfile(corpus: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 64,
+                roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val subDim = dim / m
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // one projection, no self-join: subspace slices explode map-side
+    val xs = corpus.select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> slice(v, s * $subDim + 1, $subDim))")).as(Seq("s", "xs")))
+    val cb = broadcast(corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("code"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> slice(v, s * $subDim + 1, $subDim))")).as(Seq("s", "cs"))))
+    val d2 = round(
+      dot(col("xs"), col("xs")) + dot(col("cs"), col("cs")) -
+        lit(2.0) * dot(col("xs"), col("cs")), roundTo)
+    xs.join(cb, "s")
+      .select(col("vec_id"), col("s"), col("code"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .groupBy(col("s").cast("long").as("subspace"), col("best.code").as("code"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("best.d2").cast(dec)).cast("double") / count(lit(1)), roundTo)
+          .as("mse"))
+  }
+
   /** Top principal component by POWER ITERATION over the covariance
     * matrix (embedding-cartography: the dominant variance direction +
     * its eigenvalue — anisotropy/rogue-dimension diagnostics, the

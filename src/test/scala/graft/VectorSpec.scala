@@ -153,6 +153,22 @@ class VectorSpec extends SparkSpec {
     assert(out.find(r => r._1 == 1 && r._2 == 3).get._4 == 0.0)
   }
 
+  test("pqProfile: slices assign to the nearest codebook entry; occupancy and mse are exact") {
+    // codebook = slices of vecs 0 and 1 (first-k convention, k=2)
+    val d = Seq(
+      (0L, Array(0.0, 0.0, 10.0, 10.0)),
+      (1L, Array(5.0, 5.0, 0.0, 0.0)),
+      (2L, Array(0.4, 0.4, 9.0, 9.0)),  // sub0 → code0 (d²=0.32), sub1 → code0 (d²=2)
+      (3L, Array(4.0, 4.0, 1.0, 1.0)))  // sub0 → code1 (d²=2),    sub1 → code1 (d²=2)
+      .toDF("vec_id", "v")
+    val r = VectorOps.pqProfile(d, m = 2, k = 2, dim = 4)
+      .select("subspace", "code", "n", "mse")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(r == Set(
+      (0L, 0L, 2L, 0.16), (0L, 1L, 2L, 1.0),
+      (1L, 0L, 2L, 1.0), (1L, 1L, 2L, 1.0)), r)
+  }
+
   test("pcaTopComponent: recovers the dominant direction, unit norm, shared eigenvalue") {
     // all points on the line y = 4x/3 → rank-1 covariance whose top
     // eigenvector is exactly ±(0.6, 0.8)
