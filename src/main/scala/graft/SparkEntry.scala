@@ -1584,6 +1584,12 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) => TextOps.quality(docsT(s, dir))),
 
+    // the Heaps'-law vocabulary-growth profile: cumulative docs /
+    // tokens / distinct tokens / TTR at each id-ordered prefix decile
+    // — dataset-size planning evidence; no global sort (bucket is a
+    // map-side doc_id function, windows run over ≤10 aggregated rows)
+    "corpus_heaps_curve" -> ((s, dir) => TextOps.heapsCurve(docsT(s, dir))),
+
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docsT(s, dir))),
 
     // the filter-tuning curve: docs/tokens surviving the
@@ -3643,6 +3649,29 @@ object SparkEntry {
                FROM scored)
          SELECT doc_id, CASE WHEN score > 0 THEN cand_lang ELSE 'unknown' END AS pred_lang, score
          FROM r WHERE rn = 1""",
+
+    // id-ordered prefix deciles: bucket = doc_id*10 // (max_id+1);
+    // first-seen = min doc_id per distinct token; cumsums over the
+    // 10-row aggregate
+    "corpus_heaps_curve" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS _n FROM documents),
+         d AS (SELECT CAST(doc_id * 10 // _n AS BIGINT) AS b,
+                      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+               FROM documents, n),
+         db AS (SELECT b, CAST(count(*) AS BIGINT) AS ndocs,
+                       CAST(sum(nt) AS BIGINT) AS ntok FROM d GROUP BY 1),
+         inst AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents),
+         fs AS (SELECT tok, min(doc_id) AS fd FROM inst GROUP BY 1),
+         fsb AS (SELECT CAST(fd * 10 // _n AS BIGINT) AS b,
+                        CAST(count(*) AS BIGINT) AS nd FROM fs, n GROUP BY 1)
+         SELECT db.b AS bucket,
+                CAST(sum(ndocs) OVER (ORDER BY db.b) AS BIGINT) AS n_docs,
+                CAST(sum(ntok) OVER (ORDER BY db.b) AS BIGINT) AS n_tokens,
+                CAST(sum(coalesce(nd, 0)) OVER (ORDER BY db.b) AS BIGINT) AS n_distinct,
+                round(CAST(sum(coalesce(nd, 0)) OVER (ORDER BY db.b) AS DOUBLE) /
+                      CAST(sum(ntok) OVER (ORDER BY db.b) AS DOUBLE), 6) AS ttr
+         FROM db LEFT JOIN fsb ON db.b = fsb.b""",
 
     // the same scored/argmax pipeline as lang_id, reduced to the
     // (true, predicted) matrix with per-true-language shares

@@ -122,6 +122,40 @@ object TextOps {
       round(col("n") / sum(col("n")).over(w), 6))
   }
 
+  /** VOCABULARY-GROWTH curve (Heaps'-law profile): cumulative docs,
+    * token instances, distinct tokens, and type-token ratio at each
+    * id-ordered corpus prefix decile — the dataset-size planning
+    * evidence (is vocabulary still growing, or has the corpus
+    * saturated?) and a drift check between corpus versions. NO global
+    * sort or rank at any size: the bucket is a map-side function of
+    * doc_id against the broadcast max-id scalar (prefix = ingestion-id
+    * range), first-seen is one min-aggregation per distinct token, and
+    * every cumulative window runs over the ALREADY-AGGREGATED ≤
+    * `buckets` rows. */
+  def heapsCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg((max(col("doc_id")) + 1).as("_n"))
+    val bucketOf = (id: Column) => (id * buckets / col("_n")).cast("long")
+    val perDoc = docs.crossJoin(broadcast(n))
+      .select(bucketOf(col("doc_id")).as("b"), tokenCount(col("text")).as("nt"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("ndocs"), sum(col("nt")).as("ntok"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(n))
+      .groupBy(bucketOf(col("fd")).as("b"))
+      .agg(count(lit(1)).as("nd"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    perDoc.join(firstSeen, Seq("b"), "left")
+      .select(col("b").as("bucket"),
+        sum(col("ndocs")).over(w).as("n_docs"),
+        sum(col("ntok")).over(w).as("n_tokens"),
+        sum(coalesce(col("nd"), lit(0L))).over(w).as("n_distinct"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+  }
+
   /** PII scrubbing: redact emails and long digit runs (id-like
     * numbers) with typed placeholders, counting each. Pure
     * regexp_replace — codegen'd, streams through the scan, and the

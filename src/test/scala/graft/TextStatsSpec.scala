@@ -19,6 +19,18 @@ class TextStatsSpec extends SparkSpec {
     assert(q == ((30L, 6L, 2L, 2L, 1L))) // "the","it" stopwords; ','!' punct; 'T' upper
   }
 
+  test("heapsCurve: cumulative docs/tokens/distinct per id-prefix bucket; ttr exact") {
+    // 4 docs, 2 buckets (ids 0,1 → b0; 2,3 → b1)
+    val d = Seq(
+      (0L, "a b c"), (1L, "a b"),      // prefix 1: 5 tokens, 3 distinct
+      (2L, "c d"), (3L, "d e a"))      // full: 10 tokens, 5 distinct
+      .toDF("doc_id", "text")
+    val r = TextOps.heapsCurve(d, buckets = 2)
+      .select("bucket", "n_docs", "n_tokens", "n_distinct", "ttr")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((0L, 2L, 5L, 3L, 0.6), (1L, 4L, 10L, 5L, 0.5)), r)
+  }
+
   test("langConfusion: cells count (true, pred) pairs, shares are per-true-language") {
     val d = Seq(
       (1L, "the cat and the dog of it", "en"),
