@@ -216,6 +216,8 @@ object DebugProbe {
           1705708800000000L).count()),
         ("promql_mad", p => graft.promql.PromQL.eval(spark.read.parquet(p),
           """mad_over_time({event_type="view"}[7d])""", 1705708800000000L).count()),
+        ("pq_profile", p => graft.vector.VectorOps.pqProfile(emb(p)).count()),
+        ("heaps_curve", p => graft.text.TextOps.heapsCurve(docs(p)).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -278,7 +280,9 @@ object DebugProbe {
         "pca_power" -> ("embeddings", () => embP),
         "lang_confusion" -> ("documents", () => docsP),
         "promql_limitk" -> ("events", () => eventsP),
-        "promql_mad" -> ("events", () => eventsP))
+        "promql_mad" -> ("events", () => eventsP),
+        "pq_profile" -> ("embeddings", () => embP),
+        "heaps_curve" -> ("documents", () => docsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))

@@ -559,15 +559,18 @@ object VectorOps {
     * before committing a corpus to PQ codes (dead codes and a hot
     * mse subspace both mean re-training). Scale shape: the codebook
     * (m×k slices) broadcasts into ONE corpus pass; the argmin packs
-    * into a struct-min inside HashAggregate; squared distances come
+    * (micro-unit distance, code) into ONE LONG so the min() stays in
+    * codegen'd HashAggregate — a struct-min silently demotes to
+    * SortAggregate (the labelMargin lesson); squared distances come
     * from three sequential-fold dots (bit-equal to SQL), round to
-    * 6dp BEFORE the argmin and the exact-decimal mse sum, so ties
-    * and sums are engine-independent. */
+    * 6dp micro-units BEFORE the argmin, and the mse sum is an exact
+    * LONG sum of those micro-units, so ties and sums are
+    * engine-independent. */
   def pqProfile(corpus: DataFrame, m: Int = 4, k: Int = 16, dim: Int = 64,
                 roundTo: Int = 6): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(k <= 1024, s"k=$k exceeds the 10-bit code pack")
     val subDim = dim / m
-    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     // one projection, no self-join: subspace slices explode map-side
     val xs = corpus.select(col("vec_id"),
         posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
@@ -576,17 +579,23 @@ object VectorOps {
       .select(col("vec_id").as("code"),
         posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
           s"s -> slice(v, s * $subDim + 1, $subDim))")).as(Seq("s", "cs"))))
-    val d2 = round(
-      dot(col("xs"), col("xs")) + dot(col("cs"), col("cs")) -
-        lit(2.0) * dot(col("xs"), col("cs")), roundTo)
+    val d2 = dot(col("xs"), col("xs")) + dot(col("cs"), col("cs")) -
+      lit(2.0) * dot(col("xs"), col("cs"))
+    val scale = math.pow(10, roundTo)
     xs.join(cb, "s")
-      .select(col("vec_id"), col("s"), col("code"), d2.as("d2"))
+      .select(col("vec_id"), col("s"),
+        // 6dp decimal round FIRST (matching the oracle's round(d2,6)
+        // exactly), then the ×10^6 of a 6dp value is an integer whose
+        // nearest double is within 1e-3 — round-0 recovers it exactly
+        (round(round(d2, roundTo) * scale, 0).cast("long") * 1024L + col("code"))
+          .as("pack"))
       .groupBy(col("vec_id"), col("s"))
-      .agg(min(struct(col("d2"), col("code"))).as("best"))
-      .groupBy(col("s").cast("long").as("subspace"), col("best.code").as("code"))
+      .agg(min(col("pack")).as("pack"))
+      .groupBy(col("s").cast("long").as("subspace"),
+        (col("pack") % 1024L).as("code"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("best.d2").cast(dec)).cast("double") / count(lit(1)), roundTo)
-          .as("mse"))
+        round((sum(expr("pack div 1024")).cast("double") / scale) / count(lit(1)),
+          roundTo).as("mse"))
   }
 
   /** Top principal component by POWER ITERATION over the covariance

@@ -388,6 +388,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("emb_pq_profile: codebook broadcasts into one corpus pass; argmin stays in HashAggregate") {
+    val p = plan("emb_pq_profile")
+    assert(p.contains("BroadcastHashJoin"), "codebook must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("SortAggregate"), "struct-min argmin fell out of HashAggregate")
+  }
+
+  test("corpus_heaps_curve: no global sort/rank — bucket is map-side id arithmetic") {
+    val p = plan("corpus_heaps_curve")
+    // a rank/ntile spelling would need a rangepartitioning exchange
+    // (global sort) over the corpus; the id-arithmetic spelling never
+    // range-partitions anything but the final ≤10-row window
+    assert(!p.contains("row_number") && !p.contains("ntile"), p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "heaps curve globally sorted the corpus:\n" + p.take(1500))
+    // 4 scans = the two text passes + the doc_id-only max scan twice
+    // (column-pruned, metadata-cheap)
+    assert(p.split("Scan parquet").length - 1 <= 4,
+      "heaps curve grew extra corpus scans:\n" + p.take(1500))
+  }
+
   test("dedup_bucket_stats: bounded aggregations, never a pair join") {
     val df = graft.text.Dedup.lshBucketStats(
       spark.read.parquet(s"$sfDir/documents.parquet"))
