@@ -1540,6 +1540,15 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         0.4)),
 
+    // SemDeDup: connected components over the embedding near-dup
+    // graph (LSH-bucketed edges, shared union-find machinery) —
+    // semantic duplicate clusters ready for keep-one-per-cluster
+    "dedup_semantic_clusters" -> ((s, dir) =>
+      VectorOps.semanticClusters(
+        embT(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        0.4)),
+
     // PRODUCT QUANTIZATION profile: per-(subspace, code) occupancy +
     // mean squared reconstruction error against deterministic
     // first-k codebooks — the IVF-PQ compression-quality report; one
@@ -3551,6 +3560,39 @@ object SparkEntry {
          FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
          WHERE round(list_dot_product(ea.v, eb.v) /
                      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4""",
+
+    // the lsh near-dup pair pipeline above, closed into connected
+    // components by a recursive reach CTE; singletons rep themselves
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE planes AS (
+           SELECT p, d, (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                      + instr('0123456789abcdef', substr(h, 2, 1)) - 1 - 128 AS k
+           FROM (SELECT p, d, md5('plane' || p || '#' || d) AS h
+                 FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(1, 65)) AS d))),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ex AS (SELECT vec_id, d, v[d] AS x FROM e, (SELECT unnest(range(1, 65)) AS d)),
+         proj AS (SELECT vec_id, p, sum(CAST(x AS DECIMAL(18,9)) * k) AS pr
+                  FROM ex JOIN planes USING (d) GROUP BY 1, 2),
+         buck AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << CAST(7 - p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+                  FROM proj GROUP BY 1),
+         bands AS (SELECT vec_id, 0 AS band, bucket // 16 AS bv FROM buck
+                   UNION ALL
+                   SELECT vec_id, 1 AS band, bucket % 16 AS bv FROM buck),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+         pairs AS (SELECT c.vec_a, c.vec_b
+                   FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+                   JOIN e eb ON eb.vec_id = c.vec_b
+                   WHERE round(list_dot_product(ea.v, eb.v) /
+                               (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4),
+         edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+                   UNION ALL SELECT vec_b, vec_a FROM pairs),
+         reach(vec_id, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT reach.vec_id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+         SELECT vec_id, min(r) AS cluster_rep FROM reach GROUP BY 1""",
 
     "text_quality" ->
       """SELECT doc_id,

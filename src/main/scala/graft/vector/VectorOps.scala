@@ -549,6 +549,22 @@ object VectorOps {
           (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
   }
 
+  /** SEMANTIC-DEDUP clusters (Abbas et al., SemDeDup '23): connected
+    * components over the embedding near-duplicate graph — documents
+    * whose embeddings sit within cosine `threshold` of a chain of
+    * neighbors collapse to one cluster rep (keep-one-per-cluster is
+    * then the caller's argmax, as in the text pipeline). Edges come
+    * from the LSH-bucketed pair generator (never all-pairs), and the
+    * component step reuses the text dedup's union-find /
+    * min-label-propagation machinery with the same 5M-edge driver
+    * cap and distributed fallback. Output: (vec_id, cluster_rep). */
+  def semanticClusters(corpus: DataFrame, threshold: Double = 0.4): DataFrame =
+    graft.text.Dedup.duplicateClusters(
+        corpus.select(col("vec_id").as("doc_id")),
+        pairSource = Some(lshNearDupPairs(corpus, threshold)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+
   /** PRODUCT-QUANTIZATION profile (Jégou et al., PAMI'11 — the
     * vector-compression workhorse behind IVF-PQ indexes): the vector
     * splits into `m` contiguous subspaces, each quantized against a

@@ -153,6 +153,23 @@ class VectorSpec extends SparkSpec {
     assert(out.find(r => r._1 == 1 && r._2 == 3).get._4 == 0.0)
   }
 
+  test("semanticClusters: chained near-dups share one rep; isolates rep themselves") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val clu = VectorOps.semanticClusters(e, 0.4)
+      .select("vec_id", "cluster_rep").as[(Long, Long)].collect().toMap
+    assert(clu.size == e.count())
+    // reps are component minima: every rep maps to itself
+    assert(clu.values.toSet.forall(r => clu(r) == r))
+    // consistency with the public pair generator: every near-dup pair
+    // shares a rep; vectors in no pair rep themselves
+    val pairs = VectorOps.lshNearDupPairs(e, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => clu(a) == clu(b) })
+    val inPair = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clu.filterNot { case (v, _) => inPair(v) }.forall { case (v, r) => r == v })
+  }
+
   test("pqProfile: slices assign to the nearest codebook entry; occupancy and mse are exact") {
     // codebook = slices of vecs 0 and 1 (first-k convention, k=2)
     val d = Seq(
