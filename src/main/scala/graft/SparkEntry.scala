@@ -170,6 +170,30 @@ object SparkEntry {
         .select("series_id", "ts_us", "value")
     }),
 
+    // a dependent RULE GROUP: rule B (rolling daily max) reads rule
+    // A's recorded series — evaluated in order into one rule store,
+    // the reader routed by the colon naming convention. The oracle
+    // recomputes the whole chain from raw events, so hash-equality
+    // proves A's grid evaluation, the record round-trip, AND B's
+    // evaluation over the recorded tier
+    "promql_rule_chain" -> ((s, dir) => {
+      val store = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_chain").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      val ruleStore = new ChunkStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_chain_dst").toString,
+        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
+      store.append(Series.samples(t(s, dir, "events")))
+      graft.promql.PromQL.ruleGroup(store, ruleStore, Seq(
+        "job:traffic:sum6h" ->
+          """sum by (event_type) (sum_over_time({event_type=~"click|view"}[6h]))""",
+        "job:traffic:daily_max" ->
+          """max_over_time({event_type="job:traffic:sum6h"}[1d])"""),
+        T0 + 21600000000L, T1, 21600000000L)
+      ruleStore.queryAll(Seq(MatchEq("event_type", "job:traffic:daily_max")), T0, T1)
+        .select("series_id", "ts_us", "value")
+    }),
+
     "promql_irate" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"), """irate(purchase[1d])""", T2)),
 
@@ -2315,6 +2339,25 @@ object SparkEntry {
                  CAST(sum(CAST(s.value AS DECIMAL(28,2))) AS DOUBLE) AS value
           FROM g JOIN s ON s.ts_us BETWEEN g.t - 21600000000 AND g.t
           GROUP BY 1, 2""",
+
+    // the chain recomputed from raw: A = 6h sums on the 16-instant
+    // grid, B = rolling daily max over A's instants (window inclusive
+    // both ends, the engine's range convention); B's recorded labels
+    // fold A's (event_type, user_id) into user_id colon-joined
+    "promql_rule_chain" ->
+      s"""WITH g AS (SELECT ${T0} + 21600000000 * k AS t FROM range(1, 17) r(k)),
+          s AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+                WHERE event_type IN ('click', 'view')),
+          a AS (SELECT s.event_type AS et, g.t AS ts_us,
+                       CAST(sum(CAST(s.value AS DECIMAL(28,2))) AS DOUBLE) AS value
+                FROM g JOIN s ON s.ts_us BETWEEN g.t - 21600000000 AND g.t
+                GROUP BY 1, 2),
+          b AS (SELECT a.et, g.t, max(a.value) AS value
+                FROM g JOIN a ON a.ts_us BETWEEN g.t - 86400000000 AND g.t
+                GROUP BY 1, 2)
+          SELECT md5('event_type=job:traffic:daily_max,user_id=job:traffic:sum6h:' || et) AS series_id,
+                 t AS ts_us, value
+          FROM b""",
 
     "promql_irate" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,

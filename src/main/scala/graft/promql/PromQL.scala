@@ -1179,10 +1179,67 @@ object PromQL {
       graft.tsdb.Series.seriesId(Seq(
         "event_type" -> col("event_type"), "user_id" -> col("user_id"))).as("series_id"),
       col("event_type"), col("user_id"), col("ts_us"), col("value"), col("event_id"))
-    dest.append(withId)
+    // a dependent rule (ruleGroup) reads and appends the SAME store:
+    // materialize the evaluated frame before the append so no lineage
+    // reads a directory it is about to grow (the staged-swap
+    // discipline, applied to the read-your-own-writes rule case).
+    // Rule results are grid-bounded, so the checkpoint is tiny.
+    val appendSrc = if (store eq dest) withId.localCheckpoint() else withId
+    dest.append(appendSrc)
     dest.queryAll(Seq(graft.tsdb.MatchEq("event_type", ruleName)), startUs, endUs)
       .count()
   }
+
+  /** Metric name each selector pins via an event_type EQ matcher
+    * (None for an unpinned selector), across the whole expression. */
+  private def selectorMetricNames(e: Expr): Seq[Option[String]] = e match {
+    case Selector(ms, _, _) =>
+      Seq(ms.collectFirst { case graft.tsdb.MatchEq("event_type", v) => v })
+    case RangeFn(_, sel, _, _, _) => selectorMetricNames(sel)
+    case Agg(_, _, _, a, _) => selectorMetricNames(a)
+    case BinScalar(a, _, _, _, _) => selectorMetricNames(a)
+    case BinScalarDyn(a, _, sc, _, _) =>
+      selectorMetricNames(a) ++ selectorMetricNames(sc)
+    case ScalarOf(i) => selectorMetricNames(i)
+    case BinVec(l, _, _, r, _) => selectorMetricNames(l) ++ selectorMetricNames(r)
+    case Func(_, a, _, _) => selectorMetricNames(a)
+    case SubqueryFn(_, i, _, _, _, _, _, _) => selectorMetricNames(i)
+    case _ => Seq.empty
+  }
+
+  /** A Prometheus RULE GROUP: rules evaluate IN ORDER, each recording
+    * into the rule store before the next evaluates — so later rules
+    * read earlier rules' output at the same instants (the
+    * dependent-rules guarantee Prometheus gives inside one group).
+    * This engine splits source and rule TSDBs (the Thanos-Ruler
+    * shape), so each rule's reader routes by the metric names its
+    * selectors pin: colon-named metrics (the recording-rule naming
+    * convention recordRule writes, which the lexer admits in
+    * identifiers) read the RULE store, plain names read the source; a
+    * rule mixing both — or leaving a selector unpinned — refuses
+    * typed (split it into two rules; the router is per rule).
+    * Returns (ruleName, servedSamples) per rule — the recordRule
+    * observable-truth contract. */
+  def ruleGroup(store: graft.tsdb.ChunkStore, dest: graft.tsdb.ChunkStore,
+                rules: Seq[(String, String)],
+                startUs: Long, endUs: Long, stepUs: Long,
+                lookbackUs: Long = 5L * 60L * 1000000L): Seq[(String, Long)] =
+    rules.map { case (name, q) =>
+      val names = selectorMetricNames(parse(q))
+      // recorded series are colon-named BY CONVENTION, so reading them
+      // requires naming them (event_type EQ with a ':'); everything
+      // else — plain names, regex matchers, unpinned selectors — reads
+      // the source store
+      val colon = names.flatten.count(_.contains(':'))
+      val src =
+        if (colon == 0) store
+        else if (colon == names.length) dest
+        else throw new IllegalArgumentException(
+          s"rule '$name' mixes recorded (colon-named) metrics with source " +
+            "selectors in one expression — split it into two rules " +
+            "(the reader routes per rule)")
+      name -> recordRule(src, dest, name, q, startUs, endUs, stepUs, lookbackUs)
+    }
 
   /** A Prometheus ALERT RULE over ANY PromQL expression — the full
     * alerting semantics (`expr` + `for:`) the reference's users run

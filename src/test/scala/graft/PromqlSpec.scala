@@ -715,6 +715,45 @@ class PromqlSpec extends SparkSpec {
       at).count() == 0)
   }
 
+  test("ruleGroup: dependent rules read earlier outputs; mixed/unpinned selectors refuse") {
+    val dayUs = 86400000000L
+    val t0 = 1704067200000000L
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_rg_src").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_rg_dst").toString
+    val store = new graft.tsdb.ChunkStore(spark, dir1, chunkMs = 86400000L)
+    val dest = new graft.tsdb.ChunkStore(spark, dir2, chunkMs = 86400000L)
+    val t0n = t0 * 1000L
+    val h = 3600000000000L
+    store.append(Series.samples(Seq(
+      (1L, t0n + 1L * h, 1L, "click", 10.0),
+      (2L, t0n + 7L * h, 1L, "click", 20.0),
+      (3L, t0n + 13L * h, 1L, "click", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")))
+    val served = PromQL.ruleGroup(store, dest, Seq(
+      "job:c:sum6h" -> """sum by (event_type) (sum_over_time(click[6h]))""",
+      "job:c:max" -> """max_over_time({event_type="job:c:sum6h"}[1d])"""),
+      t0 + 21600000000L, t0 + dayUs, 21600000000L)
+    assert(served.map(_._1) == Seq("job:c:sum6h", "job:c:max"))
+    // A records 10 (6h), 20 (12h), 5 (18h), nothing new at 24h; B's
+    // rolling daily max over the recorded tier = 10, 20, 20, 20
+    val b = dest.queryAll(
+        Seq(graft.tsdb.MatchEq("event_type", "job:c:max")), t0, t0 + dayUs)
+      .select("ts_us", "value").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(b == Seq((t0 + 6L * 3600000000L, 10.0), (t0 + 12L * 3600000000L, 20.0),
+      (t0 + 18L * 3600000000L, 20.0), (t0 + 24L * 3600000000L, 20.0)), b)
+    // a rule mixing recorded and source metrics refuses typed; an
+    // unpinned selector routes to the SOURCE (recorded series are
+    // read by naming them — the colon convention)
+    val mixed = intercept[IllegalArgumentException](PromQL.ruleGroup(store, dest,
+      Seq("x" -> """{event_type="job:c:sum6h"} + on(user_id) {user_id="1"}"""),
+      t0, t0 + dayUs, 21600000000L))
+    assert(mixed.getMessage.contains("mixes"), mixed.getMessage)
+    val (_, servedY) = PromQL.ruleGroup(store, dest,
+      Seq("job:y:cnt" -> """sum(count_over_time({user_id="1"}[6h]))"""),
+      t0 + 21600000000L, t0 + dayUs, 21600000000L).head
+    assert(servedY > 0, "unpinned selector must evaluate against the source store")
+  }
+
   test("mad_over_time: per-series median absolute deviation over the window") {
     val at = 2L * hu
     // user 1: values 10,20,40 → med 20, deviations 10,0,20 → MAD 10
