@@ -57,6 +57,18 @@ object DebugProbe {
         "text" -> (k => translate(col("text"), "aeiou", dialect.substring(k.toInt, k.toInt + 5)))))
       lazy val embP = x10("embeddings", Seq(
         "vec_id" -> (k => col("vec_id") + lit(k * 10000000L))))
+      // near-dup-structure probes need the embedding analog of the
+      // vowel dialects: plain mirrors are exact cross-copy duplicates,
+      // so the pair graph grows quadratically in copies (data density,
+      // not engine scaling). A per-copy DIMENSION ROTATION preserves
+      // every within-copy cosine (common permutation) while making
+      // cross-copy pairs non-duplicate. Distinct only for k < 64 —
+      // fine at 10×, excluded from __scale100 like the documents
+      // families.
+      lazy val embRotP = x10("embeddings", Seq(
+        "vec_id" -> (k => col("vec_id") + lit(k * 10000000L)),
+        "embedding" -> (k => expr(
+          s"transform(sequence(0, 63), i -> element_at(embedding, CAST((i + $k) % 64 AS INT) + 1))"))))
       lazy val liP = x10("lineitem", Seq(
         "l_orderkey" -> (k => col("l_orderkey") + lit(k * 100000000L))))
       def time(f: => Long): (Double, Long) = {
@@ -218,6 +230,31 @@ object DebugProbe {
           """mad_over_time({event_type="view"}[7d])""", 1705708800000000L).count()),
         ("pq_profile", p => graft.vector.VectorOps.pqProfile(emb(p)).count()),
         ("heaps_curve", p => graft.text.TextOps.heapsCurve(docs(p)).count()),
+        // bandSize grows with the corpus (the documented scale knob:
+        // a band hashes into 2^bandSize values, so fixed-size bands ⇒
+        // quadratic per-band candidates — measured 9.3× wall at 10×
+        // with the defaults pinned, 13.6× when only nPlanes grew);
+        // the probe applies the sizing rule it documents
+        ("semantic_clusters", p => {
+          val e = emb(p)
+          val (np, bs) = if (e.count() > 10000L) (16, 8) else (8, 4)
+          graft.vector.VectorOps.semanticClusters(e, 0.4, np, bs).count()
+        }),
+        ("rule_chain", p => {
+          val d1 = java.nio.file.Files.createTempDirectory("x10_chain").toString
+          val d2 = java.nio.file.Files.createTempDirectory("x10_chain_dst").toString
+          val st = new graft.tsdb.ChunkStore(spark, d1, chunkMs = 86400000L,
+            filesPerChunkPerAppend = 2)
+          val dst = new graft.tsdb.ChunkStore(spark, d2, chunkMs = 86400000L,
+            filesPerChunkPerAppend = 2)
+          st.append(ev(p))
+          graft.promql.PromQL.ruleGroup(st, dst, Seq(
+            "job:traffic:sum6h" ->
+              """sum by (event_type) (sum_over_time({event_type=~"click|view"}[6h]))""",
+            "job:traffic:daily_max" ->
+              """max_over_time({event_type="job:traffic:sum6h"}[1d])"""),
+            1704088800000000L, 1704412800000000L, 21600000000L).map(_._2).sum
+        }),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -282,11 +319,14 @@ object DebugProbe {
         "promql_limitk" -> ("events", () => eventsP),
         "promql_mad" -> ("events", () => eventsP),
         "pq_profile" -> ("embeddings", () => embP),
-        "heaps_curve" -> ("documents", () => docsP))
+        "heaps_curve" -> ("documents", () => docsP),
+        "semantic_clusters" -> ("embeddings", () => embRotP),
+        "rule_chain" -> ("events", () => eventsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))
-        .filter(p => factor == 10L || tableFor(p._1)._1 != "documents")
+        .filter(p => factor == 10L ||
+          (tableFor(p._1)._1 != "documents" && p._1 != "semantic_clusters"))
         .foreach { case (nm, f) =>
           val (tbl, bigPT) = tableFor(nm)
           val bigP = bigPT()

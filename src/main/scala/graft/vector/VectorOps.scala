@@ -557,11 +557,23 @@ object VectorOps {
     * from the LSH-bucketed pair generator (never all-pairs), and the
     * component step reuses the text dedup's union-find /
     * min-label-propagation machinery with the same 5M-edge driver
-    * cap and distributed fallback. Output: (vec_id, cluster_rep). */
-  def semanticClusters(corpus: DataFrame, threshold: Double = 0.4): DataFrame =
+    * cap and distributed fallback. Output: (vec_id, cluster_rep).
+    * SCALE KNOB: each band hashes into 2^bandSize values, so at a
+    * FIXED bandSize the per-band candidate count grows quadratically
+    * with the corpus — `bandSize` must grow ≈ log2(corpus) to hold
+    * per-bucket occupancy (adding PLANES only adds bands, i.e. MORE
+    * candidates — measured 9.3× wall at 10× data with the defaults,
+    * 13.6× with nPlanes raised and bandSize pinned). Larger bands
+    * trade recall at the low-similarity end (the banding S-curve
+    * shifts right) for precision — exactly the curve
+    * dedup_lsh_recall measures, and dedup_bucket_stats is the
+    * occupancy early-warning to size against. The defaults suit the
+    * bench corpus. */
+  def semanticClusters(corpus: DataFrame, threshold: Double = 0.4,
+                       nPlanes: Int = 8, bandSize: Int = 4): DataFrame =
     graft.text.Dedup.duplicateClusters(
         corpus.select(col("vec_id").as("doc_id")),
-        pairSource = Some(lshNearDupPairs(corpus, threshold)
+        pairSource = Some(lshNearDupPairs(corpus, threshold, nPlanes, bandSize)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
       .select(col("doc_id").as("vec_id"), col("cluster_rep"))
 
