@@ -1666,6 +1666,10 @@ object SparkEntry {
 
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docsT(s, dir), 20)),
 
+    // per-doc OOV rate vs the corpus top-16 vocabulary — the
+    // tokenizer-coverage report (vocab broadcast, one instance pass)
+    "doc_oov_rate" -> ((s, dir) => TextOps.oovRate(docsT(s, dir))),
+
     "doc_commonness" -> ((s, dir) => TextOps.commonness(docsT(s, dir))),
 
     "doc_novelty" -> ((s, dir) => TextOps.novelty(docsT(s, dir))),
@@ -4009,6 +4013,16 @@ object SparkEntry {
       """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
          g AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1)
          SELECT term, n FROM g ORDER BY n DESC, term ASC LIMIT 20""",
+
+    "doc_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         g AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+         v AS (SELECT term FROM g ORDER BY n DESC, term ASC LIMIT 16)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+                round(CAST(count(CASE WHEN v.term IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
+         FROM tk LEFT JOIN v ON tk.term = v.term
+         GROUP BY 1""",
 
     "doc_commonness" ->
       """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

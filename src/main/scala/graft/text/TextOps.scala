@@ -453,6 +453,24 @@ object TextOps {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** TOKENIZER VOCABULARY COVERAGE: per-doc out-of-vocabulary rate
+    * against the corpus top-`vocabK` vocabulary — the coverage report
+    * a pipeline reads when sizing a tokenizer vocab or checking a
+    * pretrained one against a new corpus (a high-OOV tail is either a
+    * domain shift or garbage). One instance pass; the k-term vocab is
+    * a TakeOrderedAndProject result that broadcasts; docs with zero
+    * tokens have no coverage to report and drop (as in the SQL
+    * restatement). The bench corpus's ~30-term synthetic vocabulary
+    * gates at k=16 so the OOV side is genuinely exercised. */
+  def oovRate(docs: DataFrame, vocabK: Int = 16): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(vocabTopK(docs, vocabK).select(col("term"), lit(1).as("_inv"))),
+        Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_inv").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+
   /** Composite quality gate (the corpus-prep filter as a first-class
     * query): per-doc boolean verdict plus the individual signal flags
     * that produced it — token count, stopword ratio, max 3-gram

@@ -19,6 +19,18 @@ class TextStatsSpec extends SparkSpec {
     assert(q == ((30L, 6L, 2L, 2L, 1L))) // "the","it" stopwords; ','!' punct; 'T' upper
   }
 
+  test("oovRate: instances outside the top-k vocab count as OOV; rate exact; non-vacuous on the corpus") {
+    // top-2 vocab of this toy = {a, b} (a×4, b×3 beat c×2, d×1)
+    val d = Seq((1L, "a b a c"), (2L, "a b b d"), (3L, "a c")).toDF("doc_id", "text")
+    val r = TextOps.oovRate(d, vocabK = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 4L, 1L, 0.25), (2L, 4L, 1L, 0.25), (3L, 2L, 1L, 0.5)), r)
+    // the gated k=16 setting is non-vacuous on the real corpus
+    val real = TextOps.oovRate(spark.read.parquet(s"$sfDir/documents.parquet"))
+    assert(real.filter(col("n_oov") > 0).count() > 0)
+  }
+
   test("heapsCurve: cumulative docs/tokens/distinct per id-prefix bucket; ttr exact") {
     // 4 docs, 2 buckets (ids 0,1 → b0; 2,3 → b1)
     val d = Seq(
