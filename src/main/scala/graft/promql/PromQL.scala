@@ -799,7 +799,7 @@ object PromQL {
     * Parenthesization is conservative (sub-expressions of binary ops
     * always wrap), never relying on precedence. */
   def format(e: Expr): String = e match {
-    case ScalarLit(v) => fmtNum(v)
+    case ScalarLit(v) => fmtScalar(v)
     case s: Selector => s"{${fmtMatchers(s.matchers)}}${fmtMods(s.offsetUs, s.atUs)}"
     case RangeFn(fn, sel, range, p, p2) =>
       val lead = if (fn == "quantile_over_time") s"${fmtNum(p.get)}, " else ""
@@ -826,8 +826,8 @@ object PromQL {
       s"$op$grouping ($lead${format(arg)})"
     case BinScalar(arg, op, k, scalarLeft, boolMode) =>
       val b = if (boolMode) " bool" else ""
-      if (scalarLeft) s"${fmtNum(k)} $op$b (${format(arg)})"
-      else s"(${format(arg)}) $op$b ${fmtNum(k)}"
+      if (scalarLeft) s"${fmtScalar(k)} $op$b (${format(arg)})"
+      else s"(${format(arg)}) $op$b ${fmtScalar(k)}"
     case BinScalarDyn(arg, op, scalar, scalarLeft, boolMode) =>
       val b = if (boolMode) " bool" else ""
       if (scalarLeft) s"${format(scalar)} $op$b (${format(arg)})"
@@ -838,7 +838,7 @@ object PromQL {
     case ScalarOf(TimeVec) => "time()"
     case ScalarOf(inner) => s"scalar(${format(inner)})"
     case TimeVec => "vector(time())"
-    case VectorLit(v) => s"vector(${fmtNum(v)})"
+    case VectorLit(v) => s"vector(${fmtScalar(v)})"
     case Func(fn @ ("histogram_quantile" | "histogram_quantile_cum"), arg, params, _) =>
       s"$fn(${fmtNum(params.head)}, ${format(arg)})"
     case Func("count_values", arg, _, strParams) =>
@@ -853,9 +853,27 @@ object PromQL {
   /** `/api/v1/format_query` front door: parse + print. */
   def formatQuery(q: String): String = format(parse(q))
 
+  /** Finite scalar → text the LEXER accepts (plain decimal only — no
+    * scientific notation, which Double.toString produces for large or
+    * tiny magnitudes): integers print as integers, everything else as
+    * the exact BigDecimal plain expansion (re-parses to the identical
+    * double — the expansion IS the double). */
   private def fmtNum(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15 && !v.isInfinity) v.toLong.toString
-    else v.toString
+    else if (v == math.rint(v) && !v.isInfinity)
+      java.math.BigDecimal.valueOf(v).toBigInteger.toString
+    else new java.math.BigDecimal(v).toPlainString
+
+  /** Scalar positions that can hold CONSTANT-FOLDED values (BinScalar
+    * k, ScalarLit, vector(s)) can be ±Inf or NaN — IEEE results of
+    * folding 1/0, 0/0, x%0. The lexer has no Inf/NaN literals (as in
+    * PromQL pre-2.x grammars), so those print as the division
+    * spelling, which folds straight back to the same IEEE value. */
+  private def fmtScalar(v: Double): String =
+    if (v.isNaN) "(0 / 0)"
+    else if (v == Double.PositiveInfinity) "(1 / 0)"
+    else if (v == Double.NegativeInfinity) "(-1 / 0)"
+    else fmtNum(v)
 
   private def fmtStr(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -104,6 +104,27 @@ class PromqlFormatSpec extends AnyFunSuite {
     assert(checked > 300, s"only $checked mutants parsed — mutation corpus degenerated")
   }
 
+  test("folded huge/Inf/NaN scalars print as parseable spellings") {
+    // constant folding can build doubles the lexer has no literal for
+    // (scientific-notation magnitudes, ±Inf from 1/0) — the printer
+    // must emit plain decimals / the division spelling, never
+    // Double.toString
+    for (q <- Seq(
+        """{a="b"} * (1000000 * 1000000 * 1000000)""",
+        """{a="b"} * (2 / 3)""",
+        """{a="b"} * (1 / 0)""",
+        """{a="b"} - (0 - 1) / 0 * ({c="d"})""",
+        """{a="b"} + (0 - 0.0000001)""")) {
+      val ast = PromQL.parse(q)
+      val printed = PromQL.format(ast)
+      assert(PromQL.parse(printed) == ast, s"\n  q: $q\n  printed: $printed")
+    }
+    // NaN: primitive Double equality cannot witness the round trip;
+    // the printed form must still parse and be a fixed point
+    val nan = PromQL.format(PromQL.parse("""{a="b"} % (0 / 0)"""))
+    assert(PromQL.format(PromQL.parse(nan)) == nan, nan)
+  }
+
   test("durations print in the compact descending spelling and round-trip") {
     for (d <- Seq("15s", "1h30m", "500ms", "2w", "1d1h1m1s500ms", "5m30s"))
       assert(PromQL.fmtDur(PromQL.parseDuration(d)) == d)
