@@ -135,16 +135,18 @@ object TextOps {
   def heapsCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.agg((max(col("doc_id")) + 1).as("_n"))
-    val bucketOf = (id: Column) => (id * buckets / col("_n")).cast("long")
+    // integer division, not double: at 1e15-scale ids the double
+    // quotient's 53-bit mantissa could misbucket a boundary id
+    val bucketOf = (c: String) => expr(s"$c * $buckets div _n")
     val perDoc = docs.crossJoin(broadcast(n))
-      .select(bucketOf(col("doc_id")).as("b"), tokenCount(col("text")).as("nt"))
+      .select(bucketOf("doc_id").as("b"), tokenCount(col("text")).as("nt"))
       .groupBy("b")
       .agg(count(lit(1)).as("ndocs"), sum(col("nt")).as("ntok"))
     val firstSeen = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(min(col("doc_id")).as("fd"))
       .crossJoin(broadcast(n))
-      .groupBy(bucketOf(col("fd")).as("b"))
+      .groupBy(bucketOf("fd").as("b"))
       .agg(count(lit(1)).as("nd"))
     val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     perDoc.join(firstSeen, Seq("b"), "left")
