@@ -1581,6 +1581,15 @@ object SparkEntry {
       embT(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))),
 
+    // PQ ADC SEARCH: asymmetric-distance top-k over the PQ codes —
+    // the IVF-PQ serving path, scanning m byte-codes per vector
+    // instead of the full float vector; per-query distance table
+    // (nq×m×k rows) broadcasts, the ADC sum is a codegen'd partial
+    // HashAggregate, top-k through TopKPerKey bounded heaps
+    "ann_pq_topk" -> ((s, dir) => VectorOps.pqTopK(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     // EMBEDDING CARTOGRAPHY: the dominant principal component by
     // power iteration — one covariance pass over the corpus, then the
     // iteration runs on the dim² matrix frame only (corpus-free).
@@ -4337,6 +4346,36 @@ object SparkEntry {
          SELECT s AS subspace, code, CAST(count(*) AS BIGINT) AS n,
                 round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mse
          FROM a GROUP BY 1, 2""",
+
+    // the ADC restated: same first-16 codebook + 6dp argmin encode as
+    // emb_pq_profile, per-query sub-distance table, exact DECIMAL sum
+    // of 6dp sub-distances per (query, vector), rank by (dist, id)
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sub AS (SELECT vec_id, t.s, v[t.s*16+1 : t.s*16+16] AS xs
+                 FROM e, (SELECT unnest(range(4)) AS s) t),
+         cb AS (SELECT vec_id AS code, s, xs AS cs FROM sub WHERE vec_id < 16),
+         enc AS (SELECT vec_id, s, code FROM (
+                  SELECT sub.vec_id, sub.s, cb.code,
+                         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                           ORDER BY round(list_dot_product(xs, xs) + list_dot_product(cs, cs)
+                                 - 2 * list_dot_product(xs, cs), 6) ASC, cb.code ASC) AS rn
+                  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+         dt AS (SELECT q.vec_id AS q_id, q.s, cb.code,
+                       CAST(round(list_dot_product(q.xs, q.xs) + list_dot_product(cs, cs)
+                            - 2 * list_dot_product(q.xs, cs), 6) AS DECIMAL(18,6)) AS du
+                FROM sub q JOIN cb USING (s) WHERE q.vec_id < 8),
+         adc AS (SELECT dt.q_id, enc.vec_id, sum(du) AS dsum
+                 FROM enc JOIN dt ON enc.s = dt.s AND enc.code = dt.code
+                 WHERE enc.vec_id <> dt.q_id
+                 GROUP BY 1, 2),
+         r AS (SELECT q_id, vec_id, dsum,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY dsum ASC, vec_id ASC) AS rank
+               FROM adc)
+         SELECT q_id, vec_id, round(CAST(dsum AS DOUBLE), 6) AS adc_dist,
+                CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10""",
 
     // the engine's power iteration restated: covariance (the proven
     // emb_covariance pipeline) rounded to 6dp, mirrored to the full

@@ -626,6 +626,79 @@ object VectorOps {
           roundTo).as("mse"))
   }
 
+  /** PQ ASYMMETRIC-DISTANCE top-k search (ADC — Jégou et al.,
+    * PAMI'11 §IV): the SERVING half of the [[pqProfile]] compression
+    * story, and the reason PQ matters at 100 TB — the corpus is
+    * scanned as m SMALL CODES per vector (m bytes here vs dim×4
+    * float bytes, a 64× scan-weight cut at the defaults) while each
+    * query keeps its FULL vector and pre-computes an m×k distance
+    * table against the codebook. Search is then table lookups, never
+    * float math per corpus row.
+    *
+    * Plan shape (the part that survives a 1000-executor scale-up):
+    * encode is [[pqProfile]]'s one-pass broadcast-codebook argmin;
+    * the per-query distance table (nQueries×m×k rows — hundreds, not
+    * millions) BROADCASTS into one hash join against the codes
+    * frame, and the per-(query, vector) distance sum is a codegen'd
+    * partial HashAggregate (map-side combine — at most nQueries rows
+    * per vector cross the shuffle). Top-k runs through
+    * [[graft.plans.TopKPerKey]] bounded heaps, so no per-query full
+    * sort materializes. Nothing in the pipeline touches raw vectors
+    * except the nQueries query rows and the k-codebook rows.
+    *
+    * Determinism: sub-distances round to `roundTo`-dp micro-units
+    * (exact LONGs) BEFORE both the encode argmin and the ADC sum, so
+    * ties and sums are engine-independent; ranking is (distance asc,
+    * vec_id asc). Output: (q_id, vec_id, adc_dist, rank), queries
+    * excluded from their own result lists. */
+  def pqTopK(corpus: DataFrame, nQueries: Int = 8, k: Int = 10,
+             m: Int = 4, kCodes: Int = 16, dim: Int = 64,
+             roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(kCodes <= 1024, s"kCodes=$kCodes exceeds the 10-bit code pack")
+    val subDim = dim / m
+    val scale = math.pow(10, roundTo)
+    val xs = corpus.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> slice(v, s * $subDim + 1, $subDim))")).as(Seq("s", "xs")))
+    val cb = broadcast(corpus.filter(col("vec_id") < kCodes)
+      .select(col("vec_id").as("code"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> slice(v, s * $subDim + 1, $subDim))")).as(Seq("s", "cs"))))
+    def d2(x: Column, c: Column): Column =
+      dot(x, x) + dot(c, c) - lit(2.0) * dot(x, c)
+    // ENCODE: micro-unit argmin packed into one LONG (stays in
+    // codegen'd HashAggregate — the pqProfile lesson)
+    val codes = xs.join(cb, "s")
+      .select(col("vec_id"), col("s"),
+        (round(round(d2(col("xs"), col("cs")), roundTo) * scale, 0).cast("long")
+          * 1024L + col("code")).as("pack"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("pack")).as("pack"))
+      .select(col("vec_id"), col("s"), (col("pack") % 1024L).as("code"))
+    // per-query distance table: nQueries×m×kCodes rows, broadcast
+    val dt = broadcast(
+      xs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("s"), col("xs").as("qx"))
+        .join(cb, "s")
+        .select(col("q_id"), col("s"), col("code"),
+          round(round(d2(col("qx"), col("cs")), roundTo) * scale, 0)
+            .cast("long").as("du")))
+    val adc = codes.join(dt, Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("du")).as("micro"))
+    graft.plans.TopKPerKey(adc, Seq("q_id"),
+        Seq("micro" -> graft.plans.TopKPerKey.Asc,
+            "vec_id" -> graft.plans.TopKPerKey.Asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("micro").asc, col("vec_id").asc)).cast("long"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("micro").cast("double") / scale, roundTo).as("adc_dist"),
+        col("rank"))
+  }
+
   /** Top principal component by POWER ITERATION over the covariance
     * matrix (embedding-cartography: the dominant variance direction +
     * its eigenvalue — anisotropy/rogue-dimension diagnostics, the

@@ -395,6 +395,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), "struct-min argmin fell out of HashAggregate")
   }
 
+  test("ann_pq_topk: codebook and distance table broadcast; ADC sum stays in HashAggregate; topk is bounded heaps") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), "dt/codebook must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("SortAggregate"), "ADC sum fell out of HashAggregate")
+    assert(p.contains("TopKPerKey"), "per-query topk must be the bounded-heap operator:\n" + p.take(1200))
+  }
+
   test("corpus_heaps_curve: no global sort/rank — bucket is map-side id arithmetic") {
     val p = plan("corpus_heaps_curve")
     // a rank/ntile spelling would need a rangepartitioning exchange

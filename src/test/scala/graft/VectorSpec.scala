@@ -186,6 +186,21 @@ class VectorSpec extends SparkSpec {
       (1L, 0L, 2L, 1.0), (1L, 1L, 2L, 1.0)), r)
   }
 
+  test("pqTopK: ADC distances are table-lookup sums over codes; ties break by id; self excluded") {
+    // same first-k codebook convention as pqProfile (codes = vecs 0,1)
+    val d = Seq(
+      (0L, Array(0.0, 0.0, 10.0, 10.0)),
+      (1L, Array(5.0, 5.0, 0.0, 0.0)),
+      (2L, Array(0.4, 0.4, 9.0, 9.0)),  // encodes to (code0, code0) → ADC 0 for query 0
+      (3L, Array(4.0, 4.0, 1.0, 1.0)))  // encodes to (code1, code1) → ADC 50+200
+      .toDF("vec_id", "v")
+    val r = VectorOps.pqTopK(d, nQueries = 1, k = 3, m = 2, kCodes = 2, dim = 4)
+      .orderBy("rank").select("q_id", "vec_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // vec1 also encodes to (code1, code1): exact 250.0 tie with vec3, id breaks it
+    assert(r == Seq((0L, 2L, 0.0, 1L), (0L, 1L, 250.0, 2L), (0L, 3L, 250.0, 3L)), r)
+  }
+
   test("pcaTopComponent: recovers the dominant direction, unit norm, shared eigenvalue") {
     // all points on the line y = 4x/3 → rank-1 covariance whose top
     // eigenvector is exactly ±(0.6, 0.8)
