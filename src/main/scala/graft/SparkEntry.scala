@@ -1868,6 +1868,17 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.attachVideo(docsT(s, dir)))
         .withColumnRenamed("n_samples", "n_frames")),
 
+    "multimodal_image_dhash" -> ((s, dir) =>
+      // IMAGE PERCEPTUAL FINGERPRINT: real PNG decode → 9×8 grayscale
+      // grid → 64-bit dHash (the image sibling of dedup_simhash); the
+      // oracle restates the hash from the pixel-synthesis formula
+      // without decoding, so hash-equality proves decode + sampling +
+      // bit packing end-to-end. The banded near-dup pair path
+      // (dhashNearDupPairs) is spec-proven on constructed near-dups —
+      // this corpus has no image-grain duplicates, so a pair gate
+      // would be vacuous (both engines agreeing on the empty set)
+      Multimodal.imageDHash(Multimodal.attachMedia(docsT(s, dir)))),
+
     "multimodal_audio_features" -> ((s, dir) =>
       // REAL WAV decode → per-window RMS + zero-crossing profile; the
       // oracle recomputes both from the deterministic PCM synthesis
@@ -4462,6 +4473,35 @@ object SparkEntry {
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
                 CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 256 + ((strlen(text) * 7) % 1024) END AS BIGINT) AS n_samples
          FROM documents""",
+
+    // the dHash restated from the pixel-synthesis formula alone
+    // (pixel(x,y): c = byte(text, (x+y) mod len); r=(c·37)%256,
+    // g=(x·7+c)%256, b=(y·11+c)%256; gray=(r+g+b) div 3; nearest-
+    // neighbor grid x=(i·w div 9), y=(j·h div 8); bit j·8+i set iff
+    // gray(i+1,j) > gray(i,j)) — never decodes a PNG; BIGINT casts on
+    // the bit sums (DuckDB sum → HUGEINT, the doc_pack lesson)
+    "multimodal_image_dhash" ->
+      """WITH img AS (SELECT doc_id, text, strlen(text) AS len,
+                        16 + strlen(text) % 32 AS w, 8 + strlen(text) % 16 AS h
+                      FROM documents WHERE doc_id % 2 = 0),
+         g AS (SELECT doc_id, t.i, u.j, (t.i * w) // 9 AS x, (u.j * h) // 8 AS y,
+                 CASE WHEN len = 0 THEN 120
+                      ELSE ascii(substr(text,
+                        CAST(((t.i * w) // 9 + (u.j * h) // 8) % len AS INT) + 1, 1)) END AS c
+               FROM img, (SELECT unnest(range(9)) AS i) t,
+                         (SELECT unnest(range(8)) AS j) u),
+         gr AS (SELECT doc_id, i, j,
+                  ((c * 37) % 256 + (x * 7 + c) % 256 + (y * 11 + c) % 256) // 3 AS gray
+                FROM g),
+         bits AS (SELECT doc_id, j, i, gray,
+                    lead(gray) OVER (PARTITION BY doc_id, j ORDER BY i) AS g2
+                  FROM gr)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN g2 > gray AND (j * 8 + i) >= 32
+                         THEN (CAST(1 AS BIGINT) << (j * 8 + i - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                CAST(sum(CASE WHEN g2 > gray AND (j * 8 + i) < 32
+                         THEN (CAST(1 AS BIGINT) << (j * 8 + i)) ELSE 0 END) AS BIGINT) AS dhash_lo
+         FROM bits WHERE i < 8 GROUP BY 1""",
 
     // recomputes the per-window features from the PCM synthesis
     // formula alone (samples = (byte(text, i mod len) − 96)·250,

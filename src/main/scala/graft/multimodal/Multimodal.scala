@@ -403,6 +403,93 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Perceptual DIFFERENCE HASH (dHash) per image — the standard
+    * near-duplicate image fingerprint (a 64-bit gradient sketch:
+    * sample a (gw+1-wide conceptual) gw×gh grayscale grid by
+    * nearest-neighbor, set bit k=j·(gw−1)+i iff gray(i+1,j) >
+    * gray(i,j)). The decode is the REAL JDK PNG path; sampling is
+    * integer arithmetic (x = i·w div gw, y = j·h div gh; gray =
+    * (r+g+b) div 3) so the oracle can restate the whole hash from
+    * the synthesis formula without decoding. The 64 bits split into
+    * two non-negative LONGs (dhash_hi = bits 32..63, dhash_lo =
+    * bits 0..31) so downstream XOR/bit_count stays sign-free in any
+    * engine. One map pass, no shuffle. */
+  def imageDHash(media: DataFrame, gw: Int = 9, gh: Int = 8): DataFrame = {
+    require((gw - 1) * gh <= 64, s"dHash grid ${gw}x$gh exceeds 64 bits")
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash_hi", LongType),
+      StructField("dhash_lo", LongType)))
+    val rdd = media.filter(col("kind") === "image")
+      .select("doc_id", "media").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = Array.ofDim[Int](gh, gw)
+          var j = 0
+          while (j < gh) {
+            var i = 0
+            while (i < gw) {
+              val rgb = img.getRGB(i * w / gw, j * h / gh)
+              gray(j)(i) =
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              i += 1
+            }
+            j += 1
+          }
+          var lo = 0L
+          var hi = 0L
+          j = 0
+          while (j < gh) {
+            var i = 0
+            while (i < gw - 1) {
+              if (gray(j)(i + 1) > gray(j)(i)) {
+                val k = j * (gw - 1) + i
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          Row(r.getLong(0), hi, lo)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Hamming near-dup pairs over [[imageDHash]] fingerprints via
+    * 16-bit PIGEONHOLE bands (the simhash recipe): a pair within
+    * hamming distance 3 differs in at most 3 of the 4 bands, so it
+    * MUST agree on at least one — candidates come from a band-value
+    * bucket join (never an all-pairs comparison), then one codegen'd
+    * `bit_count(xor)` verifies the exact distance. At corpus scale
+    * the shuffle carries 4 band rows per image and each bucket joins
+    * only its own occupants — the LSH-shaped bound every dedup path
+    * here shares. Output (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4 bands guarantee recall only up to hamming 3")
+    val banded = hashes.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+      explode(array(
+        struct(lit(0).as("band"), col("dhash_lo").bitwiseAND(lit(0xffffL)).as("bv")),
+        struct(lit(1).as("band"), shiftright(col("dhash_lo"), 16).as("bv")),
+        struct(lit(2).as("band"), col("dhash_hi").bitwiseAND(lit(0xffffL)).as("bv")),
+        struct(lit(3).as("band"), shiftright(col("dhash_hi"), 16).as("bv")))).as("bb"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"),
+      col("dhash_hi").as("ha"), col("dhash_lo").as("la"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"),
+      col("dhash_hi").as("hb"), col("dhash_lo").as("lb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Per-window AUDIO features over the real PCM: each clip's samples
     * split into `nWindows` contiguous windows (sample i → window
     * i·W div total — the same integer rule the oracle restates), and

@@ -124,6 +124,72 @@ class TextStatsSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("imageDHash: decoded-pixel hashes equal the synthesis-formula recompute on the corpus") {
+    val sf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hx = Multimodal.imageDHash(Multimodal.attachMedia(sf))
+      .select("doc_id", "dhash_hi", "dhash_lo").as[(Long, Long, Long)].collect()
+    val texts = sf.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(hx.length == texts.keys.count(_ % 2 == 0) && hx.nonEmpty)
+    def formulaHash(text: String): (Long, Long) = {
+      val bytes = text.getBytes("UTF-8"); val len = bytes.length
+      def b(i: Int) = if (len == 0) 120 else bytes(i % len) & 0xff
+      val w = 16 + len % 32; val h = 8 + len % 16
+      def gray(i: Int, j: Int) = {
+        val x = i * w / 9; val y = j * h / 8; val c = b(x + y)
+        ((c * 37) % 256 + (x * 7 + c) % 256 + (y * 11 + c) % 256) / 3
+      }
+      var lo = 0L; var hi = 0L
+      for (j <- 0 until 8; i <- 0 until 8)
+        if (gray(i + 1, j) > gray(i, j)) {
+          val k = j * 8 + i
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      (hi, lo)
+    }
+    hx.foreach { case (id, hi, lo) =>
+      assert((hi, lo) == formulaHash(texts(id)), s"doc $id hash mismatch") }
+  }
+
+  test("dhashNearDupPairs: banded candidates find every pair within hamming 3, none beyond") {
+    // constructed 90×80 images: each 10×10 block holds one sampled
+    // grid cell (x = i·90/9 = i·10), so the hash bits are controlled
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(grid: Array[Array[Int]]): Array[Byte] = {
+      val img = new BufferedImage(90, 80, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 80; x <- 0 until 90) {
+        val g = grid(y / 10)(x / 10)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val base = Array.fill(8)(Array.tabulate(9)(i => if (i % 2 == 0) 0 else 100))
+    val near = base.map(_.clone); near(0)(1) = 0          // flips bit 0 only
+    val far = base.map(_.clone)                            // flips 8 bits (row 0+1 inverted)
+    for (r <- 0 until 2; i <- 0 until 9) far(r)(i) = if (i % 2 == 0) 100 else 0
+    val media = Seq(
+      (0L, png(base), "image"), (2L, png(base.map(_.clone)), "image"),
+      (4L, png(near), "image"), (6L, png(far), "image"))
+      .toDF("doc_id", "media", "kind")
+    val hashes = Multimodal.imageDHash(media)
+    val pairs = Multimodal.dhashNearDupPairs(hashes, 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L, 0L), (0L, 4L, 1L), (2L, 4L, 1L)), pairs)
+    // brute-force cross-check from the collected hashes
+    val hs = hashes.select("doc_id", "dhash_hi", "dhash_lo")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val bf = (for {
+      a <- hs; b <- hs if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= 3
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(pairs == bf, s"banded=$pairs brute=$bf")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dhashNearDupPairs(hashes, 4) }
+    assert(e.getMessage.contains("hamming 3"), e.getMessage)
+  }
+
   test("audioFeatures: real WAV decode, hand-computed RMS and zero-crossings") {
     // doc 1: text "a" → every sample = ('a'−96)·250 = 250, constant
     // positive → zero crossings 0, rms exactly 250
