@@ -1679,6 +1679,11 @@ object SparkEntry {
     // tokenizer-coverage report (vocab broadcast, one instance pass)
     "doc_oov_rate" -> ((s, dir) => TextOps.oovRate(docsT(s, dir))),
 
+    // DOMAIN-SHIFT DIAGNOSTIC: per-source KL(source ‖ corpus) over
+    // the top-16 vocab + one OOV bucket — one tagged instance pass
+    // collapsing to (source × 17) rows; 6dp-decimal term sums
+    "corpus_source_kl" -> ((s, dir) => TextOps.sourceKl(docsT(s, dir))),
+
     "doc_commonness" -> ((s, dir) => TextOps.commonness(docsT(s, dir))),
 
     "doc_novelty" -> ((s, dir) => TextOps.novelty(docsT(s, dir))),
@@ -4043,6 +4048,26 @@ object SparkEntry {
                 round(CAST(count(CASE WHEN v.term IS NULL THEN 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
          FROM tk LEFT JOIN v ON tk.term = v.term
          GROUP BY 1""",
+
+    // the KL restated: same top-16 vocab + __oov__ bucket, per-term
+    // p·ln(p/q) in the identical IEEE order, 6dp DECIMAL term sums
+    "corpus_source_kl" ->
+      """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         g AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),
+         v AS (SELECT term FROM g ORDER BY n DESC, term ASC LIMIT 16),
+         tb AS (SELECT source, CASE WHEN v.term IS NULL THEN '__oov__' ELSE tk.term END AS bucket
+                FROM tk LEFT JOIN v ON tk.term = v.term),
+         sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cs FROM tb GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sb GROUP BY 1),
+         cb AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS cq FROM sb GROUP BY 1),
+         tot AS (SELECT CAST(sum(cq) AS DOUBLE) AS total FROM cb),
+         k AS (SELECT sb.source, st.ns,
+                 CAST(round((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                      * ln((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                         / (CAST(cq AS DOUBLE) / total)), 6) AS DECIMAL(18,6)) AS contrib
+               FROM sb JOIN st USING (source) JOIN cb USING (bucket), tot)
+         SELECT source, max(ns) AS n_tokens, CAST(sum(contrib) AS DOUBLE) AS kl
+         FROM k GROUP BY 1""",
 
     "doc_commonness" ->
       """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

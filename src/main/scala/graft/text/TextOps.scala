@@ -473,6 +473,45 @@ object TextOps {
         count(when(col("_inv").isNull, 1)).as("n_oov"))
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
 
+  /** SOURCE-vs-CORPUS KL DIVERGENCE (the domain-shift / source-quality
+    * diagnostic a mixing pipeline reads next to `corpus_mix_weights`):
+    * per source, KL(P_source ‖ Q_corpus) over the event space of the
+    * corpus top-`vocabK` vocabulary plus ONE out-of-vocabulary bucket
+    * — the bucketing makes both distributions complete and the corpus
+    * side everywhere-positive, so the divergence is always finite. A
+    * high-KL source either writes a different dialect or is garbage;
+    * either way it is the source to inspect before trusting the mix.
+    *
+    * Scale shape: ONE token-instance pass tagged against the
+    * broadcast vocab collapses straight to (source, bucket) counts by
+    * a map-side partial aggregate; every later frame is sources ×
+    * (vocabK+1) rows — corpus-size-free. Determinism: each of the
+    * ≤ vocabK+1 per-source terms p·ln(p/q) computes in fixed IEEE
+    * order (cast-divide, divide, ln, multiply), rounds to 6dp DECIMAL
+    * and sums exactly — order-independent. Output (source, n_tokens,
+    * kl). */
+  def sourceKl(docs: DataFrame, vocabK: Int = 16): DataFrame = {
+    val tk = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+    val vocab = broadcast(vocabTopK(docs, vocabK).select(col("term"), lit(1).as("_inv")))
+    val sb = tk.join(vocab, Seq("term"), "left")
+      .select(col("source"),
+        when(col("_inv").isNull, lit("__oov__")).otherwise(col("term")).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cs"))
+    val st = sb.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val cb = sb.groupBy(col("bucket")).agg(sum(col("cs")).as("cq"))
+    val tot = cb.agg(sum(col("cq")).cast("double").as("total"))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = col("cq").cast("double") / col("total")
+    sb.join(st, "source").join(broadcast(cb), "bucket").crossJoin(broadcast(tot))
+      .select(col("source"), col("ns"),
+        round(p * log(p / q), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        sum(col("contrib")).cast("double").as("kl"))
+  }
+
   /** Composite quality gate (the corpus-prep filter as a first-class
     * query): per-doc boolean verdict plus the individual signal flags
     * that produced it — token count, stopword ratio, max 3-gram

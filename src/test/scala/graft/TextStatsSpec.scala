@@ -124,6 +124,30 @@ class TextStatsSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("sourceKl: per-source KL over vocab+OOV buckets matches a hand recompute; non-negative on the corpus") {
+    // vocabK=1 → vocab {b} (corpus counts a=3, b=4); buckets b / __oov__
+    val d = Seq((1L, "A", "a a b"), (2L, "B", "a b b b"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.sourceKl(d, vocabK = 1)
+      .select("source", "n_tokens", "kl").as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def term(cs: Long, ns: Long, cq: Long, tot: Double) = {
+      val p = cs.toDouble / ns.toDouble; val q = cq.toDouble / tot
+      math.round(p * math.log(p / q) * 1e6) / 1e6
+    }
+    val klA = term(1, 3, 4, 7.0) + term(2, 3, 3, 7.0)
+    val klB = term(3, 4, 4, 7.0) + term(1, 4, 3, 7.0)
+    assert(r("A")._1 == 3L && math.abs(r("A")._2 - klA) < 1e-9, r)
+    assert(r("B")._1 == 4L && math.abs(r("B")._2 - klB) < 1e-9, r)
+    // on the real corpus: one row per source, KL ≥ 0 up to rounding
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = TextOps.sourceKl(docs0).select("source", "kl")
+      .as[(String, Double)].collect()
+    assert(corpus.length ==
+      docs0.select("source").distinct().count().toInt && corpus.nonEmpty)
+    corpus.foreach { case (s, kl) => assert(kl >= -1e-5, s"$s kl=$kl") }
+  }
+
   test("imageDHash: decoded-pixel hashes equal the synthesis-formula recompute on the corpus") {
     val sf = spark.read.parquet(s"$sfDir/documents.parquet")
     val hx = Multimodal.imageDHash(Multimodal.attachMedia(sf))
