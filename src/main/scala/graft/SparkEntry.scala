@@ -1265,6 +1265,12 @@ object SparkEntry {
     "ts_resets" -> ((s, dir) =>
       TsOps.resets(Series.samples(t(s, dir, "events")))),
 
+    // HEAD-CHURN DIAGNOSTIC: per-day created/ended/active series —
+    // one groupBy(series) min/max is the only corpus-scale work;
+    // the active explode is bounded by lifespan days (retention)
+    "ts_series_churn" -> ((s, dir) =>
+      TsOps.seriesChurn(Series.samples(t(s, dir, "events")))),
+
     "ts_changes" -> ((s, dir) =>
       TsOps.changes(Series.samples(t(s, dir, "events")))),
 
@@ -3842,6 +3848,20 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles, max(c) AS max_rep,
                 CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio
          FROM c GROUP BY 1""",
+
+    "ts_series_churn" ->
+      s"""WITH life AS (SELECT $SeriesIdSql AS series_id,
+                          epoch_us(min(ts)) // 86400000000 AS first_day,
+                          epoch_us(max(ts)) // 86400000000 AS last_day
+                        FROM events GROUP BY 1),
+          act AS (SELECT unnest(range(first_day, last_day + 1)) AS day FROM life),
+          a AS (SELECT day, CAST(count(*) AS BIGINT) AS active FROM act GROUP BY 1),
+          c AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS created FROM life GROUP BY 1),
+          e AS (SELECT last_day AS day, CAST(count(*) AS BIGINT) AS ended FROM life GROUP BY 1)
+          SELECT CAST(a.day * 86400000000 AS BIGINT) AS day_us, a.active,
+                 CAST(coalesce(c.created, 0) AS BIGINT) AS created,
+                 CAST(coalesce(e.ended, 0) AS BIGINT) AS ended
+          FROM a LEFT JOIN c USING (day) LEFT JOIN e USING (day)""",
 
     "ts_resets" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

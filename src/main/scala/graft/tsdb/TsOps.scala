@@ -400,6 +400,38 @@ object TsOps {
         max(col("ts_us")).as("max_ts_us"))
   }
 
+  /** SERIES CHURN — the Prometheus head-churn diagnostic (the
+    * `prometheus_tsdb_head_series_created_total` story as a query):
+    * per day, how many series APPEARED (first sample), DISAPPEARED
+    * (last sample) and were ACTIVE (lifespan covers the day). High
+    * created+ended with flat active = label churn — the cardinality
+    * failure mode that kills real TSDBs, and the report an operator
+    * reads before hunting the offending label.
+    *
+    * Scale shape: the ONLY corpus-scale work is one groupBy(series)
+    * min/max (map-side partial); every later frame is series-grain,
+    * and the active-day explode is bounded by lifespan days — i.e.
+    * retention, never sample count. */
+  def seriesChurn(samples: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val life = samples.groupBy(col("series_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      .select(col("series_id"),
+        expr(s"first_us div $dayUs").as("first_day"),
+        expr(s"last_us div $dayUs").as("last_day"))
+    val active = life
+      .select(explode(sequence(col("first_day"), col("last_day"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("active"))
+    val created = life.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("created"))
+    val ended = life.groupBy(col("last_day").as("day"))
+      .agg(count(lit(1)).as("ended"))
+    active.join(created, Seq("day"), "left").join(ended, Seq("day"), "left")
+      .select((col("day") * dayUs).as("day_us"), col("active"),
+        coalesce(col("created"), lit(0L)).as("created"),
+        coalesce(col("ended"), lit(0L)).as("ended"))
+  }
+
   /** PromQL `resets()`: number of strictly-decreasing adjacent sample
     * pairs per series (counter resets), adjacency totally ordered by
     * (ts_us, event_id). One window pass + one aggregation, both on the

@@ -199,6 +199,23 @@ class TsOpsSpec extends SparkSpec {
     assert(c == ((5L, 3L)))
   }
 
+  test("seriesChurn: per-day created/ended/active from series lifespans") {
+    // A lives day0..day2 (active all three), B only day1
+    val ev = Seq(
+      (1L, 1000000000L, 1L, "a", 1.0),        // A first: day 0
+      (2L, 216000000000000L, 1L, "a", 1.0),   // A last: day 2 (2.5 d)
+      (3L, 100000000000000L, 2L, "a", 1.0))   // B: day 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dayUs = 86400000000L
+    val r = TsOps.seriesChurn(Series.samples(ev))
+      .select("day_us", "active", "created", "ended")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (0L, 1L, 1L, 0L),
+      (dayUs, 2L, 1L, 1L),
+      (2 * dayUs, 1L, 0L, 1L)), r.toSeq)
+  }
+
   test("linreg recovers an exact slope and prediction on a perfect line") {
     val t0Us = 1704067200000000L
     // value = 2·x + 10 at x = 0..4 seconds after t0
