@@ -1690,6 +1690,13 @@ object SparkEntry {
     // collapsing to (source × 17) rows; 6dp-decimal term sums
     "corpus_source_kl" -> ((s, dir) => TextOps.sourceKl(docsT(s, dir))),
 
+    // COLLOCATION MINING: top bigrams by PMI with an occurrence
+    // floor — hash-agg counts (map-side partials absorb Zipf keys),
+    // floor-then-join, TakeOrdered top-k; total order by
+    // (pmi desc, term_a, term_b)
+    "corpus_pmi_bigrams" -> ((s, dir) =>
+      TextOps.pmiBigrams(docsT(s, dir), minCount = 5, k = 50)),
+
     "doc_commonness" -> ((s, dir) => TextOps.commonness(docsT(s, dir))),
 
     "doc_novelty" -> ((s, dir) => TextOps.novelty(docsT(s, dir))),
@@ -4135,6 +4142,26 @@ object SparkEntry {
                 CAST(sum(lp6) AS DOUBLE) AS sum_logprob,
                 CAST(sum(lp6) AS DOUBLE) / count(*) AS mean_logprob
          FROM lp GROUP BY 1""",
+
+    // PMI restated: identical count floors, the same fixed IEEE
+    // expression ln((c_ab/t2) / ((c_a/t1)·(c_b/t1))), 6dp round,
+    // total-ordered top 50
+    "corpus_pmi_bigrams" ->
+      """WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         u AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+               FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+         bg AS (SELECT t[i] AS a, t[i + 1] AS b
+                FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM tok)),
+         c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+         t2 AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS t2 FROM c2),
+         t1 AS (SELECT CAST(sum(c) AS DOUBLE) AS t1 FROM u),
+         s AS (SELECT c2.a AS term_a, c2.b AS term_b, c_ab,
+                 round(ln((CAST(c_ab AS DOUBLE) / t2)
+                   / ((CAST(ua.c AS DOUBLE) / t1) * (CAST(ub.c AS DOUBLE) / t1))), 6) AS pmi
+               FROM c2 JOIN u ua ON ua.w = c2.a JOIN u ub ON ub.w = c2.b, t2, t1
+               WHERE c_ab >= 5)
+         SELECT term_a, term_b, c_ab, pmi FROM s
+         ORDER BY pmi DESC, term_a ASC, term_b ASC LIMIT 50""",
 
     "doc_token_entropy" ->
       """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

@@ -341,6 +341,47 @@ object TextOps {
       .withColumn("mean_logprob", col("sum_logprob") / col("n_transitions"))
   }
 
+  /** PMI COLLOCATIONS (Church & Hanks, CL'90 — the multi-word-
+    * expression miner a tokenizer/vocab-building pass runs to decide
+    * which word pairs deserve merged tokens): top-`k` bigrams by
+    * pointwise mutual information ln(p(ab) / (p(a)·p(b))) with an
+    * occurrence floor (`minCount` kills the unstable hapax tail that
+    * otherwise owns the PMI top — the classic failure of the raw
+    * statistic).
+    *
+    * Scale shape: bigram and unigram counts are hash-aggregations
+    * whose map-side partials absorb the Zipf-hot keys (the bigram
+    * de-skew lesson — no windows anywhere); the floor then shrinks
+    * candidates to stable-vocabulary grain BEFORE the two unigram
+    * joins; totals broadcast as single rows; the final top-k is a
+    * TakeOrdered (per-partition heads, never a global sort). PMI
+    * computes in one fixed IEEE shape and rounds to 6dp; ordering is
+    * total via (pmi desc, term_a, term_b). */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    val bg = docs
+      .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .persist()
+    val uni = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist()
+    val t2 = broadcast(bg.agg(sum(col("c_ab")).cast("double").as("t2")))
+    val t1 = broadcast(uni.agg(sum(col("c")).cast("double").as("t1")))
+    bg.filter(col("c_ab") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("term_a"),
+        substring_index(col("bg"), " ", -1).as("term_b"), col("c_ab"))
+      .join(uni.select(col("w").as("term_a"), col("c").as("c_a")), "term_a")
+      .join(uni.select(col("w").as("term_b"), col("c").as("c_b")), "term_b")
+      .crossJoin(t2).crossJoin(t1)
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        round(log((col("c_ab").cast("double") / col("t2")) /
+          ((col("c_a").cast("double") / col("t1"))
+            * (col("c_b").cast("double") / col("t1")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc)
+      .limit(k)
+  }
+
   /** Shannon entropy of each doc's TOKEN distribution — the
     * vocabulary-diversity quality signal (near-zero = one phrase
     * looping; the complement of [[repetition]], which only sees the

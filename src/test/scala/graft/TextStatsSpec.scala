@@ -124,6 +124,22 @@ class TextStatsSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
   }
 
+  test("pmiBigrams: PMI matches a hand recompute; floor and total order hold") {
+    val d = Seq((1L, "x y x y"), (2L, "z")).toDF("doc_id", "text")
+    val r = TextOps.pmiBigrams(d, minCount = 1, k = 10)
+      .select("term_a", "term_b", "c_ab", "pmi")
+      .as[(String, String, Long, Double)].collect().toSeq
+    def pmi(cab: Long, ca: Long, cb: Long, t2: Double, t1: Double) =
+      math.round(math.log((cab.toDouble / t2) /
+        ((ca.toDouble / t1) * (cb.toDouble / t1))) * 1e6) / 1e6.toDouble
+    // unigrams x:2 y:2 z:1 (t1=5); bigrams "x y":2 "y x":1 (t2=3)
+    assert(r == Seq(
+      ("x", "y", 2L, pmi(2, 2, 2, 3.0, 5.0)),
+      ("y", "x", 1L, pmi(1, 2, 2, 3.0, 5.0))), r)
+    // the floor removes the hapax tail entirely here
+    assert(TextOps.pmiBigrams(d, minCount = 2, k = 10).count() == 1)
+  }
+
   test("sourceKl: per-source KL over vocab+OOV buckets matches a hand recompute; non-negative on the corpus") {
     // vocabK=1 → vocab {b} (corpus counts a=3, b=4); buckets b / __oov__
     val d = Seq((1L, "A", "a a b"), (2L, "B", "a b b b"))
