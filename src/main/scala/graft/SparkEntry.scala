@@ -1587,6 +1587,13 @@ object SparkEntry {
       embT(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))),
 
+    // BINARIZATION FIDELITY: hamming-vs-cosine curve of the 64-bit
+    // sign hash over the consecutive-id probe pairing — map-side bit
+    // fold, one 1:1 monotone-key join, ≤65 output rows at any scale
+    "emb_sign_hamming" -> ((s, dir) => VectorOps.signHammingProfile(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     // PQ ADC SEARCH: asymmetric-distance top-k over the PQ codes —
     // the IVF-PQ serving path, scanning m byte-codes per vector
     // instead of the full float vector; per-query distance table
@@ -4429,6 +4436,25 @@ object SparkEntry {
          SELECT s AS subspace, code, CAST(count(*) AS BIGINT) AS n,
                 round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mse
          FROM a GROUP BY 1, 2""",
+
+    // the sign hash + probe pairing restated: same hi/lo bit packing,
+    // xor/bit_count hamming, 6dp-decimal cosine means
+    "emb_sign_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sb AS (SELECT vec_id, v,
+                  CAST(sum(CASE WHEN v[d.i + 1] > 0 AND d.i < 32
+                           THEN CAST(1 AS BIGINT) << d.i ELSE 0 END) AS BIGINT) AS s_lo,
+                  CAST(sum(CASE WHEN v[d.i + 1] > 0 AND d.i >= 32
+                           THEN CAST(1 AS BIGINT) << (d.i - 32) ELSE 0 END) AS BIGINT) AS s_hi
+                FROM e, (SELECT unnest(range(64)) AS i) d GROUP BY 1, 2),
+         p AS (SELECT bit_count(xor(x.s_hi, y.s_hi)) + bit_count(xor(x.s_lo, y.s_lo)) AS hamming,
+                 CAST(round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+                   AS DECIMAL(18,6)) AS cos6
+               FROM sb x JOIN sb y ON y.vec_id = x.vec_id + 1)
+         SELECT CAST(hamming AS BIGINT) AS hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(cos6) AS DOUBLE) / count(*) AS mean_cos
+         FROM p GROUP BY 1""",
 
     // the ADC restated: same first-16 codebook + 6dp argmin encode as
     // emb_pq_profile, per-query sub-distance table, exact DECIMAL sum

@@ -699,6 +699,48 @@ object VectorOps {
         col("rank"))
   }
 
+  /** BINARIZED-EMBEDDING FIDELITY profile: per hamming-distance
+    * bucket of the 64-bit SIGN hash (bit d = v[d] > 0 — the 1-bit
+    * quantization that cuts vector bytes 256× and turns similarity
+    * into XOR+popcount), the pair count and mean true cosine over the
+    * deterministic consecutive-id probe pairing (vec_id, vec_id+1).
+    * The resulting curve (monotone-ish mean cosine vs hamming) is the
+    * evidence read before serving retrieval on binary codes — a flat
+    * curve means sign bits don't separate this corpus and the 256×
+    * compression would cost real recall.
+    *
+    * Scale shape: sign bits fold map-side into two sign-free LONGs
+    * (hi/lo — the dHash packing); the probe pairing is ONE 1:1
+    * equi-join on a monotone key (never all-pairs, O(n) pairs by
+    * construction); output is ≤ 65 rows whatever the corpus. Cosine
+    * rounds to 6dp DECIMAL per pair before the order-independent
+    * mean. */
+  def signHammingProfile(corpus: DataFrame, dim: Int = 64,
+                         roundTo: Int = 6): DataFrame = {
+    require(dim <= 64, s"dim=$dim exceeds the 64-bit sign pack")
+    val hiFrom = math.min(32, dim)
+    def bits(from: Int, until: Int): Column =
+      if (from >= until) lit(0L)
+      else expr(s"aggregate(sequence($from, ${until - 1}), 0L, (acc, d) -> " +
+        s"acc + IF(element_at(v, d + 1) > 0D, shiftleft(1L, d - $from), 0L))")
+    val e = corpus.select(col("vec_id"), col("v"),
+      bits(0, hiFrom).as("s_lo"), bits(hiFrom, dim).as("s_hi"))
+    val l = e.select((col("vec_id") + 1).as("join_id"), col("v").as("va"),
+      col("s_hi").as("ha"), col("s_lo").as("la"))
+    val r = e.select(col("vec_id").as("join_id"), col("v").as("vb"),
+      col("s_hi").as("hb"), col("s_lo").as("lb"))
+    l.join(r, "join_id")
+      .select(
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long").as("hamming"),
+        round(dot(col("va"), col("vb")) /
+            (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))),
+          roundTo)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("cos6"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("cos6")).cast("double") / count(lit(1))).as("mean_cos"))
+  }
+
   /** Top principal component by POWER ITERATION over the covariance
     * matrix (embedding-cartography: the dominant variance direction +
     * its eigenvalue — anisotropy/rogue-dimension diagnostics, the

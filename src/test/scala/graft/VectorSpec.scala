@@ -186,6 +186,18 @@ class VectorSpec extends SparkSpec {
       (1L, 0L, 2L, 1.0), (1L, 1L, 2L, 1.0)), r)
   }
 
+  test("signHammingProfile: hand-checked sign bits, hamming buckets, exact cosine means") {
+    val d = Seq(
+      (0L, Array(1.0, 1.0, 1.0, 1.0)),    // signs 1111
+      (1L, Array(1.0, -1.0, 1.0, -1.0)),  // signs 0101 → hamming 2 vs v0, cos 0
+      (2L, Array(1.0, -1.0, 1.0, -1.0)))  // = v1 → hamming 0, cos 1
+      .toDF("vec_id", "v")
+    val r = VectorOps.signHammingProfile(d, dim = 4)
+      .select("hamming", "n_pairs", "mean_cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(r == Set((2L, 1L, 0.0), (0L, 1L, 1.0)), r)
+  }
+
   test("pqTopK: ADC distances are table-lookup sums over codes; ties break by id; self excluded") {
     // same first-k codebook convention as pqProfile (codes = vecs 0,1)
     val d = Seq(
