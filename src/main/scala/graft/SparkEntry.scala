@@ -1587,6 +1587,18 @@ object SparkEntry {
       embT(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))),
 
+    // HYBRID RETRIEVAL: BM25 posting-list channel + cosine channel
+    // fused by reciprocal-rank fusion — the RAG/hard-negative-mining
+    // retrieval stack; both channels bound to top-20/query before the
+    // corpus-size-free fusion
+    "doc_hybrid_search" -> ((s, dir) => {
+      val e = embT(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      graft.search.Hybrid.rrfFuse(
+        graft.search.Hybrid.bm25TopK(docsT(s, dir), col("doc_id") < 8, 20),
+        VectorOps.cosineTopK(e, e.filter(col("vec_id") < 8), 20), 10)
+    }),
+
     // BINARIZATION FIDELITY: hamming-vs-cosine curve of the 64-bit
     // sign hash over the consecutive-id probe pairing — map-side bit
     // fold, one 1:1 monotone-key join, ≤65 output rows at any scale
@@ -4436,6 +4448,55 @@ object SparkEntry {
          SELECT s AS subspace, code, CAST(count(*) AS BIGINT) AS n,
                 round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mse
          FROM a GROUP BY 1, 2""",
+
+    // the whole hybrid stack restated: BM25 (identical IEEE shape over
+    // exact tf/df/dl counts, 6dp DECIMAL term sums), the proven cosine
+    // pipeline at k=20, RRF with 6dp-rounded reciprocal terms
+    "doc_hybrid_search" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                           FROM documents) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS DOUBLE) AS total_len FROM dl),
+         qt AS (SELECT DISTINCT doc_id AS q_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents WHERE doc_id < 8),
+         sc AS (SELECT qt.q_id, tf.doc_id,
+                  CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                    * ((CAST(tf AS DOUBLE) * 2.2)
+                       / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                          / (total_len / CAST(n_docs AS DOUBLE))))), 6) AS DECIMAL(18,6)) AS s6
+                FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id, st
+                WHERE tf.doc_id <> qt.q_id),
+         bm AS (SELECT q_id, doc_id, sum(s6) AS bm25d FROM sc GROUP BY 1, 2),
+         br AS (SELECT q_id, doc_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY bm25d DESC, doc_id ASC) AS rb
+                FROM bm),
+         fb AS (SELECT q_id, doc_id, rb FROM br WHERE rb <= 20),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         cs AS (SELECT q_id, e.vec_id AS doc_id,
+                  round(list_dot_product(v, qv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+                FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         cr AS (SELECT q_id, doc_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id ASC) AS rc
+                FROM cs),
+         fc AS (SELECT q_id, doc_id, rc FROM cr WHERE rc <= 20),
+         fu AS (SELECT coalesce(fb.q_id, fc.q_id) AS q_id,
+                       coalesce(fb.doc_id, fc.doc_id) AS doc_id,
+                  coalesce(CAST(round(1.0 / (60.0 + CAST(rb AS DOUBLE)), 6) AS DECIMAL(18,6)), 0)
+                + coalesce(CAST(round(1.0 / (60.0 + CAST(rc AS DOUBLE)), 6) AS DECIMAL(18,6)), 0) AS rrf6
+                FROM fb FULL OUTER JOIN fc
+                  ON fb.q_id = fc.q_id AND fb.doc_id = fc.doc_id),
+         r AS (SELECT q_id, doc_id, rrf6,
+                 row_number() OVER (PARTITION BY q_id ORDER BY rrf6 DESC, doc_id ASC) AS rank
+               FROM fu)
+         SELECT q_id, doc_id, CAST(rrf6 AS DOUBLE) AS rrf, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10""",
 
     // the sign hash + probe pairing restated: same hi/lo bit packing,
     // xor/bit_count hamming, 6dp-decimal cosine means

@@ -1,0 +1,97 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.text.TextOps
+
+/** HYBRID RETRIEVAL: BM25 keyword search fused with embedding cosine
+  * search by reciprocal-rank fusion (Cormack et al., SIGIR'09) — the
+  * two-channel retrieval stack behind RAG pipelines and hard-negative
+  * mining for embedding training.
+  *
+  * Scale shape: BM25 runs as a POSTING-LIST join — the query term set
+  * (tiny) joins the per-(doc, term) frequency table on term, exactly
+  * the inverted-index probe a search engine does; document length,
+  * document frequency and corpus stats all aggregate at doc/vocab
+  * grain with map-side partials, and the per-query result bounds to
+  * top-k through [[graft.plans.TopKPerKey]] bounded heaps. The fusion
+  * then operates on two k-row-per-query lists — corpus-size-free.
+  * The cosine channel is whatever ANN path fits the corpus
+  * ([[graft.vector.VectorOps.cosineTopK]] as the exact baseline here;
+  * the IVF/LSH paths at scale — fusion only sees (q_id, doc_id,
+  * rank)).
+  *
+  * Determinism: BM25 per-term contributions compute in one fixed IEEE
+  * expression over exact integer counts (+ the one avgdl double),
+  * round to 6dp DECIMAL and sum exactly; every rank is totally
+  * ordered by (score desc, doc_id asc); RRF terms round to 6dp before
+  * the exact decimal sum. */
+object Hybrid {
+
+  /** BM25 top-`k` documents per query doc (query terms = the query
+    * doc's DISTINCT tokens — set semantics, the usual bag-of-words
+    * simplification). Output (q_id, doc_id, bm25, rank), self
+    * excluded. */
+  def bm25TopK(docs: DataFrame, queryPred: Column, k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist() // read by postings, doc-length and doc-frequency
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("double").as("total_len")))
+    val qterms = docs.filter(queryPred)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+    val avgdl = col("total_len") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = broadcast(qterms).join(tf, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfr, "term").join(dl, "doc_id").crossJoin(stats)
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfNorm, roundTo).cast(DecimalType(18, 6)).as("s6"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("s6")).as("bm25d"))
+    graft.plans.TopKPerKey(scored, Seq("q_id"),
+        Seq("bm25d" -> graft.plans.TopKPerKey.Desc,
+            "doc_id" -> graft.plans.TopKPerKey.Asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("bm25d").desc, col("doc_id").asc)).cast("long"))
+      .select(col("q_id"), col("doc_id"),
+        col("bm25d").cast("double").as("bm25"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (keyword + vector):
+    * rrf = 1/(rrfK + rank_bm25) + 1/(rrfK + rank_cos), a doc missing
+    * from one list contributes nothing on that side. Operates on
+    * k-row-per-query inputs — corpus-size-free. Output (q_id, doc_id,
+    * rrf, rank) top-`k` per query. */
+  def rrfFuse(bm25: DataFrame, cos: DataFrame, k: Int = 10,
+              rrfK: Int = 60, roundTo: Int = 6): DataFrame = {
+    val bSide = bm25.select(col("q_id"), col("doc_id"), col("rank").as("rb"))
+    val cSide = cos.select(col("q_id"), col("vec_id").as("doc_id"),
+      col("rank").as("rc"))
+    def term(r: Column): Column = coalesce(
+      round(lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")), roundTo)
+        .cast(DecimalType(18, 6)),
+      lit(0).cast(DecimalType(18, 6)))
+    bSide.join(cSide, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (term(col("rb")) + term(col("rc"))).as("rrf6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf6").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"),
+        col("rrf6").cast("double").as("rrf"), col("rank"))
+  }
+}
