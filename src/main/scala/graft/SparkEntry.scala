@@ -119,6 +119,10 @@ object SparkEntry {
 
     "events_growth_accounting" -> ((s, dir) => TsOps.growthAccounting(t(s, dir, "events"))),
 
+    // A/B readout with CUPED variance reduction: one user-grain agg →
+    // exact variant moments → 2-row algebra (no second corpus pass)
+    "events_ab_cuped" -> ((s, dir) => TsOps.abCuped(t(s, dir, "events"))),
+
     "events_power_users" -> ((s, dir) => TsOps.powerUsers(t(s, dir, "events"))),
 
     "ts_ewma" -> ((s, dir) => TsOps.ewma(Series.samples(t(s, dir, "events")))),
@@ -1599,6 +1603,15 @@ object SparkEntry {
         VectorOps.cosineTopK(e, e.filter(col("vec_id") < 8), 20), 10)
     }),
 
+    // MMR DIVERSIFICATION: greedy λ·rel − (1−λ)·max-sim rerank of the
+    // cosine top-20 into a diverse top-5 — corpus work = candidate
+    // pass + one vector-attach scan; greedy rounds are (q × m²)-bounded
+    "doc_mmr_diversify" -> ((s, dir) => {
+      val e = embT(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      graft.search.Hybrid.mmrDiversify(e, e.filter(col("vec_id") < 8))
+    }),
+
     // BINARIZATION FIDELITY: hamming-vs-cosine curve of the 64-bit
     // sign hash over the consecutive-id probe pairing — map-side bit
     // fold, one 1:1 monotone-key join, ≤65 output rows at any scale
@@ -1708,6 +1721,12 @@ object SparkEntry {
     // the top-16 vocab + one OOV bucket — one tagged instance pass
     // collapsing to (source × 17) rows; 6dp-decimal term sums
     "corpus_source_kl" -> ((s, dir) => TextOps.sourceKl(docsT(s, dir))),
+
+    // DATA SELECTION: DSIR importance weights — log p_target/p_raw
+    // under fixed-size hashed-unigram models (target = two trusted
+    // sources); model frames ≤1024 rows broadcast at any corpus size
+    "doc_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(docsT(s, dir), col("source").isin("src1", "src2"))),
 
     // COLLOCATION MINING: top bigrams by PMI with an occurrence
     // floor — hash-agg counts (map-side partials absorb Zipf keys),
@@ -2319,6 +2338,39 @@ object SparkEntry {
           SELECT dau.day, dau.dau, wau.wau,
                  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
           FROM dau JOIN wau USING (day)""",
+
+    // the CUPED stack restated: same id-parity split, integer span
+    // midpoint, exact DECIMAL moments, pooled 6dp theta/mean(X), the
+    // identical algebraic adjusted-variance expansion
+    "events_ab_cuped" ->
+      """WITH sp AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         md AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid_us FROM sp),
+         pu AS (SELECT user_id,
+                  coalesce(sum(CASE WHEN ts_us < mid_us THEN CAST(value AS DECIMAL(18,2)) END), 0) AS x,
+                  coalesce(sum(CASE WHEN ts_us >= mid_us THEN CAST(value AS DECIMAL(18,2)) END), 0) AS y
+                FROM sp, md GROUP BY 1),
+         mom AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+                 FROM pu GROUP BY 1),
+         pl AS (SELECT CAST(sum(n) AS DOUBLE) AS np, CAST(sum(sx) AS DOUBLE) AS sxp,
+                       CAST(sum(sy) AS DOUBLE) AS syp, CAST(sum(sxx) AS DOUBLE) AS sxxp,
+                       CAST(sum(sxy) AS DOUBLE) AS sxyp FROM mom),
+         fit AS (SELECT CASE WHEN np*sxxp - sxp*sxp = 0.0 THEN 0.0
+                        ELSE round((np*sxyp - sxp*syp) / (np*sxxp - sxp*sxp), 6) END AS theta,
+                        round(sxp/np, 6) AS mx FROM pl),
+         r AS (SELECT variant, n AS n_users,
+                 round(CAST(sy AS DOUBLE)/n, 6) AS mean_y,
+                 round(CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n), 6) AS var_y,
+                 round(CAST(sy AS DOUBLE)/n - theta*(CAST(sx AS DOUBLE)/n - mx), 6) AS mean_y_adj,
+                 round((CAST(syy AS DOUBLE) - 2.0*theta*CAST(sxy AS DOUBLE) + theta*theta*CAST(sxx AS DOUBLE))/n
+                       - ((CAST(sy AS DOUBLE) - theta*CAST(sx AS DOUBLE))/n)
+                         * ((CAST(sy AS DOUBLE) - theta*CAST(sx AS DOUBLE))/n), 6) AS var_y_adj,
+                 theta
+               FROM mom, fit)
+         SELECT variant, n_users, mean_y, var_y, mean_y_adj, var_y_adj, theta,
+                CASE WHEN var_y > 0.0 THEN round(1.0 - var_y_adj/var_y, 6) END AS var_reduction
+         FROM r""",
 
     "events_churn" ->
       s"""WITH uw AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events),
@@ -4115,6 +4167,31 @@ object SparkEntry {
          SELECT source, max(ns) AS n_tokens, CAST(sum(contrib) AS DOUBLE) AS kl
          FROM k GROUP BY 1""",
 
+    // the DSIR stack restated: same md5-prefix bucket hash mod 1024,
+    // Laplace-smoothed target/raw models, 6dp log-ratio, exact
+    // DECIMAL count×ratio sums
+    "doc_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source IN ('src1','src2') AS tgt,
+                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+               FROM documents),
+         db AS (SELECT doc_id, tgt,
+                  ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS b,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY 1, 2, 3),
+         m AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr,
+                  CAST(coalesce(sum(n) FILTER (WHERE tgt), 0) AS BIGINT) AS ct
+               FROM db GROUP BY 1),
+         tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS crt, CAST(sum(ct) AS DOUBLE) AS ctt FROM m),
+         lr AS (SELECT b, CAST(round(ln((CAST(ct AS DOUBLE) + 1.0) / (ctt + 1024.0))
+                                   - ln((CAST(cr AS DOUBLE) + 1.0) / (crt + 1024.0)), 6)
+                        AS DECIMAL(18,6)) AS lr6
+                FROM m, tot)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(sum(CAST(n AS DECIMAL(18,6)) * lr6) AS DOUBLE) AS dsir_weight,
+                CAST(sum(CAST(n AS DECIMAL(18,6)) * lr6) AS DOUBLE)
+                      / CAST(sum(n) AS DOUBLE) AS w_per_token
+         FROM db JOIN lr USING (b) GROUP BY 1""",
+
     "doc_commonness" ->
       """WITH t0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
          dt AS (SELECT DISTINCT doc_id, term FROM t0),
@@ -4497,6 +4574,52 @@ object SparkEntry {
                FROM fu)
          SELECT q_id, doc_id, CAST(rrf6 AS DOUBLE) AS rrf, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 10""",
+
+    // the greedy MMR loop unrolled: candidate/sim frames restated,
+    // then one CTE round per pick. The score is a RAW IEEE combination
+    // of the 6dp cosines (rounding it would hit the engines'
+    // string-vs-binary round() tie disagreement — the real value is an
+    // exact 7-decimal quantity); the (1−λ) literal interpolates from
+    // the SAME Scala double the engine uses
+    "doc_mmr_diversify" -> {
+      val L = "0.7"
+      val C = (1.0 - 0.7).toString
+      val rounds = (2 to 5).map { i =>
+        s"""r$i AS (SELECT c.q_id, c.vec_id, $L*c.rel - $C*mx.ms AS mmr
+                 FROM cand c
+                 JOIN (SELECT sim.q_id, sim.a AS vec_id, max(sim.s) AS ms
+                       FROM sim JOIN s${i - 1} sel ON sim.q_id = sel.q_id AND sim.b = sel.vec_id
+                       GROUP BY 1, 2) mx ON c.q_id = mx.q_id AND c.vec_id = mx.vec_id
+                 WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} x
+                                   WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)),
+         p$i AS (SELECT q_id, vec_id, mmr, $i AS pick FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id ASC) AS rn
+                   FROM r$i) WHERE rn = 1),
+         s$i AS (SELECT q_id, vec_id FROM s${i - 1} UNION ALL SELECT q_id, vec_id FROM p$i)"""
+      }.mkString(",\n         ")
+      val unionAll = (1 to 5).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         cs AS (SELECT q_id, e.vec_id AS vec_id,
+                  round(list_dot_product(v, qv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS rel
+                FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         cand AS (SELECT q_id, vec_id, rel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rn
+                    FROM cs) WHERE rn <= 20),
+         cv AS (SELECT c.q_id, c.vec_id, e.v FROM cand c JOIN e ON e.vec_id = c.vec_id),
+         sim AS (SELECT x.q_id, x.vec_id AS a, y.vec_id AS b,
+                   round(list_dot_product(x.v, y.v) /
+                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS s
+                 FROM cv x JOIN cv y ON x.q_id = y.q_id AND x.vec_id <> y.vec_id),
+         p1 AS (SELECT q_id, vec_id, mmr, 1 AS pick FROM (
+                  SELECT q_id, vec_id, $L*rel - $C*0.0 AS mmr,
+                         row_number() OVER (PARTITION BY q_id ORDER BY $L*rel - $C*0.0 DESC, vec_id ASC) AS rn
+                  FROM cand) WHERE rn = 1),
+         s1 AS (SELECT q_id, vec_id FROM p1),
+         $rounds
+         SELECT q_id, vec_id, mmr, CAST(pick AS BIGINT) AS pick FROM ($unionAll)"""
+    },
 
     // the sign hash + probe pairing restated: same hi/lo bit packing,
     // xor/bit_count hamming, 6dp-decimal cosine means

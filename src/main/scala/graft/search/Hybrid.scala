@@ -70,6 +70,82 @@ object Hybrid {
         col("bm25d").cast("double").as("bm25"), col("rank"))
   }
 
+  /** Maximal Marginal Relevance diversification (Carbonell &
+    * Goldstein, SIGIR'98 — the rerank that keeps a retrieval list
+    * from returning five copies of the same passage, standard in RAG
+    * context assembly): from each query's cosine top-`m` candidates,
+    * greedily pick `k` by mmr(d) = λ·rel(d) − (1−λ)·max_{s∈picked}
+    * sim(d, s). The first pick is pure relevance (the max-sim term is
+    * 0 over an empty set).
+    *
+    * Scale shape: corpus-scale work is exactly the ANN candidate pass
+    * (any path — exact baseline here, IVF/LSH at scale) plus ONE more
+    * corpus scan that attaches vectors to the broadcast candidate-id
+    * set; the candidate-pair similarity frame is (queries × m²) rows
+    * by construction. The greedy loop itself runs PER QUERY GROUP in
+    * one typed cogroup — candidates and pair-sims shuffle ONCE on
+    * q_id and each query's O(k·m) selection runs locally. This is the
+    * deliberate per-group-imperative exception to the
+    * declarative-first rule: a k-round DataFrame loop serializes
+    * every query on the planet through k GLOBAL barrier jobs
+    * (measured 3-6s on 8 queries from barrier+planning overhead
+    * alone), while the cogroup parallelizes across queries with zero
+    * barriers — at millions of RAG queries the difference is the
+    * operator.
+    *
+    * Determinism: rel and sim are the 6dp-rounded cosines; each
+    * round's score is the RAW IEEE combination λ·rel − (1−λ)·ms —
+    * deliberately unrounded: the real value is an exact ≤7-decimal
+    * quantity (decimal constants × 6dp inputs), exactly where Spark's
+    * string-repr round() and DuckDB's binary round() disagree on
+    * ties, while the unrounded double is bit-identical across engines
+    * because the inputs and expression shape are (the JVM loop and
+    * the SQL oracle perform the same two multiplies and subtract).
+    * Picks tie-break (mmr desc, vec_id asc), iteration-order-free. */
+  def mmrDiversify(corpus: DataFrame, queries: DataFrame, m: Int = 20, k: Int = 5,
+                   lambda: Double = 0.7, roundTo: Int = 6,
+                   maxRows: Long = 1000000L, force: Boolean = false): DataFrame = {
+    import graft.vector.VectorOps
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = VectorOps.cosineTopK(corpus, queries, m, roundTo, maxRows, force)
+      .select(col("q_id"), col("vec_id"), col("cos").as("rel"))
+      .persist() // candidate-id broadcast + cogroup both read it
+    val cwv = corpus
+      .join(broadcast(cand.select(col("q_id"), col("vec_id"))), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("v"))
+    val sim = cwv.select(col("q_id"), col("vec_id").as("a"), col("v").as("va"))
+      .join(cwv.select(col("q_id"), col("vec_id").as("b"), col("v").as("vb")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(graft.functions.CosineSimilarity(col("va"), col("vb")), roundTo).as("s"))
+    val comp = 1.0 - lambda // the SAME double the oracle literal prints
+    cand.as[(Long, Long, Double)].groupByKey(_._1)
+      .cogroup(sim.as[(Long, Long, Long, Double)].groupByKey(_._1)) { (q, cs, ss) =>
+        val cands = cs.map(t => (t._2, t._3)).toArray
+        val simAt = ss.map(t => (t._2, t._3) -> t._4).toMap
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+        var pick = 1
+        while (pick <= k && sel.size < cands.length) {
+          var found = false; var bestId = 0L; var bestMmr = 0.0
+          cands.foreach { case (id, rel) =>
+            if (!sel.contains(id)) {
+              val ms = if (sel.isEmpty) 0.0
+                       else sel.iterator.map(s => simAt((id, s))).max
+              val sc = lambda * rel - comp * ms
+              if (!found || sc > bestMmr || (sc == bestMmr && id < bestId)) {
+                found = true; bestId = id; bestMmr = sc
+              }
+            }
+          }
+          out += ((q, bestId, bestMmr, pick.toLong)); sel += bestId; pick += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "vec_id", "mmr", "pick")
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (keyword + vector):
     * rrf = 1/(rrfK + rank_bm25) + 1/(rrfK + rank_cos), a doc missing
     * from one list contributes nothing on that side. Operates on

@@ -483,6 +483,63 @@ object TextOps {
         (col("alloc_tokens").cast("double") / col("avail_tokens")).as("fill_ratio"))
   }
 
+  /** DSIR importance weights — data selection by importance
+    * resampling (Xie et al., NeurIPS'23): score every raw document by
+    * log p_target(x) − log p_raw(x) under two HASHED-unigram bag
+    * models, where the target distribution is fit on the slice a
+    * trainer wants more of (`targetPred`, e.g. a trusted source) and
+    * the raw model on the whole corpus. High weight = looks like the
+    * target; resampling by these weights is the standard corpus
+    * up-selection step before training.
+    *
+    * The hashing IS the scale design (and the paper's): terms bucket
+    * by [[graft.functions.Md5Prefix]] mod `buckets`, so both language
+    * models are FIXED-SIZE arrays (`buckets` rows) whatever the
+    * vocabulary — at 100 TB the model frame still broadcasts, and
+    * collisions are the documented bias the bucket count controls.
+    * One tokenize pass builds the per-(doc, bucket) counts, persisted
+    * into the model/score diamond (the [[bigramLogprob]] idiom —
+    * Catalyst prunes the two consumers into non-identical subtrees,
+    * so only the cache can reuse the explode); both models fall out
+    * of ONE aggregation over it (raw = sum, target = filtered sum);
+    * scoring joins the ≤`buckets`-row log-ratio table back broadcast.
+    * Laplace +1 smoothing keeps buckets the target never saw finite.
+    *
+    * Determinism: each bucket's log-ratio rounds to 6dp DECIMAL; a
+    * doc's weight is the exact DECIMAL sum of count × ratio6; the
+    * per-token ratio stays a RAW IEEE division (a 6dp-decimal ÷ int
+    * ratio is an exact ≤7-decimal quantity, where Spark's
+    * string-repr round() and DuckDB's binary round() disagree on the
+    * tie — identical inputs make the unrounded double bit-identical
+    * instead). Docs with zero tokens emit no row. */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 1024, roundTo: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val db = docs
+      .select(col("doc_id"), targetPred.as("tgt"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("tgt"),
+        pmod(graft.functions.Md5Prefix(col("term"), 8), lit(buckets.toLong)).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // model build + score join both read it (pruned subtrees)
+    val m = db.groupBy(col("b")).agg(
+      sum(col("n")).as("cr"),
+      coalesce(sum(when(col("tgt"), col("n"))), lit(0L)).as("ct"))
+    val tot = m.agg(sum(col("cr")).cast("double").as("crt"),
+      sum(col("ct")).cast("double").as("ctt"))
+    val lr = m.crossJoin(broadcast(tot)).select(col("b"),
+      round(log((col("ct").cast("double") + 1.0) / (col("ctt") + buckets.toDouble))
+          - log((col("cr").cast("double") + 1.0) / (col("crt") + buckets.toDouble)),
+        roundTo).cast(dec).as("lr6"))
+    db.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n").cast(dec) * col("lr6")).as("w6"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("w6").cast("double").as("dsir_weight"),
+        (col("w6").cast("double") / col("n_tokens").cast("double")).as("w_per_token"))
+  }
+
   /** Corpus vocabulary top-k: global token counts, highest-count
     * first with a term tiebreak. orderBy+limit plans as
     * TakeOrderedAndProject — per-partition bounded top-k merged on

@@ -899,6 +899,79 @@ object TsOps {
         (col("top_purch").cast("double") / col("tot_purch")).as("top_purchase_share"))
   }
 
+  /** A/B experiment readout with CUPED variance reduction (Deng et
+    * al., WSDM'13 — the pre-experiment-covariate adjustment every
+    * mature experimentation platform applies): users split into two
+    * variants by id parity; the event-time span halves into a
+    * pre-period (the covariate window) and a post-period (the
+    * experiment window); each user's pre-metric X and post-metric Y
+    * are exact DECIMAL value sums; θ = cov(X,Y)/var(X) is fit POOLED
+    * across variants (the standard unbiased recipe — assignment is
+    * independent of X), and the adjusted metric is Y−θ(X−mean(X)).
+    * Output per variant: user count, raw and adjusted mean/variance,
+    * and the variance-reduction ratio the experimenter reads to see
+    * how much sensitivity CUPED bought.
+    *
+    * Scale shape: ONE user-grain aggregation (the required shuffle),
+    * then ONE variant-grain pass collapsing to exact sufficient
+    * moments (n, Σx, Σy, Σxx, Σxy, Σyy — map-side partials absorb
+    * everything); the adjusted-metric moments come from the ALGEBRAIC
+    * expansion Σ(y−θx)² = Σyy − 2θΣxy + θ²Σxx on the 2-row frame, so
+    * there is no second corpus pass and no per-user persist. At a
+    * billion users this is two hash aggregations and a 2-row join.
+    *
+    * Determinism: per-user metrics and all six moments are exact
+    * DECIMAL sums; θ and mean(X) round to 6dp before use; every
+    * derived statistic computes in ONE fixed IEEE shape from those
+    * exact moments and rounds to 6dp. */
+  def abCuped(events: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val s = Series.samples(events)
+    val span = s.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("mid_us"))
+    val per = s.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts_us") < col("mid_us"), col("value").cast(d2))),
+          lit(0).cast(d2)).as("x"),
+        coalesce(sum(when(col("ts_us") >= col("mid_us"), col("value").cast(d2))),
+          lit(0).cast(d2)).as("y"))
+    val mom = per
+      .groupBy(pmod(col("user_id"), lit(2L)).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      // ≤2 rows, but its lineage is the user-grain pass — the pooled
+      // fit and the final readout both consume it (session-cache idiom)
+      .persist()
+    val pooled = mom.agg(
+      sum(col("n")).cast("double").as("np"),
+      sum(col("sx")).cast("double").as("sxp"), sum(col("sy")).cast("double").as("syp"),
+      sum(col("sxx")).cast("double").as("sxxp"), sum(col("sxy")).cast("double").as("sxyp"))
+    val fit = broadcast(pooled.select(
+      when(col("np") * col("sxxp") - col("sxp") * col("sxp") === 0.0, lit(0.0))
+        .otherwise(round((col("np") * col("sxyp") - col("sxp") * col("syp"))
+          / (col("np") * col("sxxp") - col("sxp") * col("sxp")), 6)).as("theta"),
+      round(col("sxp") / col("np"), 6).as("mx")))
+    val n = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, sxy, syy) =
+      (col("sxx").cast("double"), col("sxy").cast("double"), col("syy").cast("double"))
+    val saa = syy - lit(2.0) * col("theta") * sxy + col("theta") * col("theta") * sxx
+    val sa = sy - col("theta") * sx
+    mom.crossJoin(fit)
+      .select(col("variant"), col("n").as("n_users"),
+        round(sy / n, 6).as("mean_y"),
+        round(syy / n - (sy / n) * (sy / n), 6).as("var_y"),
+        round(sy / n - col("theta") * (sx / n - col("mx")), 6).as("mean_y_adj"),
+        round(saa / n - (sa / n) * (sa / n), 6).as("var_y_adj"),
+        col("theta"))
+      .withColumn("var_reduction",
+        when(col("var_y") > 0.0,
+          round(lit(1.0) - col("var_y_adj") / col("var_y"), 6)))
+  }
+
   /** Growth accounting (the new / retained / resurrected / churned
     * decomposition every growth team reads): per day, users seen for
     * the first time, users also active the previous day, users

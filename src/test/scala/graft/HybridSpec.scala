@@ -45,6 +45,30 @@ class HybridSpec extends SparkSpec {
       (0L, 3L, t(2), 3L)), r.toSeq) // cosine only
   }
 
+  test("mmrDiversify: first pick is pure relevance, later picks trade relevance for diversity") {
+    // query 0 at origin-ish; candidates: two near-identical high-rel
+    // vectors (1, 2) and one orthogonal lower-rel vector (3). Pure
+    // relevance ranks (1, 2, 3); MMR must pick 1 then JUMP to 3
+    // because 2 is a near-copy of 1.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.9, 0.11, 0.0)),
+      (3L, Seq(0.5, 0.0, 0.8)))
+      .toDF("vec_id", "v")
+    val r = graft.search.Hybrid
+      .mmrDiversify(e, e.filter(col("vec_id") === 0), m = 3, k = 3, lambda = 0.5)
+      .select("q_id", "vec_id", "mmr", "pick")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq
+    assert(r.map(_._2) == Seq(1L, 3L, 2L), r)
+    assert(r.map(_._4) == Seq(1L, 2L, 3L))
+    // pick 1 score = 0.5 * rel1 (raw IEEE); rel1 = round(cos(q, v1), 6)
+    val rel1 = math.round(0.9 / math.sqrt(0.81 + 0.01) * 1e6) / 1e6.toDouble
+    assert(r.head._3 == 0.5 * rel1 - 0.5 * 0.0, r.head)
+    // greedy scores never increase
+    assert(r.map(_._3) == r.map(_._3).sorted.reverse)
+  }
+
   test("hybrid end-to-end on the corpus: k rows per query, ranks contiguous, fused docs exist") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -626,6 +626,33 @@ class TextStatsSpec extends SparkSpec {
     assert(tail.map(_._2).sum == 12L)
   }
 
+  test("dsirWeights: target-typical docs score above raw-typical ones, hand formula holds") {
+    // target (tgt=true) speaks "alpha", raw background speaks "beta";
+    // a fresh doc of pure alpha must outweigh a fresh doc of pure beta
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "src1"),
+      (2L, "beta beta beta", "src9"),
+      (3L, "alpha alpha", "src9"),   // target-typical text, raw source
+      (4L, "beta beta", "src9"))
+      .toDF("doc_id", "text", "source")
+    val B = 16
+    val r = TextOps.dsirWeights(docs, col("source") === "src1", buckets = B)
+      .select("doc_id", "n_tokens", "dsir_weight", "w_per_token")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_._2).toSeq == Seq(3L, 3L, 2L, 2L))
+    // hand model: Ct=3 (all alpha), Cr=10; alpha cr=5, beta cr=5
+    def r6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+    val lrAlpha = r6(math.log(4.0 / (3 + B)) - math.log(6.0 / (10 + B)))
+    val lrBeta = r6(math.log(1.0 / (3 + B)) - math.log(6.0 / (10 + B)))
+    val byId = r.map(x => x._1 -> x._3).toMap
+    assert(math.abs(byId(3L) - 2 * lrAlpha) < 1e-9, s"${byId(3L)} vs ${2 * lrAlpha}")
+    assert(math.abs(byId(4L) - 2 * lrBeta) < 1e-9, s"${byId(4L)} vs ${2 * lrBeta}")
+    assert(byId(3L) > byId(4L) && byId(1L) > byId(2L))
+    // per-token weight = weight / n_tokens (6dp)
+    r.foreach { case (_, n, w, wpt) => assert(math.abs(wpt - r6(w / n)) < 1e-9) }
+  }
+
   test("lshBucketStats: per-band occupancy and the exact implied pair count") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

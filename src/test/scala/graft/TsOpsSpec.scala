@@ -605,6 +605,26 @@ class TsOpsSpec extends SparkSpec {
     assert(math.abs(out._4 - 10.0 / 55) < 1e-12 && math.abs(out._5 - 0.1) < 1e-12)
   }
 
+  test("abCuped: theta fits pooled, adjusted variance collapses when X predicts Y") {
+    // mid_us = (0+4)/2 = 2: ts=0ns is pre, ts=4000ns (4us) is post.
+    // X = [10,0,10,20] Y = [20,10,30,30] → theta = 800/800 = 1, mx = 10
+    val ev = Seq(
+      (1L, 0L, 0L, "m", 10.0), (2L, 4000L, 0L, "m", 20.0),
+      (3L, 4000L, 2L, "m", 10.0),                              // u2: no pre
+      (4L, 0L, 1L, "m", 10.0), (5L, 4000L, 1L, "m", 30.0),
+      (6L, 0L, 3L, "m", 20.0), (7L, 4000L, 3L, "m", 30.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.abCuped(ev)
+      .select("variant", "n_users", "mean_y", "var_y", "mean_y_adj",
+        "var_y_adj", "theta", "var_reduction")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    // variant 0 (u0,u2): X perfectly predicts Y → adjusted var 0, full reduction
+    assert(out.head == (0L, 2L, 15.0, 25.0, 20.0, 0.0, 1.0, Some(1.0)), out.head)
+    // variant 1 (u1,u3): var_y = 0 → reduction undefined (null), not -Inf
+    assert(out(1) == (1L, 2L, 30.0, 0.0, 25.0, 25.0, 1.0, None), out(1))
+  }
+
   test("growthAccounting: new/retained/resurrected/churned per day, last day's churn is NULL") {
     val d = 86400000000000L
     // u1 active days 0,1,3; u2 active day 1 only; max day = 3
