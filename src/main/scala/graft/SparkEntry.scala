@@ -1662,6 +1662,15 @@ object SparkEntry {
       VectorOps.ivfTopK(e, col("vec_id") < 5, 10)
     }),
 
+    // the PQ leg of the recall-eval family: ADC search vs brute-force
+    // truth — PQ distorts distances rather than missing candidates,
+    // so its loss needs its own curve next to LSH/IVF
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = embT(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      VectorOps.recallAtKPq(e)
+    }),
+
     "text_quality" -> ((s, dir) => TextOps.quality(docsT(s, dir))),
 
     // the Heaps'-law vocabulary-growth profile: cumulative docs /
@@ -4669,6 +4678,47 @@ object SparkEntry {
          SELECT q_id, vec_id, round(CAST(dsum AS DOUBLE), 6) AS adc_dist,
                 CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 10""",
+
+    // the PQ recall leg: the ann_pq_topk encode/table/rank pipeline
+    // (q<8, top-10) joined against the exact cosine top-10, the
+    // ann_recall_eval hit-count shape
+    "ann_pq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sub AS (SELECT vec_id, t.s, v[t.s*16+1 : t.s*16+16] AS xs
+                 FROM e, (SELECT unnest(range(4)) AS s) t),
+         cb AS (SELECT vec_id AS code, s, xs AS cs FROM sub WHERE vec_id < 16),
+         enc AS (SELECT vec_id, s, code FROM (
+                  SELECT sub.vec_id, sub.s, cb.code,
+                         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                           ORDER BY round(list_dot_product(xs, xs) + list_dot_product(cs, cs)
+                                 - 2 * list_dot_product(xs, cs), 6) ASC, cb.code ASC) AS rn
+                  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+         dt AS (SELECT q.vec_id AS q_id, q.s, cb.code,
+                       CAST(round(list_dot_product(q.xs, q.xs) + list_dot_product(cs, cs)
+                            - 2 * list_dot_product(q.xs, cs), 6) AS DECIMAL(18,6)) AS du
+                FROM sub q JOIN cb USING (s) WHERE q.vec_id < 8),
+         adc AS (SELECT dt.q_id, enc.vec_id, sum(du) AS dsum
+                 FROM enc JOIN dt ON enc.s = dt.s AND enc.code = dt.code
+                 WHERE enc.vec_id <> dt.q_id
+                 GROUP BY 1, 2),
+         ar AS (SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY dsum ASC, vec_id ASC) AS rank
+                 FROM adc) WHERE rank <= 10),
+         qe AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         es AS (SELECT q_id, e.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM e CROSS JOIN qe WHERE e.vec_id <> q_id),
+         er AS (SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM es) WHERE rank <= 10)
+         SELECT er.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(ar.vec_id) AS BIGINT) AS n_hit,
+                round(count(ar.vec_id) / count(*), 6) AS recall
+         FROM er LEFT JOIN ar ON ar.q_id = er.q_id AND ar.vec_id = er.vec_id
+         GROUP BY 1""",
 
     // the engine's power iteration restated: covariance (the proven
     // emb_covariance pipeline) rounded to 6dp, mirrored to the full

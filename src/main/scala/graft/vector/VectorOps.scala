@@ -928,6 +928,20 @@ object VectorOps {
         maxRows = maxRows, force = force),
       ivfTopK(corpus, queryIds, k, nCells, nProbe))
 
+  /** [[recallAtK]] for the PQ/ADC path — the third leg of the
+    * index-selection evidence (LSH / IVF / PQ against the same
+    * brute-force truth): PQ's 64× scan-weight cut is only worth its
+    * quantization loss if this recall stays acceptable, and unlike
+    * LSH/IVF (which miss candidates) PQ degrades by DISTORTING
+    * distances, so its failure mode needs its own measurement. */
+  def recallAtKPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 10,
+                  m: Int = 4, kCodes: Int = 16, dim: Int = 64,
+                  maxRows: Long = 1000000L, force: Boolean = false): DataFrame =
+    recallOf(
+      cosineTopK(corpus, corpus.filter(col("vec_id") < nQueries), k,
+        maxRows = maxRows, force = force),
+      pqTopK(corpus, nQueries, k, m, kCodes, dim))
+
   /** Shared recall join: both frames carry (q_id, vec_id, …) ranked
     * rows; output is per-query n_exact/n_hit/recall. The approx side
     * is ≤ queries×k rows BY CONSTRUCTION (top-k output), so it

@@ -66,6 +66,17 @@ class VectorSpec extends SparkSpec {
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
     val ihits = (exact & ivf).groupBy(_._1).view.mapValues(_.size.toLong).toMap
     assert(ri.forall { case (q, _, nh, _) => ihits.getOrElse(q, 0L) == nh }, ri.toSeq)
+
+    // the PQ variant: same bounds and the same intersection identity
+    // against its own serving path (8 default queries)
+    val rp = VectorOps.recallAtKPq(e, nQueries = 5, k = 10)
+      .select("q_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rp.length == 5 && rp.forall { case (_, ne, nh, _) => ne == 10 && nh <= ne }, rp.toSeq)
+    val pq = VectorOps.pqTopK(e, nQueries = 5, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val phits = (exact & pq).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(rp.forall { case (q, _, nh, _) => phits.getOrElse(q, 0L) == nh }, rp.toSeq)
   }
 
   test("cellSummary: occupancy covers the corpus, norms aggregate exactly") {
