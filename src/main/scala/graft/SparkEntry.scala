@@ -1535,6 +1535,11 @@ object SparkEntry {
 
     "dedup_inflation" -> ((s, dir) => Dedup.inflation(docsT(s, dir))),
 
+    // BLOOM SIZING PROFILE: per (m, k) config, corpus-filter occupancy
+    // + predicted vs probe-measured FP rate — the broadcast-bitmap
+    // sizing evidence before fronting cross-batch exact dedup with it
+    "dedup_bloom_profile" -> ((s, dir) => Dedup.bloomProfile(docsT(s, dir))),
+
     "doc_winnow" -> ((s, dir) => TextOps.winnow(docsT(s, dir))),
 
     "doc_zipf_alpha" -> ((s, dir) => TextOps.zipfAlpha(docsT(s, dir))),
@@ -3516,6 +3521,41 @@ object SparkEntry {
                 CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS DOUBLE) / sum(m) AS dup_doc_share,
                 CAST(sum(CASE WHEN m >= 2 THEN t - rep_t ELSE 0 END) AS DOUBLE) / sum(t) AS dup_token_share
          FROM per""",
+
+    // the Bloom stack restated: same cfg triples (generated from the
+    // engine's default config Seq), same md5-of-md5 position hash,
+    // distinct-bit counts, explicit occ products, raw-IEEE ratios
+    "dedup_bloom_profile" -> {
+      val cfgs = Seq((1024, 2), (4096, 2), (4096, 4), (65536, 4))
+      val triples = cfgs.flatMap { case (m, k) => (0 until k).map(i => s"($m,$k,$i)") }
+        .mkString(",")
+      s"""WITH cfg(m, k, i) AS (VALUES $triples),
+         cp AS (SELECT md5(text) AS h0 FROM documents),
+         pos AS (SELECT DISTINCT m, k,
+                   ('0x' || substr(md5(h0 || '#' || m || '#' || k || '#' || i), 1, 15))::BIGINT % m AS pos
+                 FROM cp, cfg),
+         built AS (SELECT m, k, CAST(count(*) AS BIGINT) AS bits_set FROM pos GROUP BY 1, 2),
+         ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM documents),
+         prp AS (SELECT 'probe#' || CAST(t.id AS VARCHAR) AS h0, m, k,
+                   ('0x' || substr(md5('probe#' || CAST(t.id AS VARCHAR) || '#' || m || '#' || k || '#' || i), 1, 15))::BIGINT % m AS pos
+                 FROM range(2000) t(id), cfg),
+         ph AS (SELECT prp.m, prp.k, prp.h0,
+                  (count(pos.pos) = CAST(prp.k AS BIGINT)) AS fp
+                FROM prp LEFT JOIN pos ON pos.m = prp.m AND pos.k = prp.k AND pos.pos = prp.pos
+                GROUP BY 1, 2, 3),
+         pa AS (SELECT m, k, CAST(sum(CASE WHEN fp THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_hits
+                FROM ph GROUP BY 1, 2)
+         SELECT CAST(built.m AS BIGINT) AS m, CAST(built.k AS BIGINT) AS k, n_items, bits_set,
+                CAST(bits_set AS DOUBLE) / built.m AS occupancy,
+                CASE WHEN built.k = 2
+                     THEN (CAST(bits_set AS DOUBLE) / built.m) * (CAST(bits_set AS DOUBLE) / built.m)
+                     ELSE (CAST(bits_set AS DOUBLE) / built.m) * (CAST(bits_set AS DOUBLE) / built.m)
+                        * (CAST(bits_set AS DOUBLE) / built.m) * (CAST(bits_set AS DOUBLE) / built.m)
+                END AS fp_predicted,
+                CAST(2000 AS BIGINT) AS n_probes, n_probe_hits,
+                CAST(n_probe_hits AS DOUBLE) / 2000.0 AS fp_measured
+         FROM built JOIN pa USING (m, k), ni"""
+    },
 
     "doc_winnow" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

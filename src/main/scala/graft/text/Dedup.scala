@@ -693,4 +693,71 @@ object Dedup {
         (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_doc_share"),
         (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_token_share"))
   }
+
+  /** Bloom-filter sizing profile (Bloom, CACM'70; the membership
+    * structure Dolma-class pipelines use for cross-batch exact dedup
+    * at corpus scale): per (m bits, k hashes) candidate config, the
+    * filter built over the corpus' text fingerprints reports bits
+    * set, occupancy, the PREDICTED false-positive rate occupancy^k,
+    * and the MEASURED rate on `nProbes` guaranteed-novel synthetic
+    * probes. This is the sizing evidence read before wiring a Bloom
+    * in front of the exact-dedup shuffle: the filter is Σm bits
+    * whatever the corpus, so a new batch tests membership against a
+    * BROADCAST bitmap instead of shuffling against the corpus — but
+    * only if m was sized right, which is what the measured-vs-
+    * predicted curve shows.
+    *
+    * Scale shape: ONE corpus pass computes the text md5 (the only
+    * full-text hashing); per-config bit positions derive from that
+    * 32-char digest (k×|configs| cheap re-hashes per doc, map-side
+    * explode); bits-set is a distinct-position aggregate with
+    * map-side partials; the probe test broadcasts the ≤Σm-row
+    * distinct-bit table. Every output row is config grain.
+    *
+    * Determinism: counts are exact; occupancy = bits/m with m a power
+    * of two (exact binary division); predicted FP expands to explicit
+    * occ×occ(×occ×occ) products, and measured FP stays a raw IEEE
+    * division (§4 seven-decimal-tie rule — no round() on short-
+    * decimal ratios). */
+  def bloomProfile(docs: DataFrame,
+                   configs: Seq[(Int, Int)] = Seq((1024, 2), (4096, 2), (4096, 4), (65536, 4)),
+                   nProbes: Int = 2000): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (m, k) =>
+      m > 0 && (m & (m - 1)) == 0 && (k == 2 || k == 4) },
+      "each config needs a power-of-two m (exact occupancy division) and k in {2, 4} " +
+        "(predicted FP expands to explicit products)")
+    val trip = configs.flatMap { case (m, k) => (0 until k).map(i => (m, k, i)) }
+    def positions(keyCol: Column): DataFrame => DataFrame = df => df
+      .select(keyCol.as("h0"), explode(array(trip.map { case (m, k, i) =>
+        struct(lit(m).as("m"), lit(k).as("k"), lit(i).as("i")) }: _*)).as("c"))
+      .select(col("h0"), col("c.m").as("m"), col("c.k").as("k"),
+        pmod(graft.functions.Md5Prefix(
+          concat_ws("#", col("h0"), col("c.m").cast("string"),
+            col("c.k").cast("string"), col("c.i").cast("string")), 15),
+          col("c.m").cast("long")).as("pos"))
+    val corpusPos = positions(md5(col("text")))(docs)
+    val bits = corpusPos.select(col("m"), col("k"), col("pos")).distinct().persist()
+    val built = bits.groupBy(col("m"), col("k"))
+      .agg(count(lit(1)).as("bits_set"))
+    val nItems = broadcast(docs.agg(count(lit(1)).as("n_items")))
+    val spark = docs.sparkSession
+    val probePos = positions(concat(lit("probe#"), col("id").cast("string")))(
+      spark.range(nProbes).toDF("id"))
+    val probeHits = probePos
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("m", "k", "pos"), "left")
+      .groupBy(col("m"), col("k"), col("h0"))
+      .agg((count(col("hit")) === col("k").cast("long")).as("fp"))
+      .groupBy(col("m"), col("k"))
+      .agg(sum(when(col("fp"), 1L).otherwise(0L)).as("n_probe_hits"))
+    val occ = col("bits_set").cast("double") / col("m").cast("double")
+    built.join(probeHits, Seq("m", "k"))
+      .crossJoin(nItems)
+      .select(col("m").cast("long").as("m"), col("k").cast("long").as("k"),
+        col("n_items"), col("bits_set"),
+        occ.as("occupancy"),
+        when(col("k") === 2, occ * occ)
+          .otherwise(occ * occ * occ * occ).as("fp_predicted"),
+        lit(nProbes.toLong).as("n_probes"), col("n_probe_hits"),
+        (col("n_probe_hits").cast("double") / nProbes.toDouble).as("fp_measured"))
+  }
 }

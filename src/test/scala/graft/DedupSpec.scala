@@ -251,6 +251,35 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out._6 - 2.0 / 3) < 1e-12 && math.abs(out._7 - 10.0 / 24) < 1e-12)
   }
 
+  test("bloomProfile: bits bound by k·n, duplicates add nothing, derived stats exact") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomProfile(docs, nProbes = 500)
+      .select("m", "k", "n_items", "bits_set", "occupancy", "fp_predicted",
+        "n_probes", "n_probe_hits", "fp_measured")
+      .as[(Long, Long, Long, Long, Double, Double, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1024L, 2L), (4096L, 2L), (4096L, 4L), (65536L, 4L)))
+    out.foreach { case (m, k, n, bits, occ, fpp, np, nh, fpm) =>
+      assert(n == 3 && np == 500)
+      assert(bits >= 1 && bits <= k * n, s"bits=$bits")
+      assert(occ == bits.toDouble / m)
+      val expFpp = if (k == 2) occ * occ else occ * occ * occ * occ
+      assert(fpp == expFpp)
+      assert(fpm == nh.toDouble / np)
+      // 3-doc filter: a probe FP needs all k of its bits set by luck
+      assert(nh <= 2, s"m=$m k=$k hits=$nh")
+    }
+    // duplicate text sets no new bits
+    val dup = Dedup.bloomProfile(docs.union(Seq((4L, "alpha beta")).toDF("doc_id", "text")),
+      nProbes = 1)
+      .select("m", "k", "bits_set").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out.foreach { case (m, k, _, bits, _, _, _, _, _) =>
+      assert(dup((m, k)) == bits, s"duplicate text changed bits for ($m,$k)")
+    }
+  }
+
   test("stop-shingle cap bounds join fan-out") {
     // every doc shares shingle "a a a"; with cap 2 the hot shingle is dropped
     val docs = (1L to 10L).map(i => (i, s"a a a unique$i token$i")).toDF("doc_id", "text")
