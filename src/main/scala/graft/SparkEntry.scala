@@ -1667,6 +1667,13 @@ object SparkEntry {
       VectorOps.ivfTopK(e, col("vec_id") < 5, 10)
     }),
 
+    // LLOYD CONVERGENCE CURVE: per-iteration inertia + occupied cells
+    // from the IVF first-k seeding — one broadcast-centroid corpus
+    // pass per iteration, packed-LONG argmin, exact micro-unit sums
+    "emb_kmeans_inertia" -> ((s, dir) => VectorOps.kmeansInertia(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     // the PQ leg of the recall-eval family: ADC search vs brute-force
     // truth — PQ distorts distances rather than missing candidates,
     // so its loss needs its own curve next to LSH/IVF
@@ -4718,6 +4725,38 @@ object SparkEntry {
          SELECT q_id, vec_id, round(CAST(dsum AS DOUBLE), 6) AS adc_dist,
                 CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 10""",
+
+    // the Lloyd curve unrolled: per round an argmin CTE (same 6dp
+    // distance, code tiebreak), a decimal-sum inertia row, and a
+    // per-(cell, dim) mean rebuilt into ordered centroid lists
+    "emb_kmeans_inertia" -> {
+      def a(i: Int, cents: String) =
+        s"""a$i AS (SELECT vec_id, code, d26 FROM (
+              SELECT e.vec_id, $cents.code,
+                     round(list_dot_product(v, v) + list_dot_product(cv, cv)
+                           - 2 * list_dot_product(v, cv), 6) AS d26,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_dot_product(v, v) + list_dot_product(cv, cv)
+                           - 2 * list_dot_product(v, cv), 6) ASC, $cents.code ASC) AS rn
+              FROM e CROSS JOIN $cents) WHERE rn = 1),
+         s$i AS (SELECT CAST($i AS BIGINT) AS iter, CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(count(DISTINCT code) AS BIGINT) AS n_cells_used,
+                   CAST(sum(CAST(d26 AS DECIMAL(18,6))) AS DOUBLE) AS inertia FROM a$i)"""
+      def c(i: Int) =
+        s"""m$i AS (SELECT code, t.i AS d,
+                   CAST(sum(CAST(round(v[t.i], 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+            FROM e JOIN a${i - 1} USING (vec_id), (SELECT unnest(range(1, 65)) AS i) t
+            GROUP BY 1, 2),
+         c$i AS (SELECT code, list(m ORDER BY d) AS cv FROM m$i GROUP BY 1)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+         ${a(0, "c0")},
+         ${c(1)},
+         ${a(1, "c1")},
+         ${c(2)},
+         ${a(2, "c2")}
+         SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2"""
+    },
 
     // the PQ recall leg: the ann_pq_topk encode/table/rank pipeline
     // (q<8, top-10) joined against the exact cosine top-10, the

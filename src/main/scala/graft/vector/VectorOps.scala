@@ -956,6 +956,65 @@ object VectorOps {
       .select(col("q_id"), col("n_exact"), col("n_hit"),
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
 
+  /** k-means (Lloyd) convergence curve — the before-you-build-IVF
+    * diagnostic: per iteration, the total inertia (sum of squared
+    * distances to the nearest centroid) and the number of occupied
+    * cells, starting from the deterministic first-k seeding the IVF
+    * path uses ([[ivfCentroids]] convention). A curve that is still
+    * falling steeply at the last iteration means the cell structure
+    * the index will freeze is far from converged; empty cells mean
+    * dead partitions.
+    *
+    * Scale shape: each iteration is exactly ONE corpus pass — the
+    * k×dim centroid frame broadcasts, the per-vector argmin packs
+    * (6dp micro-unit distance, cell code) into one LONG so the min
+    * stays in codegen'd HashAggregate (the pqProfile idiom), and the
+    * centroid update is a per-(cell, dim) exact-DECIMAL mean with
+    * map-side partials. `iters`+1 report rows total.
+    *
+    * Determinism: distances are sequential-fold dots rounded to 6dp;
+    * argmin ties break by cell code; centroid means divide an exact
+    * decimal sum once; inertia sums exact micro-unit LONGs (exact up
+    * to 2^53 micro-units ≈ 9e9 unit-norm vectors per job — cast the
+    * sum through DECIMAL past that) and divides by 10^6 once. */
+  def kmeansInertia(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
+                    roundTo: Int = 6): DataFrame = {
+    require(nCells > 0 && nCells <= 1024, s"nCells=$nCells exceeds the 10-bit pack")
+    val scale = math.pow(10, roundTo)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def d2(x: Column, c: Column): Column =
+      dot(x, x) + dot(c, c) - lit(2.0) * dot(x, c)
+    var cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("code"), col("v").as("cv"))
+    val rows = (0 to iters).map { it =>
+      val a = corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (round(round(d2(col("v"), col("cv")), roundTo) * scale, 0).cast("long")
+            * nCells + col("code")).as("pack"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("pack")).as("pack"))
+        .persist() // inertia report + centroid update both read it
+      val stat = a.agg(
+          count(lit(1)).as("n_vectors"),
+          countDistinct(pmod(col("pack"), lit(nCells.toLong))).as("n_cells_used"),
+          (sum(expr(s"pack div $nCells")).cast("double") / scale).as("inertia"))
+        .select(lit(it.toLong).as("iter"), col("n_vectors"),
+          col("n_cells_used"), col("inertia"))
+      if (it < iters)
+        cents = corpus
+          .join(a.select(col("vec_id"), pmod(col("pack"), lit(nCells.toLong)).as("code")),
+            "vec_id")
+          .select(col("code"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("code"), col("d"))
+          .agg((sum(round(col("x"), 6).cast(dec6)).cast("double") / count(lit(1))).as("m"))
+          .groupBy(col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+            s => s.getField("m")).as("cv"))
+      stat
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Dataset-cartography label margin (the label-noise detector a
     * training pipeline runs before finetuning on labeled embeddings;
     * cf. Swayamdipta et al., EMNLP'20 and classic nearest-class-mean

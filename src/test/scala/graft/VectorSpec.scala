@@ -79,6 +79,19 @@ class VectorSpec extends SparkSpec {
     assert(rp.forall { case (q, _, nh, _) => phits.getOrElse(q, 0L) == nh }, rp.toSeq)
   }
 
+  test("kmeansInertia: hand-computed two-cluster convergence, curve non-increasing") {
+    // seeds = vecs 0,1; clusters {0,2} and {1,3}; means (0.5,0)/(9.5,10)
+    // → inertia 2.0 (seed round), then 4 × 0.25 = 1.0, stable
+    val e = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(1.0, 0.0)), (3L, Seq(9.0, 10.0)))
+      .toDF("vec_id", "v")
+    val r = VectorOps.kmeansInertia(e, nCells = 2, iters = 2)
+      .select("iter", "n_vectors", "n_cells_used", "inertia")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((0L, 4L, 2L, 2.0), (1L, 4L, 2L, 1.0), (2L, 4L, 2L, 1.0)), r)
+  }
+
   test("cellSummary: occupancy covers the corpus, norms aggregate exactly") {
     // nCells=2 → centroids = vecs 0,1 (lowest ids); all of 0,1,4 lean
     // to their best-cos cell, 2 is orthogonal, 3 antipodal
