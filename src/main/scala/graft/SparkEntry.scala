@@ -1269,6 +1269,23 @@ object SparkEntry {
     "ts_resets" -> ((s, dir) =>
       TsOps.resets(Series.samples(t(s, dir, "events")))),
 
+    // COUNTER REPAIR: the monotone cumulative counter rate/increase
+    // reconstruct internally, materialized per sample — resets heal
+    // into increments; exact DECIMAL running sums, explicit ROWS frame
+    "ts_monotonize" -> ((s, dir) =>
+      TsOps.monotonize(Series.samples(t(s, dir, "events")))),
+
+    // HA-PAIR DEDUP (Thanos/Cortex query-time semantics): two synthetic
+    // replicas with disjoint scrape gaps; per (series, window) the
+    // fuller replica wins, report = windows won + samples contributed
+    "fed_ha_dedup" -> ((s, dir) => {
+      val sm = Series.samples(t(s, dir, "events"))
+      TsOps.haDedup(
+        sm.filter(pmod(col("event_id"), lit(3L)) =!= 1).withColumn("replica", lit("a"))
+          .unionByName(
+            sm.filter(pmod(col("event_id"), lit(3L)) =!= 2).withColumn("replica", lit("b"))))
+    }),
+
     // HEAD-CHURN DIAGNOSTIC: per-day created/ended/active series —
     // one groupBy(series) min/max is the only corpus-scale work;
     // the active explode is bounded by lifespan days (retention)
@@ -4005,6 +4022,39 @@ object SparkEntry {
           SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
                  CAST(sum(CASE WHEN value < prev_v THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
           FROM l GROUP BY 1""",
+
+    // the repair restated: same lag/reset-increment CASE, exact
+    // DECIMAL(18,2) increments, explicit ROWS cumulative frame (a
+    // RANGE frame would merge tied timestamps), cast-to-double output
+    "ts_monotonize" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          l AS (SELECT series_id, ts_us, event_id, value,
+                  lag(value) OVER (PARTITION BY series_id ORDER BY ts_us, event_id) AS prev_v
+                FROM s),
+          i AS (SELECT series_id, ts_us, event_id, value,
+                  CASE WHEN prev_v IS NULL OR value < prev_v THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(value AS DECIMAL(18,2)) - CAST(prev_v AS DECIMAL(18,2)) END AS inc
+                FROM l)
+          SELECT series_id, ts_us, event_id, value,
+                 CAST(sum(inc) OVER (PARTITION BY series_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS adjusted
+          FROM i""",
+
+    // the dedup restated: same disjoint-gap replica synthesis, hourly
+    // window counts, (n desc, replica asc) pick, winner rollup
+    "fed_ha_dedup" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id FROM events),
+          r AS (SELECT 'a' AS replica, series_id, ts_us FROM s WHERE event_id % 3 <> 1
+                UNION ALL
+                SELECT 'b', series_id, ts_us FROM s WHERE event_id % 3 <> 2),
+          c AS (SELECT series_id, replica, ts_us // 3600000000 AS w, CAST(count(*) AS BIGINT) AS n
+                FROM r GROUP BY 1, 2, 3),
+          p AS (SELECT series_id, replica, n,
+                  row_number() OVER (PARTITION BY series_id, w ORDER BY n DESC, replica ASC) AS rn
+                FROM c)
+          SELECT series_id, replica, CAST(count(*) AS BIGINT) AS n_windows_won,
+                 CAST(sum(n) AS BIGINT) AS n_samples
+          FROM p WHERE rn = 1 GROUP BY 1, 2""",
 
     "ts_changes" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),

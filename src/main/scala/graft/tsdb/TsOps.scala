@@ -446,6 +446,63 @@ object TsOps {
         sum(when(col("value") < col("prev_v"), 1L).otherwise(0L)).as("n_resets"))
   }
 
+  /** Counter-reset REPAIR — the monotone cumulative counter Prometheus
+    * reconstructs under the hood for rate/increase, materialized as a
+    * series (the export a downstream system without reset logic
+    * needs): adjusted_i = Σ_{j≤i} inc_j where inc_1 = v_1 and inc_j =
+    * v_j when v_j < v_{j-1} (reset: the new counter value IS the
+    * increment since the restart) else v_j − v_{j-1}. The complement
+    * of [[resets]]: that op counts the breaks, this one heals them.
+    *
+    * One window pass on the series_id shuffle; increments are exact
+    * DECIMAL(18,2) differences and the running sum is an exact
+    * decimal cast to double once; adjacency and the cumulative frame
+    * are totally ordered by (ts_us, event_id) with an explicit ROWS
+    * frame (a RANGE frame would merge tied timestamps). */
+  def monotonize(samples: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"), col("event_id"))
+    samples
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("inc",
+        when(col("prev_v").isNull || col("value") < col("prev_v"),
+          col("value").cast(d2))
+          .otherwise(col("value").cast(d2) - col("prev_v").cast(d2)))
+      .withColumn("adjusted",
+        sum(col("inc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("series_id"), col("ts_us"), col("event_id"), col("value"),
+        col("adjusted"))
+  }
+
+  /** HA-pair replica deduplication (the Thanos/Cortex query-time
+    * dedup for doubly-scraped Prometheus pairs): given samples tagged
+    * with a `replica` label, each (series, window) picks ONE replica —
+    * the one with more samples (fewer scrape gaps), ties to the
+    * lexically smaller replica — and the report shows per (series,
+    * replica) how many windows it won and how many samples it
+    * contributed to the merged view. The window grain is the
+    * switchover penalty: dedup never interleaves replicas inside a
+    * window, mirroring Thanos's penalty-based picker at bucket grain.
+    *
+    * Scale shape: ONE pass collapses samples to (series, window,
+    * replica) counts via map-side partial aggregation; the pick
+    * window partitions by (series, window) — ≤ #replicas rows per
+    * partition by construction, unskewable; the report is a rollup of
+    * the picked rows. */
+  def haDedup(replicas: DataFrame, windowUs: Long = 3600000000L): DataFrame = {
+    val c = replicas
+      .groupBy(col("series_id"), col("replica"),
+        expr(s"ts_us div $windowUs").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val pick = Window.partitionBy(col("series_id"), col("w"))
+      .orderBy(col("n").desc, col("replica").asc)
+    c.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .groupBy(col("series_id"), col("replica"))
+      .agg(count(lit(1)).as("n_windows_won"), sum(col("n")).as("n_samples"))
+  }
+
   /** PromQL `changes()`: number of adjacent sample pairs whose value
     * differs, per series. Same plan shape as [[resets]]. */
   def changes(samples: DataFrame): DataFrame = {

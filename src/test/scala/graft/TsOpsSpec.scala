@@ -605,6 +605,34 @@ class TsOpsSpec extends SparkSpec {
     assert(math.abs(out._4 - 10.0 / 55) < 1e-12 && math.abs(out._5 - 0.1) < 1e-12)
   }
 
+  test("monotonize: resets heal into increments, running counter exact") {
+    // one series, values 1,3,2,5 — the 3→2 drop is a reset, so the
+    // increments are 1,2,2,3 and the repaired counter reads 1,3,5,8
+    val ev = Seq(
+      (1L, 1000L, 7L, "ctr", 1.0), (2L, 2000L, 7L, "ctr", 3.0),
+      (3L, 3000L, 7L, "ctr", 2.0), (4L, 4000L, 7L, "ctr", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.monotonize(Series.samples(ev))
+      .select("event_id", "value", "adjusted")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1.0, 1.0), (2L, 3.0, 3.0), (3L, 2.0, 5.0), (4L, 5.0, 8.0)), out)
+  }
+
+  test("haDedup: fuller replica wins each window, ties go to the smaller replica") {
+    val h = 3600000000L // us per hour
+    def rows(rep: String, ts: Seq[Long]) = ts.zipWithIndex.map { case (t, i) =>
+      (rep, s"s1", t, 1.0, i.toLong)
+    }
+    // w0: a=3 vs b=1 → a; w1: a=1 vs b=2 → b; w2: 1-1 tie → a
+    val rep = (rows("a", Seq(1L, 2L, 3L, h + 1, 2 * h + 1)) ++
+      rows("b", Seq(5L, h + 1, h + 2, 2 * h + 5)))
+      .toDF("replica", "series_id", "ts_us", "value", "event_id")
+    val out = TsOps.haDedup(rep)
+      .select("series_id", "replica", "n_windows_won", "n_samples")
+      .as[(String, String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(("s1", "a", 2L, 4L), ("s1", "b", 1L, 2L)), out)
+  }
+
   test("abCuped: theta fits pooled, adjusted variance collapses when X predicts Y") {
     // mid_us = (0+4)/2 = 2: ts=0ns is pre, ts=4000ns (4us) is post.
     // X = [10,0,10,20] Y = [20,10,30,30] → theta = 800/800 = 1, mx = 10
