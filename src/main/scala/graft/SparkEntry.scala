@@ -1760,6 +1760,11 @@ object SparkEntry {
     // collapsing to (source × 17) rows; 6dp-decimal term sums
     "corpus_source_kl" -> ((s, dir) => TextOps.sourceKl(docsT(s, dir))),
 
+    // DRIFT CURVE: per id-ordered decile, KL(decile ‖ corpus) over the
+    // top-16+OOV event space — the time-dimension sibling of the
+    // source KL; a rising tail = recent data diverging
+    "corpus_drift_curve" -> ((s, dir) => TextOps.driftKl(docsT(s, dir))),
+
     // DATA SELECTION: DSIR importance weights — log p_target/p_raw
     // under fixed-size hashed-unigram models (target = two trusted
     // sources); model frames ≤1024 rows broadcast at any corpus size
@@ -4272,6 +4277,30 @@ object SparkEntry {
                FROM sb JOIN st USING (source) JOIN cb USING (bucket), tot)
          SELECT source, max(ns) AS n_tokens, CAST(sum(contrib) AS DOUBLE) AS kl
          FROM k GROUP BY 1""",
+
+    // the drift curve restated: heaps-curve integer-division decile,
+    // then the identical source-KL event space and 6dp term sums
+    "corpus_drift_curve" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS _n FROM documents),
+         tk AS (SELECT doc_id * 10 // _n AS k,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents, n),
+         g AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+         v AS (SELECT term FROM g ORDER BY cnt DESC, term ASC LIMIT 16),
+         tb AS (SELECT k, CASE WHEN v.term IS NULL THEN '__oov__' ELSE tk.term END AS bucket
+                FROM tk LEFT JOIN v ON tk.term = v.term),
+         sb AS (SELECT k, bucket, CAST(count(*) AS BIGINT) AS cs FROM tb GROUP BY 1, 2),
+         st AS (SELECT k, CAST(sum(cs) AS BIGINT) AS ns FROM sb GROUP BY 1),
+         cb AS (SELECT bucket, CAST(sum(cs) AS BIGINT) AS cq FROM sb GROUP BY 1),
+         tot AS (SELECT CAST(sum(cq) AS DOUBLE) AS total FROM cb),
+         kl AS (SELECT sb.k, st.ns,
+                  CAST(round((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                       * ln((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE))
+                          / (CAST(cq AS DOUBLE) / total)), 6) AS DECIMAL(18,6)) AS contrib
+                FROM sb JOIN st USING (k) JOIN cb USING (bucket), tot)
+         SELECT CAST(k AS BIGINT) AS decile, max(ns) AS n_tokens,
+                CAST(sum(contrib) AS DOUBLE) AS kl
+         FROM kl GROUP BY 1""",
 
     // the DSIR stack restated: same md5-prefix bucket hash mod 1024,
     // Laplace-smoothed target/raw models, 6dp log-ratio, exact

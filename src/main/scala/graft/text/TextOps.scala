@@ -588,24 +588,55 @@ object TextOps {
     * order (cast-divide, divide, ln, multiply), rounds to 6dp DECIMAL
     * and sums exactly — order-independent. Output (source, n_tokens,
     * kl). */
-  def sourceKl(docs: DataFrame, vocabK: Int = 16): DataFrame = {
-    val tk = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+  def sourceKl(docs: DataFrame, vocabK: Int = 16): DataFrame =
+    klAgainstCorpus(
+      docs.select(col("source").as("k"), explode(tokens(col("text"))).as("term")),
+      docs, vocabK)
+      .withColumnRenamed("k", "source")
+
+  /** Corpus DRIFT curve — the TIME-dimension sibling of [[sourceKl]]
+    * (the report a continuously-fed corpus reads to see its token
+    * distribution walking away from the pool it started from): docs
+    * bucket into id-ordered deciles (ingestion order — the
+    * [[heapsCurve]] convention) and each decile's KL(P_decile ‖
+    * Q_corpus) computes over the same top-`vocabK`+OOV event space. A
+    * rising tail = recent data diverging (new domain, crawl rot, a
+    * source gone bad); flat = stationary mix. Same one-tagged-pass /
+    * (deciles × 17)-row scale shape as the source variant. */
+  def driftKl(docs: DataFrame, buckets: Int = 10, vocabK: Int = 16): DataFrame = {
+    val n = docs.agg((max(col("doc_id")) + 1).as("_n"))
+    klAgainstCorpus(
+      docs.crossJoin(broadcast(n))
+        .select(expr(s"doc_id * $buckets div _n").as("k"),
+          explode(tokens(col("text"))).as("term")),
+      docs, vocabK)
+      .withColumnRenamed("k", "decile")
+  }
+
+  /** Shared KL(P_key ‖ Q_corpus) core over the corpus top-`vocabK`
+    * vocabulary + one OOV bucket (complete distributions,
+    * everywhere-positive corpus side ⇒ always finite): one tagged
+    * instance pass collapses to (key × vocabK+1) counts; every later
+    * frame is corpus-size-free; per-term p·ln(p/q) rounds to 6dp
+    * DECIMAL and sums exactly. */
+  private def klAgainstCorpus(keyed: DataFrame, docs: DataFrame,
+                              vocabK: Int): DataFrame = {
     val vocab = broadcast(vocabTopK(docs, vocabK).select(col("term"), lit(1).as("_inv")))
-    val sb = tk.join(vocab, Seq("term"), "left")
-      .select(col("source"),
+    val sb = keyed.join(vocab, Seq("term"), "left")
+      .select(col("k"),
         when(col("_inv").isNull, lit("__oov__")).otherwise(col("term")).as("bucket"))
-      .groupBy(col("source"), col("bucket"))
+      .groupBy(col("k"), col("bucket"))
       .agg(count(lit(1)).as("cs"))
-    val st = sb.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val st = sb.groupBy(col("k")).agg(sum(col("cs")).as("ns"))
     val cb = sb.groupBy(col("bucket")).agg(sum(col("cs")).as("cq"))
     val tot = cb.agg(sum(col("cq")).cast("double").as("total"))
     val p = col("cs").cast("double") / col("ns").cast("double")
     val q = col("cq").cast("double") / col("total")
-    sb.join(st, "source").join(broadcast(cb), "bucket").crossJoin(broadcast(tot))
-      .select(col("source"), col("ns"),
+    sb.join(st, "k").join(broadcast(cb), "bucket").crossJoin(broadcast(tot))
+      .select(col("k"), col("ns"),
         round(p * log(p / q), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib"))
-      .groupBy(col("source"))
+      .groupBy(col("k"))
       .agg(max(col("ns")).as("n_tokens"),
         sum(col("contrib")).cast("double").as("kl"))
   }

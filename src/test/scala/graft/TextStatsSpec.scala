@@ -626,6 +626,23 @@ class TextStatsSpec extends SparkSpec {
     assert(tail.map(_._2).sum == 12L)
   }
 
+  test("driftKl: identical deciles score zero, a diverged tail scores positive") {
+    // ids 0..9 → two docs per bucket at buckets=5; buckets 0-3 all
+    // share the corpus-typical text, bucket 4 (ids 8,9) is pure OOV-ish
+    // divergence → its KL must dominate
+    val docs = ((0L to 7L).map(i => (i, "alpha beta gamma")) ++
+      Seq((8L, "zzz yyy xxx"), (9L, "zzz yyy xxx"))).toDF("doc_id", "text")
+    val r = TextOps.driftKl(docs, buckets = 5, vocabK = 3)
+      .select("decile", "n_tokens", "kl")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r.map(_._1) == (0L to 4L), r)
+    assert(r.forall(_._2 == 6L))
+    // deciles 0-3 have the same distribution as each other; the last
+    // decile diverges hardest
+    assert(r.init.map(_._3).distinct.size == 1, r)
+    assert(r.last._3 > r.head._3, r)
+  }
+
   test("dsirWeights: target-typical docs score above raw-typical ones, hand formula holds") {
     // target (tgt=true) speaks "alpha", raw background speaks "beta";
     // a fresh doc of pure alpha must outweigh a fresh doc of pure beta
