@@ -1269,6 +1269,11 @@ object SparkEntry {
     "ts_resets" -> ((s, dir) =>
       TsOps.resets(Series.samples(t(s, dir, "events")))),
 
+    // FORECAST BACKTEST: the linreg family's eval harness — first 80%
+    // of hourly buckets fit, held-out tail scores MAE/RMSE per series
+    "ts_forecast_backtest" -> ((s, dir) =>
+      TsOps.forecastBacktest(Series.samples(t(s, dir, "events")))),
+
     // COUNTER REPAIR: the monotone cumulative counter rate/increase
     // reconstruct internally, materialized per sample — resets heal
     // into increments; exact DECIMAL running sums, explicit ROWS frame
@@ -4027,6 +4032,44 @@ object SparkEntry {
           SELECT series_id, CAST(count(*) AS BIGINT) AS n_points,
                  CAST(sum(CASE WHEN value < prev_v THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
           FROM l GROUP BY 1""",
+
+    // the backtest restated: hourly exact-decimal sums, the linreg
+    // sufficient-statistics fit on the rank-ordered train prefix,
+    // 6dp-decimal |e|/e² sums, raw-IEEE MAE/RMSE divisions
+    "ts_forecast_backtest" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
+          b AS (SELECT series_id, ts_us // 3600000000 AS h,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+                FROM s GROUP BY 1, 2),
+          st AS (SELECT series_id, CAST(count(*) AS BIGINT) AS nb, min(h) AS h0 FROM b GROUP BY 1),
+          xb AS (SELECT b.series_id, h - h0 AS x, y,
+                   row_number() OVER (PARTITION BY b.series_id ORDER BY h) AS rn,
+                   nb * 80 // 100 AS ntr, nb
+                 FROM b JOIN st USING (series_id)),
+          xq AS (SELECT * FROM xb WHERE ntr >= 2 AND nb - ntr >= 1),
+          f0 AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_train,
+                   CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+                 FROM xq WHERE rn <= ntr GROUP BY 1),
+          f1 AS (SELECT series_id, n_train,
+                   n_train * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                   n_train * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   CAST(sy AS DOUBLE) / n_train AS y_bar,
+                   CAST(sx AS DOUBLE) / n_train AS x_bar
+                 FROM f0),
+          f AS (SELECT series_id, n_train,
+                  CASE WHEN den > 0 THEN num / den ELSE 0.0 END AS slope,
+                  y_bar - (CASE WHEN den > 0 THEN num / den ELSE 0.0 END) * x_bar AS intercept
+                FROM f1),
+          t AS (SELECT xq.series_id, f.n_train, f.slope,
+                  CAST(y AS DOUBLE) - (intercept + slope * CAST(x AS DOUBLE)) AS e
+                FROM xq JOIN f USING (series_id) WHERE rn > ntr)
+          SELECT series_id, max(n_train) AS n_train, CAST(count(*) AS BIGINT) AS n_test,
+                 max(slope) AS slope,
+                 CAST(sum(CAST(round(abs(e), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mae,
+                 sqrt(CAST(sum(CAST(round(e * e, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS rmse
+          FROM t GROUP BY 1""",
 
     // the repair restated: same lag/reset-increment CASE, exact
     // DECIMAL(18,2) increments, explicit ROWS cumulative frame (a

@@ -629,6 +629,72 @@ object TsOps {
       .select("series_id", "n_points", "slope_per_sec", "predicted", "x_last")
   }
 
+  /** Forecast BACKTEST — the eval harness for the [[linreg]] family
+    * (the same before-you-trust-it pattern as the ANN recall evals):
+    * per series, the first `trainPct`% of hourly buckets fit a
+    * least-squares line and the held-out tail scores it — MAE and
+    * RMSE of the linear forecast against what actually happened. The
+    * target is the HOURLY SUM (exact DECIMAL — a mean would be a
+    * derived double whose re-aggregation is order-dependent); series
+    * need ≥2 train and ≥1 test buckets or they drop.
+    *
+    * Scale shape: one bucket aggregation (map-side partials), one
+    * per-series rank window on the BUCKET frame (bounded by
+    * retention hours, not sample count), then two series-grain
+    * aggregations. Fit arithmetic is the [[linreg]] recipe: exact
+    * integer/DECIMAL sufficient statistics, slope/intercept in one
+    * fixed double shape; test errors round |e| and e² to 6dp DECIMAL
+    * before their exact sums, and the final MAE/RMSE divisions stay
+    * raw IEEE (§4). */
+  def forecastBacktest(samples: DataFrame, bucketUs: Long = 3600000000L,
+                       trainPct: Int = 80): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val b = samples
+      .groupBy(col("series_id"), expr(s"ts_us div $bucketUs").as("h"))
+      .agg(sum(col("value").cast(d2)).cast(d2).as("y"))
+    val stats = b.groupBy(col("series_id"))
+      .agg(count(lit(1)).as("nb"), min(col("h")).as("h0"))
+    val w = Window.partitionBy(col("series_id")).orderBy(col("h"))
+    val xb = b.join(stats, "series_id")
+      .withColumn("x", col("h") - col("h0"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ntr", expr(s"nb * $trainPct div 100"))
+      .filter(col("ntr") >= 2 && col("nb") - col("ntr") >= 1)
+      .persist() // train fit + test scoring both read it
+    val fit = xb.filter(col("rn") <= col("ntr"))
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(10, 0)) * col("y")).as("sxy"),
+        sum((col("x") * col("x")).cast(org.apache.spark.sql.types.DecimalType(28, 0))).as("sxx"))
+      .select(col("series_id"), col("n_train"),
+        (col("n_train") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")).as("num"),
+        (col("n_train") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")).as("den"),
+        (col("sy").cast("double") / col("n_train")).as("y_bar"),
+        (col("sx").cast("double") / col("n_train")).as("x_bar"))
+      .withColumn("slope", when(col("den") > 0, col("num") / col("den")).otherwise(lit(0.0)))
+      .withColumn("intercept", col("y_bar") - col("slope") * col("x_bar"))
+    val e = col("y").cast("double") -
+      (col("intercept") + col("slope") * col("x").cast("double"))
+    xb.filter(col("rn") > col("ntr"))
+      .join(fit, "series_id")
+      .groupBy(col("series_id"))
+      .agg(
+        max(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        max(col("slope")).as("slope"),
+        sum(round(abs(e), 6).cast(d6)).as("sae"),
+        sum(round(e * e, 6).cast(d6)).as("see"))
+      .select(col("series_id"), col("n_train"), col("n_test"), col("slope"),
+        (col("sae").cast("double") / col("n_test").cast("double")).as("mae"),
+        sqrt(col("see").cast("double") / col("n_test").cast("double")).as("rmse"))
+  }
+
   /** PromQL binary operation with vector matching — `a / b` with
     * `on(user_id)` over fixed time buckets (e.g.
     * `sum(purchase) / sum(click)` per user per hour). The naive

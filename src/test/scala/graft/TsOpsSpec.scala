@@ -605,6 +605,23 @@ class TsOpsSpec extends SparkSpec {
     assert(math.abs(out._4 - 10.0 / 55) < 1e-12 && math.abs(out._5 - 0.1) < 1e-12)
   }
 
+  test("forecastBacktest: a perfectly linear series scores zero error, a broken one doesn't") {
+    val h = 3600000000000L // ns per hour
+    // series "lin": hourly sums 1,2,3,4,5 — train 0..3 fits y=x+1
+    // exactly, the held-out hour 4 predicts 5 → mae = rmse = 0.
+    // series "jump": 1,1,1,1,9 — flat fit, test error 8.
+    val ev = ((0 to 4).map(i => (i.toLong, i * h, 1L, "lin", (i + 1).toDouble)) ++
+      (0 to 4).map(i => (10L + i, i * h, 1L, "jump", if (i == 4) 9.0 else 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.forecastBacktest(Series.samples(ev))
+      .select("n_train", "n_test", "slope", "mae", "rmse")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._5).toSeq
+    assert(out.length == 2, out)
+    assert(out.head == ((4L, 1L, 1.0, 0.0, 0.0)), out.head)
+    assert(out(1)._1 == 4L && out(1)._2 == 1L && out(1)._3 == 0.0
+      && out(1)._4 == 8.0 && out(1)._5 == 8.0, out(1))
+  }
+
   test("monotonize: resets heal into increments, running counter exact") {
     // one series, values 1,3,2,5 — the 3→2 drop is a reset, so the
     // increments are 1,2,2,3 and the repaired counter reads 1,3,5,8
