@@ -1715,6 +1715,10 @@ object SparkEntry {
 
     "token_count" -> ((s, dir) => TextOps.tokenCounts(docsT(s, dir))),
 
+    // TOKENIZER FERTILITY: per-source subwords-per-word and
+    // chars-per-subword — the FLOPs-planning read on tokenizer choice
+    "doc_tokenizer_fertility" -> ((s, dir) => TextOps.tokenizerFertility(docsT(s, dir))),
+
     // the filter-tuning curve: docs/tokens surviving the
     // stopword-ratio cut at each 0.05 step — the sweep a pipeline
     // runs BEFORE committing to doc_quality_gate's threshold
@@ -3916,6 +3920,22 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
                 CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens
          FROM documents""",
+
+    // fertility restated: the token_count regexes aggregated at source
+    // grain, exact LONG sums, raw-IEEE ratio projections
+    "doc_tokenizer_fertility" ->
+      """WITH d AS (SELECT source,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe,
+                 n_chars
+               FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+                CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility,
+                CAST(sum(n_chars) AS DOUBLE) / sum(bpe) AS chars_per_token
+         FROM d GROUP BY 1""",
 
     "lang_id" ->
       """WITH scored AS (

@@ -62,6 +62,31 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens"),
       size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
 
+  /** Tokenizer FERTILITY per source — the compute-planning numbers a
+    * training run reads off its tokenizer choice (fertility = subword
+    * tokens per whitespace word; bytes per subword token): a corpus
+    * whose fertility creeps up (morphology-rich or noisy sources)
+    * costs proportionally more training FLOPs for the same text. One
+    * map-side counting pass (native byte-scan regex counts), one tiny
+    * per-source aggregation of exact LONG sums; the ratios stay raw
+    * IEEE divisions of exact counts (§4). */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("bpe"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("n_chars"),
+        (col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+
   /** n-gram-marker language ID: count stopword hits per candidate
     * language, argmax with (score desc, lang asc) total order;
     * 'unknown' when nothing matches. */

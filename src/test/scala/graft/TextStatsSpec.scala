@@ -626,6 +626,20 @@ class TextStatsSpec extends SparkSpec {
     assert(tail.map(_._2).sum == 12L)
   }
 
+  test("tokenizerFertility: hand counts per source, punctuation inflates fertility") {
+    val docs = Seq(
+      (1L, "hello world", "a", 11L),        // ws 2, bpe 2
+      (2L, "it's x-ray, ok?", "b", 15L))    // ws 3, bpe: it|'|s|x|-|ray|,|ok|? = 9
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = TextOps.tokenizerFertility(docs)
+      .select("source", "n_docs", "n_ws_tokens", "n_bpe_tokens", "n_chars",
+        "fertility", "chars_per_token")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      ("a", 1L, 2L, 2L, 11L, 1.0, 5.5),
+      ("b", 1L, 3L, 9L, 15L, 3.0, 15.0 / 9)), r)
+  }
+
   test("driftKl: identical deciles score zero, a diverged tail scores positive") {
     // ids 0..9 → two docs per bucket at buckets=5; buckets 0-3 all
     // share the corpus-typical text, bucket 4 (ids 8,9) is pure OOV-ish
