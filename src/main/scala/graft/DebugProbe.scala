@@ -255,6 +255,34 @@ object DebugProbe {
               """max_over_time({event_type="job:traffic:sum6h"}[1d])"""),
             1704088800000000L, 1704412800000000L, 21600000000L).map(_._2).sum
         }),
+        // r10 third session: the BM25 posting-list join (query terms ×
+        // postings), the cogroup MMR greedy rerank, the hashed-model
+        // DSIR pass, the two-agg CUPED readout, the PQ recall join,
+        // the Bloom distinct-bit build + probe join, the per-iteration
+        // Lloyd passes, the decile-KL drift pass, replica dedup,
+        // counter repair (full-corpus window), the backtest fit, and
+        // the fertility counting pass
+        ("bm25", p => graft.search.Hybrid.bm25TopK(
+          docs(p), col("doc_id") < 8, 20).count()),
+        ("mmr", p => graft.search.Hybrid.mmrDiversify(
+          emb(p), emb(p).filter(col("vec_id") < 8)).count()),
+        ("dsir", p => graft.text.TextOps.dsirWeights(
+          docs(p), col("source").isin("src1", "src2")).count()),
+        ("ab_cuped", p => graft.tsdb.TsOps.abCuped(spark.read.parquet(p)).count()),
+        ("pq_recall", p => graft.vector.VectorOps.recallAtKPq(emb(p)).count()),
+        ("bloom_profile", p => graft.text.Dedup.bloomProfile(docs(p)).count()),
+        ("kmeans_inertia", p => graft.vector.VectorOps.kmeansInertia(emb(p)).count()),
+        ("drift_kl", p => graft.text.TextOps.driftKl(docs(p)).count()),
+        ("ha_dedup", p => {
+          val sm = ev(p)
+          graft.tsdb.TsOps.haDedup(
+            sm.filter(pmod(col("event_id"), lit(3L)) =!= 1).withColumn("replica", lit("a"))
+              .unionByName(sm.filter(pmod(col("event_id"), lit(3L)) =!= 2)
+                .withColumn("replica", lit("b")))).count()
+        }),
+        ("monotonize", p => graft.tsdb.TsOps.monotonize(ev(p)).count()),
+        ("forecast_backtest", p => graft.tsdb.TsOps.forecastBacktest(ev(p)).count()),
+        ("fertility", p => graft.text.TextOps.tokenizerFertility(docs(p)).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -321,7 +349,19 @@ object DebugProbe {
         "pq_profile" -> ("embeddings", () => embP),
         "heaps_curve" -> ("documents", () => docsP),
         "semantic_clusters" -> ("embeddings", () => embRotP),
-        "rule_chain" -> ("events", () => eventsP))
+        "rule_chain" -> ("events", () => eventsP),
+        "bm25" -> ("documents", () => docsP),
+        "mmr" -> ("embeddings", () => embP),
+        "dsir" -> ("documents", () => docsP),
+        "ab_cuped" -> ("events", () => eventsP),
+        "pq_recall" -> ("embeddings", () => embP),
+        "bloom_profile" -> ("documents", () => docsP),
+        "kmeans_inertia" -> ("embeddings", () => embP),
+        "drift_kl" -> ("documents", () => docsP),
+        "ha_dedup" -> ("events", () => eventsP),
+        "monotonize" -> ("events", () => eventsP),
+        "forecast_backtest" -> ("events", () => eventsP),
+        "fertility" -> ("documents", () => docsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))

@@ -428,4 +428,58 @@ class PlanSpec extends SparkSpec {
       "bucket stats joined the band frame:\n" + p.take(1500))
     assert(!p.contains("SortAggregate"))
   }
+
+  test("doc_dsir_weights: model joins broadcast, tokenize diamond cached, hash aggregates only") {
+    val p = plan("doc_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("InMemoryTableScan"), "dsir diamond not cached:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "the model join shuffled the corpus:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("events_ab_cuped: no window and no second corpus pass — moments collapse in hash aggregates") {
+    val p = plan("events_ab_cuped")
+    assert(!p.contains("Window"), "cuped grew a window:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+    // the variant-moment cache feeds both the pooled fit and the readout
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+  }
+
+  test("doc_mmr_diversify: the greedy loop is ONE cogroup; the candidate attach broadcasts") {
+    val p = plan("doc_mmr_diversify")
+    assert(p.contains("CoGroup"), "mmr lost the per-query cogroup:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("doc_hybrid_search: query terms broadcast into the posting join; bm25 rides bounded heaps") {
+    val p = plan("doc_hybrid_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TopKPerKey"), "bm25 lost its bounded heap:\n" + p.take(1500))
+  }
+
+  test("dedup_bloom_profile: bit tables broadcast into the probe join; no sort aggregates") {
+    val p = plan("dedup_bloom_profile")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("ts_monotonize: exactly one series shuffle, no joins") {
+    val p = plan("ts_monotonize")
+    assert(!p.contains("Join"), "monotonize grew a join:\n" + p.take(1200))
+    assert(p.split(java.util.regex.Pattern.quote("Exchange hashpartitioning(series_id")).length - 1 == 1,
+      "monotonize shuffled the corpus more than once:\n" + p.take(1500))
+  }
+
+  test("fed_ha_dedup: counts collapse before the pick window; the sample frame never joins") {
+    val p = plan("fed_ha_dedup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "ha dedup joined the sample frame:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("ts_forecast_backtest: the bucket frame caches into fit + score; hash aggregates only") {
+    val p = plan("ts_forecast_backtest")
+    assert(p.contains("InMemoryTableScan"), "backtest re-derived the bucket frame:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+  }
 }
