@@ -1825,6 +1825,15 @@ object SparkEntry {
 
     "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docsT(s, dir), 10)),
 
+    // the ExactSubstr APPLY step: per doc, tokens the repeated spans
+    // would strip and what remains — spans are disjoint per doc by
+    // island construction, so removal is a plain sum
+    "dedup_substring_apply" -> ((s, dir) => Dedup.substringApply(docsT(s, dir), 10)),
+
+    // SRM GUARD: the sample-ratio-mismatch check gating every A/B
+    // readout — z over exact variant user counts, |z|>3 flags
+    "events_ab_srm" -> ((s, dir) => TsOps.abSrm(t(s, dir, "events"))),
+
     "corpus_mix_weights" -> ((s, dir) => TextOps.mixWeights(docsT(s, dir))),
 
     // the data-mixing ALLOCATION step: a 25k-token budget split across
@@ -1975,6 +1984,12 @@ object SparkEntry {
       // oracle predicts geometry + frame count from strlen(text)
       Multimodal.decodeMeta(Multimodal.attachVideo(docsT(s, dir)))
         .withColumnRenamed("n_samples", "n_frames")),
+
+    // IMAGE QUALITY SCREEN: per-image luminance stats over real PNG
+    // decode — pixels fold inside the decoder loop, no row explosion;
+    // the oracle recomputes from the synthesis formula
+    "multimodal_image_stats" -> ((s, dir) =>
+      Multimodal.imageStats(Multimodal.attachMedia(docsT(s, dir)))),
 
     "multimodal_image_dhash" -> ((s, dir) =>
       // IMAGE PERCEPTUAL FINGERPRINT: real PNG decode → 9×8 grayscale
@@ -4527,6 +4542,52 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rep_shingles
          FROM isl GROUP BY doc_id, island""",
 
+    // the apply step restated: the spans pipeline aggregated per doc,
+    // left-joined to token counts, raw-IEEE removed share
+    "dedup_substring_apply" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         pos AS (SELECT doc_id, t, unnest(range(1, greatest(len(t)-9, 0) + 1)) AS pos FROM tok),
+         sh AS (SELECT doc_id, pos, array_to_string(t[pos:pos+9], ' ') AS s FROM pos),
+         rep AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+         m AS (SELECT sh.doc_id, sh.pos FROM sh JOIN rep USING (s)),
+         w AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER win IS NULL OR pos - lag(pos) OVER win > 10
+                      THEN 1 ELSE 0 END AS is_new
+               FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         isl AS (SELECT doc_id, pos,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                 FROM w),
+         sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                  CAST(max(pos) + 9 AS BIGINT) AS span_end
+                FROM isl GROUP BY doc_id, island),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep_spans,
+                   CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_tokens_removed
+                 FROM sp GROUP BY 1),
+         tc AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok WHERE len(t) > 0)
+         SELECT tc.doc_id, n_tokens,
+                coalesce(n_rep_spans, 0) AS n_rep_spans,
+                coalesce(n_tokens_removed, 0) AS n_tokens_removed,
+                n_tokens - coalesce(n_tokens_removed, 0) AS n_tokens_after,
+                CAST(coalesce(n_tokens_removed, 0) AS DOUBLE) / n_tokens AS removed_share
+         FROM tc LEFT JOIN agg ON agg.doc_id = tc.doc_id""",
+
+    // SRM restated: distinct users per parity variant, the identical
+    // z shape over exact counts
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         v AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+         p AS (SELECT CAST(coalesce(sum(CASE WHEN variant = 0 THEN n END), 0) AS BIGINT) AS n_a,
+                      CAST(coalesce(sum(CASE WHEN variant = 1 THEN n END), 0) AS BIGINT) AS n_b
+               FROM v)
+         SELECT n_a, n_b,
+                CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS share_a,
+                (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                  / sqrt(CAST(n_a + n_b AS DOUBLE)) AS z,
+                abs((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                  / sqrt(CAST(n_a + n_b AS DOUBLE))) > 3.0 AS srm_flag
+         FROM p""",
+
     "ts_interval_join" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
          m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
@@ -5033,6 +5094,31 @@ object SparkEntry {
     // neighbor grid x=(i·w div 9), y=(j·h div 8); bit j·8+i set iff
     // gray(i+1,j) > gray(i,j)) — never decodes a PNG; BIGINT casts on
     // the bit sums (DuckDB sum → HUGEINT, the doc_pack lesson)
+    // luminance stats recomputed from the synthesis formula (same
+    // per-pixel gray as the dhash oracle, over ALL pixels): exact
+    // integer sums, raw-IEEE mean
+    "multimodal_image_stats" ->
+      """WITH img AS (SELECT doc_id, text, strlen(text) AS len,
+                        16 + strlen(text) % 32 AS w, 8 + strlen(text) % 16 AS h
+                      FROM documents WHERE doc_id % 2 = 0),
+         px AS (SELECT doc_id, w, h, t.x, u.y,
+                  CASE WHEN len = 0 THEN 120
+                       ELSE ascii(substr(text, CAST((t.x + u.y) % len AS INT) + 1, 1)) END AS c
+                FROM img, (SELECT unnest(range(48)) AS x) t,
+                          (SELECT unnest(range(24)) AS y) u
+                WHERE t.x < w AND u.y < h),
+         g AS (SELECT doc_id, w, h,
+                 ((c*37) % 256 + (x*7+c) % 256 + (y*11+c) % 256) // 3 AS gray
+               FROM px)
+         SELECT doc_id, CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+                CAST(count(*) AS BIGINT) AS n_pixels,
+                CAST(sum(gray) AS BIGINT) AS sum_gray,
+                CAST(min(gray) AS BIGINT) AS min_gray,
+                CAST(max(gray) AS BIGINT) AS max_gray,
+                CAST(sum(gray) AS DOUBLE) / count(*) AS mean_gray,
+                CAST(max(gray) - min(gray) AS BIGINT) AS contrast
+         FROM g GROUP BY 1""",
+
     "multimodal_image_dhash" ->
       """WITH img AS (SELECT doc_id, text, strlen(text) AS len,
                         16 + strlen(text) % 32 AS w, 8 + strlen(text) % 16 AS h

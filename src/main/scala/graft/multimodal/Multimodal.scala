@@ -458,6 +458,50 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Per-image LUMINANCE profile over the REAL PNG decode — the
+    * image-quality screen a multimodal pipeline runs before training
+    * (all-black/all-white/low-contrast images are the visual analog
+    * of garbage text): width/height, pixel count, exact integer gray
+    * sum (mean = one raw IEEE division), min/max gray and contrast.
+    * Every pixel folds inside the decoder loop — bounded memory, one
+    * map pass, no shuffle, no per-pixel row explosion; the oracle
+    * restates the stats from the pixel-synthesis formula without
+    * decoding, so value-equality proves the whole decode chain. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_pixels", LongType),
+      StructField("sum_gray", LongType),
+      StructField("min_gray", LongType),
+      StructField("max_gray", LongType)))
+    val rdd = media.filter(col("kind") === "image")
+      .select("doc_id", "media").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L; var mn = 256L; var mx = -1L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val g = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toLong
+              sum += g; if (g < mn) mn = g; if (g > mx) mx = g
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), w.toLong, h.toLong, w.toLong * h, sum, mn, mx)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("mean_gray", col("sum_gray").cast("double") / col("n_pixels").cast("double"))
+      .withColumn("contrast", col("max_gray") - col("min_gray"))
+  }
+
   /** Hamming near-dup pairs over [[imageDHash]] fingerprints via
     * 16-bit PIGEONHOLE bands (the simhash recipe): a pair within
     * hamming distance 3 differs in at most 3 of the 4 bands, so it

@@ -82,6 +82,32 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_rep_shingles")
   }
 
+  /** The APPLY step of ExactSubstr dedup (Lee et al., ACL'22 actually
+    * REMOVE the repeated spans, not just find them): per doc, how many
+    * tokens the [[substringSpans]] spans would strip and what
+    * remains — the before/after accounting a pipeline reads to decide
+    * whether span-removal is worth the text surgery. Spans are
+    * disjoint per doc by construction (islands merge any two starts
+    * ≤ k apart, so consecutive islands cannot overlap), making the
+    * removed count a plain sum. Docs with no repeated span report
+    * zero removed. One span pass + one token-count pass joined at doc
+    * grain; the share stays a raw IEEE ratio (§4). */
+  def substringApply(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spans = substringSpans(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("n_tokens_removed"))
+    docs.select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0) // zero-token docs have no share to report
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_spans"), lit(0L)).as("n_rep_spans"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        (col("n_tokens") - coalesce(col("n_tokens_removed"), lit(0L))).as("n_tokens_after"),
+        (coalesce(col("n_tokens_removed"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("removed_share"))
+  }
+
   /** 60-bit numeric hash of a string via md5 — fits a LONG, so min()
     * aggregations stay in (codegen'd) HashAggregate instead of
     * SortAggregate, and the DuckDB oracle reproduces it exactly with

@@ -1095,6 +1095,28 @@ object TsOps {
           round(lit(1.0) - col("var_y_adj") / col("var_y"), 6)))
   }
 
+  /** Sample-ratio-mismatch guard for the [[abCuped]] experiment split
+    * (the FIRST check an experimentation platform runs — a biased
+    * assignment invalidates every downstream readout): under the
+    * intended 50/50 id-parity split, z = (n₀−n₁)/√(n₀+n₁) is
+    * approximately standard normal, and |z| > 3 flags the split as
+    * broken. One user-grain distinct pass + a 2-row pivot; the z
+    * arithmetic is one fixed IEEE shape over exact counts. */
+  def abSrm(events: DataFrame): DataFrame = {
+    val n = Series.samples(events)
+      .select(col("user_id")).distinct()
+      .groupBy(pmod(col("user_id"), lit(2L)).as("variant"))
+      .agg(count(lit(1)).as("n"))
+    n.agg(
+        coalesce(sum(when(col("variant") === 0, col("n"))), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("variant") === 1, col("n"))), lit(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (col("n_a").cast("double") / (col("n_a") + col("n_b")).cast("double")).as("share_a"),
+        ((col("n_a").cast("double") - col("n_b").cast("double"))
+          / sqrt((col("n_a") + col("n_b")).cast("double"))).as("z"))
+      .withColumn("srm_flag", abs(col("z")) > 3.0)
+  }
+
   /** Growth accounting (the new / retained / resurrected / churned
     * decomposition every growth team reads): per day, users seen for
     * the first time, users also active the previous day, users

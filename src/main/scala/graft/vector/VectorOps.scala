@@ -235,10 +235,14 @@ object VectorOps {
         .groupBy(col("c_id"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           s => s.getField("m")).as("cv"))
-      val merged = cents.select(col("c_id"), col("cv").as("cv_old"))
-        .join(newC.select(col("c_id"), col("cv").as("cv_new")), Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("cv_new"), col("cv_old")).as("cv"))
-        .as[(Long, Seq[Double])].collect().toSeq
+      // merge driver-side: both frames are nCells-row bounded and the
+      // result was collected anyway — the join spelling put the
+      // broadcast-hinted cents on the OUTER side of a left join, where
+      // the hint cannot apply (HintErrorLogger warned on every
+      // iteration) and bought nothing
+      val newMap = newC.as[(Long, Seq[Double])].collect().toMap
+      val merged = cents.as[(Long, Seq[Double])].collect().toSeq
+        .map { case (id, old) => (id, newMap.getOrElse(id, old)) }
       cents = broadcast(merged.toDF("c_id", "cv"))
     }
     cents

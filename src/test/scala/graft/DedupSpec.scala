@@ -251,6 +251,23 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out._6 - 2.0 / 3) < 1e-12 && math.abs(out._7 - 10.0 / 24) < 1e-12)
   }
 
+  test("substringApply: shared-span tokens counted out, span-free docs untouched") {
+    val shared = "a b c d e f g h i j" // exactly one 10-gram
+    val docs = Seq(
+      (1L, s"$shared extra1 extra2"),
+      (2L, s"$shared other1 other2"),
+      (3L, "q r s t u v")) // < 10 tokens: no shingles at all
+      .toDF("doc_id", "text")
+    val r = Dedup.substringApply(docs, 10)
+      .select("doc_id", "n_tokens", "n_rep_spans", "n_tokens_removed",
+        "n_tokens_after", "removed_share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 12L, 1L, 10L, 2L, 10.0 / 12),
+      (2L, 12L, 1L, 10L, 2L, 10.0 / 12),
+      (3L, 6L, 0L, 0L, 6L, 0.0)), r)
+  }
+
   test("bloomProfile: bits bound by k·n, duplicates add nothing, derived stats exact") {
     val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
       .toDF("doc_id", "text")

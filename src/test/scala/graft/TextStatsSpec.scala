@@ -190,6 +190,28 @@ class TextStatsSpec extends SparkSpec {
       assert((hi, lo) == formulaHash(texts(id)), s"doc $id hash mismatch") }
   }
 
+  test("imageStats: decoded-pixel luminance stats equal the synthesis-formula recompute") {
+    val sf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Multimodal.imageStats(Multimodal.attachMedia(sf))
+      .select("doc_id", "width", "height", "n_pixels", "sum_gray",
+        "min_gray", "max_gray", "mean_gray", "contrast")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Long)].collect()
+    val texts = sf.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.length == texts.keys.count(_ % 2 == 0) && got.nonEmpty)
+    got.foreach { case (id, w, h, np, sum, mn, mx, mean, contrast) =>
+      val bytes = texts(id).getBytes("UTF-8"); val len = bytes.length
+      def b(i: Int) = if (len == 0) 120 else bytes(i % len) & 0xff
+      assert(w == 16 + len % 32 && h == 8 + len % 16 && np == w * h)
+      val grays = for (y <- 0 until h.toInt; x <- 0 until w.toInt) yield {
+        val c = b(x + y)
+        ((c * 37) % 256 + (x * 7 + c) % 256 + (y * 11 + c) % 256) / 3
+      }
+      assert(sum == grays.map(_.toLong).sum && mn == grays.min && mx == grays.max,
+        s"doc $id stats mismatch")
+      assert(mean == sum.toDouble / np && contrast == mx - mn)
+    }
+  }
+
   test("dhashNearDupPairs: banded candidates find every pair within hamming 3, none beyond") {
     // constructed 90×80 images: each 10×10 block holds one sampled
     // grid cell (x = i·90/9 = i·10), so the hash bits are controlled

@@ -605,6 +605,21 @@ class TsOpsSpec extends SparkSpec {
     assert(math.abs(out._4 - 10.0 / 55) < 1e-12 && math.abs(out._5 - 0.1) < 1e-12)
   }
 
+  test("abSrm: a balanced split reads z=0; an all-one-side split flags") {
+    def ev(users: Seq[Long]) = users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, i * 1000L, u, "m", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ok = TsOps.abSrm(ev(0L to 5L))
+      .select("n_a", "n_b", "share_a", "z", "srm_flag")
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(ok == ((3L, 3L, 0.5, 0.0, false)), ok)
+    // 16 even-id users: z = 16/4 = 4 > 3 → flagged
+    val bad = TsOps.abSrm(ev((0L until 32L by 2)))
+      .select("n_a", "n_b", "z", "srm_flag")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(bad == ((16L, 0L, 4.0, true)), bad)
+  }
+
   test("forecastBacktest: a perfectly linear series scores zero error, a broken one doesn't") {
     val h = 3600000000000L // ns per hour
     // series "lin": hourly sums 1,2,3,4,5 — train 0..3 fits y=x+1
