@@ -283,6 +283,10 @@ object DebugProbe {
         ("monotonize", p => graft.tsdb.TsOps.monotonize(ev(p)).count()),
         ("forecast_backtest", p => graft.tsdb.TsOps.forecastBacktest(ev(p)).count()),
         ("fertility", p => graft.text.TextOps.tokenizerFertility(docs(p)).count()),
+        ("substring_apply", p => graft.text.Dedup.substringApply(docs(p)).count()),
+        ("ab_srm", p => graft.tsdb.TsOps.abSrm(spark.read.parquet(p)).count()),
+        ("image_stats", p => graft.multimodal.Multimodal.imageStats(
+          graft.multimodal.Multimodal.attachMedia(docs(p))).count()),
         ("q21_reshape", p => {
           val li = spark.read.parquet(p)
             .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -361,7 +365,10 @@ object DebugProbe {
         "ha_dedup" -> ("events", () => eventsP),
         "monotonize" -> ("events", () => eventsP),
         "forecast_backtest" -> ("events", () => eventsP),
-        "fertility" -> ("documents", () => docsP))
+        "fertility" -> ("documents", () => docsP),
+        "substring_apply" -> ("documents", () => docsP),
+        "ab_srm" -> ("events", () => eventsP),
+        "image_stats" -> ("documents", () => docsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))
