@@ -1562,6 +1562,19 @@ object SparkEntry {
     // sizing evidence before fronting cross-batch exact dedup with it
     "dedup_bloom_profile" -> ((s, dir) => Dedup.bloomProfile(docsT(s, dir))),
 
+    // BLOOM APPLY: a synthetic new batch (known corpus members + known
+    // novel texts) tested against the corpus filter — asserts the
+    // no-false-negative theorem on real data next to the realized FP
+    "dedup_bloom_apply" -> ((s, dir) => {
+      val d = docsT(s, dir)
+      val batch = d.filter(pmod(col("doc_id"), lit(7L)) === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(7L)) === 3)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(col("text"), lit(" novel")).as("text")))
+      Dedup.bloomApply(d, batch)
+    }),
+
     "doc_winnow" -> ((s, dir) => TextOps.winnow(docsT(s, dir))),
 
     "doc_zipf_alpha" -> ((s, dir) => TextOps.zipfAlpha(docsT(s, dir))),
@@ -3574,6 +3587,32 @@ object SparkEntry {
                 CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS DOUBLE) / sum(m) AS dup_doc_share,
                 CAST(sum(CASE WHEN m >= 2 THEN t - rep_t ELSE 0 END) AS DOUBLE) / sum(t) AS dup_token_share
          FROM per""",
+
+    // the apply step restated: same batch synthesis, same md5-of-md5
+    // position hash at (65536, 4), membership = all-4-bits-set,
+    // truth = exact text membership, raw-IEEE fp rate
+    "dedup_bloom_apply" ->
+      """WITH c AS (SELECT text FROM documents),
+         batch AS (SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+                   UNION ALL
+                   SELECT doc_id + 20000000, text || ' novel' FROM documents WHERE doc_id % 7 = 3),
+         bits AS (SELECT DISTINCT ('0x' || substr(md5(md5(text) || '#65536#4#' || i), 1, 15))::BIGINT % 65536 AS pos
+                  FROM c, (SELECT unnest(range(4)) AS i) t(i)),
+         bpos AS (SELECT doc_id, ('0x' || substr(md5(md5(text) || '#65536#4#' || i), 1, 15))::BIGINT % 65536 AS pos
+                  FROM batch, (SELECT unnest(range(4)) AS i) t(i)),
+         fl AS (SELECT bpos.doc_id, (count(bits.pos) = 4) AS flagged
+                FROM bpos LEFT JOIN bits USING (pos) GROUP BY 1),
+         du AS (SELECT b.doc_id, TRUE AS is_dup FROM batch b WHERE b.text IN (SELECT text FROM c)),
+         j AS (SELECT fl.flagged, coalesce(du.is_dup, FALSE) AS is_dup
+               FROM fl LEFT JOIN du USING (doc_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_batch,
+                CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+                CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+                CAST(sum(CASE WHEN flagged AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+                CAST(sum(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                CAST(sum(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                  / (count(*) - sum(CASE WHEN is_dup THEN 1 ELSE 0 END)) AS fp_rate
+         FROM j""",
 
     // the Bloom stack restated: same cfg triples (generated from the
     // engine's default config Seq), same md5-of-md5 position hash,

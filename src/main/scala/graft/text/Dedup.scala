@@ -745,6 +745,63 @@ object Dedup {
     * occ×occ(×occ×occ) products, and measured FP stays a raw IEEE
     * division (§4 seven-decimal-tie rule — no round() on short-
     * decimal ratios). */
+  /** Shared Bloom position hash: bit index `i` of key `h0` under an
+    * (m, k) config — md5 of the digest + config so configs never
+    * share bits. Both the profile and the apply step derive positions
+    * through this one expression, so a profile's measured FP rate
+    * speaks for the filter the apply step actually uses. */
+  private def bloomPos(h0: Column, m: Column, k: Column, i: Column): Column =
+    pmod(graft.functions.Md5Prefix(
+      concat_ws("#", h0, m.cast("string"), k.cast("string"), i.cast("string")), 15),
+      m.cast("long"))
+
+  /** The Bloom APPLY step — cross-batch exact dedup through the
+    * filter [[bloomProfile]] sized: build the bitmap over the
+    * at-rest corpus, then test every NEW-batch document against it.
+    * A flagged doc goes to the (expensive, exact) verification path;
+    * an unflagged doc is GUARANTEED new — Bloom filters have no false
+    * negatives, and the report asserts that theorem on real data
+    * (n_caught must equal n_true_dups) next to the realized
+    * false-positive rate the profile predicted.
+    *
+    * Scale shape: one corpus pass to distinct bit positions (≤ m rows
+    * whatever the corpus — the broadcast side), one batch pass to
+    * positions, one broadcast membership join, one exact-text semi
+    * join for the truth column (the thing the filter exists to
+    * AVOID running on the whole batch — here it runs once to score
+    * the filter). One report row; ratios raw IEEE (§4). */
+  def bloomApply(corpus: DataFrame, batch: DataFrame,
+                 mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0, "power-of-two m")
+    val iCol = explode(array((0 until kHashes).map(i => lit(i)): _*)).as("i")
+    val bits = corpus.select(md5(col("text")).as("h0"))
+      .select(col("h0"), iCol)
+      .select(bloomPos(col("h0"), lit(mBits), lit(kHashes), col("i")).as("pos"))
+      .distinct().persist()
+    val bp = batch.select(col("doc_id"), md5(col("text")).as("h0"))
+    val flagged = bp.select(col("doc_id"), col("h0"), iCol)
+      .select(col("doc_id"),
+        bloomPos(col("h0"), lit(mBits), lit(kHashes), col("i")).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("hit")) === kHashes).as("flagged"))
+    val dups = bp.join(corpus.select(md5(col("text")).as("h0")).distinct(),
+        Seq("h0"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    flagged.join(dups, Seq("doc_id"), "left")
+      .select(col("flagged"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_true_dups"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged") && col("is_dup"), 1L).otherwise(0L)).as("n_caught"),
+        sum(when(col("flagged") && !col("is_dup"), 1L).otherwise(0L)).as("n_false_pos"))
+      .select(col("n_batch"), col("n_true_dups"), col("n_flagged"),
+        col("n_caught"), col("n_false_pos"),
+        (col("n_false_pos").cast("double")
+          / (col("n_batch") - col("n_true_dups")).cast("double")).as("fp_rate"))
+  }
+
   def bloomProfile(docs: DataFrame,
                    configs: Seq[(Int, Int)] = Seq((1024, 2), (4096, 2), (4096, 4), (65536, 4)),
                    nProbes: Int = 2000): DataFrame = {
@@ -757,10 +814,7 @@ object Dedup {
       .select(keyCol.as("h0"), explode(array(trip.map { case (m, k, i) =>
         struct(lit(m).as("m"), lit(k).as("k"), lit(i).as("i")) }: _*)).as("c"))
       .select(col("h0"), col("c.m").as("m"), col("c.k").as("k"),
-        pmod(graft.functions.Md5Prefix(
-          concat_ws("#", col("h0"), col("c.m").cast("string"),
-            col("c.k").cast("string"), col("c.i").cast("string")), 15),
-          col("c.m").cast("long")).as("pos"))
+        bloomPos(col("h0"), col("c.m"), col("c.k"), col("c.i")).as("pos"))
     val corpusPos = positions(md5(col("text")))(docs)
     val bits = corpusPos.select(col("m"), col("k"), col("pos")).distinct().persist()
     val built = bits.groupBy(col("m"), col("k"))

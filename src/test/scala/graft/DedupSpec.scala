@@ -297,6 +297,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloomApply: no false negatives ever; FP accounting exact at both filter sizes") {
+    val corpus = (1L to 40L).map(i => (i, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    // batch: 10 exact members + 10 guaranteed-novel texts
+    val batch = ((1L to 10L).map(i => (100L + i, s"corpus document number $i body")) ++
+      (1L to 10L).map(i => (200L + i, s"novel text $i never seen")))
+      .toDF("doc_id", "text")
+    val wide = Dedup.bloomApply(corpus, batch, mBits = 65536, kHashes = 4)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    val (nb, nd, nf, nc, nfp, fp) = wide
+    assert(nb == 20 && nd == 10, wide)
+    assert(nc == nd, s"FALSE NEGATIVE: caught $nc of $nd true dups") // Bloom theorem
+    assert(nf == nc + nfp && fp == nfp.toDouble / (nb - nd))
+    assert(nfp == 0, s"65536-bit filter on 40 items should not FP: $wide")
+    // a saturated 16-bit filter: still zero false negatives, FPs expected
+    val tiny = Dedup.bloomApply(corpus, batch, mBits = 16, kHashes = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(tiny._4 == tiny._2, s"false negative under saturation: $tiny")
+    assert(tiny._5 > 0, s"16-bit filter over 40 items must saturate into FPs: $tiny")
+  }
+
   test("stop-shingle cap bounds join fan-out") {
     // every doc shares shingle "a a a"; with cap 2 the hot shingle is dropped
     val docs = (1L to 10L).map(i => (i, s"a a a unique$i token$i")).toDF("doc_id", "text")

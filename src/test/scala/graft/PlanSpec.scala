@@ -463,6 +463,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("dedup_bloom_apply: the corpus bitmap broadcasts into the membership test") {
+    val p = plan("dedup_bloom_apply")
+    assert(p.contains("BroadcastHashJoin"), "bitmap join lost its broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("ts_monotonize: exactly one series shuffle, no joins") {
     val p = plan("ts_monotonize")
     assert(!p.contains("Join"), "monotonize grew a join:\n" + p.take(1200))
