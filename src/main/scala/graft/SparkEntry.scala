@@ -1245,6 +1245,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), TsOps.exactSum(col("c_acctbal"), 2).as("totacctbal"))
     }),
 
+    // DATA-QUALITY GATE (the Deequ role): 17 declarative constraints
+    // over the TPC-H trio — 11 row-grain checks folded into ONE
+    // conditional-aggregate scan per table, uniqueness from single
+    // hash aggs, referential/completeness as key-only joins, and a
+    // cross-table totalprice-vs-lines consistency check on exact
+    // decimals. Non-vacuous: this corpus genuinely fails three
+    // (duplicate line numbers, orders with no lines, totalprice drift)
+    "dq_checks" -> ((s, dir) =>
+      graft.quality.Quality.tpchSuite(
+        t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "customer"))),
+
     "multimodal_resize" -> ((s, dir) =>
       // resize roundtrip gate: synth real PNG/WAV → REAL pixel rescale
       // / PCM truncate → decode the resized containers; the oracle
@@ -4359,6 +4370,68 @@ object SparkEntry {
            AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1""",
+
+    // the DQ suite restated: identical predicates, counts as BIGINT,
+    // rates raw IEEE, the consistency check on the same 6dp decimals
+    "dq_checks" ->
+      """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS li_quantity_range,
+             CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS li_price_positive,
+             CAST(sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS li_discount_range,
+             CAST(sum(CASE WHEN NOT (l_tax >= 0.0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS li_tax_range,
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS li_returnflag_domain,
+             CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS li_keys_nonnull
+           FROM lineitem),
+         ord AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS ord_status_domain,
+             CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS ord_totalprice_positive,
+             CAST(sum(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1992-01-01' AND o_orderdate < TIMESTAMP '2002-01-01') THEN 1 ELSE 0 END) AS BIGINT) AS ord_date_range
+           FROM orders),
+         cust AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN NOT (c_acctbal >= -1000.0 AND c_acctbal <= 10000.0) THEN 1 ELSE 0 END) AS BIGINT) AS cust_acctbal_range,
+             CAST(sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) AS BIGINT) AS cust_mktsegment_domain
+           FROM customer),
+         uq_ord AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS nv FROM orders),
+         uq_li AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS nv FROM lineitem),
+         ref_li AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey),
+         ref_ord AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey),
+         haslines AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv
+           FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l ON o.o_orderkey = l.l_orderkey),
+         tp AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN abs(tpv - line_total) > 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS nv
+           FROM (SELECT CAST(round(o.o_totalprice, 6) AS DECIMAL(28,6)) AS tpv, ls.line_total
+                 FROM orders o
+                 JOIN (SELECT l_orderkey, sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS DECIMAL(28,6))) AS line_total
+                       FROM lineitem GROUP BY 1) ls ON o.o_orderkey = ls.l_orderkey)),
+         v AS (
+           SELECT 'li_quantity_range' AS check_name, n_rows, li_quantity_range AS n_violations FROM li
+           UNION ALL SELECT 'li_price_positive', n_rows, li_price_positive FROM li
+           UNION ALL SELECT 'li_discount_range', n_rows, li_discount_range FROM li
+           UNION ALL SELECT 'li_tax_range', n_rows, li_tax_range FROM li
+           UNION ALL SELECT 'li_returnflag_domain', n_rows, li_returnflag_domain FROM li
+           UNION ALL SELECT 'li_keys_nonnull', n_rows, li_keys_nonnull FROM li
+           UNION ALL SELECT 'ord_status_domain', n_rows, ord_status_domain FROM ord
+           UNION ALL SELECT 'ord_totalprice_positive', n_rows, ord_totalprice_positive FROM ord
+           UNION ALL SELECT 'ord_date_range', n_rows, ord_date_range FROM ord
+           UNION ALL SELECT 'cust_acctbal_range', n_rows, cust_acctbal_range FROM cust
+           UNION ALL SELECT 'cust_mktsegment_domain', n_rows, cust_mktsegment_domain FROM cust
+           UNION ALL SELECT 'ord_key_unique', n_rows, nv FROM uq_ord
+           UNION ALL SELECT 'li_line_unique', n_rows, nv FROM uq_li
+           UNION ALL SELECT 'li_orderkey_ref', n_rows, nv FROM ref_li
+           UNION ALL SELECT 'ord_custkey_ref', n_rows, nv FROM ref_ord
+           UNION ALL SELECT 'ord_has_lines', n_rows, nv FROM haslines
+           UNION ALL SELECT 'ord_totalprice_consistent', n_rows, nv FROM tp)
+         SELECT check_name, n_rows, n_violations,
+                CAST(n_violations AS DOUBLE) / n_rows AS violation_rate,
+                n_violations = 0 AS pass
+         FROM v""",
 
     "vocab_topk" ->
       """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

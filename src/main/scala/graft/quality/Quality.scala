@@ -1,0 +1,158 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite (the Deequ/great-
+  * expectations role — monolith's ecosystem has no equivalent; any
+  * pipeline feeding a 100 TB training run fronts its ingest with one
+  * of these).
+  *
+  * Scale design is the whole point of the API split:
+  *   - [[rowChecks]]: EVERY row-grain constraint on a table folds into
+  *     ONE conditional-aggregate scan (map-side partials, no shuffle
+  *     beyond the single-row final agg), however many checks ride it.
+  *     Adding a constraint is free; a naive one-query-per-check
+  *     harness would re-scan 100 TB per constraint.
+  *   - [[uniqueCheck]]: one hash aggregation on the key columns; the
+  *     violation count is Σ(cnt)−#keys from the same pass, never a
+  *     self-join.
+  *   - [[refCheck]]: the parent projects to DISTINCT keys first (the
+  *     only columns the constraint needs), then the child LEFT-joins
+  *     it — broadcast when the parent is dimension-sized, shuffle on
+  *     keys otherwise, and in both cases the bytes moved are keys,
+  *     not rows. Orphan counting happens in the same aggregation.
+  *
+  * Every verdict row is (check, n_rows, n_violations, violation_rate,
+  * pass) at the check's own grain; rates stay raw IEEE divisions of
+  * exact counts (deterministic). */
+object Quality {
+
+  /** One row-grain constraint: `violated` is the per-row predicate
+    * that COUNTS AGAINST the table (true = bad row). */
+  case class RowCheck(name: String, violated: Column)
+
+  private def verdict(df: DataFrame): DataFrame =
+    df.select(col("check_name"), col("n_rows"), col("n_violations"),
+      (col("n_violations").cast("double") / col("n_rows").cast("double"))
+        .as("violation_rate"),
+      (col("n_violations") === 0L).as("pass"))
+
+  /** All row-grain checks on one table in ONE scan. */
+  def rowChecks(table: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map(c => sum(when(c.violated, 1L).otherwise(0L)).as(c.name))
+    val one = table.agg(aggs.head, aggs.tail: _*)
+    val stacked = expr(
+      s"stack(${checks.size}, " +
+        checks.map(c => s"'${c.name}', ${c.name}").mkString(", ") +
+        ") as (check_name, n_violations)")
+    verdict(one.select(col("n_rows"), stacked))
+  }
+
+  /** Key-uniqueness: n_violations = rows carrying an already-used key
+    * (total rows − distinct keys), from one aggregation pass. */
+  def uniqueCheck(name: String, table: DataFrame, keys: Seq[String]): DataFrame =
+    verdict(table.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+      .select(lit(name).as("check_name"), col("n_rows"),
+        (col("n_rows") - col("n_keys")).as("n_violations")))
+
+  /** Referential integrity child→parent: orphan child rows. The
+    * parent side reduces to distinct keys before the join;
+    * `broadcastParent` pins the dimension-table case. */
+  def refCheck(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String,
+               broadcastParent: Boolean = false): DataFrame = {
+    val pk = parent.select(col(parentKey).as(childKey)).distinct()
+      .withColumn("__present", lit(1))
+    val pkSide = if (broadcastParent) broadcast(pk) else pk
+    verdict(child.select(col(childKey)).join(pkSide, Seq(childKey), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__present").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations")))
+  }
+
+  /** Completeness parent→child: parent rows with NO child (an order
+    * that never got a line). Same key-only join shape, reversed. */
+  def hasChildrenCheck(name: String, parent: DataFrame, parentKey: String,
+                       child: DataFrame, childKey: String): DataFrame = {
+    val ck = child.select(col(childKey).as(parentKey)).distinct()
+      .withColumn("__present", lit(1))
+    verdict(parent.select(col(parentKey)).join(ck, Seq(parentKey), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__present").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations")))
+  }
+
+  /** Cross-table aggregate consistency: |orders.o_totalprice −
+    * Σ lines extendedprice·(1−discount)·(1+tax)| ≤ tol, at the grain
+    * of orders that HAVE lines (order-less orders are
+    * [[hasChildrenCheck]]'s finding, not this one's). Line amounts are
+    * exact ≤6-decimal quantities (2dp price × 2dp discount × 2dp tax),
+    * so both the per-line round-to-6dp and the DECIMAL sums are
+    * order-independent — the comparison is exact, not FP-lucky. */
+  def totalpriceConsistent(name: String, orders: DataFrame, lineitem: DataFrame,
+                           tolerance: Double = 0.02): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val lineSums = lineitem
+      .select(col("l_orderkey").as("o_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 6).cast(dec).as("amt"))
+      .groupBy(col("o_orderkey")).agg(sum(col("amt")).as("line_total"))
+    verdict(orders
+      .select(col("o_orderkey"), round(col("o_totalprice"), 6).cast(dec).as("tp"))
+      .join(lineSums, Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("tp") - col("line_total")) > tolerance, 1L)
+          .otherwise(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_rows"), col("n_violations")))
+  }
+
+  /** The shipped suite over the TPC-H-ish trio: 11 row-grain checks in
+    * THREE scans (one per table), two uniqueness aggregations, two
+    * key-projected referential joins, one completeness join, one
+    * consistency join — 17 verdicts. The synthetic data genuinely
+    * fails three of them (duplicate (orderkey, linenumber) pairs,
+    * orders with no lines, totalprice drift), which is what makes the
+    * suite a real gate rather than a tautology. */
+  def tpchSuite(lineitem: DataFrame, orders: DataFrame,
+                customer: DataFrame): DataFrame = {
+    val li = rowChecks(lineitem, Seq(
+      RowCheck("li_quantity_range",
+        !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)),
+      RowCheck("li_price_positive", col("l_extendedprice") <= 0.0),
+      RowCheck("li_discount_range",
+        !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)),
+      RowCheck("li_tax_range", !(col("l_tax") >= 0.0 && col("l_tax") <= 0.08)),
+      RowCheck("li_returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+      RowCheck("li_keys_nonnull",
+        col("l_orderkey").isNull || col("l_partkey").isNull
+          || col("l_suppkey").isNull)))
+    val ord = rowChecks(orders, Seq(
+      RowCheck("ord_status_domain", !col("o_orderstatus").isin("F", "O", "P")),
+      RowCheck("ord_totalprice_positive", col("o_totalprice") <= 0.0),
+      RowCheck("ord_date_range",
+        !(col("o_orderdate") >= lit("1992-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("2002-01-01").cast("timestamp")))))
+    val cust = rowChecks(customer, Seq(
+      RowCheck("cust_acctbal_range",
+        !(col("c_acctbal") >= -1000.0 && col("c_acctbal") <= 10000.0)),
+      RowCheck("cust_mktsegment_domain",
+        !col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"))))
+    li.unionByName(ord).unionByName(cust)
+      .unionByName(uniqueCheck("ord_key_unique", orders, Seq("o_orderkey")))
+      .unionByName(uniqueCheck("li_line_unique", lineitem,
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(refCheck("li_orderkey_ref", lineitem, "l_orderkey",
+        orders, "o_orderkey"))
+      .unionByName(refCheck("ord_custkey_ref", orders, "o_custkey",
+        customer, "c_custkey", broadcastParent = true))
+      .unionByName(hasChildrenCheck("ord_has_lines", orders, "o_orderkey",
+        lineitem, "l_orderkey"))
+      .unionByName(totalpriceConsistent("ord_totalprice_consistent",
+        orders, lineitem))
+  }
+}

@@ -469,6 +469,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("dq_checks: dimension ref join broadcasts; row checks stay in hash aggregates") {
+    val p = plan("dq_checks")
+    assert(p.contains("BroadcastHashJoin"), "customer ref check lost its broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ts_monotonize: exactly one series shuffle, no joins") {
     val p = plan("ts_monotonize")
     assert(!p.contains("Join"), "monotonize grew a join:\n" + p.take(1200))

@@ -1,0 +1,71 @@
+package graft
+
+import graft.quality.Quality
+import graft.quality.Quality.RowCheck
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rowChecks: all constraints fold into one scan; counts exact") {
+    val t = Seq((1L, 10.0, "A"), (2L, -5.0, "B"), (3L, 0.0, "A"), (4L, 99.0, "Z"))
+      .toDF("id", "v", "flag")
+    val out = Quality.rowChecks(t, Seq(
+      RowCheck("v_positive", col("v") <= 0.0),
+      RowCheck("flag_domain", !col("flag").isin("A", "B"))))
+      .select("check_name", "n_rows", "n_violations", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toMap2
+    assert(out("v_positive") == ((4L, 2L, false)))
+    assert(out("flag_domain") == ((4L, 1L, false)))
+    // exactly ONE scan: a single aggregate feeds the stack generator
+    val plan = Quality.rowChecks(t, Seq(RowCheck("a", col("v") < 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "row checks split into multiple scans:\n" + plan)
+  }
+
+  test("uniqueCheck counts surplus rows per key, not distinct keys") {
+    val t = Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)).toDF("k", "line")
+    val byKey = Quality.uniqueCheck("u", t, Seq("k"))
+      .select("n_rows", "n_violations", "pass")
+      .as[(Long, Long, Boolean)].head()
+    assert(byKey == ((4L, 2L, false)))
+    val byPair = Quality.uniqueCheck("u2", t, Seq("k", "line"))
+      .select("n_violations", "pass").as[(Long, Boolean)].head()
+    assert(byPair == ((0L, true)))
+  }
+
+  test("refCheck flags orphans; hasChildrenCheck flags childless parents") {
+    val child = Seq((1L, "x"), (2L, "y"), (9L, "orphan")).toDF("fk", "p")
+    val parent = Seq((1L, "a"), (2L, "b"), (3L, "childless")).toDF("pk", "q")
+    val r = Quality.refCheck("r", child, "fk", parent, "pk",
+      broadcastParent = true)
+      .select("n_rows", "n_violations").as[(Long, Long)].head()
+    assert(r == ((3L, 1L)))
+    val h = Quality.hasChildrenCheck("h", parent, "pk", child, "fk")
+      .select("n_rows", "n_violations").as[(Long, Long)].head()
+    assert(h == ((3L, 1L)))
+  }
+
+  test("totalpriceConsistent: exact-decimal sums, tolerance honored, lineless orders excluded") {
+    val orders = Seq((1L, 30.0), (2L, 100.0), (3L, 5.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val lines = Seq(
+      (1L, 10.0, 0.0, 0.0), (1L, 20.0, 0.0, 0.0),   // sums to 30 exactly
+      (2L, 50.0, 0.02, 0.04))                        // 50*0.98*1.04 = 50.96 ≠ 100
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = Quality.totalpriceConsistent("tp", orders, lines)
+      .select("n_rows", "n_violations").as[(Long, Long)].head()
+    assert(out == ((2L, 1L)), s"order 3 has no lines and must not count: $out")
+    // within-tolerance drift passes
+    val near = Quality.totalpriceConsistent("tp2",
+      Seq((1L, 30.01)).toDF("o_orderkey", "o_totalprice"),
+      Seq((1L, 30.0, 0.0, 0.0)).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax"))
+      .select("n_violations").as[Long].head()
+    assert(near == 0L)
+  }
+
+  private implicit class MapOps(rows: Array[(String, Long, Long, Boolean)]) {
+    def toMap2: Map[String, (Long, Long, Boolean)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}
