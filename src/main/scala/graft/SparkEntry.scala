@@ -693,6 +693,16 @@ object SparkEntry {
         .groupBy(col("series_id"), floor(col("value") / 10.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // CUSUM change-point detection: the s_i = max(0, s_{i-1}+d_i)
+    // recursion closed-forms into prefix-sum − running-min over ONE
+    // (series, time) window sort; summands are 6dp decimals so the
+    // running sums are exact under any window-engine accumulation
+    // order. Crossings of h=3 fire once per excursion (lag re-arm);
+    // k=0.25 — the short per-series streams (avg 13 samples) need the
+    // fast-detection parameterization to be non-vacuous BOTH ways
+    "ts_cusum_changepoints" -> ((s, dir) =>
+      TsOps.cusum(Series.samples(t(s, dir, "events")))),
+
     "ts_zscore_outliers" -> ((s, dir) => {
       // per-series anomaly flags: samples more than 2 population
       // standard deviations from the series mean. Moments come from
@@ -3070,6 +3080,42 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    // CUSUM restated: same exact-decimal moments, same 6dp-decimal
+    // summands into window running sum + running min (exact whatever
+    // the engine's frame evaluation), decimal threshold compares
+    "ts_cusum_changepoints" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value, event_id FROM events),
+          m AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+                FROM s GROUP BY 1),
+          mm AS (SELECT series_id, s1 / n AS mean,
+                   sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+                 FROM m WHERE s2 / n - (s1 / n) * (s1 / n) > 0),
+          d AS (SELECT s.series_id, ts_us, event_id, value,
+                  CAST(round((value - mean) / std - 0.25, 6) AS DECIMAL(28,6)) AS d_hi,
+                  CAST(round(-((value - mean) / std) - 0.25, 6) AS DECIMAL(28,6)) AS d_lo
+                FROM s JOIN mm ON s.series_id = mm.series_id WHERE std > 0),
+          c AS (SELECT *, sum(d_hi) OVER w AS c_hi, sum(d_lo) OVER w AS c_lo
+                FROM d
+                WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)),
+          st AS (SELECT *,
+                   c_hi - least(CAST(0 AS DECIMAL(28,6)), min(c_hi) OVER w) AS s_hi,
+                   c_lo - least(CAST(0 AS DECIMAL(28,6)), min(c_lo) OVER w) AS s_lo
+                 FROM c
+                 WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)),
+          x AS (SELECT *, lag(s_hi) OVER w2 AS p_hi, lag(s_lo) OVER w2 AS p_lo
+                FROM st
+                WINDOW w2 AS (PARTITION BY series_id ORDER BY ts_us, event_id)),
+          f AS (SELECT *,
+                  (s_hi >= 3.000000 AND (p_hi IS NULL OR p_hi < 3.000000)) AS up,
+                  (s_lo >= 3.000000 AND (p_lo IS NULL OR p_lo < 3.000000)) AS down
+                FROM x)
+          SELECT series_id, ts_us, value,
+                 CASE WHEN up THEN 'up' ELSE 'down' END AS direction,
+                 round(CAST(CASE WHEN up THEN s_hi ELSE s_lo END AS DOUBLE), 6) AS stat
+          FROM f WHERE up OR down""",
 
     "ts_zscore_outliers" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -1201,6 +1201,64 @@ object TsOps {
             / sqrt(col("vx") * col("vy"))).as("corr"))
   }
 
+  /** CUSUM change-point detection (Page 1954) — the sequential
+    * mean-shift detector: per series, the one-sided cumulative sums
+    *   s_i = max(0, s_{i-1} ± z_i − k)   (z = standardized value)
+    * fire a change point when they cross the decision threshold `h`
+    * upward. The recursion never runs as a loop: with prefix sums
+    * c_i = Σ(d_j) the identity  s_i = c_i − min(0, min_{j≤i} c_j)
+    * turns both CUSUM sides into TWO window functions over ONE
+    * (series, time) sort — running sum + running min — and the
+    * crossing test is a lag over the same sort. Exchange-wise the
+    * corpus shuffles once for the window; the per-series moments
+    * come from the same exact-decimal one-pass aggregation the
+    * zscore operator uses and broadcast back.
+    *
+    * Determinism: the summand rounds to 6dp DECIMAL before the
+    * running sum, so the prefix sums are EXACT whatever the window
+    * engine's accumulation order (DuckDB evaluates window sums
+    * through a segment tree — a double summand would hash-drift);
+    * the threshold compare happens in decimal too. */
+  def cusum(samples: DataFrame, k: Double = 0.25, h: Double = 3.0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val hDec = lit(h).cast(dec)
+    val zero = lit(0).cast(dec)
+    val moments = samples.groupBy(col("series_id"))
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("value"), 6).as("s1"),
+        exactSum(col("value") * col("value"), 6).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("std", sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+      .filter(col("std") > 0)
+      .select("series_id", "mean", "std")
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    samples
+      .join(broadcast(moments), "series_id")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .withColumn("d_hi", round(col("z") - k, 6).cast(dec))
+      .withColumn("d_lo", round(-col("z") - k, 6).cast(dec))
+      .withColumn("c_hi", sum(col("d_hi")).over(run))
+      .withColumn("c_lo", sum(col("d_lo")).over(run))
+      .withColumn("s_hi", col("c_hi") - least(zero, min(col("c_hi")).over(run)))
+      .withColumn("s_lo", col("c_lo") - least(zero, min(col("c_lo")).over(run)))
+      .withColumn("p_hi", lag(col("s_hi"), 1).over(w))
+      .withColumn("p_lo", lag(col("s_lo"), 1).over(w))
+      .withColumn("up",
+        col("s_hi") >= hDec && (col("p_hi").isNull || col("p_hi") < hDec))
+      .withColumn("down",
+        col("s_lo") >= hDec && (col("p_lo").isNull || col("p_lo") < hDec))
+      .filter(col("up") || col("down"))
+      .select(col("series_id"), col("ts_us"), col("value"),
+        when(col("up"), "up").otherwise("down").as("direction"),
+        // the stat is an exact 6dp decimal; round() after the double
+        // cast pins both engines to the correctly-rounded double
+        // (DuckDB's raw decimal→double cast multiplies by 1e-6 and
+        // lands 1 ulp high — no tie risk, the 7th decimal is zero)
+        round(when(col("up"), col("s_hi")).otherwise(col("s_lo"))
+          .cast("double"), 6).as("stat"))
+  }
+
   /** Gap-based sessionization over the raw event stream: a session
     * breaks after `gapUs` of inactivity per user. Two windows over the
     * same (user_id × time) sort — Catalyst reuses one shuffle+sort. */

@@ -476,6 +476,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ts_cusum_changepoints: moments broadcast back; both CUSUM sides ride one window sort") {
+    val p = plan("ts_cusum_changepoints")
+    assert(p.contains("BroadcastHashJoin"), "moments join lost its broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"))
+    // running sum + running min + lag all share the (series, time)
+    // sort: exactly one Sort under the window stack
+    assert(p.split(java.util.regex.Pattern.quote("Sort [series_id")).length - 1 <= 1,
+      "cusum grew a second window sort:\n" + p.take(2000))
+  }
+
   test("ts_monotonize: exactly one series shuffle, no joins") {
     val p = plan("ts_monotonize")
     assert(!p.contains("Join"), "monotonize grew a join:\n" + p.take(1200))

@@ -701,6 +701,33 @@ class TsOpsSpec extends SparkSpec {
       (3L, 0L, 0L, 1L, None)))
   }
 
+  test("cusum fires once per excursion, on the shifted side only, where theory says") {
+    // 20 samples at 0 then 10 at 10: mean=10/3, std=√(100/3−100/9)
+    // ≈4.714. The long low stretch sits 0.707σ BELOW the whole-series
+    // mean, so the low side accumulates 0.707−0.25=0.457/sample and
+    // crosses h=3 on the 7th sample (ts=6e6); after the shift
+    // z=+1.414 drives the high side 1.164/sample across h on the 3rd
+    // shifted sample (ts=22e6). Exactly those two firings, in order —
+    // the lag re-arm suppresses every later above-threshold row.
+    val rows = (0 until 20).map(i => (s"e$i", i.toLong * 1000000L, 0.0)) ++
+      (20 until 30).map(i => (s"e$i", i.toLong * 1000000L, 10.0))
+    val samples = rows.toDF("event_id", "ts_us", "value")
+      .withColumn("series_id", lit("s1"))
+    val out = TsOps.cusum(samples)
+      .select("ts_us", "direction", "stat").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((6000000L, "down"), (22000000L, "up")), out)
+    out.foreach(r => assert(r._3 >= 3.0 && r._3 < 3.5, out))
+    // the mirrored series fires the mirrored directions
+    val rows2 = (0 until 20).map(i => (s"e$i", i.toLong * 1000000L, 10.0)) ++
+      (20 until 30).map(i => (s"e$i", i.toLong * 1000000L, 0.0))
+    val out2 = TsOps.cusum(rows2.toDF("event_id", "ts_us", "value")
+        .withColumn("series_id", lit("s1")))
+      .select("ts_us", "direction").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out2 == Seq((6000000L, "up"), (22000000L, "down")), out2)
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
