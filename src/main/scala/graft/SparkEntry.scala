@@ -1544,6 +1544,15 @@ object SparkEntry {
     "dedup_jaccard_twostage" -> ((s, dir) =>
       Dedup.ngramJaccardTwoStage(docsT(s, dir))),
 
+    // ITERATIVE GRAPH COMPUTE over the verified near-dup graph:
+    // PageRank finds the HUBS of duplication (template/boilerplate
+    // centers) that per-pair jaccard and flat cluster membership both
+    // miss. Integer nano-unit arithmetic end to end — bit-exact under
+    // any partitioning; see analytics/Graph.scala
+    "graph_pagerank" -> ((s, dir) =>
+      graft.analytics.Graph.pagerank(
+        Dedup.ngramJaccardTwoStage(docsT(s, dir)).select("doc_a", "doc_b"))),
+
     "dedup_containment" -> ((s, dir) =>
       // directional containment over the SAME LSH candidates — the
       // quotation/boilerplate/superset detector Jaccard misses when
@@ -2140,6 +2149,30 @@ object SparkEntry {
        JOIN nsh na ON na.doc_id = i.doc_a
        JOIN nsh nb ON nb.doc_id = i.doc_b
        WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3"""
+
+  /** graph_pagerank oracle: the two-stage pair CTE symmetrized into
+    * an edge list, then eight UNROLLED PageRank sweeps in the same
+    * integer nano-unit floor arithmetic as the engine (r div deg,
+    * (85·Σ) div 100) — exact, so no tolerance is needed. */
+  private lazy val pagerankOracle: String = {
+    val sweeps = (1 to 8).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+           (150000000 // nn.n) + (85 * CAST(sum(r${i - 1}.r // e.deg) AS BIGINT)) // 100 AS r
+         FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node CROSS JOIN nn
+         GROUP BY e.dst, nn.n)"""
+    }.mkString(",\n")
+    s"""WITH $twoStagePairsBody,
+       ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+       dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+       e AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+       nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+       r0 AS (SELECT DISTINCT src AS node, 1000000000 // nn.n AS r FROM e, nn),
+       $sweeps
+       SELECT r8.node AS doc_id, dg.deg, CAST(r8.r AS BIGINT) AS rank_nano,
+              CAST(r8.r AS BIGINT) / 1000000000.0 AS rank
+       FROM r8 JOIN dg ON dg.src = r8.node"""
+  }
 
   // ───────────────────────── oracle SQL ─────────────────────────
   def oracleSql: Map[String, String] = Map(
@@ -3498,6 +3531,11 @@ object SparkEntry {
     },
 
     "dedup_jaccard_twostage" -> twoStageOracle,
+
+    // PageRank restated over the same pairs CTE: identical integer
+    // nano-unit floor arithmetic, eight unrolled sweep CTEs — the
+    // integer representation is WHY the oracle can be exact
+    "graph_pagerank" -> pagerankOracle,
 
     // the band CTE keys buckets as (band, bh) where the engine folds
     // the band id into one hash — identical partitioning, so every

@@ -1,0 +1,61 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation over similarity-pair graphs — the one
+  * compute class the rest of the engine's dedup stack doesn't
+  * exercise (connected components label-propagate to a FIXPOINT of
+  * mins; PageRank iterates a weighted AVERAGE, so every iteration's
+  * numeric value matters).
+  *
+  * Determinism is the design constraint: a float PageRank sums
+  * neighbor contributions in partition order, and eight iterations
+  * amplify the reassociation drift past any rounding fence. This
+  * implementation runs ENTIRELY in integer nano-units (rank 1.0 ≡
+  * 10^9) with floor division — contribution = r div deg, damping =
+  * (85·Σ) div 100 — so every iteration is bit-exact under any
+  * partitioning, any engine, any summation order. The floor bias
+  * loses < 1 nano per division: invisible at report precision,
+  * priceless for reproducible pipelines. */
+object Graph {
+
+  /** PageRank over an UNDIRECTED pair graph (each pair conducts rank
+    * both ways), damping 0.85, fixed `iters` sweeps.
+    *
+    * Scale shape (100 TB): edges build once — symmetrize + one degree
+    * aggregation — and persist for all iterations; each sweep is ONE
+    * shuffle join of ranks onto edges by src plus ONE aggregation by
+    * dst (both hash-partitioned on node id; on a real cluster the two
+    * frames co-partition and the join side of later sweeps reuses the
+    * exchange). Ranks persist per sweep to cut the lineage chain —
+    * the frame is nodes-sized, orders smaller than the corpus. The
+    * only driver action is the node COUNT (one scalar, needed inside
+    * the integer base term). */
+  def pagerank(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters in [1, 50]")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").persist()
+    val n = e.select(col("src")).distinct().count()
+    require(n > 0, "empty pair graph")
+    val base = 150000000L / n        // (1−d)/N in nano-units, floored
+    val init = 1000000000L / n       // 1/N in nano-units, floored
+    var ranks = deg.select(col("src").as("node"), lit(init).as("r")).persist()
+    for (_ <- 1 to iters) {
+      val next = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node"))
+        .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("r"))
+        .persist()
+      next.count() // materialize before unpersisting the input sweep
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks.join(deg.withColumnRenamed("src", "node"), "node")
+      .select(col("node").as("doc_id"), col("deg"),
+        col("r").as("rank_nano"),
+        (col("r") / lit(1000000000.0)).as("rank"))
+  }
+}
