@@ -1255,6 +1255,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), TsOps.exactSum(col("c_acctbal"), 2).as("totacctbal"))
     }),
 
+    // SCD TYPE-2 MERGE (the warehouse dimension-history verb): one
+    // full-outer key join of the current slice vs a batch that mixes
+    // real changes (%7==2: balance bump), no-ops (%7==4: identical
+    // attrs — must pass through untouched, NOT churn a version), and
+    // inserts (%11==5 under shifted keys). Changed rows close at the
+    // batch instant and reopen; multi-batch chains are spec-drilled
+    "scd2_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val batch = base.filter(pmod(col("c_custkey"), lit(7L)) === 2)
+          .select(col("c_custkey"), round(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
+            col("c_mktsegment"))
+        .unionByName(base.filter(pmod(col("c_custkey"), lit(7L)) === 4))
+        .unionByName(base.filter(pmod(col("c_custkey"), lit(11L)) === 5)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            lit(500.0).as("c_acctbal"), lit("BUILDING").as("c_mktsegment")))
+      graft.analytics.Scd.scd2Merge(
+        graft.analytics.Scd.scd2Init(base), batch,
+        "c_custkey", Seq("c_acctbal", "c_mktsegment"), 1700000000000000L)
+    }),
+
     // DATA-QUALITY GATE (the Deequ role): 17 declarative constraints
     // over the TPC-H trio — 11 row-grain checks folded into ONE
     // conditional-aggregate scan per table, uniqueness from single
@@ -4454,6 +4475,32 @@ object SparkEntry {
            AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1""",
+
+    // SCD2 restated: same batch synthesis, one FULL OUTER join, the
+    // three output classes as UNION ALL branches; no-op rows keep
+    // their original open-ended version
+    "scd2_merge" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+         upd AS (
+           SELECT c_custkey, round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+           FROM base WHERE c_custkey % 7 = 2
+           UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment FROM base WHERE c_custkey % 7 = 4
+           UNION ALL SELECT c_custkey + 10000000, 500.0, 'BUILDING' FROM base WHERE c_custkey % 11 = 5),
+         j AS (SELECT b.c_custkey AS ck, u.c_custkey AS uk,
+                      b.c_acctbal AS cbal, b.c_mktsegment AS cseg,
+                      u.c_acctbal AS ubal, u.c_mktsegment AS useg
+               FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey),
+         o AS (
+           SELECT ck AS c_custkey, cbal AS c_acctbal, cseg AS c_mktsegment,
+                  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR (ubal = cbal AND useg = cseg))
+           UNION ALL
+           SELECT ck, cbal, cseg, 0, 1700000000000000, FALSE
+           FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND NOT (ubal = cbal AND useg = cseg)
+           UNION ALL
+           SELECT uk, ubal, useg, 1700000000000000, NULL, TRUE
+           FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR NOT (ubal = cbal AND useg = cseg)))
+         SELECT * FROM o""",
 
     // the DQ suite restated: identical predicates, counts as BIGINT,
     // rates raw IEEE, the consistency check on the same 6dp decimals

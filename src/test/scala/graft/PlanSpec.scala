@@ -486,6 +486,13 @@ class PlanSpec extends SparkSpec {
       "cusum grew a second window sort:\n" + p.take(2000))
   }
 
+  test("scd2_merge: one key join, no window, no sort aggregates") {
+    val p = plan("scd2_merge")
+    assert(!p.contains("Window"), "scd2 grew a window:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ts_monotonize: exactly one series shuffle, no joins") {
     val p = plan("ts_monotonize")
     assert(!p.contains("Join"), "monotonize grew a join:\n" + p.take(1200))
