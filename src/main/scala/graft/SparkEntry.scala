@@ -1255,6 +1255,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), TsOps.exactSum(col("c_acctbal"), 2).as("totacctbal"))
     }),
 
+    // Z-ORDER LAYOUT EVIDENCE: bit-interleave (orderkey, partkey)
+    // into z-cells (the would-be files of a repartitionByRange(z)
+    // writer) and report per-cell min/max spans of BOTH keys — small
+    // fractions on both = either predicate prunes most files, the
+    // thing a single-key sort can't give. Integer quantize/interleave
+    // end to end; one scalar pass + one map-side z + one cell agg
+    "layout_zorder" -> ((s, dir) =>
+      graft.analytics.Layout.zorderLayout(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
+
     // SCD TYPE-2 MERGE (the warehouse dimension-history verb): one
     // full-outer key join of the current slice vs a batch that mixes
     // real changes (%7==2: balance bump), no-ops (%7==4: identical
@@ -2170,6 +2180,31 @@ object SparkEntry {
        JOIN nsh na ON na.doc_id = i.doc_a
        JOIN nsh nb ON nb.doc_id = i.doc_b
        WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3"""
+
+  /** layout_zorder oracle: the same 16-bit integer quantization and
+    * the bit-interleave unrolled as 32 explicit shift/mask terms. */
+  private lazy val zorderOracle: String = {
+    val terms = (0 until 16).map(i =>
+      s"((x16 >> $i) & 1) * ${1L << (2 * i + 1)} + ((y16 >> $i) & 1) * ${1L << (2 * i)}")
+      .mkString(" + ")
+    s"""WITH ext AS (SELECT max(l_orderkey) AS gmax_x, min(l_orderkey) AS gmin_x,
+                            max(l_partkey) AS gmax_y, min(l_partkey) AS gmin_y FROM lineitem),
+       q AS (SELECT l_orderkey AS x, l_partkey AS y,
+                    (l_orderkey * 65536) // (gmax_x + 1) AS x16,
+                    (l_partkey * 65536) // (gmax_y + 1) AS y16,
+                    gmax_x, gmin_x, gmax_y, gmin_y
+             FROM lineitem, ext),
+       z AS (SELECT *, ($terms) AS zv FROM q),
+       c AS (SELECT zv >> 26 AS cell, CAST(count(*) AS BIGINT) AS n_rows,
+                    min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+                    max(gmax_x) AS gmax_x, max(gmin_x) AS gmin_x,
+                    max(gmax_y) AS gmax_y, max(gmin_y) AS gmin_y
+             FROM z GROUP BY 1)
+       SELECT cell, n_rows, min_x, max_x, min_y, max_y,
+              CAST(max_x - min_x AS DOUBLE) / CAST(gmax_x - gmin_x AS DOUBLE) AS x_span_frac,
+              CAST(max_y - min_y AS DOUBLE) / CAST(gmax_y - gmin_y AS DOUBLE) AS y_span_frac
+       FROM c"""
+  }
 
   /** graph_pagerank oracle: the two-stage pair CTE symmetrized into
     * an edge list, then eight UNROLLED PageRank sweeps in the same
@@ -4475,6 +4510,8 @@ object SparkEntry {
            AND c_custkey NOT IN (SELECT o_custkey FROM orders
                                  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1""",
+
+    "layout_zorder" -> zorderOracle,
 
     // SCD2 restated: same batch synthesis, one FULL OUTER join, the
     // three output classes as UNION ALL branches; no-op rows keep

@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout engineering for multi-dimensional scan pruning — the
+  * storage-side lever that makes a 100 TB table cheap to query on TWO
+  * key dimensions at once. A table sorted by one key prunes min/max
+  * file statistics on that key only; laid out along a Z-ORDER curve
+  * (bit-interleave of both keys), every file covers a small RANGE OF
+  * BOTH, so either predicate skips most files. The writer's recipe is
+  * `repartitionByRange(zValue) + sortWithinPartitions(zValue)`; this
+  * module computes the z-values and the evidence report that says
+  * whether the layout would prune.
+  *
+  * Everything before the final span ratios is INTEGER arithmetic
+  * (scaled 16-bit quantization by integer division, explicit
+  * shift/mask interleave, z-prefix cells) — deterministic across
+  * engines with no windows, no sort: one scalar max pass, one
+  * map-side z computation, one cell aggregation. */
+object Layout {
+
+  /** Bit-interleave two 16-bit quantized columns into a 32-bit
+    * z-value (x in odd bit positions, y in even). */
+  def zInterleave(x16: Column, y16: Column): Column =
+    (0 until 16).map { i =>
+      (shiftright(x16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright(y16, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+
+  /** Z-order layout evidence over key columns (xCol, yCol): quantize
+    * each key to 16 bits by integer division against its max+1,
+    * interleave, cut the z-space into 2^`log2Cells` prefix cells (the
+    * would-be files), and report per-cell row counts plus min/max of
+    * BOTH raw keys and their span fractions of the global ranges.
+    * Small span fractions on BOTH columns = the pruning win; a
+    * single-key sort would show ~1.0 on the other column. */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   log2Cells: Int = 6): DataFrame = {
+    require(log2Cells >= 1 && log2Cells <= 16, "log2Cells in [1,16]")
+    val ext = df.agg(
+      max(col(xCol)).as("gmax_x"), min(col(xCol)).as("gmin_x"),
+      max(col(yCol)).as("gmax_y"), min(col(yCol)).as("gmin_y"))
+    df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .crossJoin(broadcast(ext))
+      .withColumn("x16", expr(s"(x * 65536) div (gmax_x + 1)"))
+      .withColumn("y16", expr(s"(y * 65536) div (gmax_y + 1)"))
+      .withColumn("cell", shiftright(zInterleave(col("x16"), col("y16")),
+        32 - log2Cells))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        max(col("gmax_x")).as("gmax_x"), max(col("gmin_x")).as("gmin_x"),
+        max(col("gmax_y")).as("gmax_y"), max(col("gmin_y")).as("gmin_y"))
+      .select(col("cell"), col("n_rows"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        ((col("max_x") - col("min_x")).cast("double")
+          / (col("gmax_x") - col("gmin_x")).cast("double")).as("x_span_frac"),
+        ((col("max_y") - col("min_y")).cast("double")
+          / (col("gmax_y") - col("gmin_y")).cast("double")).as("y_span_frac"))
+  }
+}

@@ -486,6 +486,14 @@ class PlanSpec extends SparkSpec {
       "cusum grew a second window sort:\n" + p.take(2000))
   }
 
+  test("layout_zorder: scalar extents broadcast; no window, no sort aggregate") {
+    val p = plan("layout_zorder")
+    assert(!p.contains("Window"))
+    assert(!p.contains("SortAggregate"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "extent row lost its broadcast:\n" + p.take(1500))
+  }
+
   test("scd2_merge: one key join, no window, no sort aggregates") {
     val p = plan("scd2_merge")
     assert(!p.contains("Window"), "scd2 grew a window:\n" + p.take(1500))
