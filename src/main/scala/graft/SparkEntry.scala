@@ -1286,6 +1286,18 @@ object SparkEntry {
         "c_custkey", Seq("c_acctbal", "c_mktsegment"), 1700000000000000L)
     }),
 
+    // COLUMN PROFILER (discovery half of the DQ pair): every column's
+    // nulls/distinct/min/max from ONE scan (multi-distinct plans
+    // through a single Expand with partials). totalprice pre-casts to
+    // DECIMAL(18,2) so min/max stringification is format-stable
+    // across engines
+    "dq_profile" -> ((s, dir) =>
+      graft.quality.Quality.profile(
+        t(s, dir, "orders").withColumn("o_totalprice",
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
     // DATA-QUALITY GATE (the Deequ role): 17 declarative constraints
     // over the TPC-H trio — 11 row-grain checks folded into ONE
     // conditional-aggregate scan per table, uniqueness from single
@@ -4538,6 +4550,30 @@ object SparkEntry {
            SELECT uk, ubal, useg, 1700000000000000, NULL, TRUE
            FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR NOT (ubal = cbal AND useg = cseg)))
          SELECT * FROM o""",
+
+    // the profiler restated: one aggregate row unpivoted per column,
+    // decimal-cast totalprice for stable stringification
+    "dq_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = cols.map { c =>
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls,
+            CAST(count(DISTINCT $c) AS BIGINT) AS ${c}__distinct,
+            CAST(min($c) AS VARCHAR) AS ${c}__min,
+            CAST(max($c) AS VARCHAR) AS ${c}__max"""
+      }.mkString(",\n")
+      val rows = cols.map { c =>
+        s"""SELECT '$c' AS column_name, n_rows, ${c}__nulls AS n_nulls,
+              ${c}__distinct AS n_distinct, ${c}__min AS min_value,
+              ${c}__max AS max_value FROM one"""
+      }.mkString(" UNION ALL ")
+      s"""WITH src AS (SELECT * REPLACE (CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice) FROM orders),
+         one AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, $aggs FROM src),
+         u AS ($rows)
+         SELECT column_name, n_rows, n_nulls, n_distinct, min_value, max_value,
+                CAST(n_nulls AS DOUBLE) / n_rows AS null_rate
+         FROM u"""
+    },
 
     // the DQ suite restated: identical predicates, counts as BIGINT,
     // rates raw IEEE, the consistency check on the same 6dp decimals

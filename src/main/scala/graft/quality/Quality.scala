@@ -110,6 +110,35 @@ object Quality {
       .select(lit(name).as("check_name"), col("n_rows"), col("n_violations")))
   }
 
+  /** Per-column PROFILE of a table — the discovery half of the DQ
+    * story (run the profiler, read the stats, then write [[rowChecks]]
+    * constraints against what you learned). One aggregation computes
+    * every column's count/nulls/distinct/min/max together: Spark
+    * plans multi-column DISTINCT aggregates through one Expand (rows
+    * × columns) with partial aggregation — a single corpus scan, not
+    * a scan per column. min/max stringify so one report covers mixed
+    * types; numeric-looking strings keep their natural order by
+    * casting first. */
+  def profile(table: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: columns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = table.agg(aggs.head, aggs.tail: _*)
+    val stacked = expr(
+      s"stack(${columns.size}, " + columns.map(c =>
+        s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ") +
+        ") as (column_name, n_nulls, n_distinct, min_value, max_value)")
+    one.select(col("n_rows"), stacked)
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        (col("n_nulls").cast("double") / col("n_rows").cast("double"))
+          .as("null_rate"))
+  }
+
   /** The shipped suite over the TPC-H-ish trio: 11 row-grain checks in
     * THREE scans (one per table), two uniqueness aggregations, two
     * key-projected referential joins, one completeness join, one

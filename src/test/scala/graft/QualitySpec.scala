@@ -64,6 +64,20 @@ class QualitySpec extends SparkSpec {
     assert(near == 0L)
   }
 
+  test("profile: one scan, exact stats per column, null rate from the same pass") {
+    val t = Seq((Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a"))).toDF("k", "s")
+    val out = Quality.profile(t, Seq("k", "s"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value", "null_rate")
+      .as[(String, Long, Long, Long, String, String, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("k") == (("k", 4L, 1L, 2L, "1", "2", 0.25)))
+    assert(out("s") == (("s", 4L, 1L, 2L, "a", "c", 0.25)))
+    val plan = Quality.profile(t, Seq("k", "s")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "profile split into per-column scans:\n" + plan)
+    assert(plan.contains("Expand"), "multi-distinct should plan through one Expand")
+  }
+
   private implicit class MapOps(rows: Array[(String, Long, Long, Boolean)]) {
     def toMap2: Map[String, (Long, Long, Boolean)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
