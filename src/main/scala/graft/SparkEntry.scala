@@ -1255,6 +1255,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), TsOps.exactSum(col("c_acctbal"), 2).as("totacctbal"))
     }),
 
+    // CDC APPLY (the replication-consumer verb): an I/U/D ops log
+    // collapses per key by struct-max recency (one hash agg, no
+    // window) onto the base — last op wins, deletes drop, upserts
+    // land, double-updated keys take the later payload
+    "cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val k = col("c_custkey")
+      val ops = base.filter(pmod(k, lit(5L)) === 1)
+          .select(k, lit("U").as("op"), (lit(1000L) + k).as("ts_us"),
+            round(col("c_acctbal") + 50.0, 2).as("c_acctbal"), col("c_mktsegment"))
+        .unionByName(base.filter(pmod(k, lit(10L)) === 1)
+          .select(k, lit("U").as("op"), (lit(2000L) + k).as("ts_us"),
+            round(col("c_acctbal") + 75.0, 2).as("c_acctbal"), col("c_mktsegment")))
+        .unionByName(base.filter(pmod(k, lit(5L)) === 3)
+          .select(k, lit("D").as("op"), (lit(1500L) + k).as("ts_us"),
+            lit(null).cast("double").as("c_acctbal"),
+            lit(null).cast("string").as("c_mktsegment")))
+        .unionByName(base.filter(pmod(k, lit(9L)) === 7)
+          .select((k + 30000000L).as("c_custkey"), lit("I").as("op"),
+            (lit(1200L) + k).as("ts_us"), lit(42.0).as("c_acctbal"),
+            lit("MACHINERY").as("c_mktsegment")))
+      graft.analytics.Scd.cdcApply(base, ops, "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"))
+    }),
+
     // Z-ORDER LAYOUT EVIDENCE: bit-interleave (orderkey, partkey)
     // into z-cells (the would-be files of a repartitionByRange(z)
     // writer) and report per-cell min/max spans of BOTH keys — small
@@ -4524,6 +4550,30 @@ object SparkEntry {
          GROUP BY 1""",
 
     "layout_zorder" -> zorderOracle,
+
+    // CDC restated: same synthetic ops log; per-key recency via
+    // arg_max on the unique-by-construction timestamps
+    "cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer),
+         ops AS (
+           SELECT c_custkey AS k, 'U' AS op, 1000 + c_custkey AS ts, round(c_acctbal + 50.0, 2) AS bal, c_mktsegment AS seg
+           FROM customer WHERE c_custkey % 5 = 1
+           UNION ALL SELECT c_custkey, 'U', 2000 + c_custkey, round(c_acctbal + 75.0, 2), c_mktsegment
+           FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL SELECT c_custkey, 'D', 1500 + c_custkey, NULL, NULL
+           FROM customer WHERE c_custkey % 5 = 3
+           UNION ALL SELECT c_custkey + 30000000, 'I', 1200 + c_custkey, 42.0, 'MACHINERY'
+           FROM customer WHERE c_custkey % 9 = 7),
+         l AS (SELECT k, arg_max(op, ts) AS op,
+                      arg_max(bal, ts) AS lbal, arg_max(seg, ts) AS lseg
+               FROM ops GROUP BY 1),
+         j AS (SELECT coalesce(b.k, l.k) AS k, l.op,
+                      b.bal AS bbal, b.seg AS bseg, l.lbal, l.lseg
+               FROM base b FULL OUTER JOIN l ON b.k = l.k)
+         SELECT k AS c_custkey,
+                CASE WHEN op IS NOT NULL THEN lbal ELSE bbal END AS c_acctbal,
+                CASE WHEN op IS NOT NULL THEN lseg ELSE bseg END AS c_mktsegment
+         FROM j WHERE op IS NULL OR op <> 'D'""",
 
     // SCD2 restated: same batch synthesis, one FULL OUTER join, the
     // three output classes as UNION ALL branches; no-op rows keep

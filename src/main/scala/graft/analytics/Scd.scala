@@ -62,6 +62,33 @@ object Scd {
       .unionByName(keep).unionByName(closed).unionByName(opened)
   }
 
+  /** CDC APPLY — collapse an insert/update/delete operations log onto
+    * a base table: per key the LATEST op wins ('D' removes the row,
+    * 'I'/'U' upsert the payload), untouched keys pass through. The
+    * replication-consumer verb (Debezium/binlog apply) next to
+    * [[scd2Merge]]'s history-keeping one.
+    *
+    * The per-key reduction is ONE hash aggregation via struct-max
+    * (ts leads the struct, so the comparison IS the recency order —
+    * no window, no sort, map-side partials); the apply is one
+    * full-outer key join. Same bucketed-at-rest co-location story as
+    * the SCD2 merge. Ties on (key, ts) resolve deterministically by
+    * the struct's remaining fields — give ops unique timestamps per
+    * key if you need semantic (not just stable) resolution. */
+  def cdcApply(base: DataFrame, ops: DataFrame, key: String,
+               attrs: Seq[String], opCol: String = "op",
+               tsCol: String = "ts_us"): DataFrame = {
+    require(attrs.nonEmpty, "carry at least one attribute")
+    val last = ops.groupBy(col(key))
+      .agg(max(struct((Seq(tsCol, opCol) ++ attrs).map(col): _*)).as("__l"))
+      .select(col(key) +: col(s"__l.$opCol").as("__op") +:
+        attrs.map(a => col(s"__l.$a").as(s"__$a")): _*)
+    base.join(last, Seq(key), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(key) +: attrs.map(a =>
+        when(col("__op").isNotNull, col(s"__$a")).otherwise(col(a)).as(a)): _*)
+  }
+
   /** Bootstrap a plain dimension frame into SCD2 shape (one current
     * version per row, open-ended validity from `fromUs`). */
   def scd2Init(dim: DataFrame, fromUs: Long = 0L): DataFrame =

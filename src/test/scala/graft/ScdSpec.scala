@@ -46,6 +46,33 @@ class ScdSpec extends SparkSpec {
     assert(m2.filter(col("k") === 3L).count() == 1)
   }
 
+  test("cdcApply: last op wins, deletes drop, inserts land, absent-key deletes are no-ops") {
+    val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("k", "bal")
+    val ops = Seq(
+      (1L, "U", 10L, Some(110.0)),
+      (1L, "U", 20L, Some(120.0)),   // later — must win
+      (2L, "D", 15L, None),          // delete
+      (9L, "I", 12L, Some(900.0)),   // insert
+      (7L, "D", 11L, None))          // delete of an absent key: no-op
+      .toDF("k", "op", "ts_us", "bal")
+    val out = graft.analytics.Scd.cdcApply(base, ops, "k", Seq("bal"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 120.0), (3L, 300.0), (9L, 900.0)), out)
+  }
+
+  test("cdcApply: delete-then-reinsert resolves by recency") {
+    val base = Seq((1L, 1.0)).toDF("k", "bal")
+    val ops = Seq((1L, "D", 10L, Option.empty[Double]),
+      (1L, "I", 20L, Some(5.0))).toDF("k", "op", "ts_us", "bal")
+    val out = graft.analytics.Scd.cdcApply(base, ops, "k", Seq("bal"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 5.0)), out)
+    val ops2 = Seq((1L, "I", 10L, Some(5.0)),
+      (1L, "D", 20L, Option.empty[Double])).toDF("k", "op", "ts_us", "bal")
+    val out2 = graft.analytics.Scd.cdcApply(base, ops2, "k", Seq("bal")).count()
+    assert(out2 == 0L)
+  }
+
   test("scd2Merge: nulls in tracked attrs compare null-safely") {
     val d = Scd.scd2Init(Seq((1L, Option.empty[Double], "A")).toDF("k", "bal", "seg"))
     val noop = Scd.scd2Merge(d, Seq((1L, Option.empty[Double], "A")).toDF("k", "bal", "seg"),
