@@ -1842,6 +1842,13 @@ object SparkEntry {
     // a filtered corpus and fixed-length sequences)
     "doc_pack" -> ((s, dir) => TextOps.pack(docsT(s, dir))),
 
+    // GROUP-BY-LENGTH BATCHING: similar-length batches pad to the
+    // batch max only; the report quantifies the padding-waste saving
+    // vs arrival-order batching. Windows partition by coarse length
+    // bucket — never a global sort
+    "doc_length_batching" -> ((s, dir) =>
+      TextOps.lengthBatching(docsT(s, dir))),
+
     "doc_pack_bins" -> ((s, dir) =>
       // the loader-facing bin manifest: per (shard, bin) doc count,
       // filled token slots and fill ratio (padding shows as the final
@@ -4574,6 +4581,31 @@ object SparkEntry {
                 CASE WHEN op IS NOT NULL THEN lbal ELSE bbal END AS c_acctbal,
                 CASE WHEN op IS NOT NULL THEN lseg ELSE bseg END AS c_mktsegment
          FROM j WHERE op IS NULL OR op <> 'D'""",
+
+    // batching restated: same bucket/batch integer assignment, waste
+    // ratios raw IEEE from the identical integer aggregates
+    "doc_length_batching" ->
+      """WITH tc AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt FROM documents),
+         rn AS (SELECT *, nt // 16 AS bucket,
+                  row_number() OVER (PARTITION BY nt // 16 ORDER BY nt, doc_id) AS rn FROM tc),
+         bb AS (SELECT bucket, (rn - 1) // 32 AS b, CAST(count(*) AS BIGINT) AS n,
+                  max(nt) AS mx, CAST(sum(nt) AS BIGINT) AS sm
+                FROM rn GROUP BY 1, 2),
+         bs AS (SELECT CAST(count(*) AS BIGINT) AS batches_bucketed,
+                  CAST(sum(n) AS BIGINT) AS n_docs,
+                  CAST(sum(n * mx) AS BIGINT) AS padded_b,
+                  CAST(sum(sm) AS BIGINT) AS real_b FROM bb),
+         ab AS (SELECT doc_id // 32 AS b, CAST(count(*) AS BIGINT) AS n, max(nt) AS mx
+                FROM tc GROUP BY 1),
+         asx AS (SELECT CAST(count(*) AS BIGINT) AS batches_arrival,
+                   CAST(sum(n * mx) AS BIGINT) AS padded_a FROM ab)
+         SELECT n_docs, real_b AS n_tokens, batches_bucketed,
+                CAST(padded_b - real_b AS DOUBLE) / padded_b AS waste_bucketed,
+                batches_arrival,
+                CAST(padded_a - real_b AS DOUBLE) / padded_a AS waste_arrival,
+                CAST(padded_a - real_b AS DOUBLE) / padded_a
+                  - CAST(padded_b - real_b AS DOUBLE) / padded_b AS waste_saving
+         FROM bs, asx""",
 
     // SCD2 restated: same batch synthesis, one FULL OUTER join, the
     // three output classes as UNION ALL branches; no-op rows keep

@@ -897,4 +897,46 @@ object TextOps {
         (-(col("n_terms") * col("sxy") - col("sx") * col("sy"))
           / (col("n_terms") * col("sxx") - col("sx") * col("sx"))).as("alpha"))
   }
+
+  /** Length-bucketed TRAINING-BATCH assignment with padding-waste
+    * accounting — the group-by-length batching every training loader
+    * ships (fairseq/HF `group_by_length`): batches built from
+    * similar-length docs pad each row only to the BATCH max, so the
+    * waste Σ(n·max − Σlen)/Σ(n·max) collapses vs arrival-order
+    * batching. Reports both schemes side by side — the measured
+    * saving IS the operator's output.
+    *
+    * Scale: one tokenize pass (cached into the two grouping branches);
+    * batch assignment windows partition by COARSE LENGTH BUCKET
+    * (nt div bucketWidth), never globally — per-bucket row_numbers
+    * keep every sort partition-local; the arrival baseline needs no
+    * window at all (doc_id div batchSize). Integer token math until
+    * the two final waste ratios (raw IEEE). */
+  def lengthBatching(docs: DataFrame, bucketWidth: Int = 16,
+                     batchSize: Int = 32): DataFrame = {
+    val base = docs.select(col("doc_id"), tokenCount(col("text")).as("nt"))
+      .persist()
+    val bucketed = base
+      .withColumn("bucket", expr(s"nt div $bucketWidth"))
+      .withColumn("b", expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY nt, doc_id) - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("b"))
+      .agg(count(lit(1)).as("n"), max(col("nt")).as("mx"), sum(col("nt")).as("sm"))
+      .agg(count(lit(1)).as("batches_bucketed"),
+        sum(col("n")).as("n_docs"),
+        sum(col("n") * col("mx")).as("padded_b"),
+        sum(col("sm")).as("real_b"))
+    val arrival = base
+      .withColumn("b", expr(s"doc_id div $batchSize"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), max(col("nt")).as("mx"))
+      .agg(count(lit(1)).as("batches_arrival"),
+        sum(col("n") * col("mx")).as("padded_a"))
+    val wasteB = (col("padded_b") - col("real_b")).cast("double") / col("padded_b").cast("double")
+    val wasteA = (col("padded_a") - col("real_b")).cast("double") / col("padded_a").cast("double")
+    bucketed.crossJoin(arrival)
+      .select(col("n_docs"), col("real_b").as("n_tokens"),
+        col("batches_bucketed"), wasteB.as("waste_bucketed"),
+        col("batches_arrival"), wasteA.as("waste_arrival"),
+        (wasteA - wasteB).as("waste_saving"))
+  }
 }

@@ -486,6 +486,13 @@ class PlanSpec extends SparkSpec {
       "cusum grew a second window sort:\n" + p.take(2000))
   }
 
+  test("doc_length_batching: the batch window partitions by length bucket, never globally") {
+    val p = plan("doc_length_batching")
+    assert(p.contains("hashpartitioning(bucket"),
+      "batch assignment lost its bucket partitioning:\n" + p.take(2000))
+    assert(p.contains("InMemoryTableScan"), "tokenize diamond lost its cache:\n" + p.take(1500))
+  }
+
   test("layout_zorder: scalar extents broadcast; no window, no sort aggregate") {
     val p = plan("layout_zorder")
     assert(!p.contains("Window"))

@@ -723,4 +723,22 @@ class TextStatsSpec extends SparkSpec {
       assert(nb == 2L && nc == 1L && mx == 2L && np == 1L, st.toString)
     }
   }
+
+  test("lengthBatching: bucketed batches pad less; accounting exact on a hand corpus") {
+    // bucket width 16: lengths 2,3 land in bucket 0; 20,21 in bucket 1.
+    // bucketed batches (size 2, by length): [2,3] pad 1; [20,21] pad 1
+    //   → padded = 2*3 + 2*21 = 48, real = 46, waste = 2/48
+    // arrival (doc_id div 2) interleaves: [2,20] pad 18; [3,21] pad 18
+    //   → padded = 2*20 + 2*21 = 82, waste = 36/82
+    val docs = Seq(
+      (0L, "a a"), (1L, "b b b b b b b b b b b b b b b b b b b b"),
+      (2L, "c c c"), (3L, "d d d d d d d d d d d d d d d d d d d d d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lengthBatching(docs, bucketWidth = 16, batchSize = 2)
+      .as[(Long, Long, Long, Double, Long, Double, Double)].head()
+    assert(out._1 == 4L && out._2 == 46L, out)
+    assert(out._3 == 2L && out._5 == 2L, out)
+    assert(out._4 == 2.0 / 48 && out._6 == 36.0 / 82, out)
+    assert(out._7 == 36.0 / 82 - 2.0 / 48, out)
+  }
 }
