@@ -311,6 +311,52 @@ object StreamIngest {
       }
   }
 
+  case class CusumState(s_hi: Long, s_lo: Long)
+  case class CusumOut(series_id: String, ts_us: Long, value: Double,
+                      direction: String, stat: Double)
+
+  /** ONLINE CUSUM change-point detection — the batch
+    * [[graft.tsdb.TsOps.cusum]] recursion run live per series with
+    * `mapGroupsWithState`-style O(1) state: the pair (s_hi, s_lo) in
+    * integer 1e-6 units, nothing else, forever. The baseline
+    * (mean, std) is a PARAMETER here — a live monitor tests against a
+    * configured baseline; the batch operator estimates it from the
+    * corpus — so feeding the stream the batch's moments converges the
+    * two exactly (StreamCusumSpec drills it across micro-batch cuts).
+    * Summands quantize through the same HALF_UP 6dp rounding as the
+    * batch decimals, so state and crossings are bit-identical to the
+    * batch closed form, not merely close. */
+  def cusumStream(samples: DataFrame, mean: Double, std: Double,
+                  k: Double = 0.25, h: Double = 3.0): Dataset[CusumOut] = {
+    import samples.sparkSession.implicits._
+    require(std > 0, "positive std baseline")
+    val hUnits = java.math.BigDecimal.valueOf(h)
+      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    def r6(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    samples.select(col("series_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[AlertIn]
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, rows: Iterator[AlertIn], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = Seq.newBuilder[CusumOut]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val z = (e.value - mean) / std
+            val sHi = math.max(0L, st.s_hi + r6(z - k))
+            val sLo = math.max(0L, st.s_lo + r6(-z - k))
+            if (sHi >= hUnits && st.s_hi < hUnits)
+              out += CusumOut(sid, e.ts_us, e.value, "up", sHi.toDouble / 1e6)
+            else if (sLo >= hUnits && st.s_lo < hUnits)
+              out += CusumOut(sid, e.ts_us, e.value, "down", sLo.toDouble / 1e6)
+            st = CusumState(sHi, sLo)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Event-time-timeout sessionization: like [[sessionizeStream]], but
     * a forever-quiet user's open session ALSO closes once the event-
     * time watermark passes `session end + gap` — the state store never

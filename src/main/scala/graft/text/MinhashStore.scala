@@ -126,6 +126,15 @@ final class MinhashStore(spark: SparkSession, table: String, n: Int = 3,
         val old = s"${t}_precompact"
         spark.sql(s"DROP TABLE IF EXISTS $tmp")
         spark.sql(s"DROP TABLE IF EXISTS $old")
+        // a writer killed between laying files and registering the
+        // catalog entry leaves an ORPHAN location that DROP TABLE
+        // can't see and the CREATE below trips over — clear it
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val orphan = new org.apache.hadoop.fs.Path(s"$warehouse/$tmp")
+        val ofs = orphan.getFileSystem(hconf)
+        if (!spark.catalog.tableExists(tmp) && ofs.exists(orphan))
+          ofs.delete(orphan, true)
         // repartition on the BUCKET-ID EXPRESSION, not the raw column:
         // the bucketed source scan claims HashPartitioning(bucketCol)
         // already, so a plain repartition(nBuckets, col) gets elided —

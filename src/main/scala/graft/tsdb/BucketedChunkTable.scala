@@ -74,8 +74,19 @@ final class BucketedChunkTable(spark: SparkSession, table: String,
       .select(col("series_id"), col("chunk"),
         col("p._1").as("ts_us"), col("p._2").as("value"))
 
+  /** Drop both tables AND their warehouse locations. The location
+    * delete matters after a killed writer: files land before the
+    * catalog entry, and a later CREATE fails on LOCATION_ALREADY_EXISTS
+    * even though DROP TABLE IF EXISTS was a no-op. */
   def drop(): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_closed")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (t <- Seq(table, s"${table}_closed")) {
+      val p = new org.apache.hadoop.fs.Path(s"$warehouse/$t")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 }
