@@ -1255,6 +1255,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), TsOps.exactSum(col("c_acctbal"), 2).as("totacctbal"))
     }),
 
+    // PIVOT surface: the day × event_type value matrix through
+    // Spark's relational pivot with an EXPLICIT value list (an
+    // inferred list would add a distinct-scan job and make the column
+    // set data-dependent); exact 2dp decimal sums per cell
+    "events_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .select(Series.tsUs(t(s, dir, "events")).as("ts_us"),
+          col("event_type"), col("value"))
+        .select(expr("ts_us div 86400000000").as("day"),
+          col("event_type"), col("value"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(TsOps.exactSum(col("value"), 2))
+        .select(col("day") +: types.map(tp => col(tp).as(s"${tp}_sum")): _*)
+    }),
+
     // CDC APPLY (the replication-consumer verb): an I/U/D ops log
     // collapses per key by struct-max recency (one hash agg, no
     // window) onto the base — last op wins, deletes drop, upserts
@@ -4557,6 +4574,16 @@ object SparkEntry {
          GROUP BY 1""",
 
     "layout_zorder" -> zorderOracle,
+
+    // pivot restated as conditional exact-decimal sums per cell
+    "events_pivot" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+                CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS click_sum,
+                CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS error_sum,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS purchase_sum,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS signup_sum,
+                CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS view_sum
+         FROM events GROUP BY 1""",
 
     // CDC restated: same synthetic ops log; per-key recency via
     // arg_max on the unique-by-construction timestamps
