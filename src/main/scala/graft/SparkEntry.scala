@@ -1657,6 +1657,11 @@ object SparkEntry {
       // surviving pairs, dropped docs (keep-lowest-id), corpus left
       Dedup.dedupSweep(docsT(s, dir))),
 
+    // LSH BANDING TUNER: per (bands, rows) regroup of the same
+    // signatures — candidates emitted, true pairs caught, and the
+    // S-curve theory line Σ 1−(1−s^r)^b — the (b,r) sizing read
+    "dedup_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(docsT(s, dir))),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docsT(s, dir))),
 
     "dedup_keep" -> ((s, dir) =>
@@ -2242,6 +2247,48 @@ object SparkEntry {
        JOIN nsh na ON na.doc_id = i.doc_a
        JOIN nsh nb ON nb.doc_id = i.doc_b
        WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3"""
+
+  /** dedup_lsh_tuning oracle: per config the same signature columns
+    * regrouped into (bands × rows) band hashes, candidate/caught
+    * counts, and the S-curve expectation with powers unrolled to the
+    * engine's exact left-assoc multiplication chains. */
+  private lazy val lshTuningOracle: String = {
+    def powChain(b: String, n: Int) = List.fill(n)(b).mkString(" * ")
+    val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+    val blocks = configs.map { case (nb, r) =>
+      val bandRows = (0 until nb).map { g =>
+        val sig = (0 until r).map(j => s"CAST(m${g * r + j} AS VARCHAR)")
+          .mkString(" || '#' || ")
+        s"SELECT doc_id, $g AS g, md5($sig) AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      val p = s"1.0 - ${powChain(s"(1.0 - ${powChain("jaccard", r)})", nb)}"
+      s"""b$nb AS ($bandRows),
+       c$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM b$nb a JOIN b$nb b ON a.g = b.g AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       s$nb AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM c$nb),
+       g$nb AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+                FROM pairsj p JOIN c$nb c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b),
+       e$nb AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+                       CAST(sum(CAST(round($p, 6) AS DECIMAL(28,6))) AS DOUBLE) AS expected_caught
+                FROM pairsj)"""
+    }
+    val rows = configs.map { case (nb, r) =>
+      s"""SELECT $nb AS bands, $r AS rows_per_band, s$nb.n_candidates,
+            e$nb.n_true_pairs, g$nb.n_caught,
+            CAST(g$nb.n_caught AS DOUBLE) / e$nb.n_true_pairs AS recall,
+            e$nb.expected_caught
+          FROM s$nb, g$nb, e$nb"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $twoStagePairsBody,
+       pairsj AS (SELECT i.doc_a, i.doc_b,
+                    CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+                  FROM inter i
+                  JOIN nsh na ON na.doc_id = i.doc_a
+                  JOIN nsh nb ON nb.doc_id = i.doc_b
+                  WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.3),
+       ${blocks.mkString(",\n")}
+       $rows"""
+  }
 
   /** layout_zorder oracle: the same 16-bit integer quantization and
     * the bit-interleave unrolled as 32 explicit shift/mask terms. */
@@ -4574,6 +4621,8 @@ object SparkEntry {
          GROUP BY 1""",
 
     "layout_zorder" -> zorderOracle,
+
+    "dedup_lsh_tuning" -> lshTuningOracle,
 
     // pivot restated as conditional exact-decimal sums per cell
     "events_pivot" ->

@@ -802,6 +802,48 @@ object Dedup {
           / (col("n_batch") - col("n_true_dups")).cast("double")).as("fp_rate"))
   }
 
+  /** LSH BANDING TUNER — the S-curve sizing evidence for the MinHash
+    * index: per (bands b, rows-per-band r) regrouping of the SAME
+    * 16-perm signatures, the candidate pairs emitted, how many of the
+    * verified true pairs they capture, and the THEORY line — expected
+    * captures Σ 1−(1−s^r)^b over the true pairs' exact jaccards — so
+    * an operator picks (b, r) by reading measured-vs-predicted, the
+    * way dedup_bloom_profile sizes its bitmap. Truth is the
+    * (4,4)-banded two-stage verified pair set, so (4,4) and looser
+    * bandings read 1.0 recall by construction; the point of the curve
+    * is how fast TIGHTER bandings (fewer, wider bands) shed recall vs
+    * how many candidate pairs they save.
+    *
+    * Determinism: the S-curve powers unroll to explicit left-assoc
+    * multiplication chains (libm pow() differs across engines by
+    * ulps), and per-pair probabilities round to 6dp DECIMAL before
+    * the sum. Scale: signatures compute once (session-shared shingle
+    * frame); each config's candidate join is band-bucket-bounded. */
+  def lshTuning(docs: DataFrame,
+                configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8))): DataFrame = {
+    def powChain(b: String, n: Int) = List.fill(n)(b).mkString(" * ")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val truth = ngramJaccardTwoStage(docs)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).persist()
+    configs.map { case (nb, r) =>
+      require(nb * r == 16, s"config ($nb, $r) must use all 16 perms")
+      val cand = minhashLshPairs(docs, 3, 16, r)
+      val pExpr = s"1.0 - ${powChain(s"(1.0 - ${powChain("jaccard", r)})", nb)}"
+      val eAgg = truth.agg(
+        count(lit(1)).as("n_true_pairs"),
+        sum(round(expr(pExpr), 6).cast(dec)).cast("double").as("expected_caught"))
+      val sAgg = cand.agg(count(lit(1)).as("n_candidates"))
+      val gAgg = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      sAgg.crossJoin(eAgg).crossJoin(gAgg)
+        .select(lit(nb).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_true_pairs"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_true_pairs").cast("double"))
+            .as("recall"),
+          col("expected_caught"))
+    }.reduce(_.unionByName(_))
+  }
+
   def bloomProfile(docs: DataFrame,
                    configs: Seq[(Int, Int)] = Seq((1024, 2), (4096, 2), (4096, 4), (65536, 4)),
                    nProbes: Int = 2000): DataFrame = {

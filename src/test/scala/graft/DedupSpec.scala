@@ -318,6 +318,29 @@ class DedupSpec extends SparkSpec {
     assert(tiny._5 > 0, s"16-bit filter over 40 items must saturate into FPs: $tiny")
   }
 
+  test("lshTuning: candidates shrink as bands widen; truth fixed; theory bounded") {
+    val docs = (1L to 12L).map { i =>
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      (i, if (i % 3 == 0) base else s"$base variant$i tail$i word$i")
+    }.toDF("doc_id", "text")
+    val out = Dedup.lshTuning(docs)
+      .select("bands", "rows_per_band", "n_candidates", "n_true_pairs",
+        "n_caught", "recall", "expected_caught")
+      .as[(Int, Int, Long, Long, Long, Double, Double)]
+      .collect().sortBy(-_._1).toSeq
+    val nTrue = out.head._4
+    assert(nTrue > 0, "fixture must produce verified pairs")
+    out.foreach { r =>
+      assert(r._4 == nTrue, "truth must not vary by config")
+      assert(r._5 <= r._3 && r._5 <= nTrue && r._6 <= 1.0, r)
+      assert(r._7 >= 0.0 && r._7 <= nTrue + 1e-9, r)
+    }
+    // wider bands (fewer of them) can only shed candidates
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse, out.map(_._3))
+    // the loosest banding is a superset of every other config's catches
+    assert(out.head._5 == out.map(_._5).max)
+  }
+
   test("stop-shingle cap bounds join fan-out") {
     // every doc shares shingle "a a a"; with cap 2 the hot shingle is dropped
     val docs = (1L to 10L).map(i => (i, s"a a a unique$i token$i")).toDF("doc_id", "text")
