@@ -71,6 +71,13 @@ object DebugProbe {
           s"transform(sequence(0, 63), i -> element_at(embedding, CAST((i + $k) % 64 AS INT) + 1))"))))
       lazy val liP = x10("lineitem", Seq(
         "l_orderkey" -> (k => col("l_orderkey") + lit(k * 100000000L))))
+      // orders/customer shifted CONSISTENTLY with liP so referential
+      // checks stay truthful at 10x (same orderkey/custkey offsets)
+      lazy val ordP = x10("orders", Seq(
+        "o_orderkey" -> (k => col("o_orderkey") + lit(k * 100000000L)),
+        "o_custkey" -> (k => col("o_custkey") + lit(k * 10000000L))))
+      lazy val custP = x10("customer", Seq(
+        "c_custkey" -> (k => col("c_custkey") + lit(k * 10000000L))))
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val n = f
         ((System.nanoTime() - t0) / 1e9, n)
@@ -299,6 +306,58 @@ object DebugProbe {
               max(struct(col("supp_last"), (-col("l_suppkey")).as("neg"))).as("lo"))
             .filter(col("n_supp") >= 2 && col("hi.sk") === -col("lo.neg"))
             .count()
+        }),
+        // r10 continuation additions: the session's new families —
+        // closed-form CUSUM (one series window), integer PageRank
+        // (8 bounded sweeps over the dialect-linear pair graph), the
+        // DQ suite (3 one-pass scans + key-only joins at consistent
+        // 10x shifts), SCD2/CDC merges (full-outer key joins), z-order
+        // (map-side interleave + one agg), length batching (bucket-
+        // partitioned windows), LSH tuner (4 band regroups + S-curve),
+        // bloom apply (broadcast membership), profiler (one Expand)
+        ("cusum", p => graft.tsdb.TsOps.cusum(ev(p)).count()),
+        ("pagerank", p => graft.analytics.Graph.pagerank(
+          graft.text.Dedup.ngramJaccardTwoStage(docs(p))
+            .select("doc_a", "doc_b")).count()),
+        ("dq_checks", p => graft.quality.Quality.tpchSuite(
+          spark.read.parquet(p), spark.read.parquet(ordP),
+          spark.read.parquet(custP)).count()),
+        ("dq_profile", p => graft.quality.Quality.profile(
+          spark.read.parquet(p).withColumn("o_totalprice",
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")).count()),
+        ("scd2_merge", p => {
+          val base = spark.read.parquet(p)
+            .select("c_custkey", "c_acctbal", "c_mktsegment")
+          val batch = base.filter(pmod(col("c_custkey"), lit(7L)) === 2)
+            .select(col("c_custkey"),
+              round(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
+              col("c_mktsegment"))
+          graft.analytics.Scd.scd2Merge(graft.analytics.Scd.scd2Init(base),
+            batch, "c_custkey", Seq("c_acctbal", "c_mktsegment"),
+            1700000000000000L).count()
+        }),
+        ("cdc_apply", p => {
+          val base = spark.read.parquet(p)
+            .select("c_custkey", "c_acctbal", "c_mktsegment")
+          val ops = base.filter(pmod(col("c_custkey"), lit(5L)) === 1)
+            .select(col("c_custkey"), lit("U").as("op"),
+              (lit(1000L) + col("c_custkey")).as("ts_us"),
+              round(col("c_acctbal") + 50.0, 2).as("c_acctbal"),
+              col("c_mktsegment"))
+          graft.analytics.Scd.cdcApply(base, ops, "c_custkey",
+            Seq("c_acctbal", "c_mktsegment")).count()
+        }),
+        ("zorder", p => graft.analytics.Layout.zorderLayout(
+          spark.read.parquet(p), "l_orderkey", "l_partkey").count()),
+        ("length_batching", p => graft.text.TextOps.lengthBatching(docs(p)).count()),
+        ("lsh_tuning", p => graft.text.Dedup.lshTuning(docs(p)).count()),
+        ("bloom_apply", p => {
+          val d = docs(p)
+          val batch = d.filter(pmod(col("doc_id"), lit(7L)) === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+          graft.text.Dedup.bloomApply(d, batch).count()
         }))
       // paths are thunks: a probe-name subset (extra args after
       // __scale10) only builds the 10x tables it actually reads
@@ -368,7 +427,17 @@ object DebugProbe {
         "fertility" -> ("documents", () => docsP),
         "substring_apply" -> ("documents", () => docsP),
         "ab_srm" -> ("events", () => eventsP),
-        "image_stats" -> ("documents", () => docsP))
+        "image_stats" -> ("documents", () => docsP),
+        "cusum" -> ("events", () => eventsP),
+        "pagerank" -> ("documents", () => docsP),
+        "dq_checks" -> ("lineitem", () => liP),
+        "dq_profile" -> ("orders", () => ordP),
+        "scd2_merge" -> ("customer", () => custP),
+        "cdc_apply" -> ("customer", () => custP),
+        "zorder" -> ("lineitem", () => liP),
+        "length_batching" -> ("documents", () => docsP),
+        "lsh_tuning" -> ("documents", () => docsP),
+        "bloom_apply" -> ("documents", () => docsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))

@@ -2259,11 +2259,11 @@ object SparkEntry {
       val bandRows = (0 until nb).map { g =>
         val sig = (0 until r).map(j => s"CAST(m${g * r + j} AS VARCHAR)")
           .mkString(" || '#' || ")
-        s"SELECT doc_id, $g AS g, md5($sig) AS bh FROM sig"
+        s"SELECT doc_id, $g AS g, md5($sig) AS bh FROM sigm"
       }.mkString(" UNION ALL ")
       val p = s"1.0 - ${powChain(s"(1.0 - ${powChain("jaccard", r)})", nb)}"
-      s"""b$nb AS ($bandRows),
-       c$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      s"""b$nb AS MATERIALIZED ($bandRows),
+       c$nb AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM b$nb a JOIN b$nb b ON a.g = b.g AND a.bh = b.bh AND a.doc_id < b.doc_id),
        s$nb AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM c$nb),
        g$nb AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
@@ -2280,7 +2280,8 @@ object SparkEntry {
           FROM s$nb, g$nb, e$nb"""
     }.mkString(" UNION ALL ")
     s"""WITH $twoStagePairsBody,
-       pairsj AS (SELECT i.doc_a, i.doc_b,
+       sigm AS MATERIALIZED (SELECT * FROM sig),
+       pairsj AS MATERIALIZED (SELECT i.doc_a, i.doc_b,
                     CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
                   FROM inter i
                   JOIN nsh na ON na.doc_id = i.doc_a
@@ -2321,18 +2322,18 @@ object SparkEntry {
     * (85·Σ) div 100) — exact, so no tolerance is needed. */
   private lazy val pagerankOracle: String = {
     val sweeps = (1 to 8).map { i =>
-      s"""r$i AS (SELECT e.dst AS node,
+      s"""r$i AS MATERIALIZED (SELECT e.dst AS node,
            (150000000 // nn.n) + (85 * CAST(sum(r${i - 1}.r // e.deg) AS BIGINT)) // 100 AS r
          FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node CROSS JOIN nn
          GROUP BY e.dst, nn.n)"""
     }.mkString(",\n")
     s"""WITH $twoStagePairsBody,
-       ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       ed AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
-       dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
-       e AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
-       nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
-       r0 AS (SELECT DISTINCT src AS node, 1000000000 // nn.n AS r FROM e, nn),
+       dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+       e AS MATERIALIZED (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+       nn AS MATERIALIZED (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+       r0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1000000000 // nn.n AS r FROM e, nn),
        $sweeps
        SELECT r8.node AS doc_id, dg.deg, CAST(r8.r AS BIGINT) AS rank_nano,
               CAST(r8.r AS BIGINT) / 1000000000.0 AS rank
