@@ -693,6 +693,13 @@ object SparkEntry {
         .groupBy(col("series_id"), floor(col("value") / 10.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // INTERVAL-UNION coverage: events open 5-minute activity
+    // intervals; overlaps merge into islands (running-max-end rule —
+    // a width-aware merge sessionize's gap rule can't express) and
+    // the report is the union's measure per user
+    "events_active_time" -> ((s, dir) =>
+      TsOps.activeTime(t(s, dir, "events"))),
+
     // CUSUM change-point detection: the s_i = max(0, s_{i-1}+d_i)
     // recursion closed-forms into prefix-sum − running-min over ONE
     // (series, time) window sort; summands are 6dp decimals so the
@@ -3279,6 +3286,24 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    // interval union restated: same running-max-end island rule
+    "events_active_time" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                      epoch_us(ts) + 300000000 AS end_us FROM events),
+         m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM s),
+         f AS (SELECT *, CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end THEN 1 ELSE 0 END AS is_new FROM m),
+         i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island FROM f),
+         g AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS n,
+                 min(ts_us) AS st, max(end_us) AS e FROM i GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+                CAST(count(*) AS BIGINT) AS n_islands,
+                CAST(sum(e - st) AS BIGINT) AS covered_us,
+                CAST(max(e) - min(st) AS BIGINT) AS span_us,
+                CAST(sum(e - st) AS DOUBLE) / (max(e) - min(st)) AS coverage_frac
+         FROM g GROUP BY 1""",
 
     // CUSUM restated: same exact-decimal moments, same 6dp-decimal
     // summands into window running sum + running min (exact whatever

@@ -1259,6 +1259,43 @@ object TsOps {
           .cast("double"), 6).as("stat"))
   }
 
+  /** INTERVAL-UNION coverage per user — each event opens a half-open
+    * activity interval [ts, ts + holdUs); overlapping intervals merge
+    * into islands and the report is the union's measure: how long was
+    * the user ACTUALLY active, how fragmented, what share of their
+    * span. The classic gaps-and-islands merge (a new island starts
+    * where an interval begins at-or-after the running max end of
+    * everything before it) — [[sessionize]]'s gap rule can't express
+    * it because intervals have WIDTH: a long interval can swallow
+    * several later starts. Two windows + one aggregation over a
+    * single (user, time) sort; all-integer until the final coverage
+    * ratio. */
+  def activeTime(events: DataFrame, holdUs: Long = 300000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Series.samples(events)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("ts_us") + holdUs).as("end_us"))
+      .withColumn("prev_max_end",
+        max(col("end_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull || col("ts_us") >= col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n"), min(col("ts_us")).as("s"), max(col("end_us")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_us"),
+        (max(col("e")) - min(col("s"))).as("span_us"))
+      .select(col("user_id"), col("n_events"), col("n_islands"),
+        col("covered_us"), col("span_us"),
+        (col("covered_us").cast("double") / col("span_us").cast("double"))
+          .as("coverage_frac"))
+  }
+
   /** Gap-based sessionization over the raw event stream: a session
     * breaks after `gapUs` of inactivity per user. Two windows over the
     * same (user_id × time) sort — Catalyst reuses one shuffle+sort. */

@@ -728,6 +728,29 @@ class TsOpsSpec extends SparkSpec {
     assert(out2 == Seq((6000000L, "up"), (22000000L, "down")), out2)
   }
 
+  test("activeTime: a long interval swallows later starts; islands measure the union") {
+    // hold 10s. user 1: events at 0s, 3s, 25s → [0,10)∪[3,13)=[0,13)
+    // and [25,35): 2 islands, covered 23s, span 35s. user 2: single.
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 1.0),
+      (2L, 3000000L * 1000, 1L, "click", 1.0),
+      (3L, 25000000L * 1000, 1L, "click", 1.0),
+      (4L, 0L, 2L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.activeTime(ev, holdUs = 10000000L)
+      .select("user_id", "n_events", "n_islands", "covered_us", "span_us", "coverage_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 23000000L, 35000000L, 23.0 / 35),
+      (2L, 1L, 1L, 10000000L, 10000000L, 1.0)), out)
+    // back-to-back half-open intervals [0,10) and [10,20) do NOT merge
+    val ev2 = Seq((1L, 0L, 1L, "click", 1.0), (2L, 10000000L * 1000, 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val two = TsOps.activeTime(ev2, holdUs = 10000000L)
+      .select("n_islands").as[Long].head()
+    assert(two == 2L)
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
