@@ -1908,6 +1908,11 @@ object SparkEntry {
 
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(docsT(s, dir), 20)),
 
+    // vocab-size dial: token-instance coverage at each candidate k —
+    // the flattening point is the tokenizer budget answer; bounded
+    // TakeOrdered head, maxK-row window, never a global sort
+    "vocab_coverage_curve" -> ((s, dir) => TextOps.vocabCoverage(docsT(s, dir))),
+
     // per-doc OOV rate vs the corpus top-16 vocabulary — the
     // tokenizer-coverage report (vocab broadcast, one instance pass)
     "doc_oov_rate" -> ((s, dir) => TextOps.oovRate(docsT(s, dir))),
@@ -4820,6 +4825,21 @@ object SparkEntry {
                 CAST(n_violations AS DOUBLE) / n_rows AS violation_rate,
                 n_violations = 0 AS pass
          FROM v""",
+
+    // coverage curve restated: same (n desc, term) vocab order
+    "vocab_coverage_curve" ->
+      """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+         g AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+         v AS (SELECT term, n FROM g ORDER BY n DESC, term ASC LIMIT 64),
+         w AS (SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rnk FROM v),
+         ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS k)
+         SELECT k, CAST(max(rnk) AS BIGINT) AS n_terms,
+                CAST(sum(n) AS BIGINT) AS covered_tokens,
+                max(total) AS total_tokens,
+                CAST(sum(n) AS DOUBLE) / max(total) AS coverage
+         FROM ks JOIN w ON w.rnk <= ks.k CROSS JOIN t
+         GROUP BY k""",
 
     "vocab_topk" ->
       """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),

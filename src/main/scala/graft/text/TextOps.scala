@@ -570,6 +570,40 @@ object TextOps {
     * TakeOrderedAndProject — per-partition bounded top-k merged on
     * the driver, never a global sort — so the operator is one
     * aggregation + an O(k) merge at any corpus size. */
+  /** Vocabulary COVERAGE curve — at each candidate vocab size k, the
+    * share of all token INSTANCES the top-k terms cover: the read
+    * that sizes a tokenizer's vocab (where the curve flattens, bigger
+    * buys nothing) next to [[oovRate]]'s fixed-k per-doc view and
+    * [[heapsCurve]]'s type growth. Scale: one instance pass to term
+    * frequencies (hash agg), top-maxK via TakeOrdered (bounded heap,
+    * never a global sort), and the cumulative window runs over maxK
+    * rows whatever the corpus. Shares are raw IEEE ratios of exact
+    * counts. */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxK = ks.max
+    val freqs = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = freqs.agg(sum(col("n")).as("total"))
+    val top = freqs.orderBy(col("n").desc, col("term").asc).limit(maxK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("term").asc)))
+    val kFrame = docs.sparkSession.range(1)
+      .select(explode(array(ks.map(lit): _*)).as("k"))
+    top.crossJoin(broadcast(kFrame))
+      .select(col("k"), col("rnk"), col("n"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("covered_tokens"),
+        max(col("rnk")).cast("long").as("n_terms"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_terms"), col("covered_tokens"),
+        col("total").as("total_tokens"),
+        (col("covered_tokens").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
   def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
     docs
       .select(explode(tokens(col("text"))).as("term"))

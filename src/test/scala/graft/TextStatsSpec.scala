@@ -741,4 +741,17 @@ class TextStatsSpec extends SparkSpec {
     assert(out._4 == 2.0 / 48 && out._6 == 36.0 / 82, out)
     assert(out._7 == 36.0 / 82 - 2.0 / 48, out)
   }
+
+  test("vocabCoverage: exact shares, vocab-exhaustion plateau, deterministic ties") {
+    // freqs: a×4, b×2, c×1, d×1 (c before d on the term tiebreak)
+    val docs = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, ks = Seq(1, 2, 3, 8))
+      .select("k", "n_terms", "covered_tokens", "total_tokens", "coverage")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 1L, 4L, 8L, 0.5),
+      (2, 2L, 6L, 8L, 0.75),
+      (3, 3L, 7L, 8L, 7.0 / 8),
+      (8, 4L, 8L, 8L, 1.0)), out)
+  }
 }
