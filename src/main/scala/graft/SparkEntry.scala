@@ -1348,6 +1348,34 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))),
 
+    // SCD2 POINT-IN-TIME READ (the verb the merge exists FOR): enrich
+    // every order with the customer VERSION valid at its order date —
+    // merge instant 1998-01-01 sits inside the order-date range, so
+    // pre-1998 orders bind v0 and later orders of changed customers
+    // bind v1 (non-vacuous both ways). Equi-join on the key + interval
+    // filter; exactly one version matches by the tiling invariant
+    "scd2_pit_join" -> ((s, dir) => {
+      val t1 = 883612800000000L // 1998-01-01 UTC in µs
+      val base = t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val batch = base.filter(pmod(col("c_custkey"), lit(7L)) === 2)
+        .select(col("c_custkey"), round(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
+          col("c_mktsegment"))
+      val scd = graft.analytics.Scd.scd2Merge(
+        graft.analytics.Scd.scd2Init(base), batch,
+        "c_custkey", Seq("c_acctbal", "c_mktsegment"), t1)
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+          col("o_totalprice"))
+        .join(scd, Seq("c_custkey"))
+        .filter(col("valid_from") <= col("t") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")))
+        .groupBy(col("c_mktsegment"), col("valid_from").as("version_from"))
+        .agg(count(lit(1)).as("n_orders"),
+          TsOps.exactSum(col("o_totalprice"), 2).as("sum_totalprice"))
+    }),
+
     // DATA-QUALITY GATE (the Deequ role): 17 declarative constraints
     // over the TPC-H trio — 11 row-grain checks folded into ONE
     // conditional-aggregate scan per table, uniqueness from single
@@ -4763,6 +4791,31 @@ object SparkEntry {
                 CAST(n_nulls AS DOUBLE) / n_rows AS null_rate
          FROM u"""
     },
+
+    // the PIT read restated: same one-batch merge, same interval bind
+    "scd2_pit_join" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+         upd AS (SELECT c_custkey, round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+                 FROM base WHERE c_custkey % 7 = 2),
+         j AS (SELECT b.c_custkey AS ck, u.c_custkey AS uk,
+                      b.c_acctbal AS cbal, b.c_mktsegment AS cseg,
+                      u.c_acctbal AS ubal, u.c_mktsegment AS useg
+               FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey),
+         scd AS (
+           SELECT ck AS c_custkey, cseg AS c_mktsegment,
+                  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+           FROM j WHERE uk IS NULL
+           UNION ALL
+           SELECT ck, cseg, 0, 883612800000000 FROM j WHERE uk IS NOT NULL
+           UNION ALL
+           SELECT ck, useg, 883612800000000, NULL FROM j WHERE uk IS NOT NULL),
+         o AS (SELECT o_custkey AS c_custkey, epoch_us(o_orderdate) AS t, o_totalprice FROM orders)
+         SELECT s.c_mktsegment, s.valid_from AS version_from,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_totalprice
+         FROM o JOIN scd s ON o.c_custkey = s.c_custkey
+         WHERE s.valid_from <= o.t AND (s.valid_to IS NULL OR o.t < s.valid_to)
+         GROUP BY 1, 2""",
 
     // the DQ suite restated: identical predicates, counts as BIGINT,
     // rates raw IEEE, the consistency check on the same 6dp decimals
