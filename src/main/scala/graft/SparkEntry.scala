@@ -834,6 +834,21 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"), col("user_id"), 64)
         .withColumnRenamed("g", "event_type")),
 
+    // KMV SET ALGEBRA: |click ∪ purchase| and |click ∩ purchase|
+    // user counts estimated from the two k-min sketches alone (the
+    // semilattice merge + the Beyer ρ̂·D̂ intersection estimator),
+    // exact truth riding along as the error evidence
+    "events_kmv_setops" -> ((s, dir) =>
+      // sets with real structure (plain click/purchase user sets are
+      // both the full population at this density): a = big-purchase
+      // users, b = big-error users — probed 67/75 with a 34-user
+      // overlap at sf0.01
+      graft.analytics.Kmv.setOpsEstimate(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "error") && col("value") > 150.0),
+        when(col("event_type") === "purchase", "a").otherwise("b"),
+        col("user_id"), 64)),
+
     "events_props_json" -> ((s, dir) =>
       // semi-structured column: parse the JSON props payload with a
       // schema'd from_json (native JsonToStructs — single pass, no UDF)
@@ -3473,6 +3488,44 @@ object SparkEntry {
                      ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
                 END AS est_distinct
          FROM k""",
+
+    // the sketch algebra restated bit-for-bit: same md5 hash60s, same
+    // k-min lists, same merge, same ρ̂·D̂ product
+    "events_kmv_setops" ->
+      """WITH s AS (SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                      user_id AS v
+                    FROM events WHERE event_type IN ('purchase', 'error') AND value > 150.0),
+         hh AS (SELECT DISTINCT g, h FROM s),
+         r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hh),
+         mins AS (SELECT g, h FROM r WHERE rn <= 64),
+         per AS (SELECT g, CAST(count(*) AS BIGINT) AS n, max(h) AS kth FROM mins GROUP BY 1),
+         pe AS (SELECT g, CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                               ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END AS e
+                FROM per),
+         tagged AS (SELECT h, max(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ia,
+                           max(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS ib
+                    FROM mins GROUP BY 1),
+         ur AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM tagged),
+         ua AS (SELECT CAST(count(*) AS BIGINT) AS uk, max(h) AS ukth,
+                       CAST(sum(ia * ib) AS BIGINT) AS nboth
+                FROM ur WHERE rn <= 64),
+         ue AS (SELECT CASE WHEN uk < 64 THEN CAST(uk AS DOUBLE)
+                            ELSE 63.0 * 1152921504606846976.0 / CAST(ukth AS DOUBLE) END AS est_union,
+                       CAST(nboth AS DOUBLE) / uk AS jaccard_est
+                FROM ua),
+         ex1 AS (SELECT v, max(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ia,
+                        max(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS ib
+                 FROM (SELECT DISTINCT g, v FROM s) GROUP BY 1),
+         ex AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a_exact,
+                       CAST(sum(ib) AS BIGINT) AS n_b_exact,
+                       CAST(count(*) AS BIGINT) AS n_union_exact,
+                       CAST(sum(ia * ib) AS BIGINT) AS n_inter_exact FROM ex1)
+         SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+                (SELECT e FROM pe WHERE g = 'a') AS est_a,
+                (SELECT e FROM pe WHERE g = 'b') AS est_b,
+                est_union, jaccard_est * est_union AS est_intersection, jaccard_est
+         FROM ex, ue""",
 
     "events_props_json" ->
       // json_extract (->>) parses the payload SEMANTICALLY, matching

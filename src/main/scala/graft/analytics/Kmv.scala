@@ -28,6 +28,62 @@ object Kmv {
   def hash60(c: Column): Column =
     graft.functions.Md5Prefix(c, 15)
 
+  /** KMV SET ALGEBRA over two labeled sets — the reason mergeable
+    * sketches exist: estimate |A∪B| and |A∩B| from the two k-min
+    * sketches WITHOUT touching the raw sets again. Union sketch = the
+    * k smallest of the merged min-lists (the exact semilattice merge
+    * the streaming KMV already relies on); intersection = the
+    * Beyer et al. (SIGMOD'07) estimator ρ̂·D̂(A∪B) where ρ̂ counts how
+    * many of the union sketch's k minima are members of BOTH input
+    * sketches. Exact counts ride along as the error evidence.
+    *
+    * Scale: the raw sets reduce to ≤k rows each (TopKPerKey bounded
+    * heaps after a partial-aggregated distinct); everything after is
+    * arithmetic on ≤2k rows. Deterministic end to end (md5 hashes,
+    * integer comparisons, one raw-IEEE division per estimate).
+    * Input: two-set frame via `setLabel` ∈ {a, b}. One output row. */
+  def setOpsEstimate(df: DataFrame, setLabel: Column, value: Column,
+                     k: Int): DataFrame = {
+    val hashed = df.select(setLabel.as("g"), hash60(value).as("h")).distinct()
+    val mins = graft.plans.TopKPerKey(hashed, Seq("g"),
+      Seq("h" -> graft.plans.TopKPerKey.Asc), k).persist()
+    def est(kth: Column, n: Column): Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / kth.cast("double"))
+    val perSet = mins.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(col("g"), col("n_kept"), est(col("kth"), col("n_kept")).as("e"))
+    val aRow = perSet.filter(col("g") === "a").select(col("e").as("est_a"))
+    val bRow = perSet.filter(col("g") === "b").select(col("e").as("est_b"))
+    // union sketch: k smallest distinct hashes of the merged min-lists,
+    // each tagged with which input sketches contain it
+    val tagged = mins.groupBy(col("h"))
+      .agg(max(when(col("g") === "a", 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === "b", 1).otherwise(0)).as("in_b"))
+    val uk = graft.plans.TopKPerKey(tagged.withColumn("one", lit(1)), Seq("one"),
+      Seq("h" -> graft.plans.TopKPerKey.Asc), k)
+    val uAgg = uk.agg(
+      count(lit(1)).as("u_kept"), max(col("h")).as("u_kth"),
+      sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(est(col("u_kth"), col("u_kept")).as("est_union"),
+        (col("n_both").cast("double") / col("u_kept").cast("double")).as("jaccard_est"))
+      .select(col("est_union"), col("jaccard_est"),
+        (col("jaccard_est") * col("est_union")).as("est_intersection"))
+    // exact truth for the error columns: one pass over distinct values
+    val exact = df.select(setLabel.as("g"), value.as("v")).distinct()
+      .groupBy(col("v"))
+      .agg(max(when(col("g") === "a", 1).otherwise(0)).as("ia"),
+        max(when(col("g") === "b", 1).otherwise(0)).as("ib"))
+      .agg(sum(col("ia")).as("n_a_exact"), sum(col("ib")).as("n_b_exact"),
+        count(lit(1)).as("n_union_exact"),
+        sum(col("ia") * col("ib")).as("n_inter_exact"))
+    exact.crossJoin(broadcast(aRow)).crossJoin(broadcast(bRow))
+      .crossJoin(broadcast(uAgg))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_union_exact"),
+        col("n_inter_exact"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersection"), col("jaccard_est"))
+  }
+
   /** Per-`group` distinct-count estimate of `value` with a k-minimum
     * sketch. Output: (group, n_kept, kth_hash, est_distinct) — groups
     * with fewer than k distinct values report their exact count. */

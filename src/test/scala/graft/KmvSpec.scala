@@ -27,4 +27,33 @@ class KmvSpec extends SparkSpec {
     val b = Kmv.distinctEstimate(base.repartition(17, col("v")), col("g"), col("v"), k = 32)
     assert(a.orderBy("g").collect().toSeq == b.orderBy("g").collect().toSeq)
   }
+
+  test("setOpsEstimate: sub-k sets report exact; estimates track truth above k") {
+    // below k both sketches are complete: every estimate IS the truth
+    val small = ((1 to 30).map(i => ("a", i)) ++ (21 to 50).map(i => ("b", i)))
+      .toDF("g", "v")
+    val r = Kmv.setOpsEstimate(small, col("g"), col("v"), k = 64)
+      .select("n_a_exact", "n_b_exact", "n_union_exact", "n_inter_exact",
+        "est_a", "est_b", "est_union", "est_intersection")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].head()
+    assert((r._1, r._2, r._3, r._4) == ((30L, 30L, 50L, 10L)), r)
+    assert(r._5 == 30.0 && r._6 == 30.0 && r._7 == 50.0, r)
+    assert(r._8 == (10.0 / 50) * 50.0, r)
+    // above k the estimates stay within a loose band of the truth
+    val big = ((1 to 3000).map(i => ("a", i)) ++ (2001 to 5000).map(i => ("b", i)))
+      .toDF("g", "v")
+    val e = Kmv.setOpsEstimate(big, col("g"), col("v"), k = 64)
+      .select("est_union", "est_intersection")
+      .as[(Double, Double)].head()
+    assert(math.abs(e._1 - 5000) / 5000 < 0.3, e)
+    assert(e._2 > 200 && e._2 < 2500, s"intersection estimate wild: $e (true 1000)")
+  }
+
+  test("setOpsEstimate is deterministic across partitionings") {
+    val base = ((1 to 500).map(i => ("a", i % 211)) ++ (1 to 500).map(i => ("b", i % 307)))
+      .toDF("g", "v")
+    val a = Kmv.setOpsEstimate(base.repartition(2), col("g"), col("v"), k = 32).collect().toSeq
+    val b = Kmv.setOpsEstimate(base.repartition(13, col("v")), col("g"), col("v"), k = 32).collect().toSeq
+    assert(a == b)
+  }
 }
