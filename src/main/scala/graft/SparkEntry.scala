@@ -834,6 +834,24 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"), col("user_id"), 64)
         .withColumnRenamed("g", "event_type")),
 
+    // SOURCE-LAYER GATE: parquet → JSONL (epoch-micros time) → the
+    // schema-enforced reader → aggregates equal the parquet truth.
+    // Proves the wire-dump write+read path END TO END under the
+    // oracle, not just in specs — incl. doubles surviving the text
+    // hop (shortest-round-trip) and integer time surviving any parser
+    "ingest_jsonl_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.sources.Ingest.writeJsonlMicros(t(s, dir, "events"), out)
+      graft.sources.Ingest.eventsFromJsonlMicros(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          TsOps.exactSum(col("value"), 2).as("sum_value"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"),
+          sum(col("event_id")).as("sum_event_id"))
+    }),
+
     // KMV SET ALGEBRA: |click ∪ purchase| and |click ∩ purchase|
     // user counts estimated from the two k-min sketches alone (the
     // semilattice merge + the Beyer ρ̂·D̂ intersection estimator),
@@ -3488,6 +3506,16 @@ object SparkEntry {
                      ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
                 END AS est_distinct
          FROM k""",
+
+    // the roundtrip's truth, straight off the parquet
+    "ingest_jsonl_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                min(epoch_us(ts)) AS min_ts_us,
+                max(epoch_us(ts)) AS max_ts_us,
+                CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY 1""",
 
     // the sketch algebra restated bit-for-bit: same md5 hash60s, same
     // k-min lists, same merge, same ρ̂·D̂ product

@@ -34,6 +34,33 @@ object Ingest {
   def eventsStreamFromJsonl(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).json(dir)
 
+  /** Wire-dump schema with event time as epoch MICROS — the format a
+    * JSONL export should actually use: integer micros survive any
+    * JSON writer/parser bit-exactly, where timestamp STRINGS invite
+    * timezone/fraction-format drift between producers. */
+  val eventMicrosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Export events as JSON-lines with epoch-micros time (one pass,
+    * normalizes any physical ts type through [[graft.tsdb.Series
+    * .tsUs]]). Doubles survive the text hop losslessly — the writer
+    * emits shortest-round-trip representations. */
+  def writeJsonlMicros(events: DataFrame, path: String): Unit =
+    events.select(
+      org.apache.spark.sql.functions.col("event_id"),
+      graft.tsdb.Series.tsUs(events).as("ts_us"),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("value"))
+      .write.mode("overwrite").json(path)
+
+  def eventsFromJsonlMicros(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventMicrosSchema).json(path)
+
   /** Schema-evolution read over a parquet lineage: older partitions
     * may lack columns that newer ones carry (a pipeline that added a
     * `props` field mid-history). `mergeSchema` unions the file
