@@ -834,6 +834,14 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"), col("user_id"), 64)
         .withColumnRenamed("g", "event_type")),
 
+    // LINEAR MULTI-TOUCH attribution: each purchase's value splits
+    // EQUALLY across the clicks in its preceding hour (integer
+    // micro-cent credits — a rounded decimal split would land on the
+    // seven-decimal-tie class at 2^5 touches); last-touch's
+    // one-winner rule lives in events_attribution next door
+    "events_attribution_linear" -> ((s, dir) =>
+      TsOps.attributionLinear(t(s, dir, "events"))),
+
     // SOURCE-LAYER GATE: parquet → JSONL (epoch-micros time) → the
     // schema-enforced reader → aggregates equal the parquet truth.
     // Proves the wire-dump write+read path END TO END under the
@@ -3506,6 +3514,37 @@ object SparkEntry {
                      ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
                 END AS est_distinct
          FROM k""",
+
+    // linear attribution restated: same chunked pair join collapsed
+    // to a plain inequality join (same pairs), same integer split
+    "events_attribution_linear" ->
+      """WITH sm AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+         p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts, value,
+                      ts_us - 3600000000 AS s, ts_us AS e
+               FROM sm WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts_us FROM sm WHERE event_type = 'click'),
+         tj AS (SELECT p.p_id, p.p_ts, p.value, CAST(count(*) AS BIGINT) AS n_touches
+                FROM p JOIN c ON p.user_id = c.user_id
+                            AND c.ts_us >= p.s AND c.ts_us <= p.e
+                GROUP BY 1, 2, 3),
+         tc AS (SELECT *, CAST(round(value * 100.0, 0) AS BIGINT) AS cents FROM tj),
+         tu AS (SELECT *, (cents * 1000000) // n_touches AS credit_ucents FROM tc),
+         td AS (SELECT p_ts // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n_purchases_touched,
+                       CAST(sum(n_touches) AS BIGINT) AS n_touches,
+                       CAST(sum(credit_ucents * n_touches) AS DOUBLE) / 100000000.0 AS credited_value
+                FROM tu GROUP BY 1),
+         og AS (SELECT p_ts // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n_purchases_organic,
+                       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS organic_value
+                FROM p WHERE p_id NOT IN (SELECT p_id FROM tj) GROUP BY 1)
+         SELECT coalesce(td.day, og.day) AS day,
+                coalesce(n_purchases_touched, 0) AS n_purchases_touched,
+                coalesce(n_touches, 0) AS n_touches,
+                coalesce(credited_value, 0.0) AS credited_value,
+                coalesce(n_purchases_organic, 0) AS n_purchases_organic,
+                coalesce(organic_value, 0.0) AS organic_value
+         FROM td FULL OUTER JOIN og ON td.day = og.day""",
 
     // the roundtrip's truth, straight off the parquet
     "ingest_jsonl_roundtrip" ->

@@ -1259,6 +1259,56 @@ object TsOps {
           .cast("double"), 6).as("stat"))
   }
 
+  /** LINEAR MULTI-TOUCH attribution — [[attribution]]'s last-touch
+    * rule gives the whole purchase to one click; the linear model
+    * splits each purchase's value EQUALLY across every click in its
+    * preceding window, the standard fairness baseline marketing
+    * stacks report next to last-touch. Pairs come from the chunked
+    * range join (never a cross product: a click meets only the
+    * purchases whose window overlaps its time chunk), the per-purchase
+    * touch count is one aggregation, and the SPLIT IS INTEGER: value
+    * → exact cents → micro-cent credit by integer division (value/n
+    * as a rounded decimal would land on the §4 seven-decimal-tie
+    * class at touch counts like 32 — 2dp/2^5 is an exactly-7dp
+    * quantity). Credits re-sum exactly under any order; the ≤n
+    * micro-cent floor remainder per purchase is the documented loss.
+    * Output per day: purchases touched, touches, credited value —
+    * plus the untouched remainder so credited + organic ≈ total
+    * purchase value (conservation, spec-pinned). */
+  def attributionLinear(events: DataFrame, windowUs: Long = 3600000000L): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val sm = Series.samples(events)
+    val purchases = sm.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"), col("value"),
+        (col("ts_us") - windowUs).as("start_us"), col("ts_us").as("end_us"))
+    val clicks = sm.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+    val touches = RangeJoin.pointsInIntervals(clicks, purchases, Seq("user_id"))
+      .groupBy(col("p_id"), col("p_ts"), col("value"))
+      .agg(count(lit(1)).as("n_touches"))
+      .withColumn("cents", round(col("value") * 100.0, 0).cast("long"))
+      .withColumn("credit_ucents", expr("(cents * 1000000) div n_touches"))
+    val touched = touches
+      .groupBy(expr("p_ts div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_purchases_touched"),
+        sum(col("n_touches")).as("n_touches"),
+        (sum(col("credit_ucents") * col("n_touches")).cast("double")
+          / lit(1e8)).as("credited_value"))
+    val organic = purchases
+      .join(touches.select(col("p_id")), Seq("p_id"), "left_anti")
+      .groupBy(expr("p_ts div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_purchases_organic"),
+        sum(col("value").cast(d2)).cast("double").as("organic_value"))
+    touched.join(organic, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_purchases_touched"), lit(0L)).as("n_purchases_touched"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        coalesce(col("credited_value"), lit(0.0)).as("credited_value"),
+        coalesce(col("n_purchases_organic"), lit(0L)).as("n_purchases_organic"),
+        coalesce(col("organic_value"), lit(0.0)).as("organic_value"))
+  }
+
   /** INTERVAL-UNION coverage per user — each event opens a half-open
     * activity interval [ts, ts + holdUs); overlapping intervals merge
     * into islands and the report is the union's measure: how long was

@@ -751,6 +751,28 @@ class TsOpsSpec extends SparkSpec {
     assert(two == 2L)
   }
 
+  test("attributionLinear: equal integer split, window respected, value conserves") {
+    val h = 3600000000L
+    val ev = Seq(
+      // user 1: purchase 100.00 at t=2h with 3 clicks inside [1h, 2h]
+      (1L, (2L * h) * 1000, 1L, "purchase", 100.0),
+      (2L, (h + 600L * 1000000) * 1000, 1L, "click", 0.0),
+      (3L, (h + 1200L * 1000000) * 1000, 1L, "click", 0.0),
+      (4L, (h + 1800L * 1000000) * 1000, 1L, "click", 0.0),
+      (5L, 0L, 1L, "click", 0.0),                       // outside window
+      // user 2: organic purchase, no clicks
+      (6L, (2L * h) * 1000, 2L, "purchase", 50.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.attributionLinear(ev)
+      .select("n_purchases_touched", "n_touches", "credited_value",
+        "n_purchases_organic", "organic_value")
+      .as[(Long, Long, Double, Long, Double)].head()
+    // 100.00 → 10000 cents → 10^10 µcents div 3 = 3333333333, ×3 / 1e8
+    assert(out == ((1L, 3L, 3333333333L * 3 / 1e8, 1L, 50.0)), out)
+    // conservation: credited + organic within a micro-cent floor of total
+    assert(out._3 + out._5 > 149.9999 && out._3 + out._5 <= 150.0)
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
