@@ -1417,6 +1417,32 @@ object SparkEntry {
           TsOps.exactSum(col("o_totalprice"), 2).as("sum_totalprice"))
     }),
 
+    // the SAME Quality API over the ML-side tables — the gate a
+    // training pipeline runs before admitting a corpus/embedding
+    // batch (consistency, domains, vector shape/NaN/norm, key
+    // uniqueness). All-green on this corpus: the realistic case — a
+    // DQ gate that usually passes and exists for the day it doesn't
+    "dq_corpus_checks" -> ((s, dir) => {
+      import graft.quality.Quality
+      import graft.quality.Quality.RowCheck
+      val docs = docsT(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Quality.rowChecks(docs, Seq(
+        RowCheck("doc_nchars_consistent", col("n_chars") =!= length(col("text"))),
+        RowCheck("doc_text_nonempty", col("text").isNull || col("text") === ""),
+        RowCheck("doc_lang_domain", !col("lang").isin("de", "en", "es", "fr", "zh")),
+        RowCheck("doc_source_pattern", !col("source").rlike("^src[0-9]+$"))))
+        .unionByName(Quality.rowChecks(emb, Seq(
+          RowCheck("emb_dim_64", size(col("embedding")) =!= 64),
+          RowCheck("emb_no_nan", exists(col("embedding"), x => isnan(x))),
+          RowCheck("emb_label_domain", col("label") < 0 || col("label") > 9),
+          RowCheck("emb_norm_positive",
+            aggregate(col("embedding"), lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double")) === 0.0))))
+        .unionByName(Quality.uniqueCheck("doc_id_unique", docs, Seq("doc_id")))
+        .unionByName(Quality.uniqueCheck("vec_id_unique", emb, Seq("vec_id")))
+    }),
+
     // DATA-QUALITY GATE (the Deequ role): 17 declarative constraints
     // over the TPC-H trio — 11 row-grain checks folded into ONE
     // conditional-aggregate scan per table, uniqueness from single
@@ -4936,6 +4962,40 @@ object SparkEntry {
          FROM o JOIN scd s ON o.c_custkey = s.c_custkey
          WHERE s.valid_from <= o.t AND (s.valid_to IS NULL OR o.t < s.valid_to)
          GROUP BY 1, 2""",
+
+    // the corpus gate restated with DuckDB list lambdas
+    "dq_corpus_checks" ->
+      """WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS doc_nchars_consistent,
+             CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS doc_text_nonempty,
+             CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS doc_lang_domain,
+             CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS doc_source_pattern
+           FROM documents),
+         e AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS emb_dim_64,
+             CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS emb_no_nan,
+             CAST(sum(CASE WHEN label < 0 OR label > 9 THEN 1 ELSE 0 END) AS BIGINT) AS emb_label_domain,
+             CAST(sum(CASE WHEN list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS emb_norm_positive
+           FROM embeddings),
+         ud AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS nv FROM documents),
+         ue AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS nv FROM embeddings),
+         v AS (
+           SELECT 'doc_nchars_consistent' AS check_name, n_rows, doc_nchars_consistent AS n_violations FROM d
+           UNION ALL SELECT 'doc_text_nonempty', n_rows, doc_text_nonempty FROM d
+           UNION ALL SELECT 'doc_lang_domain', n_rows, doc_lang_domain FROM d
+           UNION ALL SELECT 'doc_source_pattern', n_rows, doc_source_pattern FROM d
+           UNION ALL SELECT 'emb_dim_64', n_rows, emb_dim_64 FROM e
+           UNION ALL SELECT 'emb_no_nan', n_rows, emb_no_nan FROM e
+           UNION ALL SELECT 'emb_label_domain', n_rows, emb_label_domain FROM e
+           UNION ALL SELECT 'emb_norm_positive', n_rows, emb_norm_positive FROM e
+           UNION ALL SELECT 'doc_id_unique', n_rows, nv FROM ud
+           UNION ALL SELECT 'vec_id_unique', n_rows, nv FROM ue)
+         SELECT check_name, n_rows, n_violations,
+                CAST(n_violations AS DOUBLE) / n_rows AS violation_rate,
+                n_violations = 0 AS pass
+         FROM v""",
 
     // the DQ suite restated: identical predicates, counts as BIGINT,
     // rates raw IEEE, the consistency check on the same 6dp decimals
