@@ -768,10 +768,16 @@ object VectorOps {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val covU = covariance(corpus, dim, roundTo)
       .select(col("di"), col("dj"), round(col("cov"), roundTo).cast(dec).as("c"))
+    // localCheckpoint, not persist: every power-iteration sweep
+    // references this frame, and a persisted plan KEEPS the whole
+    // covariance lineage — three sweeps re-analyze the heavy subtree
+    // multiple times (measured 9.6s for the full operator vs 1.2s for
+    // the covariance itself; checkpointed: ~1.6s). Same finding as
+    // graph_pagerank's sweep loop.
     val covFull = covU.unionByName(
         covU.filter(col("di") =!= col("dj"))
           .select(col("dj").as("di"), col("di").as("dj"), col("c")))
-      .persist()
+      .localCheckpoint()
     val spark = corpus.sparkSession
     val v0 = math.round(1.0 / math.sqrt(dim.toDouble) * 1e6) / 1e6
     var v: DataFrame = spark.range(1, dim + 1)
@@ -786,6 +792,7 @@ object VectorOps {
       val un = u.crossJoin(broadcast(nn))
       v = un.select(col("di").as("dj"),
         round(col("u") / col("_norm"), roundTo).cast(dec).as("w"))
+        .localCheckpoint() // truncate per-sweep lineage (dim rows)
       if (i == iters)
         out = un.select(col("di").as("d"),
           round(col("u") / col("_norm"), roundTo).as("loading"),
