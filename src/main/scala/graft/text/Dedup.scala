@@ -537,8 +537,11 @@ object Dedup {
       .persist()
     // only nodes that appear in the pair graph iterate — everything
     // else is trivially its own cluster and joins back at the end
+    // localCheckpoint, not persist: labels re-derives from itself per
+    // round; a persisted plan keeps lineage and the round-R analysis
+    // cost goes exponential (the pagerank/pca finding)
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).persist()
+      .withColumn("rep", col("doc_id")).localCheckpoint()
     var prevSum = labels.agg(sum(col("rep"))).collect()(0).getLong(0)
     var iter = 0
     var converged = false
@@ -559,7 +562,7 @@ object Dedup {
           col("x.rep") === col("r_id"), "left")
         .select(col("x.doc_id").as("doc_id"),
           coalesce(col("r_rep"), col("x.rep")).as("rep"))
-        .persist()
+        .localCheckpoint()
       val nextSum = next.agg(sum(col("rep"))).collect()(0).getLong(0)
       stepped.unpersist()
       labels.unpersist()

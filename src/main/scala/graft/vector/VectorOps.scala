@@ -289,8 +289,11 @@ object VectorOps {
         s => s.getField("m")).as("cv"))
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    var assign = corpus.select(col("vec_id")).withColumn("cell", lit(0L)).persist()
-    assign.count()
+    // localCheckpoint, not persist: assign is re-derived from itself
+    // every round, and persisted plans keep lineage — the round-R plan
+    // would embed all R−1 predecessors (the pagerank/pca finding)
+    var assign = corpus.select(col("vec_id")).withColumn("cell", lit(0L))
+      .localCheckpoint()
     val unsplittable = scala.collection.mutable.Set.empty[Long]
     var rounds = 0
     var done = false
@@ -360,7 +363,7 @@ object VectorOps {
                 element_at(typedLit(newIds), col("cell")))
                 .otherwise(col("cell")).as("cell"))
           val nextAssign = assign.filter(!col("cell").isInCollection(toSplit))
-            .unionByName(reFinal).persist()
+            .unionByName(reFinal).localCheckpoint()
           val after = nextAssign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
             .as[(Long, Long)].collect().map(_._1).toSet
           // a split whose upper side came back empty is a no-op: the
