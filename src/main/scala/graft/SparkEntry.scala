@@ -2161,6 +2161,15 @@ object SparkEntry {
       VectorOps.quantizeStats(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
 
+    // EMBEDDING DRIFT MONITOR: per-dim PSI between the label-0..4 and
+    // label-5..9 cohorts (10 equal-width bins, Laplace-smoothed) —
+    // the serving-vs-training shift alarm; see VectorOps.driftPsi
+    "emb_drift_psi" -> ((s, dir) =>
+      VectorOps.driftPsi(
+        embT(s, dir).select(
+          when(col("label") < 5, "a").otherwise("b").as("grp"),
+          col("embedding").cast("array<double>").as("v")))),
+
     "emb_mrl_curve" -> ((s, dir) =>
       // Matryoshka prefix-fidelity: mean energy fraction + cosine of
       // each vector against its own L-prefix, per candidate L — the
@@ -5469,6 +5478,33 @@ object SparkEntry {
     // per-vector energy fractions via sequential list folds (the same
     // left-to-right order as Spark's aggregate()), rounded 6dp before
     // the exact decimal mean
+    // PSI restated: same IEEE bin edges, same Laplace proportions,
+    // 9dp-decimal terms before the per-dim sum
+    "emb_drift_psi" ->
+      """WITH e AS (SELECT CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS grp,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         xd AS (SELECT grp, t.i AS dim, v[t.i] AS x
+                FROM e, (SELECT unnest(range(1, 65)) AS i) t(i)),
+         ext AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM xd GROUP BY 1),
+         b AS (SELECT xd.grp, xd.dim,
+                 least(CAST(floor((x - mn) / (mx - mn) * 10) AS BIGINT), 9) AS bin
+               FROM xd JOIN ext ON xd.dim = ext.dim),
+         cnt AS (SELECT dim, grp, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3),
+         tot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         grid AS (SELECT ext.dim, g.bin FROM ext, (SELECT unnest(range(10)) AS bin) g(bin)),
+         pa AS (SELECT grid.dim, grid.bin,
+                  CAST(coalesce(cnt.n, 0) + 1 AS DOUBLE) / (tot.tot + 10) AS pa
+                FROM grid LEFT JOIN cnt ON cnt.dim = grid.dim AND cnt.bin = grid.bin AND cnt.grp = 'a'
+                CROSS JOIN (SELECT tot FROM tot WHERE grp = 'a') tot),
+         pb AS (SELECT grid.dim, grid.bin,
+                  CAST(coalesce(cnt.n, 0) + 1 AS DOUBLE) / (tot.tot + 10) AS pb
+                FROM grid LEFT JOIN cnt ON cnt.dim = grid.dim AND cnt.bin = grid.bin AND cnt.grp = 'b'
+                CROSS JOIN (SELECT tot FROM tot WHERE grp = 'b') tot)
+         SELECT pa.dim,
+                round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+         FROM pa JOIN pb ON pa.dim = pb.dim AND pa.bin = pb.bin
+         GROUP BY 1""",
+
     "emb_mrl_curve" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT t.l AS prefix_len,

@@ -1078,4 +1078,52 @@ object VectorOps {
     own.join(best, Seq("vec_id"))
       .withColumn("margin", col("own_cos") - col("other_cos"))
   }
+
+  /** Per-dimension POPULATION STABILITY INDEX between two cohorts —
+    * the embedding-drift monitor (serving vs training, this week vs
+    * last, label regime A vs B): PSI_d = Σ_bins (p_a − p_b)·ln(p_a/p_b)
+    * over 10 equal-width bins of dimension d's global range, with
+    * Laplace smoothing (n+1)/(N+10) so empty bins contribute finitely
+    * instead of blowing up the log. PSI < 0.1 reads "stable",
+    * 0.1–0.25 "moderate shift", > 0.25 "investigate" (the standard
+    * credit-scoring rule of thumb).
+    *
+    * Scale: one explode pass to (dim, cohort, bin) counts (hash agg,
+    * map-side partials); the bin grid (dims × 10) is generated
+    * explicitly so zero-count bins exist on BOTH sides; everything
+    * from counts on is arithmetic over ≤ dims×10 rows. Determinism:
+    * bin edges come from identical IEEE expressions on both engines;
+    * per-bin terms round to 9dp DECIMAL before the per-dim sum.
+    * Expects (v, grp) where grp ∈ {a, b}. */
+  def driftPsi(corpus: DataFrame, nBins: Int = 10, roundTo: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val xd = corpus
+      .select(col("grp"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val ext = xd.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val binned = xd.join(broadcast(ext), "dim")
+      .withColumn("bin", least(
+        floor((col("x") - col("mn")) / (col("mx") - col("mn")) * nBins),
+        lit(nBins - 1L)).cast("long"))
+      .groupBy(col("dim"), col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val totals = binned.groupBy(col("grp"))
+      .agg(sum(col("n")).as("tot"))
+    val grid = ext.select(col("dim"))
+      .crossJoin(broadcast(corpus.sparkSession.range(nBins).select(col("id").as("bin"))))
+    def side(g: String, out: String) = grid
+      .join(binned.filter(col("grp") === g).select(col("dim"), col("bin"), col("n")),
+        Seq("dim", "bin"), "left")
+      .crossJoin(broadcast(totals.filter(col("grp") === g).select(col("tot"))))
+      .select(col("dim"), col("bin"),
+        ((coalesce(col("n"), lit(0L)) + 1L).cast("double")
+          / (col("tot") + nBins).cast("double")).as(out))
+    side("a", "pa").join(side("b", "pb"), Seq("dim", "bin"))
+      .withColumn("term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9).cast(dec))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("term")).cast("double"), roundTo).as("psi"))
+  }
 }

@@ -349,4 +349,18 @@ class VectorSpec extends SparkSpec {
     assert(exact.count() == 15)
     assert(approx.count() <= 15) // bucket may hold fewer than k
   }
+
+  test("driftPsi: shifted cohort lights up, identical cohorts read ~0, grid complete") {
+    // dim 1 shifts by +10 in cohort b; dim 2 identical in both
+    val rows = (0 until 200).map { i =>
+      ("a", Seq((i % 20).toDouble, (i % 7).toDouble))
+    } ++ (0 until 200).map { i =>
+      ("b", Seq((i % 20).toDouble + 10.0, (i % 7).toDouble))
+    }
+    val out = graft.vector.VectorOps.driftPsi(rows.toDF("grp", "v"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.size == 2)
+    assert(out(1L) > 0.25, s"shifted dim must cross the investigate line: $out")
+    assert(math.abs(out(2L)) < 0.01, s"identical dim must read stable: $out")
+  }
 }
