@@ -834,6 +834,11 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"), col("user_id"), 64)
         .withColumnRenamed("g", "event_type")),
 
+    // REVENUE CONCENTRATION: Gini + top-decile share of per-user
+    // value per event type — the whale-dependence read; rank windows
+    // partition by type, exact rank×decimal products
+    "events_gini" -> ((s, dir) => TsOps.revenueGini(t(s, dir, "events"))),
+
     // LINEAR MULTI-TOUCH attribution: each purchase's value splits
     // EQUALLY across the clicks in its preceding hour (integer
     // micro-cent credits — a rounded decimal split would land on the
@@ -3549,6 +3554,23 @@ object SparkEntry {
                      ELSE 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
                 END AS est_distinct
          FROM k""",
+
+    // Gini restated on the same rank-sum identity
+    "events_gini" ->
+      """WITH pu AS (SELECT event_type, user_id,
+                       sum(CAST(value AS DECIMAL(28,2))) AS rev
+                     FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY rev, user_id) AS rnk,
+                 count(*) OVER (PARTITION BY event_type) AS nu
+               FROM pu),
+         f AS (SELECT *, rnk > floor(nu * 0.9) AS is_top FROM r)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(rev) AS DOUBLE) AS total_value,
+                (2.0 * CAST(sum(rnk * rev) AS DOUBLE)) / (count(*) * CAST(sum(rev) AS DOUBLE))
+                  - (count(*) + 1.0) / count(*) AS gini,
+                CAST(sum(CASE WHEN is_top THEN rev ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+                  / CAST(sum(rev) AS DOUBLE) AS top_decile_share
+         FROM f GROUP BY 1""",
 
     // linear attribution restated: same chunked pair join collapsed
     // to a plain inequality join (same pairs), same integer split

@@ -1259,6 +1259,37 @@ object TsOps {
           .cast("double"), 6).as("stat"))
   }
 
+  /** Revenue CONCENTRATION per event type — Gini coefficient over
+    * per-user value totals (the rank-sum identity G = 2·Σi·x_i/(n·Σx)
+    * − (n+1)/n on ascending ranks) plus the top-decile share: the
+    * whale-dependence read every marketplace/monetization review
+    * opens with. One pass to per-user exact-decimal totals, one
+    * rank window PARTITIONED BY TYPE (never global), aggregates on
+    * exact products (rank × 2dp decimal) so the statistic is
+    * bit-stable; the final Gini expression is one shared IEEE shape.
+    * Ties rank deterministically by user id. */
+  def revenueGini(events: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val perUser = Series.samples(events)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("value").cast(d2)).as("rev"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("rev"), col("user_id"))
+    val ranked = perUser.withColumn("rnk", row_number().over(w))
+      .withColumn("nu",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("is_top", col("rnk") > floor(col("nu") * 0.9))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("rev")).cast("double").as("total_value"),
+        sum(col("rnk") * col("rev")).cast("double").as("s1"),
+        sum(when(col("is_top"), col("rev")).otherwise(lit(0).cast(d2)))
+          .cast("double").as("top_decile_value"))
+      .select(col("event_type"), col("n_users"), col("total_value"),
+        ((lit(2.0) * col("s1")) / (col("n_users") * col("total_value"))
+          - (col("n_users") + lit(1.0)) / col("n_users")).as("gini"),
+        (col("top_decile_value") / col("total_value")).as("top_decile_share"))
+  }
+
   /** LINEAR MULTI-TOUCH attribution — [[attribution]]'s last-touch
     * rule gives the whole purchase to one click; the linear model
     * splits each purchase's value EQUALLY across every click in its

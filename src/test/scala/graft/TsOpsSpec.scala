@@ -773,6 +773,19 @@ class TsOpsSpec extends SparkSpec {
     assert(out._3 + out._5 > 149.9999 && out._3 + out._5 <= 150.0)
   }
 
+  test("revenueGini: perfect equality reads 0, total concentration reads (n-1)/n") {
+    // 4 users, equal revenue → G = 0; one user owns everything → G = 3/4
+    def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong * 1000000000L, i.toLong, "purchase", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val eq = TsOps.revenueGini(ev(Seq(10.0, 10.0, 10.0, 10.0)))
+      .select("gini", "top_decile_share").as[(Double, Double)].head()
+    assert(math.abs(eq._1) < 1e-12, eq)
+    val conc = TsOps.revenueGini(ev(Seq(0.0, 0.0, 0.0, 100.0)))
+      .select("gini").as[Double].head()
+    assert(math.abs(conc - 0.75) < 1e-12, conc)
+  }
+
   test("gorilla pack/unpack is lossless through Spark") {
     val s = Series.samples(toyEvents)
     val back = Gorilla.unpack(Gorilla.pack(s))
