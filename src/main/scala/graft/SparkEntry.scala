@@ -2421,8 +2421,8 @@ object SparkEntry {
     s"""WITH ext AS (SELECT max(l_orderkey) AS gmax_x, min(l_orderkey) AS gmin_x,
                             max(l_partkey) AS gmax_y, min(l_partkey) AS gmin_y FROM lineitem),
        q AS (SELECT l_orderkey AS x, l_partkey AS y,
-                    (l_orderkey * 65536) // (gmax_x + 1) AS x16,
-                    (l_partkey * 65536) // (gmax_y + 1) AS y16,
+                    ((l_orderkey - gmin_x) * 65536) // (gmax_x - gmin_x + 1) AS x16,
+                    ((l_partkey - gmin_y) * 65536) // (gmax_y - gmin_y + 1) AS y16,
                     gmax_x, gmin_x, gmax_y, gmin_y
              FROM lineitem, ext),
        z AS (SELECT *, ($terms) AS zv FROM q),
@@ -2432,8 +2432,12 @@ object SparkEntry {
                     max(gmax_y) AS gmax_y, max(gmin_y) AS gmin_y
              FROM z GROUP BY 1)
        SELECT cell, n_rows, min_x, max_x, min_y, max_y,
-              CAST(max_x - min_x AS DOUBLE) / CAST(gmax_x - gmin_x AS DOUBLE) AS x_span_frac,
-              CAST(max_y - min_y AS DOUBLE) / CAST(gmax_y - gmin_y AS DOUBLE) AS y_span_frac
+              CASE WHEN gmax_x > gmin_x
+                   THEN CAST(max_x - min_x AS DOUBLE) / CAST(gmax_x - gmin_x AS DOUBLE)
+                   ELSE 0.0 END AS x_span_frac,
+              CASE WHEN gmax_y > gmin_y
+                   THEN CAST(max_y - min_y AS DOUBLE) / CAST(gmax_y - gmin_y AS DOUBLE)
+                   ELSE 0.0 END AS y_span_frac
        FROM c"""
   }
 
@@ -5509,7 +5513,9 @@ object SparkEntry {
                 FROM e, (SELECT unnest(range(1, 65)) AS i) t(i)),
          ext AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM xd GROUP BY 1),
          b AS (SELECT xd.grp, xd.dim,
-                 least(CAST(floor((x - mn) / (mx - mn) * 10) AS BIGINT), 9) AS bin
+                 CASE WHEN mx > mn
+                      THEN least(CAST(floor((x - mn) / (mx - mn) * 10) AS BIGINT), 9)
+                      ELSE 0 END AS bin
                FROM xd JOIN ext ON xd.dim = ext.dim),
          cnt AS (SELECT dim, grp, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3),
          tot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),

@@ -36,7 +36,12 @@ object Graph {
     require(iters >= 1 && iters <= 50, "iters in [1, 50]")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // deg is nodes-sized: checkpoint it eagerly so the init ranks,
+    // the per-sweep join input AND the final report all read the same
+    // materialized blocks instead of re-running the pair pipeline
+    // (blocks are reclaimed by the ContextCleaner once unreferenced).
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val e = edges.join(deg, "src").persist()
     val n = e.select(col("src")).distinct().count()
     require(n > 0, "empty pair graph")
@@ -56,6 +61,11 @@ object Graph {
         .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("r"))
         .localCheckpoint()
     }
+    // every sweep ran eagerly above (localCheckpoint), so the edge
+    // cache has done its work; release it — the returned frame reads
+    // only the checkpointed ranks + deg blocks, so a long-lived
+    // session doesn't accumulate a dead edge cache per call
+    e.unpersist(false)
     ranks.join(deg.withColumnRenamed("src", "node"), "node")
       .select(col("node").as("doc_id"), col("deg"),
         col("r").as("rank_nano"),

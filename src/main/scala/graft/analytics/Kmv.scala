@@ -45,16 +45,25 @@ object Kmv {
   def setOpsEstimate(df: DataFrame, setLabel: Column, value: Column,
                      k: Int): DataFrame = {
     val hashed = df.select(setLabel.as("g"), hash60(value).as("h")).distinct()
+    // localCheckpoint, not persist: the min-lists are ≤ 2k rows and
+    // feed two lazy branches of the returned frame, so an explicit
+    // unpersist can never run; checkpointed blocks are reclaimed by
+    // the ContextCleaner once the result frame is dropped, where a
+    // persist() entry would pin the cache forever on a long session.
     val mins = graft.plans.TopKPerKey(hashed, Seq("g"),
-      Seq("h" -> graft.plans.TopKPerKey.Asc), k).persist()
+      Seq("h" -> graft.plans.TopKPerKey.Asc), k).localCheckpoint()
     def est(kth: Column, n: Column): Column =
       when(n < k, n.cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / kth.cast("double"))
     val perSet = mins.groupBy(col("g"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
       .select(col("g"), col("n_kept"), est(col("kth"), col("n_kept")).as("e"))
-    val aRow = perSet.filter(col("g") === "a").select(col("e").as("est_a"))
-    val bRow = perSet.filter(col("g") === "b").select(col("e").as("est_b"))
+    // Conditional aggregation to ONE row (never a filter → crossJoin
+    // of a possibly-EMPTY side): a missing set label must report
+    // est 0.0, not silently erase the whole report.
+    val estRow = perSet.agg(
+      coalesce(max(when(col("g") === "a", col("e"))), lit(0.0)).as("est_a"),
+      coalesce(max(when(col("g") === "b", col("e"))), lit(0.0)).as("est_b"))
     // union sketch: k smallest distinct hashes of the merged min-lists,
     // each tagged with which input sketches contain it
     val tagged = mins.groupBy(col("h"))
@@ -66,7 +75,8 @@ object Kmv {
       count(lit(1)).as("u_kept"), max(col("h")).as("u_kth"),
       sum(col("in_a") * col("in_b")).as("n_both"))
       .select(est(col("u_kth"), col("u_kept")).as("est_union"),
-        (col("n_both").cast("double") / col("u_kept").cast("double")).as("jaccard_est"))
+        coalesce(col("n_both").cast("double") / col("u_kept").cast("double"),
+          lit(0.0)).as("jaccard_est"))
       .select(col("est_union"), col("jaccard_est"),
         (col("jaccard_est") * col("est_union")).as("est_intersection"))
     // exact truth for the error columns: one pass over distinct values
@@ -77,7 +87,7 @@ object Kmv {
       .agg(sum(col("ia")).as("n_a_exact"), sum(col("ib")).as("n_b_exact"),
         count(lit(1)).as("n_union_exact"),
         sum(col("ia") * col("ib")).as("n_inter_exact"))
-    exact.crossJoin(broadcast(aRow)).crossJoin(broadcast(bRow))
+    exact.crossJoin(broadcast(estRow))
       .crossJoin(broadcast(uAgg))
       .select(col("n_a_exact"), col("n_b_exact"), col("n_union_exact"),
         col("n_inter_exact"), col("est_a"), col("est_b"),

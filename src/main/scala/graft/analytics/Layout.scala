@@ -29,12 +29,21 @@ object Layout {
     }.reduce(_ + _)
 
   /** Z-order layout evidence over key columns (xCol, yCol): quantize
-    * each key to 16 bits by integer division against its max+1,
-    * interleave, cut the z-space into 2^`log2Cells` prefix cells (the
-    * would-be files), and report per-cell row counts plus min/max of
-    * BOTH raw keys and their span fractions of the global ranges.
-    * Small span fractions on BOTH columns = the pruning win; a
-    * single-key sort would show ~1.0 on the other column. */
+    * each key to 16 bits by MIN-SHIFTED integer division against its
+    * range+1 (so negative or offset key domains land in [0, 65535]
+    * instead of scattering into wrong cells), interleave, cut the
+    * z-space into 2^`log2Cells` prefix cells (the would-be files), and
+    * report per-cell row counts plus min/max of BOTH raw keys and
+    * their span fractions of the global ranges. Small span fractions
+    * on BOTH columns = the pruning win; a single-key sort would show
+    * ~1.0 on the other column. A constant key (gmax == gmin) reports
+    * span 0.0 — fully pruned on that dim — rather than NaN.
+    *
+    * Key-range bound: the quantizer computes `(x - gmin) * 65536` in
+    * BIGINT, so each key's span (gmax - gmin) must stay below 2^47
+    * (~1.4e14); beyond that the multiply overflows. That covers every
+    * surrogate/natural key a warehouse emits; wider domains should be
+    * pre-bucketed before layout. */
   def zorderLayout(df: DataFrame, xCol: String, yCol: String,
                    log2Cells: Int = 6): DataFrame = {
     require(log2Cells >= 1 && log2Cells <= 16, "log2Cells in [1,16]")
@@ -43,8 +52,8 @@ object Layout {
       max(col(yCol)).as("gmax_y"), min(col(yCol)).as("gmin_y"))
     df.select(col(xCol).as("x"), col(yCol).as("y"))
       .crossJoin(broadcast(ext))
-      .withColumn("x16", expr(s"(x * 65536) div (gmax_x + 1)"))
-      .withColumn("y16", expr(s"(y * 65536) div (gmax_y + 1)"))
+      .withColumn("x16", expr(s"((x - gmin_x) * 65536) div (gmax_x - gmin_x + 1)"))
+      .withColumn("y16", expr(s"((y - gmin_y) * 65536) div (gmax_y - gmin_y + 1)"))
       .withColumn("cell", shiftright(zInterleave(col("x16"), col("y16")),
         32 - log2Cells))
       .groupBy(col("cell"))
@@ -55,9 +64,13 @@ object Layout {
         max(col("gmax_y")).as("gmax_y"), max(col("gmin_y")).as("gmin_y"))
       .select(col("cell"), col("n_rows"),
         col("min_x"), col("max_x"), col("min_y"), col("max_y"),
-        ((col("max_x") - col("min_x")).cast("double")
-          / (col("gmax_x") - col("gmin_x")).cast("double")).as("x_span_frac"),
-        ((col("max_y") - col("min_y")).cast("double")
-          / (col("gmax_y") - col("gmin_y")).cast("double")).as("y_span_frac"))
+        when(col("gmax_x") > col("gmin_x"),
+          (col("max_x") - col("min_x")).cast("double")
+            / (col("gmax_x") - col("gmin_x")).cast("double"))
+          .otherwise(lit(0.0)).as("x_span_frac"),
+        when(col("gmax_y") > col("gmin_y"),
+          (col("max_y") - col("min_y")).cast("double")
+            / (col("gmax_y") - col("gmin_y")).cast("double"))
+          .otherwise(lit(0.0)).as("y_span_frac"))
   }
 }

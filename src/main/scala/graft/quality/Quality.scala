@@ -38,17 +38,22 @@ object Quality {
         .as("violation_rate"),
       (col("n_violations") === 0L).as("pass"))
 
-  /** All row-grain checks on one table in ONE scan. */
+  /** All row-grain checks on one table in ONE scan. Check names never
+    * enter generated SQL: internal aliases are positional (`__c0`…)
+    * and the name re-enters as a `lit` literal in the stack, so any
+    * name — quotes, spaces, reserved words — is safe. */
   def rowChecks(table: DataFrame, checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
-    val aggs = count(lit(1)).as("n_rows") +:
-      checks.map(c => sum(when(c.violated, 1L).otherwise(0L)).as(c.name))
+    val aggs = count(lit(1)).as("n_rows") +: checks.zipWithIndex.map {
+      case (c, i) => sum(when(c.violated, 1L).otherwise(0L)).as(s"__c$i")
+    }
     val one = table.agg(aggs.head, aggs.tail: _*)
-    val stacked = expr(
-      s"stack(${checks.size}, " +
-        checks.map(c => s"'${c.name}', ${c.name}").mkString(", ") +
-        ") as (check_name, n_violations)")
-    verdict(one.select(col("n_rows"), stacked))
+    val stacked = stack(lit(checks.size) +: checks.zipWithIndex.flatMap {
+      case (c, i) => Seq(lit(c.name), col(s"__c$i"))
+    }: _*)
+    verdict(one.select(col("n_rows"), stacked)
+      .withColumnRenamed("col0", "check_name")
+      .withColumnRenamed("col1", "n_violations"))
   }
 
   /** Key-uniqueness: n_violations = rows carrying an already-used key
@@ -125,21 +130,32 @@ object Quality {
     * DECIMAL for format-stable strings. */
   def profile(table: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profile at least one column")
-    val aggs = count(lit(1)).as("n_rows") +: columns.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+    // column names never enter generated SQL: access is backtick-
+    // quoted (so dots, spaces, quotes and reserved words resolve as
+    // the literal name), internal aliases are positional and the name
+    // re-enters as a lit literal in the stack
+    require(columns.forall(!_.contains("`")),
+      "column names containing a backtick are not supported")
+    def c(name: String): Column = col(s"`$name`")
+    val aggs = count(lit(1)).as("n_rows") +: columns.zipWithIndex.flatMap {
+      case (cn, i) =>
+        Seq(sum(when(c(cn).isNull, 1L).otherwise(0L)).as(s"__n$i"),
+          min(c(cn)).cast("string").as(s"__mn$i"),
+          max(c(cn)).cast("string").as(s"__mx$i"))
     }
     val one = table.agg(aggs.head, aggs.tail: _*)
-    val stacked = expr(
-      s"stack(${columns.size}, " + columns.map(c =>
-        s"'$c', ${c}__nulls, ${c}__min, ${c}__max").mkString(", ") +
-        ") as (column_name, n_nulls, min_value, max_value)")
+    val stacked = stack(lit(columns.size) +: columns.zipWithIndex.flatMap {
+      case (cn, i) => Seq(lit(cn), col(s"__n$i"), col(s"__mn$i"), col(s"__mx$i"))
+    }: _*)
     val base = one.select(col("n_rows"), stacked)
-    val dists = columns.map { c =>
-      table.select(col(c))
-        .agg(count_distinct(col(c)).as("n_distinct"))
-        .select(lit(c).as("column_name"), col("n_distinct"))
+      .withColumnRenamed("col0", "column_name")
+      .withColumnRenamed("col1", "n_nulls")
+      .withColumnRenamed("col2", "min_value")
+      .withColumnRenamed("col3", "max_value")
+    val dists = columns.map { cn =>
+      table.select(c(cn))
+        .agg(count_distinct(c(cn)).as("n_distinct"))
+        .select(lit(cn).as("column_name"), col("n_distinct"))
     }.reduce(_.unionByName(_))
     base.join(broadcast(dists), Seq("column_name"))
       .select(col("column_name"), col("n_rows"), col("n_nulls"),

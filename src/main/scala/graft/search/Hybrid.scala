@@ -40,7 +40,11 @@ object Hybrid {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist() // read by postings, doc-length and doc-frequency
+      // localCheckpoint: postings, doc-length and doc-frequency all
+      // read it lazily from the returned frame, so a paired unpersist
+      // can never run — blocks are ContextCleaner-reclaimed when the
+      // result drops instead of pinning the cache per call
+      .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
@@ -110,7 +114,9 @@ object Hybrid {
     import spark.implicits._
     val cand = VectorOps.cosineTopK(corpus, queries, m, roundTo, maxRows, force)
       .select(col("q_id"), col("vec_id"), col("cos").as("rel"))
-      .persist() // candidate-id broadcast + cogroup both read it
+      // localCheckpoint (queries × m rows): candidate-id broadcast +
+      // cogroup both read it lazily; ContextCleaner reclaims blocks
+      .localCheckpoint()
     val cwv = corpus
       .join(broadcast(cand.select(col("q_id"), col("vec_id"))), "vec_id")
       .select(col("q_id"), col("vec_id"), col("v"))

@@ -661,7 +661,11 @@ object TsOps {
       .withColumn("rn", row_number().over(w))
       .withColumn("ntr", expr(s"nb * $trainPct div 100"))
       .filter(col("ntr") >= 2 && col("nb") - col("ntr") >= 1)
-      .persist() // train fit + test scoring both read it
+      // localCheckpoint: train fit + test scoring both read it lazily
+      // from the returned frame (no unpersist point) — blocks are
+      // ContextCleaner-reclaimed when the result is dropped instead
+      // of pinning the cache on a long-lived session
+      .localCheckpoint()
     val fit = xb.filter(col("rn") <= col("ntr"))
       .groupBy(col("series_id"))
       .agg(

@@ -1103,10 +1103,15 @@ object VectorOps {
         col("x").cast("double").as("x"))
     val ext = xd.groupBy(col("dim"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // Constant dimension (mx == mn): the ratio is 0/0 = NaN and a
+    // NaN bin would drop that dimension's rows from BOTH cohorts,
+    // reporting PSI ≈ 0 ("stable") for a degenerate dim. Route all
+    // its rows to bin 0 instead so the dim stays visible (PSI 0 with
+    // full counts, not silently vanished mass).
     val binned = xd.join(broadcast(ext), "dim")
-      .withColumn("bin", least(
+      .withColumn("bin", when(col("mx") > col("mn"), least(
         floor((col("x") - col("mn")) / (col("mx") - col("mn")) * nBins),
-        lit(nBins - 1L)).cast("long"))
+        lit(nBins - 1L))).otherwise(lit(0L)).cast("long"))
       .groupBy(col("dim"), col("grp"), col("bin"))
       .agg(count(lit(1)).as("n"))
     val totals = binned.groupBy(col("grp"))
