@@ -72,7 +72,16 @@ final class HttpEndpoint(
     // semantics as Prometheus federation) — this cap makes a match[]
     // that matches EVERYTHING at 100× cardinality degrade loudly
     // (422) instead of collecting an unbounded vector
-    federateSeriesCap: Int = 100000) {
+    federateSeriesCap: Int = 100000,
+    // same class of guard on the remote-read SERVER verb: each
+    // ReadRequest query collects at most this many series (cap+1
+    // limit runs distributed) before protobuf encoding
+    remoteReadSeriesCap: Int = 100000,
+    // and on /api/v1/query + /query_range: the cap is on driver-
+    // materialized RESULT ROWS (= series for an instant vector,
+    // series × grid points for a range matrix — rows are what OOM the
+    // driver), enforced as a distributed limit(cap+1)
+    queryResultCap: Int = 1000000) {
 
   private val writeLock = new Object
   private val spoolSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -256,7 +265,12 @@ final class HttpEndpoint(
         case _ => graft.promql.PromQL.evalStore(store, q, atUs)
       }
       val labelCols = df.columns.filterNot(c => c == "value" || c == "series_id")
-      val rows = df.collect().map { r =>
+      // cap+1 bounds the driver materialization even when the check
+      // fails (the /federate pattern): an instant vector is one row
+      // per series, so the row cap IS a series cap here
+      val capped = df.limit(queryResultCap + 1).collect()
+      if (capped.length > queryResultCap) { sendTooMany(ex, queryResultCap); return }
+      val rows = capped.map { r =>
         val v = promVal(r.getAs[Any]("value"))
         s"""{"metric":${metricJson(labelCols, r)},"value":[${atUs / 1e6},${jstr(v)}]}"""
       }
@@ -266,6 +280,12 @@ final class HttpEndpoint(
       case e: IllegalArgumentException => sendPromError(ex, e)
       case _: Exception => ex.sendResponseHeaders(500, -1)
     }
+
+  private def sendTooMany(ex: HttpExchange, cap: Int): Unit =
+    sendJson(ex, 422,
+      "{\"status\":\"error\",\"errorType\":\"too_many_series\",\"error\":" +
+        jstr(s"query would materialize more than $cap result rows on the " +
+          "server — narrow the selector, shrink the range, or raise the cap") + "}")
 
   /** Prometheus HTTP range-query API (`GET /api/v1/query_range?query=…
     * &start=…&end=…&step=…`): the Grafana panel call. The WHOLE grid
@@ -298,10 +318,15 @@ final class HttpEndpoint(
       }
       val labelCols = df.columns.filterNot(c =>
         c == "value" || c == "series_id" || c == "ts_us")
+      // the 11000-point grid cap above bounds the per-series width;
+      // this bounds the series dimension too: cap+1 rows collect even
+      // when the check fails (the /federate pattern)
+      val capped = df.limit(queryResultCap + 1).collect()
+      if (capped.length > queryResultCap) { sendTooMany(ex, queryResultCap); return }
       // group the bounded matrix by label set, values time-ascending
       val grouped = new scala.collection.mutable.LinkedHashMap[
         String, scala.collection.mutable.ArrayBuffer[(Long, String)]]()
-      df.collect().foreach { r =>
+      capped.foreach { r =>
         val key = metricJson(labelCols, r)
         val t = r.getAs[Long]("ts_us")
         val v = promVal(r.getAs[Any]("value"))
@@ -602,6 +627,8 @@ final class HttpEndpoint(
           s""""storage.tsdb.chunk-duration":${jstr(graft.promql.PromQL.fmtDur(store.chunkUs))},""" +
           s""""storage.tsdb.path":${jstr(store.path)},""" +
           s""""web.federate.series-cap":"$federateSeriesCap",""" +
+          s""""web.remote-read.series-cap":"$remoteReadSeriesCap",""" +
+          s""""web.query.result-row-cap":"$queryResultCap",""" +
           s""""storage.tsdb.min-time-ms":"$minT","storage.tsdb.max-time-ms":"$maxT"}}""")
     } catch {
       case _: Exception => ex.sendResponseHeaders(500, -1)
@@ -754,12 +781,18 @@ final class HttpEndpoint(
 
   private def handleRead(ex: HttpExchange, body: Array[Byte]): Unit =
     try {
-      val resp = RemoteRead.serve(store, body)
+      val resp = RemoteRead.serve(store, body, remoteReadSeriesCap)
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       ex.sendResponseHeaders(200, resp.length.toLong)
       ex.getResponseBody.write(resp)
     } catch {
+      // the cap must answer 422 with the typed envelope, not a bare
+      // 400 — it subclasses IllegalArgumentException, so match first
+      case e: RemoteRead.TooManySeriesException =>
+        sendJson(ex, 422,
+          "{\"status\":\"error\",\"errorType\":\"too_many_series\",\"error\":" +
+            jstr(Option(e.getMessage).getOrElse("")) + "}")
       case _: IllegalArgumentException | _: java.io.IOException =>
         ex.sendResponseHeaders(400, -1)
       case _: Exception => ex.sendResponseHeaders(500, -1)

@@ -377,13 +377,31 @@ object RemoteRead {
     out.result()
   }
 
+  /** Thrown when a serving-path query matches more series (or result
+    * rows) than the server's cap — the HTTP layer turns it into a
+    * typed 422 instead of letting an unbounded driver collect OOM the
+    * server. Extends IllegalArgumentException so non-HTTP callers that
+    * already handle bad requests degrade to a 400-class error. */
+  final class TooManySeriesException(val cap: Int, verb: String)
+    extends IllegalArgumentException(
+      s"$verb selects more than $cap series — narrow the matchers or raise the cap")
+
   /** Serve a remote-read payload against a [[ChunkStore]]: decode the
     * request, run every query through the store's federated
     * matcher+range plan (partition pruning, closed-chunk Gorilla
     * decode — all distributed), re-attach the label set from the
     * store's catalog, and encode the wire response. Sample order
-    * within a series is time-ascending, as Prometheus requires. */
-  def serve(store: ChunkStore, payload: Array[Byte]): Array[Byte] = {
+    * within a series is time-ascending, as Prometheus requires.
+    *
+    * `seriesCap` bounds the driver materialization PER QUERY: the
+    * grouped series frame collects at most cap+1 rows (limit runs
+    * distributed, the +1 row proves the cap was crossed without
+    * collecting the whole vector — the /federate pattern), and an
+    * over-cap match throws [[TooManySeriesException]] for the HTTP
+    * layer's typed 422. Without this, a `{__name__=~".+"}` read at
+    * production cardinality is an unbounded driver array. */
+  def serve(store: ChunkStore, payload: Array[Byte],
+            seriesCap: Int = 100000): Array[Byte] = {
     import org.apache.spark.sql.functions._
     // one catalog per request, not per query: a federation-style
     // ReadRequest batches many queries and the catalog scan is the
@@ -395,11 +413,15 @@ object RemoteRead {
       // us of eMs — otherwise sub-ms sample tails fall between two
       // adjacent federation slices (lost by both)
       val rows = store.queryAll(ms, sMs * 1000, eMs * 1000 + 999)
-      rows.join(cat, "series_id")
+      val capped = rows.join(cat, "series_id")
         .groupBy(col("series_id"), col("event_type"), col("user_id"))
         .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
         .orderBy(col("series_id"))
+        .limit(seriesCap + 1)
         .collect()
+      if (capped.length > seriesCap)
+        throw new TooManySeriesException(seriesCap, "remote-read query")
+      capped
         .map { r =>
           val labels = Map(
             "event_type" -> r.getString(1),

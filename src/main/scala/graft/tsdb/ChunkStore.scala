@@ -780,6 +780,115 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
   private def snapshotsRoot = s"$path/snapshots"
   private val SnapTiers = Seq("closed", "closed_catalog", "rollup")
 
+  /** Parallel tree copy for the snapshot/restore verbs. The closed
+    * tier at production scale is the BULK of the store, and a
+    * sequential driver loop of FileUtil.copy is days of
+    * single-threaded byte shoveling at 100 TB — Prometheus snapshots
+    * hardlink blocks precisely to avoid the copy entirely. So:
+    * every file under every (src, dst) pair becomes one task on a
+    * bounded pool (copy wall time scales with cores / FS parallelism,
+    * not chunk count), and on a local filesystem each task HARDLINKS
+    * instead of copying (the closed tier is immutable parquet and all
+    * mutation verbs swap whole files, so shared inodes are safe — the
+    * Prometheus block-snapshot trick; falls back to a byte copy if the
+    * link fails, e.g. cross-device). Directories materialize even when
+    * empty so the staged-swap renames stay checked. Failures propagate
+    * — a half-copied staging dir is invisible by construction (dot-temp
+    * / staging, renamed only after success). */
+  private def copyTreesParallel(fs: org.apache.hadoop.fs.FileSystem,
+                                pairs: Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)],
+                                conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.hadoop.fs.Path
+    val local = fs.getScheme == "file"
+    val tasks = Seq.newBuilder[(Path, Path)]
+    val dirs = scala.collection.mutable.LinkedHashSet.empty[Path]
+    pairs.foreach { case (src0, dst) =>
+      if (local) {
+        // java.nio end to end on the local scheme: Hadoop's local
+        // FileStatus loads permissions through heavyweight calls, and
+        // one per file turned the enumeration itself into the
+        // bottleneck (measured: the walk, not the copy, owned the wall)
+        val sp = java.nio.file.Paths.get(src0.toUri.getPath match {
+          case "" => src0.toString; case p => p })
+        if (java.nio.file.Files.isRegularFile(sp)) {
+          dirs += dst.getParent; tasks += ((src0, dst))
+        } else if (java.nio.file.Files.isDirectory(sp)) {
+          dirs += dst // materialize even when empty: staged-swap renames stay checked
+          val walk = java.nio.file.Files.walk(sp)
+          try walk.forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p)) {
+              val rel = sp.relativize(p).toString
+              // Hadoop's checksum shadow files regenerate on write and
+              // never existed for hardlinked data; skip them like the
+              // Hadoop listing would
+              if (!p.getFileName.toString.startsWith(".")) {
+                val d = new Path(dst, rel)
+                dirs += d.getParent
+                tasks += ((new Path(p.toUri), d))
+              }
+            }
+          } finally walk.close()
+        }
+      } else {
+        // remote FS: one getFileStatus doubles as the existence check
+        val stOpt = try Some(fs.getFileStatus(src0)) catch {
+          case _: java.io.FileNotFoundException => None
+        }
+        stOpt.foreach { st0 =>
+          if (st0.isFile) { dirs += dst.getParent; tasks += ((fs.makeQualified(src0), dst)) }
+          else {
+            val src = fs.makeQualified(src0)
+            dirs += dst
+            val it = fs.listFiles(src, true)
+            while (it.hasNext) {
+              val f = it.next()
+              val rel = src.toUri.relativize(f.getPath.toUri).getPath
+              val d = new Path(dst, rel)
+              dirs += d.getParent
+              tasks += ((f.getPath, d))
+            }
+          }
+        }
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, Runtime.getRuntime.availableProcessors())))
+    try {
+      // directory creation first, deduped and parallel: Hadoop's local
+      // mkdirs is a heavyweight call (permission handling), and one
+      // sequential mkdirs per chunk partition was the measured
+      // bottleneck — java.nio createDirectories on the local scheme is
+      // a plain syscall
+      val dirFts = dirs.toSeq.filter(_ != null).map { d =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            if (local)
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(d.toUri.getPath))
+            else fs.mkdirs(d)
+        })
+      }
+      dirFts.foreach(_.get())
+      val fts = tasks.result().map { case (s, d) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val linked = local && {
+              try {
+                java.nio.file.Files.createLink(
+                  java.nio.file.Paths.get(d.toUri.getPath),
+                  java.nio.file.Paths.get(s.toUri.getPath))
+                true
+              } catch { case _: Exception => false }
+            }
+            if (!linked)
+              org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d, false, conf)
+          }
+        })
+      }
+      fts.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
+  }
+
   /** Point-in-time SNAPSHOT of the closed tier (Prometheus's
     * `POST /api/v1/admin/tsdb/snapshot`, the backup half of the admin
     * family deleteSeries opened): the closed-chunk id set is pinned
@@ -813,16 +922,14 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     val tmp = new org.apache.hadoop.fs.Path(s"$snapshotsRoot/.tmp-$snapName")
     fs.delete(tmp, true)
     val conf = spark.sparkContext.hadoopConfiguration
-    for (tier <- SnapTiers; c <- ids) {
-      val src = new org.apache.hadoop.fs.Path(s"$path/$tier/chunk=$c")
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src,
-          fs, new org.apache.hadoop.fs.Path(s"$tmp/$tier/chunk=$c"), false, conf)
-    }
-    for ((rp, nm) <- Seq(retentionPath -> "_retention", rawRetentionPath -> "_raw_retention")
-         if exists(rp))
-      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(rp),
-        fs, new org.apache.hadoop.fs.Path(s"$tmp/$nm"), false, conf)
+    copyTreesParallel(fs,
+      (for (tier <- SnapTiers; c <- ids.toSeq) yield
+        (new org.apache.hadoop.fs.Path(s"$path/$tier/chunk=$c"),
+          new org.apache.hadoop.fs.Path(s"$tmp/$tier/chunk=$c"))) ++
+        (for ((rp, nm) <- Seq(retentionPath -> "_retention", rawRetentionPath -> "_raw_retention"))
+          yield (new org.apache.hadoop.fs.Path(rp),
+            new org.apache.hadoop.fs.Path(s"$tmp/$nm"))),
+      conf)
     val manifest =
       s"""{"name":"$snapName","chunks":[${ids.toSeq.sorted.mkString(",")}],""" +
         s""""chunk_ms":$chunkMs,"created_ms":${System.currentTimeMillis()}}"""
@@ -863,18 +970,11 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     val staging = new org.apache.hadoop.fs.Path(s"$path/_restore_staging")
     fs.delete(staging, true)
     val RetentionFiles = Seq("_retention", "_raw_retention")
-    for (tier <- SnapTiers) {
-      val src = new org.apache.hadoop.fs.Path(s"$snapDir/$tier")
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src,
-          fs, new org.apache.hadoop.fs.Path(staging, tier), false, conf)
-    }
-    for (f <- RetentionFiles) {
-      val src = new org.apache.hadoop.fs.Path(s"$snapDir/$f")
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src,
-          fs, new org.apache.hadoop.fs.Path(staging, f), false, conf)
-    }
+    copyTreesParallel(fs,
+      (SnapTiers ++ RetentionFiles).map(e =>
+        (new org.apache.hadoop.fs.Path(s"$snapDir/$e"),
+          new org.apache.hadoop.fs.Path(staging, e))),
+      conf)
     // the marker records what must be REMOVED WITHOUT REPLACEMENT —
     // tiers and retention markers the snapshot does not carry (review
     // fix: restore previously left the store's retention horizons

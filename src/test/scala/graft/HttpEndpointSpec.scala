@@ -254,6 +254,68 @@ class HttpEndpointSpec extends SparkSpec {
     } finally endpoint.stop()
   }
 
+  test("serving caps: /api/v1/read, /query and /query_range answer a typed 422 over cap and keep serving under it") {
+    val storeDir = Files.createTempDirectory("graft_http_servecap").toString
+    val store = new ChunkStore(spark, storeDir)
+    // caps of 2 against a 3-series store: every capped path must
+    // refuse the match-everything request LOUDLY (422 + envelope)
+    // while the narrower request still serves on the same endpoint
+    val endpoint = new HttpEndpoint(spark, store,
+      remoteReadSeriesCap = 2, queryResultCap = 2)
+    val port = endpoint.start()
+    try {
+      val in: Seq[RemoteWrite.Series] = Seq(
+        (Map("event_type" -> "click", "user_id" -> "1"),
+          Seq((t0, 1.0), (t0 + 60000L, 2.0))),
+        (Map("event_type" -> "click", "user_id" -> "2"),
+          Seq((t0 + 60000L, 3.0))),
+        (Map("event_type" -> "purchase", "user_id" -> "1"),
+          Seq((t0 + 60000L, 4.0))))
+      assert(post(port, "/api/v1/write", RemoteWrite.encode(in))._1 == 200)
+      def get(path: String): (Int, String) = {
+        val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[HttpURLConnection]
+        val code = conn.getResponseCode
+        val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (stream == null) "" else
+          try new String(stream.readAllBytes(), "UTF-8") finally stream.close()
+        conn.disconnect()
+        (code, body)
+      }
+      // remote read: the match-everything regex selects 3 series > 2
+      val readAll = graft.sources.RemoteRead.encodeRequest(Seq(
+        (t0, t0 + 3600000L, Seq(graft.tsdb.MatchRe("event_type", ".+")))))
+      val (rAllCode, rAllBody) = post(port, "/api/v1/read", readAll)
+      assert(rAllCode == 422 &&
+        new String(rAllBody, "UTF-8").contains("too_many_series"),
+        s"$rAllCode ${new String(rAllBody, "UTF-8")}")
+      // a 2-series EQ matcher on the same socket still serves
+      val readOk = graft.sources.RemoteRead.encodeRequest(Seq(
+        (t0, t0 + 3600000L, Seq(MatchEq("event_type", "click")))))
+      val (rOkCode, rOkBody) = post(port, "/api/v1/read", readOk)
+      assert(rOkCode == 200)
+      assert(graft.sources.RemoteRead.decodeResponse(rOkBody).head.size == 2)
+
+      val atS = (t0 + 120000L) / 1000.0
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      // instant query: 3 result series > cap 2 → 422
+      val (qc, qb) = get(s"/api/v1/query?query=${enc("{event_type=~\".+\"}")}&time=$atS")
+      assert(qc == 422 && qb.contains("too_many_series"), s"$qc $qb")
+      // 2 series → serves
+      assert(get(s"/api/v1/query?query=${enc("{event_type=\"click\"}")}&time=$atS")._1 == 200)
+
+      // range query: 3 series × 3 grid points = 9 rows > cap 2 → 422
+      val startS = t0 / 1000.0
+      val rq = enc("sum by (event_type, user_id) (count_over_time({event_type=~\".+\"}[1m]))")
+      val (rc, rb) = get(s"/api/v1/query_range?query=$rq&start=$startS&end=$atS&step=60")
+      assert(rc == 422 && rb.contains("too_many_series"), s"$rc $rb")
+      // 1 series × 2 points fits the row cap → serves
+      val rq2 = enc("sum by (event_type) (count_over_time({event_type=\"purchase\"}[1m]))")
+      val (rc2, rb2) = get(s"/api/v1/query_range?query=$rq2&start=$startS&end=${startS + 60}&step=60")
+      assert(rc2 == 200, s"$rc2 $rb2")
+    } finally endpoint.stop()
+  }
+
   test("rules/alerts API: registered rule evaluates against the store; firing alert surfaces in Prometheus shape") {
     val storeDir = Files.createTempDirectory("graft_http_rules").toString
     val store = new ChunkStore(spark, storeDir)
