@@ -237,16 +237,12 @@ object DebugProbe {
           """mad_over_time({event_type="view"}[7d])""", 1705708800000000L).count()),
         ("pq_profile", p => graft.vector.VectorOps.pqProfile(emb(p)).count()),
         ("heaps_curve", p => graft.text.TextOps.heapsCurve(docs(p)).count()),
-        // bandSize grows with the corpus (the documented scale knob:
-        // a band hashes into 2^bandSize values, so fixed-size bands ⇒
-        // quadratic per-band candidates — measured 9.3× wall at 10×
-        // with the defaults pinned, 13.6× when only nPlanes grew);
-        // the probe applies the sizing rule it documents
-        ("semantic_clusters", p => {
-          val e = emb(p)
-          val (np, bs) = if (e.count() > 10000L) (16, 8) else (8, 4)
-          graft.vector.VectorOps.semanticClusters(e, 0.4, np, bs).count()
-        }),
+        // the AUTO band sizing (autoBandSize's log2-occupancy law) is
+        // now the default — the probe exercises the default to prove
+        // the default is the scale-safe one (was: 9.3× wall at 10×
+        // with bandSize pinned at 4; 1.3× with the law applied)
+        ("semantic_clusters", p =>
+          graft.vector.VectorOps.semanticClusters(emb(p), 0.4).count()),
         ("rule_chain", p => {
           val d1 = java.nio.file.Files.createTempDirectory("x10_chain").toString
           val d2 = java.nio.file.Files.createTempDirectory("x10_chain_dst").toString

@@ -194,6 +194,32 @@ class VectorSpec extends SparkSpec {
     assert(clu.filterNot { case (v, _) => inPair(v) }.forall { case (v, r) => r == v })
   }
 
+  test("autoBandSize: the log2-occupancy law — floor 4 through the gate corpora, grows at scale") {
+    // the gate corpora (500 at sf0.01, 2000 at sf0.1) must resolve to
+    // the banding the static oracles restate (bandSize 4, nPlanes 8)
+    assert(VectorOps.autoBandSize(500) == 4)
+    assert(VectorOps.autoBandSize(2000) == 4)
+    assert(VectorOps.autoBandSize(2048) == 4) // exact power-of-two boundary
+    // beyond the floor: occupancy n/2^bs stays ≈ 128 (the measured
+    // law that turned 9.3× wall at 10× data into 1.3×)
+    assert(VectorOps.autoBandSize(20000) == 8)    // 10× probe corpus
+    assert(VectorOps.autoBandSize(1L << 20) == 13)
+    assert(VectorOps.autoBandSize(1L << 30) == 23)
+    for (n <- Seq(10000L, 100000L, 10000000L)) {
+      val occ = n.toDouble / (1L << VectorOps.autoBandSize(n))
+      assert(occ <= 128.0 && occ > 32.0, s"n=$n occupancy $occ")
+    }
+    // the auto default and the explicit gate banding agree on results
+    // at gate scale (same bs=4/np=8 resolution)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val auto = VectorOps.lshNearDupPairs(e, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val pinned = VectorOps.lshNearDupPairs(e, 0.4, nPlanes = 8, bandSize = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(auto == pinned && auto.nonEmpty)
+  }
+
   test("pqProfile: slices assign to the nearest codebook entry; occupancy and mse are exact") {
     // codebook = slices of vecs 0 and 1 (first-k convention, k=2)
     val d = Seq(
