@@ -357,6 +357,75 @@ object StreamIngest {
       }
   }
 
+  case class DriftIn(dim: Long, grp: String, x: Double)
+  case class DriftState(a: Array[Long], b: Array[Long])
+  case class DriftOut(dim: Long, n_a: Long, n_b: Long, psi: Double)
+
+  /** STREAMING PSI drift monitor — the batch
+    * [[graft.vector.VectorOps.driftPsi]] run live with
+    * `flatMapGroupsWithState` and O(bins) integer state per dimension
+    * (two count arrays, nothing else, forever). The bin grid
+    * (per-dim min/max) is a PARAMETER here — a live monitor bins
+    * against a configured reference grid, exactly like
+    * [[cusumStream]]'s (mean, std) baseline; the batch operator
+    * estimates extents from the corpus, so feeding the stream the
+    * batch's extents converges the two EXACTLY (StreamDriftSpec pins
+    * psi equality across micro-batch cuts).
+    *
+    * The replication is expression-for-expression: same IEEE bin
+    * formula (constant dims route to bin 0), same Laplace
+    * (n+1)/(tot+bins) doubles, same 9dp-HALF_UP term rounding and
+    * exact decimal sum, same final 6dp round — BigDecimal.valueOf
+    * mirrors Spark's string-repr round, Math.log is the same JVM log.
+    * The batch denominator is the GLOBAL cohort count (rows × dims,
+    * every dim of a dense vector contributes one value), so each
+    * dim's group derives it as its own count × `nDims` — the dense-
+    * vector contract. Emits the dim's CURRENT psi after every
+    * micro-batch touch (append mode): a dashboard reads the latest
+    * row per dim. Input: exploded (dim, grp ∈ {a,b}, x). */
+  def driftPsiStream(rows: DataFrame, extents: Map[Long, (Double, Double)],
+                     nDims: Int, nBins: Int = 10,
+                     roundTo: Int = 6): Dataset[DriftOut] = {
+    import rows.sparkSession.implicits._
+    require(nDims > 0 && nBins > 0, "positive dims/bins")
+    def r(x: Double, s: Int): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    rows.select(col("dim"), col("grp"), col("x")).as[DriftIn]
+      .groupByKey(_.dim)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (dim: Long, it: Iterator[DriftIn], state: GroupState[DriftState]) =>
+          val st = state.getOption.getOrElse(
+            DriftState(new Array[Long](nBins), new Array[Long](nBins)))
+          val (mn, mx) = extents.getOrElse(dim,
+            throw new IllegalArgumentException(s"no bin extents for dim $dim"))
+          it.foreach { e =>
+            // the batch bin expression verbatim: constant dims (mx ==
+            // mn would divide 0/0) pin to bin 0 and stay visible
+            val bin = if (mx > mn)
+              math.min(math.floor((e.x - mn) / (mx - mn) * nBins).toLong, nBins - 1L)
+            else 0L
+            val b = bin.toInt
+            if (e.grp == "a") st.a(b) += 1 else st.b(b) += 1
+          }
+          state.update(st)
+          val (na, nb) = (st.a.sum, st.b.sum)
+          // batch denominators: global cohort counts = per-dim × nDims
+          val (ta, tb) = (na * nDims + nBins, nb * nDims + nBins)
+          var sum = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < nBins) {
+            val pa = (st.a(i) + 1).toDouble / ta.toDouble
+            val pb = (st.b(i) + 1).toDouble / tb.toDouble
+            val term = r((pa - pb) * math.log(pa / pb), 9)
+            sum = sum.add(java.math.BigDecimal.valueOf(term)
+              .setScale(9, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
+          Iterator.single(DriftOut(dim, na, nb, r(sum.doubleValue(), roundTo)))
+      }
+  }
+
   /** Event-time-timeout sessionization: like [[sessionizeStream]], but
     * a forever-quiet user's open session ALSO closes once the event-
     * time watermark passes `session end + gap` — the state store never
