@@ -1459,6 +1459,28 @@ object SparkEntry {
       graft.quality.Quality.tpchSuite(
         t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "customer"))),
 
+    // DQ VERDICT PERSISTENCE + TREND (the other half of the Deequ
+    // role — anomaly detection on the metrics OVER TIME): each
+    // ship-year of lineitem is one ingest "run" whose verdict frame
+    // persists into a run-partitioned store (dynamic-partition
+    // overwrite = idempotent re-runs), then the trend query reads the
+    // STORE back — per-check pass rate over runs, latest-vs-prior
+    // violation rates from exact pooled counts, anomaly flag.
+    // End-to-end through the persistence layer, like the chunk-store
+    // lifecycle gates.
+    "dq_trend" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val store = java.nio.file.Files.createTempDirectory("graft_dq_store").toString
+      val years = li.select(year(col("l_shipdate").cast("timestamp")).as("y"))
+        .distinct().orderBy(col("y")).collect().map(_.getInt(0))
+      years.foreach { y =>
+        graft.quality.Quality.persistVerdicts(store, s"y$y",
+          graft.quality.Quality.lineitemRunChecks(
+            li.filter(year(col("l_shipdate").cast("timestamp")) === y)))
+      }
+      graft.quality.Quality.trend(graft.quality.Quality.readVerdicts(s, store))
+    }),
+
     "multimodal_resize" -> ((s, dir) =>
       // resize roundtrip gate: synth real PNG/WAV → REAL pixel rescale
       // / PCM truncate → decode the resized containers; the oracle
@@ -5093,6 +5115,52 @@ object SparkEntry {
                 CAST(n_violations AS DOUBLE) / n_rows AS violation_rate,
                 n_violations = 0 AS pass
          FROM v""",
+
+    // trend restated: per-ship-year runs of the lineitem checks,
+    // then the count-pooled trend arithmetic (every rate one IEEE
+    // division of exact counts; latest run by run_id string order)
+    "dq_trend" ->
+      """WITH runs AS (SELECT year(l_shipdate) AS y,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS li_quantity_range,
+             CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS li_price_positive,
+             CAST(sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS li_discount_range,
+             CAST(sum(CASE WHEN NOT (l_tax >= 0.0 AND l_tax <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS li_tax_range,
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS li_returnflag_domain,
+             CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS li_keys_nonnull,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS li_line_unique
+           FROM lineitem GROUP BY 1),
+         v AS (
+           SELECT 'y' || CAST(y AS VARCHAR) AS run_id, 'li_quantity_range' AS check_name, n_rows, li_quantity_range AS n_violations FROM runs
+           UNION ALL SELECT 'y' || CAST(y AS VARCHAR), 'li_price_positive', n_rows, li_price_positive FROM runs
+           UNION ALL SELECT 'y' || CAST(y AS VARCHAR), 'li_discount_range', n_rows, li_discount_range FROM runs
+           UNION ALL SELECT 'y' || CAST(y AS VARCHAR), 'li_tax_range', n_rows, li_tax_range FROM runs
+           UNION ALL SELECT 'y' || CAST(y AS VARCHAR), 'li_returnflag_domain', n_rows, li_returnflag_domain FROM runs
+           UNION ALL SELECT 'y' || CAST(y AS VARCHAR), 'li_keys_nonnull', n_rows, li_keys_nonnull FROM runs
+           UNION ALL SELECT 'y' || CAST(y AS VARCHAR), 'li_line_unique', n_rows, li_line_unique FROM runs),
+         a AS (SELECT check_name,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(sum(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+             CAST(sum(n_violations) AS BIGINT) AS total_violations,
+             CAST(sum(n_rows) AS BIGINT) AS total_rows,
+             max(run_id) AS latest_run,
+             arg_max(n_violations, run_id) AS latest_viol,
+             arg_max(n_rows, run_id) AS latest_rows
+           FROM v GROUP BY 1),
+         b AS (SELECT check_name, n_runs, n_passed,
+             CAST(n_passed AS DOUBLE) / CAST(n_runs AS DOUBLE) AS pass_rate,
+             total_violations, total_rows, latest_run,
+             CAST(latest_viol AS DOUBLE) / CAST(latest_rows AS DOUBLE) AS latest_violation_rate,
+             CASE WHEN total_rows > latest_rows
+                  THEN CAST(total_violations - latest_viol AS DOUBLE) / CAST(total_rows - latest_rows AS DOUBLE)
+                  ELSE 0.0 END AS prior_violation_rate
+           FROM a)
+         SELECT check_name, n_runs, n_passed, pass_rate,
+                total_violations, total_rows, latest_run,
+                latest_violation_rate, prior_violation_rate,
+                ((prior_violation_rate = 0.0 AND latest_violation_rate > 0.0)
+                  OR latest_violation_rate > 2.0 * prior_violation_rate) AS anomaly
+         FROM b""",
 
     // coverage curve restated: same (n desc, term) vocab order
     "vocab_coverage_curve" ->

@@ -164,6 +164,78 @@ object Quality {
           .as("null_rate"))
   }
 
+  // ── verdict persistence + trending (the other half of the Deequ
+  // role: anomaly detection on the metrics OVER TIME, not just the
+  // point-in-time gate) ──
+
+  /** Persist one run's verdict frame into a run-partitioned store.
+    * Verdicts are check-grain (a handful of rows per run however big
+    * the data), so the store stays tiny forever; partitioning by
+    * run_id makes a re-run of the same run_id IDEMPOTENT (dynamic
+    * partition overwrite replaces exactly that run) and gives the
+    * trend reader per-run partition pruning. */
+  def persistVerdicts(storePath: String, runId: String, verdicts: DataFrame): Unit = {
+    require(runId.nonEmpty && !runId.contains("/"), s"bad run_id '$runId'")
+    verdicts.withColumn("run_id", lit(runId))
+      .repartition(1) // check-grain: one small file per run
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id").parquet(storePath)
+  }
+
+  def readVerdicts(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+
+  /** Per-check TREND over the persisted runs: how often the check
+    * passed, the lifetime violation mass, the LATEST run's rate next
+    * to the rate of all PRIOR runs pooled, and an anomaly flag
+    * (latest more than doubles the prior rate, or violates where
+    * priors were clean) — the read a pipeline does before trusting
+    * today's ingest. Determinism: every rate is one IEEE division of
+    * exact counts (prior pools counts, never averages doubles); the
+    * latest run resolves by max(run_id) string order — run ids must
+    * sort chronologically (the y2001 / 20260815T convention).
+    * Runs × checks rows in, checks rows out — scale-free. */
+  def trend(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("check_name"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_passed"),
+        sum(col("n_violations")).as("total_violations"),
+        sum(col("n_rows")).as("total_rows"),
+        max(struct(col("run_id"), col("n_violations"), col("n_rows"))).as("l"))
+      .select(col("check_name"), col("n_runs"), col("n_passed"),
+        (col("n_passed").cast("double") / col("n_runs").cast("double")).as("pass_rate"),
+        col("total_violations"), col("total_rows"),
+        col("l.run_id").as("latest_run"),
+        (col("l.n_violations").cast("double") / col("l.n_rows").cast("double"))
+          .as("latest_violation_rate"),
+        when(col("total_rows") > col("l.n_rows"),
+          (col("total_violations") - col("l.n_violations")).cast("double")
+            / (col("total_rows") - col("l.n_rows")).cast("double"))
+          .otherwise(lit(0.0)).as("prior_violation_rate"))
+      .withColumn("anomaly",
+        (col("prior_violation_rate") === 0.0 && col("latest_violation_rate") > 0.0) ||
+          col("latest_violation_rate") > lit(2.0) * col("prior_violation_rate"))
+
+  /** The per-run slice of [[tpchSuite]] a trend store ingests: the
+    * lineitem row-grain checks plus line-key uniqueness, at whatever
+    * grain the caller slices runs by (a ship-year here, an ingest
+    * batch in production). */
+  def lineitemRunChecks(slice: DataFrame): DataFrame =
+    rowChecks(slice, Seq(
+      RowCheck("li_quantity_range",
+        !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)),
+      RowCheck("li_price_positive", col("l_extendedprice") <= 0.0),
+      RowCheck("li_discount_range",
+        !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)),
+      RowCheck("li_tax_range", !(col("l_tax") >= 0.0 && col("l_tax") <= 0.08)),
+      RowCheck("li_returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+      RowCheck("li_keys_nonnull",
+        col("l_orderkey").isNull || col("l_partkey").isNull
+          || col("l_suppkey").isNull)))
+      .unionByName(uniqueCheck("li_line_unique", slice,
+        Seq("l_orderkey", "l_linenumber")))
+
   /** The shipped suite over the TPC-H-ish trio: 11 row-grain checks in
     * THREE scans (one per table), two uniqueness aggregations, two
     * key-projected referential joins, one completeness join, one

@@ -81,6 +81,40 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("Expand"), "profile regrew the multi-distinct Expand:\n" + plan)
   }
 
+  test("verdict store: idempotent re-run per run_id; trend pools prior counts and flags the shift") {
+    val store = java.nio.file.Files.createTempDirectory("q_verdicts").toString
+    def suite(rows: Seq[(Long, Double)]) = Quality.rowChecks(
+      rows.toDF("k", "x"),
+      Seq(Quality.RowCheck("x_nonneg", col("x") < 0.0)))
+    // three clean runs, then a run where 2 of 4 rows violate
+    Quality.persistVerdicts(store, "r1", suite(Seq((1L, 1.0), (2L, 2.0))))
+    Quality.persistVerdicts(store, "r2", suite(Seq((1L, 1.0), (2L, 2.0))))
+    Quality.persistVerdicts(store, "r3", suite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))))
+    Quality.persistVerdicts(store, "r4",
+      suite(Seq((1L, 1.0), (2L, -1.0), (3L, -2.0), (4L, 4.0))))
+    // idempotence: re-persisting r2 replaces ONLY that partition
+    Quality.persistVerdicts(store, "r2", suite(Seq((1L, 1.0), (2L, 2.0))))
+    val v = Quality.readVerdicts(spark, store)
+    assert(v.count() == 4 && v.select("run_id").distinct().count() == 4)
+
+    val t = Quality.trend(v)
+      .select("check_name", "n_runs", "n_passed", "pass_rate", "total_violations",
+        "total_rows", "latest_run", "latest_violation_rate",
+        "prior_violation_rate", "anomaly")
+      .as[(String, Long, Long, Double, Long, Long, String, Double, Double, Boolean)]
+      .head()
+    assert(t == (("x_nonneg", 4L, 3L, 0.75, 2L, 11L, "r4", 0.5, 0.0, true)), t)
+
+    // no-anomaly shape: steady small violation rate does not flag
+    Quality.persistVerdicts(store, "r5",
+      suite(Seq((1L, -1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))))
+    val t2 = Quality.trend(Quality.readVerdicts(spark, store))
+      .select("latest_run", "latest_violation_rate", "prior_violation_rate", "anomaly")
+      .as[(String, Double, Double, Boolean)].head()
+    // latest 1/4 = 0.25 vs prior 2/11 ≈ 0.1818: elevated but < 2× — quiet
+    assert(t2._1 == "r5" && t2._2 == 0.25 && !t2._4, t2)
+  }
+
   private implicit class MapOps(rows: Array[(String, Long, Long, Boolean)]) {
     def toMap2: Map[String, (Long, Long, Boolean)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
