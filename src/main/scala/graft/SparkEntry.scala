@@ -1927,6 +1927,16 @@ object SparkEntry {
       embT(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))),
 
+    // MULTI-COMPONENT PCA by Hotelling deflation: after each power-
+    // iterated component, C deflates by λ·v·vᵀ (exact-decimal term,
+    // 6dp residual) and the next component extracts from the
+    // residual — still ONE corpus covariance pass; every deflation
+    // round is dim²-frame arithmetic under the localCheckpoint
+    // lineage discipline
+    "emb_pca_deflate" -> ((s, dir) => VectorOps.pcaComponents(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     // ANN EVALUATION: recall@10 of the LSH index against brute-force
     // ground truth on a 50-query sample — the ann-benchmarks metric a
     // pipeline runs before trusting an approximate index at corpus
@@ -2461,6 +2471,51 @@ object SparkEntry {
                    THEN CAST(max_y - min_y AS DOUBLE) / CAST(gmax_y - gmin_y AS DOUBLE)
                    ELSE 0.0 END AS y_span_frac
        FROM c"""
+  }
+
+  /** emb_pca_deflate oracle: the covariance CTE, then 3 components ×
+    * 5 power sweeps UNROLLED, each component followed by the
+    * exact-decimal Hotelling deflation λ·v·vᵀ (the term rounds to 6dp
+    * BEFORE the subtraction, mirroring the engine's decimal-precision
+    * discipline). cov CTEs are MATERIALIZED — each feeds three
+    * matvecs, and DuckDB inlines plain CTEs per reference (the
+    * pagerank lesson). */
+  private lazy val pcaDeflateOracle: String = {
+    val sb = new StringBuilder
+    for (k <- 1 to 3; i <- 1 to 5) {
+      val uSrc = if (i == 1)
+        s"SELECT di, CAST(round(sum(c * CAST(0.125 AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS u FROM cov$k GROUP BY 1"
+      else
+        s"SELECT di, CAST(round(sum(c * w), 6) AS DECIMAL(18,6)) AS u FROM cov$k JOIN v$k${i - 1} USING (dj) GROUP BY 1"
+      sb ++= s",\n         u$k$i AS ($uSrc)"
+      sb ++= s",\n         n$k$i AS (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS nm FROM u$k$i)"
+      sb ++= s",\n         v$k$i AS (SELECT di AS dj, CAST(round(CAST(u AS DOUBLE) / nm, 6) AS DECIMAL(18,6)) AS w FROM u$k$i, n$k$i)"
+      if (i == 5 && k < 3) {
+        sb ++= s",\n         lam$k AS (SELECT CAST(round(max(nm), 6) AS DECIMAL(12,6)) AS lam FROM n$k$i)"
+        sb ++= s",\n         cov${k + 1} AS MATERIALIZED (SELECT cc.di, cc.dj, " +
+          s"CAST(cc.c - CAST(round(lam.lam * CAST(vi.w AS DECIMAL(12,6)) * CAST(vj.w AS DECIMAL(12,6)), 6) AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS c " +
+          s"FROM cov$k cc JOIN v${k}5 vi ON vi.dj = cc.di JOIN v${k}5 vj ON vj.dj = cc.dj, lam$k lam)"
+      }
+    }
+    val finalSel = (1 to 3).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS component, di AS d, round(CAST(u AS DOUBLE) / nm, 6) AS loading, round(nm, 6) AS eigenvalue FROM u${k}5, n${k}5")
+      .mkString("\n         UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+         x AS (SELECT vec_id, t.i AS d, CAST(round(arr[t.i], 6) AS DECIMAL(18,6)) AS x
+               FROM e, (SELECT unnest(range(1, 65)) AS i) t),
+         m AS (SELECT d, CAST(sum(x) AS DOUBLE) AS sx FROM x GROUP BY 1),
+         p AS (SELECT a.d AS di, b.d AS dj, a.x * b.x AS prod
+               FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d),
+         g AS (SELECT di, dj, CAST(count(prod) AS BIGINT) AS n,
+                      CAST(sum(prod) AS DOUBLE) AS sxy
+               FROM p GROUP BY 1, 2),
+         covu AS (SELECT g.di, g.dj,
+                    CAST(round(sxy / n - (mi.sx / n) * (mj.sx / n), 6) AS DECIMAL(18,6)) AS c
+                  FROM g JOIN m mi ON mi.d = g.di JOIN m mj ON mj.d = g.dj),
+         cov1 AS MATERIALIZED (SELECT di, dj, c FROM covu
+                 UNION ALL
+                 SELECT dj AS di, di AS dj, c FROM covu WHERE di <> dj)$sb
+         $finalSel"""
   }
 
   /** graph_pagerank oracle: the two-stage pair CTE symmetrized into
@@ -5907,19 +5962,21 @@ object SparkEntry {
          cov AS (SELECT di, dj, c FROM covu
                  UNION ALL
                  SELECT dj AS di, di AS dj, c FROM covu WHERE di <> dj),
-         u1 AS (SELECT di, round(CAST(sum(c * CAST(0.125 AS DECIMAL(18,6))) AS DOUBLE), 6) AS u
+         u1 AS (SELECT di, CAST(round(sum(c * CAST(0.125 AS DECIMAL(18,6))), 6) AS DECIMAL(18,6)) AS u
                 FROM cov GROUP BY 1),
-         n1 AS (SELECT sqrt(CAST(sum(CAST(u AS DECIMAL(18,6)) * CAST(u AS DECIMAL(18,6))) AS DOUBLE)) AS nm FROM u1),
-         v1 AS (SELECT di AS dj, CAST(round(u / nm, 6) AS DECIMAL(18,6)) AS w FROM u1, n1),
-         u2 AS (SELECT di, round(CAST(sum(c * w) AS DOUBLE), 6) AS u
+         n1 AS (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS nm FROM u1),
+         v1 AS (SELECT di AS dj, CAST(round(CAST(u AS DOUBLE) / nm, 6) AS DECIMAL(18,6)) AS w FROM u1, n1),
+         u2 AS (SELECT di, CAST(round(sum(c * w), 6) AS DECIMAL(18,6)) AS u
                 FROM cov JOIN v1 USING (dj) GROUP BY 1),
-         n2 AS (SELECT sqrt(CAST(sum(CAST(u AS DECIMAL(18,6)) * CAST(u AS DECIMAL(18,6))) AS DOUBLE)) AS nm FROM u2),
-         v2 AS (SELECT di AS dj, CAST(round(u / nm, 6) AS DECIMAL(18,6)) AS w FROM u2, n2),
-         u3 AS (SELECT di, round(CAST(sum(c * w) AS DOUBLE), 6) AS u
+         n2 AS (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS nm FROM u2),
+         v2 AS (SELECT di AS dj, CAST(round(CAST(u AS DOUBLE) / nm, 6) AS DECIMAL(18,6)) AS w FROM u2, n2),
+         u3 AS (SELECT di, CAST(round(sum(c * w), 6) AS DECIMAL(18,6)) AS u
                 FROM cov JOIN v2 USING (dj) GROUP BY 1),
-         n3 AS (SELECT sqrt(CAST(sum(CAST(u AS DECIMAL(18,6)) * CAST(u AS DECIMAL(18,6))) AS DOUBLE)) AS nm FROM u3)
-         SELECT di AS d, round(u / nm, 6) AS loading, round(nm, 6) AS eigenvalue
+         n3 AS (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS nm FROM u3)
+         SELECT di AS d, round(CAST(u AS DOUBLE) / nm, 6) AS loading, round(nm, 6) AS eigenvalue
          FROM u3, n3""",
+
+    "emb_pca_deflate" -> pcaDeflateOracle,
 
     "emb_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label, t.i AS dim,

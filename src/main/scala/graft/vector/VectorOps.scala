@@ -811,21 +811,102 @@ object VectorOps {
       .select(col("id").as("dj"), lit(v0).cast(dec).as("w"))
     var out: DataFrame = null
     for (i <- 1 to iters) {
+      // round the exact scale-12 DECIMAL sum directly — a cast to
+      // double BEFORE the 6dp round puts exact 12dp quantities whose
+      // digits 7–12 are 500000 on the double-rounding tie where Spark
+      // (string-repr) and DuckDB (binary ×1e6) disagree; decimal
+      // rounding is exact and identical on both engines (found when
+      // the 3-component deflation chain amplified one such tie to a
+      // 9e-5 loading divergence)
       val u = covFull.join(broadcast(v), "dj")
         .groupBy(col("di"))
-        .agg(round(sum(col("c") * col("w")).cast("double"), roundTo).as("u"))
+        .agg(round(sum(col("c") * col("w")), roundTo).cast(dec).as("u"))
       val nn = u.agg(
-        sqrt(sum(col("u").cast(dec) * col("u").cast(dec)).cast("double")).as("_norm"))
+        sqrt(sum(col("u") * col("u")).cast("double")).as("_norm"))
       val un = u.crossJoin(broadcast(nn))
       v = un.select(col("di").as("dj"),
-        round(col("u") / col("_norm"), roundTo).cast(dec).as("w"))
+        round(col("u").cast("double") / col("_norm"), roundTo).cast(dec).as("w"))
         .localCheckpoint() // truncate per-sweep lineage (dim rows)
       if (i == iters)
         out = un.select(col("di").as("d"),
-          round(col("u") / col("_norm"), roundTo).as("loading"),
+          round(col("u").cast("double") / col("_norm"), roundTo).as("loading"),
           round(col("_norm"), roundTo).as("eigenvalue"))
     }
     out
+  }
+
+  /** TOP-`nComponents` principal components by HOTELLING DEFLATION
+    * over [[pcaTopComponent]]'s power iteration: after each component
+    * converges, the matrix deflates C ← C − λ·v·vᵀ and the next power
+    * iteration runs on the residual — the classic sequential
+    * eigenpair extraction. The corpus-scale work is STILL exactly one
+    * covariance pass; every deflation round is arithmetic on the
+    * dim²-row matrix frame (localCheckpoint per round — the
+    * graph_pagerank lineage discipline, or Catalyst re-analyzes the
+    * covariance subtree once per matvec).
+    *
+    * Determinism: the power iteration is [[pcaTopComponent]]'s exact
+    * arithmetic verbatim (component 1 equals it bit-for-bit); the
+    * deflation term λ·v_i·v_j computes entirely in DECIMAL —
+    * (12,6)³ products stay within 38 digits on every engine — and
+    * each residual entry rounds to 6dp before the next round, so the
+    * whole deflation chain restates exactly in SQL. Output:
+    * (component, d, loading, eigenvalue), eigenvalues descending by
+    * construction. */
+  def pcaComponents(corpus: DataFrame, nComponents: Int = 3, dim: Int = 64,
+                    iters: Int = 5, roundTo: Int = 6): DataFrame = {
+    require(nComponents >= 1 && nComponents <= dim, "1 <= components <= dim")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec12 = org.apache.spark.sql.types.DecimalType(12, 6)
+    val covU = covariance(corpus, dim, roundTo)
+      .select(col("di"), col("dj"), round(col("cov"), roundTo).cast(dec).as("c"))
+    var c = covU.unionByName(
+        covU.filter(col("di") =!= col("dj"))
+          .select(col("dj").as("di"), col("di").as("dj"), col("c")))
+      .localCheckpoint()
+    val spark = corpus.sparkSession
+    val v0 = math.round(1.0 / math.sqrt(dim.toDouble) * 1e6) / 1e6
+    var outs = List.empty[DataFrame]
+    for (k <- 1 to nComponents) {
+      var v: DataFrame = spark.range(1, dim + 1)
+        .select(col("id").as("dj"), lit(v0).cast(dec).as("w"))
+      var lastUn: DataFrame = null
+      for (i <- 1 to iters) {
+        // decimal-direct 6dp round of the matvec — see pcaTopComponent
+        val u = c.join(broadcast(v), "dj")
+          .groupBy(col("di"))
+          .agg(round(sum(col("c") * col("w")), roundTo).cast(dec).as("u"))
+        val nn = u.agg(
+          sqrt(sum(col("u") * col("u")).cast("double")).as("_norm"))
+        val un = u.crossJoin(broadcast(nn))
+        v = un.select(col("di").as("dj"),
+          round(col("u").cast("double") / col("_norm"), roundTo).cast(dec).as("w"))
+          .localCheckpoint()
+        if (i == iters) lastUn = un
+      }
+      outs ::= lastUn.select(lit(k.toLong).as("component"),
+        col("di").as("d"),
+        round(col("u").cast("double") / col("_norm"), roundTo).as("loading"),
+        round(col("_norm"), roundTo).as("eigenvalue"))
+      if (k < nComponents) {
+        val lam = lastUn.agg(
+          round(max(col("_norm")), roundTo).cast(dec12).as("lam"))
+        val vi = v.select(col("dj").as("di"), col("w").cast(dec12).as("wi"))
+        val vj = v.select(col("dj"), col("w").cast(dec12).as("wj"))
+        // the λ·v_i·v_j term rounds to 6dp FIRST, then subtracts two
+        // exact (18,6) decimals — subtracting the raw scale-18 product
+        // would push Spark's decimal arithmetic past precision 38 into
+        // allowPrecisionLoss scale-trimming (an engine-specific
+        // double-rounding the oracle can't restate)
+        c = c.join(broadcast(vi), "di").join(broadcast(vj), "dj")
+          .crossJoin(broadcast(lam))
+          .select(col("di"), col("dj"),
+            (col("c") - round(col("lam") * col("wi") * col("wj"), roundTo)
+              .cast(dec)).cast(dec).as("c"))
+          .localCheckpoint()
+      }
+    }
+    outs.reverse.reduce(_ unionByName _)
   }
 
   /** Class centroids: the mean embedding per label, one (label, dim)

@@ -194,6 +194,50 @@ class VectorSpec extends SparkSpec {
     assert(clu.filterNot { case (v, _) => inPair(v) }.forall { case (v, r) => r == v })
   }
 
+  test("pcaComponents: exact eigenstructure on a constructed spectrum; component 1 == pcaTopComponent") {
+    // a corpus whose covariance is EXACTLY diag(3, 4/3, 1/3): four
+    // copies of ±3e1, ±2e2, ±1e3 (means zero, axes uncorrelated) —
+    // deflation must recover the axes in order with tight tolerances
+    val rows = (for {
+      (mag, axis) <- Seq((3.0, 0), (2.0, 1), (1.0, 2))
+      sign <- Seq(1.0, -1.0); copy <- 0 until 4
+    } yield {
+      val v = Array.fill(3)(0.0); v(axis) = sign * mag
+      (axis * 100L + copy * 10L + (if (sign > 0) 1L else 2L), v.toSeq)
+    }).toDF("vec_id", "v")
+    val multi = VectorOps.pcaComponents(rows, nComponents = 3, dim = 3)
+      .select("component", "d", "loading", "eigenvalue")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(multi.length == 9)
+    def vec(k: Long) = multi.filter(_._1 == k).sortBy(_._2).map(_._3)
+    val eig = (1 to 3).map(k => multi.find(_._1 == k).get._4)
+    assert(math.abs(eig(0) - 3.0) < 0.05 && math.abs(eig(1) - 4.0 / 3) < 0.05
+      && math.abs(eig(2) - 1.0 / 3) < 0.05, eig.toString)
+    assert(eig(0) > eig(1) && eig(1) > eig(2), eig.toString)
+    // each component is its axis (up to sign) and mutually orthogonal
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(p => p._1 * p._2).sum
+    for (k <- 1 to 3)
+      assert(math.abs(math.abs(vec(k.toLong)(k - 1)) - 1.0) < 0.02, vec(k.toLong).toSeq)
+    assert(math.abs(dot(vec(1), vec(2))) < 0.05)
+    assert(math.abs(dot(vec(2), vec(3))) < 0.05)
+    assert(math.abs(dot(vec(1), vec(3))) < 0.05)
+
+    // on the real corpus (near-flat spectrum — ordering is only
+    // guaranteed at convergence): component 1 must equal the
+    // single-component operator VERBATIM, eigenvalues stay positive
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val m2 = VectorOps.pcaComponents(e, nComponents = 3)
+      .select("component", "d", "loading", "eigenvalue")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(m2.length == 192 && m2.forall(_._4 > 0.0))
+    val c1 = m2.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq
+    val single = VectorOps.pcaTopComponent(e, iters = 5)
+      .select("d", "loading", "eigenvalue")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(c1 == single, "deflation component 1 diverged from the single-component operator")
+  }
+
   test("autoBandSize: the log2-occupancy law — floor 4 through the gate corpora, grows at scale") {
     // the gate corpora (500 at sf0.01, 2000 at sf0.1) must resolve to
     // the banding the static oracles restate (bandSize 4, nPlanes 8)
