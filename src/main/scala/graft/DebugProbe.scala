@@ -354,7 +354,25 @@ object DebugProbe {
           val batch = d.filter(pmod(col("doc_id"), lit(7L)) === 0)
             .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
           graft.text.Dedup.bloomApply(d, batch).count()
-        }))
+        }),
+        // r11: per-year runs through the persistence layer, then the
+        // trend read — each year's single-scan checks see 10× rows
+        ("dq_trend", p => {
+          val li = spark.read.parquet(p)
+          val store = java.nio.file.Files.createTempDirectory("x10_dq").toString
+          val years = li.select(year(col("l_shipdate").cast("timestamp")).as("y"))
+            .distinct().orderBy(col("y")).collect().map(_.getInt(0))
+          years.foreach { y =>
+            graft.quality.Quality.persistVerdicts(store, s"y$y",
+              graft.quality.Quality.lineitemRunChecks(
+                li.filter(year(col("l_shipdate").cast("timestamp")) === y)))
+          }
+          graft.quality.Quality.trend(
+            graft.quality.Quality.readVerdicts(spark, store)).count()
+        }),
+        // r11: 3-component deflation — the corpus cost is ONE
+        // covariance pass; everything after is dim²-frame arithmetic
+        ("pca_deflate", p => graft.vector.VectorOps.pcaComponents(emb(p)).count()))
       // paths are thunks: a probe-name subset (extra args after
       // __scale10) only builds the 10x tables it actually reads
       val tableFor = Map[String, (String, () => String)](
@@ -433,7 +451,9 @@ object DebugProbe {
         "zorder" -> ("lineitem", () => liP),
         "length_batching" -> ("documents", () => docsP),
         "lsh_tuning" -> ("documents", () => docsP),
-        "bloom_apply" -> ("documents", () => docsP))
+        "bloom_apply" -> ("documents", () => docsP),
+        "dq_trend" -> ("lineitem", () => liP),
+        "pca_deflate" -> ("embeddings", () => embP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))

@@ -197,7 +197,7 @@ final class IvfStore(spark: SparkSession, path: String,
       .collect().map(_.getLong(0)).toSeq
     val scored = read()
       .filter(col("cell").isInCollection(probedCells))
-      .join(probes, "cell")
+      .join(org.apache.spark.sql.functions.broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))

@@ -196,8 +196,12 @@ object VectorOps {
   /** The deterministic coarse quantizer shared by [[ivfTopK]] and
     * [[IvfStore]]: the `nCells` lowest-vec_id vectors as centroids. */
   def ivfCentroids(corpus: DataFrame, nCells: Int): DataFrame =
-    broadcast(corpus.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    // no broadcast hint on the RETURN: a codebook gets written,
+    // collected and joined by different callers, and a hint on a
+    // non-join consumer is a dangling-hint warning that can hide a
+    // real one — the join sites (ivfAssign/ivfProbes) hint instead
+    corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
 
   /** Deterministic farthest-point (maxmin) seeding: start from the
     * lowest-id vector, then greedily add the vector whose best cosine
@@ -231,8 +235,8 @@ object VectorOps {
     // re-number cells 0..nCells-1: ivfAssign packs the cell id into a
     // 16-bit field of its argmax LONG, so codebook ids must stay small
     // regardless of the source vec_id range
-    broadcast(cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-      .toDF("c_id", "cv"))
+    cents.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      .toDF("c_id", "cv") // unhinted: join sites hint (see ivfCentroids)
   }
 
   /** Trained coarse quantizer: deterministic Lloyd's k-means.
@@ -272,7 +276,7 @@ object VectorOps {
       val newMap = newC.as[(Long, Seq[Double])].collect().toMap
       val merged = cents.as[(Long, Seq[Double])].collect().toSeq
         .map { case (id, old) => (id, newMap.getOrElse(id, old)) }
-      cents = broadcast(merged.toDF("c_id", "cv"))
+      cents = merged.toDF("c_id", "cv") // unhinted: collected next round; join sites hint
     }
     cents
   }
@@ -410,7 +414,7 @@ object VectorOps {
       .orderBy(col("k")).as[(Long, Seq[Double])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq
     assign.unpersist(blocking = false)
-    broadcast(cents.toDF("c_id", "cv"))
+    cents.toDF("c_id", "cv") // unhinted: gets WRITTEN by IvfStore; join sites hint
   }
 
   /** Cell assignment (vec_id → cell): argmax rounded cosine vs every
@@ -426,7 +430,7 @@ object VectorOps {
     val scale = math.pow(10, roundTo)
     val key = round((col("cos_c") + 1) * scale).cast("long") * 65536L +
       (lit(65535L) - col("c_id"))
-    corpus.select(col("vec_id"), col("v")).crossJoin(cents)
+    corpus.select(col("vec_id"), col("v")).crossJoin(broadcast(cents))
       .withColumn("cos_c",
         round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
       .groupBy(col("vec_id"))
@@ -968,14 +972,16 @@ object VectorOps {
   def ivfProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,
                 roundTo: Int = 6): DataFrame = {
     val wP = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id").asc)
-    broadcast(
-      queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .crossJoin(cents)
-        .withColumn("cos_c",
-          round(graft.functions.CosineSimilarity(col("qv"), col("cv")), roundTo))
-        .withColumn("rn", row_number().over(wP))
-        .filter(col("rn") <= nProbe)
-        .select(col("q_id"), col("qv"), col("c_id").as("cell")))
+    // unhinted return (probeTopK also COLLECTS the probed cell set
+    // for partition pruning — a baked-in hint dangles there); the
+    // corpus-side join sites hint instead
+    queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        round(graft.functions.CosineSimilarity(col("qv"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"))
   }
 
   def ivfTopK(corpus: DataFrame, queryIds: Column, k: Int = 10, nCells: Int = 16,
@@ -985,7 +991,7 @@ object VectorOps {
     val assign = ivfAssign(corpus, cents, roundTo)
     val cells = corpus.join(assign, "vec_id").persist()
     val probes = ivfProbes(corpus.filter(queryIds), cents, nProbe, roundTo)
-    val scored = cells.join(probes, "cell")
+    val scored = cells.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
