@@ -111,6 +111,13 @@ object SparkEntry {
 
     "events_transitions" -> ((s, dir) => TsOps.transitions(t(s, dir, "events"))),
 
+    // the long-run read of the transition table: damped stationary
+    // distribution of the user-journey Markov chain in integer
+    // nano-units (the graph_pagerank discipline — bit-exact sweeps,
+    // unrolled in the oracle)
+    "events_markov_stationary" -> ((s, dir) =>
+      TsOps.markovStationary(t(s, dir, "events"))),
+
     "events_top_paths" -> ((s, dir) => TsOps.topPaths(t(s, dir, "events"))),
 
     "events_dau_wau" -> ((s, dir) => TsOps.dauWau(t(s, dir, "events"))),
@@ -1937,6 +1944,14 @@ object SparkEntry {
       embT(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))),
 
+    // the deflated components APPLIED back to the corpus: per-vector
+    // scores (one broadcast join + hash agg — the whitening
+    // projection pass), rolled up to variance-capture evidence
+    // (var(z)/λ ≈ 1 = the directions carry their claimed variance)
+    "emb_pca_project" -> ((s, dir) => VectorOps.pcaProject(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     // ANN EVALUATION: recall@10 of the LSH index against brute-force
     // ground truth on a 50-query sample — the ann-benchmarks metric a
     // pipeline runs before trusting an approximate index at corpus
@@ -2206,6 +2221,25 @@ object SparkEntry {
         embT(s, dir).select(
           when(col("label") < 5, "a").otherwise("b").as("grp"),
           col("embedding").cast("array<double>").as("v")))),
+
+    // the STREAMING drift monitor executed in batch mode (Spark runs
+    // flatMapGroupsWithState on a batch Dataset as one state pass per
+    // group): the stream operator's O(bins)-state arithmetic earns
+    // its own oracle row against the batch PSI restatement extended
+    // with the per-cohort counts the stream reports. Bin extents are
+    // the batch's own (the configured-grid convention the operator
+    // serves live).
+    "stream_drift_psi" -> ((s, dir) => {
+      val xd = embT(s, dir).select(
+          when(col("label") < 5, "a").otherwise("b").as("grp"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("long").as("dim"), col("grp"),
+          col("x").cast("double").as("x"))
+      val extents = xd.groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      graft.streaming.StreamIngest.driftPsiStream(xd, extents, 64).toDF()
+    }),
 
     "emb_mrl_curve" -> ((s, dir) =>
       // Matryoshka prefix-fidelity: mean energy fraction + cosine of
@@ -2480,7 +2514,47 @@ object SparkEntry {
     * discipline). cov CTEs are MATERIALIZED — each feeds three
     * matvecs, and DuckDB inlines plain CTEs per reference (the
     * pagerank lesson). */
-  private lazy val pcaDeflateOracle: String = {
+  /** events_markov_stationary oracle: the transitions CTEs, then 8
+    * UNROLLED damped power sweeps in the same integer nano-unit floor
+    * arithmetic as the engine ((r·n) div out_n, (85·Σ) div 100, the
+    * teleport floor re-attached to inbound-less states per sweep) —
+    * exact, no tolerance. */
+  private lazy val markovOracle: String = {
+    val sweeps = (1 to 8).map { i =>
+      s"""a$i AS (SELECT e.to_type AS state,
+           (150000000 // nn.n) + (85 * CAST(sum((r${i - 1}.r * e.n) // e.out_n) AS BIGINT)) // 100 AS r
+         FROM e JOIN r${i - 1} ON e.from_type = r${i - 1}.state CROSS JOIN nn
+         GROUP BY e.to_type, nn.n),
+         r$i AS MATERIALIZED (SELECT st.state, COALESCE(a$i.r, (SELECT 150000000 // n FROM nn)) AS r
+         FROM st LEFT JOIN a$i USING (state))"""
+    }.mkString(",\n         ")
+    s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+         p AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+               FROM s),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         o AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n FROM c GROUP BY 1),
+         e AS MATERIALIZED (SELECT c.from_type, c.to_type, c.n, o.out_n FROM c JOIN o USING (from_type)),
+         st AS MATERIALIZED (SELECT from_type AS state FROM e UNION SELECT to_type FROM e),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+         r0 AS MATERIALIZED (SELECT state, 1000000000 // nn.n AS r FROM st, nn),
+         $sweeps
+         SELECT state AS event_type, CAST(r AS BIGINT) AS pi_nano,
+                CAST(r AS DOUBLE) / 1000000000.0 AS pi
+         FROM r8"""
+  }
+
+  private lazy val pcaDeflateOracle: String =
+    s"""WITH $pcaDeflateCtes
+         $pcaDeflateFinalSel"""
+
+  private lazy val pcaDeflateFinalSel: String =
+    (1 to 3).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS component, di AS d, round(CAST(u AS DOUBLE) / nm, 6) AS loading, round(nm, 6) AS eigenvalue FROM u${k}5, n${k}5")
+      .mkString("\n         UNION ALL ")
+
+  private lazy val pcaDeflateCtes: String = {
     val sb = new StringBuilder
     for (k <- 1 to 3; i <- 1 to 5) {
       val uSrc = if (i == 1)
@@ -2497,10 +2571,7 @@ object SparkEntry {
           s"FROM cov$k cc JOIN v${k}5 vi ON vi.dj = cc.di JOIN v${k}5 vj ON vj.dj = cc.dj, lam$k lam)"
       }
     }
-    val finalSel = (1 to 3).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS component, di AS d, round(CAST(u AS DOUBLE) / nm, 6) AS loading, round(nm, 6) AS eigenvalue FROM u${k}5, n${k}5")
-      .mkString("\n         UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
          x AS (SELECT vec_id, t.i AS d, CAST(round(arr[t.i], 6) AS DECIMAL(18,6)) AS x
                FROM e, (SELECT unnest(range(1, 65)) AS i) t),
          m AS (SELECT d, CAST(sum(x) AS DOUBLE) AS sx FROM x GROUP BY 1),
@@ -2514,8 +2585,31 @@ object SparkEntry {
                   FROM g JOIN m mi ON mi.d = g.di JOIN m mj ON mj.d = g.dj),
          cov1 AS MATERIALIZED (SELECT di, dj, c FROM covu
                  UNION ALL
-                 SELECT dj AS di, di AS dj, c FROM covu WHERE di <> dj)$sb
-         $finalSel"""
+                 SELECT dj AS di, di AS dj, c FROM covu WHERE di <> dj)$sb"""
+  }
+
+  /** emb_pca_project oracle: the deflation chain's components applied
+    * back to the corpus — exact-decimal scores, then the covariance
+    * mean/variance recipe per component. */
+  private lazy val pcaProjectOracle: String = {
+    val comps = (1 to 3).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS component, di AS d, CAST(round(CAST(u AS DOUBLE) / nm, 6) AS DECIMAL(18,6)) AS l6, round(nm, 6) AS eigenvalue FROM u${k}5, n${k}5")
+      .mkString("\n           UNION ALL ")
+    s"""WITH $pcaDeflateCtes,
+         comps AS MATERIALIZED ($comps),
+         zz AS (SELECT x.vec_id, c.component,
+                  CAST(round(sum(x.x * c.l6), 6) AS DECIMAL(18,6)) AS z6
+                FROM x JOIN comps c ON c.d = x.d GROUP BY 1, 2),
+         agg AS (SELECT component, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(z6) AS DOUBLE) AS sz,
+                   CAST(sum(z6 * z6) AS DOUBLE) AS szz
+                 FROM zz GROUP BY 1),
+         ev AS (SELECT component, max(eigenvalue) AS eigenvalue FROM comps GROUP BY 1)
+         SELECT a.component, a.n, sz / n AS mean_z,
+                szz / n - (sz / n) * (sz / n) AS var_z,
+                ev.eigenvalue,
+                (szz / n - (sz / n) * (sz / n)) / ev.eigenvalue AS capture
+         FROM agg a JOIN ev ON a.component = ev.component"""
   }
 
   /** graph_pagerank oracle: the two-stage pair CTE symmetrized into
@@ -2799,6 +2893,8 @@ object SparkEntry {
           SELECT c.from_type, c.to_type, c.n, o.out_n,
                  CAST(c.n AS DOUBLE) / o.out_n AS prob
           FROM c JOIN o USING (from_type)""",
+
+    "events_markov_stationary" -> markovOracle,
 
     "ts_alert_firing" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
@@ -5656,6 +5752,41 @@ object SparkEntry {
          FROM pa JOIN pb ON pa.dim = pb.dim AND pa.bin = pb.bin
          GROUP BY 1""",
 
+    // the stream operator against the same restatement, extended
+    // with the per-dim cohort counts the stream emits alongside psi
+    "stream_drift_psi" ->
+      """WITH e AS (SELECT CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS grp,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         xd AS (SELECT grp, t.i AS dim, v[t.i] AS x
+                FROM e, (SELECT unnest(range(1, 65)) AS i) t(i)),
+         ext AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM xd GROUP BY 1),
+         b AS (SELECT xd.grp, xd.dim,
+                 CASE WHEN mx > mn
+                      THEN least(CAST(floor((x - mn) / (mx - mn) * 10) AS BIGINT), 9)
+                      ELSE 0 END AS bin
+               FROM xd JOIN ext ON xd.dim = ext.dim),
+         cnt AS (SELECT dim, grp, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2, 3),
+         nd AS (SELECT dim,
+                  CAST(sum(CASE WHEN grp = 'a' THEN n ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN grp = 'b' THEN n ELSE 0 END) AS BIGINT) AS n_b
+                FROM cnt GROUP BY 1),
+         tot AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         grid AS (SELECT ext.dim, g.bin FROM ext, (SELECT unnest(range(10)) AS bin) g(bin)),
+         pa AS (SELECT grid.dim, grid.bin,
+                  CAST(coalesce(cnt.n, 0) + 1 AS DOUBLE) / (tot.tot + 10) AS pa
+                FROM grid LEFT JOIN cnt ON cnt.dim = grid.dim AND cnt.bin = grid.bin AND cnt.grp = 'a'
+                CROSS JOIN (SELECT tot FROM tot WHERE grp = 'a') tot),
+         pb AS (SELECT grid.dim, grid.bin,
+                  CAST(coalesce(cnt.n, 0) + 1 AS DOUBLE) / (tot.tot + 10) AS pb
+                FROM grid LEFT JOIN cnt ON cnt.dim = grid.dim AND cnt.bin = grid.bin AND cnt.grp = 'b'
+                CROSS JOIN (SELECT tot FROM tot WHERE grp = 'b') tot),
+         ps AS (SELECT pa.dim,
+                  round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+                FROM pa JOIN pb ON pa.dim = pb.dim AND pa.bin = pb.bin
+                GROUP BY 1)
+         SELECT ps.dim, nd.n_a, nd.n_b, ps.psi
+         FROM ps JOIN nd ON ps.dim = nd.dim""",
+
     "emb_mrl_curve" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT t.l AS prefix_len,
@@ -5977,6 +6108,8 @@ object SparkEntry {
          FROM u3, n3""",
 
     "emb_pca_deflate" -> pcaDeflateOracle,
+
+    "emb_pca_project" -> pcaProjectOracle,
 
     "emb_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label, t.i AS dim,

@@ -211,6 +211,49 @@ object TsOps {
       .withColumn("prob", col("n").cast("double") / col("out_n"))
   }
 
+  /** STATIONARY DISTRIBUTION of the user-journey Markov chain — the
+    * long-run read of [[transitions]]: where journeys concentrate if
+    * users keep following the observed transition probabilities (the
+    * "which surface owns attention" number a per-step transition
+    * table can't give directly). Damped power iteration (0.85, the
+    * PageRank teleport) so reducible/periodic chains still converge;
+    * mass leaving an absorbing state decays into the teleport floor —
+    * the PageRank sink convention.
+    *
+    * Determinism: the graph_pagerank discipline — π in integer
+    * NANO-UNITS with floor division (contribution = (π·n) div out_n,
+    * damping = (85·Σ) div 100), bit-exact under any partitioning and
+    * restatable engine-for-engine; fixed `iters` sweeps; states with
+    * no inbound mass re-attach each sweep at the teleport floor.
+    * Scale: the corpus cost is the ONE transitions pass; every sweep
+    * is arithmetic on the (event types)² edge frame
+    * (localCheckpointed — the iterative-loop lineage lesson). */
+  def markovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters in [1, 50]")
+    val e = transitions(events)
+      .select(col("from_type"), col("to_type"), col("n"), col("out_n"))
+      .localCheckpoint() // types²-sized; read every sweep
+    val states = e.select(col("from_type").as("state"))
+      .unionByName(e.select(col("to_type").as("state"))).distinct()
+      .localCheckpoint()
+    val nStates = states.count()
+    require(nStates > 0, "no transitions — need at least two events for one user")
+    val base = 150000000L / nStates // (1−d)/N in nano-units, floored
+    val init = 1000000000L / nStates
+    var pi = states.select(col("state"), lit(init).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inbound = e.join(pi, e("from_type") === pi("state"))
+        .select(col("to_type").as("state"), expr("(r * n) div out_n").as("c"))
+        .groupBy(col("state"))
+        .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("ri"))
+      pi = states.join(inbound, Seq("state"), "left")
+        .select(col("state"), coalesce(col("ri"), lit(base)).as("r"))
+        .localCheckpoint()
+    }
+    pi.select(col("state").as("event_type"), col("r").as("pi_nano"),
+      (col("r") / lit(1000000000.0)).as("pi"))
+  }
+
   /** Top-k event-type paths (consecutive trigrams per user under the
     * (ts_us, event_id) total order) — the funnel-discovery query that
     * tells an analyst which 3-step journeys dominate, before any

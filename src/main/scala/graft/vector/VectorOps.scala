@@ -913,6 +913,50 @@ object VectorOps {
     outs.reverse.reduce(_ unionByName _)
   }
 
+  /** PCA PROJECTION / whitening evidence — [[pcaComponents]] APPLIED
+    * to the corpus: every vector's score on each component
+    * (z = v·loading, one broadcast join + one hash aggregation — the
+    * corpus-scale projection pass a whitening pipeline runs), rolled
+    * up to the per-component report (n, mean score, score variance,
+    * eigenvalue, capture = var/λ). capture ≈ 1 is the evidence the
+    * extracted directions actually carry their claimed variance on
+    * THIS corpus — the read before committing embeddings to a
+    * whitened/reduced representation.
+    *
+    * Determinism: scores are exact-decimal dot products of 6dp inputs
+    * re-rounded to 6dp; mean/variance derive from exact decimal sums
+    * with the single IEEE division/multiply at the end (the
+    * covariance recipe). */
+  def pcaProject(corpus: DataFrame, nComponents: Int = 3, dim: Int = 64,
+                 iters: Int = 5, roundTo: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val comps = pcaComponents(corpus, nComponents, dim, iters, roundTo)
+      .select(col("component"), col("d"), col("loading").cast(dec).as("l6"),
+        col("eigenvalue"))
+      .localCheckpoint() // nComponents·dim rows; projection + eig join read it
+    val z = corpus
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("d"),
+        round(col("x"), roundTo).cast(dec).as("x6"))
+      .join(broadcast(comps.select(col("component"), col("d"), col("l6"))), "d")
+      .groupBy(col("vec_id"), col("component"))
+      .agg(round(sum(col("x6") * col("l6")), roundTo).cast(dec).as("z6"))
+    val eig = comps.groupBy(col("component"))
+      .agg(max(col("eigenvalue")).as("eigenvalue"))
+    z.groupBy(col("component"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("z6")).as("sz"),
+        sum(col("z6") * col("z6")).as("szz"))
+      .join(broadcast(eig), "component")
+      .select(col("component"), col("n"),
+        (col("sz").cast("double") / col("n")).as("mean_z"),
+        (col("szz").cast("double") / col("n")
+          - (col("sz").cast("double") / col("n"))
+            * (col("sz").cast("double") / col("n"))).as("var_z"),
+        col("eigenvalue"))
+      .withColumn("capture", col("var_z") / col("eigenvalue"))
+  }
+
   /** Class centroids: the mean embedding per label, one (label, dim)
     * row per component — the nearest-class-mean classifier / dataset
     * cartography primitive. Same explode-then-aggregate shape as

@@ -404,6 +404,27 @@ class TsOpsSpec extends SparkSpec {
       ("view", "view", 1L, 1L, 1.0)))
   }
 
+  test("markovStationary: a two-state alternating chain fixes at exactly 0.5/0.5 in nano-units") {
+    // one user alternating A,B,A,B,...: P(A→B) = P(B→A) = 1; the
+    // damped fixed point is uniform, and the integer arithmetic hits
+    // it EXACTLY (1e9/2 = 5e8; base 75e6 + (85·5e8) div 100 = 5e8)
+    val ev = (0 until 10).map(i =>
+      (i.toLong + 1, (i.toLong + 1) * 1000000000L, 1L,
+        if (i % 2 == 0) "A" else "B", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.markovStationary(ev)
+      .select("event_type", "pi_nano", "pi")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("A", 500000000L, 0.5), ("B", 500000000L, 0.5)), out)
+
+    // asymmetric check on the real corpus: mass sums to ≈1 (floor
+    // crumbs only) and every state is present
+    val real = TsOps.markovStationary(spark.read.parquet(s"$sfDir/events.parquet"))
+      .select("pi_nano").as[Long].collect()
+    assert(real.nonEmpty && math.abs(real.sum - 1000000000L) < real.length * 200L,
+      s"mass ${real.sum}")
+  }
+
   test("topPaths: consecutive trigrams per user, two-event users emit none") {
     val out = TsOps.topPaths(toyEvents)
       .as[(String, Long)].collect().toSeq
