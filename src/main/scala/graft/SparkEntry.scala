@@ -1478,13 +1478,13 @@ object SparkEntry {
     "dq_trend" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val store = java.nio.file.Files.createTempDirectory("graft_dq_store").toString
-      val years = li.select(year(col("l_shipdate").cast("timestamp")).as("y"))
-        .distinct().orderBy(col("y")).collect().map(_.getInt(0))
-      years.foreach { y =>
-        graft.quality.Quality.persistVerdicts(store, s"y$y",
-          graft.quality.Quality.lineitemRunChecks(
-            li.filter(year(col("l_shipdate").cast("timestamp")) === y)))
-      }
+      // history BACKFILL shape: all year-runs from ONE grouped scan
+      // per check family + ONE partitioned write (R scans → 1); the
+      // incremental per-ingest path stays persistVerdicts (spec'd)
+      val runId = concat(lit("y"),
+        year(col("l_shipdate").cast("timestamp")).cast("string"))
+      graft.quality.Quality.persistVerdictsBulk(store,
+        graft.quality.Quality.lineitemRunChecksBy(li, runId))
       graft.quality.Quality.trend(graft.quality.Quality.readVerdicts(s, store))
     }),
 

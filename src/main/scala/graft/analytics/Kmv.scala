@@ -45,13 +45,11 @@ object Kmv {
   def setOpsEstimate(df: DataFrame, setLabel: Column, value: Column,
                      k: Int): DataFrame = {
     val hashed = df.select(setLabel.as("g"), hash60(value).as("h")).distinct()
-    // localCheckpoint, not persist: the min-lists are ≤ 2k rows and
-    // feed two lazy branches of the returned frame, so an explicit
-    // unpersist can never run; checkpointed blocks are reclaimed by
-    // the ContextCleaner once the result frame is dropped, where a
-    // persist() entry would pin the cache forever on a long session.
+    // deliberately UNPAIRED persist: the ≤2k-row min-lists feed two
+    // lazy branches of the returned frame (no unpersist point) and are
+    // session-shared via CacheManager subtree match (the rfm/ppl_bucket idiom: a repeated call or a sibling query with the canonically-identical subtree REUSES this entry — no accumulation; Bench clears per family, long sessions clearCache at job boundaries)
     val mins = graft.plans.TopKPerKey(hashed, Seq("g"),
-      Seq("h" -> graft.plans.TopKPerKey.Asc), k).localCheckpoint()
+      Seq("h" -> graft.plans.TopKPerKey.Asc), k).persist()
     def est(kth: Column, n: Column): Column =
       when(n < k, n.cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / kth.cast("double"))

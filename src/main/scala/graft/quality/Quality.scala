@@ -185,6 +185,56 @@ object Quality {
   def readVerdicts(spark: org.apache.spark.sql.SparkSession, storePath: String): DataFrame =
     spark.read.parquet(storePath)
 
+  /** Grouped variant of [[rowChecks]] for BACKFILLING a verdict store:
+    * every run's row-grain checks fold into ONE grouped scan (run_id
+    * is just another aggregation key — R runs cost one pass, not R),
+    * where the per-ingest-batch path stays [[rowChecks]] +
+    * [[persistVerdicts]]. Same positional-alias discipline. */
+  def rowChecksBy(table: DataFrame, runId: Column,
+                  checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = count(lit(1)).as("n_rows") +: checks.zipWithIndex.map {
+      case (c, i) => sum(when(c.violated, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val one = table.groupBy(runId.as("run_id")).agg(aggs.head, aggs.tail: _*)
+    val stacked = stack(lit(checks.size) +: checks.zipWithIndex.flatMap {
+      case (c, i) => Seq(lit(c.name), col(s"__c$i"))
+    }: _*)
+    verdictWithRun(one.select(col("run_id"), col("n_rows"), stacked)
+      .withColumnRenamed("col0", "check_name")
+      .withColumnRenamed("col1", "n_violations"))
+  }
+
+  /** Grouped [[uniqueCheck]]: per-run key-uniqueness from one grouped
+    * aggregation pass. */
+  def uniqueCheckBy(name: String, table: DataFrame, runId: Column,
+                    keys: Seq[String]): DataFrame =
+    verdictWithRun(table
+      .groupBy(runId.as("run_id") +: keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("run_id"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+      .select(col("run_id"), lit(name).as("check_name"), col("n_rows"),
+        (col("n_rows") - col("n_keys")).as("n_violations")))
+
+  private def verdictWithRun(df: DataFrame): DataFrame =
+    df.select(col("run_id"), col("check_name"), col("n_rows"), col("n_violations"),
+      (col("n_violations").cast("double") / col("n_rows").cast("double"))
+        .as("violation_rate"),
+      (col("n_violations") === 0L).as("pass"))
+
+  /** Backfill many runs in ONE partitioned write: `verdicts` carries
+    * its own run_id column (from [[rowChecksBy]]/[[uniqueCheckBy]]);
+    * dynamic partition overwrite keeps re-backfills idempotent per
+    * run. One write job instead of one per run — the difference
+    * between a history backfill that scans the fact table R times and
+    * one that scans it once. */
+  def persistVerdictsBulk(storePath: String, verdicts: DataFrame): Unit =
+    verdicts
+      .repartition(col("run_id"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id").parquet(storePath)
+
   /** Per-check TREND over the persisted runs: how often the check
     * passed, the lifetime violation mass, the LATEST run's rate next
     * to the rate of all PRIOR runs pooled, and an anomaly flag
@@ -217,23 +267,34 @@ object Quality {
         (col("prior_violation_rate") === 0.0 && col("latest_violation_rate") > 0.0) ||
           col("latest_violation_rate") > lit(2.0) * col("prior_violation_rate"))
 
+  /** The lineitem constraint set shared by [[tpchSuite]] and the
+    * trend gate. */
+  val LineitemChecks: Seq[RowCheck] = Seq(
+    RowCheck("li_quantity_range",
+      !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)),
+    RowCheck("li_price_positive", col("l_extendedprice") <= 0.0),
+    RowCheck("li_discount_range",
+      !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)),
+    RowCheck("li_tax_range", !(col("l_tax") >= 0.0 && col("l_tax") <= 0.08)),
+    RowCheck("li_returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+    RowCheck("li_keys_nonnull",
+      col("l_orderkey").isNull || col("l_partkey").isNull
+        || col("l_suppkey").isNull))
+
   /** The per-run slice of [[tpchSuite]] a trend store ingests: the
     * lineitem row-grain checks plus line-key uniqueness, at whatever
     * grain the caller slices runs by (a ship-year here, an ingest
     * batch in production). */
   def lineitemRunChecks(slice: DataFrame): DataFrame =
-    rowChecks(slice, Seq(
-      RowCheck("li_quantity_range",
-        !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)),
-      RowCheck("li_price_positive", col("l_extendedprice") <= 0.0),
-      RowCheck("li_discount_range",
-        !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)),
-      RowCheck("li_tax_range", !(col("l_tax") >= 0.0 && col("l_tax") <= 0.08)),
-      RowCheck("li_returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
-      RowCheck("li_keys_nonnull",
-        col("l_orderkey").isNull || col("l_partkey").isNull
-          || col("l_suppkey").isNull)))
+    rowChecks(slice, LineitemChecks)
       .unionByName(uniqueCheck("li_line_unique", slice,
+        Seq("l_orderkey", "l_linenumber")))
+
+  /** All runs at once for a history BACKFILL: one grouped scan for
+    * the row checks + one for uniqueness, however many runs. */
+  def lineitemRunChecksBy(li: DataFrame, runId: Column): DataFrame =
+    rowChecksBy(li, runId, LineitemChecks)
+      .unionByName(uniqueCheckBy("li_line_unique", li, runId,
         Seq("l_orderkey", "l_linenumber")))
 
   /** The shipped suite over the TPC-H-ish trio: 11 row-grain checks in

@@ -40,11 +40,10 @@ object Hybrid {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      // localCheckpoint: postings, doc-length and doc-frequency all
-      // read it lazily from the returned frame, so a paired unpersist
-      // can never run — blocks are ContextCleaner-reclaimed when the
-      // result drops instead of pinning the cache per call
-      .localCheckpoint()
+      // deliberately UNPAIRED persist (postings, doc-length and
+      // doc-frequency all read it lazily — no unpersist point);
+      // session-shared via CacheManager subtree match (the rfm/ppl_bucket idiom: a repeated call or a sibling query with the canonically-identical subtree REUSES this entry — no accumulation; Bench clears per family, long sessions clearCache at job boundaries)
+      .persist()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
@@ -114,9 +113,10 @@ object Hybrid {
     import spark.implicits._
     val cand = VectorOps.cosineTopK(corpus, queries, m, roundTo, maxRows, force)
       .select(col("q_id"), col("vec_id"), col("cos").as("rel"))
-      // localCheckpoint (queries × m rows): candidate-id broadcast +
-      // cogroup both read it lazily; ContextCleaner reclaims blocks
-      .localCheckpoint()
+      // deliberately UNPAIRED persist (queries × m rows; candidate-id
+      // broadcast + cogroup read it lazily — no unpersist point);
+      // session-shared via CacheManager subtree match
+      .persist()
     val cwv = corpus
       .join(broadcast(cand.select(col("q_id"), col("vec_id"))), "vec_id")
       .select(col("q_id"), col("vec_id"), col("v"))

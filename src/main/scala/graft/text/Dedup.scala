@@ -780,7 +780,10 @@ object Dedup {
     val bits = corpus.select(md5(col("text")).as("h0"))
       .select(col("h0"), iCol)
       .select(bloomPos(col("h0"), lit(mBits), lit(kHashes), col("i")).as("pos"))
-      .distinct() // ≤mBits rows, read once into the broadcast below
+      // ≤mBits rows, read once per CALL — persisted for the repeated
+      // calls a live gate makes (session-shared via CacheManager
+      // subtree match; deliberately unpaired)
+      .distinct().persist()
     val bp = batch.select(col("doc_id"), md5(col("text")).as("h0"))
     val flagged = bp.select(col("doc_id"), col("h0"), iCol)
       .select(col("doc_id"),
@@ -826,12 +829,11 @@ object Dedup {
                 configs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8))): DataFrame = {
     def powChain(b: String, n: Int) = List.fill(n)(b).mkString(" * ")
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    // localCheckpoint: every config's expected/caught aggregates read
-    // the verified pair set lazily from the returned union, so a
-    // paired unpersist can never run — the blocks free themselves via
-    // the ContextCleaner when the result frame is dropped
+    // deliberately UNPAIRED persist: every config's expected/caught
+    // aggregates read the verified pair set lazily (no unpersist
+    // point); session-shared via CacheManager subtree match
     val truth = ngramJaccardTwoStage(docs)
-      .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).persist()
     configs.map { case (nb, r) =>
       require(nb * r == 16, s"config ($nb, $r) must use all 16 perms")
       val cand = minhashLshPairs(docs, 3, 16, r)
@@ -865,10 +867,11 @@ object Dedup {
       .select(col("h0"), col("c.m").as("m"), col("c.k").as("k"),
         bloomPos(col("h0"), col("c.m"), col("c.k"), col("c.i")).as("pos"))
     val corpusPos = positions(md5(col("text")))(docs)
-    // localCheckpoint (≤Σm rows): occupancy agg + probe join both read
-    // it lazily; ContextCleaner reclaims the blocks with the result
+    // deliberately UNPAIRED persist (≤Σm rows): occupancy agg + probe
+    // join both read it lazily — no unpersist point; session-shared
+    // via CacheManager subtree match
     val bits = corpusPos.select(col("m"), col("k"), col("pos")).distinct()
-      .localCheckpoint()
+      .persist()
     val built = bits.groupBy(col("m"), col("k"))
       .agg(count(lit(1)).as("bits_set"))
     val nItems = broadcast(docs.agg(count(lit(1)).as("n_items")))

@@ -383,19 +383,17 @@ object TextOps {
     * computes in one fixed IEEE shape and rounds to 6dp; ordering is
     * total via (pmi desc, term_a, term_b). */
   def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
-    // localCheckpoint, not persist: both count tables feed multiple
-    // lazy branches (scalar totals + the candidate joins) of the
-    // returned frame, so a paired unpersist can never run — the
-    // checkpointed blocks are ContextCleaner-reclaimed once the
-    // result is dropped instead of pinning the cache per call
+    // deliberately UNPAIRED persists: both count tables feed multiple
+    // lazy branches (scalar totals + the candidate joins — no
+    // unpersist point); session-shared via CacheManager subtree match (the rfm/ppl_bucket idiom: a repeated call or a sibling query with the canonically-identical subtree REUSES this entry — no accumulation; Bench clears per family, long sessions clearCache at job boundaries)
     val bg = docs
       .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint()
+      .persist()
     val uni = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .persist()
     val t2 = broadcast(bg.agg(sum(col("c_ab")).cast("double").as("t2")))
     val t1 = broadcast(uni.agg(sum(col("c")).cast("double").as("t1")))
     bg.filter(col("c_ab") >= minCount)
@@ -551,11 +549,10 @@ object TextOps {
       .groupBy(col("doc_id"), col("tgt"),
         pmod(graft.functions.Md5Prefix(col("term"), 8), lit(buckets.toLong)).as("b"))
       .agg(count(lit(1)).as("n"))
-      // localCheckpoint: model build + score join both read it (pruned
-      // subtrees) lazily from the returned frame, so a paired
-      // unpersist can never run — checkpointed blocks free themselves
-      // via the ContextCleaner when the result is dropped
-      .localCheckpoint()
+      // deliberately UNPAIRED persist: model build + score join both
+      // read it (pruned subtrees) lazily — no unpersist point;
+      // session-shared via CacheManager subtree match
+      .persist()
     val m = db.groupBy(col("b")).agg(
       sum(col("n")).as("cr"),
       coalesce(sum(when(col("tgt"), col("n"))), lit(0L)).as("ct"))
@@ -957,10 +954,11 @@ object TextOps {
     * the two final waste ratios (raw IEEE). */
   def lengthBatching(docs: DataFrame, bucketWidth: Int = 16,
                      batchSize: Int = 32): DataFrame = {
-    // localCheckpoint (both batching schemes read it lazily; no
-    // unpersist point exists) — blocks reclaimed when the result drops
+    // deliberately UNPAIRED persist (both batching schemes read it
+    // lazily — no unpersist point); session-shared via CacheManager
+    // subtree match
     val base = docs.select(col("doc_id"), tokenCount(col("text")).as("nt"))
-      .localCheckpoint()
+      .persist()
     val bucketed = base
       .withColumn("bucket", expr(s"nt div $bucketWidth"))
       .withColumn("b", expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY nt, doc_id) - 1) div $batchSize"))

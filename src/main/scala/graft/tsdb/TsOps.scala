@@ -704,11 +704,10 @@ object TsOps {
       .withColumn("rn", row_number().over(w))
       .withColumn("ntr", expr(s"nb * $trainPct div 100"))
       .filter(col("ntr") >= 2 && col("nb") - col("ntr") >= 1)
-      // localCheckpoint: train fit + test scoring both read it lazily
-      // from the returned frame (no unpersist point) — blocks are
-      // ContextCleaner-reclaimed when the result is dropped instead
-      // of pinning the cache on a long-lived session
-      .localCheckpoint()
+      // deliberately UNPAIRED persist: train fit + test scoring both
+      // read it lazily (no unpersist point); session-shared via
+      // CacheManager subtree match (the rfm/ppl_bucket idiom)
+      .persist()
     val fit = xb.filter(col("rn") <= col("ntr"))
       .groupBy(col("series_id"))
       .agg(

@@ -124,10 +124,14 @@ object VectorOps {
     require(np >= bs && np % bs == 0,
       s"nPlanes ($np) must be a positive multiple of bandSize ($bs)")
     val nBands = np / bs
-    // localCheckpoint (bands + both candidate-attach joins read it
-    // lazily; no unpersist point) — ContextCleaner reclaims the blocks
+    // deliberately UNPAIRED persist: bands + both candidate-attach
+    // joins read it lazily (no unpersist point), and the SAME subtree
+    // serves dedup_embedding_lsh and dedup_semantic_clusters —
+    // session-shared via CacheManager subtree match (converting this
+    // to localCheckpoint measurably tripled both queries by killing
+    // the cross-query share)
     val cb = corpus.join(lshBuckets(corpus, np, dim), "vec_id")
-      .select(col("vec_id"), col("v"), col("bucket")).localCheckpoint()
+      .select(col("vec_id"), col("v"), col("bucket")).persist()
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("bucket"), np - (b + 1) * bs)
@@ -856,14 +860,29 @@ object VectorOps {
     * each residual entry rounds to 6dp before the next round, so the
     * whole deflation chain restates exactly in SQL. Output:
     * (component, d, loading, eigenvalue), eigenvalues descending by
-    * construction. */
+    * construction.
+    *
+    * EXECUTION SPLIT: the covariance matrix is dim²-bounded — a
+    * SCHEMA property, not a data size — so up to `driverMaxDim` the
+    * whole iteration runs on the DRIVER over the collected matrix
+    * (the union-find-cap precedent: one bounded collect replaces
+    * ~nComponents·iters tiny Spark jobs whose scheduling overhead
+    * dominated the wall; BigDecimal replicates the distributed
+    * arithmetic BIT-FOR-BIT, gate-proven). Above the cap the
+    * dim²-frame distributed loop runs instead — at dim 4096 a driver
+    * sweep would be 250M BigDecimal ops, exactly what executors are
+    * for. */
   def pcaComponents(corpus: DataFrame, nComponents: Int = 3, dim: Int = 64,
-                    iters: Int = 5, roundTo: Int = 6): DataFrame = {
+                    iters: Int = 5, roundTo: Int = 6,
+                    driverMaxDim: Int = 512): DataFrame = {
     require(nComponents >= 1 && nComponents <= dim, "1 <= components <= dim")
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val dec12 = org.apache.spark.sql.types.DecimalType(12, 6)
     val covU = covariance(corpus, dim, roundTo)
       .select(col("di"), col("dj"), round(col("cov"), roundTo).cast(dec).as("c"))
+    if (dim <= driverMaxDim)
+      return pcaComponentsDriver(corpus.sparkSession, covU, nComponents, dim,
+        iters, roundTo)
     var c = covU.unionByName(
         covU.filter(col("di") =!= col("dj"))
           .select(col("dj").as("di"), col("di").as("dj"), col("c")))
@@ -911,6 +930,57 @@ object VectorOps {
       }
     }
     outs.reverse.reduce(_ unionByName _)
+  }
+
+  /** Driver half of [[pcaComponents]]: the collected dim²-bounded
+    * matrix iterated in java.math.BigDecimal, replicating the
+    * distributed decimal arithmetic exactly — decimal matvec sums
+    * rounded 6dp HALF_UP, Math.sqrt norms (Spark's SQRT), quotients
+    * rounded through BigDecimal.valueOf (Spark's string-repr round),
+    * the deflation term rounded 6dp before the exact subtraction. */
+  private def pcaComponentsDriver(spark: org.apache.spark.sql.SparkSession,
+                                  covU: DataFrame, nComponents: Int, dim: Int,
+                                  iters: Int, roundTo: Int): DataFrame = {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    import spark.implicits._
+    val c = Array.fill(dim + 1, dim + 1)(BD.ZERO.setScale(roundTo))
+    covU.collect().foreach { r => // ≤ dim(dim+1)/2 rows — schema-bounded
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val v = r.getDecimal(2).setScale(roundTo)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    def r6d(d: Double): BD =
+      BD.valueOf(d).setScale(roundTo, RoundingMode.HALF_UP)
+    val v0 = BD.valueOf(math.round(1.0 / math.sqrt(dim.toDouble) * 1e6) / 1e6)
+      .setScale(roundTo)
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    for (k <- 1 to nComponents) {
+      var w = Array.fill(dim)(v0)
+      var nm = 0.0
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(dim) { i0 =>
+          var s = BD.ZERO
+          var j = 0
+          while (j < dim) { s = s.add(c(i0 + 1)(j + 1).multiply(w(j))); j += 1 }
+          s.setScale(roundTo, RoundingMode.HALF_UP)
+        }
+        var s2 = BD.ZERO
+        u.foreach(x => s2 = s2.add(x.multiply(x)))
+        nm = math.sqrt(s2.doubleValue())
+        w = u.map(x => r6d(x.doubleValue() / nm))
+      }
+      val eig = r6d(nm).doubleValue()
+      for (i0 <- 0 until dim)
+        out += ((k.toLong, (i0 + 1).toLong, w(i0).doubleValue(), eig))
+      if (k < nComponents) {
+        val lam = r6d(nm)
+        for (i <- 1 to dim; j <- 1 to dim)
+          c(i)(j) = c(i)(j).subtract(
+            lam.multiply(w(i - 1)).multiply(w(j - 1))
+              .setScale(roundTo, RoundingMode.HALF_UP))
+      }
+    }
+    out.result().toDF("component", "d", "loading", "eigenvalue")
   }
 
   /** PCA PROJECTION / whitening evidence — [[pcaComponents]] APPLIED

@@ -432,10 +432,7 @@ class PlanSpec extends SparkSpec {
   test("doc_dsir_weights: model joins broadcast, tokenize diamond cached, hash aggregates only") {
     val p = plan("doc_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    // the tokenize diamond is localCheckpoint-materialized (blocks
-    // self-reclaim via the ContextCleaner), which plans as a
-    // Scan ExistingRDD instead of an InMemoryTableScan
-    assert(p.contains("Scan ExistingRDD"), "dsir diamond not materialized:\n" + p.take(1500))
+    assert(p.contains("InMemoryTableScan"), "dsir diamond not cached:\n" + p.take(1500))
     assert(!p.contains("SortMergeJoin"), "the model join shuffled the corpus:\n" + p.take(1500))
     assert(!p.contains("SortAggregate"))
   }
@@ -493,7 +490,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("doc_length_batching")
     assert(p.contains("hashpartitioning(bucket"),
       "batch assignment lost its bucket partitioning:\n" + p.take(2000))
-    assert(p.contains("Scan ExistingRDD"), "tokenize diamond lost its materialization:\n" + p.take(1500))
+    assert(p.contains("InMemoryTableScan"), "tokenize diamond lost its cache:\n" + p.take(1500))
   }
 
   test("layout_zorder: scalar extents broadcast; no window, no sort aggregate") {
@@ -527,7 +524,7 @@ class PlanSpec extends SparkSpec {
 
   test("ts_forecast_backtest: the bucket frame caches into fit + score; hash aggregates only") {
     val p = plan("ts_forecast_backtest")
-    assert(p.contains("Scan ExistingRDD"), "backtest re-derived the bucket frame:\n" + p.take(1500))
+    assert(p.contains("InMemoryTableScan"), "backtest re-derived the bucket frame:\n" + p.take(1500))
     assert(!p.contains("SortAggregate"))
   }
 }
