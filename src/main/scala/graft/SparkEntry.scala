@@ -494,6 +494,17 @@ object SparkEntry {
 
     "events_funnel3" -> ((s, dir) => TsOps.funnel3(t(s, dir, "events"))),
 
+    // time-decay attribution (the third standard model): step decay
+    // in exact binary fractions — integer weights 2^(KB − age div
+    // halfLife), integer micro-cent credits, no libm pow anywhere
+    "events_attribution_decay" -> ((s, dir) =>
+      TsOps.attributionDecay(t(s, dir, "events"))),
+
+    // market-basket association lift at user grain: distinct
+    // (user, type) incidence first, then a type-bounded self-join —
+    // support / confidence / lift per unordered type pair
+    "events_lift_matrix" -> ((s, dir) => TsOps.liftMatrix(t(s, dir, "events"))),
+
     "events_session_stats" -> ((s, dir) => TsOps.sessionStats(t(s, dir, "events"))),
 
     "ts_corr_matrix" -> ((s, dir) => TsOps.corrMatrix(t(s, dir, "events"))),
@@ -3779,6 +3790,59 @@ object SparkEntry {
                 coalesce(n_purchases_organic, 0) AS n_purchases_organic,
                 coalesce(organic_value, 0.0) AS organic_value
          FROM td FULL OUTER JOIN og ON td.day = og.day""",
+
+    // step-decay weights as exact integers: w = 1 << (4 − age div
+    // 15min) over the 1h window, micro-cent credits floored per touch
+    "events_attribution_decay" ->
+      """WITH sm AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+         p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts, value,
+                      ts_us - 3600000000 AS s, ts_us AS e
+               FROM sm WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts_us FROM sm WHERE event_type = 'click'),
+         tj AS (SELECT p.p_id, p.p_ts, p.value,
+                       (CAST(1 AS BIGINT) << CAST(4 - (p.p_ts - c.ts_us) // 900000000 AS INT)) AS w
+                FROM p JOIN c ON p.user_id = c.user_id
+                            AND c.ts_us >= p.s AND c.ts_us <= p.e),
+         per AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n_touches,
+                        CAST(sum(w) AS BIGINT) AS sw
+                 FROM tj GROUP BY 1),
+         cu AS (SELECT tj.p_id, tj.p_ts,
+                       (CAST(round(tj.value * 100.0, 0) AS BIGINT) * 1000000 * tj.w) // per.sw AS credit_ucents
+                FROM tj JOIN per USING (p_id)),
+         td AS (SELECT p_ts // 86400000000 AS day,
+                       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+                       CAST(count(*) AS BIGINT) AS n_touches,
+                       CAST(sum(credit_ucents) AS DOUBLE) / 100000000.0 AS credited_value
+                FROM cu GROUP BY 1),
+         og AS (SELECT p_ts // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n_purchases_organic,
+                       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS organic_value
+                FROM p WHERE p_id NOT IN (SELECT p_id FROM per) GROUP BY 1)
+         SELECT coalesce(td.day, og.day) AS day,
+                coalesce(n_purchases_touched, 0) AS n_purchases_touched,
+                coalesce(n_touches, 0) AS n_touches,
+                coalesce(credited_value, 0.0) AS credited_value,
+                coalesce(n_purchases_organic, 0) AS n_purchases_organic,
+                coalesce(organic_value, 0.0) AS organic_value
+         FROM td FULL OUTER JOIN og ON td.day = og.day""",
+
+    "events_lift_matrix" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+         tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS n_both
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                   AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both, n_users,
+                CAST(n_both AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+                CAST(n_both AS DOUBLE) / CAST(ta.n AS DOUBLE) AS confidence,
+                CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE)
+                  / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) AS lift
+         FROM pr JOIN tc ta ON pr.type_a = ta.event_type
+                 JOIN tc tb ON pr.type_b = tb.event_type
+                 CROSS JOIN nu""",
 
     // the roundtrip's truth, straight off the parquet
     "ingest_jsonl_roundtrip" ->

@@ -1386,6 +1386,92 @@ object TsOps {
         coalesce(col("organic_value"), lit(0.0)).as("organic_value"))
   }
 
+  /** TIME-DECAY multi-touch attribution — the third standard model
+    * next to last-touch ([[attribution]]) and equal-split
+    * ([[attributionLinear]]): a touch's credit halves per `halfLifeUs`
+    * of age at purchase time. The decay is STEP decay in exact binary
+    * fractions — weight = 2^(KB − age div halfLife) with
+    * KB = window div halfLife — so weights are small INTEGERS and the
+    * whole model stays in the integer micro-cent discipline
+    * (credit = (cents·10^6·w) div Σw): no libm pow, no cross-engine
+    * drift, restatable exactly. Same plan shape as linear: the
+    * chunked point-in-interval join, one per-purchase aggregation,
+    * one join back for per-touch credits, a daily rollup. */
+  def attributionDecay(events: DataFrame, windowUs: Long = 3600000000L,
+                       halfLifeUs: Long = 900000000L): DataFrame = {
+    require(windowUs > 0 && halfLifeUs > 0 && windowUs / halfLifeUs <= 40,
+      "window div halfLife must stay <= 40 (weights are 1L << k)")
+    val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val kb = windowUs / halfLifeUs
+    val sm = Series.samples(events)
+    val purchases = sm.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"), col("value"),
+        (col("ts_us") - windowUs).as("start_us"), col("ts_us").as("end_us"))
+    val clicks = sm.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+    val touches = RangeJoin.pointsInIntervals(clicks, purchases, Seq("user_id"))
+      .withColumn("w", expr(
+        s"shiftleft(1L, cast($kb - (p_ts - ts_us) div ${halfLifeUs}L as int))"))
+    val per = touches.groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("w")).as("sw"))
+    val credits = touches.join(per, "p_id")
+      .withColumn("cents", round(col("value") * 100.0, 0).cast("long"))
+      .withColumn("credit_ucents", expr("(cents * 1000000 * w) div sw"))
+    val touched = credits
+      .groupBy(expr("p_ts div 86400000000").as("day"))
+      .agg(count_distinct(col("p_id")).as("n_purchases_touched"),
+        count(lit(1)).as("n_touches"),
+        (sum(col("credit_ucents")).cast("double") / lit(1e8)).as("credited_value"))
+    val organic = purchases
+      .join(per.select(col("p_id")), Seq("p_id"), "left_anti")
+      .groupBy(expr("p_ts div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_purchases_organic"),
+        sum(col("value").cast(d2)).cast("double").as("organic_value"))
+    touched.join(organic, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_purchases_touched"), lit(0L)).as("n_purchases_touched"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        coalesce(col("credited_value"), lit(0.0)).as("credited_value"),
+        coalesce(col("n_purchases_organic"), lit(0L)).as("n_purchases_organic"),
+        coalesce(col("organic_value"), lit(0.0)).as("organic_value"))
+  }
+
+  /** ASSOCIATION LIFT between event-type pairs at USER grain — the
+    * market-basket read ("users who do A also do B?") behind
+    * cross-sell and surface-affinity analysis: for every unordered
+    * type pair, support = P(both), confidence = P(b|a), and
+    * lift = P(ab)/(P(a)·P(b)) (>1 = the behaviors attract, <1 = they
+    * repel). Scale shape: the corpus collapses FIRST to the distinct
+    * (user, type) incidence (map-side partial distinct) — the
+    * user-keyed self-join then fans out at most types²/2 rows per
+    * user, bounded by the type vocabulary, never by event volume; the
+    * type marginals and the user count are one aggregation each. All
+    * counts exact integers; the three ratios are fixed-shape IEEE
+    * divisions (§4). */
+  def liftMatrix(events: DataFrame): DataFrame = {
+    val ut = Series.samples(events)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = broadcast(ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users")))
+    val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(tc.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(tc.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .crossJoin(nUsers)
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("n_users"),
+        (col("n_both").cast("double") / col("n_users").cast("double")).as("support"),
+        (col("n_both").cast("double") / col("n_a").cast("double")).as("confidence"),
+        (col("n_both").cast("double") * col("n_users").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
   /** INTERVAL-UNION coverage per user — each event opens a half-open
     * activity interval [ts, ts + holdUs); overlapping intervals merge
     * into islands and the report is the union's measure: how long was

@@ -794,6 +794,58 @@ class TsOpsSpec extends SparkSpec {
     assert(out._3 + out._5 > 149.9999 && out._3 + out._5 <= 150.0)
   }
 
+  test("attributionDecay: newer touches earn exponentially more; value conserves; recency beats count") {
+    val h = 3600000000L
+    val ev = Seq(
+      // purchase 100.00 at t=2h; clicks at ages 10min (k=0, w=16) and
+      // 40min (k=2, w=4) → credits 16/20 and 4/20 of 10^10 µcents
+      (1L, (2L * h) * 1000, 1L, "purchase", 100.0),
+      (2L, (2L * h - 600L * 1000000) * 1000, 1L, "click", 0.0),
+      (3L, (2L * h - 2400L * 1000000) * 1000, 1L, "click", 0.0),
+      (4L, 0L, 1L, "click", 0.0), // outside the window
+      (5L, (2L * h) * 1000, 2L, "purchase", 50.0)) // organic
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.attributionDecay(ev)
+      .select("n_purchases_touched", "n_touches", "credited_value",
+        "n_purchases_organic", "organic_value")
+      .as[(Long, Long, Double, Long, Double)].head()
+    // w: age 10min → k=0 → 2^(4-0)=16; age 40min → k=2 → 2^(4-2)=4;
+    // sw=20 → credits (10^10·16) div 20 + (10^10·4) div 20 = 10^10
+    assert(out == ((1L, 2L, 100.0, 1L, 50.0)), out)
+    // the newer touch must out-earn the older one 4:1 — recompute the
+    // per-touch split directly
+    val perTouch = (1e10.toLong * 16 / 20, 1e10.toLong * 4 / 20)
+    assert(perTouch._1 == 4 * perTouch._2)
+    // conservation within the floor loss on an uneven split: 3 touches
+    // at ages 10/40/55min (w 16,4,2; sw=22) — floors lose < 3 µcents
+    val ev3 = Seq(
+      (1L, (2L * h) * 1000, 1L, "purchase", 100.0),
+      (2L, (2L * h - 600L * 1000000) * 1000, 1L, "click", 0.0),
+      (3L, (2L * h - 2400L * 1000000) * 1000, 1L, "click", 0.0),
+      (6L, (2L * h - 3300L * 1000000) * 1000, 1L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c3 = TsOps.attributionDecay(ev3)
+      .select("credited_value").as[Double].head()
+    assert(c3 > 99.9999 && c3 <= 100.0, c3)
+  }
+
+  test("liftMatrix: independent behaviors read lift 1, nested behaviors read the marginal ratio") {
+    // 4 users: types A,B co-occur for users 1,2; A alone 3; B alone 4
+    // → P(A)=P(B)=3/4? build: A:{1,2,3}, B:{1,2,4} → n_both=2,
+    // n_users=4 → lift = 2·4/(3·3) = 8/9
+    val ev = Seq(
+      (1L, 1L, "A"), (2L, 1L, "B"), (3L, 2L, "A"), (4L, 2L, "B"),
+      (5L, 3L, "A"), (6L, 4L, "B"), (7L, 1L, "A")) // dup incidence collapses
+      .map { case (e, u, t) => (e, e * 1000000000L, u, t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.liftMatrix(ev)
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "n_users",
+        "support", "confidence", "lift")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(("A", "B", 3L, 3L, 2L, 4L, 0.5, 2.0 / 3.0, 8.0 / 9.0)), out)
+  }
+
   test("revenueGini: perfect equality reads 0, total concentration reads (n-1)/n") {
     // 4 users, equal revenue → G = 0; one user owns everything → G = 3/4
     def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
