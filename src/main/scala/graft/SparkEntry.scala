@@ -505,6 +505,11 @@ object SparkEntry {
     // support / confidence / lift per unordered type pair
     "events_lift_matrix" -> ((s, dir) => TsOps.liftMatrix(t(s, dir, "events"))),
 
+    // ClickHouse-windowFunnel semantics: every view is a candidate
+    // anchor, the window binds the WHOLE chain; depth histogram over
+    // users (0 = active but never viewed)
+    "events_window_funnel" -> ((s, dir) => TsOps.windowFunnel(t(s, dir, "events"))),
+
     "events_session_stats" -> ((s, dir) => TsOps.sessionStats(t(s, dir, "events"))),
 
     "ts_corr_matrix" -> ((s, dir) => TsOps.corrMatrix(t(s, dir, "events"))),
@@ -3825,6 +3830,32 @@ object SparkEntry {
                 coalesce(n_purchases_organic, 0) AS n_purchases_organic,
                 coalesce(organic_value, 0.0) AS organic_value
          FROM td FULL OUTER JOIN og ON td.day = og.day""",
+
+    "events_window_funnel" ->
+      """WITH sm AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         v AS (SELECT user_id, ts_us AS v_ts, ts_us + 86400000000 AS e FROM sm WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts_us FROM sm WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts_us FROM sm WHERE event_type = 'purchase'),
+         s2 AS (SELECT v.user_id, v.v_ts, v.e, min(c.ts_us) AS c_ts
+                FROM v JOIN c ON v.user_id = c.user_id
+                            AND c.ts_us >= v.v_ts AND c.ts_us <= v.e
+                GROUP BY 1, 2, 3),
+         s3 AS (SELECT s2.user_id, s2.v_ts, min(p.ts_us) AS p_ts
+                FROM s2 JOIN p ON s2.user_id = p.user_id
+                             AND p.ts_us >= s2.c_ts AND p.ts_us <= s2.e
+                GROUP BY 1, 2),
+         pv AS (SELECT v.user_id,
+                  1 + CASE WHEN s2.c_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s3.p_ts IS NOT NULL THEN 1 ELSE 0 END AS depth
+                FROM v LEFT JOIN s2 ON v.user_id = s2.user_id AND v.v_ts = s2.v_ts
+                       LEFT JOIN s3 ON v.user_id = s3.user_id AND v.v_ts = s3.v_ts),
+         pu AS (SELECT u.user_id, coalesce(m.d, 0) AS funnel_depth
+                FROM (SELECT DISTINCT user_id FROM sm) u
+                LEFT JOIN (SELECT user_id, max(depth) AS d FROM pv GROUP BY 1) m
+                  ON u.user_id = m.user_id)
+         SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM pu GROUP BY 1""",
 
     "events_lift_matrix" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -1386,6 +1386,59 @@ object TsOps {
         coalesce(col("organic_value"), lit(0.0)).as("organic_value"))
   }
 
+  /** WINDOWED FUNNEL depth histogram (the ClickHouse `windowFunnel`
+    * read, strict-order mode): for every user, the deepest
+    * view → click → purchase chain that fits ENTIRELY inside
+    * `windowUs` of the chain's own first step — unlike [[funnel3]],
+    * which anchors on the user's FIRST view and windows each step,
+    * every view is a candidate anchor here and the window binds the
+    * WHOLE chain (the "did the journey complete within a day"
+    * question). Chain semantics are greedy-from-anchor (first click
+    * at-or-after the view, first purchase at-or-after that click,
+    * both within anchor+window) — explicit, restatable, and the
+    * standard windowFunnel behavior. Output: (funnel_depth, n_users),
+    * depth 0 = users with events but no view.
+    *
+    * Scale shape: both step resolutions ride the chunked
+    * point-in-interval join keyed on user (never a theta join); the
+    * per-view min-aggregations collapse candidates back to anchor
+    * grain before the next step; the histogram is a two-level hash
+    * aggregation. */
+  def windowFunnel(events: DataFrame,
+                   windowUs: Long = 24L * 3600L * 1000000L): DataFrame = {
+    val sm = Series.samples(events)
+    val views = sm.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("v_ts"),
+        col("ts_us").as("start_us"), (col("ts_us") + windowUs).as("end_us"))
+    val clicks = sm.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"))
+    val purchases = sm.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+    // step 2: first click in [v, v+W] per anchor view
+    val s2 = RangeJoin.pointsInIntervals(clicks, views, Seq("user_id"))
+      .groupBy(col("user_id"), col("v_ts"), col("end_us"))
+      .agg(min(col("ts_us")).as("c_ts"))
+    // step 3: first purchase in [c, v+W] per converted anchor
+    val s3 = RangeJoin.pointsInIntervals(purchases,
+        s2.select(col("user_id"), col("v_ts"),
+          col("c_ts").as("start_us"), col("end_us")), Seq("user_id"))
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(col("ts_us")).as("p_ts"))
+    val perView = views.select(col("user_id"), col("v_ts"))
+      .join(s2.select(col("user_id"), col("v_ts"), col("c_ts")),
+        Seq("user_id", "v_ts"), "left")
+      .join(s3, Seq("user_id", "v_ts"), "left")
+      .select(col("user_id"),
+        (lit(1L) + col("c_ts").isNotNull.cast("long")
+          + col("p_ts").isNotNull.cast("long")).as("depth"))
+    val perUser = sm.select(col("user_id")).distinct()
+      .join(perView.groupBy(col("user_id")).agg(max(col("depth")).as("d")),
+        Seq("user_id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("funnel_depth"))
+    perUser.groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** TIME-DECAY multi-touch attribution — the third standard model
     * next to last-touch ([[attribution]]) and equal-split
     * ([[attributionLinear]]): a touch's credit halves per `halfLifeUs`

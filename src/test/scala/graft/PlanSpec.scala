@@ -522,6 +522,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("events_markov_stationary: sweeps read checkpointed frames; hash aggregates only") {
+    val p = plan("events_markov_stationary")
+    // the returned frame is the last sweep over checkpointed inputs —
+    // no window, no sort aggregate, and the transitions subtree is
+    // NOT re-derived (it lives behind the checkpoint)
+    assert(p.contains("Scan ExistingRDD"), "sweep lost its checkpoint:\n" + p.take(1500))
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("Window"), "stationary grew a window:\n" + p.take(1500))
+  }
+
+  test("events_lift_matrix: incidence collapses before the self-join; no window, no cartesian") {
+    val p = plan("events_lift_matrix")
+    assert(!p.contains("CartesianProduct"), "lift went cartesian:\n" + p.take(1500))
+    assert(!p.contains("Window"))
+    assert(!p.contains("SortAggregate"))
+    // the pair join is keyed on user_id (hash join over the distinct
+    // incidence), never a theta-only join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
+  test("events_attribution_decay: chunked range join (hash-keyed), integer credits, no window") {
+    val p = plan("events_attribution_decay")
+    assert(!p.contains("CartesianProduct"), "decay went cartesian:\n" + p.take(1500))
+    assert(!p.contains("Window"))
+    // the point-in-interval join must be keyed (user_id, __chunk) —
+    // an unkeyed theta join would be BroadcastNestedLoopJoin
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join lost its chunk keying:\n" + p.take(1500))
+  }
+
   test("ts_forecast_backtest: the bucket frame caches into fit + score; hash aggregates only") {
     val p = plan("ts_forecast_backtest")
     assert(p.contains("InMemoryTableScan"), "backtest re-derived the bucket frame:\n" + p.take(1500))

@@ -846,6 +846,34 @@ class TsOpsSpec extends SparkSpec {
     assert(out == Seq(("A", "B", 3L, 3L, 2L, 4L, 0.5, 2.0 / 3.0, 8.0 / 9.0)), out)
   }
 
+  test("windowFunnel: the window binds the WHOLE chain; a later anchor can out-convert the first view") {
+    val m = 60000000L // one minute in us
+    def row(e: Long, tsUs: Long, u: Long, t: String) = (e, tsUs * 1000, u, t, 1.0)
+    val ev = Seq(
+      // user 1: first view at t=0 finds a click at t=30h? no — its
+      // 24h window holds only the click at 23h; the purchase at 25h
+      // falls OUTSIDE that anchor's window. The SECOND view at 20h
+      // completes the whole chain (click 23h, purchase 25h) — depth 3
+      // only because every view anchors (funnel3's first-view rule
+      // would stop at depth 2).
+      row(1L, 0L, 1L, "view"),
+      row(2L, 20L * 60 * m, 1L, "view"),
+      row(3L, 23L * 60 * m, 1L, "click"),
+      row(4L, 25L * 60 * m, 1L, "purchase"),
+      // user 2: view + click inside 24h, purchase 30h after the
+      // anchor → depth 2
+      row(5L, 0L, 2L, "view"),
+      row(6L, 60L * m, 2L, "click"),
+      row(7L, 30L * 60 * m, 2L, "purchase"),
+      // user 3: clicks but never views → depth 0
+      row(8L, 0L, 3L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TsOps.windowFunnel(ev)
+      .select("funnel_depth", "n_users").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 1L), (2L, 1L), (3L, 1L)), out)
+  }
+
   test("revenueGini: perfect equality reads 0, total concentration reads (n-1)/n") {
     // 4 users, equal revenue → G = 0; one user owns everything → G = 3/4
     def ev(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
