@@ -372,7 +372,19 @@ object DebugProbe {
         }),
         // r11: 3-component deflation — the corpus cost is ONE
         // covariance pass; everything after is dim²-frame arithmetic
-        ("pca_deflate", p => graft.vector.VectorOps.pcaComponents(emb(p)).count()))
+        ("pca_deflate", p => graft.vector.VectorOps.pcaComponents(emb(p)).count()),
+        // r11: whole-chain windowed funnel — two chunked range joins
+        ("window_funnel", p => graft.tsdb.TsOps.windowFunnel(
+          spark.read.parquet(p)).count()),
+        // r11: user-grain incidence self-join (types-bounded fan-out)
+        ("lift_matrix", p => graft.tsdb.TsOps.liftMatrix(
+          spark.read.parquet(p)).count()),
+        // r11: step-decay attribution over the chunked range join
+        ("attribution_decay", p => graft.tsdb.TsOps.attributionDecay(
+          spark.read.parquet(p)).count()),
+        // r11: damped stationary sweeps over the transitions edge frame
+        ("markov", p => graft.tsdb.TsOps.markovStationary(
+          spark.read.parquet(p)).count()))
       // paths are thunks: a probe-name subset (extra args after
       // __scale10) only builds the 10x tables it actually reads
       val tableFor = Map[String, (String, () => String)](
@@ -453,7 +465,11 @@ object DebugProbe {
         "lsh_tuning" -> ("documents", () => docsP),
         "bloom_apply" -> ("documents", () => docsP),
         "dq_trend" -> ("lineitem", () => liP),
-        "pca_deflate" -> ("embeddings", () => embP))
+        "pca_deflate" -> ("embeddings", () => embP),
+        "window_funnel" -> ("events", () => eventsP),
+        "lift_matrix" -> ("events", () => eventsP),
+        "attribution_decay" -> ("events", () => eventsP),
+        "markov" -> ("events", () => eventsP))
       val sel = names - "__scale10" - "__scale100"
       probes
         .filter(p => sel.isEmpty || sel.contains(p._1))

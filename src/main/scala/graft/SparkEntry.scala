@@ -1887,6 +1887,14 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         0.4)),
 
+    // k-NN distance outlier scores (dataset cleaning): 1 − cos(k-th
+    // neighbor), flagged above the corpus p90 — guarded exact
+    // neighbor pass at gate scale, LSH/IVF candidates at 100 TB
+    "emb_knn_outliers" -> ((s, dir) =>
+      VectorOps.knnOutliers(
+        embT(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
     // SemDeDup: connected components over the embedding near-dup
     // graph (LSH-bucketed edges, shared union-find machinery) —
     // semantic duplicate clusters ready for keep-one-per-cluster
@@ -4302,6 +4310,20 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
                FROM s)
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    "emb_knn_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS q_id, b.vec_id,
+                 round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+               FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+         r AS (SELECT q_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+               FROM s),
+         kth AS (SELECT q_id AS vec_id, 1.0 - cos AS knn_score FROM r WHERE rank = 10),
+         cut AS (SELECT round(quantile_cont(knn_score, 0.9), 6) AS c90 FROM kth)
+         SELECT vec_id, knn_score, knn_score > c90 AS outlier
+         FROM kth, cut""",
 
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -69,6 +69,28 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** k-NN DISTANCE outlier scores — the dataset-cleaning read that
+    * flags vectors far from EVERYTHING (mislabeled points, encoder
+    * failures, off-distribution strays): score = 1 − cos(k-th nearest
+    * neighbor), flagged above the corpus's p90 score (the rfm scalar-
+    * cut pattern — percentile broadcast back, never a second corpus
+    * pass). The neighbor pass here is the GUARDED exact baseline
+    * ([[cosineTopK]] with the corpus as its own query set — refuses
+    * above maxRows); at scale swap the candidate pass for
+    * [[lshTopK]] / [[IvfStore.probeTopK]], score arithmetic unchanged.
+    * Output (vec_id, knn_score, outlier). */
+  def knnOutliers(corpus: DataFrame, k: Int = 10, roundTo: Int = 6,
+                  maxRows: Long = 1000000L, force: Boolean = false): DataFrame = {
+    val kth = cosineTopK(corpus, corpus, k, roundTo, maxRows, force)
+      .filter(col("rank") === k)
+      .select(col("q_id").as("vec_id"), (lit(1.0) - col("cos")).as("knn_score"))
+    val cut = kth.agg(
+      round(expr("percentile(knn_score, 0.9)"), roundTo).as("c90"))
+    kth.crossJoin(broadcast(cut))
+      .select(col("vec_id"), col("knn_score"),
+        (col("knn_score") > col("c90")).as("outlier"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec a < b, rounded cosine
     * ≥ threshold). Brute-force all-pairs — correct baseline; at 100 TB
     * restrict the pair space first with [[lshBuckets]] (same-bucket
