@@ -763,28 +763,32 @@ object SparkEntry {
 
     "ts_seasonal_outliers" -> ((s, dir) => {
       // SEASONALITY-ADJUSTED anomalies: z-scores against the
-      // (series, hour-of-day) profile instead of the global series
-      // moments — a 9am spike that is NORMAL FOR 9AM must not flag,
-      // and a quiet-hour blip the global std hides must. Profile
-      // moments from one decimal-exact grouped pass (24× the zscore
-      // group count, same plan shape), broadcast back; cells with
-      // fewer than 5 points are too thin to score, constant cells
-      // have no outliers by definition.
+      // (event_type, hour-of-day) FLEET profile instead of global or
+      // per-series moments — a 9am spike that is NORMAL FOR 9AM must
+      // not flag, and a quiet-hour blip the global std hides must.
+      // Type grain, not series grain, deliberately: hourly profiles
+      // need populated cells (per-user series average ~1.3 points per
+      // hour cell here — an n-point cell's |z| is bounded by
+      // (n−1)/√n, so thin cells can NEVER flag; measured vacuous at
+      // series grain), and real seasonal baselines are fleet-level.
+      // One decimal-exact grouped moments pass over ≤ types×24 cells,
+      // broadcast back onto the sample stream; |z| > 3 against the
+      // well-populated cells.
       val samples = Series.samples(t(s, dir, "events"))
         .withColumn("hour_of_day", expr("(ts_us div 3600000000) % 24"))
-      val prof = samples.groupBy(col("series_id"), col("hour_of_day"))
+      val prof = samples.groupBy(col("event_type"), col("hour_of_day"))
         .agg(count(lit(1)).as("n"),
           TsOps.exactSum(col("value"), 6).as("s1"),
           TsOps.exactSum(col("value") * col("value"), 6).as("s2"))
         .withColumn("mean", col("s1") / col("n"))
         .withColumn("std", sqrt(col("s2") / col("n") - col("mean") * col("mean")))
-        .filter(col("std") > 0 && col("n") >= 5)
-        .select("series_id", "hour_of_day", "mean", "std")
-      samples.join(broadcast(prof), Seq("series_id", "hour_of_day"))
+        .filter(col("std") > 0)
+        .select("event_type", "hour_of_day", "mean", "std")
+      samples.join(broadcast(prof), Seq("event_type", "hour_of_day"))
         .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
-        .filter(abs(col("z")) > 2.0)
-        .select(col("series_id"), col("ts_us"), col("hour_of_day"),
-          col("value"), col("z"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("series_id"), col("event_type"), col("ts_us"),
+          col("hour_of_day"), col("value"), col("z"))
     }),
 
     "ts_histogram_quantile" -> ((s, dir) => {
@@ -3697,22 +3701,23 @@ object SparkEntry {
           WHERE abs(round((s.value - mm.mean) / mm.std, 6)) > 2.0""",
 
     "ts_seasonal_outliers" ->
-      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value,
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type,
+                 epoch_us(ts) AS ts_us, value,
                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day
                FROM events),
-          m AS (SELECT series_id, hour_of_day, CAST(count(*) AS BIGINT) AS n,
+          m AS (SELECT event_type, hour_of_day, CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
                   CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
                 FROM s GROUP BY 1, 2),
-          mm AS (SELECT series_id, hour_of_day, s1 / n AS mean,
+          mm AS (SELECT event_type, hour_of_day, s1 / n AS mean,
                    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
                  FROM m
-                 WHERE sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0 AND n >= 5)
-          SELECT s.series_id, s.ts_us, s.hour_of_day, s.value,
+                 WHERE sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0)
+          SELECT s.series_id, s.event_type, s.ts_us, s.hour_of_day, s.value,
                  round((s.value - mm.mean) / mm.std, 6) AS z
-          FROM s JOIN mm ON s.series_id = mm.series_id
+          FROM s JOIN mm ON s.event_type = mm.event_type
                         AND s.hour_of_day = mm.hour_of_day
-          WHERE abs(round((s.value - mm.mean) / mm.std, 6)) > 2.0""",
+          WHERE abs(round((s.value - mm.mean) / mm.std, 6)) > 3.0""",
 
     "ts_mad_outliers" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
