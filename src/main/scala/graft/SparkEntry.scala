@@ -1560,6 +1560,12 @@ object SparkEntry {
 
     // FORECAST BACKTEST: the linreg family's eval harness — first 80%
     // of hourly buckets fit, held-out tail scores MAE/RMSE per series
+    // the baseline the linear backtest must beat: seasonal-naive
+    // (y(h) predicted by y(h-24)), same bucket frame and error
+    // discipline; equi-join lag, no window sort
+    "ts_forecast_snaive" -> ((s, dir) =>
+      TsOps.seasonalNaiveBacktest(Series.samples(t(s, dir, "events")))),
+
     "ts_forecast_backtest" -> ((s, dir) =>
       TsOps.forecastBacktest(Series.samples(t(s, dir, "events")))),
 
@@ -4949,6 +4955,18 @@ object SparkEntry {
     // the backtest restated: hourly exact-decimal sums, the linreg
     // sufficient-statistics fit on the rank-ordered train prefix,
     // 6dp-decimal |e|/e² sums, raw-IEEE MAE/RMSE divisions
+    "ts_forecast_snaive" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
+          b AS (SELECT series_id, ts_us // 3600000000 AS h,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+                FROM s GROUP BY 1, 2),
+          j AS (SELECT b.series_id, CAST(b.y - l.y AS DOUBLE) AS err
+                FROM b JOIN b l ON b.series_id = l.series_id AND b.h = l.h + 24)
+          SELECT series_id, CAST(count(*) AS BIGINT) AS n_scored,
+                 CAST(sum(CAST(round(abs(err), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mae,
+                 sqrt(CAST(sum(CAST(round(err * err, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS rmse
+          FROM j GROUP BY 1""",
+
     "ts_forecast_backtest" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
           b AS (SELECT series_id, ts_us // 3600000000 AS h,

@@ -1386,6 +1386,38 @@ object TsOps {
         coalesce(col("organic_value"), lit(0.0)).as("organic_value"))
   }
 
+  /** SEASONAL-NAIVE forecast backtest — the baseline every fancier
+    * model must beat (forecasting 101: report the model's error NEXT
+    * TO the naive baseline's, or the model's error means nothing):
+    * ŷ(h) = y(h − `seasonBuckets`), scored on every bucket with a
+    * season-old sibling. Read beside [[forecastBacktest]]'s linear
+    * model: per series, whichever MAE is lower is the model to serve
+    * (a seasonal corpus beats the line; a trending one doesn't).
+    * Same hourly bucket frame and error discipline as the linear
+    * backtest (exact 2dp bucket sums; |err| and err² round to 6dp
+    * decimals before the order-free sums); the lag resolves as a
+    * self-join on (series, h − season) — an equi-join, no window
+    * sort. */
+  def seasonalNaiveBacktest(samples: DataFrame, bucketUs: Long = 3600000000L,
+                            seasonBuckets: Int = 24): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val b = samples
+      .groupBy(col("series_id"), expr(s"ts_us div $bucketUs").as("h"))
+      .agg(sum(col("value").cast(d2)).cast(d2).as("y"))
+    val lag = b.select(col("series_id"),
+      (col("h") + seasonBuckets).as("h"), col("y").as("y_hat"))
+    b.join(lag, Seq("series_id", "h"))
+      .withColumn("err", (col("y") - col("y_hat")).cast("double"))
+      .groupBy(col("series_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(round(abs(col("err")), 6).cast(d6)).cast("double").as("sae"),
+        sum(round(col("err") * col("err"), 6).cast(d6)).cast("double").as("see"))
+      .select(col("series_id"), col("n_scored"),
+        (col("sae") / col("n_scored")).as("mae"),
+        sqrt(col("see") / col("n_scored")).as("rmse"))
+  }
+
   /** WINDOWED FUNNEL depth histogram (the ClickHouse `windowFunnel`
     * read, strict-order mode): for every user, the deepest
     * view → click → purchase chain that fits ENTIRELY inside
