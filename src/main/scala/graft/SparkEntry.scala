@@ -2379,6 +2379,11 @@ object SparkEntry {
     "multimodal_image_stats" -> ((s, dir) =>
       Multimodal.imageStats(Multimodal.attachMedia(docsT(s, dir)))),
 
+    // blank/flat-image filter: 8-bin luminance-histogram entropy per
+    // image (bins fold inside the REAL PNG decode loop), flat < 1.0
+    "multimodal_image_entropy" -> ((s, dir) =>
+      Multimodal.imageEntropy(Multimodal.attachMedia(docsT(s, dir)))),
+
     "multimodal_image_dhash" -> ((s, dir) =>
       // IMAGE PERCEPTUAL FINGERPRINT: real PNG decode → 9×8 grayscale
       // grid → 64-bit dHash (the image sibling of dedup_simhash); the
@@ -6377,6 +6382,29 @@ object SparkEntry {
                 CAST(sum(gray) AS DOUBLE) / count(*) AS mean_gray,
                 CAST(max(gray) - min(gray) AS BIGINT) AS contrast
          FROM g GROUP BY 1""",
+
+    "multimodal_image_entropy" ->
+      """WITH img AS (SELECT doc_id, text, strlen(text) AS len,
+                        16 + strlen(text) % 32 AS w, 8 + strlen(text) % 16 AS h
+                      FROM documents WHERE doc_id % 2 = 0),
+         px AS (SELECT doc_id, w, h, t.x, u.y,
+                  CASE WHEN len = 0 THEN 120
+                       ELSE ascii(substr(text, CAST((t.x + u.y) % len AS INT) + 1, 1)) END AS c
+                FROM img, (SELECT unnest(range(48)) AS x) t,
+                          (SELECT unnest(range(24)) AS y) u
+                WHERE t.x < w AND u.y < h),
+         g AS (SELECT doc_id,
+                 (((c*37) % 256 + (x*7+c) % 256 + (y*11+c) % 256) // 3) // 32 AS bin
+               FROM px),
+         bc AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS nb FROM g GROUP BY 1, 2),
+         np AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_pixels FROM bc GROUP BY 1),
+         e AS (SELECT bc.doc_id,
+                 round(-CAST(sum(CAST(round(
+                   (CAST(nb AS DOUBLE) / n_pixels) * ln(CAST(nb AS DOUBLE) / n_pixels),
+                   9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+               FROM bc JOIN np ON bc.doc_id = np.doc_id GROUP BY 1)
+         SELECT e.doc_id, np.n_pixels, e.entropy, e.entropy < 1.0 AS flat
+         FROM e JOIN np ON e.doc_id = np.doc_id""",
 
     "multimodal_image_dhash" ->
       """WITH img AS (SELECT doc_id, text, strlen(text) AS len,

@@ -502,6 +502,54 @@ object Multimodal {
       .withColumn("contrast", col("max_gray") - col("min_gray"))
   }
 
+  /** LUMINANCE-HISTOGRAM ENTROPY per image — the blank/flat-image
+    * filter a multimodal training pipeline runs before paying encoder
+    * FLOPs (a single-color or near-constant image carries ~0 bits of
+    * histogram entropy; a natural image sits near the ln 8 ceiling of
+    * the 8-bin grid): H = −Σ p_b·ln p_b over 8 equal-width gray bins,
+    * `flat` below 1.0. The 8 bin counts fold INSIDE the decoder loop
+    * (the imageStats discipline — no per-pixel row explosion); the
+    * entropy itself computes in the DataFrame layer from exact LONG
+    * counts (9dp-decimal terms before the order-free sum, 6dp final —
+    * the driftPsi ln discipline). */
+  def imageEntropy(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val schema = StructType(
+      StructField("doc_id", LongType) +:
+        StructField("n_pixels", LongType) +:
+        (0 until 8).map(i => StructField(s"b$i", LongType)))
+    val rdd = media.filter(col("kind") === "image")
+      .select("doc_id", "media").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val bins = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              bins(g >> 5) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(r.getLong(0) +: (w.toLong * h) +: bins.toSeq)
+        }
+      }
+    val terms = (0 until 8).map { i =>
+      val p = col(s"b$i").cast("double") / col("n_pixels").cast("double")
+      when(col(s"b$i") > 0, round(p * log(p), 9).cast(dec9))
+        .otherwise(lit(0).cast(dec9))
+    }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("entropy", round(-terms.reduce(_ + _).cast("double"), 6))
+      .select(col("doc_id"), col("n_pixels"), col("entropy"),
+        (col("entropy") < 1.0).as("flat"))
+  }
+
   /** Hamming near-dup pairs over [[imageDHash]] fingerprints via
     * 16-bit PIGEONHOLE bands (the simhash recipe): a pair within
     * hamming distance 3 differs in at most 3 of the 4 bands, so it

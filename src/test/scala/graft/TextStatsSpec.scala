@@ -212,6 +212,31 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("imageEntropy: a constructed flat image flags, a uniform-histogram one reads the ln 8 ceiling") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(32, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 32) {
+        val g = f(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val media = Seq(
+      (1L, png((_, _) => 128), "image"),           // flat: one bin, H = 0
+      (2L, png((x, _) => x * 8), "image"))         // 32 gray levels = 4 per bin: uniform
+      .toDF("doc_id", "media", "kind")
+    val out = Multimodal.imageEntropy(media)
+      .select("doc_id", "n_pixels", "entropy", "flat")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq(256L, 256L))
+    val (flat, uni) = (out.head, out(1))
+    assert(flat._3 == 0.0 && flat._4, flat)
+    // uniform over all 8 bins: H = ln 8 up to the 9dp term rounding
+    assert(math.abs(uni._3 - math.log(8.0)) < 1e-6 && !uni._4, uni)
+  }
+
   test("dhashNearDupPairs: banded candidates find every pair within hamming 3, none beyond") {
     // constructed 90×80 images: each 10×10 block holds one sampled
     // grid cell (x = i·90/9 = i·10), so the hash bits are controlled
