@@ -1540,7 +1540,7 @@ object SparkEntry {
       // predicts the scaled dims from strlen(text) with the same
       // integer arithmetic
       Multimodal.decodeMeta(
-        Multimodal.resizeMedia(Multimodal.attachMedia(docsT(s, dir)), 8))),
+        Multimodal.resizeMedia(Multimodal.attachMediaMemo(docsT(s, dir), dir), 8))),
 
     "topk_per_group" -> ((s, dir) => {
       // custom TopKPerKey physical operator (bounded heaps, no full
@@ -2363,26 +2363,26 @@ object SparkEntry {
       // PNG/WAV payloads from the text, decodeMeta parses the actual
       // containers (JDK codecs), and the oracle independently predicts
       // the dims from strlen(text) — hash-equality proves the codecs
-      Multimodal.decodeMeta(Multimodal.attachMedia(docsT(s, dir)))),
+      Multimodal.decodeMeta(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
     "multimodal_video_meta" -> ((s, dir) =>
       // REAL video: attachVideo synthesizes an MJPEG-in-AVI clip per
       // doc (hand-rolled RIFF container, JPEG frames via the JDK
       // codec), decodeMeta parses the container header back; the
       // oracle predicts geometry + frame count from strlen(text)
-      Multimodal.decodeMeta(Multimodal.attachVideo(docsT(s, dir)))
+      Multimodal.decodeMeta(Multimodal.attachVideoMemo(docsT(s, dir), dir))
         .withColumnRenamed("n_samples", "n_frames")),
 
     // IMAGE QUALITY SCREEN: per-image luminance stats over real PNG
     // decode — pixels fold inside the decoder loop, no row explosion;
     // the oracle recomputes from the synthesis formula
     "multimodal_image_stats" -> ((s, dir) =>
-      Multimodal.imageStats(Multimodal.attachMedia(docsT(s, dir)))),
+      Multimodal.imageStats(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
     // blank/flat-image filter: 8-bin luminance-histogram entropy per
     // image (bins fold inside the REAL PNG decode loop), flat < 1.0
     "multimodal_image_entropy" -> ((s, dir) =>
-      Multimodal.imageEntropy(Multimodal.attachMedia(docsT(s, dir)))),
+      Multimodal.imageEntropy(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
     "multimodal_image_dhash" -> ((s, dir) =>
       // IMAGE PERCEPTUAL FINGERPRINT: real PNG decode → 9×8 grayscale
@@ -2393,7 +2393,7 @@ object SparkEntry {
       // (dhashNearDupPairs) is spec-proven on constructed near-dups —
       // this corpus has no image-grain duplicates, so a pair gate
       // would be vacuous (both engines agreeing on the empty set)
-      Multimodal.imageDHash(Multimodal.attachMedia(docsT(s, dir)))),
+      Multimodal.imageDHash(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
     "multimodal_audio_features" -> ((s, dir) =>
       // REAL WAV decode → per-window RMS + zero-crossing profile; the
@@ -2401,7 +2401,7 @@ object SparkEntry {
       // formula (sample i = (byte(text, i mod len) − 96)·250) without
       // ever touching the container — hash-equality proves the wire
       // bytes, the JDK decode, and the window arithmetic end-to-end
-      Multimodal.audioFeatures(Multimodal.attachMedia(docsT(s, dir)))),
+      Multimodal.audioFeatures(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
     "multimodal_video_frames" -> ((s, dir) =>
       // the frame-sampling fan-out path with REAL per-frame decode:
@@ -2410,14 +2410,14 @@ object SparkEntry {
       // hash-equality on (doc_id, frame_idx, dims) proves the whole
       // chain frame-by-frame
       Multimodal.frameMeta(
-        Multimodal.frameSample(Multimodal.attachVideo(docsT(s, dir)), 3))),
+        Multimodal.frameSample(Multimodal.attachVideoMemo(docsT(s, dir), dir), 3))),
 
     "multimodal_video_resize" -> ((s, dir) =>
       // every frame rescaled (same integer arithmetic as the image
       // branch), re-containered, then header-decoded: frame count
       // must survive, dims must be the predicted scaled ones
       Multimodal.decodeMeta(
-        Multimodal.resizeMedia(Multimodal.attachVideo(docsT(s, dir)), 8))
+        Multimodal.resizeMedia(Multimodal.attachVideoMemo(docsT(s, dir), dir), 8))
         .withColumnRenamed("n_samples", "n_frames")))
 
   /** Shared CTE prefix for the minhash-family oracles, generated with

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,6 +41,43 @@ import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFil
 object Multimodal {
 
   val SampleRate = 8000
+
+  /** Session-scoped memo for the synthesized media frames.
+    *
+    * [[attachMedia]]/[[attachVideo]] return RDD-backed DataFrames, so
+    * every call creates FRESH lineage — Spark's CacheManager dedups
+    * canonically-identical *plans* (the lshNearDupPairs idiom), but two
+    * RDD scans are never canonically equal, so the eight image/audio/
+    * video gates each paid a full PNG/WAV/MJPEG synthesis. Memoizing
+    * the persisted frame per (session, key, kind) hands ALL gates the
+    * SAME handle: one synthesis per corpus, shared across queries.
+    *
+    * Interaction with Bench's family-boundary `clearCache()`: clearing
+    * drops the cached data but the memoized handle stays valid — the
+    * `storageLevel == NONE` check re-marks it for caching on next use,
+    * so a later family re-entry repopulates ONE entry instead of
+    * growing new lineage. Keyed by session so a fresh SparkSession
+    * (each spec suite) never sees another session's frames.
+    */
+  private val mediaMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memo(s: SparkSession, key: String, kind: String)(build: => DataFrame): DataFrame = {
+    val df = mediaMemo.getOrElseUpdate((s, key, kind), build)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  /** Memoized [[attachMedia]]: one synthesis per (session, key), shared
+    * by every image/audio gate. `key` names the corpus (the sf dir). */
+  def attachMediaMemo(docs: DataFrame, key: String): DataFrame =
+    memo(docs.sparkSession, key, "media")(attachMedia(docs))
+
+  /** Memoized [[attachVideo]]: one MJPEG/AVI synthesis per (session,
+    * key), shared by video_meta / video_frames / video_resize. */
+  def attachVideoMemo(docs: DataFrame, key: String): DataFrame =
+    memo(docs.sparkSession, key, "video")(attachVideo(docs))
 
   /** Deterministic media-geometry formulas, shared with the oracle
     * (which predicts them from strlen(text)). */

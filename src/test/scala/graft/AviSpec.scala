@@ -168,4 +168,34 @@ class AviSpec extends SparkSpec {
       assert(math.abs(n2 - 1.0) < 1e-9)
     }
   }
+
+  test("media memo: one handle per (session, key, kind), persisted, survives clearCache") {
+    import spark.implicits._
+    val docs = Seq((0L, "memo doc one"), (1L, "memo doc two")).toDF("doc_id", "text")
+    val a = Multimodal.attachVideoMemo(docs, "memo-spec")
+    val b = Multimodal.attachVideoMemo(docs, "memo-spec")
+    // SAME DataFrame instance — this is the whole point: RDD-backed
+    // frames get fresh lineage per call, so CacheManager subtree
+    // sharing can never dedup them; only an explicit shared handle can
+    assert(a eq b, "attachVideoMemo must return the identical handle")
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "memoized frame must be marked persistent")
+    // results flow and match the unmemoized synthesis
+    val direct = Multimodal.decodeMeta(Multimodal.attachVideo(docs))
+      .orderBy("doc_id").collect().toSeq
+    val viaMemo = Multimodal.decodeMeta(a).orderBy("doc_id").collect().toSeq
+    assert(viaMemo == direct)
+    // Bench clears caches at family boundaries: the handle must stay
+    // valid and re-mark itself for caching on next access
+    spark.catalog.clearCache()
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val c = Multimodal.attachVideoMemo(docs, "memo-spec")
+    assert(c eq a)
+    assert(c.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "post-clearCache access must re-persist the shared handle")
+    assert(Multimodal.decodeMeta(c).orderBy("doc_id").collect().toSeq == direct)
+    // distinct keys and kinds get distinct handles
+    assert(!(Multimodal.attachVideoMemo(docs, "memo-spec-2") eq a))
+    assert(!(Multimodal.attachMediaMemo(docs, "memo-spec") eq a))
+  }
 }
