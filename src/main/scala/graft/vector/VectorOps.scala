@@ -236,28 +236,52 @@ object VectorOps {
     * of lowest-id seeding is leaving a cluster uncovered, and Lloyd's
     * alone cannot split the resulting merged cell (a mean of two
     * clusters stays their joint attractor — a local optimum).
-    * nCells full passes over the corpus at index-build time; at
-    * 100 TB seed from a uniform sample instead — the greedy argmin is
-    * insensitive to subsampling well-populated clusters. */
+    * nCells full passes over the seed frame at index-build time; at
+    * 100 TB pass `seedSample` < 1 to seed from a uniform sample — the
+    * greedy argmin is insensitive to subsampling well-populated
+    * clusters (an uncovered cluster is by definition populated enough
+    * to survive sampling). The guard below is the same contract as
+    * [[cosineTopK]]: nCells SEQUENTIAL full-corpus scans are an
+    * index-BUILD cost that must never silently run over an unbounded
+    * corpus — above `maxRows` seed rows this refuses with a pointer to
+    * `seedSample` (the blessed scale path) instead of quietly scanning
+    * the corpus 16 times. */
   def farthestPointCentroids(corpus: DataFrame, nCells: Int = 16,
-                             roundTo: Int = 6): DataFrame = {
+                             roundTo: Int = 6, seedSample: Double = 1.0,
+                             maxRows: Long = 1000000L,
+                             force: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val typed = corpus.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    require(seedSample > 0.0 && seedSample <= 1.0,
+      s"farthestPointCentroids: seedSample=$seedSample must be in (0, 1]")
+    // the sampled seed frame is re-scanned nCells times — persist it
+    // with a PAIRED unpersist (the iterative-loop rule; sampling again
+    // per pass would both rescan the full corpus and break the greedy
+    // chain's determinism if partitioning shifted between passes)
+    val seeds =
+      if (seedSample < 1.0)
+        corpus.sample(withReplacement = false, seedSample, seed = 7L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpus
+    requireBaselineScale(seeds, "farthestPointCentroids (seed scan)",
+      "farthestPointCentroids(seedSample = <fraction sized to maxRows>)",
+      maxRows, force)
+    val typed = seeds.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
     var cents = Seq(typed.orderBy(col("vec_id")).head())
     for (_ <- 1 until nCells) {
       val cdf = broadcast(cents.toDF("c_id", "cv"))
-      val next = corpus.crossJoin(cdf)
+      val next = seeds.crossJoin(cdf)
         .withColumn("cos_c",
           round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
         .groupBy(col("vec_id"))
         .agg(max(col("cos_c")).as("near"))
         .orderBy(col("near").asc, col("vec_id").asc)
         .limit(1).select(col("vec_id"))
-        .join(corpus, "vec_id")
+        .join(seeds, "vec_id")
         .as[(Long, Seq[Double])].head()
       cents = cents :+ next
     }
+    if (seedSample < 1.0) seeds.unpersist()
     // re-number cells 0..nCells-1: ivfAssign packs the cell id into a
     // 16-bit field of its argmax LONG, so codebook ids must stay small
     // regardless of the source vec_id range
