@@ -74,6 +74,12 @@ object SparkEntry {
   private val storeMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), ChunkStore]
 
+  // dq_trend's verdict store: one path per (session, corpus) — its
+  // writes are run_id-partitioned dynamic overwrites, so reuse is
+  // idempotent and repeated gate runs stop leaking temp trees
+  private val dqStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   private def sharedStore(s: SparkSession, dir: String, mode: String): ChunkStore =
     storeMemo.getOrElseUpdate((s, dir, mode), {
       val st = new ChunkStore(s,
@@ -1523,7 +1529,13 @@ object SparkEntry {
     // lifecycle gates.
     "dq_trend" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val store = java.nio.file.Files.createTempDirectory("graft_dq_store").toString
+      // ONE verdict-store path per (session, corpus): the write below
+      // is a run_id-partitioned DYNAMIC overwrite, so re-running the
+      // gate replaces the same partitions instead of leaking a fresh
+      // temp tree per invocation (ADVICE r11: repeated bench/gate runs
+      // accumulated graft_dq_store dirs)
+      val store = dqStoreMemo.getOrElseUpdate((s, dir),
+        java.nio.file.Files.createTempDirectory("graft_dq_store").toString)
       // history BACKFILL shape: all year-runs from ONE grouped scan
       // per check family + ONE partitioned write (R scans → 1); the
       // incremental per-ingest path stays persistVerdicts (spec'd)

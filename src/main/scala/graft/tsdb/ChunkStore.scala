@@ -818,10 +818,13 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
           try walk.forEach { p =>
             if (java.nio.file.Files.isRegularFile(p)) {
               val rel = sp.relativize(p).toString
-              // Hadoop's checksum shadow files regenerate on write and
-              // never existed for hardlinked data; skip them like the
-              // Hadoop listing would
-              if (!p.getFileName.toString.startsWith(".")) {
+              // Hadoop's checksum shadow files (".name.crc") regenerate
+              // on write and never existed for hardlinked data; skip
+              // exactly that pattern — a blanket dot-file skip would
+              // silently drop any legitimate dot-file from snapshots
+              // while the remote-FS branch copies it (ADVICE r11)
+              val fn = p.getFileName.toString
+              if (!(fn.startsWith(".") && fn.endsWith(".crc"))) {
                 val d = new Path(dst, rel)
                 dirs += d.getParent
                 tasks += ((new Path(p.toUri), d))

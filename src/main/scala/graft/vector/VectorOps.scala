@@ -138,9 +138,20 @@ object VectorOps {
     * [[autoBandSize]]'s measured occupancy law — ONE count() of the
     * corpus at index-build time buys a candidate join that stays
     * linear instead of quadratic — and nPlanes = 2·bandSize (two
-    * bands, the recall composition the evidence suite measured). */
+    * bands, the recall composition the evidence suite measured).
+    * The two knobs must be BOTH auto or BOTH explicit: an explicit
+    * nPlanes against a data-resolved bandSize would make the
+    * `nPlanes % bandSize == 0` contract depend on corpus size — a
+    * runtime failure that moves with the data (ADVICE r11). The auto
+    * count() is an extra action per call by design — banding is an
+    * index-build decision, and callers that already know n (or want a
+    * pinned S-curve) pass both knobs explicitly and skip it. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, nPlanes: Int = 0,
                       bandSize: Int = 0, dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    require((nPlanes > 0) == (bandSize > 0),
+      s"nPlanes ($nPlanes) and bandSize ($bandSize) must be both explicit or both " +
+        "auto (<= 0): mixing an explicit value with a data-resolved auto one makes " +
+        "the nPlanes-multiple-of-bandSize contract depend on corpus size")
     val bs = if (bandSize > 0) bandSize else autoBandSize(corpus.count())
     val np = if (nPlanes > 0) nPlanes else 2 * bs
     require(np >= bs && np % bs == 0,

@@ -389,8 +389,28 @@ class ChunkStoreSpec extends SparkSpec {
 
     // a crashed predecessor's temp dir is invisible to the verb
     new java.io.File(dir, "snapshots/.tmp-dead").mkdirs()
+    // the dot-file skip is EXACTLY Hadoop's ".name.crc" checksum-shadow
+    // pattern: a legitimate dot-file under the closed tree must survive
+    // the snapshot copy (ADVICE r11: the blanket dot-skip silently
+    // dropped it while the remote-FS branch copied it)
+    // (the snapshot copies chunk-partition subtrees, so the planted
+    // files go INSIDE one chunk dir — a tree-root file is outside the
+    // verb's grain by design)
+    val chunkDir = new java.io.File(dir, "closed").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk=")).head
+    val dotKeep = new java.io.File(chunkDir, ".meta-marker")
+    java.nio.file.Files.write(dotKeep.toPath, "keep me".getBytes("UTF-8"))
+    val crcSkip = new java.io.File(chunkDir, ".part-0.crc")
+    java.nio.file.Files.write(crcSkip.toPath, Array[Byte](1, 2, 3))
     val snap = store.snapshot(Some("pre-delete"))
     assert(snap == "pre-delete" && store.listSnapshots() == Seq("pre-delete"))
+    val snapChunk = new java.io.File(
+      s"$dir/snapshots/pre-delete/closed/${chunkDir.getName}")
+    assert(new java.io.File(snapChunk, ".meta-marker").exists(),
+      "legitimate dot-file vanished from the snapshot copy")
+    assert(!new java.io.File(snapChunk, ".part-0.crc").exists(),
+      "Hadoop checksum shadow must stay skipped")
+    dotKeep.delete(); crcSkip.delete() // keep the rest of the drill byte-clean
     intercept[IllegalArgumentException](store.snapshot(Some("pre-delete"))) // duplicate
     intercept[IllegalArgumentException](store.snapshot(Some("../escape"))) // hostile name
 

@@ -238,6 +238,25 @@ class VectorSpec extends SparkSpec {
     assert(c1 == single, "deflation component 1 diverged from the single-component operator")
   }
 
+  test("pcaComponents: distributed deflation branch equals the driver path bit-for-bit") {
+    // every corpus in testdata is dim 64, so the gate always routes to
+    // the BigDecimal driver path (dim <= driverMaxDim=512) — the
+    // distributed dim²-frame loop's claimed bit-for-bit equivalence
+    // was otherwise exercised by nothing (ADVICE r11). Forcing
+    // driverMaxDim = 0 routes the SAME corpus through the distributed
+    // branch; the driver path replicates its decimal arithmetic
+    // exactly, so equality must be ==, not approximate.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def run(cap: Int) = VectorOps.pcaComponents(e, nComponents = 3, driverMaxDim = cap)
+      .select("component", "d", "loading", "eigenvalue")
+      .as[(Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val distributed = run(0)
+    val driver = run(512)
+    assert(distributed == driver,
+      "distributed deflation arithmetic diverged from the driver replication")
+  }
+
   test("autoBandSize: the log2-occupancy law — floor 4 through the gate corpora, grows at scale") {
     // the gate corpora (500 at sf0.01, 2000 at sf0.1) must resolve to
     // the banding the static oracles restate (bandSize 4, nPlanes 8)
@@ -262,6 +281,13 @@ class VectorSpec extends SparkSpec {
     val pinned = VectorOps.lshNearDupPairs(e, 0.4, nPlanes = 8, bandSize = 4)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(auto == pinned && auto.nonEmpty)
+    // mixing one explicit knob with one auto knob refuses UP FRONT: an
+    // explicit nPlanes against a data-resolved bandSize would make the
+    // multiple-of contract fail or pass depending on corpus size
+    val mixed = intercept[IllegalArgumentException] {
+      VectorOps.lshNearDupPairs(e, 0.4, nPlanes = 12)
+    }
+    assert(mixed.getMessage.contains("both explicit or both auto"))
   }
 
   test("pqProfile: slices assign to the nearest codebook entry; occupancy and mse are exact") {
