@@ -781,6 +781,28 @@ final class HttpEndpoint(
 
   private def handleRead(ex: HttpExchange, body: Array[Byte]): Unit =
     try {
+      val (_, accepted) = RemoteRead.decodeRequestFull(body)
+      if (accepted.contains(RemoteRead.ResponseTypeStreamed)) {
+        // NEGOTIATED STREAM: framed ChunkedReadResponse messages, one
+        // per series, Gorilla payloads straight from the at-rest tier.
+        // No seriesCap — memory is bounded per frame, so the wide
+        // selector that 422s on the sampled path streams fine here.
+        // The FIRST frame is forced before headers go out: matcher /
+        // store errors still answer as typed 4xx; an error after the
+        // status line can only truncate the stream (the protocol's
+        // own failure mode — the client's CRC/length framing catches
+        // the tear).
+        val frames = RemoteRead.serveStreamed(store, body)
+        val first = if (frames.hasNext) Some(frames.next()) else None
+        ex.getResponseHeaders.set("Content-Type",
+          "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+        ex.sendResponseHeaders(200, 0L) // length unknown: chunked transfer
+        val os = ex.getResponseBody
+        first.foreach(os.write)
+        frames.foreach(os.write)
+        os.flush()
+        return
+      }
       val resp = RemoteRead.serve(store, body, remoteReadSeriesCap)
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")

@@ -78,10 +78,23 @@ object RemoteWrite {
       val s = new String(buf, pos, n, "UTF-8")
       pos += n; s
     }
+    /** Remaining message bytes, copied — a `bytes` field's payload. */
+    def rest(): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(buf, pos, end)
+      pos = end; out
+    }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint()
       case 1 => need(8); pos += 8
-      case 2 => pos += len()
+      case 2 =>
+        // NOT `pos += len()`: Scala reads pos BEFORE len() runs, and
+        // len()'s varint read advances pos — the compound assignment
+        // silently discarded that advance, landing every length-
+        // delimited skip short by the length prefix's width. Latent
+        // since r6 (skip(2) only ever hit absent unknown fields);
+        // found the day a known field was first skipped (r12 streamed
+        // remote-read negotiation walk).
+        val n = len(); pos += n
       case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
@@ -315,9 +328,48 @@ object RemoteRead {
   def decodeRequest(payload: Array[Byte]): Seq[Query] =
     decodeRequestProto(RemoteWrite.uncompress(payload))
 
+  /** prompb ReadRequest.ResponseType value negotiating the chunked
+    * stream (field 2, `accepted_response_types` — the reference
+    * declares it at src/proto/remote.rs:228 and, like this library
+    * before r12, never answered it). Prometheus names the value
+    * STREAMED_XOR_CHUNKS; the chunk DATA this server streams is the
+    * library's own at-rest Gorilla bit format, so chunks carry the
+    * vendor [[GorillaChunkType]] code instead of claiming XOR
+    * compatibility. */
+  val ResponseTypeStreamed = 1L
+
+  /** Chunk.type for this library's Gorilla payloads. Prometheus
+    * reserves 0=UNKNOWN 1=XOR 2=HISTOGRAM 3=FLOAT_HISTOGRAM; 64 is
+    * outside that range, and a standards-following client SKIPS
+    * unknown chunk encodings instead of mis-decoding them. */
+  val GorillaChunkType = 64L
+
+  /** Full request decode: queries plus the accepted response types
+    * (field 2, repeated enum — accepts both proto3 packed and
+    * unpacked spellings). An absent field means SAMPLES only, per
+    * protocol. */
+  def decodeRequestFull(payload: Array[Byte]): (Seq[Query], Set[Long]) = {
+    val bytes = RemoteWrite.uncompress(payload)
+    val accepted = Set.newBuilder[Long]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val tag = top.varint()
+      (tag >> 3, tag & 7) match {
+        case (2, 0) => accepted += top.varint() // unpacked enum entry
+        case (2, 2) => // packed enum list
+          val p = top.sub()
+          while (p.hasMore) accepted += p.varint()
+        case (_, w) => top.skip(w.toInt)
+      }
+    }
+    (decodeRequestProto(bytes), accepted.result())
+  }
+
   /** Client-side request encoder (specs; anyone querying the store
-    * over the wire). */
-  def encodeRequest(queries: Seq[Query]): Array[Byte] = {
+    * over the wire). `acceptStreamed` adds
+    * `accepted_response_types = [STREAMED]` (packed field 2) — the
+    * negotiation a chunk-capable reader sends. */
+  def encodeRequest(queries: Seq[Query], acceptStreamed: Boolean = false): Array[Byte] = {
     val req = new java.io.ByteArrayOutputStream()
     queries.foreach { case (s, e, ms) =>
       val q = new java.io.ByteArrayOutputStream()
@@ -343,6 +395,11 @@ object RemoteRead {
         putField(q, 3, m.toByteArray)
       }
       putField(req, 1, q.toByteArray)
+    }
+    if (acceptStreamed) {
+      val packed = new java.io.ByteArrayOutputStream()
+      putVarint(packed, ResponseTypeStreamed)
+      putField(req, 2, packed.toByteArray)
     }
     org.xerial.snappy.Snappy.compress(req.toByteArray)
   }
@@ -432,5 +489,198 @@ object RemoteRead {
         }.toSeq
     }
     encodeResponse(results)
+  }
+
+  // ──────────── streamed responses (accepted_response_types) ────────────
+  //
+  // The Prometheus chunked remote-read shapes (PUBLIC prompb):
+  //   ChunkedReadResponse { repeated ChunkedSeries chunked_series = 1;
+  //                         int64 query_index = 2; }
+  //   ChunkedSeries       { repeated Label labels = 1;
+  //                         repeated Chunk chunks = 2; }
+  //   Chunk               { int64 min_time_ms = 1; int64 max_time_ms = 2;
+  //                         Type type = 3; bytes data = 4; }
+  // Stream framing (Prometheus's ChunkedWriter): each message is
+  // uvarint(len) ++ 4-byte big-endian CRC32C(data) ++ data — NOT
+  // snappy-wrapped (chunk data is already compressed at rest).
+
+  /** One decoded streamed chunk: (min ms, max ms, type, data). */
+  type WireChunk = (Long, Long, Long, Array[Byte])
+
+  private def crc32c(data: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(data, 0, data.length)
+    c.getValue.toInt
+  }
+
+  /** Frame one message for the stream: uvarint length, big-endian
+    * CRC32C, body. */
+  def frame(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 9)
+    putVarint(out, data.length.toLong)
+    val crc = crc32c(data)
+    out.write((crc >>> 24) & 0xff); out.write((crc >>> 16) & 0xff)
+    out.write((crc >>> 8) & 0xff); out.write(crc & 0xff)
+    out.write(data)
+    out.toByteArray
+  }
+
+  private def chunkedSeriesBytes(labels: Map[String, String],
+                                 chunks: Seq[WireChunk]): Array[Byte] = {
+    val cs = new java.io.ByteArrayOutputStream()
+    labels.toSeq.sortBy(_._1).foreach { case (n, v) =>
+      val l = new java.io.ByteArrayOutputStream()
+      putField(l, 1, n.getBytes("UTF-8"))
+      putField(l, 2, v.getBytes("UTF-8"))
+      putField(cs, 1, l.toByteArray)
+    }
+    chunks.foreach { case (minMs, maxMs, typ, data) =>
+      val c = new java.io.ByteArrayOutputStream()
+      putVarint(c, (1 << 3) | 0); putVarint(c, minMs)
+      putVarint(c, (2 << 3) | 0); putVarint(c, maxMs)
+      putVarint(c, (3 << 3) | 0); putVarint(c, typ)
+      putField(c, 4, data)
+      putField(cs, 2, c.toByteArray)
+    }
+    cs.toByteArray
+  }
+
+  /** Serve a remote-read payload as a STREAM of framed
+    * ChunkedReadResponse messages, one frame per matched series. The
+    * data plane never materializes a result vector on the driver:
+    * closed Gorilla payloads ship as they sit at rest
+    * ([[graft.tsdb.ChunkStore.queryEncoded]] — no decode), and the
+    * driver walks the grouped per-series frame with toLocalIterator
+    * (one series' chunk list in memory at a time). THIS is why the
+    * streamed path needs no seriesCap: memory is bounded per frame,
+    * not per response — an unbounded-cardinality read that 422s on
+    * the sampled path streams fine here. */
+  def serveStreamed(store: ChunkStore, payload: Array[Byte]): Iterator[Array[Byte]] = {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val (queries, _) = decodeRequestFull(payload)
+    val cat = store.catalog()
+    val chunkMs = store.chunkUs / 1000
+    queries.iterator.zipWithIndex.flatMap { case ((sMs, eMs, ms), qi) =>
+      val perSeries = store.queryEncoded(ms, sMs * 1000, eMs * 1000 + 999)
+        .join(cat, "series_id")
+        .groupBy(col("series_id"), col("event_type"), col("user_id"))
+        .agg(sort_array(collect_list(struct(col("chunk"), col("payload")))).as("chunks"))
+        .orderBy(col("series_id"))
+      perSeries.toLocalIterator().asScala.map { r =>
+        val labels = Map(
+          "event_type" -> r.getString(1),
+          "user_id" -> r.get(2).toString)
+        val chunks = r.getSeq[org.apache.spark.sql.Row](3).map { c =>
+          val ck = c.getLong(0)
+          // chunk-grain time bounds (the partition's span, not the
+          // samples' — the client trims after decode, per protocol)
+          (ck * chunkMs, (ck + 1) * chunkMs - 1, GorillaChunkType,
+            c.getAs[Array[Byte]](1)): WireChunk
+        }
+        frame {
+          val resp = new java.io.ByteArrayOutputStream()
+          putField(resp, 1, chunkedSeriesBytes(labels, chunks))
+          putVarint(resp, (2 << 3) | 0); putVarint(resp, qi.toLong)
+          resp.toByteArray
+        }
+      }
+    }
+  }
+
+  /** Client-side decode of a whole frame stream:
+    * (query_index, labels, chunks) per ChunkedSeries. Verifies each
+    * frame's CRC32C — a torn TCP stream must fail loudly, not parse
+    * garbage chunk bytes. */
+  def decodeStreamedResponse(bytes: Array[Byte]): Seq[(Long, Map[String, String], Seq[WireChunk])] = {
+    val out = Seq.newBuilder[(Long, Map[String, String], Seq[WireChunk])]
+    val top = new Reader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val n = top.varint()
+      if (n < 0 || top.pos + 4 + n > top.end)
+        throw new IllegalArgumentException(
+          s"truncated stream frame: need ${4 + n} bytes at ${top.pos}")
+      val crc = ((bytes(top.pos) & 0xff) << 24) | ((bytes(top.pos + 1) & 0xff) << 16) |
+        ((bytes(top.pos + 2) & 0xff) << 8) | (bytes(top.pos + 3) & 0xff)
+      top.pos += 4
+      val body = java.util.Arrays.copyOfRange(bytes, top.pos, top.pos + n.toInt)
+      top.pos += n.toInt
+      if (crc32c(body) != crc)
+        throw new IllegalArgumentException("stream frame CRC32C mismatch")
+      // parse one ChunkedReadResponse
+      val m = new Reader(body, 0, body.length)
+      var qi = 0L
+      val series = Seq.newBuilder[(Map[String, String], Seq[WireChunk])]
+      while (m.hasMore) {
+        val t = m.varint()
+        (t >> 3, t & 7) match {
+          case (2, 0) => qi = m.varint()
+          case (1, 2) =>
+            val cs = m.sub()
+            val labels = Map.newBuilder[String, String]
+            val chunks = Seq.newBuilder[WireChunk]
+            while (cs.hasMore) {
+              val ct = cs.varint()
+              (ct >> 3, ct & 7) match {
+                case (1, 2) =>
+                  val l = cs.sub()
+                  var name = ""; var value = ""
+                  while (l.hasMore) {
+                    val lt = l.varint()
+                    (lt >> 3, lt & 7) match {
+                      case (1, 2) => name = l.str()
+                      case (2, 2) => value = l.str()
+                      case (_, w) => l.skip(w.toInt)
+                    }
+                  }
+                  labels += name -> value
+                case (2, 2) =>
+                  val c = cs.sub()
+                  var minMs = 0L; var maxMs = 0L; var typ = 0L
+                  var data = Array.emptyByteArray
+                  while (c.hasMore) {
+                    val cct = c.varint()
+                    (cct >> 3, cct & 7) match {
+                      case (1, 0) => minMs = c.varint()
+                      case (2, 0) => maxMs = c.varint()
+                      case (3, 0) => typ = c.varint()
+                      case (4, 2) => data = c.sub().rest()
+                      case (_, w) => c.skip(w.toInt)
+                    }
+                  }
+                  chunks += ((minMs, maxMs, typ, data))
+                case (_, w) => cs.skip(w.toInt)
+              }
+            }
+            series += ((labels.result(), chunks.result()))
+          case (_, w) => m.skip(w.toInt)
+        }
+      }
+      series.result().foreach { case (ls, cks) => out += ((qi, ls, cks)) }
+    }
+    out.result()
+  }
+
+  /** Decode a frame stream all the way to per-query sample series:
+    * Gorilla-decode every [[GorillaChunkType]] chunk (skipping unknown
+    * types, as the protocol requires of clients), trim to each query's
+    * [start, end] ms range at FULL microsecond resolution — the
+    * streamed tier loses nothing to the wire, unlike the sampled
+    * envelope's ms truncation. Output per query: (labels,
+    * (ts_us, value) ascending). */
+  def decodeStreamedToSamples(bytes: Array[Byte], queries: Seq[Query])
+      : Seq[Seq[(Map[String, String], Seq[(Long, Double)])]] = {
+    val bySeries = decodeStreamedResponse(bytes)
+    queries.indices.map { qi =>
+      val (sMs, eMs, _) = queries(qi)
+      bySeries.filter(_._1 == qi).map { case (_, labels, chunks) =>
+        val pts = chunks
+          .filter(_._3 == GorillaChunkType)
+          .flatMap(c => graft.tsdb.Gorilla.decode(c._4))
+          .filter(p => p._1 >= sMs * 1000 && p._1 <= eMs * 1000 + 999)
+          .sortBy(_._1)
+        (labels, pts)
+      }
+    }
   }
 }

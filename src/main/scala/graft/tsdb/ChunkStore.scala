@@ -1042,6 +1042,59 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
       .filter(col("ts_us") >= startUs && col("ts_us") <= endUs)
   }
 
+  /** Matcher + range query returning ENCODED per-(series, chunk)
+    * payloads — the STREAMED remote-read serving tier (the reference
+    * proto declares `accepted_response_types`,
+    * /root/reference/src/proto/remote.rs:228; this is the
+    * Thanos-style chunked answer to it). Closed Gorilla payloads ship
+    * EXACTLY as they sit at rest — zero decode, zero re-encode, the
+    * whole point of streaming from a chunked store — and live raw
+    * rows pack per (series, chunk) on the executors with the same
+    * codec a close would apply. CLOSED boundary chunks may carry
+    * samples outside [startUs, endUs]: chunk grain is the wire
+    * contract and the client trims after decode (the Prometheus
+    * streamed-read rule — servers send whole chunks). Output:
+    * (series_id, chunk, payload). */
+  def queryEncoded(ms: Seq[Matcher], startUs: Long, endUs: Long): DataFrame = {
+    assertNoPendingClosedSwap()
+    assertRawServable(startUs)
+    val inRange = (df: DataFrame) =>
+      df.filter(col("chunk") >= startUs / chunkUs && col("chunk") <= endUs / chunkUs)
+    val closedIds = closedChunkIds()
+    val closedPart: Option[DataFrame] =
+      if (!hasClosed) None
+      else {
+        val cat = inRange(readChunked(catalogPath))
+          .filter(Matcher.all(ms))
+          .select("chunk", "series_id")
+        Some(inRange(readChunked(closedPath))
+          .join(cat, Seq("chunk", "series_id"), "left_semi")
+          .select("series_id", "chunk", "payload"))
+      }
+    val livePart: Option[DataFrame] =
+      if (liveChunkIdsListed().forall(closedIds)) None
+      else Some(Gorilla.packWithChunk(
+        TsOps.rangeQuery(
+            inRange(live()).filter(!col("chunk").isInCollection(closedIds)),
+            ms, startUs, endUs)
+          .select(col("series_id"), col("ts_us"), col("value"),
+            expr(s"ts_us div $chunkUs").as("chunk"))))
+    (closedPart, livePart) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("series_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("chunk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType))))
+    }
+  }
+
   /** Prometheus's admin deletion verb (POST /api/v1/admin/tsdb/
     * delete_series): drop every sample of the matched series inside
     * [startUs, endUs] from the CLOSED tier, rewriting the affected

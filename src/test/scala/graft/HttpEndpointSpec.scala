@@ -659,4 +659,79 @@ class HttpEndpointSpec extends SparkSpec {
       assert(post(port, "/api/v1/write", empty)._1 == 400)
     } finally endpoint.stop()
   }
+
+  test("streamed remote read: accepted_response_types negotiates chunked Gorilla frames past the series cap") {
+    val storeDir = Files.createTempDirectory("graft_http_streamed").toString
+    val store = new ChunkStore(spark, storeDir) // 1h chunks
+    val endpoint = new HttpEndpoint(spark, store, remoteReadSeriesCap = 2)
+    val port = endpoint.start()
+    try {
+      // 3 series across two chunks; chunk 0 closes so the stream mixes
+      // at-rest Gorilla payloads with live-packed ones
+      val in: Seq[RemoteWrite.Series] = Seq(
+        (Map("event_type" -> "click", "user_id" -> "1"),
+          (0 until 10).map(i => (t0 + i * 60000L, i * 1.5 + 1))),
+        (Map("event_type" -> "click", "user_id" -> "2"),
+          Seq((t0 + 3660000L, 7.0), (t0 + 3720000L, 8.0))),
+        (Map("event_type" -> "purchase", "user_id" -> "3"),
+          Seq((t0 + 30000L, 2.5))))
+      assert(post(port, "/api/v1/write", RemoteWrite.encode(in))._1 == 200)
+      store.closeChunksBelow((t0 + 3600000L) * 1000)
+
+      val queries: Seq[RemoteRead.Query] = Seq(
+        (t0, t0 + 7200000L, Seq(graft.tsdb.MatchRe("event_type", ".+"))))
+      // the sampled envelope refuses: 3 series > cap 2 (unchanged)
+      assert(post(port, "/api/v1/read", RemoteRead.encodeRequest(queries))._1 == 422)
+
+      // the SAME selector streams when the request negotiates it —
+      // this is the whole point: unbounded-series reads stop being a
+      // 422 and become a bounded-memory stream
+      val conn = URI.create(s"http://127.0.0.1:$port/api/v1/read").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        RemoteRead.encodeRequest(queries, acceptStreamed = true))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField("Content-Type")
+        .startsWith("application/x-streamed-protobuf"),
+        conn.getHeaderField("Content-Type"))
+      val body = try conn.getInputStream.readAllBytes()
+        finally conn.getInputStream.close()
+      conn.disconnect()
+
+      // every chunk is typed as this library's Gorilla format (never a
+      // false XOR claim), one frame per series, CRCs verify on decode
+      val raw = RemoteRead.decodeStreamedResponse(body)
+      assert(raw.size == 3)
+      assert(raw.forall(_._3.forall(_._3 == RemoteRead.GorillaChunkType)))
+      // the closed series' payload shipped EXACTLY as it sits at rest
+      val atRest = spark.read.parquet(s"$storeDir/closed")
+        .select("payload").collect().map(_.getAs[Array[Byte]](0))
+      val clickOneChunks = raw.collect {
+        case (_, ls, chunks) if ls("user_id") == "1" => chunks }.head
+      assert(clickOneChunks.size == 1)
+      assert(atRest.exists(p => java.util.Arrays.equals(p, clickOneChunks.head._4)))
+
+      // decoded all the way down, the stream equals the written truth
+      // at FULL us resolution
+      val perQuery = RemoteRead.decodeStreamedToSamples(body, queries)
+      assert(perQuery.size == 1)
+      val got = perQuery.head
+        .map { case (ls, pts) => (ls("event_type"), ls("user_id")) -> pts }.toMap
+      val want = in.map { case (ls, pts) =>
+        (ls("event_type"), ls("user_id")) ->
+          pts.map { case (ms, v) => (ms * 1000, v) } }.toMap
+      assert(got == want, s"streamed samples diverged: $got vs $want")
+
+      // a torn stream fails loudly: flip one payload byte → CRC error
+      val torn = body.clone()
+      torn(torn.length / 2) = (torn(torn.length / 2) ^ 0x40).toByte
+      val tear = intercept[IllegalArgumentException] {
+        RemoteRead.decodeStreamedResponse(torn) }
+      assert(tear.getMessage.contains("CRC") || tear.getMessage.contains("truncated"),
+        tear.getMessage)
+    } finally endpoint.stop()
+  }
 }
