@@ -313,6 +313,28 @@ object SparkEntry {
       s.read.parquet(outDir)
     }),
 
+    // the STREAMED wire under the gate: the same live endpoint, but
+    // the client negotiates accepted_response_types and decodes the
+    // chunked Gorilla frames executor-side. The oracle keeps FULL
+    // epoch_us timestamps — ~17% of events carry sub-ms tails the
+    // sampled envelope (fed_read above) must truncate, so hash-
+    // equality here proves the chunk stream is LOSSLESS end to end:
+    // live pack -> frame -> CRC -> decode -> slice trim
+    "fed_read_streamed" -> ((s, dir) => {
+      val store = sharedStore(s, dir, "live")
+      val ep = new graft.sources.HttpEndpoint(s, store)
+      val port = ep.start()
+      val outDir = java.nio.file.Files.createTempDirectory("graft_q_fedstr_out").toString
+      try {
+        graft.sources.Federation.readSamplesStreamed(s,
+            s"http://127.0.0.1:$port/api/v1/read",
+            Seq(graft.tsdb.MatchRe("event_type", "click|view")), T0, T1, timeSlices = 4)
+          .select("series_id", "event_type", "user_id", "ts_us", "value")
+          .write.mode("overwrite").parquet(outDir)
+      } finally ep.stop()
+      s.read.parquet(outDir)
+    }),
+
     // the WRITE half of the migration story under the gate: local
     // samples relayed OUT over the remote-write wire (snappy/protobuf
     // POSTs from executor tasks, driver never holds a sample) into a
@@ -3280,6 +3302,15 @@ object SparkEntry {
       s"""SELECT $SeriesIdSql AS series_id, event_type,
                  CAST(user_id AS VARCHAR) AS user_id,
                  (epoch_us(ts) // 1000) * 1000 AS ts_us, value
+          FROM events
+          WHERE event_type IN ('click', 'view')
+            AND epoch_us(ts) // 1000 BETWEEN ${T0 / 1000} AND ${T1 / 1000}""",
+
+    // NO ms truncation: the chunk stream carries the store's native us
+    "fed_read_streamed" ->
+      s"""SELECT $SeriesIdSql AS series_id, event_type,
+                 CAST(user_id AS VARCHAR) AS user_id,
+                 epoch_us(ts) AS ts_us, value
           FROM events
           WHERE event_type IN ('click', 'view')
             AND epoch_us(ts) // 1000 BETWEEN ${T0 / 1000} AND ${T1 / 1000}""",

@@ -72,6 +72,46 @@ object Federation {
       .withColumn("event_id", lit(0L))
       .select("series_id", "event_type", "user_id", "ts_us", "event_id", "value")
 
+  /** [[read]] over the STREAMED wire: each slice task negotiates
+    * `accepted_response_types` and decodes the chunked Gorilla frames
+    * locally. Two things the sampled envelope cannot do: FULL
+    * MICROSECOND timestamps survive (the prompb Sample is ms-grain —
+    * Gorilla payloads carry the store's native us), and the remote
+    * server never materializes a series vector (no series cap — the
+    * selector that 422s on the sampled path streams). Chunk payloads
+    * span whole chunks, so each task trims decoded samples to ITS
+    * slice — slices stay non-overlapping even when chunks straddle
+    * them (the straddled chunk is fetched by both tasks; the trim
+    * dedups). */
+  def readStreamed(spark: SparkSession, url: String, ms: Seq[Matcher],
+                   startUs: Long, endUs: Long, timeSlices: Int = 1): DataFrame = {
+    require(timeSlices >= 1, s"timeSlices must be >= 1, got $timeSlices")
+    import spark.implicits._
+    val startMs = startUs / 1000
+    val endMs = endUs / 1000
+    val span = endMs - startMs + 1
+    val slices = (0L until timeSlices.toLong).map { i =>
+      val a = startMs + span * i / timeSlices
+      val b = startMs + span * (i + 1) / timeSlices - 1
+      (a, b)
+    }.filter { case (a, b) => b >= a }
+    slices.toDS()
+      .repartition(slices.size)
+      .flatMap { case (aMs, bMs) => fetchSliceStreamed(url, ms, aMs, bMs) }
+      .toDF()
+  }
+
+  /** [[readStreamed]] projected onto the engine's sample model — the
+    * [[readSamples]] twin at full us resolution. */
+  def readSamplesStreamed(spark: SparkSession, url: String, ms: Seq[Matcher],
+                          startUs: Long, endUs: Long, timeSlices: Int = 1): DataFrame =
+    readStreamed(spark, url, ms, startUs, endUs, timeSlices)
+      .withColumn("series_id", canonicalSeriesId("labels"))
+      .withColumn("event_type", coalesce(col("labels")("event_type"), lit("")))
+      .withColumn("user_id", coalesce(col("labels")("user_id"), lit("")))
+      .withColumn("event_id", lit(0L))
+      .select("series_id", "event_type", "user_id", "ts_us", "event_id", "value")
+
   /** Scrape a Prometheus TEXT-EXPOSITION target once (`/federate`, a
     * node exporter, any /metrics page) — the PULL half of the
     * ecosystem, where remote-read/write are the push-storage half.
@@ -275,6 +315,41 @@ object Federation {
     RemoteRead.decodeResponse(bytes).iterator.flatMap { result =>
       result.iterator.flatMap { case (labels, pts) =>
         pts.iterator.map { case (tsMs, v) => FedSample(labels, tsMs * 1000, v) }
+      }
+    }
+  }
+
+  private def fetchSliceStreamed(url: String, ms: Seq[Matcher],
+                                 aMs: Long, bMs: Long): Iterator[FedSample] = {
+    val queries: Seq[RemoteRead.Query] = Seq((aMs, bMs, ms))
+    val body = RemoteRead.encodeRequest(queries, acceptStreamed = true)
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    conn.setRequestProperty("Content-Type", "application/x-protobuf")
+    conn.setRequestProperty("Content-Encoding", "snappy")
+    conn.getOutputStream.write(body)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    if (code / 100 != 2) {
+      conn.disconnect()
+      throw new java.io.IOException(
+        s"streamed remote-read $url answered $code for slice [$aMs, $bMs]ms")
+    }
+    val ct = Option(conn.getHeaderField("Content-Type")).getOrElse("")
+    if (!ct.startsWith("application/x-streamed-protobuf"))
+      throw new java.io.IOException(
+        s"remote $url ignored the streamed negotiation (Content-Type '$ct') — " +
+          "read it with readSamples instead")
+    val bytes = try conn.getInputStream.readAllBytes() finally conn.getInputStream.close()
+    conn.disconnect()
+    // decodeStreamedToSamples trims to the slice's whole-ms envelope,
+    // which is exactly the non-overlap contract between slice tasks
+    RemoteRead.decodeStreamedToSamples(bytes, queries).iterator.flatMap { perQ =>
+      perQ.iterator.flatMap { case (labels, pts) =>
+        pts.iterator.map { case (tsUs, v) => FedSample(labels, tsUs, v) }
       }
     }
   }
