@@ -550,6 +550,12 @@ object SparkEntry {
 
     "ts_corr_matrix" -> ((s, dir) => TsOps.corrMatrix(t(s, dir, "events"))),
 
+    // seasonality/trend detector: per-type autocorrelation of the
+    // hourly count series at lags 1..3 — the evidence read before
+    // trusting ts_forecast_snaive's seasonal baseline; equi-join on
+    // (type, hour+lag), never a window (the corrMatrix determinism)
+    "ts_acf" -> ((s, dir) => TsOps.acf(t(s, dir, "events"))),
+
     // 1h window: probed 367/20084 purchases attributed at sf0.1 —
     // both attribution states live (vacuous-match discipline)
     "events_attribution" -> ((s, dir) => TsOps.attribution(t(s, dir, "events"))),
@@ -2293,6 +2299,13 @@ object SparkEntry {
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         16)),
 
+    "emb_norm_outliers" -> ((s, dir) =>
+      // embedding-QC gate: per-vector L2 norm + corpus z-score flag
+      // (degenerate encoder batches surface as norm outliers); norm
+      // from the sequential in-array fold, moments in exact decimal
+      VectorOps.normOutliers(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
     "emb_dim_stats" -> ((s, dir) =>
       // per-dimension normalization profile (mean/min/max per
       // component) — the whitening statistics pass; one bounded
@@ -3635,6 +3648,27 @@ object SparkEntry {
                       THEN (n_hours * sxy - sx * sy)
                            / sqrt((n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy))
                  END AS corr
+          FROM st""",
+
+    "ts_acf" ->
+      s"""WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          p AS (SELECT a.event_type, t.lag, a.c AS x, b.c AS y
+                FROM h a
+                JOIN (SELECT unnest([1, 2, 3]) AS lag) t ON true
+                JOIN h b ON b.event_type = a.event_type AND b.hour = a.hour + t.lag),
+          st AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy
+                 FROM p GROUP BY 1, 2)
+          SELECT event_type, lag, n_pairs,
+                 CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+                      THEN (n_pairs * sxy - sx * sy)
+                           / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+                 END AS acf
           FROM st""",
 
     "events_top_paths" ->
@@ -5940,6 +5974,29 @@ object SparkEntry {
                 CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
                 CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_norm
          FROM nm GROUP BY 1""",
+
+    // norm² by the sequential list fold (Spark aggregate()'s order),
+    // rounded 6dp; moments over the rounded norms in exact decimal,
+    // then ONE shared z expression
+    "emb_norm_outliers" ->
+      """WITH e AS (SELECT vec_id,
+                  round(sqrt(COALESCE(list_sum(list_transform(
+                    CAST(embedding AS DOUBLE[]), x -> x * x)), 0.0)), 6) AS norm
+                FROM embeddings),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(norm AS DECIMAL(18,6)) * CAST(norm AS DECIMAL(18,6))) AS DOUBLE) AS s2
+                FROM e)
+          SELECT vec_id, norm,
+                 CASE WHEN n * s2 - s1 * s1 > 0
+                      THEN round((norm - s1 / n)
+                           / sqrt((n * s2 - s1 * s1) / (n * n)), 6)
+                      ELSE 0.0 END AS z,
+                 abs(CASE WHEN n * s2 - s1 * s1 > 0
+                      THEN round((norm - s1 / n)
+                           / sqrt((n * s2 - s1 * s1) / (n * n)), 6)
+                      ELSE 0.0 END) > 3.0 AS is_outlier
+          FROM e, m""",
 
     "emb_dim_stats" ->
       // count(x), not count(*): Spark's posexplode emits only real

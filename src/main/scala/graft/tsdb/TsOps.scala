@@ -1247,6 +1247,46 @@ object TsOps {
             / sqrt(col("vx") * col("vy"))).as("corr"))
   }
 
+  /** Per-type AUTOCORRELATION of the hourly sample-count series at
+    * lags 1..maxLag — the seasonality detector read before trusting a
+    * seasonal-naive baseline (ts_forecast_snaive) or a seasonal
+    * profile (ts_seasonal_profile): a 24h-periodic series shows the
+    * lag-24 peak, a trending one decays slowly, white noise sits near
+    * 0. Same determinism as [[corrMatrix]]: exact integer counts →
+    * exact decimal sums → ONE double Pearson expression, identical
+    * operands on any engine. Scale shape: the lag pairing is an
+    * EQUI-join on (event_type, hour + lag) — hashable keys, never a
+    * window or a range join; pair volume is n_hours × maxLag per
+    * type. Output: (event_type, lag, n_pairs, acf). */
+  def acf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val d0 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val hourly = Series.samples(events)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
+      .agg(count(lit(1)).cast(d0).as("c"))
+    val withLag = hourly.select(col("event_type"), col("hour"), col("c"),
+      explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+    val pairs = withLag.alias("a").join(hourly.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.hour") === col("a.hour") + col("a.lag"))
+      .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+        col("a.c").as("x"), col("b.c").as("y"))
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("vx") > 0 && col("vy") > 0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("vx") * col("vy"))).as("acf"))
+  }
+
   /** CUSUM change-point detection (Page 1954) — the sequential
     * mean-shift detector: per series, the one-sided cumulative sums
     *   s_i = max(0, s_{i-1} ± z_i − k)   (z = standardized value)

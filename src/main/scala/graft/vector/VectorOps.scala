@@ -540,6 +540,35 @@ object VectorOps {
       .select(col("dim"), col("n"), (col("sx") / col("n")).as("mean_v"),
         col("min_v"), col("max_v"))
 
+  /** Embedding L2-NORM profile with a per-vector z-score flag — the
+    * cheapest embedding-QC gate a pipeline runs before cosine math:
+    * a degenerate encoder batch (zeros, fp16 overflow, un-normalized
+    * mix-in) shows up as a norm outlier long before recall drops.
+    * Determinism: norm² is the SEQUENTIAL in-array fold (bit-equal to
+    * SQL's list_sum∘list_transform — the mrlCurve recipe), the norm
+    * rounds to 6dp, and the corpus moments sum those rounded norms in
+    * exact DECIMAL, so the one z expression sees identical operands
+    * on any engine. Scale shape: one corpus pass for norms, one
+    * 3-scalar aggregate broadcast back — no shuffle wider than the
+    * moment partials. Output: (vec_id, norm, z, is_outlier). */
+  def normOutliers(corpus: DataFrame, zCut: Double = 3.0, roundTo: Int = 6): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val norms = corpus.select(col("vec_id"),
+      round(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)), roundTo)
+        .as("norm"))
+    val m = norms.agg(
+      count(lit(1)).as("n"),
+      sum(col("norm").cast(d6)).cast("double").as("s1"),
+      sum(col("norm").cast(d6) * col("norm").cast(d6)).cast("double").as("s2"))
+    val z = when(col("n") * col("s2") - col("s1") * col("s1") > 0,
+      round((col("norm") - col("s1") / col("n"))
+        / sqrt((col("n") * col("s2") - col("s1") * col("s1")) / (col("n") * col("n"))),
+        roundTo)).otherwise(lit(0.0))
+    norms.crossJoin(broadcast(m))
+      .select(col("vec_id"), col("norm"), z.as("z"),
+        (abs(z) > zCut).as("is_outlier"))
+  }
+
   /** Matryoshka (MRL) prefix-fidelity curve: for each candidate
     * prefix length, the mean fraction of every vector's squared norm
     * captured by its first L components and the mean cosine between

@@ -896,4 +896,32 @@ class TsOpsSpec extends SparkSpec {
       .select("ts_us", "value").as[(Long, Double)].collect().toSeq
     assert(back == expect)
   }
+
+  test("acf: an alternating hourly count series shows lag-1 anticorrelation, lag-2 correlation") {
+    // hour h carries 5 events when even, 1 when odd → the count
+    // series alternates 5,1,5,1,… over 24 hours: acf(1) = -1,
+    // acf(2) = +1, acf(3) = -1 exactly (perfect period 2)
+    var id = 0L
+    val rows = for {
+      h <- 0 until 24
+      i <- 0 until (if (h % 2 == 0) 5 else 1)
+    } yield {
+      id += 1
+      (id, (h * 3600000000L + i * 1000000L) * 1000L, 1L, "alt", 1.0)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.acf(df, maxLag = 3)
+      .select("event_type", "lag", "n_pairs", "acf")
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got(1)._1 == 23 && got(2)._1 == 22 && got(3)._1 == 21)
+    assert(math.abs(got(1)._2 + 1.0) < 1e-12, s"lag1: ${got(1)}")
+    assert(math.abs(got(2)._2 - 1.0) < 1e-12, s"lag2: ${got(2)}")
+    assert(math.abs(got(3)._2 + 1.0) < 1e-12, s"lag3: ${got(3)}")
+    // constant series → zero variance → NULL acf (never a NaN)
+    val const = (1 to 12).map(h => (100L + h, h * 3600000000000L, 1L, "flat", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val flat = TsOps.acf(const, maxLag = 1).select("acf").collect()
+    assert(flat.length == 1 && flat.head.isNullAt(0))
+  }
 }

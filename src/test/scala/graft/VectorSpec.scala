@@ -290,6 +290,29 @@ class VectorSpec extends SparkSpec {
     assert(mixed.getMessage.contains("both explicit or both auto"))
   }
 
+  test("normOutliers: a constructed degenerate vector flags; healthy corpus z-scores stay inside the cut") {
+    // the gate corpus never fires the flag (well-behaved synthetic
+    // norms) — per the vacuous-match discipline the DETECTION is
+    // proven here: 60 unit-ish vectors + one 20× blow-up (the fp16
+    // overflow shape) → exactly that one flags
+    val rows = (0 until 60).map { i =>
+      val v = Array.tabulate(8)(d => if (d == i % 8) 1.0 else 0.01 * ((i + d) % 3))
+      (i.toLong, v.toSeq)
+    } :+ (60L, Array.fill(8)(20.0).toSeq)
+    val df = spark.createDataFrame(rows).toDF("vec_id", "v")
+    val out = VectorOps.normOutliers(df)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(60L), "the 20x vector must flag")
+    assert(out.count(_._2) == 1, s"exactly one outlier expected: ${out.filter(_._2)}")
+    // and the zero-vector edge: norm 0, no NaN
+    val zero = VectorOps.normOutliers(
+      spark.createDataFrame(Seq((0L, Seq(0.0, 0.0)), (1L, Seq(3.0, 4.0))))
+        .toDF("vec_id", "v"))
+      .select("vec_id", "norm", "z").as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(zero(0)._2 == 0.0 && !zero(0)._3.isNaN)
+    assert(zero(1)._2 == 5.0)
+  }
+
   test("pqProfile: slices assign to the nearest codebook entry; occupancy and mse are exact") {
     // codebook = slices of vecs 0 and 1 (first-k convention, k=2)
     val d = Seq(
