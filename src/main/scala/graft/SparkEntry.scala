@@ -581,6 +581,40 @@ object SparkEntry {
     "stream_window_counts" -> ((s, dir) =>
       StreamIngest.windowCounts(t(s, dir, "events"))),
 
+    // the STREAMING alert state machine gated in its own right (the
+    // stream_drift_psi precedent): flatMapGroupsWithState runs in
+    // batch mode, so the JVM per-series FOR machine answers to DuckDB
+    // directly — O(1) state (one run-start timestamp) per series,
+    // forever. Different parameterization from ts_alert_firing
+    // (threshold 15 / for 1d vs 20 / 2d), so the two gates cover two
+    // regions of the state machine
+    "stream_alert" -> ((s, dir) =>
+      StreamIngest.alertStream(
+        Series.samples(t(s, dir, "events"))
+          .select(col("series_id"), col("ts_us"), col("event_id"), col("value")),
+        15.0, 86400000000L).toDF()),
+
+    // streaming CUSUM with the LIVE-MONITOR baseline shape: the
+    // (mean, std) a deployed monitor tests against is a CONFIGURED
+    // parameter — here the fleet-wide view-value moments, computed
+    // once from the same exact decimal sums the oracle restates —
+    // while ts_cusum_changepoints estimates per-series moments (the
+    // batch shape). Integer 1e-6-unit state, bit-identical summand
+    // quantization (StreamCusumSpec pins stream == batch recursion)
+    "stream_cusum" -> ((s, dir) => {
+      val d28 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val sm = Series.samples(t(s, dir, "events"))
+        .filter(col("event_type") === "view")
+        .select(col("series_id"), col("ts_us"), col("event_id"), col("value"))
+      val r = sm.agg(count(lit(1)).as("n"),
+        sum(col("value").cast(d28)).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(d28)).cast("double").as("s2")).head()
+      val n = r.getLong(0)
+      val mean = r.getDouble(1) / n
+      val std = math.sqrt(r.getDouble(2) / n - mean * mean)
+      StreamIngest.cusumStream(sm, mean, std).toDF()
+    }),
+
     "events_sessionize" -> ((s, dir) => TsOps.sessionize(t(s, dir, "events"))),
 
     "ts_asof_join" -> ((s, dir) => {
@@ -3023,6 +3057,23 @@ object SparkEntry {
                       ELSE 'pending' END AS state
           FROM a WHERE cond""",
 
+    // the streaming FOR machine restated: same SQL as ts_alert_firing
+    // at the stream gate's (threshold 15, for 1d) parameterization
+    "stream_alert" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          f AS (SELECT *, value > 15 AS cond,
+                  lag(value > 15, 1, false) OVER w AS prev_cond
+                FROM s WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id)),
+          m AS (SELECT *, CASE WHEN cond AND NOT prev_cond THEN ts_us END AS run_start FROM f),
+          a AS (SELECT *, last_value(run_start IGNORE NULLS) OVER (
+                  PARTITION BY series_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_since_us
+                FROM m)
+          SELECT series_id, ts_us, value, active_since_us,
+                 CASE WHEN ts_us - active_since_us >= 86400000000 THEN 'firing'
+                      ELSE 'pending' END AS state
+          FROM a WHERE cond""",
+
     "events_attribution" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
          l AS (SELECT user_id, ts_us, value FROM s WHERE event_type = 'purchase'),
@@ -3754,6 +3805,43 @@ object SparkEntry {
                   CAST(round((value - mean) / std - 0.25, 6) AS DECIMAL(28,6)) AS d_hi,
                   CAST(round(-((value - mean) / std) - 0.25, 6) AS DECIMAL(28,6)) AS d_lo
                 FROM s JOIN mm ON s.series_id = mm.series_id WHERE std > 0),
+          c AS (SELECT *, sum(d_hi) OVER w AS c_hi, sum(d_lo) OVER w AS c_lo
+                FROM d
+                WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)),
+          st AS (SELECT *,
+                   c_hi - least(CAST(0 AS DECIMAL(28,6)), min(c_hi) OVER w) AS s_hi,
+                   c_lo - least(CAST(0 AS DECIMAL(28,6)), min(c_lo) OVER w) AS s_lo
+                 FROM c
+                 WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)),
+          x AS (SELECT *, lag(s_hi) OVER w2 AS p_hi, lag(s_lo) OVER w2 AS p_lo
+                FROM st
+                WINDOW w2 AS (PARTITION BY series_id ORDER BY ts_us, event_id)),
+          f AS (SELECT *,
+                  (s_hi >= 3.000000 AND (p_hi IS NULL OR p_hi < 3.000000)) AS up,
+                  (s_lo >= 3.000000 AND (p_lo IS NULL OR p_lo < 3.000000)) AS down
+                FROM x)
+          SELECT series_id, ts_us, value,
+                 CASE WHEN up THEN 'up' ELSE 'down' END AS direction,
+                 round(CAST(CASE WHEN up THEN s_hi ELSE s_lo END AS DOUBLE), 6) AS stat
+          FROM f WHERE up OR down""",
+
+    // the LIVE-MONITOR cusum: same recursion-as-closed-form SQL, but
+    // the baseline is ONE configured (mean, std) — the fleet-wide
+    // view-value moments — instead of per-series estimates
+    "stream_cusum" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value, event_id
+                FROM events WHERE event_type = 'view'),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+                FROM s),
+          mm AS (SELECT s1 / n AS mean,
+                   sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+                 FROM m WHERE s2 / n - (s1 / n) * (s1 / n) > 0),
+          d AS (SELECT series_id, ts_us, event_id, value,
+                  CAST(round((value - mean) / std - 0.25, 6) AS DECIMAL(28,6)) AS d_hi,
+                  CAST(round(-((value - mean) / std) - 0.25, 6) AS DECIMAL(28,6)) AS d_lo
+                FROM s, mm),
           c AS (SELECT *, sum(d_hi) OVER w AS c_hi, sum(d_lo) OVER w AS c_lo
                 FROM d
                 WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)),
