@@ -290,6 +290,16 @@ object SparkEntry {
       """count_over_time({}[1d]) / on (event_type) group_left sum by (event_type) (count_over_time({}[1d]))""",
       T2)),
 
+    // the MIRROR: group_right puts the ONE side on the left — the
+    // per-type daily total scaled down to each member series (the
+    // "allocate a budget across members" spelling). Same evaluation
+    // machinery with the many side swapped; gated so the +1 group
+    // path answers to DuckDB like the -1 path above
+    "promql_groupright" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """sum by (event_type) (count_over_time({}[1d])) / on (event_type) group_right count_over_time({}[1d])""",
+      T2)),
+
     // REMOTE-READ FEDERATION in the graded gate: ingest into a store,
     // serve it over the live HTTP endpoint, then read it BACK through
     // the distributed slice-fetch client (4 executor-side fetches) —
@@ -3334,6 +3344,17 @@ object SparkEntry {
           t AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS total FROM c GROUP BY 1)
           SELECT c.series_id, c.event_type, c.user_id,
                  CAST(c.n AS DOUBLE) / t.total AS value
+          FROM c JOIN t USING (event_type)""",
+
+    // the group_right mirror: total / member count per series
+    "promql_groupright" ->
+      s"""WITH c AS (SELECT $SeriesIdSql AS series_id, event_type, user_id,
+                   count(*) AS n FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2, 3),
+          t AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS total FROM c GROUP BY 1)
+          SELECT c.series_id, c.event_type, c.user_id,
+                 t.total / CAST(c.n AS DOUBLE) AS value
           FROM c JOIN t USING (event_type)""",
 
     // the wire carries ms — federated ts_us are ms-truncated, and the
