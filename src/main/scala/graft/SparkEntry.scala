@@ -2494,6 +2494,15 @@ object SparkEntry {
       // bytes, the JDK decode, and the window arithmetic end-to-end
       Multimodal.audioFeatures(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
+    "multimodal_audio_silence" -> ((s, dir) =>
+      // low-energy trim profile over the REAL decoded windows: quiet
+      // fraction per clip against a configured floor + the trim flag;
+      // 7400 sits at this corpus's RMS median so both branches carry
+      // rows (99/250 flag at sf0.01 — non-vacuous by construction)
+      Multimodal.audioQuietProfile(
+        Multimodal.attachMediaMemo(docsT(s, dir), dir),
+        rmsFloor = 7400.0)),
+
     "multimodal_video_frames" -> ((s, dir) =>
       // the frame-sampling fan-out path with REAL per-frame decode:
       // container parse → evenly-sampled JPEG frames → decode →
@@ -6660,6 +6669,26 @@ object SparkEntry {
                 CAST(count(*) FILTER (WHERE w2 = w AND (s < 0) <> (s2 < 0)) AS BIGINT) AS n_zero_cross,
                 sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
          FROM p GROUP BY 1, 2""",
+
+    // the quiet-window rollup of the same predicted windows
+    "multimodal_audio_silence" ->
+      """WITH a AS (SELECT doc_id, text, strlen(text) AS len,
+                      256 + (strlen(text) * 7) % 1024 AS n
+                    FROM documents WHERE doc_id % 2 = 1),
+         u AS (SELECT doc_id, text, len, n, unnest(range(0, n)) AS i FROM a),
+         v AS (SELECT doc_id, i, CAST(i * 4 // n AS BIGINT) AS w,
+                 ((CASE WHEN len = 0 THEN 120
+                        ELSE ascii(substr(text, CAST(i % len AS INT) + 1, 1)) END) - 96) * 250 AS s
+               FROM u),
+         r AS (SELECT doc_id, w, sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+               FROM v GROUP BY 1, 2),
+         c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(count(*) FILTER (WHERE rms < 7400.0) AS BIGINT) AS n_quiet
+               FROM r GROUP BY 1)
+         SELECT doc_id, n_windows, n_quiet,
+                CAST(n_quiet AS DOUBLE) / n_windows AS quiet_ratio,
+                CAST(n_quiet AS DOUBLE) / n_windows >= 0.5 AS trim_flag
+         FROM c""",
 
     // video geometry formulas (Multimodal.vidW/vidH/vidFrames):
     // width 16+len%24, height 12+len%12, frames 3+len%5 — predicted

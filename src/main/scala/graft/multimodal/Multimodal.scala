@@ -684,6 +684,28 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** LOW-ENERGY (silence-trim) profile per clip, composed over
+    * [[audioFeatures]]'s real decoded windows: windows whose RMS sits
+    * below `rmsFloor` count as quiet, and a clip whose quiet fraction
+    * reaches `minQuietRatio` flags for trimming — the voice-activity
+    * dial an audio pipeline reads before paying feature extraction on
+    * dead air. The floor is a CONFIGURED parameter (a real corpus
+    * sets it near its noise floor, ~100-500 for 16-bit speech; the
+    * synthetic text-derived PCM here bottoms out at ~6.9k, so the
+    * gate pins 7400 to exercise both branches). Ratios are exact
+    * integer divisions in double; rms comparisons see bit-identical
+    * operands on any engine (exact LONG square sums under one IEEE
+    * sqrt). */
+  def audioQuietProfile(media: DataFrame, nWindows: Int = 4,
+                        rmsFloor: Double = 500.0,
+                        minQuietRatio: Double = 0.5): DataFrame =
+    audioFeatures(media, nWindows)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rms") < rmsFloor, 1L).otherwise(0L)).as("n_quiet"))
+      .withColumn("quiet_ratio", col("n_quiet").cast("double") / col("n_windows"))
+      .withColumn("trim_flag", col("quiet_ratio") >= minQuietRatio)
+
   /** Decode [[frameSample]] output (doc_id, frame_idx, frame) — the
     * frames are PNG — back to per-frame pixel dims. Closes the video
     * evidence loop: AVI encode → container parse → JPEG decode → PNG
