@@ -566,6 +566,11 @@ object SparkEntry {
     // (type, hour+lag), never a window (the corrMatrix determinism)
     "ts_acf" -> ((s, dir) => TsOps.acf(t(s, dir, "events"))),
 
+    // inter-event-time profile per type: the sessionization-gap /
+    // rate-limit dial and the bot tell; partitioned lag window (per-
+    // series bounded), exact-decimal mean, R-7 percentiles
+    "events_iet" -> ((s, dir) => TsOps.interEventTimes(t(s, dir, "events"))),
+
     // 1h window: probed 367/20084 purchases attributed at sf0.1 —
     // both attribution states live (vacuous-match discipline)
     "events_attribution" -> ((s, dir) => TsOps.attribution(t(s, dir, "events"))),
@@ -3751,6 +3756,18 @@ object SparkEntry {
                            / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
                  END AS acf
           FROM st""",
+
+    "events_iet" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type,
+                  epoch_us(ts) AS ts_us, event_id FROM events),
+          g AS (SELECT event_type,
+                  ts_us - lag(ts_us) OVER (PARTITION BY series_id ORDER BY ts_us, event_id) AS gap_us
+                FROM s)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                 CAST(sum(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE) / count(*) AS mean_gap_us,
+                 round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+                 round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s
+          FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
 
     "events_top_paths" ->
       s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

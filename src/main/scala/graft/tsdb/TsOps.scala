@@ -1247,6 +1247,37 @@ object TsOps {
             / sqrt(col("vx") * col("vy"))).as("corr"))
   }
 
+  /** INTER-EVENT-TIME profile per event type — the dial read before
+    * choosing a sessionization gap or rate-limit window, and the
+    * bot-traffic tell (machine traffic collapses the IET
+    * distribution; human traffic spreads it). Gaps pair CONSECUTIVE
+    * events within a series via one PARTITIONED lag window (bounded
+    * by per-series volume — the sessionize shape, never a global
+    * sort), then aggregate to the type grain: exact-decimal mean,
+    * R-7 interpolated p50/p90 (the ts_quantiles recipe, 6dp round
+    * absorbing last-ULP libm drift). */
+  def interEventTimes(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series_id")).orderBy(col("ts_us"), col("event_id"))
+    Series.samples(events)
+      .select(col("event_type"), col("series_id"), col("ts_us"), col("event_id"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us").cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+          .cast("double") / count(lit(1))).as("mean_gap_us"),
+        // percentiles report in SECONDS: the R-7 interpolation's last-
+        // ulp drift on ~1e12-us operands (~6e-5 absolute) sits ABOVE a
+        // 6dp round's grain at that magnitude, but dividing to seconds
+        // first (~1e6) puts the drift at ~6e-11 — far under the 1e-6
+        // round grain (found by the gate: DuckDB interpolates
+        // lo + f·(hi−lo), Spark (1−f)·lo + f·hi)
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 6).as("p50_gap_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 6).as("p90_gap_s"))
+  }
+
   /** Per-type AUTOCORRELATION of the hourly sample-count series at
     * lags 1..maxLag — the seasonality detector read before trusting a
     * seasonal-naive baseline (ts_forecast_snaive) or a seasonal
