@@ -1497,6 +1497,14 @@ object SparkEntry {
       graft.analytics.Layout.zorderLayout(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
 
+    // HILBERT LAYOUT EVIDENCE: the locality-stronger curve (adjacent-
+    // cell traversal, no Z diagonal jumps) over the same key pair —
+    // cell grain needs only the top k=3 transform levels, so the
+    // whole curve is 3 chained integer projections (codegen'd)
+    "layout_hilbert" -> ((s, dir) =>
+      graft.analytics.Layout.hilbertLayout(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
+
     // SCD TYPE-2 MERGE (the warehouse dimension-history verb): one
     // full-outer key join of the current slice vs a batch that mixes
     // real changes (%7==2: balance bump), no-ops (%7==4: identical
@@ -2668,6 +2676,50 @@ object SparkEntry {
                     max(gmax_y) AS gmax_y, max(gmin_y) AS gmin_y
              FROM z GROUP BY 1)
        SELECT cell, n_rows, min_x, max_x, min_y, max_y,
+              CASE WHEN gmax_x > gmin_x
+                   THEN CAST(max_x - min_x AS DOUBLE) / CAST(gmax_x - gmin_x AS DOUBLE)
+                   ELSE 0.0 END AS x_span_frac,
+              CASE WHEN gmax_y > gmin_y
+                   THEN CAST(max_y - min_y AS DOUBLE) / CAST(gmax_y - gmin_y AS DOUBLE)
+                   ELSE 0.0 END AS y_span_frac
+       FROM c"""
+  }
+
+  /** layout_hilbert oracle: k = 3 levels of the standard xy2d Hilbert
+    * transform UNROLLED as chained CTEs, each carrying distinctly-
+    * named (hx_i, hy_i, d_i) so DuckDB's lateral alias resolution can
+    * never bind a level's output where its input was meant. Same
+    * integer quantization/report as the engine. */
+  private lazy val hilbertOracle: String = {
+    val k = 3
+    val n = 1L << k
+    val levels = (0 until k).map { i =>
+      val sBit = n >> (i + 1)
+      s"""l${i + 1} AS (SELECT x, y, gmax_x, gmin_x, gmax_y, gmin_y,
+           d$i + ${sBit * sBit} * xor(3 * (CASE WHEN (hx$i & $sBit) > 0 THEN 1 ELSE 0 END),
+                                      (CASE WHEN (hy$i & $sBit) > 0 THEN 1 ELSE 0 END)) AS d${i + 1},
+           CASE WHEN (hy$i & $sBit) = 0
+                THEN CASE WHEN (hx$i & $sBit) > 0 THEN ${n - 1} - hy$i ELSE hy$i END
+                ELSE hx$i END AS hx${i + 1},
+           CASE WHEN (hy$i & $sBit) = 0
+                THEN CASE WHEN (hx$i & $sBit) > 0 THEN ${n - 1} - hx$i ELSE hx$i END
+                ELSE hy$i END AS hy${i + 1}
+         FROM l$i)"""
+    }.mkString(", ")
+    s"""WITH ext AS (SELECT max(l_orderkey) AS gmax_x, min(l_orderkey) AS gmin_x,
+                            max(l_partkey) AS gmax_y, min(l_partkey) AS gmin_y FROM lineitem),
+       l0 AS (SELECT l_orderkey AS x, l_partkey AS y,
+                    ((l_orderkey - gmin_x) * $n) // (gmax_x - gmin_x + 1) AS hx0,
+                    ((l_partkey - gmin_y) * $n) // (gmax_y - gmin_y + 1) AS hy0,
+                    0 AS d0, gmax_x, gmin_x, gmax_y, gmin_y
+             FROM lineitem, ext),
+       $levels,
+       c AS (SELECT d$k AS cell, CAST(count(*) AS BIGINT) AS n_rows,
+                    min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+                    max(gmax_x) AS gmax_x, max(gmin_x) AS gmin_x,
+                    max(gmax_y) AS gmax_y, max(gmin_y) AS gmin_y
+             FROM l$k GROUP BY 1)
+       SELECT CAST(cell AS BIGINT) AS cell, n_rows, min_x, max_x, min_y, max_y,
               CASE WHEN gmax_x > gmin_x
                    THEN CAST(max_x - min_x AS DOUBLE) / CAST(gmax_x - gmin_x AS DOUBLE)
                    ELSE 0.0 END AS x_span_frac,
@@ -5435,6 +5487,8 @@ object SparkEntry {
          GROUP BY 1""",
 
     "layout_zorder" -> zorderOracle,
+
+    "layout_hilbert" -> hilbertOracle,
 
     "dedup_lsh_tuning" -> lshTuningOracle,
 

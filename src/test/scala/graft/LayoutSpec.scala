@@ -46,4 +46,30 @@ class LayoutSpec extends SparkSpec {
     assert(byX == 1.0, "sanity: x-sorted files span the full y range")
     assert(linear.count() > 0)
   }
+
+  test("hilbertLayout: the curve is a real Hilbert curve — consecutive cells are grid-ADJACENT") {
+    // a uniform 64×64 grid quantizes onto the 8×8 cell grid exactly;
+    // the Hilbert property (what Z-order lacks) is that the curve
+    // walks cell c → c+1 through a shared edge: |Δcx| + |Δcy| == 1
+    // for ALL 63 transitions. Z-order fails this at every quadrant
+    // boundary (its worst jump below spans half the grid).
+    val rows = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val df = rows.toDF("x", "y")
+    def centers(layout: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      layout.select(col("cell"),
+          ((col("min_x") + col("max_x")) / 2).cast("long").as("cx"),
+          ((col("min_y") + col("max_y")) / 2).cast("long").as("cy"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val h = centers(Layout.hilbertLayout(df, "x", "y"))
+    assert(h.size == 64 && h.map(_._1) == (0L until 64L))
+    val hJumps = h.sliding(2).map { case Seq((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x2 - x1) / 8 + math.abs(y2 - y1) / 8 }.toSeq
+    assert(hJumps.forall(_ == 1), s"non-adjacent hilbert transition: $hJumps")
+    val z = centers(Layout.zorderLayout(df, "x", "y"))
+    val zWorst = z.sliding(2).map { case Seq((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x2 - x1) / 8 + math.abs(y2 - y1) / 8 }.max
+    assert(zWorst > 1, "sanity: z-order takes a non-adjacent jump somewhere")
+    // same rows, same cell count, identical total coverage
+    assert(z.size == 64)
+  }
 }
