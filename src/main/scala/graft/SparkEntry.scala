@@ -2356,6 +2356,13 @@ object SparkEntry {
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         16)),
 
+    "emb_intrinsic_dim" -> ((s, dir) =>
+      // two-NN intrinsic-dimension MLE (Facco+ 2017): the compress-
+      // safely dial read before PCA depth / MRL prefix / IVF sizing;
+      // guarded exact neighbor baseline at gate scale
+      VectorOps.intrinsicDim(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
     "emb_norm_outliers" -> ((s, dir) =>
       // embedding-QC gate: per-vector L2 norm + corpus z-score flag
       // (degenerate encoder batches surface as norm outliers); norm
@@ -6163,6 +6170,30 @@ object SparkEntry {
                 CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
                 CAST(sum(CAST(nm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_norm
          FROM nm GROUP BY 1""",
+
+    // two-NN distances from the same rounded-cosine spelling as
+    // ann_cosine_topk; 9dp-ln terms, exact decimal sum, raw division
+    "emb_intrinsic_dim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT q.vec_id AS q_id, e.vec_id,
+                 round(list_dot_product(e.v, q.v) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+               FROM e CROSS JOIN e q WHERE e.vec_id <> q.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+               FROM s),
+         nn AS (SELECT q_id,
+                  max(CASE WHEN rank = 1 THEN 1.0 - cos END) AS r1,
+                  max(CASE WHEN rank = 2 THEN 1.0 - cos END) AS r2
+                FROM r WHERE rank <= 2 GROUP BY 1),
+         u AS (SELECT q_id, CASE WHEN r1 > 0 THEN round(ln(r2 / r1) / 2, 9) END AS t FROM nn)
+         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(count(*) FILTER (WHERE t IS NULL) AS BIGINT) AS n_dropped,
+                CAST(count(t) AS BIGINT) AS n_used,
+                CAST(sum(CAST(t AS DECIMAL(18,9))) AS DOUBLE) AS sum_log_mu,
+                CASE WHEN CAST(sum(CAST(t AS DECIMAL(18,9))) AS DOUBLE) > 0
+                     THEN CAST(count(t) AS DOUBLE)
+                          / CAST(sum(CAST(t AS DECIMAL(18,9))) AS DOUBLE) END AS d_mle
+         FROM u""",
 
     // norm² by the sequential list fold (Spark aggregate()'s order),
     // rounded 6dp; moments over the rounded norms in exact decimal,

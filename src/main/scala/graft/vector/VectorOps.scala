@@ -540,6 +540,48 @@ object VectorOps {
       .select(col("dim"), col("n"), (col("sx") / col("n")).as("mean_v"),
         col("min_v"), col("max_v"))
 
+  /** TWO-NN INTRINSIC-DIMENSION estimate (Facco et al., "Estimating
+    * the intrinsic dimension of datasets by a minimal neighborhood
+    * information", Scientific Reports 2017): d_mle = n / Σ ln(r2/r1)
+    * over each vector's two nearest-neighbor distances — the
+    * embedding-analysis dial read before choosing a PCA depth, an MRL
+    * prefix, or IVF cell counts (a corpus whose intrinsic dimension
+    * sits far below its ambient dim compresses safely; one near the
+    * ambient dim does not). The neighbor metric must be a TRUE metric
+    * for the MLE to read the manifold dimension: raw 1 − cos is
+    * QUADRATIC in the angle near 0 (it halves the estimate — found by
+    * the planar-corpus spec reading ~1 instead of ~2), so distances
+    * are the CHORD, √(2(1−cos)) — the Euclidean distance between the
+    * unit directions; in log space the √ is a /2 on ln(r2/r1) and the
+    * √2 cancels in the ratio. Exact-duplicate pairs (r1 ≤ 0) carry no
+    * dimensional information and drop, reported as n_dropped. ln
+    * terms round to 9dp (the
+    * driftPsi ln discipline — cross-engine libm drift sits at the
+    * last ulp, far under 1e-9) and sum in exact decimal; the final
+    * division is raw IEEE over identical operands (§4). Neighbor
+    * search is the GUARDED exact baseline inherited from
+    * [[cosineTopK]] — at 100 TB feed the two neighbors from
+    * [[lshTopK]] / [[IvfStore]] candidates instead. */
+  def intrinsicDim(corpus: DataFrame, roundTo: Int = 6, maxRows: Long = 1000000L,
+                   force: Boolean = false): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val top2 = cosineTopK(corpus, corpus, 2, roundTo, maxRows, force)
+    val nn = top2.groupBy(col("q_id"))
+      .agg(
+        max(when(col("rank") === 1, lit(1.0) - col("cos"))).as("r1"),
+        max(when(col("rank") === 2, lit(1.0) - col("cos"))).as("r2"))
+    val terms = nn.select(
+      when(col("r1") > 0, round(log(col("r2") / col("r1")) / 2, 9)).as("t"))
+    terms.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(col("t").isNull, 1L).otherwise(0L)).as("n_dropped"),
+      count(col("t")).as("n_used"),
+      sum(col("t").cast(d9)).cast("double").as("sum_log_mu"))
+      .withColumn("d_mle",
+        when(col("sum_log_mu") > 0,
+          col("n_used").cast("double") / col("sum_log_mu")))
+  }
+
   /** Embedding L2-NORM profile with a per-vector z-score flag — the
     * cheapest embedding-QC gate a pipeline runs before cosine math:
     * a degenerate encoder batch (zeros, fp16 overflow, un-normalized

@@ -290,6 +290,33 @@ class VectorSpec extends SparkSpec {
     assert(mixed.getMessage.contains("both explicit or both auto"))
   }
 
+  test("intrinsicDim: a planar corpus embedded in 16-D reads ~2, far below ambient") {
+    // 400 points on a 2-D plane inside R^16 (plus a constant offset so
+    // cosines vary): the two-NN MLE must land near 2, nowhere near 16
+    val rng = new scala.util.Random(7)
+    val b1 = Array.tabulate(16)(i => if (i == 0) 1.0 else 0.0)
+    val b2 = Array.tabulate(16)(i => if (i == 1) 1.0 else 0.0)
+    val off = Array.tabulate(16)(i => if (i == 2) 4.0 else 0.0)
+    val rows = (0 until 400).map { i =>
+      val (a, b) = (rng.nextGaussian(), rng.nextGaussian())
+      (i.toLong, Array.tabulate(16)(d => off(d) + a * b1(d) + b * b2(d)).toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "v")
+    val r = VectorOps.intrinsicDim(df)
+      .select("n_vectors", "n_dropped", "d_mle")
+      .as[(Long, Long, Double)].head()
+    // a couple of gaussian points can land close enough that the
+    // 6dp-rounded cosine reads exactly 1.0 — those drop by design
+    assert(r._1 == 400 && r._2 <= 6, s"unexpected drops: ${r._2}")
+    assert(r._3 > 1.0 && r._3 < 4.0, s"planar corpus should read ~2: ${r._3}")
+    // duplicates drop instead of poisoning the estimate with ln(x/0)
+    val withDup = spark.createDataFrame(
+      rows.take(50) :+ (999L, rows.head._2)).toDF("vec_id", "v")
+    val r2 = VectorOps.intrinsicDim(withDup)
+      .select("n_dropped").as[Long].head()
+    assert(r2 >= 2, s"the duplicate pair must drop from both sides: $r2")
+  }
+
   test("normOutliers: a constructed degenerate vector flags; healthy corpus z-scores stay inside the cut") {
     // the gate corpus never fires the flag (well-behaved synthetic
     // norms) — per the vacuous-match discipline the DETECTION is
