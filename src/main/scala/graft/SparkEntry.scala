@@ -2226,6 +2226,11 @@ object SparkEntry {
     // collapsing to (source × 17) rows; 6dp-decimal term sums
     "corpus_source_kl" -> ((s, dir) => TextOps.sourceKl(docsT(s, dir))),
 
+    // Simpson diversity / effective vocabulary per source: the
+    // internal-repetitiveness complement of source-KL — templated
+    // sources collapse to a small effective vocab before KL notices
+    "corpus_simpson" -> ((s, dir) => TextOps.sourceSimpson(docsT(s, dir))),
+
     // DRIFT CURVE: per id-ordered decile, KL(decile ‖ corpus) over the
     // top-16+OOV event space — the time-dimension sibling of the
     // source KL; a rising tail = recent data diverging
@@ -5807,6 +5812,19 @@ object SparkEntry {
 
     // the KL restated: same top-16 vocab + __oov__ bucket, per-term
     // p·ln(p/q) in the identical IEEE order, 6dp DECIMAL term sums
+    "corpus_simpson" ->
+      """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents),
+          g AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2),
+          a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                  CAST(sum(n) AS BIGINT) AS n_tokens,
+                  CAST(sum(CAST(n * (n - 1) AS DECIMAL(38,0))) AS DOUBLE) AS coll
+                FROM g GROUP BY 1)
+          SELECT source, n_types, n_tokens,
+                 coll / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) AS simpson,
+                 (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) / coll AS effective_vocab
+          FROM a""",
+
     "corpus_source_kl" ->
       """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
          g AS (SELECT term, count(*) AS n FROM tk GROUP BY 1),

@@ -659,6 +659,37 @@ object TextOps {
       docs, vocabK)
       .withColumnRenamed("k", "source")
 
+  /** SIMPSON diversity per source — the collision-probability view of
+    * lexical diversity (the Gini/Herfindahl family): D = Σ n_t(n_t−1)
+    * / (N(N−1)) is the chance two tokens drawn without replacement
+    * are the SAME type, and 1/D is the "effective vocabulary" — how
+    * many equally-common types would produce that collision rate. The
+    * corpus-mix complement to [[sourceKl]] (divergence says a source
+    * DIFFERS from the pool; Simpson says whether it is internally
+    * repetitive — templated/boilerplate sources collapse to a small
+    * effective vocabulary long before a KL check notices). EXACT
+    * integer arithmetic end to end: per-(source, term) LONG counts,
+    * Σ n(n−1) and N(N−1) as DECIMAL(38,0) sums, ONE double division
+    * each for D and 1/D (identical operands on any engine — §4, no
+    * rounding needed). Two hash-aggregations, both map-side partial. */
+  def sourceSimpson(docs: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        sum((col("n") * (col("n") - 1)).cast(d38)).cast("double").as("coll"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        (col("coll") / (col("n_tokens").cast("double") * (col("n_tokens") - 1)
+          .cast("double"))).as("simpson"),
+        ((col("n_tokens").cast("double") * (col("n_tokens") - 1).cast("double"))
+          / col("coll")).as("effective_vocab"))
+  }
+
   /** Corpus DRIFT curve — the TIME-dimension sibling of [[sourceKl]]
     * (the report a continuously-fed corpus reads to see its token
     * distribution walking away from the pool it started from): docs
