@@ -558,4 +558,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), "backtest re-derived the bucket frame:\n" + p.take(1500))
     assert(!p.contains("SortAggregate"))
   }
+
+  test("ts_acf: lag pairing is a hashable EQUI-join, never broadcast-nested-loop or cartesian") {
+    val p = plan("ts_acf")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "lag pairing degenerated:\n" + p.take(1500))
+    assert(p.contains("Join"), p.take(800))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("events_iet: ONE partitioned window over samples, hash aggregation after") {
+    val p = plan("events_iet")
+    assert("Window".r.findAllIn(p).length >= 1)
+    // the window partitions by series — a global (unpartitioned) sort
+    // of the whole corpus would show as a Sort with no partition keys
+    assert(!p.contains("SortAggregate"), p.take(1200))
+  }
+
+  test("emb_norm_outliers: one corpus pass + a broadcast moment attach — no wide shuffle") {
+    val p = plan("emb_norm_outliers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 3-scalar moment frame must broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "norms shuffled for a scalar attach:\n" + p.take(1200))
+  }
+
+  test("corpus_simpson: two hash aggregations, no join, no window") {
+    val p = plan("corpus_simpson")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("layout_hilbert: linear projection chain — no join beyond the extent broadcast, no window") {
+    val p = plan("layout_hilbert")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p.take(1200))
+    assert("Scan parquet".r.findAllIn(p).length <= 2, // data + extent scan
+      "hilbert transform re-scanned per level:\n" + p.take(1500))
+  }
 }
