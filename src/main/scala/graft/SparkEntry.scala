@@ -571,6 +571,11 @@ object SparkEntry {
     // series bounded), exact-decimal mean, R-7 percentiles
     "events_iet" -> ((s, dir) => TsOps.interEventTimes(t(s, dir, "events"))),
 
+    // robust per-series trend: median of pairwise DAILY slopes —
+    // the outlier-immune complement of the OLS fit behind
+    // ts_predict_linear; pair fan-out bounded at day grain
+    "ts_theil_sen" -> ((s, dir) => TsOps.theilSen(t(s, dir, "events"))),
+
     // 1h window: probed 367/20084 purchases attributed at sf0.1 —
     // both attribution states live (vacuous-match discipline)
     "events_attribution" -> ((s, dir) => TsOps.attribution(t(s, dir, "events"))),
@@ -3832,6 +3837,18 @@ object SparkEntry {
                  round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
                  round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s
           FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
+
+    "ts_theil_sen" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id,
+                  epoch_us(ts) // 86400000000 AS day, value FROM events),
+          d AS (SELECT series_id, day,
+                  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+                FROM s GROUP BY 1, 2),
+          p AS (SELECT a.series_id, (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+                FROM d a JOIN d b ON a.series_id = b.series_id AND a.day < b.day)
+          SELECT series_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(quantile_cont(slope, 0.5), 6) AS trend_per_day
+          FROM p GROUP BY 1""",
 
     "events_top_paths" ->
       s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),

@@ -1247,6 +1247,34 @@ object TsOps {
             / sqrt(col("vx") * col("vy"))).as("corr"))
   }
 
+  /** THEIL–SEN robust trend per series — the median of all pairwise
+    * slopes, the estimator that shrugs off the outliers a least-
+    * squares slope (ts_predict_linear's fit) chases: one corrupted
+    * day moves OLS by its full leverage but moves a median of
+    * C(n,2) slopes barely at all. Computed at DAILY grain so the
+    * pair fan-out is bounded by design (≤ C(days,2) ≈ 171 pairs per
+    * series on a 19-day corpus — never the raw-sample quadratic):
+    * per-(series, day) exact-decimal means, one series-keyed
+    * EQUI-join for the day pairs, slope per day-gap in double
+    * (identical operands both engines), median via the R-7
+    * percentile rounded 6dp (slope magnitudes are O(1-100), so the
+    * interpolation's last-ulp drift sits far under the grain — the
+    * events_iet magnitude lesson applied at design time). */
+  def theilSen(events: DataFrame): DataFrame = {
+    val d28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Series.samples(events)
+      .groupBy(col("series_id"), expr("ts_us div 86400000000").as("day"))
+      .agg((sum(col("value").cast(d28)).cast("double") / count(lit(1))).as("v"))
+    val pairs = daily.alias("a").join(daily.alias("b"),
+        col("a.series_id") === col("b.series_id") && col("a.day") < col("b.day"))
+      .select(col("a.series_id").as("series_id"),
+        ((col("b.v") - col("a.v")) / (col("b.day") - col("a.day")).cast("double"))
+          .as("slope"))
+    pairs.groupBy(col("series_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("trend_per_day"))
+  }
+
   /** INTER-EVENT-TIME profile per event type — the dial read before
     * choosing a sessionization gap or rate-limit window, and the
     * bot-traffic tell (machine traffic collapses the IET
