@@ -637,6 +637,11 @@ object SparkEntry {
 
     "events_sessionize" -> ((s, dir) => TsOps.sessionize(t(s, dir, "events"))),
 
+    // the engagement headline over the same session machinery:
+    // single-event-session fraction per day (a tracking-deploy break
+    // spikes it the hour the second beacon stops)
+    "events_bounce_rate" -> ((s, dir) => TsOps.bounceRate(t(s, dir, "events"))),
+
     "ts_asof_join" -> ((s, dir) => {
       val sm = Series.samples(t(s, dir, "events"))
       val l = sm.filter(col("event_type") === "purchase")
@@ -3898,6 +3903,26 @@ object SparkEntry {
                 min(ts_us) AS start_us, max(ts_us) AS end_us,
                 CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2""",
+
+    // the same sessionization CTEs rolled up to the daily bounce line
+    "events_bounce_rate" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS is_new
+               FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM m),
+         g AS (SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+                 min(ts_us) AS start_us
+               FROM x GROUP BY 1, 2)
+         SELECT start_us // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS bounce_rate
+         FROM g GROUP BY 1""",
 
     // interval union restated: same running-max-end island rule
     "events_active_time" ->

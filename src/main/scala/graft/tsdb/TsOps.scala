@@ -1718,4 +1718,20 @@ object TsOps {
         max(col("ts_us")).as("end_us"),
         exactSum(col("value"), 2).as("sum_value"))
   }
+
+  /** BOUNCE RATE per day — the single-event-session fraction, the
+    * engagement headline every product dashboard leads with (and the
+    * first casualty of a broken tracking deploy: bounces spike the
+    * hour the second-event beacon stops firing). Rides [[sessionize]]
+    * verbatim (same gap, same windows), a session's day = its START
+    * day; bounce = exactly one event. Exact integer division in
+    * double. Output: (day, n_sessions, n_bounces, bounce_rate). */
+  def bounceRate(events: DataFrame, gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame =
+    sessionize(events, gapUs)
+      .groupBy(expr("start_us div 86400000000").as("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions"))
 }
