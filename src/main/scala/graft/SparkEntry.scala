@@ -678,11 +678,11 @@ object SparkEntry {
     // (payload unpack/re-pack, catalog shrink, emptied-partition
     // removal) loses exactly the matched range and nothing else
     "ts_delete_series" -> ((s, dir) => {
-      val store = new ChunkStore(s,
-        java.nio.file.Files.createTempDirectory("graft_q_delete").toString,
-        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
-      store.append(Series.samples(t(s, dir, "events")))
-      store.closeChunksBelow(T1)
+      // the verb mutates, so it runs on a hardlink CLONE of the shared
+      // closed store (cloneTo — metadata-cost copy; a resident engine's
+      // delete operates on the standing store, not a fresh ingest)
+      val store = sharedStore(s, dir, "closed").cloneTo(
+        java.nio.file.Files.createTempDirectory("graft_q_delete").toString + "/store")
       store.deleteSeries(Seq(MatchEq("event_type", "click")),
         T0 + 86400000000L, T0 + 3L * 86400000000L)
       store.queryAll(Nil, T0, T1 - 1)
@@ -717,11 +717,8 @@ object SparkEntry {
     // the whole closed tier (payloads + catalog) and restore swapped
     // it back losslessly
     "ts_snapshot_restore" -> ((s, dir) => {
-      val store = new ChunkStore(s,
-        java.nio.file.Files.createTempDirectory("graft_q_snap").toString,
-        chunkMs = 86400000L, filesPerChunkPerAppend = 2)
-      store.append(Series.samples(t(s, dir, "events")))
-      store.closeChunksBelow(T1)
+      val store = sharedStore(s, dir, "closed").cloneTo(
+        java.nio.file.Files.createTempDirectory("graft_q_snap").toString + "/store")
       store.snapshot(Some("gate"))
       store.deleteSeries(Seq(MatchEq("event_type", "click")),
         T0 + 86400000000L, T0 + 3L * 86400000000L)
@@ -738,11 +735,8 @@ object SparkEntry {
     // so hash-equality proves the long-retention tier answers
     // history the raw tier no longer holds, exactly
     "ts_tiered_serving" -> ((s, dir) => {
-      val store = new ChunkStore(s,
-        java.nio.file.Files.createTempDirectory("graft_q_tiered").toString,
-        chunkMs = 86400000L, filesPerChunkPerAppend = 2, rollupOnClose = true)
-      store.append(Series.samples(t(s, dir, "events")))
-      store.closeChunksBelow(T1)
+      val store = sharedStore(s, dir, "closed_rollup").cloneTo(
+        java.nio.file.Files.createTempDirectory("graft_q_tiered").toString + "/store")
       store.retireRaw(T0 + 2L * 86400000000L)
       store.queryRollup(Seq(MatchEq("event_type", "click")), T0, T1 - 1)
         .select("series_id", "bucket_ms", "n_points",

@@ -905,6 +905,32 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     * closed-only store rooted at `snapshots/<name>` ([[openSnapshot]]),
     * and [[restoreSnapshot]] swaps it back wholesale. Returns the
     * snapshot name. */
+  /** Clone this store's ENTIRE tree to `destPath` and open a store
+    * there — the staging/dev-store verb: a full-fidelity copy at
+    * metadata cost on the local scheme (hardlinks — every tier's
+    * files are immutable once written and every mutation verb
+    * REPLACES files via staged swap rather than editing in place, so
+    * links are as safe here as in the snapshot copy; byte-copy on
+    * remote schemes). Covers live + closed + catalog + rollup +
+    * retention metadata; `snapshots/` stays behind (a clone is a
+    * working copy, not a backup of backups). Refuses mid-swap trees —
+    * a clone of a half-swapped store would freeze the corruption. */
+  def cloneTo(destPath: String): ChunkStore = {
+    assertNoPendingClosedSwap()
+    require(!exists(s"$path/_compact_pending") && !exists(s"$path/_batch_compact_pending"),
+      s"ChunkStore at $path: a compaction was interrupted mid-swap — heal before cloning")
+    val fs = hfs
+    val dest = new org.apache.hadoop.fs.Path(destPath)
+    require(!fs.exists(dest) || fs.listStatus(dest).isEmpty,
+      s"cloneTo destination $destPath is not empty")
+    val children = listNames(path).filterNot(_ == "snapshots")
+    copyTreesParallel(fs,
+      children.map(c => (new org.apache.hadoop.fs.Path(s"$path/$c"),
+        new org.apache.hadoop.fs.Path(s"$destPath/$c"))),
+      spark.sparkContext.hadoopConfiguration)
+    new ChunkStore(spark, destPath, chunkMs, filesPerChunkPerAppend, rollupOnClose)
+  }
+
   def snapshot(name: Option[String] = None): String = {
     // union with the rollup listing: a tiered store's raw-retired
     // chunks live only as catalog+rollup partitions, and a backup

@@ -362,6 +362,36 @@ class ChunkStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/closed_catalog/chunk=$c0").exists())
   }
 
+  test("cloneTo: a hardlink clone mutates independently of its source") {
+    val h = 3600000000000L
+    val t0 = 1704067200000000L
+    val ev = Seq(
+      (1L, t0 * 1000 + 1L * h, 1L, "click", 10.0),
+      (2L, t0 * 1000 + 25L * h, 1L, "click", 20.0),
+      (3L, t0 * 1000 + 26L * h, 2L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val srcDir = Files.createTempDirectory("graft_clone_src").toString
+    val src = new ChunkStore(spark, srcDir, chunkMs = 86400000L)
+    src.append(Series.samples(ev))
+    src.closeChunksBelow(t0 + 96L * 3600000000L)
+    val dstDir = Files.createTempDirectory("graft_clone_dst").toString + "/store"
+    val clone = src.cloneTo(dstDir)
+    def rows(s: ChunkStore) = s.queryAll(Nil, t0, t0 + 4L * 86400000000L)
+      .select("ts_us", "value").as[(Long, Double)].collect().toSet
+    val before = rows(src)
+    assert(rows(clone) == before, "clone must serve the source's truth")
+    // mutate the CLONE: the delete's staged swap unlinks hardlinked
+    // files rather than editing them, so the source must not move
+    clone.deleteSeries(Seq(MatchEq("event_type", "click")), t0, t0 + 4L * 86400000000L)
+    assert(rows(clone).size == 1)
+    assert(rows(src) == before, "mutating the clone leaked into the source")
+    // and the other direction: mutating the source leaves the clone be
+    src.deleteSeries(Seq(MatchEq("event_type", "view")), t0, t0 + 4L * 86400000000L)
+    assert(rows(clone).size == 1 && rows(src).size == 2)
+    // non-empty destination refuses
+    intercept[IllegalArgumentException](src.cloneTo(dstDir))
+  }
+
   test("snapshot → delete → restore round-trip; snapshots are readable stores; stale temp ignored") {
     val h = 3600000000000L // ns
     val t0 = 1704067200000000L
