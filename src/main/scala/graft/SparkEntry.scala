@@ -471,6 +471,17 @@ object SparkEntry {
       """round((count_over_time(click[1d]) / scalar(sum(count_over_time(click[1d])))) * 100, 0.000001)""",
       T2)),
 
+    // the @ MODIFIER gated in its own right (the evaluation-time pin
+    // behind "vs this time last week" panels): BOTH ratio sides pin
+    // their own instants — day-5 vs day-19 daily activity per type —
+    // so the result is invariant to the query's own eval time; the
+    // parser's atUs plumbing (parseAt, start()/end() sentinels) was
+    // previously exercised only by specs
+    "promql_at" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """sum by (event_type) (count_over_time({event_type=~"click|view|purchase"}[1d] @ 1704499200)) / on(event_type) sum by (event_type) (count_over_time({event_type=~"click|view|purchase"}[1d] @ 1705622400))""",
+      T2)),
+
     // date-part + timestamp composition (the staleness-dashboard
     // shape "when did each series last report"): per-series last
     // sample time over a 30d lookback (the --query.lookback-delta
@@ -566,6 +577,18 @@ object SparkEntry {
     // (type, hour+lag), never a window (the corrMatrix determinism)
     "ts_acf" -> ((s, dir) => TsOps.acf(t(s, dir, "events"))),
 
+    // the white-noise DECISION on ts_acf's dial: Ljung–Box Q over the
+    // same hourly-count ACF vs the χ²(3) 5% critical value — rejects
+    // carry real structure worth a seasonal profile/forecast; ONE
+    // fixed-shape IEEE expression over the acf doubles, integer flag
+    "ts_ljung_box" -> ((s, dir) => TsOps.ljungBox(t(s, dir, "events"))),
+
+    // the AR-order dial on the same ACF values: Durbin–Levinson
+    // partial autocorrelation at lags 1..3 — an AR(p) count series
+    // cuts off after lag p where raw ACF decays; level-by-level
+    // fixed-shape expressions, zero-denominator → NULL never Inf
+    "ts_pacf" -> ((s, dir) => TsOps.pacf(t(s, dir, "events"))),
+
     // inter-event-time profile per type: the sessionization-gap /
     // rate-limit dial and the bot tell; partitioned lag window (per-
     // series bounded), exact-decimal mean, R-7 percentiles
@@ -634,6 +657,42 @@ object SparkEntry {
       val std = math.sqrt(r.getDouble(2) / n - mean * mean)
       StreamIngest.cusumStream(sm, mean, std).toDF()
     }),
+
+    // the STREAMING session machine gated in its own right: per-user
+    // open-session state (O(active users) forever), closed sessions
+    // emit on the gap rule, and the SENTINEL-FLUSH idiom — one virtual
+    // event per user a full gap past the user's horizon, the
+    // data-driven stand-in for an event-time timeout — closes every
+    // real session so the gate answers the batch oracle row-for-row.
+    // 15-min gap vs events_sessionize's 30 (distinct state regions);
+    // sums in integer cents (bit-equal to the batch decimal sums)
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val gap = 900000000L
+      val sm = Series.samples(t(s, dir, "events"))
+        .select(col("user_id"), col("ts_us"), col("value"))
+      val sentinels = sm.groupBy(col("user_id"))
+        .agg((max(col("ts_us")) + gap + 1).as("ts_us"))
+        .select(col("user_id"), col("ts_us"), lit(0.0).as("value"))
+      StreamIngest.sessionizeStream(
+        sm.unionByName(sentinels).as[StreamIngest.SessionEvent], gap)
+        .toDF()
+        // the sentinel's own session stays open in state (never
+        // emitted); session_idx is a batch-side presentation column —
+        // a session is already unique per (user, start)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // the ONLINE smoother gated in its own right: per-series O(k)
+    // ring of recent values in integer cents, per-event emission of
+    // the truncated dyadic EWMA — k=8 kernel vs the batch ts_ewma
+    // gate's 16, so the two pin distinct truncation regions
+    "stream_ewma" -> ((s, dir) =>
+      StreamIngest.ewmaStream(
+        Series.samples(t(s, dir, "events"))
+          .select(col("series_id"), col("ts_us"), col("event_id"), col("value")),
+        8).toDF()),
 
     "events_sessionize" -> ((s, dir) => TsOps.sessionize(t(s, dir, "events"))),
 
@@ -3558,6 +3617,23 @@ object SparkEntry {
                  floor(((cnt / tot) * 100) / 0.000001 + 0.5) * 0.000001 AS value
           FROM c, t""",
 
+    // both @-pinned instants restated as their inclusive 1d windows
+    // (per-series counts summed by type = the plain per-type count;
+    // integer counts in double are exact at any sum order)
+    "promql_at" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS v FROM events
+                    WHERE regexp_matches(event_type, '^(?:click|view|purchase)$')
+                      AND epoch_us(ts) BETWEEN 1704499200000000 - 86400000000
+                                           AND 1704499200000000
+                    GROUP BY 1),
+          b AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS v FROM events
+                WHERE regexp_matches(event_type, '^(?:click|view|purchase)$')
+                  AND epoch_us(ts) BETWEEN 1705622400000000 - 86400000000
+                                       AND 1705622400000000
+                GROUP BY 1)
+          SELECT a.event_type, a.v / b.v AS value
+          FROM a JOIN b USING (event_type)""",
+
     // per-series winning sample by (ts, event_id) over the 30d
     // lookback; DuckDB dayofweek shares Prometheus's 0=Sunday
     // convention; the engine truncates value-seconds toward zero
@@ -3825,6 +3901,87 @@ object SparkEntry {
                  END AS acf
           FROM st""",
 
+    // the ts_acf CTEs pivoted wide, then ONE fixed-shape Q expression
+    // (left-associated term sum, same parse both engines) and an
+    // integer reject flag off the same double compare
+    "ts_ljung_box" ->
+      s"""WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours FROM h GROUP BY 1),
+          p AS (SELECT a.event_type, t.lag, a.c AS x, b.c AS y
+                FROM h a
+                JOIN (SELECT unnest([1, 2, 3]) AS lag) t ON true
+                JOIN h b ON b.event_type = a.event_type AND b.hour = a.hour + t.lag),
+          st AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy
+                 FROM p GROUP BY 1, 2),
+          r AS (SELECT event_type, lag,
+                  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+                       THEN (n_pairs * sxy - sx * sy)
+                            / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+                  END AS acf
+                FROM st),
+          w AS (SELECT event_type,
+                  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                  max(CASE WHEN lag = 3 THEN acf END) AS r3
+                FROM r GROUP BY 1),
+          q AS (SELECT nh.event_type, n_hours, r1, r2, r3,
+                  CASE WHEN n_hours > 3 THEN
+                    CAST(n_hours AS DOUBLE) * (CAST(n_hours AS DOUBLE) + 2)
+                    * (r1 * r1 / (CAST(n_hours AS DOUBLE) - 1)
+                       + r2 * r2 / (CAST(n_hours AS DOUBLE) - 2)
+                       + r3 * r3 / (CAST(n_hours AS DOUBLE) - 3)) END AS q_stat
+                FROM nh JOIN w USING (event_type))
+          SELECT event_type, n_hours, r1, r2, r3, q_stat,
+                 CASE WHEN q_stat IS NOT NULL THEN
+                   CAST(CASE WHEN q_stat > CAST(7.814727903251179 AS DOUBLE)
+                        THEN 1 ELSE 0 END AS BIGINT) END AS reject
+          FROM q""",
+
+    // the same wide-ACF CTEs, then the Durbin–Levinson levels as a
+    // CTE chain — each level computes ONCE and the next reads the
+    // VALUE (mirrors the engine's projection chain bit-for-bit)
+    "ts_pacf" ->
+      s"""WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          p AS (SELECT a.event_type, t.lag, a.c AS x, b.c AS y
+                FROM h a
+                JOIN (SELECT unnest([1, 2, 3]) AS lag) t ON true
+                JOIN h b ON b.event_type = a.event_type AND b.hour = a.hour + t.lag),
+          st AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy
+                 FROM p GROUP BY 1, 2),
+          r AS (SELECT event_type, lag,
+                  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+                       THEN (n_pairs * sxy - sx * sy)
+                            / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+                  END AS acf
+                FROM st),
+          w AS (SELECT event_type,
+                  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                  max(CASE WHEN lag = 3 THEN acf END) AS r3
+                FROM r GROUP BY 1),
+          p1 AS (SELECT event_type, r1, r2, r3, r1 AS pacf1,
+                   CAST(1.0 AS DOUBLE) - r1 * r1 AS den2 FROM w),
+          p2 AS (SELECT *, CASE WHEN den2 <> 0
+                   THEN (r2 - r1 * r1) / den2 END AS pacf2 FROM p1),
+          p3 AS (SELECT *, pacf1 - pacf2 * pacf1 AS phi21 FROM p2),
+          p4 AS (SELECT *, CAST(1.0 AS DOUBLE) - phi21 * r1 - pacf2 * r2 AS den3 FROM p3)
+          SELECT event_type, r1, r2, r3, pacf1, pacf2,
+                 CASE WHEN den3 <> 0
+                      THEN (r3 - phi21 * r2 - pacf2 * r1) / den3 END AS pacf3
+          FROM p4""",
+
     "events_iet" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, event_type,
                   epoch_us(ts) AS ts_us, event_id FROM events),
@@ -4008,6 +4165,39 @@ object SparkEntry {
                  CASE WHEN up THEN 'up' ELSE 'down' END AS direction,
                  round(CAST(CASE WHEN up THEN s_hi ELSE s_lo END AS DOUBLE), 6) AS stat
           FROM f WHERE up OR down""",
+
+    // batch sessionization restated at the stream gate's 15-min gap;
+    // session_idx stays internal (a session is unique per user+start)
+    "stream_sessionize" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+         m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 900000000
+                              THEN 1 ELSE 0 END AS is_new
+               FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM m)
+         SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         FROM x GROUP BY user_id, session_idx""",
+
+    // the ts_ewma emit-and-refold restated at the stream gate's k=8
+    // kernel (weights 2^(7-j), 8-term truncation)
+    "stream_ewma" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          r AS (SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY ts_us, event_id) AS rn FROM s),
+          e AS (SELECT series_id, rn + g.j AS target,
+                  CAST(power(2, 7 - g.j) AS BIGINT) AS w,
+                  CASE WHEN g.j = 0 THEN ts_us END AS self_ts,
+                  CASE WHEN g.j = 0 THEN value END AS self_value,
+                  value
+                FROM r, (SELECT unnest(range(0, 8)) AS j) g),
+          a AS (SELECT series_id, target, max(self_ts) AS ts_us, max(self_value) AS value,
+                  CAST(sum(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE) AS num,
+                  CAST(sum(w) AS BIGINT) AS den
+                FROM e GROUP BY 1, 2)
+          SELECT series_id, ts_us, value, num / den AS ewma FROM a WHERE ts_us IS NOT NULL""",
 
     "ts_zscore_outliers" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -798,9 +798,12 @@ final class HttpEndpoint(
           "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
         ex.sendResponseHeaders(200, 0L) // length unknown: chunked transfer
         val os = ex.getResponseBody
-        first.foreach(os.write)
-        frames.foreach(os.write)
-        os.flush()
+        // flush PER FRAME: each series frame leaves as its own
+        // chunked-transfer write, so server memory stays one frame
+        // deep and a slow reader back-pressures the store iterator
+        // instead of growing a response buffer
+        first.foreach { f => os.write(f); os.flush() }
+        frames.foreach { f => os.write(f); os.flush() }
         return
       }
       val resp = RemoteRead.serve(store, body, remoteReadSeriesCap)

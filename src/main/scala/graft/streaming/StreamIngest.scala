@@ -149,8 +149,18 @@ object StreamIngest {
 
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
-  case class SessionState(start_us: Long, end_us: Long, n: Long, sum: Double)
+  case class SessionState(start_us: Long, end_us: Long, n: Long, sum_cents: Long)
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Session value sums accumulate as integer CENTS (the batch
+    * operator's per-value DECIMAL(28,2) HALF_UP cast + exact sum), so
+    * a session's sum_value is bit-identical whatever order its events
+    * arrived in — raw double accumulation would drift per micro-batch
+    * cut and could never answer the batch oracle. */
+  private def cents2(v: Double): Long = java.math.BigDecimal.valueOf(v)
+    .setScale(2, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+  private def centsToDouble(c: Long): Double =
+    java.math.BigDecimal.valueOf(c, 2).doubleValue()
 
   /** Stateful streaming sessionization: a per-user session closes when
     * a later event arrives more than `gapUs` past its end, and the
@@ -159,7 +169,14 @@ object StreamIngest {
     * by user, so at 100 TB of events state size is O(active users),
     * not O(events). Deliberately NoTimeout: emission is driven purely
     * by data (deterministic, replayable); a wall-clock close for
-    * forever-quiet users belongs to an event-time-timeout variant. */
+    * forever-quiet users belongs to an event-time-timeout variant.
+    *
+    * Converges EXACTLY to the batch [[graft.tsdb.TsOps.sessionize]]
+    * grouping on ordered arrival (same gap rule; sums in cents — see
+    * [[cents2]]); the stream_sessionize gate closes every session with
+    * the SENTINEL-FLUSH idiom — one virtual per-user event a full gap
+    * past the user's horizon, the data-driven stand-in for a
+    * watermark timeout — and answers the batch oracle row-for-row. */
   def sessionizeStream(events: Dataset[SessionEvent],
                        gapUs: Long = 30L * 60 * 1000 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -179,7 +196,8 @@ object StreamIngest {
                 // the span. The lower bound matters too: "before end"
                 // alone would swallow arbitrarily-early stragglers.
                 cur = Some(SessionState(math.min(s.start_us, e.ts_us),
-                  math.max(s.end_us, e.ts_us), s.n + 1, s.sum + e.value))
+                  math.max(s.end_us, e.ts_us), s.n + 1,
+                  s.sum_cents + cents2(e.value)))
               case Some(s) if e.ts_us < s.start_us - gapUs =>
                 // an out-of-order event a full gap BEFORE the current
                 // session: it belongs to an earlier session the state
@@ -187,12 +205,14 @@ object StreamIngest {
                 // single-event session (deterministic best effort;
                 // the batch operator would have grouped it with its
                 // true contemporaries)
-                out ::= SessionOut(user, e.ts_us, e.ts_us, 1, e.value)
+                out ::= SessionOut(user, e.ts_us, e.ts_us, 1,
+                  centsToDouble(cents2(e.value)))
               case Some(s) =>
-                out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                out ::= SessionOut(user, s.start_us, s.end_us, s.n,
+                  centsToDouble(s.sum_cents))
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, cents2(e.value)))
               case None =>
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, cents2(e.value)))
             }
           }
           cur.foreach(state.update)
@@ -357,6 +377,57 @@ object StreamIngest {
       }
   }
 
+  case class EwmaState(cents: Array[Long])
+  case class EwmaOut(series_id: String, ts_us: Long, value: Double, ewma: Double)
+
+  /** ONLINE truncated EWMA — the batch [[graft.tsdb.TsOps.ewma]]
+    * smoother run live per series with O(k) state: the last k−1
+    * sample values as integer cents (oldest first), nothing else,
+    * forever. Each arriving sample emits its smoothed value over the
+    * ≤k most recent samples with weights 2^(k−1−distance) — the same
+    * truncated dyadic kernel the batch operator emits map-side (a
+    * true infinite-tail EWMA recursion is not order-independently
+    * exact; the k-term truncation is what makes both engines agree to
+    * the bit). Numerator/denominator build in integer cents × integer
+    * weights (num ≤ 2^k · 100·|v|max — far inside Long), and the one
+    * division reproduces the batch's DECIMAL→double cast exactly:
+    * BigDecimal(num, 2).doubleValue / den. Converges bit-identically
+    * to the batch operator across any micro-batch cuts on ordered
+    * arrival (StreamEwmaSpec). */
+  def ewmaStream(samples: DataFrame, k: Int = 16): Dataset[EwmaOut] = {
+    import samples.sparkSession.implicits._
+    require(k >= 1 && k <= 62, s"k in [1, 62], got $k")
+    samples.select(col("series_id"), col("ts_us"), col("event_id"), col("value"))
+      .as[AlertIn]
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, rows: Iterator[AlertIn], state: GroupState[EwmaState]) =>
+          var hist = state.getOption.map(_.cents.toVector).getOrElse(Vector.empty)
+          val out = Seq.newBuilder[EwmaOut]
+          // the batch operator's (ts_us, event_id) total order
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            hist = (hist :+ cents2(e.value)).takeRight(k)
+            var num = 0L
+            var den = 0L
+            var j = 0
+            while (j < hist.length) {
+              // element j (oldest first) sits distance hist.length−1−j
+              // from the current sample → weight 2^(k−1−distance)
+              val w = 1L << (k - hist.length + j)
+              num += hist(j) * w
+              den += w
+              j += 1
+            }
+            out += EwmaOut(sid, e.ts_us, e.value,
+              java.math.BigDecimal.valueOf(num, 2).doubleValue() / den.toDouble)
+          }
+          // state needs only the k−1 values a FUTURE sample can see
+          state.update(EwmaState(hist.takeRight(k - 1).toArray))
+          out.result().iterator
+      }
+  }
+
   case class DriftIn(dim: Long, grp: String, x: Double)
   case class DriftState(a: Array[Long], b: Array[Long])
   case class DriftOut(dim: Long, n_a: Long, n_b: Long, psi: Double)
@@ -448,7 +519,8 @@ object StreamIngest {
             // watermark passed end+gap with no new events: close & drop
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(user, s.start_us, s.end_us, s.n, s.sum))
+            Iterator.single(SessionOut(user, s.start_us, s.end_us, s.n,
+              centsToDouble(s.sum_cents)))
           } else {
             var out = List.empty[SessionOut]
             var cur = state.getOption
@@ -459,16 +531,19 @@ object StreamIngest {
                   // see sessionizeStream: merge only within gap of the
                   // session interval, via min/max (no span regression)
                   cur = Some(SessionState(math.min(s.start_us, us),
-                    math.max(s.end_us, us), s.n + 1, s.sum + e.value))
+                    math.max(s.end_us, us), s.n + 1,
+                    s.sum_cents + cents2(e.value)))
                 case Some(s) if us < s.start_us - gapUs =>
                   // straggler a full gap before the session: its own
                   // closed single-event session (see sessionizeStream)
-                  out ::= SessionOut(user, us, us, 1, e.value)
+                  out ::= SessionOut(user, us, us, 1,
+                    centsToDouble(cents2(e.value)))
                 case Some(s) =>
-                  out ::= SessionOut(user, s.start_us, s.end_us, s.n, s.sum)
-                  cur = Some(SessionState(us, us, 1, e.value))
+                  out ::= SessionOut(user, s.start_us, s.end_us, s.n,
+                    centsToDouble(s.sum_cents))
+                  cur = Some(SessionState(us, us, 1, cents2(e.value)))
                 case None =>
-                  cur = Some(SessionState(us, us, 1, e.value))
+                  cur = Some(SessionState(us, us, 1, cents2(e.value)))
               }
             }
             cur.foreach { s =>

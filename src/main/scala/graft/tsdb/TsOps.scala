@@ -1317,12 +1317,23 @@ object TsOps {
     * EQUI-join on (event_type, hour + lag) — hashable keys, never a
     * window or a range join; pair volume is n_hours × maxLag per
     * type. Output: (event_type, lag, n_pairs, acf). */
-  def acf(events: DataFrame, maxLag: Int = 3): DataFrame = {
-    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+  def acf(events: DataFrame, maxLag: Int = 3): DataFrame =
+    acfFromHourly(hourlyTypeCounts(events), maxLag)
+
+  /** The per-(type, hour) sample-count frame every ACF-family operator
+    * reads — one map-side-partial hash aggregation over the corpus;
+    * everything downstream works on the reduced n_types × n_hours
+    * frame (identical subplans dedup through ReuseExchange when a
+    * composite like [[ljungBox]] reads it twice). */
+  private def hourlyTypeCounts(events: DataFrame): DataFrame = {
     val d0 = org.apache.spark.sql.types.DecimalType(19, 0)
-    val hourly = Series.samples(events)
+    Series.samples(events)
       .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
       .agg(count(lit(1)).cast(d0).as("c"))
+  }
+
+  private def acfFromHourly(hourly: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val withLag = hourly.select(col("event_type"), col("hour"), col("c"),
       explode(expr(s"sequence(1, $maxLag)")).as("lag"))
     val pairs = withLag.alias("a").join(hourly.alias("b"),
@@ -1345,6 +1356,86 @@ object TsOps {
           (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
             / sqrt(col("vx") * col("vy"))).as("acf"))
   }
+
+  /** [[acf]] pivoted wide — one row per type, lag columns r1..rK.
+    * Exactly one acf row exists per (type, lag) with ≥1 pair, so the
+    * max-when pivot is a pure reshape; a lag with no pairs (or zero
+    * variance) lands NULL. */
+  private def acfWide(hourly: DataFrame, maxLag: Int): DataFrame = {
+    val pivots = (1 to maxLag)
+      .map(k => max(when(col("lag") === k, col("acf"))).as(s"r$k"))
+    acfFromHourly(hourly, maxLag).groupBy(col("event_type"))
+      .agg(pivots.head, pivots.tail: _*)
+  }
+
+  /** LJUNG–BOX portmanteau test (Ljung & Box, Biometrika 1978) on the
+    * per-type hourly count series — the is-it-white-noise DECISION
+    * layered on [[acf]]'s dial:
+    *   Q = n(n+2) · Σ_{k=1..m} ρ_k² / (n−k)
+    * compared against the χ²(m) critical value (`crit` defaults to the
+    * 5% point for m=3). A series that rejects has real autocorrelation
+    * structure — worth a seasonal profile or a forecast; one that
+    * keeps is noise no seasonal-naive baseline will beat.
+    *
+    * Determinism (§4): ρ_k come from [[acf]]'s one double Pearson
+    * expression over exact decimal sums; Q is ONE fixed-shape IEEE
+    * expression over those doubles (left-associated term sum, same
+    * parse on any engine); `reject` is an integer flag off the same
+    * double compare. NULL whenever any ρ_k is NULL (constant series /
+    * missing lag) or n ≤ m — never NaN. Scale shape: everything past
+    * the one corpus-reducing hourly aggregation runs on n_types-sized
+    * frames; the hourly frame feeds both the pair join and the n_hours
+    * count (identical subplan → ReuseExchange). */
+  def ljungBox(events: DataFrame, maxLag: Int = 3,
+               crit: Double = 7.814727903251179): DataFrame = {
+    val hourly = hourlyTypeCounts(events)
+    val nh = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n_hours"))
+    val nhD = col("n_hours").cast("double")
+    val qSum = (1 to maxLag)
+      .map(k => col(s"r$k") * col(s"r$k") / (nhD - lit(k)))
+      .reduceLeft(_ + _)
+    nh.join(acfWide(hourly, maxLag), "event_type")
+      .withColumn("q_stat",
+        when(col("n_hours") > maxLag, nhD * (nhD + lit(2)) * qSum))
+      .withColumn("reject",
+        when(col("q_stat").isNotNull,
+          when(col("q_stat") > crit, 1L).otherwise(0L)))
+      .select(col("event_type") +: col("n_hours") +:
+        (1 to maxLag).map(k => col(s"r$k")) :+ col("q_stat") :+ col("reject"): _*)
+  }
+
+  /** PARTIAL autocorrelation of the hourly count series at lags 1..3
+    * via the Durbin–Levinson recursion closed over [[acf]]'s ρ values
+    * — the AR-order dial ([[acf]] says "correlated"; PACF says how
+    * many AR lags carry INDEPENDENT information: an AR(p) series cuts
+    * off sharply after lag p, trend/seasonality decay instead):
+    *   φ11 = ρ1
+    *   φ22 = (ρ2 − ρ1²) / (1 − ρ1²)
+    *   φ21 = φ11 − φ22·φ11
+    *   φ33 = (ρ3 − φ21·ρ2 − φ22·ρ1) / (1 − φ21·ρ1 − φ22·ρ2)
+    * Each level is ONE fixed-shape IEEE expression over the previous
+    * level's doubles — the engine computes a level once and reuses the
+    * VALUE (projection chain here, CTE chain in the oracle), so the
+    * recursion is bit-stable across engines (§4). Zero denominators
+    * (|ρ1| = 1 alternating series) and NULL ρ propagate to NULL,
+    * never Inf/NaN. Fixed at 3 lags: each further level doubles the
+    * closed form — past 3 you fit an AR model, not a report. */
+  def pacf(events: DataFrame): DataFrame =
+    acfWide(hourlyTypeCounts(events), 3)
+      .withColumn("pacf1", col("r1"))
+      .withColumn("den2", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("pacf2",
+        when(col("den2") =!= 0.0,
+          (col("r2") - col("r1") * col("r1")) / col("den2")))
+      .withColumn("phi21", col("pacf1") - col("pacf2") * col("pacf1"))
+      .withColumn("den3",
+        lit(1.0) - col("phi21") * col("r1") - col("pacf2") * col("r2"))
+      .withColumn("pacf3",
+        when(col("den3") =!= 0.0,
+          (col("r3") - col("phi21") * col("r2") - col("pacf2") * col("r1"))
+            / col("den3")))
+      .select(col("event_type"), col("r1"), col("r2"), col("r3"),
+        col("pacf1"), col("pacf2"), col("pacf3"))
 
   /** CUSUM change-point detection (Page 1954) — the sequential
     * mean-shift detector: per series, the one-sided cumulative sums

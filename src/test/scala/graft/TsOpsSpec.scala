@@ -924,4 +924,60 @@ class TsOpsSpec extends SparkSpec {
     val flat = TsOps.acf(const, maxLag = 1).select("acf").collect()
     assert(flat.length == 1 && flat.head.isNullAt(0))
   }
+
+  /** Hourly-count fixture: count at hour h = pattern(h % pattern.len),
+    * repeated over `hours` hours. */
+  private def patternedEvents(pattern: Seq[Int], hours: Int, tpe: String) = {
+    var id = 0L
+    val rows = for {
+      h <- 0 until hours
+      i <- 0 until pattern(h % pattern.length)
+    } yield {
+      id += 1
+      (id, (h * 3600000000L + i * 1000000L) * 1000L, 1L, tpe, 1.0)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("ljung_box: a periodic count series rejects white noise; constant series → NULL") {
+    // the acf fixture: ρ = (−1, +1, −1) EXACTLY (integer sufficient
+    // stats make vx·vy a perfect square, sqrt exact), n = 24 hours
+    val got = TsOps.ljungBox(patternedEvents(Seq(5, 1), 24, "alt"))
+      .select("n_hours", "q_stat", "reject")
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 1)
+    val (nh, q, reject) = got.head
+    assert(nh == 24L)
+    // the engine's exact expression over ρ² = 1.0
+    val nhD = 24.0
+    val expect = nhD * (nhD + 2) *
+      (1.0 * 1.0 / (nhD - 1) + 1.0 * 1.0 / (nhD - 2) + 1.0 * 1.0 / (nhD - 3))
+    assert(q == expect, s"q=$q expect=$expect")
+    assert(reject == 1L)
+    // constant series: NULL ρ → NULL q, NULL reject (never NaN / a flag)
+    val flat = TsOps.ljungBox(patternedEvents(Seq(2), 12, "flat"))
+      .select("q_stat", "reject").collect()
+    assert(flat.length == 1 && flat.head.isNullAt(0) && flat.head.isNullAt(1))
+  }
+
+  test("pacf: Durbin–Levinson levels equal the closed form on acf's ρ; |ρ1|=1 → NULL, never Inf") {
+    // period-3 counts 5,1,3 over 24 hours: |ρ1| < 1, all levels live
+    val df = patternedEvents(Seq(5, 1, 3), 24, "p3")
+    val rho = TsOps.acf(df, maxLag = 3)
+      .select("lag", "acf").as[(Int, Double)].collect().toMap
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val got = TsOps.pacf(df)
+      .select("pacf1", "pacf2", "pacf3").as[(Double, Double, Double)].head()
+    assert(got._1 == r1)
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(got._2 == p2, s"pacf2 ${got._2} vs $p2")
+    val phi21 = r1 - p2 * r1
+    val p3 = (r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2)
+    assert(got._3 == p3, s"pacf3 ${got._3} vs $p3")
+    // |ρ1| = 1 (alternating): zero denominator → NULL pacf2/pacf3
+    val alt = TsOps.pacf(patternedEvents(Seq(5, 1), 24, "alt")).head()
+    assert(alt.getAs[Double]("pacf1") == -1.0)
+    assert(alt.isNullAt(alt.fieldIndex("pacf2")))
+    assert(alt.isNullAt(alt.fieldIndex("pacf3")))
+  }
 }
