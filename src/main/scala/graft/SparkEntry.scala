@@ -589,6 +589,18 @@ object SparkEntry {
     // fixed-shape expressions, zero-denominator → NULL never Inf
     "ts_pacf" -> ((s, dir) => TsOps.pacf(t(s, dir, "events"))),
 
+    // frequency-domain seasonality: DFT power at periods {24,12,168}h
+    // of the mean-centered hourly counts; trig values are ONE
+    // driver-computed literal table shared verbatim with the oracle
+    // (no JVM-vs-libm divergence can enter the gate)
+    "ts_periodogram" -> ((s, dir) => TsOps.periodogram(t(s, dir, "events"))),
+
+    // journey predictability: per-state conditional next-step entropy
+    // over the transition frame (≈0 = funnel/bot, ≈ln n = decision
+    // point); 9dp ln terms, exact decimal sum
+    "events_markov_entropy" -> ((s, dir) =>
+      TsOps.markovEntropy(t(s, dir, "events"))),
+
     // inter-event-time profile per type: the sessionization-gap /
     // rate-limit dial and the bot tell; partitioned lag window (per-
     // series bounded), exact-decimal mean, R-7 percentiles
@@ -602,6 +614,60 @@ object SparkEntry {
     // 1h window: probed 367/20084 purchases attributed at sf0.1 —
     // both attribution states live (vacuous-match discipline)
     "events_attribution" -> ((s, dir) => TsOps.attribution(t(s, dir, "events"))),
+
+    // M4 downsampling (Jugel VLDB'14): first/last/min/max per 48h
+    // bucket — the error-free line-chart reducer next to LTTB's
+    // shape-preserving one; ONE hash aggregation, pure integer
+    // packing argmins, no sequential chain
+    "ts_downsample_m4" -> ((s, dir) => TsOps.m4(t(s, dir, "events"))),
+
+    // LTTB visualization downsampling (Steinarsson 2013 — the
+    // Grafana-class pre-plot reducer that keeps spikes/turns where
+    // bucket means flatten them): greedy largest-triangle chain in
+    // EXACT integer arithmetic, one in-memory pass per series over
+    // the reduced hourly frame; 12 output points per type
+    "ts_downsample_lttb" -> ((s, dir) => TsOps.lttb(t(s, dir, "events"))),
+
+    // Hyndman seasonal strength: 1 − var(resid)/var(total) of the
+    // hourly counts vs their hour-of-day profile — the go/no-go dial
+    // before trusting the seasonal profile; ~0 here (flat synthetic
+    // traffic, the honest answer; the spec pins ~1 on a real pattern)
+    "ts_seasonal_strength" -> ((s, dir) =>
+      TsOps.seasonalStrength(t(s, dir, "events"))),
+
+    // SAX symbolic segments (Lin/Keogh DMKD'07): equal-count PAA over
+    // the hourly counts, z against global moments, 4-letter gaussian-
+    // quartile alphabet — gated at segment grain so every PAA mean
+    // and breakpoint decision answers, not just the word
+    "ts_sax_symbols" -> ((s, dir) => TsOps.saxSegments(t(s, dir, "events"))),
+
+    // time-to-convert profile: first click → first purchase inside
+    // the 24h attribution window, cohorted by acquisition day;
+    // user-reduced frames only, time-bounded join — both converted
+    // and unconverted branches live at the gate corpus
+    "events_conversion_lag" -> ((s, dir) =>
+      TsOps.conversionLag(t(s, dir, "events"))),
+
+    // the Apdex user-satisfaction rollup per (type, day): exact band
+    // counts from one conditional aggregation, the (2·sat+tol)/(2·tot)
+    // integer form; T=50 keeps all three bands live at every SF
+    "ts_apdex" -> ((s, dir) => TsOps.apdex(t(s, dir, "events"))),
+
+    // multiwindow SLO burn (SRE workbook ch.5): hourly error fraction
+    // over 1h + trailing-6h windows vs the 0.2 budget; fires only when
+    // BOTH burn above 1.2 — fast window catches, slow window confirms
+    "ts_burn_rate" -> ((s, dir) => TsOps.burnRate(t(s, dir, "events"))),
+
+    // the budget-remaining companion: cumulative consumed/remaining
+    // fractions per hour (negative remaining once blown — honest,
+    // never clamped); both exhausted branches live at the gate corpus
+    "ts_error_budget" -> ((s, dir) => TsOps.errorBudget(t(s, dir, "events"))),
+
+    // Welch's unequal-variance t on per-user totals (parity variants,
+    // the ab_cuped assignment): t, Welch–Satterthwaite df, |t|>1.96
+    // flag — honestly NOT significant on the symmetric synthetic
+    // split; detection spec-pinned on a constructed shift
+    "events_ab_welch" -> ((s, dir) => TsOps.abWelch(t(s, dir, "events"))),
 
     // value > 20 for 2 days: probed 67405 active / 29070 firing at
     // sf0.1 — both states live (the vacuous-match discipline)
@@ -2191,11 +2257,27 @@ object SparkEntry {
       VectorOps.recallAtKIvf(e, col("vec_id") < 50, 10)
     }),
 
+    // the IVFADC recall leg — the fourth index-selection eval, and
+    // the one measuring BOTH approximation losses at once (cells not
+    // probed + residual-quantized distances) vs brute-force truth
+    "ann_ivfpq_recall" -> ((s, dir) => VectorOps.recallAtKIvfPq(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embT(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       VectorOps.ivfTopK(e, col("vec_id") < 5, 10)
     }),
+
+    // IVF-PQ residual ADC (the FAISS IVFADC production shape): cell
+    // routing + PQ over RESIDUALS v − c_cell, per-probed-cell query
+    // distance tables; codebook/query id ranges sit ABOVE the centroid
+    // rows (a centroid's residual is ≈0 — it would collapse the
+    // codebook; see VectorOps.ivfPqTopK id conventions)
+    "ann_ivfpq_topk" -> ((s, dir) => VectorOps.ivfPqTopK(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
 
     // LLOYD CONVERGENCE CURVE: per-iteration inertia + occupied cells
     // from the IVF first-k seeding — one broadcast-centroid corpus
@@ -2563,6 +2645,14 @@ object SparkEntry {
     "multimodal_image_entropy" -> ((s, dir) =>
       Multimodal.imageEntropy(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
+    // focus-measure QC (variance of the 4-neighbor Laplacian over the
+    // REAL decoded grid, Pech-Pacheco ICPR'00): defocus collapses it
+    // toward 0; exact LONG sums inside the decode loop, one double
+    // variance expression; blurry-flag detection spec-pinned on a
+    // constructed constant PNG (pseudo-noise corpus is honestly sharp)
+    "multimodal_image_blur" -> ((s, dir) =>
+      Multimodal.imageBlur(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
+
     "multimodal_image_dhash" -> ((s, dir) =>
       // IMAGE PERCEPTUAL FINGERPRINT: real PNG decode → 9×8 grayscale
       // grid → 64-bit dHash (the image sibling of dedup_simhash); the
@@ -2888,6 +2978,143 @@ object SparkEntry {
   /** emb_pca_project oracle: the deflation chain's components applied
     * back to the corpus — exact-decimal scores, then the covariance
     * mean/variance recipe per component. */
+  /** ts_periodogram oracle: the SAME driver-computed trig literals
+    * the engine broadcasts, inlined as a VALUES table (shortest-repr
+    * doubles round-trip identically on both engines — no libm cos/sin
+    * ever runs inside the gate), then the 9dp-term / exact-decimal-sum
+    * DFT power restatement. */
+  private lazy val periodogramOracle: String = {
+    val rows = graft.tsdb.TsOps.trigTable(Seq(24, 12, 168))
+      .map { case (p, k, c, s) =>
+        s"($p, $k, CAST($c AS DOUBLE), CAST($s AS DOUBLE))"
+      }
+      .mkString(",\n             ")
+    s"""WITH trig(period, pos, cosv, sinv) AS (VALUES
+             $rows),
+        h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                CAST(count(*) AS DECIMAL(19,0)) AS c
+              FROM events GROUP BY 1, 2),
+        nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(sum(c) AS DOUBLE) / count(*) AS mean
+               FROM h GROUP BY 1),
+        x AS (SELECT h.event_type, n_hours, mean, t.period, t.cosv, t.sinv, c
+              FROM h JOIN nh USING (event_type)
+              JOIN trig t ON t.pos = h.hour % t.period),
+        r AS (SELECT event_type, period, n_hours,
+                CAST(round((CAST(c AS DOUBLE) - mean) * cosv, 9) AS DECIMAL(28,9)) AS tc,
+                CAST(round((CAST(c AS DOUBLE) - mean) * sinv, 9) AS DECIMAL(28,9)) AS ts2
+              FROM x),
+        a AS (SELECT event_type, CAST(period AS BIGINT) AS period,
+                max(n_hours) AS n_hours,
+                CAST(sum(tc) AS DOUBLE) AS sc, CAST(sum(ts2) AS DOUBLE) AS ss
+              FROM r GROUP BY 1, 2)
+        SELECT event_type, period, n_hours, sc, ss,
+               (sc * sc + ss * ss) / CAST(n_hours AS DOUBLE) AS power
+        FROM a"""
+  }
+
+  /** The IVFADC pipeline CTEs shared by ann_ivfpq_topk and
+    * ann_ivfpq_recall: coarse assign → residuals → residual codebook
+    * (ids [16,32) — NOT the centroid rows, whose residuals are ≈0) →
+    * encode → probes → per-probed-cell query residual tables → ADC →
+    * rank. Queries are ids [32,40). */
+  private lazy val ivfPqChainCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         ac AS (SELECT e.vec_id, c.c_id,
+                  round(list_dot_product(v, cv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id, c_id AS cell FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                  FROM ac) WHERE rn = 1),
+         res AS (SELECT e.vec_id, asg.cell,
+                   list_transform(range(1, 65), i -> v[i] - cv[i]) AS r
+                 FROM e JOIN asg USING (vec_id) JOIN c ON c.c_id = asg.cell),
+         sub AS (SELECT vec_id, cell, t.s, r[t.s*16+1 : t.s*16+16] AS xs
+                 FROM res, (SELECT unnest(range(4)) AS s) t),
+         cb AS (SELECT vec_id - 16 AS code, s, xs AS cs FROM sub
+                WHERE vec_id >= 16 AND vec_id < 32),
+         enc AS (SELECT vec_id, cell, s, code FROM (
+                  SELECT sub.vec_id, sub.cell, sub.s, cb.code,
+                         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                           ORDER BY round(list_dot_product(xs, xs) + list_dot_product(cs, cs)
+                                 - 2 * list_dot_product(xs, cs), 6) ASC, cb.code ASC) AS rn
+                  FROM sub JOIN cb USING (s)) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 32 AND vec_id < 40),
+         qc AS (SELECT q.q_id, c.c_id,
+                  round(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM q CROSS JOIN c),
+         probe AS (SELECT q_id, c_id AS cell FROM (
+                    SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                    FROM qc) WHERE rn <= 4),
+         qres AS (SELECT p.q_id, p.cell,
+                    list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qr
+                  FROM probe p JOIN q USING (q_id) JOIN c ON c.c_id = p.cell),
+         qsub AS (SELECT q_id, cell, t.s, qr[t.s*16+1 : t.s*16+16] AS qxs
+                  FROM qres, (SELECT unnest(range(4)) AS s) t),
+         dt AS (SELECT q_id, cell, qsub.s, cb.code,
+                  CAST(round(list_dot_product(qxs, qxs) + list_dot_product(cs, cs)
+                       - 2 * list_dot_product(qxs, cs), 6) AS DECIMAL(18,6)) AS du
+                FROM qsub JOIN cb USING (s)),
+         adc AS (SELECT dt.q_id, enc.vec_id, sum(du) AS dsum
+                 FROM enc JOIN dt ON enc.cell = dt.cell AND enc.s = dt.s
+                                 AND enc.code = dt.code
+                 WHERE enc.vec_id <> dt.q_id
+                 GROUP BY 1, 2),
+         rk AS (SELECT q_id, vec_id, dsum,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY dsum ASC, vec_id ASC) AS rank
+                FROM adc)"""
+
+  /** ts_downsample_lttb oracle: the greedy largest-triangle chain
+    * UNROLLED as 10 step CTEs (the pagerank/kmeans unroll idiom) —
+    * each step's argmax reads the PREVIOUS step's kept point, and the
+    * area compare is the same exact BIGINT cross product as the
+    * engine (×2×cnt clears the centroid's rational denominator). */
+  private lazy val lttbOracle: String = {
+    val steps = (0 until 10).map { k =>
+      val prev = if (k == 0) "p0" else s"s${k - 1}"
+      s"""s$k AS (SELECT event_type, x, y FROM (
+            SELECT m.event_type, m.x, m.y,
+                   row_number() OVER (PARTITION BY m.event_type
+                     ORDER BY abs((p.x * c.cnt - c.sx) * (m.y - p.y)
+                                 - (p.x - m.x) * (c.sy - p.y * c.cnt)) DESC,
+                              m.x ASC) AS rw
+            FROM mid m
+            JOIN $prev p USING (event_type)
+            JOIN nextc c ON c.event_type = m.event_type AND c.seg = $k
+            WHERE m.seg = $k) WHERE rw = 1)"""
+    }.mkString(",\n")
+    val sel = (0 until 10).map(k =>
+      s"UNION ALL SELECT event_type, CAST(${k + 1} AS BIGINT), x, y FROM s$k")
+      .mkString("\n")
+    s"""WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS x,
+              CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        r AS (SELECT h.event_type, x, y, n,
+                row_number() OVER (PARTITION BY h.event_type ORDER BY x) AS rn
+              FROM h JOIN nn USING (event_type)),
+        fst AS (SELECT event_type, x, y FROM r WHERE rn = 1),
+        lst AS (SELECT event_type, x, y FROM r WHERE rn = n),
+        mid AS (SELECT event_type, x, y, ((rn - 2) * 10) // (n - 2) AS seg
+                FROM r WHERE rn > 1 AND rn < n),
+        cent AS (SELECT event_type, seg, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+                 FROM mid GROUP BY 1, 2),
+        nextc AS (SELECT event_type, seg - 1 AS seg, cnt, sx, sy FROM cent WHERE seg > 0
+                  UNION ALL
+                  SELECT event_type, CAST(9 AS BIGINT), CAST(1 AS BIGINT), x, y FROM lst),
+        p0 AS (SELECT event_type, x, y FROM fst),
+        $steps
+        SELECT event_type, CAST(0 AS BIGINT) AS idx, x AS hour, y AS c FROM fst
+        $sel
+        UNION ALL SELECT event_type, CAST(11 AS BIGINT), x, y FROM lst"""
+  }
+
   private lazy val pcaProjectOracle: String = {
     val comps = (1 to 3).map(k =>
       s"SELECT CAST($k AS BIGINT) AS component, di AS d, CAST(round(CAST(u AS DOUBLE) / nm, 6) AS DECIMAL(18,6)) AS l6, round(nm, 6) AS eigenvalue FROM u${k}5, n${k}5")
@@ -3192,6 +3419,27 @@ object SparkEntry {
           FROM c JOIN o USING (from_type)""",
 
     "events_markov_stationary" -> markovOracle,
+
+    // the transitions CTEs + the driftPsi ln discipline (9dp terms,
+    // exact decimal sum, 6dp final)
+    "events_markov_entropy" ->
+      s"""WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+          p AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+                FROM s),
+          c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          o AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS out_n FROM c GROUP BY 1),
+          e AS (SELECT c.from_type, c.n,
+                  CAST(round((CAST(c.n AS DOUBLE) / o.out_n)
+                       * ln(CAST(c.n AS DOUBLE) / o.out_n), 9) AS DECIMAL(28,9)) AS term
+                FROM c JOIN o USING (from_type))
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+                 CAST(count(*) AS BIGINT) AS n_dest,
+                 round(-CAST(sum(term) AS DOUBLE), 6) AS entropy_nats
+          FROM e GROUP BY 1""",
+
+    "ts_periodogram" -> periodogramOracle,
 
     "ts_alert_firing" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
@@ -4199,6 +4447,195 @@ object SparkEntry {
                 FROM e GROUP BY 1, 2)
           SELECT series_id, ts_us, value, num / den AS ewma FROM a WHERE ts_us IS NOT NULL""",
 
+    "ts_downsample_lttb" -> lttbOracle,
+
+    // the same integer packing argmins restated (2^42 / 2^20 fields,
+    // max side's hour inverted so value ties break earliest)
+    "ts_downsample_m4" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+          a AS (SELECT event_type, hour // 48 AS bucket,
+                  CAST(count(*) AS BIGINT) AS n_hours,
+                  min(hour * 4398046511104 + c) AS pf,
+                  max(hour * 4398046511104 + c) AS pl,
+                  min(c * 1048576 + hour) AS pn,
+                  max(c * 1048576 + (1048575 - hour)) AS px
+                FROM h GROUP BY 1, 2)
+          SELECT event_type, bucket, n_hours,
+                 pf // 4398046511104 AS t_first, pf % 4398046511104 AS v_first,
+                 pl // 4398046511104 AS t_last, pl % 4398046511104 AS v_last,
+                 pn % 1048576 AS t_min, pn // 1048576 AS v_min,
+                 1048575 - (px % 1048576) AS t_max, px // 1048576 AS v_max
+          FROM a""",
+
+    // hour-of-day profile means joined back, 6dp-decimal residual
+    // moments, the same fixed-shape variance expressions
+    "ts_seasonal_strength" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          hh AS (SELECT *, hour % 24 AS hod FROM h),
+          p AS (SELECT event_type, hod,
+                  CAST(sum(c) AS DOUBLE) / count(*) AS hod_mean
+                FROM hh GROUP BY 1, 2),
+          r AS (SELECT hh.event_type,
+                  CAST(round(CAST(c AS DOUBLE) - hod_mean, 6) AS DECIMAL(18,6)) AS r6,
+                  c
+                FROM hh JOIN p ON p.event_type = hh.event_type AND p.hod = hh.hod),
+          m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                  CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c * c) AS DOUBLE) AS s2,
+                  CAST(sum(r6) AS DOUBLE) AS rs1, CAST(sum(r6 * r6) AS DOUBLE) AS rs2
+                FROM r GROUP BY 1),
+          v AS (SELECT event_type, n_hours,
+                  s2 / n_hours - (s1 / n_hours) * (s1 / n_hours) AS var_total,
+                  rs2 / n_hours - (rs1 / n_hours) * (rs1 / n_hours) AS var_resid
+                FROM m)
+          SELECT event_type, n_hours, var_total, var_resid,
+                 CASE WHEN var_total > 0
+                      THEN greatest(CAST(0 AS DOUBLE), 1 - var_resid / var_total) END AS strength
+          FROM v""",
+
+    // equal-count PAA segments over a per-type row_number, global
+    // z-moments, the identical quartile-breakpoint CASE ladder
+    "ts_sax_symbols" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                  CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c * c) AS DOUBLE) AS s2
+                FROM h GROUP BY 1),
+          mm AS (SELECT event_type, n_hours, s1 / n_hours AS mean,
+                   sqrt(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours)) AS std
+                 FROM m
+                 WHERE sqrt(s2 / n_hours - (s1 / n_hours) * (s1 / n_hours)) > 0),
+          rn AS (SELECT h.event_type, c,
+                   row_number() OVER (PARTITION BY h.event_type ORDER BY hour) AS rn,
+                   n_hours, mean, std
+                 FROM h JOIN mm ON mm.event_type = h.event_type),
+          sg AS (SELECT event_type, ((rn - 1) * 12) // n_hours AS seg,
+                   CAST(count(*) AS BIGINT) AS n_in_seg,
+                   CAST(sum(c) AS DOUBLE) AS ssum,
+                   max(mean) AS mean, max(std) AS std
+                 FROM rn GROUP BY 1, 2),
+          z AS (SELECT event_type, seg, n_in_seg,
+                  (ssum / n_in_seg - mean) / std AS z_paa
+                FROM sg)
+          SELECT event_type, seg, n_in_seg, z_paa,
+                 CASE WHEN z_paa < -0.6744897501960817 THEN 'a'
+                      WHEN z_paa < 0 THEN 'b'
+                      WHEN z_paa < 0.6744897501960817 THEN 'c'
+                      ELSE 'd' END AS symbol
+          FROM z""",
+
+    // user-reduced first-click/first-purchase frames; exact decimal
+    // mean, R-7 p50 rescaled to seconds before the 6dp round
+    "events_conversion_lag" ->
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          fc AS (SELECT user_id, min(ts_us) AS click_us
+                 FROM s WHERE event_type = 'click' GROUP BY 1),
+          fp AS (SELECT s.user_id, min(ts_us) AS purchase_us
+                 FROM s JOIN fc USING (user_id)
+                 WHERE event_type = 'purchase' AND ts_us >= click_us
+                   AND ts_us <= click_us + 86400000000
+                 GROUP BY 1),
+          j AS (SELECT fc.user_id, click_us, purchase_us,
+                  purchase_us - click_us AS lag_us
+                FROM fc LEFT JOIN fp ON fp.user_id = fc.user_id)
+          SELECT click_us // 86400000000 AS day,
+                 CAST(count(*) AS BIGINT) AS n_clickers,
+                 CAST(count(purchase_us) AS BIGINT) AS n_converted,
+                 CAST(sum(CAST(lag_us AS DECIMAL(28,0))) AS DOUBLE)
+                   / count(purchase_us) AS mean_lag_us,
+                 round(quantile_cont(lag_us, 0.5) / 1000000.0, 6) AS p50_lag_s,
+                 CAST(count(purchase_us) AS DOUBLE) / count(*) AS conv_rate
+          FROM j GROUP BY 1""",
+
+    // exact band counts, one integer-form division per row
+    "ts_apdex" ->
+      """SELECT event_type, epoch_us(ts)//86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n_total,
+                CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_satisfied,
+                CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+                CAST(sum(CASE WHEN value > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frustrated,
+                CAST(2 * sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN value > 50.0 AND value <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(2 * count(*) AS DOUBLE) AS apdex
+         FROM events GROUP BY 1, 2""",
+
+    // hourly error fraction + trailing-6h RANGE window vs the budget;
+    // the firing conjunction restates the same division chains
+    "ts_burn_rate" ->
+      """WITH h AS (SELECT epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS BIGINT) AS n_total,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+                FROM events GROUP BY 1),
+          w AS (SELECT *,
+                  CAST(sum(n_total) OVER win AS BIGINT) AS tot_6h,
+                  CAST(sum(n_err) OVER win AS BIGINT) AS err_6h
+                FROM h
+                WINDOW win AS (ORDER BY hour RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+          SELECT hour, n_total, n_err, tot_6h, err_6h,
+                 CAST(n_err AS DOUBLE) / n_total / CAST(0.2 AS DOUBLE) AS burn_1h,
+                 CAST(err_6h AS DOUBLE) / tot_6h / CAST(0.2 AS DOUBLE) AS burn_6h,
+                 CAST(CASE WHEN CAST(n_err AS DOUBLE) / n_total / CAST(0.2 AS DOUBLE) > 1.2
+                            AND CAST(err_6h AS DOUBLE) / tot_6h / CAST(0.2 AS DOUBLE) > 1.2
+                      THEN 1 ELSE 0 END AS BIGINT) AS firing
+          FROM w""",
+
+    // running sums over the same hourly frame; remaining recomputes
+    // the identical division chain (1 − consumed)
+    "ts_error_budget" ->
+      """WITH h AS (SELECT epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS BIGINT) AS n_total,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+                FROM events GROUP BY 1),
+          w AS (SELECT hour,
+                  CAST(sum(n_total) OVER win AS BIGINT) AS cum_tot,
+                  CAST(sum(n_err) OVER win AS BIGINT) AS cum_err
+                FROM h
+                WINDOW win AS (ORDER BY hour ROWS UNBOUNDED PRECEDING))
+          SELECT hour, cum_tot, cum_err,
+                 CAST(cum_err AS DOUBLE) / cum_tot / CAST(0.2 AS DOUBLE) AS consumed,
+                 1 - CAST(cum_err AS DOUBLE) / cum_tot / CAST(0.2 AS DOUBLE) AS remaining,
+                 CAST(CASE WHEN CAST(cum_err AS DOUBLE) / cum_tot / CAST(0.2 AS DOUBLE) > 1.0
+                      THEN 1 ELSE 0 END AS BIGINT) AS exhausted
+          FROM w""",
+
+    // per-user decimal totals, per-variant exact moments pivoted to
+    // one row, then the identical fixed-shape Welch expressions
+    "events_ab_welch" ->
+      """WITH per AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m
+                      FROM events GROUP BY 1),
+          mom AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+                    sum(m) AS s1, sum(m * m) AS s2
+                  FROM per GROUP BY 1),
+          p AS (SELECT
+                  max(CASE WHEN variant = 0 THEN n END) AS n0,
+                  max(CASE WHEN variant = 0 THEN s1 END) AS s10,
+                  max(CASE WHEN variant = 0 THEN s2 END) AS s20,
+                  max(CASE WHEN variant = 1 THEN n END) AS n1,
+                  max(CASE WHEN variant = 1 THEN s1 END) AS s11,
+                  max(CASE WHEN variant = 1 THEN s2 END) AS s21
+                FROM mom),
+          b AS (SELECT n0, n1,
+                  CAST(s10 AS DOUBLE) / n0 AS mean_0,
+                  CAST(s11 AS DOUBLE) / n1 AS mean_1,
+                  (CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / n0)
+                    / (n0 - 1) AS v0,
+                  (CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / n1)
+                    / (n1 - 1) AS v1
+                FROM p),
+          c AS (SELECT *, v0 / n0 AS se0, v1 / n1 AS se1,
+                  mean_0 - mean_1 AS diff FROM b),
+          d AS (SELECT *, diff / sqrt(se0 + se1) AS t_stat,
+                  (se0 + se1) * (se0 + se1)
+                    / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)) AS df
+                FROM c)
+          SELECT n0, n1, mean_0, mean_1, diff, t_stat, df,
+                 CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+          FROM d""",
+
     "ts_zscore_outliers" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, value FROM events),
           m AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n,
@@ -4918,6 +5355,35 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
                FROM s)
          SELECT q_id, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""",
+
+    // IVFADC restated: ann_ivf_topk's assign/probe CTEs, residuals as
+    // per-index list_transform subtractions, then the ann_pq_topk
+    // encode/table/rank pipeline joined additionally on the PROBED
+    // CELL (per-cell query residual tables — the §V asymmetric form)
+    "ann_ivfpq_topk" ->
+      s"""WITH $ivfPqChainCtes
+         SELECT q_id, vec_id, round(CAST(dsum AS DOUBLE), 6) AS adc_dist,
+                CAST(rank AS BIGINT) AS rank
+         FROM rk WHERE rank <= 10""",
+
+    // the IVFADC recall leg: the same chain's top-10 joined against
+    // the exact cosine top-10 on the same query rows (the
+    // ann_ivf_recall hit-count shape)
+    "ann_ivfpq_recall" ->
+      s"""WITH $ivfPqChainCtes,
+         ir AS (SELECT q_id, vec_id FROM rk WHERE rank <= 10),
+         es AS (SELECT q_id, e.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         er AS (SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM es) WHERE rank <= 10)
+         SELECT er.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(count(ir.vec_id) AS BIGINT) AS n_hit,
+                round(count(ir.vec_id) / count(*), 6) AS recall
+         FROM er LEFT JOIN ir ON ir.q_id = er.q_id AND ir.vec_id = er.vec_id
+         GROUP BY 1""",
 
     "dedup_clusters" ->
       s"""$clustersCtes
@@ -6906,6 +7372,42 @@ object SparkEntry {
          SELECT least(sa, sb) AS source_x, greatest(sa, sb) AS source_y,
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM lab GROUP BY 1, 2""",
+
+    // the image-stats pixel-synthesis CTEs + two window passes for
+    // the 4-neighbor Laplacian (lag/lead along x within y, then along
+    // y within x); exact BIGINT sums, one double variance expression
+    "multimodal_image_blur" ->
+      """WITH img AS (SELECT doc_id, text, strlen(text) AS len,
+                        16 + strlen(text) % 32 AS w, 8 + strlen(text) % 16 AS h
+                      FROM documents WHERE doc_id % 2 = 0),
+         px AS (SELECT doc_id, w, h, t.x, u.y,
+                  CASE WHEN len = 0 THEN 120
+                       ELSE ascii(substr(text, CAST((t.x + u.y) % len AS INT) + 1, 1)) END AS c
+                FROM img, (SELECT unnest(range(48)) AS x) t,
+                          (SELECT unnest(range(24)) AS y) u
+                WHERE t.x < w AND u.y < h),
+         g AS (SELECT doc_id, w, h, x, y,
+                 ((c*37) % 256 + (x*7+c) % 256 + (y*11+c) % 256) // 3 AS gray
+               FROM px),
+         l1 AS (SELECT *, lag(gray) OVER wx AS gl, lead(gray) OVER wx AS gr
+                FROM g WINDOW wx AS (PARTITION BY doc_id, y ORDER BY x)),
+         l2 AS (SELECT *, lag(gray) OVER wy AS gu, lead(gray) OVER wy AS gd
+                FROM l1 WINDOW wy AS (PARTITION BY doc_id, x ORDER BY y)),
+         l AS (SELECT doc_id, 4*gray - gl - gr - gu - gd AS lap
+               FROM l2
+               WHERE x >= 1 AND x < w - 1 AND y >= 1 AND y < h - 1),
+         m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_interior,
+                 CAST(sum(lap) AS BIGINT) AS s1,
+                 CAST(sum(lap * lap) AS BIGINT) AS s2
+               FROM l GROUP BY 1)
+         SELECT doc_id, n_interior,
+                CAST(s2 AS DOUBLE) / n_interior
+                  - (CAST(s1 AS DOUBLE) / n_interior) * (CAST(s1 AS DOUBLE) / n_interior)
+                  AS lap_var,
+                (CAST(s2 AS DOUBLE) / n_interior
+                  - (CAST(s1 AS DOUBLE) / n_interior) * (CAST(s1 AS DOUBLE) / n_interior))
+                  < 100.0 AS blurry
+         FROM m""",
 
     "multimodal_meta" ->
       """SELECT doc_id,

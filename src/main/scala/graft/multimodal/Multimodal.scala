@@ -587,6 +587,66 @@ object Multimodal {
         (col("entropy") < 1.0).as("flat"))
   }
 
+  /** BLUR / SHARPNESS metric per image — the variance-of-Laplacian
+    * focus measure (Pech-Pacheco et al., ICPR 2000), the image-QC
+    * gate every multimodal pipeline runs before spending encoder
+    * FLOPs on defocused frames (a defocused image's second
+    * derivative collapses toward 0 everywhere): per interior pixel
+    * the 4-neighbor Laplacian 4g − g_left − g_right − g_up − g_down
+    * over the REAL decoded grayscale grid, reported as its variance.
+    * Sums fold INSIDE the decoder loop as exact LONGs (the
+    * imageStats discipline — no per-pixel row explosion); the
+    * variance is one fixed-shape double expression over them.
+    * `blurry` flags below `threshold` — never fires on the synthetic
+    * pseudo-noise corpus (honest: noise is maximally sharp); the
+    * DETECTION is spec-pinned on a constructed constant-color PNG
+    * (lap_var exactly 0). */
+  def imageBlur(media: DataFrame, threshold: Double = 100.0): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_interior", LongType),
+      StructField("s1", LongType), StructField("s2", LongType)))
+    val rdd = media.filter(col("kind") === "image")
+      .select("doc_id", "media").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              g(y)(x) =
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          var n = 0L; var s1 = 0L; var s2 = 0L
+          y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val lap = 4 * g(y)(x) - g(y)(x - 1) - g(y)(x + 1) -
+                g(y - 1)(x) - g(y + 1)(x)
+              n += 1; s1 += lap; s2 += lap.toLong * lap
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), n, s1, s2)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("lap_var",
+        col("s2").cast("double") / col("n_interior")
+          - (col("s1").cast("double") / col("n_interior"))
+            * (col("s1").cast("double") / col("n_interior")))
+      .withColumn("blurry", col("lap_var") < threshold)
+      .select(col("doc_id"), col("n_interior"), col("lap_var"), col("blurry"))
+  }
+
   /** Hamming near-dup pairs over [[imageDHash]] fingerprints via
     * 16-bit PIGEONHOLE bands (the simhash recipe): a pair within
     * hamming distance 3 differs in at most 3 of the 4 bands, so it

@@ -1368,6 +1368,77 @@ object TsOps {
       .agg(pivots.head, pivots.tail: _*)
   }
 
+  /** PERIODOGRAM at fixed candidate periods — the FREQUENCY-domain
+    * seasonality detector next to [[acf]]'s lag-domain one (acf asks
+    * "correlated with lag k?"; this asks "how much energy at period
+    * P?" — the read that picks WHICH seasonal grain a profile or
+    * forecast should use): per type, the squared DFT magnitude of the
+    * mean-centered hourly counts at each period,
+    * power = (Σ(c−m)·cos θ_h)² + (Σ(c−m)·sin θ_h)², normalized by n.
+    *
+    * Determinism (§4): the trig values are computed ONCE driver-side
+    * (24+12+168 distinct phases) and handed to BOTH engines as
+    * LITERALS — the oracle inlines the same shortest-repr doubles —
+    * so no JVM-vs-libm cos/sin divergence can enter the gate; terms
+    * round to 9dp DECIMAL before the order-free exact sum (the
+    * driftPsi ln discipline), and the power is one fixed-shape double
+    * expression. Scale: everything past the hourly reduction runs on
+    * (n_hours × |periods|) rows with the trig/moment frames broadcast. */
+  def periodogram(events: DataFrame,
+                  periods: Seq[Int] = Seq(24, 12, 168)): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), "periods >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val table = trigTable(periods).toDF("period", "pos", "cosv", "sinv")
+    val hourly = hourlyTypeCounts(events)
+    val nh = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).cast("double").as("s1"))
+      .select(col("event_type"), col("n_hours"),
+        (col("s1") / col("n_hours")).as("mean"))
+    hourly.join(broadcast(nh), "event_type")
+      .crossJoin(broadcast(periods.map(_.toLong).toDF("period")))
+      .withColumn("pos", pmod(col("hour"), col("period")))
+      .join(broadcast(table), Seq("period", "pos"))
+      .withColumn("tc",
+        round((col("c").cast("double") - col("mean")) * col("cosv"), 9).cast(dec9))
+      .withColumn("ts",
+        round((col("c").cast("double") - col("mean")) * col("sinv"), 9).cast(dec9))
+      .groupBy(col("event_type"), col("period"))
+      .agg(max(col("n_hours")).as("n_hours"),
+        sum(col("tc")).cast("double").as("sc"),
+        sum(col("ts")).cast("double").as("ss"))
+      .withColumn("power",
+        (col("sc") * col("sc") + col("ss") * col("ss"))
+          / col("n_hours").cast("double"))
+  }
+
+  /** The driver-side trig table [[periodogram]] shares with its
+    * oracle: (period, phase position, cos, sin) at 2π·pos/period. */
+  def trigTable(periods: Seq[Int]): Seq[(Long, Long, Double, Double)] =
+    periods.flatMap(p => (0 until p).map(k =>
+      (p.toLong, k.toLong,
+        math.cos(2 * math.Pi * k / p), math.sin(2 * math.Pi * k / p))))
+
+  /** NEXT-STEP ENTROPY per state of the user-journey chain — the
+    * predictability dial over [[transitions]] (a near-zero state is
+    * a funnel or a bot signature — the next step is forced; a
+    * near-ln(n_dest) state is a genuine decision point): the
+    * conditional Shannon entropy −Σ_j p_ij ln p_ij in nats. Terms
+    * round 9dp before the exact decimal sum (the driftPsi ln
+    * discipline), 6dp final; runs entirely on the ≤|types|² reduced
+    * transition frame. */
+  def markovEntropy(events: DataFrame): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    transitions(events)
+      .withColumn("term", round(col("prob") * log(col("prob")), 9).cast(dec9))
+      .groupBy(col("from_type"))
+      .agg(
+        sum(col("n")).as("n_out"),
+        count(lit(1)).as("n_dest"),
+        round(-sum(col("term")).cast("double"), 6).as("entropy_nats"))
+  }
+
   /** LJUNG–BOX portmanteau test (Ljung & Box, Biometrika 1978) on the
     * per-type hourly count series — the is-it-white-noise DECISION
     * layered on [[acf]]'s dial:
@@ -1436,6 +1507,383 @@ object TsOps {
             / col("den3")))
       .select(col("event_type"), col("r1"), col("r2"), col("r3"),
         col("pacf1"), col("pacf2"), col("pacf3"))
+
+  /** LTTB DOWNSAMPLING per type (Steinarsson 2013, Largest-Triangle-
+    * Three-Buckets — the downsampler Grafana-class dashboards run
+    * before plotting, because it keeps the VISUALLY load-bearing
+    * points: spikes, turns, extremes — where bucket means flatten
+    * them): first and last points are kept; the middle splits into
+    * `buckets`−2 equal-count buckets; each bucket keeps the point
+    * forming the LARGEST TRIANGLE with the previously kept point and
+    * the NEXT bucket's centroid. The greedy chain is inherently
+    * sequential, so it runs as one in-memory pass per series
+    * (flatMapGroups over the REDUCED hourly frame — bounded by
+    * retention hours, the Gorilla chunk-pack justification; the
+    * corpus-scale work is the hourly aggregation before it).
+    *
+    * Determinism: the triangle-area comparison is EXACT INTEGER
+    * arithmetic — with centroid (sx/cnt, sy/cnt), area×2×cnt =
+    * (x_prev·cnt − sx)(y − y_prev) − (x_prev − x)(sy − y_prev·cnt),
+    * an integer whose magnitude stays far inside Long at hour/count
+    * scales; cnt is constant within a bucket so the argmax is
+    * unchanged. Ties break to the lowest x. Series with ≤ `buckets`
+    * points pass through whole. Output: (event_type, idx, hour, c),
+    * idx 0..buckets−1 in time order. */
+  def lttb(events: DataFrame, buckets: Int = 12): DataFrame = {
+    require(buckets >= 3, s"buckets must be >= 3, got $buckets")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = hourlyTypeCounts(events)
+      .select(col("event_type"), col("hour").cast("long").as("x"),
+        col("c").cast("long").as("y"))
+      .as[(String, Long, Long)]
+    val b = buckets
+    hourly.groupByKey(_._1).flatMapGroups { (tpe, it) =>
+      val pts = it.map(r => (r._2, r._3)).toArray.sortInPlace()(
+        Ordering.by((p: (Long, Long)) => p._1))
+      val n = pts.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      if (n <= b) {
+        var i = 0
+        while (i < n) { out += ((tpe, i.toLong, pts(i)._1, pts(i)._2)); i += 1 }
+      } else {
+        val mid = b - 2
+        val m = (n - 2).toLong
+        def segOf(i: Int): Long = (i - 1).toLong * mid / m
+        val bySeg = (1 to n - 2).groupBy(segOf)
+        var prev = pts(0)
+        out += ((tpe, 0L, pts(0)._1, pts(0)._2))
+        for (k <- 0 until mid) {
+          val (cnt, sx, sy) =
+            if (k == mid - 1) (1L, pts(n - 1)._1, pts(n - 1)._2)
+            else {
+              val nx = bySeg(k + 1L)
+              (nx.size.toLong,
+                nx.iterator.map(i => pts(i)._1).sum,
+                nx.iterator.map(i => pts(i)._2).sum)
+            }
+          val (xp, yp) = prev
+          val best = bySeg(k.toLong).map { i =>
+            val (x, y) = pts(i)
+            val a = (xp * cnt - sx) * (y - yp) - (xp - x) * (sy - yp * cnt)
+            (math.abs(a), x, y)
+          }.maxBy(t => (t._1, -t._2))
+          prev = (best._2, best._3)
+          out += ((tpe, (k + 1).toLong, best._2, best._3))
+        }
+        out += ((tpe, (b - 1).toLong, pts(n - 1)._1, pts(n - 1)._2))
+      }
+      out.iterator
+    }.toDF("event_type", "idx", "hour", "c")
+  }
+
+  /** M4 DOWNSAMPLING per type (Jugel et al., VLDB 2014 — the
+    * error-free line-chart reducer: a pixel column's rendering is
+    * fully determined by the first/last/min/max of its time bucket,
+    * so M4 preserves the drawn line EXACTLY where [[lttb]] preserves
+    * perceived shape): per (type, `bucketHours` bucket) the four
+    * extremal points of the hourly count series, wide. Unlike LTTB
+    * there is no sequential chain — M4 is ONE hash aggregation with
+    * map-side partials, the ideal 100 TB shape.
+    *
+    * Determinism: pure integer PACKING argmins/argmaxes —
+    * first/last pack (hour · 2^42 + c) (hour unique per type; c <
+    * 2^42 ≈ 4.4e12 counts/hour, documented headroom), min/max pack
+    * (c · 2^20 + hour) with the hour field inverted on the max side
+    * so value ties break to the EARLIEST hour on both (hour < 2^20
+    * holds until 2089). Exact LONGs end to end; no doubles anywhere. */
+  def m4(events: DataFrame, bucketHours: Int = 48): DataFrame = {
+    require(bucketHours >= 1, s"bucketHours must be >= 1, got $bucketHours")
+    val hb = 1L << 20
+    val cb = 1L << 42
+    val hourly = hourlyTypeCounts(events)
+      .select(col("event_type"), col("hour").cast("long").as("hour"),
+        col("c").cast("long").as("c"))
+    hourly
+      .withColumn("bucket", expr(s"hour div $bucketHours"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        min(col("hour") * cb + col("c")).as("pf"),
+        max(col("hour") * cb + col("c")).as("pl"),
+        min(col("c") * hb + col("hour")).as("pn"),
+        max(col("c") * hb + (lit(hb - 1) - col("hour"))).as("px"))
+      .select(col("event_type"), col("bucket"), col("n_hours"),
+        expr(s"pf div $cb").as("t_first"), pmod(col("pf"), lit(cb)).as("v_first"),
+        expr(s"pl div $cb").as("t_last"), pmod(col("pl"), lit(cb)).as("v_last"),
+        pmod(col("pn"), lit(hb)).as("t_min"), expr(s"pn div $hb").as("v_min"),
+        (lit(hb - 1) - pmod(col("px"), lit(hb))).as("t_max"),
+        expr(s"px div $hb").as("v_max"))
+  }
+
+  /** SEASONAL STRENGTH per type (Hyndman & Athanasopoulos, FPP3
+    * §12.2 — the 0..1 dial that says how much of a series the
+    * hour-of-day profile explains): 1 − var(residual)/var(total) over
+    * the hourly count series, residual = count − its hour-of-day
+    * profile mean. Reads ~0 on this corpus's flat synthetic traffic
+    * (the honest no-seasonality answer) and ~1 on a clean daily
+    * pattern (spec-pinned) — the go/no-go read before trusting
+    * ts_seasonal_profile or ts_forecast_snaive. Over PRESENT hours
+    * only (a zero-filled variant composes with ts_gap_fill_1h).
+    * Determinism: integer counts; residuals round to 6dp DECIMAL
+    * before the exact moment sums; one fixed-shape double expression
+    * per variance; strength clamps at 0 (var_resid can exceed
+    * var_total when the profile overfits thin cells). */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val hourly = hourlyTypeCounts(events).withColumn("hod", col("hour") % 24)
+    val prof = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("c")).cast("double").as("sc"), count(lit(1)).as("nc"))
+      .select(col("event_type"), col("hod"), (col("sc") / col("nc")).as("hod_mean"))
+    hourly.join(prof, Seq("event_type", "hod"))
+      .withColumn("r6",
+        round(col("c").cast("double") - col("hod_mean"), 6).cast(d6))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("c")).cast("double").as("s1"),
+        sum(col("c") * col("c")).cast("double").as("s2"),
+        sum(col("r6")).cast("double").as("rs1"),
+        sum(col("r6") * col("r6")).cast("double").as("rs2"))
+      .select(col("event_type"), col("n_hours"),
+        (col("s2") / col("n_hours")
+          - (col("s1") / col("n_hours")) * (col("s1") / col("n_hours")))
+          .as("var_total"),
+        (col("rs2") / col("n_hours")
+          - (col("rs1") / col("n_hours")) * (col("rs1") / col("n_hours")))
+          .as("var_resid"))
+      .withColumn("strength",
+        when(col("var_total") > 0.0,
+          greatest(lit(0.0), lit(1.0) - col("var_resid") / col("var_total"))))
+  }
+
+  /** SAX symbolic segments per type (Lin, Keogh et al., DMKD'07 —
+    * the symbolic series representation behind iSAX indexing and
+    * motif mining): the hourly count series splits into `w`
+    * equal-count segments (PAA), each segment's mean z-normalizes
+    * against the type's global moments, and the z maps to a 4-letter
+    * alphabet through the standard-normal quartile breakpoints
+    * (±0.6744897501960817, 0). Reading the symbols in segment order
+    * IS the SAX word; the gate keeps segment grain so every PAA mean
+    * and breakpoint decision is hash-checked, not just the final
+    * string. Constant series (std = 0) drop — no symbols without
+    * variance. Determinism: exact integer/decimal moment sums; the
+    * z chain is one fixed-shape double expression; breakpoints are
+    * identical literals on both engines; segment ids come from
+    * integer arithmetic over a per-type row_number (one bounded
+    * per-type sort over the reduced hourly frame). */
+  def saxSegments(events: DataFrame, w: Int = 12): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val hourly = hourlyTypeCounts(events)
+    val moments = hourly.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("c")).cast("double").as("s1"),
+        sum(col("c") * col("c")).cast("double").as("s2"))
+      .select(col("event_type"), col("n_hours"),
+        (col("s1") / col("n_hours")).as("mean"),
+        sqrt(col("s2") / col("n_hours")
+          - (col("s1") / col("n_hours")) * (col("s1") / col("n_hours"))).as("std"))
+      .filter(col("std") > 0)
+    val bp = 0.6744897501960817
+    hourly
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("hour"))))
+      .join(moments, "event_type")
+      .withColumn("seg", expr(s"((rn - 1) * $w) div n_hours"))
+      .groupBy(col("event_type"), col("seg"))
+      .agg(
+        count(lit(1)).as("n_in_seg"),
+        sum(col("c")).cast("double").as("ssum"),
+        max(col("mean")).as("mean"),
+        max(col("std")).as("std"))
+      .withColumn("z_paa",
+        (col("ssum") / col("n_in_seg") - col("mean")) / col("std"))
+      .withColumn("symbol",
+        when(col("z_paa") < -bp, "a")
+          .when(col("z_paa") < 0.0, "b")
+          .when(col("z_paa") < bp, "c")
+          .otherwise("d"))
+      .select(col("event_type"), col("seg"), col("n_in_seg"),
+        col("z_paa"), col("symbol"))
+  }
+
+  /** FIRST-CONVERSION LAG profile per acquisition day — the
+    * time-to-convert read between funnel counts (events_funnel says
+    * HOW MANY convert; this says HOW FAST): per user, the first
+    * click and the first purchase inside the ATTRIBUTION WINDOW
+    * [click, click + windowUs] (24h default — an unbounded "ever
+    * converts" reads ~100% on any long-retention corpus and tells a
+    * dashboard nothing; the bound is also what keeps the join
+    * time-local at scale); cohort = the first click's day. Scale
+    * shape: users reduce to one row each (conditional min), purchases
+    * hash-join that reduced frame and reduce again — never an
+    * event×event join. Mean lag from the exact decimal µs sum; p50
+    * reported in SECONDS at 6dp (the events_iet magnitude lesson — a
+    * µs-magnitude R-7 interpolation out-drifts a 6dp round).
+    * Unconverted cohort days carry NULL lag columns, never NaN;
+    * conv_rate is exact integers in double. */
+  def conversionLag(events: DataFrame,
+                    windowUs: Long = 86400000000L): DataFrame = {
+    val d0 = org.apache.spark.sql.types.DecimalType(28, 0)
+    val s = Series.samples(events)
+    val fc = s.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+    val fp = s.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(fc, "user_id")
+      .filter(col("ts_us") >= col("click_us") &&
+        col("ts_us") <= col("click_us") + windowUs)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("purchase_us"))
+    fc.join(fp, Seq("user_id"), "left")
+      .withColumn("lag_us", col("purchase_us") - col("click_us"))
+      .groupBy(expr("click_us div 86400000000").as("day"))
+      .agg(
+        count(lit(1)).as("n_clickers"),
+        count(col("purchase_us")).as("n_converted"),
+        (sum(col("lag_us").cast(d0)).cast("double") / count(col("purchase_us")))
+          .as("mean_lag_us"),
+        round(expr("percentile(lag_us, 0.5)") / 1000000.0, 6).as("p50_lag_s"))
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_clickers"))
+  }
+
+  /** APDEX score per (event_type, day) — the industry-standard
+    * user-satisfaction rollup over a latency-like value column
+    * (Apdex alliance spec): satisfied ≤ T, tolerating ≤ 4T,
+    * frustrated above, score = (satisfied + tolerating/2) / total.
+    * Computed as the integer form (2·sat + tol) / (2·total) — exact
+    * LONG counts from ONE conditional hash aggregation (map-side
+    * partials), a single double division per output row (§4, no
+    * rounding needed). T defaults to 50 against this corpus's value
+    * distribution (median ~35, p90 ~115) so all three bands populate
+    * at every SF — the vacuous-match discipline. */
+  def apdex(events: DataFrame, t: Double = 50.0): DataFrame =
+    Series.samples(events)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("value") <= t, 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(col("value") > t && col("value") <= 4 * t, 1L).otherwise(0L))
+          .as("n_tolerating"),
+        sum(when(col("value") > 4 * t, 1L).otherwise(0L)).as("n_frustrated"))
+      .withColumn("apdex",
+        (lit(2L) * col("n_satisfied") + col("n_tolerating")).cast("double")
+          / (lit(2L) * col("n_total")).cast("double"))
+
+  /** MULTIWINDOW SLO BURN RATE (Google SRE workbook ch.5 — the alert
+    * shape that replaced naive threshold alerts in production SLO
+    * practice): per hour, the fleet error-event fraction over the
+    * 1h and trailing-6h windows, each divided by the error BUDGET
+    * (1 − SLO target); the alert fires only when BOTH windows burn
+    * above `threshold` — the fast window catches the spike, the slow
+    * window suppresses the blip. Scale shape: one corpus-reducing
+    * conditional hourly aggregation; the 6h sums are ONE range window
+    * over the reduced hourly frame — unpartitioned but design-bounded
+    * (rows = retention hours: ~9k/decade, never corpus-sized), and
+    * RANGE (not ROWS) so empty hours can't silently stretch the
+    * window. Integer counts end to end; burns are fixed-shape double
+    * division chains; firing is an integer flag. budget=0.2 /
+    * threshold=1.2 sit against this corpus's hourly error-rate IQR
+    * (0.125–0.27) so both flag branches populate. */
+  def burnRate(events: DataFrame, budget: Double = 0.2,
+               threshold: Double = 1.2): DataFrame = {
+    val hourly = Series.samples(events)
+      .groupBy(expr("ts_us div 3600000000").as("hour"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val w6 = Window.orderBy(col("hour")).rangeBetween(-5, 0)
+    hourly
+      .withColumn("tot_6h", sum(col("n_total")).over(w6))
+      .withColumn("err_6h", sum(col("n_err")).over(w6))
+      .withColumn("burn_1h",
+        col("n_err").cast("double") / col("n_total") / budget)
+      .withColumn("burn_6h",
+        col("err_6h").cast("double") / col("tot_6h") / budget)
+      .withColumn("firing",
+        when(col("burn_1h") > threshold && col("burn_6h") > threshold, 1L)
+          .otherwise(0L))
+  }
+
+  /** WELCH'S two-sample t-test on per-user value totals, variants by
+    * user-id parity (the [[abCuped]] assignment) — the plain
+    * significance readout next to CUPED's variance-reduced one: the
+    * unequal-variance t statistic and its Welch–Satterthwaite df,
+    * plus the |t| > 1.96 flag (the 5% two-sided normal cut — at the
+    * df this corpus produces, t and normal quantiles agree to well
+    * under the decision margin). At a billion users this is two hash
+    * aggregations and a one-row readout. Determinism: per-user
+    * metrics and the per-variant moments are exact DECIMAL sums; the
+    * statistics compute in ONE fixed IEEE shape from those moments
+    * (variance as (s2 − s1·s1/n)/(n−1), se² terms reused by value);
+    * the flag never fires on the parity split of symmetric synthetic
+    * data — the honest null result; DETECTION is spec-pinned on a
+    * constructed shift. */
+  def abWelch(events: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = Series.samples(events)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(d2)).as("m"))
+    val mom = per
+      .groupBy(pmod(col("user_id"), lit(2L)).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+    def side(v: Int, c: String) =
+      max(when(col("variant") === v, col(c))).as(s"$c$v")
+    mom.agg(side(0, "n"), side(0, "s1"), side(0, "s2"),
+        side(1, "n"), side(1, "s1"), side(1, "s2"))
+      .select(col("n0"), col("n1"),
+        (col("s10").cast("double") / col("n0")).as("mean_0"),
+        (col("s11").cast("double") / col("n1")).as("mean_1"),
+        ((col("s20").cast("double") - col("s10").cast("double")
+          * col("s10").cast("double") / col("n0")) / (col("n0") - 1)).as("v0"),
+        ((col("s21").cast("double") - col("s11").cast("double")
+          * col("s11").cast("double") / col("n1")) / (col("n1") - 1)).as("v1"))
+      .withColumn("se0", col("v0") / col("n0"))
+      .withColumn("se1", col("v1") / col("n1"))
+      .withColumn("diff", col("mean_0") - col("mean_1"))
+      .withColumn("t_stat", col("diff") / sqrt(col("se0") + col("se1")))
+      .withColumn("df",
+        (col("se0") + col("se1")) * (col("se0") + col("se1"))
+          / (col("se0") * col("se0") / (col("n0") - 1)
+            + col("se1") * col("se1") / (col("n1") - 1)))
+      .withColumn("significant",
+        when(abs(col("t_stat")) > 1.96, 1L).otherwise(0L))
+      .select(col("n0"), col("n1"), col("mean_0"), col("mean_1"),
+        col("diff"), col("t_stat"), col("df"), col("significant"))
+  }
+
+  /** SLO ERROR-BUDGET tracking (the companion read to [[burnRate]] —
+    * burn says how fast you're spending; this says how much is LEFT):
+    * per hour, the cumulative error fraction from the window start
+    * against the budget, consumed = cum_err / cum_tot / budget,
+    * remaining = 1 − consumed (negative once blown — the honest
+    * answer, never clamped). One corpus-reducing hourly aggregation,
+    * then two running sums over the reduced frame (unpartitioned but
+    * design-bounded — retention hours, the [[burnRate]] argument).
+    * Integer counts, one fixed-shape double chain, integer exhausted
+    * flag. */
+  def errorBudget(events: DataFrame, budget: Double = 0.2): DataFrame = {
+    val hourly = Series.samples(events)
+      .groupBy(expr("ts_us div 3600000000").as("hour"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val w = Window.orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("cum_tot", sum(col("n_total")).over(w))
+      .withColumn("cum_err", sum(col("n_err")).over(w))
+      .withColumn("consumed",
+        col("cum_err").cast("double") / col("cum_tot") / budget)
+      .withColumn("remaining", lit(1.0) - col("consumed"))
+      .withColumn("exhausted",
+        when(col("consumed") > 1.0, 1L).otherwise(0L))
+      .select(col("hour"), col("cum_tot"), col("cum_err"),
+        col("consumed"), col("remaining"), col("exhausted"))
+  }
 
   /** CUSUM change-point detection (Page 1954) — the sequential
     * mean-shift detector: per series, the one-sided cumulative sums

@@ -1244,6 +1244,92 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-PQ residual ADC top-k (Jégou et al., PAMI'11 §V — the IVFADC
+    * shape production indexes serve): the coarse quantizer routes each
+    * vector to a cell ([[ivfAssign]]) and PQ encodes the RESIDUAL
+    * v − c_cell rather than the raw vector — residuals concentrate
+    * near 0, so the same kCodes codebook spends its precision on what
+    * the coarse step didn't explain. A query probes its nProbe nearest
+    * cells and builds a distance table PER PROBED CELL against its own
+    * residual w.r.t. that cell's centroid (the §V asymmetric form).
+    *
+    * Deterministic id conventions (everything an engine can restate):
+    * centroids = vec_id < nCells ([[ivfCentroids]]); codebook = the
+    * residuals of vec_id ∈ [nCells, nCells+kCodes) — NOT the centroid
+    * rows, whose residuals are ≈0 and would collapse the codebook;
+    * queries = vec_id ∈ [nCells+kCodes, nCells+kCodes+nQueries), again
+    * disjoint from the centroid rows so query residuals are non-zero.
+    *
+    * Scale shape: assign/encode are [[pqTopK]]'s one-pass broadcast
+    * argmins; at rest `cell` is the partition key, so a probe reads
+    * nProbe/nCells of the CODES table (m small codes per vector — the
+    * 64× scan-weight cut compounds with partition pruning); the
+    * per-query tables (nQueries × nProbe × m × kCodes rows) broadcast;
+    * ADC sums are codegen'd partial hash aggregates; top-k through
+    * [[graft.plans.TopKPerKey]] bounded heaps. Determinism: residuals
+    * are single IEEE subtractions (engine-identical raw doubles);
+    * distances round to `roundTo`-dp micro-units (exact LONGs) before
+    * both the encode argmin and the ADC sum; rank = (dist asc, vec_id
+    * asc). Output: (q_id, vec_id, adc_dist, rank). */
+  def ivfPqTopK(corpus: DataFrame, nQueries: Int = 8, k: Int = 10,
+                nCells: Int = 16, nProbe: Int = 4, m: Int = 4,
+                kCodes: Int = 16, dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(kCodes <= 1024, s"kCodes=$kCodes exceeds the 10-bit code pack")
+    val subDim = dim / m
+    val scale = math.pow(10, roundTo)
+    val cents = ivfCentroids(corpus, nCells)
+    val cellCv = cents.select(col("c_id").as("cell"), col("cv"))
+    val res = corpus.join(ivfAssign(corpus, cents, roundTo), "vec_id")
+      .join(broadcast(cellCv), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("r"))
+    val xs = res.select(col("vec_id"), col("cell"),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> slice(r, s * $subDim + 1, $subDim))")).as(Seq("s", "xs")))
+    val cb = broadcast(
+      xs.filter(col("vec_id") >= nCells && col("vec_id") < nCells + kCodes)
+        .select((col("vec_id") - nCells).as("code"), col("s"), col("xs").as("cs")))
+    def d2(x: Column, c: Column): Column =
+      dot(x, x) + dot(c, c) - lit(2.0) * dot(x, c)
+    val codes = xs.join(cb, "s")
+      .select(col("vec_id"), col("cell"), col("s"),
+        (round(round(d2(col("xs"), col("cs")), roundTo) * scale, 0).cast("long")
+          * 1024L + col("code")).as("pack"))
+      .groupBy(col("vec_id"), col("cell"), col("s"))
+      .agg(min(col("pack")).as("pack"))
+      .select(col("vec_id"), col("cell"), col("s"),
+        (col("pack") % 1024L).as("code"))
+    val qLo = nCells + kCodes
+    val queries = corpus
+      .filter(col("vec_id") >= qLo && col("vec_id") < qLo + nQueries)
+    val dt = broadcast(
+      ivfProbes(queries, cents, nProbe, roundTo)
+        .join(broadcast(cellCv), "cell")
+        .select(col("q_id"), col("cell"),
+          expr("zip_with(qv, cv, (a, b) -> a - b)").as("qr"))
+        .select(col("q_id"), col("cell"),
+          posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+            s"s -> slice(qr, s * $subDim + 1, $subDim))")).as(Seq("s", "qxs")))
+        .join(cb, "s")
+        .select(col("q_id"), col("cell"), col("s"), col("code"),
+          round(round(d2(col("qxs"), col("cs")), roundTo) * scale, 0)
+            .cast("long").as("du")))
+    val adc = codes.join(dt, Seq("cell", "s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("du")).as("micro"))
+    graft.plans.TopKPerKey(adc, Seq("q_id"),
+        Seq("micro" -> graft.plans.TopKPerKey.Asc,
+            "vec_id" -> graft.plans.TopKPerKey.Asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("micro").asc, col("vec_id").asc)).cast("long"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("micro").cast("double") / scale, roundTo).as("adc_dist"),
+        col("rank"))
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket, then
     * exact cosine rerank. Trades recall for a bucket-local join — the
     * 100 TB scale path (the bucket column is also a fine partition /
@@ -1308,6 +1394,25 @@ object VectorOps {
       cosineTopK(corpus, corpus.filter(col("vec_id") < nQueries), k,
         maxRows = maxRows, force = force),
       pqTopK(corpus, nQueries, k, m, kCodes, dim))
+
+  /** [[recallAtK]] for the composed IVF-PQ path — the fourth leg of
+    * the index-selection evidence, and the one that measures BOTH
+    * failure modes at once: IVF's missed candidates (cells not
+    * probed) AND PQ's distorted distances (residual quantization),
+    * against the same brute-force truth. Queries follow
+    * [[ivfPqTopK]]'s id convention (disjoint from centroid and
+    * codebook rows). */
+  def recallAtKIvfPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 10,
+                     nCells: Int = 16, nProbe: Int = 4, m: Int = 4,
+                     kCodes: Int = 16, dim: Int = 64,
+                     maxRows: Long = 1000000L, force: Boolean = false): DataFrame = {
+    val qLo = nCells + kCodes
+    recallOf(
+      cosineTopK(corpus,
+        corpus.filter(col("vec_id") >= qLo && col("vec_id") < qLo + nQueries),
+        k, maxRows = maxRows, force = force),
+      ivfPqTopK(corpus, nQueries, k, nCells, nProbe, m, kCodes, dim))
+  }
 
   /** Shared recall join: both frames carry (q_id, vec_id, …) ranked
     * rows; output is per-query n_exact/n_hit/recall. The approx side

@@ -237,6 +237,32 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(uni._3 - math.log(8.0)) < 1e-6 && !uni._4, uni)
   }
 
+  test("imageBlur: constant image reads lap_var 0 and flags; a checkerboard is sharp") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val g = f(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val media = Seq(
+      (1L, png((_, _) => 77), "image"),                          // defocused-flat
+      (2L, png((x, y) => if ((x + y) % 2 == 0) 0 else 200), "image")) // max-contrast
+      .toDF("doc_id", "media", "kind")
+    val out = Multimodal.imageBlur(media)
+      .select("doc_id", "n_interior", "lap_var", "blurry")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq(84L, 84L)) // (16−2)×(8−2) interior
+    assert(out.head._3 == 0.0 && out.head._4, out.head.toString)
+    // checkerboard: every interior Laplacian is ±4·200 = ±800 (all 4
+    // neighbors sit on the opposite parity), and the 14×6 interior
+    // splits the parities 42/42 → mean 0 exactly, variance 800²
+    assert(out(1)._3 == 800.0 * 800.0 && !out(1)._4, out(1).toString)
+  }
+
   test("dhashNearDupPairs: banded candidates find every pair within hamming 3, none beyond") {
     // constructed 90×80 images: each 10×10 block holds one sampled
     // grid cell (x = i·90/9 = i·10), so the hash bits are controlled

@@ -960,6 +960,186 @@ class TsOpsSpec extends SparkSpec {
     assert(flat.length == 1 && flat.head.isNullAt(0) && flat.head.isNullAt(1))
   }
 
+  test("periodogram: a daily pattern peaks at period 24; a constant series is silent") {
+    val daily = patternedEvents(Seq.fill(12)(10) ++ Seq.fill(12)(2), 48, "daily")
+    val p = TsOps.periodogram(daily)
+      .select("period", "power").as[(Long, Double)].collect().toMap
+    // the square wave's fundamental dominates; the 48h window leaks
+    // ~1/10 onto the unaligned 168h basis, and the even harmonic
+    // (period 12) of a symmetric square wave cancels exactly
+    assert(p(24L) > 300.0 && p(24L) > 5 * p(168L), s"power $p")
+    assert(p(12L) < 1e-6, s"power $p")
+    // constant series: every mean-centered term is exactly 0
+    val flat = TsOps.periodogram(patternedEvents(Seq(3), 24, "flat"))
+      .select("power").as[Double].collect().toSeq
+    assert(flat.nonEmpty && flat.forall(_ == 0.0))
+  }
+
+  test("markov_entropy: a forced chain reads 0, a fair coin reads ln 2") {
+    // user 1 strictly alternates a→b→a→…: both states have ONE
+    // destination → entropy exactly 0
+    var id = 0L
+    val forced = (0 until 20).map { i =>
+      id += 1
+      (id, (i * 1000000L) * 1000L, 1L, if (i % 2 == 0) "a" else "b", 1.0)
+    }
+    // user 2 emits c then alternates d/e evenly after it: from c the
+    // next step is a fair coin over {d, e}
+    val coin = (0 until 40).flatMap { i =>
+      id += 1
+      val c = (id, (i * 2000000L) * 1000L, 2L, "c", 1.0)
+      id += 1
+      val de = (id, (i * 2000000L + 1000000L) * 1000L, 2L,
+        if (i % 2 == 0) "d" else "e", 1.0)
+      Seq(c, de)
+    }
+    val got = TsOps.markovEntropy(
+      (forced ++ coin).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("from_type", "entropy_nats").as[(String, Double)].collect().toMap
+    assert(got("a") == 0.0 && got("b") == 0.0, s"got $got")
+    assert(math.abs(got("c") - math.log(2.0)) < 1e-6, s"got $got")
+  }
+
+  test("ab_welch: detects a constructed shift, closed form checks out") {
+    // 40 users/variant; even users (variant 0) spend 10/event, odd
+    // users 12 — a +20% shift Welch must flag
+    var id = 0L
+    val rows = (0 until 80).flatMap { u =>
+      (0 until 3).map { i =>
+        id += 1
+        (id, (i * 3600000000L + u) * 1000L, u.toLong,
+          "purchase", if (u % 2 == 0) 10.0 else 12.0 + (u % 5) * 0.1)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.abWelch(rows)
+      .select("n0", "n1", "mean_0", "mean_1", "t_stat", "significant")
+      .as[(Long, Long, Double, Double, Double, Long)].head()
+    assert(got._1 == 40L && got._2 == 40L)
+    assert(got._3 == 30.0, s"mean_0 ${got._3}")
+    assert(got._4 > 36.0 && got._4 < 37.5, s"mean_1 ${got._4}")
+    assert(got._5 < -1.96 && got._6 == 1L, s"t ${got._5} sig ${got._6}")
+  }
+
+  test("lttb: keeps the spike, first and last; short series pass through") {
+    // hourly counts 1,1,10,1,1 with buckets=3: the single middle
+    // bucket holds hours 1..3; prev = (h0,1), next "centroid" = the
+    // last point (h4,1), cnt=1 → area ∝ |(x0−x4)(y−y0)| = 4|y−1| →
+    // the spike (h2,10) wins by hand
+    val df = patternedEvents(Seq(1, 1, 10, 1, 1), 5, "spike")
+    val got = TsOps.lttb(df, buckets = 3)
+      .orderBy("idx").select("idx", "hour", "c")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1L), (1L, 2L, 10L), (2L, 4L, 1L)), s"got $got")
+    // n <= buckets: every point passes through in time order
+    val short = TsOps.lttb(patternedEvents(Seq(2, 3, 4), 3, "short"), buckets = 12)
+      .orderBy("idx").select("idx", "c").as[(Long, Long)].collect().toSeq
+    assert(short == Seq((0L, 2L), (1L, 3L), (2L, 4L)))
+  }
+
+  test("m4: first/last/min/max per bucket, value ties break to the earliest hour") {
+    // counts 5,1,9,1,5 in hours 0..4 (bucket 0 at 48h grain): first
+    // (0,5), last (4,5), min ties hours 1 and 3 → earliest (1,1),
+    // max (2,9)
+    val got = TsOps.m4(patternedEvents(Seq(5, 1, 9, 1, 5), 5, "m"))
+      .select("bucket", "n_hours", "t_first", "v_first", "t_last", "v_last",
+        "t_min", "v_min", "t_max", "v_max")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((0L, 5L, 0L, 5L, 4L, 5L, 1L, 1L, 2L, 9L)), s"got $got")
+    // a max tie must also break earliest: 3,7,7 → t_max = 1
+    val tie = TsOps.m4(patternedEvents(Seq(3, 7, 7), 3, "t"))
+      .select("t_max", "v_max").as[(Long, Long)].head()
+    assert(tie == ((1L, 7L)), s"got $tie")
+  }
+
+  test("seasonal_strength: clean daily pattern → 1, constant series → NULL") {
+    // hour-of-day pattern 10/2 split repeated over 2 days: the hod
+    // profile explains everything → residuals 0 → strength exactly 1
+    val daily = patternedEvents(
+      Seq.fill(12)(10) ++ Seq.fill(12)(2), 48, "daily")
+    val got = TsOps.seasonalStrength(daily)
+      .select("n_hours", "var_resid", "strength")
+      .as[(Long, Double, Double)].head()
+    assert(got._1 == 48L && got._2 == 0.0 && got._3 == 1.0, s"got $got")
+    // constant series: var_total = 0 → NULL strength, never NaN
+    val flat = TsOps.seasonalStrength(patternedEvents(Seq(3), 24, "flat"))
+      .select("strength").collect()
+    assert(flat.length == 1 && flat.head.isNullAt(0))
+  }
+
+  test("sax: equal-count segments, symbols read the quartile ladder") {
+    // 5,1 alternating counts, 24 hours, w=8 → 3 hours/segment with
+    // alternating sums 11/7 around mean 3 (std 2): z = ±1/6 → c,b,…
+    val got = TsOps.saxSegments(patternedEvents(Seq(5, 1), 24, "alt"), w = 8)
+      .orderBy("seg")
+      .select("seg", "n_in_seg", "symbol")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == (0L until 8L))
+    assert(got.forall(_._2 == 3L))
+    assert(got.map(_._3) == Seq("c", "b", "c", "b", "c", "b", "c", "b"), s"got $got")
+    // constant series drops (std = 0): no symbols without variance
+    assert(TsOps.saxSegments(patternedEvents(Seq(3), 24, "flat")).count() == 0)
+  }
+
+  test("conversion_lag: window is [click, click+24h]; earlier/later purchases don't convert") {
+    val t0 = 1704067200000000L
+    val day = 86400000000L
+    val rows = Seq(
+      (1L, t0 * 1000, 1L, "click", 1.0),
+      (2L, (t0 + 10000000L) * 1000, 1L, "purchase", 5.0),    // +10s → converts
+      (3L, (t0 + 100L) * 1000, 2L, "click", 1.0),            // never converts
+      (4L, (t0 - 5000000L) * 1000, 3L, "purchase", 5.0),     // BEFORE the click
+      (5L, (t0 + 200L) * 1000, 3L, "click", 1.0),
+      (6L, (t0 + 300L) * 1000, 4L, "click", 1.0),
+      (7L, (t0 + 300L + day + 1) * 1000, 4L, "purchase", 5.0)) // 1µs past the window
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.conversionLag(rows)
+      .select("n_clickers", "n_converted", "mean_lag_us", "p50_lag_s", "conv_rate")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got == ((4L, 1L, 1.0e7, 10.0, 1.0 / 4.0)), s"got $got")
+  }
+
+  test("apdex: band edges are inclusive-at-T, score is the integer closed form") {
+    // T=50: values 50 (satisfied, inclusive), 200 (tolerating,
+    // inclusive), 200.01 (frustrated), 10 (satisfied)
+    val rows = Seq(
+      (1L, 1000000000L * 1000, 1L, "api", 50.0),
+      (2L, 2000000000L * 1000, 1L, "api", 200.0),
+      (3L, 3000000000L * 1000, 1L, "api", 200.01),
+      (4L, 4000000000L * 1000, 1L, "api", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.apdex(rows)
+      .select("n_total", "n_satisfied", "n_tolerating", "n_frustrated", "apdex")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 2L, 1L, 1L, (2.0 * 2 + 1) / 8.0)), s"got $got")
+  }
+
+  test("burn_rate: 6h RANGE window skips missing hours; firing needs BOTH windows hot") {
+    // hour 0: 1/10 errors (cold); hours 7..9: 5/10 each (hot 1h); the
+    // RANGE window at hour 7 must NOT reach back to hour 0 (gap), so
+    // burn_6h(7) = 5/10/0.2 = 2.5 → firing. An extra cold hour 10
+    // drops burn_1h below threshold → not firing even with a hot 6h.
+    var id = 0L
+    def hour(h: Int, errs: Int, tot: Int) = (0 until tot).map { i =>
+      id += 1
+      (id, (h * 3600000000L + i * 1000L) * 1000L, 1L,
+        if (i < errs) "error" else "view", 1.0)
+    }
+    val rows = (hour(0, 1, 10) ++ hour(7, 5, 10) ++ hour(8, 5, 10) ++
+      hour(9, 5, 10) ++ hour(10, 1, 10))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.burnRate(rows)
+      .select("hour", "tot_6h", "err_6h", "burn_1h", "burn_6h", "firing")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(0L, 7L, 8L, 9L, 10L))
+    val at7 = got(1)
+    assert(at7._2 == 10L && at7._3 == 5L, s"hour-7 window reached the gap: $at7")
+    assert(at7._4 == 2.5 && at7._5 == 2.5 && at7._6 == 1L)
+    val at10 = got(4)
+    assert(at10._4 == 0.5 && at10._6 == 0L, s"cold 1h must veto: $at10")
+    assert(got(0)._6 == 0L)
+  }
+
   test("pacf: Durbin–Levinson levels equal the closed form on acf's ρ; |ρ1|=1 → NULL, never Inf") {
     // period-3 counts 5,1,3 over 24 hours: |ρ1| < 1, all levels live
     val df = patternedEvents(Seq(5, 1, 3), 24, "p3")
