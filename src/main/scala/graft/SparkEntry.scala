@@ -663,6 +663,11 @@ object SparkEntry {
     // never clamped); both exhausted branches live at the gate corpus
     "ts_error_budget" -> ((s, dir) => TsOps.errorBudget(t(s, dir, "events"))),
 
+    // Kaplan–Meier retention done honestly: corpus-end-active users
+    // are CENSORED, not deaths; curve kept in log space (−ln S as an
+    // exact decimal cumsum of 9dp ln terms — no cross-engine exp)
+    "events_survival_km" -> ((s, dir) => TsOps.survivalKm(t(s, dir, "events"))),
+
     // Welch's unequal-variance t on per-user totals (parity variants,
     // the ab_cuped assignment): t, Welch–Satterthwaite df, |t|>1.96
     // flag — honestly NOT significant on the symmetric synthetic
@@ -4601,6 +4606,36 @@ object SparkEntry {
                  CAST(CASE WHEN CAST(cum_err AS DOUBLE) / cum_tot / CAST(0.2 AS DOUBLE) > 1.0
                       THEN 1 ELSE 0 END AS BIGINT) AS exhausted
           FROM w""",
+
+    // per-user first/last vs the corpus horizon, the lifetime
+    // histogram, running at-risk counts, and the 9dp −ln(1−d/n)
+    // terms into an exact decimal window cumsum
+    "events_survival_km" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+          per AS (SELECT user_id, min(ts_us) AS first_us, max(ts_us) AS last_us
+                  FROM s GROUP BY 1),
+          hz AS (SELECT max(ts_us) AS max_us FROM s),
+          lt AS (SELECT (last_us - first_us) // 86400000000 AS lifetime_d,
+                   CASE WHEN last_us >= max_us - 86400000000 THEN 1 ELSE 0 END AS censored
+                 FROM per, hz),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lt),
+          hist AS (SELECT lifetime_d, CAST(sum(1 - censored) AS BIGINT) AS d,
+                     CAST(sum(censored) AS BIGINT) AS c
+                   FROM lt GROUP BY 1),
+          w AS (SELECT *, CAST(sum(d + c) OVER win AS BIGINT) AS gone
+                FROM hist, tot
+                WINDOW win AS (ORDER BY lifetime_d ROWS UNBOUNDED PRECEDING)),
+          r AS (SELECT *, total - gone + d + c AS n_risk,
+                  CASE WHEN d < total - gone + d + c THEN
+                    CAST(round(-ln(1.0 - CAST(d AS DOUBLE) / (total - gone + d + c)), 9)
+                         AS DECIMAL(28,9)) END AS term
+                FROM w),
+          x AS (SELECT *, CASE WHEN term IS NOT NULL
+                  THEN CAST(sum(term) OVER (ORDER BY lifetime_d ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                  END AS neg_ln_s
+                FROM r)
+          SELECT lifetime_d, n_risk, d AS n_deaths, c AS n_censored, neg_ln_s
+          FROM x WHERE d > 0""",
 
     // per-user decimal totals, per-variant exact moments pivoted to
     // one row, then the identical fixed-shape Welch expressions

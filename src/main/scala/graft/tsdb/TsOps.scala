@@ -1807,6 +1807,57 @@ object TsOps {
           .otherwise(0L))
   }
 
+  /** KAPLAN–MEIER survival over user lifetimes with right-censoring
+    * (Kaplan & Meier, JASA 1958 — the retention curve done honestly:
+    * a user still active near the corpus end hasn't churned, they're
+    * CENSORED, and counting them as deaths biases every retention
+    * number down): lifetime = (last − first) event time in days;
+    * censored when the last event falls within `censorUs` of the
+    * corpus horizon. Per lifetime day t with observed deaths:
+    * n_risk = users with L ≥ t, and the survival curve reported as
+    * −ln S(t) = Σ_{s≤t} −ln(1 − d_s/n_s) — kept in LOG space so the
+    * cumulative is an EXACT decimal sum of 9dp-rounded terms (the
+    * driftPsi ln discipline) with no cross-engine exp at all; a
+    * dashboard exponentiates client-side. All-die days (d = n) carry
+    * NULL (S hits 0, −ln S undefined — honest, never Inf). Scale:
+    * one user-reducing pass, then everything runs on the ≤max-
+    * lifetime-days frame. */
+  def survivalKm(events: DataFrame,
+                 censorUs: Long = 86400000000L): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val s = Series.samples(events)
+    val per = s.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+    val horizon = s.agg(max(col("ts_us")).as("max_us"))
+    val lt = per.crossJoin(broadcast(horizon))
+      .select(
+        expr("(last_us - first_us) div 86400000000").as("lifetime_d"),
+        when(col("last_us") >= col("max_us") - censorUs, 1L).otherwise(0L)
+          .as("censored"))
+    val hist = lt.groupBy(col("lifetime_d"))
+      .agg(
+        sum(lit(1L) - col("censored")).as("d"),
+        sum(col("censored")).as("c"))
+    val byDay = Window.orderBy(col("lifetime_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = lt.count()
+    hist
+      .withColumn("gone", sum(col("d") + col("c")).over(byDay))
+      .withColumn("n_risk", lit(total) - col("gone") + col("d") + col("c"))
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+          round(-log(lit(1.0) - col("d").cast("double") / col("n_risk")), 9)
+            .cast(dec9)))
+      // the cumulative skips the NULL guard term on both engines, so
+      // mark the all-die row NULL explicitly rather than silently
+      // carrying the prior cumulative
+      .withColumn("neg_ln_s",
+        when(col("term").isNotNull, sum(col("term")).over(byDay).cast("double")))
+      .filter(col("d") > 0)
+      .select(col("lifetime_d"), col("n_risk"), col("d").as("n_deaths"),
+        col("c").as("n_censored"), col("neg_ln_s"))
+  }
+
   /** WELCH'S two-sample t-test on per-user value totals, variants by
     * user-id parity (the [[abCuped]] assignment) — the plain
     * significance readout next to CUPED's variance-reduced one: the

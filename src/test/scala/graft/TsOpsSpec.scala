@@ -960,6 +960,36 @@ class TsOpsSpec extends SparkSpec {
     assert(flat.length == 1 && flat.head.isNullAt(0) && flat.head.isNullAt(1))
   }
 
+  test("survival_km: censoring shrinks at-risk without adding deaths; log-curve closed form") {
+    val t0 = 1704067200000000L
+    val day = 86400000000L
+    var id = 0L
+    def user(u: Long, firstDay: Long, lastDay: Long) = {
+      id += 2
+      Seq((id - 1, (t0 + firstDay * day) * 1000, u, "view", 1.0),
+        (id, (t0 + lastDay * day) * 1000, u, "view", 1.0))
+    }
+    // horizon = day 10 (u5); u1,u2 die at L=2; u3 dies at L=5;
+    // u4 censored at L=4 (last event ON the horizon... see below);
+    // u5 censored at L=10 (defines the horizon)
+    val rows = (user(1L, 0, 2) ++ user(2L, 1, 3) ++ user(3L, 2, 7) ++
+      user(4L, 6, 10) ++ user(5L, 0, 10))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.survivalKm(rows)
+      .orderBy("lifetime_d")
+      .select("lifetime_d", "n_risk", "n_deaths", "n_censored", "neg_ln_s")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // L=2: 5 at risk, 2 die; L=5: u4's censoring at L=4 has REMOVED
+    // it from risk (the whole point) → 2 at risk, 1 dies; u4/u5
+    // never appear as deaths
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((2L, 5L, 2L, 0L), (5L, 2L, 1L, 0L)), s"got $got")
+    def t9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val e1 = t9(-math.log(1.0 - 2.0 / 5))
+    assert(got.head._5 == e1.toDouble, s"got ${got.head._5}")
+    assert(got(1)._5 == (e1 + t9(-math.log(1.0 - 1.0 / 2))).toDouble, s"got ${got(1)._5}")
+  }
+
   test("periodogram: a daily pattern peaks at period 24; a constant series is silent") {
     val daily = patternedEvents(Seq.fill(12)(10) ++ Seq.fill(12)(2), 48, "daily")
     val p = TsOps.periodogram(daily)
