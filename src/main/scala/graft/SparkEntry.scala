@@ -2269,6 +2269,13 @@ object SparkEntry {
       embT(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))),
 
+    // per-cell residual-quantizer distortion (pqProfile's read for
+    // the IVFADC codebook): distortion explains WHERE recall went —
+    // a hot cell's residuals outrun the shared codebook
+    "emb_ivfpq_mse" -> ((s, dir) => VectorOps.ivfPqMse(
+      embT(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val e = embT(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -3041,8 +3048,10 @@ object SparkEntry {
                  FROM res, (SELECT unnest(range(4)) AS s) t),
          cb AS (SELECT vec_id - 16 AS code, s, xs AS cs FROM sub
                 WHERE vec_id >= 16 AND vec_id < 32),
-         enc AS (SELECT vec_id, cell, s, code FROM (
+         enc AS (SELECT vec_id, cell, s, code, d26 FROM (
                   SELECT sub.vec_id, sub.cell, sub.s, cb.code,
+                         round(list_dot_product(xs, xs) + list_dot_product(cs, cs)
+                               - 2 * list_dot_product(xs, cs), 6) AS d26,
                          row_number() OVER (PARTITION BY sub.vec_id, sub.s
                            ORDER BY round(list_dot_product(xs, xs) + list_dot_product(cs, cs)
                                  - 2 * list_dot_product(xs, cs), 6) ASC, cb.code ASC) AS rn
@@ -4474,28 +4483,30 @@ object SparkEntry {
                  1048575 - (px % 1048576) AS t_max, px // 1048576 AS v_max
           FROM a""",
 
-    // hour-of-day profile means joined back, 6dp-decimal residual
-    // moments, the same fixed-shape variance expressions
+    // the within-group SSE identity: exact decimal integer numerators
+    // per hod group, ≤24 group-level 9dp roundings per type, and an
+    // unrounded exact-numerator var_total (a per-row residual round
+    // rolled a cross-engine round(double) disagreement at sf0.1)
     "ts_seasonal_strength" ->
       """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
                   CAST(count(*) AS DECIMAL(19,0)) AS c
                 FROM events GROUP BY 1, 2),
           hh AS (SELECT *, hour % 24 AS hod FROM h),
-          p AS (SELECT event_type, hod,
-                  CAST(sum(c) AS DOUBLE) / count(*) AS hod_mean
+          g AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_h,
+                  sum(c) AS s_h, sum(c * c) AS q_h
                 FROM hh GROUP BY 1, 2),
-          r AS (SELECT hh.event_type,
-                  CAST(round(CAST(c AS DOUBLE) - hod_mean, 6) AS DECIMAL(18,6)) AS r6,
-                  c
-                FROM hh JOIN p ON p.event_type = hh.event_type AND p.hod = hh.hod),
-          m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-                  CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c * c) AS DOUBLE) AS s2,
-                  CAST(sum(r6) AS DOUBLE) AS rs1, CAST(sum(r6 * r6) AS DOUBLE) AS rs2
-                FROM r GROUP BY 1),
+          g9 AS (SELECT *,
+                   CAST(round(CAST(n_h * q_h - s_h * s_h AS DOUBLE) / n_h, 9)
+                        AS DECIMAL(28,9)) AS sse9
+                 FROM g),
+          a AS (SELECT event_type, CAST(sum(n_h) AS BIGINT) AS n_hours,
+                  sum(s_h) AS s1, sum(q_h) AS q1,
+                  CAST(sum(sse9) AS DOUBLE) AS ssr
+                FROM g9 GROUP BY 1),
           v AS (SELECT event_type, n_hours,
-                  s2 / n_hours - (s1 / n_hours) * (s1 / n_hours) AS var_total,
-                  rs2 / n_hours - (rs1 / n_hours) * (rs1 / n_hours) AS var_resid
-                FROM m)
+                  CAST(n_hours * q1 - s1 * s1 AS DOUBLE) / n_hours / n_hours AS var_total,
+                  ssr / n_hours AS var_resid
+                FROM a)
           SELECT event_type, n_hours, var_total, var_resid,
                  CASE WHEN var_total > 0
                       THEN greatest(CAST(0 AS DOUBLE), 1 - var_resid / var_total) END AS strength
@@ -5400,6 +5411,15 @@ object SparkEntry {
          SELECT q_id, vec_id, round(CAST(dsum AS DOUBLE), 6) AS adc_dist,
                 CAST(rank AS BIGINT) AS rank
          FROM rk WHERE rank <= 10""",
+
+    // the chain's enc now carries its argmin distance: per-cell mean
+    // total squared reconstruction error, the pqProfile mse shape
+    "emb_ivfpq_mse" ->
+      s"""WITH $ivfPqChainCtes
+         SELECT cell, CAST(count(*) // 4 AS BIGINT) AS n_vectors,
+                round(CAST(sum(CAST(d26 AS DECIMAL(18,6))) AS DOUBLE)
+                      / (count(*) // 4), 6) AS mse
+         FROM enc GROUP BY 1""",
 
     // the IVFADC recall leg: the same chain's top-10 joined against
     // the exact cosine top-10 on the same query rows (the

@@ -1625,33 +1625,37 @@ object TsOps {
     * pattern (spec-pinned) — the go/no-go read before trusting
     * ts_seasonal_profile or ts_forecast_snaive. Over PRESENT hours
     * only (a zero-filled variant composes with ts_gap_fill_1h).
-    * Determinism: integer counts; residuals round to 6dp DECIMAL
-    * before the exact moment sums; one fixed-shape double expression
-    * per variance; strength clamps at 0 (var_resid can exceed
-    * var_total when the profile overfits thin cells). */
+    *
+    * Determinism (§4, a lesson earned at sf0.1): residuals against a
+    * group mean sum to ZERO within their group, so var_resid is the
+    * within-group SSE identity
+    *   var_resid = (Σ_hod (n_h·Q_h − S_h²)/n_h) / n
+    * with n_h·Q_h − S_h² an EXACT decimal integer per group. The
+    * first formulation rounded a per-ROW residual double and rolled a
+    * Spark-vs-DuckDB round(double) disagreement about once per 10⁵
+    * rows; this form rounds only ≤24 group-level rationals per type
+    * (9dp — the driftPsi risk class) and var_total needs NO rounding
+    * at all (one exact integer numerator, two divisions). Strength
+    * clamps at 0 (a profile can overfit thin cells). */
   def seasonalStrength(events: DataFrame): DataFrame = {
-    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d9 = org.apache.spark.sql.types.DecimalType(28, 9)
     val hourly = hourlyTypeCounts(events).withColumn("hod", col("hour") % 24)
-    val prof = hourly.groupBy(col("event_type"), col("hod"))
-      .agg(sum(col("c")).cast("double").as("sc"), count(lit(1)).as("nc"))
-      .select(col("event_type"), col("hod"), (col("sc") / col("nc")).as("hod_mean"))
-    hourly.join(prof, Seq("event_type", "hod"))
-      .withColumn("r6",
-        round(col("c").cast("double") - col("hod_mean"), 6).cast(d6))
-      .groupBy(col("event_type"))
+    val grp = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_h"), sum(col("c")).as("s_h"),
+        sum(col("c") * col("c")).as("q_h"))
+      .withColumn("sse9",
+        round((col("n_h") * col("q_h") - col("s_h") * col("s_h"))
+          .cast("double") / col("n_h"), 9).cast(d9))
+    grp.groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_hours"),
-        sum(col("c")).cast("double").as("s1"),
-        sum(col("c") * col("c")).cast("double").as("s2"),
-        sum(col("r6")).cast("double").as("rs1"),
-        sum(col("r6") * col("r6")).cast("double").as("rs2"))
+        sum(col("n_h")).as("n_hours"),
+        sum(col("s_h")).as("s1"),
+        sum(col("q_h")).as("q1"),
+        sum(col("sse9")).cast("double").as("ssr"))
       .select(col("event_type"), col("n_hours"),
-        (col("s2") / col("n_hours")
-          - (col("s1") / col("n_hours")) * (col("s1") / col("n_hours")))
-          .as("var_total"),
-        (col("rs2") / col("n_hours")
-          - (col("rs1") / col("n_hours")) * (col("rs1") / col("n_hours")))
-          .as("var_resid"))
+        ((col("n_hours") * col("q1") - col("s1") * col("s1")).cast("double")
+          / col("n_hours") / col("n_hours")).as("var_total"),
+        (col("ssr") / col("n_hours")).as("var_resid"))
       .withColumn("strength",
         when(col("var_total") > 0.0,
           greatest(lit(0.0), lit(1.0) - col("var_resid") / col("var_total"))))

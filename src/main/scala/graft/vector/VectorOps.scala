@@ -1395,6 +1395,48 @@ object VectorOps {
         maxRows = maxRows, force = force),
       pqTopK(corpus, nQueries, k, m, kCodes, dim))
 
+  /** IVF-PQ DISTORTION profile per cell — [[pqProfile]]'s
+    * compression-quality read for the RESIDUAL quantizer behind
+    * [[ivfPqTopK]]: mean total squared reconstruction error per cell
+    * (Σ over subspaces of the encode argmin distance, averaged over
+    * the cell's members). A hot cell means its residuals outrun the
+    * shared codebook — retrain or split before serving; read next to
+    * ann_ivfpq_recall (distortion explains WHERE recall went).
+    * Same one-pass broadcast-codebook encode, same micro-unit
+    * discipline; output is ≤ nCells rows. */
+  def ivfPqMse(corpus: DataFrame, nCells: Int = 16, m: Int = 4,
+               kCodes: Int = 16, dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(kCodes <= 1024, s"kCodes=$kCodes exceeds the 10-bit code pack")
+    val subDim = dim / m
+    val scale = math.pow(10, roundTo)
+    val cents = ivfCentroids(corpus, nCells)
+    val res = corpus.join(ivfAssign(corpus, cents, roundTo), "vec_id")
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("r"))
+    val xs = res.select(col("vec_id"), col("cell"),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> slice(r, s * $subDim + 1, $subDim))")).as(Seq("s", "xs")))
+    val cb = broadcast(
+      xs.filter(col("vec_id") >= nCells && col("vec_id") < nCells + kCodes)
+        .select((col("vec_id") - nCells).as("code"), col("s"), col("xs").as("cs")))
+    def d2(x: Column, c: Column): Column =
+      dot(x, x) + dot(c, c) - lit(2.0) * dot(x, c)
+    xs.join(cb, "s")
+      .select(col("vec_id"), col("cell"), col("s"),
+        (round(round(d2(col("xs"), col("cs")), roundTo) * scale, 0).cast("long")
+          * 1024L + col("code")).as("pack"))
+      .groupBy(col("vec_id"), col("cell"), col("s"))
+      .agg(min(col("pack")).as("pack"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("pack div 1024")).as("sdu"))
+      .select(col("cell"), expr(s"n_rows div $m").as("n_vectors"),
+        round((col("sdu").cast("double") / scale) / expr(s"n_rows div $m"), 6)
+          .as("mse"))
+  }
+
   /** [[recallAtK]] for the composed IVF-PQ path — the fourth leg of
     * the index-selection evidence, and the one that measures BOTH
     * failure modes at once: IVF's missed candidates (cells not
