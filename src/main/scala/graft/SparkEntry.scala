@@ -663,6 +663,13 @@ object SparkEntry {
     // never clamped); both exhausted branches live at the gate corpus
     "ts_error_budget" -> ((s, dir) => TsOps.errorBudget(t(s, dir, "events"))),
 
+    // generalized-ESD (Rosner'83 / S-H-ESD) outlier sweep: k=3
+    // masking-aware rounds, moments re-estimated without removed
+    // points each round, fixed 3.5σ cut (documented normal-approx
+    // variant, sits inside the corpus R range 3.19-4.55); both flag
+    // branches live at the gate corpus
+    "ts_anomaly_esd" -> ((s, dir) => TsOps.esdOutliers(t(s, dir, "events"))),
+
     // Kaplan–Meier retention done honestly: corpus-end-active users
     // are CENSORED, not deaths; curve kept in log space (−ln S as an
     // exact decimal cumsum of 9dp ln terms — no cross-engine exp)
@@ -1127,6 +1134,22 @@ object SparkEntry {
       graft.sources.Ingest.writeJsonlMicros(t(s, dir, "events"), out)
       graft.sources.Ingest.eventsFromJsonlMicros(s, out)
         .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          TsOps.exactSum(col("value"), 2).as("sum_value"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"),
+          sum(col("event_id")).as("sum_event_id"))
+    }),
+
+    // the CSV wire hop proven the same way (finer day grain so the
+    // two roundtrip gates check different slices): epoch-micros time,
+    // shortest-repr doubles, explicit schema — no inference pre-scan
+    "ingest_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      graft.sources.Ingest.writeCsvMicros(t(s, dir, "events"), out)
+      graft.sources.Ingest.eventsFromCsvMicros(s, out)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"),
           TsOps.exactSum(col("value"), 2).as("sum_value"),
@@ -3084,6 +3107,42 @@ object SparkEntry {
                          ORDER BY dsum ASC, vec_id ASC) AS rank
                 FROM adc)"""
 
+  /** ts_anomaly_esd oracle: the masking-aware sweep unrolled as 3
+    * (stats → argmax → remove) CTE rounds — each round's moments come
+    * from the PREVIOUS round's remaining rows, the kmeans unroll
+    * idiom. */
+  private lazy val esdOracle: String = {
+    def rnd(i: Int) =
+      s"""st$i AS (SELECT event_type,
+             CAST(sum(c) AS DOUBLE) / count(*) AS mean,
+             sqrt(CAST(sum(c * c) AS DOUBLE) / count(*)
+                  - (CAST(sum(c) AS DOUBLE) / count(*))
+                    * (CAST(sum(c) AS DOUBLE) / count(*))) AS std
+           FROM r${i - 1} GROUP BY 1),
+         cand$i AS (SELECT event_type, CAST($i AS BIGINT) AS iter, hour,
+             CAST(c AS BIGINT) AS value,
+             abs(CAST(c AS DOUBLE) - mean) / std AS r_stat
+           FROM (SELECT r.*, st$i.mean, st$i.std,
+                   row_number() OVER (PARTITION BY r.event_type
+                     ORDER BY abs(CAST(c AS DOUBLE) - mean) DESC, hour ASC) AS rn
+                 FROM r${i - 1} r
+                 JOIN st$i ON st$i.event_type = r.event_type AND std > 0)
+           WHERE rn = 1),
+         r$i AS (SELECT r.* FROM r${i - 1} r
+                 LEFT JOIN cand$i x ON x.event_type = r.event_type AND x.hour = r.hour
+                 WHERE x.hour IS NULL)"""
+    s"""WITH r0 AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+              CAST(count(*) AS DECIMAL(19,0)) AS c
+            FROM events GROUP BY 1, 2),
+        ${rnd(1)},
+        ${rnd(2)},
+        ${rnd(3)}
+        SELECT event_type, iter, hour, value, r_stat,
+               CAST(CASE WHEN r_stat > CAST(3.5 AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS anomalous
+        FROM (SELECT * FROM cand1 UNION ALL SELECT * FROM cand2
+              UNION ALL SELECT * FROM cand3)"""
+  }
+
   /** ts_downsample_lttb oracle: the greedy largest-triangle chain
     * UNROLLED as 10 step CTEs (the pagerank/kmeans unroll idiom) —
     * each step's argmax reads the PREVIOUS step's kept point, and the
@@ -3454,6 +3513,8 @@ object SparkEntry {
           FROM e GROUP BY 1""",
 
     "ts_periodogram" -> periodogramOracle,
+
+    "ts_anomaly_esd" -> esdOracle,
 
     "ts_alert_firing" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
@@ -4937,6 +4998,18 @@ object SparkEntry {
                 max(epoch_us(ts)) AS max_ts_us,
                 CAST(sum(event_id) AS BIGINT) AS sum_event_id
          FROM events GROUP BY 1""",
+
+    // the CSV hop answers the same truth at day grain — a lossy text
+    // roundtrip (timestamp strings, float formatting) would hash-drift
+    "ingest_csv_roundtrip" ->
+      """SELECT event_type, epoch_us(ts)//86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                min(epoch_us(ts)) AS min_ts_us,
+                max(epoch_us(ts)) AS max_ts_us,
+                CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY 1, 2""",
 
     // the sketch algebra restated bit-for-bit: same md5 hash60s, same
     // k-min lists, same merge, same ρ̂·D̂ product

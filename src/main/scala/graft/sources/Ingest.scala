@@ -61,6 +61,21 @@ object Ingest {
   def eventsFromJsonlMicros(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventMicrosSchema).json(path)
 
+  /** CSV sibling of [[writeJsonlMicros]] — the other wire dump every
+    * pipeline eventually receives. Same epoch-micros discipline;
+    * doubles survive the text hop via shortest-round-trip repr. */
+  def writeCsvMicros(events: DataFrame, path: String): Unit =
+    events.select(
+      org.apache.spark.sql.functions.col("event_id"),
+      graft.tsdb.Series.tsUs(events).as("ts_us"),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("value"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  def eventsFromCsvMicros(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventMicrosSchema).option("header", "true").csv(path)
+
   /** Schema-evolution read over a parquet lineage: older partitions
     * may lack columns that newer ones carry (a pipeline that added a
     * `props` field mid-history). `mergeSchema` unions the file

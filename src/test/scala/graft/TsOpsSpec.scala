@@ -1066,6 +1066,27 @@ class TsOpsSpec extends SparkSpec {
     assert(short == Seq((0L, 2L), (1L, 3L), (2L, 4L)))
   }
 
+  test("esd: round 2 unmasks the outlier round 1's inflated std was hiding") {
+    // 46 hours at 10, one spike 100 (hour 46), one lesser spike 40
+    // (hour 47): with the 100 in the moments the 40 sits under 3σ;
+    // once round 1 removes the 100, round 2 flags the 40 — masking
+    val counts = Seq.fill(46)(10) ++ Seq(100, 40)
+    val got = TsOps.esdOutliers(patternedEvents(counts, 48, "mask"))
+      .orderBy("iter")
+      .select("iter", "hour", "value", "r_stat", "anomalous")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    // round 3's remainder is constant (std = 0) → no candidate at all
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 46L, 100L), (2L, 47L, 40L)), s"got $got")
+    // single-pass z over ALL data would keep the 40: its global z is
+    // under 3 (the masking the sweep exists to break)
+    val all = counts.map(_.toDouble)
+    val m = all.sum / all.size
+    val sd = math.sqrt(all.map(v => v * v).sum / all.size - m * m)
+    assert(math.abs(40.0 - m) / sd < 3.0)
+    assert(got(0)._5 == 1L && got(1)._5 == 1L, s"got $got")
+  }
+
   test("m4: first/last/min/max per bucket, value ties break to the earliest hour") {
     // counts 5,1,9,1,5 in hours 0..4 (bucket 0 at 48h grain): first
     // (0,5), last (4,5), min ties hours 1 and 3 → earliest (1,1),
