@@ -471,6 +471,17 @@ object SparkEntry {
       """round((count_over_time(click[1d]) / scalar(sum(count_over_time(click[1d])))) * 100, 0.000001)""",
       T2)),
 
+    // presence/absence range functions through the front door: the
+    // staleness-dashboard shape — absent_over_time fires on a
+    // selector that matched NOTHING (the dead-exporter alert), its
+    // label attached via label_replace (the evaluator's absent keeps
+    // a minimal schema; `or` demands congruent vectors), or'd with
+    // the per-type live-series count from present_over_time
+    "promql_present" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """label_replace(absent_over_time({event_type="nosuch"}[1d]), "event_type", "nosuch", "event_type", "") or sum by (event_type) (present_over_time({event_type=~"click|view"}[1d]))""",
+      T2)),
+
     // the @ MODIFIER gated in its own right (the evaluation-time pin
     // behind "vs this time last week" panels): BOTH ratio sides pin
     // their own instants — day-5 vs day-19 daily activity per type —
@@ -735,6 +746,13 @@ object SparkEntry {
       val std = math.sqrt(r.getDouble(2) / n - mean * mean)
       StreamIngest.cusumStream(sm, mean, std).toDF()
     }),
+
+    // the STREAMING KMV sketch gated in its own right: O(k) min-hash
+    // state per group forever, a monotone semilattice (order/batching
+    // can't change the converged state — StreamKmvSpec); k=32 vs the
+    // batch gate's 64, two estimator regions
+    "stream_kmv_distinct" -> ((s, dir) =>
+      StreamIngest.kmvDistinctStream(t(s, dir, "events"), 32).toDF()),
 
     // the STREAMING session machine gated in its own right: per-user
     // open-session state (O(active users) forever), closed sessions
@@ -4488,6 +4506,36 @@ object SparkEntry {
                  CASE WHEN up THEN 'up' ELSE 'down' END AS direction,
                  round(CAST(CASE WHEN up THEN s_hi ELSE s_lo END AS DOUBLE), 6) AS stat
           FROM f WHERE up OR down""",
+
+    // the batch KMV restatement at the stream gate's k=32
+    "stream_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+                      CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                    FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_hash
+               FROM r WHERE rn <= 32 GROUP BY 1)
+         SELECT event_type AS g, n_kept, kth_hash,
+                CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                     ELSE 31.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+                END AS est_distinct
+         FROM k""",
+
+    // staleness shape: the absent row synthesizes its EQ-matcher
+    // label; the present side counts live series per type (one
+    // present_over_time sample per series in the window)
+    "promql_present" ->
+      """WITH p AS (SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS value
+                    FROM events
+                    WHERE regexp_matches(event_type, '^(?:click|view)$')
+                      AND epoch_us(ts) BETWEEN 1705708800000000 - 86400000000
+                                           AND 1705708800000000
+                    GROUP BY 1)
+         SELECT CAST('nosuch' AS VARCHAR) AS event_type, CAST(1.0 AS DOUBLE) AS value
+         UNION ALL
+         SELECT event_type, value FROM p""",
 
     // batch sessionization restated at the stream gate's 15-min gap;
     // session_idx stays internal (a session is unique per user+start)
