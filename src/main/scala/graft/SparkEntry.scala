@@ -681,6 +681,30 @@ object SparkEntry {
     // branches live at the gate corpus
     "ts_anomaly_esd" -> ((s, dir) => TsOps.esdOutliers(t(s, dir, "events"))),
 
+    // lead/lag detector across series PAIRS: Pearson r of a's hourly
+    // count at h vs b's at h+lag, signed lags on the ordered pair
+    // (r_ab(-k) = r_ba(k)); exact decimal moments, one fixed-shape
+    // double per (pair, lag) — all on the reduced types×hours frame
+    "ts_cross_corr" -> ((s, dir) => TsOps.crossCorr(t(s, dir, "events"))),
+
+    // Tukey boxplot fences on the hourly counts: quartiles (R-7,
+    // round-6dp tolerance) don't move when the outlier does — the
+    // robustness the moment detectors lack at small n; both fence
+    // sides populate at sf0.1
+    "ts_iqr_outliers" -> ((s, dir) => TsOps.iqrOutliers(t(s, dir, "events"))),
+
+    // Western Electric run rules 1-4: zone runs catch the shift-long
+    // drift a single 3σ point never shows; integer window sums over
+    // the observed hourly sequence, only firing hours emitted
+    "ts_spc_rules" -> ((s, dir) => TsOps.spcRules(t(s, dir, "events"))),
+
+    // Lorenz top-share reads behind events_gini: top 1/5/10% user
+    // shares via the activity HISTOGRAM (no global rank over users —
+    // the cumulative runs on the tiny distinct-count frame, the tied
+    // boundary level interpolated in exact integers)
+    "events_user_concentration" -> ((s, dir) =>
+      TsOps.userConcentration(t(s, dir, "events"))),
+
     // Kaplan–Meier retention done honestly: corpus-end-active users
     // are CENSORED, not deaths; curve kept in log space (−ln S as an
     // exact decimal cumsum of 9dp ln terms — no cross-engine exp)
@@ -1777,6 +1801,14 @@ object SparkEntry {
     "dq_checks" -> ((s, dir) =>
       graft.quality.Quality.tpchSuite(
         t(s, dir, "lineitem"), t(s, dir, "orders"), t(s, dir, "customer"))),
+
+    // Benford first-digit audit on prices: digit taken from the
+    // FIXED-POINT decimal rendering (raw double formatting diverges
+    // between engines), expected shares are driver-computed literals
+    // (the periodogram literal-trig pattern); synthetic-uniform TPC-H
+    // prices honestly deviate — the audit measures, never assumes
+    "dq_benford" -> ((s, dir) =>
+      graft.quality.Quality.benford(t(s, dir, "lineitem"), "l_extendedprice")),
 
     // DQ VERDICT PERSISTENCE + TREND (the other half of the Deequ
     // role — anomaly detection on the metrics OVER TIME): each
@@ -3038,8 +3070,12 @@ object SparkEntry {
     * DFT power restatement. */
   private lazy val periodogramOracle: String = {
     val rows = graft.tsdb.TsOps.trigTable(Seq(24, 12, 168))
+      // literals QUOTED: DuckDB's bare-numeric path routes through
+      // DECIMAL and misparses some 17-digit doubles by 1 ULP
+      // (0.12493873660829993 → …92, measured); the string cast is a
+      // correctly-rounded strtod on both engines
       .map { case (p, k, c, s) =>
-        s"($p, $k, CAST($c AS DOUBLE), CAST($s AS DOUBLE))"
+        s"($p, $k, CAST('$c' AS DOUBLE), CAST('$s' AS DOUBLE))"
       }
       .mkString(",\n             ")
     s"""WITH trig(period, pos, cosv, sinv) AS (VALUES
@@ -3533,6 +3569,114 @@ object SparkEntry {
     "ts_periodogram" -> periodogramOracle,
 
     "ts_anomaly_esd" -> esdOracle,
+
+    // the ts_acf moment CTEs generalized to the ordered type pair at
+    // signed lags; same fixed-shape r on exact-sum operands
+    "ts_cross_corr" ->
+      s"""WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  t.lag, a.c AS x, b.c AS y
+                FROM h a
+                JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) t ON true
+                JOIN h b ON a.event_type < b.event_type
+                        AND b.hour = a.hour + t.lag),
+          st AS (SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x * y) AS DOUBLE) AS sxy,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx,
+                  CAST(sum(y * y) AS DOUBLE) AS syy
+                 FROM p GROUP BY 1, 2, 3)
+          SELECT type_a, type_b, lag, n_pairs,
+                 CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+                      THEN (n_pairs * sxy - sx * sy)
+                           / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+                 END AS xcorr
+          FROM st""",
+
+    // quartiles are quarter-integers of integer counts (R-7 on the
+    // count frame) — exactly representable, so the rounded fences
+    // compare exactly on both engines
+    "ts_iqr_outliers" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                 CAST(count(*) AS DECIMAL(19,0)) AS c
+               FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type,
+                  round(quantile_cont(CAST(c AS DOUBLE), 0.25), 6) AS q1,
+                  round(quantile_cont(CAST(c AS DOUBLE), 0.75), 6) AS q3
+                FROM h GROUP BY 1),
+         f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS fence_lo,
+                 q3 + 1.5 * (q3 - q1) AS fence_hi FROM st)
+         SELECT h.event_type, CAST(h.hour AS BIGINT) AS hour,
+                CAST(h.c AS BIGINT) AS cnt, f.fence_lo, f.fence_hi,
+                CASE WHEN h.c < f.fence_lo THEN 'low' ELSE 'high' END AS side
+         FROM h JOIN f USING (event_type)
+         WHERE h.c < f.fence_lo OR h.c > f.fence_hi""",
+
+    // the esd moment shape + three ROWS-frame zone-run window sums;
+    // rule4's sum reaches 8 only with 8 rows present
+    "ts_spc_rules" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                 CAST(count(*) AS DECIMAL(19,0)) AS c
+               FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS DOUBLE) AS s1,
+                  CAST(sum(c * c) AS DOUBLE) AS s2
+                FROM h GROUP BY 1),
+         m AS (SELECT event_type, s1 / n AS mean,
+                 sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std FROM st),
+         mf AS (SELECT * FROM m WHERE std > 0),
+         z AS (SELECT h.event_type, h.hour, h.c,
+                 (CAST(h.c AS DOUBLE) - mf.mean) / mf.std AS z
+               FROM h JOIN mf USING (event_type)),
+         w AS (SELECT event_type, hour, c,
+                 CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS r1,
+                 sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 AS a2,
+                 sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 AS b2,
+                 sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 AS a1,
+                 sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 AS b1,
+                 sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 AS a0,
+                 sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 AS b0
+               FROM z
+               WINDOW w3 AS (PARTITION BY event_type ORDER BY hour
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                      w5 AS (PARTITION BY event_type ORDER BY hour
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                      w8 AS (PARTITION BY event_type ORDER BY hour
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         r AS (SELECT event_type, hour, c, CAST(r1 AS BIGINT) AS rule1,
+                 CAST(CASE WHEN a2 >= 2 OR b2 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS rule2,
+                 CAST(CASE WHEN a1 >= 4 OR b1 >= 4 THEN 1 ELSE 0 END AS BIGINT) AS rule3,
+                 CAST(CASE WHEN a0 = 8 OR b0 = 8 THEN 1 ELSE 0 END AS BIGINT) AS rule4
+               FROM w)
+         SELECT event_type, CAST(hour AS BIGINT) AS hour, CAST(c AS BIGINT) AS cnt,
+                rule1, rule2, rule3, rule4
+         FROM r WHERE rule1 + rule2 + rule3 + rule4 > 0""",
+
+    // the activity-histogram cumulative with the tied boundary level
+    // interpolated in exact integers; no global rank over users
+    "events_user_concentration" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+                 FROM events GROUP BY 1),
+         hist AS (SELECT n_ev, CAST(count(*) AS BIGINT) AS u FROM per GROUP BY 1),
+         cum AS (SELECT n_ev, u,
+                   sum(u) OVER (ORDER BY n_ev DESC ROWS UNBOUNDED PRECEDING) AS cum_u
+                 FROM hist),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n_ev) AS BIGINT) AS n_events FROM per),
+         x AS (SELECT p.pct, t.n_users, t.n_events, c.n_ev, c.u, c.cum_u,
+                 (p.pct * t.n_users + 99) // 100 AS k
+               FROM cum c, tot t,
+                 (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS pct) p),
+         y AS (SELECT pct, n_users, n_events, k, n_ev,
+                 greatest(0, least(u, k - (cum_u - u))) AS take
+               FROM x)
+         SELECT pct, n_users, CAST(k AS BIGINT) AS k_users,
+                CAST(sum(take * n_ev) AS BIGINT) AS top_events, n_events,
+                CAST(CAST(sum(take * n_ev) AS BIGINT) AS DOUBLE)
+                  / CAST(n_events AS DOUBLE) AS share
+         FROM y GROUP BY pct, n_users, n_events, k""",
 
     "ts_alert_firing" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
@@ -6542,6 +6686,26 @@ object SparkEntry {
 
     // the DQ suite restated: identical predicates, counts as BIGINT,
     // rates raw IEEE, the consistency check on the same 6dp decimals
+    // expected shares are the SAME driver-computed literals the gate
+    // uses (shortest-repr doubles parse to the identical IEEE value);
+    // the digit rides the fixed-point DECIMAL rendering on both sides
+    "dq_benford" ->
+      s"""WITH d AS (SELECT regexp_extract(
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                  '[1-9]', 0) AS digit
+                FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          f AS (SELECT digit FROM d WHERE digit <> ''),
+          c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f),
+          x AS (SELECT digit, n, CAST(n AS DOUBLE) / n_total AS share,
+                  CASE digit ${graft.quality.Quality.benfordShares
+                    .map { case (d, v) => s"WHEN '$d' THEN CAST('$v' AS DOUBLE)" }
+                    .mkString(" ")} END AS expected
+                FROM c, t)
+          SELECT digit, n, share, expected,
+                 (share - expected) * (share - expected) / expected AS dev
+          FROM x""",
+
     "dq_checks" ->
       """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS li_quantity_range,

@@ -342,4 +342,50 @@ object Quality {
       .unionByName(totalpriceConsistent("ord_totalprice_consistent",
         orders, lineitem))
   }
+
+  /** Benford first-digit expected shares log10(1 + 1/d), computed ONCE
+    * driver-side and inlined as LITERALS in both engines (the
+    * ts_periodogram literal-trig pattern — the gate contains no
+    * cross-engine log10 call at all). */
+  val benfordShares: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** BENFORD first-significant-digit audit (Benford 1938; Nigrini's
+    * fraud-detection staple — fabricated or templated numeric columns
+    * betray themselves by a flat/spiky first-digit histogram where
+    * organic multiplicative data follows log10(1+1/d)): digit shares
+    * of `valueCol` against the Benford expectation with the χ²-style
+    * per-digit deviation term (share−exp)²/exp. TPC-H prices are
+    * synthetic-uniform, so the gate HONESTLY reports large deviations
+    * — the audit's point is the measurement, not conformance.
+    *
+    * Determinism (§4): the digit comes from the FIXED-POINT DECIMAL
+    * rendering (cast to DECIMAL(18,2) first — both engines print
+    * decimals fixed-point, where raw double formatting diverges),
+    * counts are exact, the expected shares are shared literals, and
+    * share/deviation are fixed-shape double expressions on identical
+    * operands. Scale: one conditional-aggregate scan (map-side
+    * partials) plus a broadcast one-row total — the [[rowChecks]]
+    * cost shape. */
+  def benford(table: DataFrame, valueCol: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val digits = table
+      .filter(col(valueCol).isNotNull)
+      .select(regexp_extract(col(valueCol).cast(dec2).cast("string"),
+        "[1-9]", 0).as("digit"))
+      .filter(col("digit") =!= "")
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(count(lit(1)).as("n_total"))
+    val expected = benfordShares.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, s)) =>
+        when(col("digit") === d.toString, lit(s)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("n_total"))
+      .withColumn("expected", expected)
+      .withColumn("dev",
+        (col("share") - col("expected")) * (col("share") - col("expected"))
+          / col("expected"))
+      .select(col("digit"), col("n"), col("share"), col("expected"), col("dev"))
+  }
 }

@@ -2374,4 +2374,174 @@ object TsOps {
         sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
       .withColumn("bounce_rate",
         col("n_bounces").cast("double") / col("n_sessions"))
+
+  /** Lagged CROSS-correlation between series PAIRS — the lead/lag
+    * detector [[acf]] cannot answer (acf asks "does a series predict
+    * itself?"; this asks "does series A lead series B by k hours?" —
+    * the root-cause read when an error-rate series spikes after a
+    * deploy-event series). Per unordered type pair (a < b, one row
+    * per pair per lag, r_ab(−k) = r_ba(k) so signed lags on the
+    * ordered pair carry the full picture): Pearson r between a's
+    * hourly count at h and b's at h+lag.
+    *
+    * Determinism (§4): the six moments are EXACT decimal sums of
+    * integer counts cast to double once, and r is the single
+    * fixed-shape expression (n·Σxy−ΣxΣy)/√(vx·vy) both engines
+    * evaluate on identical operands. Scale: the join and aggregation
+    * run on the reduced n_types × n_hours frame — the corpus-scale
+    * work is the one hourly aggregation feeding it. */
+  def crossCorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 24, s"maxLag in [1, 24], got $maxLag")
+    val hourly = hourlyTypeCounts(events)
+    val withLag = hourly.select(col("event_type"), col("hour"), col("c"),
+      explode(expr(s"sequence(${-maxLag}, $maxLag)")).as("lag"))
+    val pairs = withLag.alias("a").join(hourly.alias("b"),
+        col("a.event_type") < col("b.event_type") &&
+          col("b.hour") === col("a.hour") + col("a.lag"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.lag").as("lag"), col("a.c").as("x"), col("b.c").as("y"))
+    pairs.groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
+        when(col("vx") > 0 && col("vy") > 0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            / sqrt(col("vx") * col("vy"))).as("xcorr"))
+  }
+
+  /** TUKEY-fence outliers on the hourly counts — the boxplot rule
+    * (Tukey, EDA 1977), the quartile-based sibling of the moment
+    * detectors ([[esdOutliers]] z, mad, band): fences at
+    * Q1 − k·IQR / Q3 + k·IQR flag without letting the outlier itself
+    * inflate the yardstick (quartiles barely move when the tail
+    * does — the robustness z lacks at small n). Determinism (§4):
+    * quartiles are the R-7 interpolation both engines implement
+    * (Spark `percentile` = DuckDB `quantile_cont`) rounded to 6dp —
+    * a TOLERANCE for last-ULP libm drift, the ts_quantiles rule —
+    * and fences derive from the rounded values, so the flag
+    * comparison runs on identical doubles. Scale: quartile state is
+    * per-type over its hours; the flag pass joins the broadcast
+    * 5-row fence frame. Both branches populate at sf0.1 (error's
+    * min 12 < lo 13.5; every type's max clears hi). */
+  def iqrOutliers(events: DataFrame, k: Double = 1.5): DataFrame = {
+    require(k > 0, s"fence multiplier must be > 0, got $k")
+    val hourly = hourlyTypeCounts(events)
+    val st = hourly.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(CAST(c AS DOUBLE), 0.25)"), 6).as("q1"),
+        round(expr("percentile(CAST(c AS DOUBLE), 0.75)"), 6).as("q3"))
+      .withColumn("fence_lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("fence_hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    hourly.join(broadcast(st), "event_type")
+      .filter(col("c") < col("fence_lo") || col("c") > col("fence_hi"))
+      .select(col("event_type"), col("hour").cast("long").as("hour"),
+        col("c").cast("long").as("cnt"),
+        col("fence_lo"), col("fence_hi"),
+        when(col("c") < col("fence_lo"), lit("low")).otherwise(lit("high"))
+          .as("side"))
+  }
+
+  /** WESTERN ELECTRIC run rules (the 1956 SQC handbook tests 1–4) —
+    * the control-chart discipline a plain 3σ alert misses: a process
+    * can drift for a SHIFT's worth of hours without one point
+    * crossing 3σ, which is exactly what rules 2–4 (zone runs) catch.
+    * Per type, z against the series' own population moments, then
+    * over the OBSERVED hourly sequence (gap hours absent — the rules
+    * run on consecutive samples, stated, not hidden):
+    *   rule1: |z| > 3 (the classic);
+    *   rule2: ≥2 of the last 3 beyond 2σ, same side;
+    *   rule3: ≥4 of the last 5 beyond 1σ, same side;
+    *   rule4: 8 consecutive on one side of the mean.
+    * Output: only firing hours, with per-rule flags. Determinism
+    * (§4): moments are exact decimal sums cast once (the esd shape);
+    * every zone comparison runs on the identical computed double;
+    * the run sums are integer window sums both engines restate with
+    * the same ROWS frames. Rule4's sum can only reach 8 with 8 rows
+    * present, so no separate window-fill check is needed. Scale:
+    * everything past the hourly reduction is per-type bounded
+    * windows on the reduced frame. */
+  def spcRules(events: DataFrame): DataFrame = {
+    val hourly = hourlyTypeCounts(events)
+    val st = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).cast("double").as("s1"),
+        sum(col("c") * col("c")).cast("double").as("s2"))
+      .select(col("event_type"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt(col("s2") / col("n")
+          - (col("s1") / col("n")) * (col("s1") / col("n"))).as("std"))
+      .filter(col("std") > 0)
+    val z = hourly.join(broadcast(st), "event_type")
+      .withColumn("z", (col("c").cast("double") - col("mean")) / col("std"))
+    def runSum(c: Column, rows: Int): Column =
+      sum(c).over(Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-(rows - 1), 0))
+    val flagged = z
+      .withColumn("rule1", when(abs(col("z")) > 3, 1L).otherwise(0L))
+      .withColumn("rule2",
+        when(runSum(when(col("z") > 2, 1L).otherwise(0L), 3) >= 2 ||
+             runSum(when(col("z") < -2, 1L).otherwise(0L), 3) >= 2, 1L)
+          .otherwise(0L))
+      .withColumn("rule3",
+        when(runSum(when(col("z") > 1, 1L).otherwise(0L), 5) >= 4 ||
+             runSum(when(col("z") < -1, 1L).otherwise(0L), 5) >= 4, 1L)
+          .otherwise(0L))
+      .withColumn("rule4",
+        when(runSum(when(col("z") > 0, 1L).otherwise(0L), 8) === 8 ||
+             runSum(when(col("z") < 0, 1L).otherwise(0L), 8) === 8, 1L)
+          .otherwise(0L))
+    flagged
+      .filter(col("rule1") + col("rule2") + col("rule3") + col("rule4") > 0)
+      .select(col("event_type"), col("hour").cast("long").as("hour"),
+        col("c").cast("long").as("cnt"),
+        col("rule1"), col("rule2"), col("rule3"), col("rule4"))
+  }
+
+  /** USER-concentration top shares — "what fraction of all events do
+    * the top p% of users generate?" (the Lorenz-curve reads behind
+    * [[gini]]'s single number: a dashboard quotes top-1/5/10% shares,
+    * and abuse review watches the 1% line). Grain: one row per
+    * requested percentile.
+    *
+    * Scale design — NO global rank over users: a row_number across a
+    * billion users is the anti-pattern; instead users reduce to an
+    * activity HISTOGRAM (one row per distinct per-user event count —
+    * bounded by max events/user, thousands at most), the cumulative
+    * runs over that tiny frame, and the top-k cut interpolates
+    * inside the one straddling tied level:
+    * take = clamp(k − users_above_level, 0, level_users). Exact
+    * integers end to end (k = ⌈p·n_users/100⌉ in integer arithmetic),
+    * ONE raw double division for the share (§4). */
+  def userConcentration(events: DataFrame,
+                        pcts: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles in [1, 100], got $pcts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val per = Series.samples(events).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    val hist = per.groupBy(col("n_ev")).agg(count(lit(1)).as("u"))
+    val cum = hist.withColumn("cum_u",
+      sum(col("u")).over(Window.orderBy(col("n_ev").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val totals = per.agg(count(lit(1)).as("n_users"),
+      sum(col("n_ev")).as("n_events"))
+    cum.crossJoin(broadcast(totals))
+      .crossJoin(broadcast(pcts.map(_.toLong).toDF("pct")))
+      .withColumn("k", expr("(pct * n_users + 99) div 100"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("u"), col("k") - (col("cum_u") - col("u")))))
+      .groupBy(col("pct"), col("n_users"), col("n_events"), col("k"))
+      .agg(sum(col("take") * col("n_ev")).as("top_events"))
+      .select(col("pct"), col("n_users"), col("k").as("k_users"),
+        col("top_events"), col("n_events"),
+        (col("top_events").cast("double") / col("n_events").cast("double"))
+          .as("share"))
+  }
 }

@@ -115,6 +115,25 @@ class QualitySpec extends SparkSpec {
     assert(t2._1 == "r5" && t2._2 == 0.25 && !t2._4, t2)
   }
 
+  test("benford: digit from the decimal rendering, zero/null excluded, literal expectations") {
+    // first SIGNIFICANT digit: 1.0/12.5/0.13 → '1', 9.5 → '9';
+    // 0.0 renders '0.00' (no [1-9]) and NULL is filtered — n_total = 4
+    val df = Seq(Some(1.0), Some(12.5), Some(0.13), Some(9.5), Some(0.0),
+        Option.empty[Double])
+      .toDF("v")
+    val got = Quality.benford(df, "v")
+      .select("digit", "n", "share", "expected", "dev")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("1", "9"))
+    assert(got("1")._2 == 3L && got("1")._3 == 0.75)
+    assert(got("9")._2 == 1L && got("9")._3 == 0.25)
+    val e1 = math.log10(2.0)
+    assert(got("1")._4 == e1)
+    assert(got("1")._5 == (0.75 - e1) * (0.75 - e1) / e1)
+    assert(Quality.benfordShares.map(_._2).sum > 0.999) // shares form a distribution
+  }
+
   private implicit class MapOps(rows: Array[(String, Long, Long, Boolean)]) {
     def toMap2: Map[String, (Long, Long, Boolean)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap

@@ -1211,4 +1211,97 @@ class TsOpsSpec extends SparkSpec {
     assert(alt.isNullAt(alt.fieldIndex("pacf2")))
     assert(alt.isNullAt(alt.fieldIndex("pacf3")))
   }
+
+  test("cross_corr: a series shifted by +2h reads r=1 at lag 2 and only there") {
+    // type "aa" carries an aperiodic count pattern on hours 0..23;
+    // type "bb" carries the SAME counts two hours later (hours 2..25)
+    // → at lag +2 every pair is (x, x): r = 1 exactly, n_pairs = 24
+    val pat = Seq(1, 5, 2, 8, 3, 9, 4, 7, 2, 6, 1, 8)
+    var id = 0L
+    val rows = for {
+      h <- 0 until 24
+      (tpe, off) <- Seq(("aa", 0), ("bb", 2))
+      i <- 0 until pat(h % pat.length)
+    } yield {
+      id += 1
+      (id, ((h + off) * 3600000000L + i * 1000000L) * 1000L, 1L, tpe, 1.0)
+    }
+    val got = TsOps.crossCorr(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("type_a", "type_b", "lag", "n_pairs", "xcorr")
+      .as[(String, String, Int, Long, Option[Double])].collect()
+    assert(got.forall(r => r._1 == "aa" && r._2 == "bb"))
+    val at2 = got.find(_._3 == 2).get
+    assert(at2._4 == 24 && at2._5.contains(1.0), s"lag2: $at2")
+    assert(got.filter(_._3 != 2).forall(_._5.forall(r => math.abs(r) < 1.0)))
+  }
+
+  test("iqr_outliers: degenerate IQR flags both sides; the bulk stays inside") {
+    // 20 hours at count 4 pin q1 = q3 = 4 (IQR 0, fences collapse to
+    // the median) — hour 20's 100 flags high, hour 21's 1 flags low
+    val counts = Seq.fill(20)(4) ++ Seq(100, 1)
+    var id = 0L
+    val rows = for {
+      (c, h) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield {
+      id += 1
+      (id, (h * 3600000000L + i * 1000000L) * 1000L, 1L, "t", 1.0)
+    }
+    val got = TsOps.iqrOutliers(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("hour", "cnt", "side").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((20L, 100L, "high"), (21L, 1L, "low")))
+  }
+
+  test("spc_rules: rule4 needs 8 full same-side hours; zone rules fire on the run") {
+    // 24 hours at 4 then 8 hours at 6: mean 4.5, σ = √0.75 —
+    // z(4) = −0.577 (inside every zone), z(6) = +1.732 (beyond 1σ,
+    // inside 2σ). rule4 below-side fires first at hour 7 (8th
+    // consecutive below-mean hour); the above-side run fires at hour
+    // 31; hour 24 (run length 1) must NOT appear at all
+    val counts = Seq.fill(24)(4) ++ Seq.fill(8)(6)
+    var id = 0L
+    val rows = for {
+      (c, h) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield {
+      id += 1
+      (id, (h * 3600000000L + i * 1000000L) * 1000L, 1L, "t", 1.0)
+    }
+    val got = TsOps.spcRules(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("hour", "cnt", "rule1", "rule2", "rule3", "rule4")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(24L), "run of 1 must not fire")
+    assert(!got.contains(6L), "only 7 below-mean hours so far")
+    val h7 = got(7L)
+    assert(h7._6 == 1 && h7._3 == 0 && h7._4 == 0 && h7._5 == 0)
+    val h31 = got(31L)
+    assert(h31._6 == 1 && h31._5 == 1, s"hour 31: $h31") // rule3: 5 of last 5 beyond 1σ
+    assert(h31._3 == 0 && h31._4 == 0) // 1.73σ: no 3σ point, no 2σ zone
+  }
+
+  test("user_concentration: tied boundary level interpolates in exact integers") {
+    // 100 users: one with 901 events, 99 with 1 → k(1%)=1 takes the
+    // whale (.901), k(5%)=5 adds 4 of the 99-way tie (.905), k(10%)
+    // adds 9 (.910) — the tie split is the thing under test
+    var id = 0L
+    val rows = for {
+      u <- 0 until 100
+      i <- 0 until (if (u == 0) 901 else 1)
+    } yield {
+      id += 1
+      (id, (id * 1000000L) * 1000L, u.toLong, "t", 1.0)
+    }
+    val got = TsOps.userConcentration(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("pct", "n_users", "k_users", "top_events", "n_events", "share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 100L, 1L, 901L, 1000L, 0.901)))
+    assert(got(5L) == ((5L, 100L, 5L, 905L, 1000L, 0.905)))
+    assert(got(10L) == ((10L, 100L, 10L, 910L, 1000L, 0.910)))
+  }
 }
