@@ -716,6 +716,18 @@ object SparkEntry {
     // split; detection spec-pinned on a constructed shift
     "events_ab_welch" -> ((s, dir) => TsOps.abWelch(t(s, dir, "events"))),
 
+    // the distribution-free sibling: Mann-Whitney U on the same
+    // per-user totals via the value-histogram rank reduction (no
+    // global rank over users; tied blocks contribute exact
+    // half-integer average ranks); honestly null on the parity split
+    "events_ab_mwu" -> ((s, dir) => TsOps.abMannWhitney(t(s, dir, "events"))),
+
+    // multi-resolution Haar energy ladder over the first 256 hours:
+    // which time scale carries the energy (hour jitter vs 16h swings);
+    // unnormalized -> every coefficient an exact integer
+    "ts_haar_dwt" -> ((s, dir) => TsOps.haarDwt(t(s, dir, "events"))),
+
+
     // value > 20 for 2 days: probed 67405 active / 29070 firing at
     // sf0.1 — both states live (the vacuous-match discipline)
     "ts_alert_firing" -> ((s, dir) =>
@@ -2107,6 +2119,14 @@ object SparkEntry {
 
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(docsT(s, dir))),
 
+    // character-grain refinement of the SAME bucketed candidates:
+    // Levenshtein on fixed 200-char prefixes (bounded per-pair DP,
+    // two-stage discipline — never all-pairs); both engines'
+    // levenshtein agree exactly on unit-cost edits
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(docsT(s, dir))),
+
+
     // the measured MinHash S-curve: per 0.05 jaccard bucket, the
     // fraction of true near-dup pairs the banded LSH emits — the
     // numPerm/bandSize selection evidence read before candidate
@@ -2130,6 +2150,17 @@ object SparkEntry {
     "graph_pagerank" -> ((s, dir) =>
       graft.analytics.Graph.pagerank(
         Dedup.ngramJaccardTwoStage(docsT(s, dir)).select("doc_a", "doc_b"))),
+
+    // cohesion on the event-type TRANSITION graph: per-node triangle
+    // count + local clustering coefficient (a node inside a community
+    // vs a hub bridging strangers); triangles enumerate once as
+    // ordered a<b<c triples via two hash equi-joins
+    "graph_triangles" -> ((s, dir) => {
+      val tr = TsOps.transitions(t(s, dir, "events"))
+        .select(col("from_type").as("u"), col("to_type").as("v"))
+      graft.analytics.Graph.clustering(tr)
+    }),
+
 
     "dedup_containment" -> ((s, dir) =>
       // directional containment over the SAME LSH candidates — the
@@ -2381,6 +2412,12 @@ object SparkEntry {
     }),
 
     "text_quality" -> ((s, dir) => TextOps.quality(docsT(s, dir))),
+
+    // Flesch reading-ease from regex RUN counts (words/sentences/
+    // vowel-group syllables) with shared literal constants; band CASE
+    // cuts on the identical computed double
+    "doc_readability" -> ((s, dir) => TextOps.readability(docsT(s, dir))),
+
 
     // the Heaps'-law vocabulary-growth profile: cumulative docs /
     // tokens / distinct tokens / TTR at each id-ordered prefix decile
@@ -3677,6 +3714,58 @@ object SparkEntry {
                 CAST(CAST(sum(take * n_ev) AS BIGINT) AS DOUBLE)
                   / CAST(n_events AS DOUBLE) AS share
          FROM y GROUP BY pct, n_users, n_events, k""",
+
+    // the value-histogram rank reduction restated: doubled average
+    // ranks keep the rank sum an exact integer; U/mu/sigma2/z are the
+    // classic closed forms on identical operands
+    "events_ab_mwu" ->
+      """WITH per AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m
+                FROM events GROUP BY 1),
+          v AS (SELECT m, user_id % 2 AS variant FROM per),
+          hist AS (SELECT m,
+                  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+                FROM v GROUP BY 1),
+          h2 AS (SELECT *, c0 + c1 AS t FROM hist),
+          cum AS (SELECT *, CAST(COALESCE(sum(t) OVER (ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS cum_before
+                FROM h2),
+          a AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+                  CAST(sum(c0 * (2 * cum_before + t + 1)) AS BIGINT) AS r0x2,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+                FROM cum),
+          b AS (SELECT *, n0 + n1 AS n,
+                  r0x2 / CAST(2 AS DOUBLE) - n0 * (n0 + 1) / CAST(2 AS DOUBLE) AS u0
+                FROM a),
+          c AS (SELECT *, n0 * n1 / CAST(2 AS DOUBLE) AS mu,
+                  n0 * n1 / CAST(12 AS DOUBLE)
+                    * ((n + 1) - CAST(tie_sum AS DOUBLE) / (n * (n - 1))) AS sigma2
+                FROM b),
+          d AS (SELECT *, (u0 - mu) / sqrt(sigma2) AS z FROM c)
+          SELECT n0, n1, u0, tie_sum, z,
+                 CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+          FROM d""",
+
+    // unnormalized Haar: integer block-sum differences, integer
+    // energies; absent hours contribute 0 to their block on both sides
+    "ts_haar_dwt" ->
+      """WITH h AS (SELECT event_type,
+                  (epoch_us(ts) - 1704067200000000) // 3600000000 AS idx,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events
+                WHERE epoch_us(ts) >= 1704067200000000
+                  AND epoch_us(ts) < 1704988800000000
+                GROUP BY 1, 2),
+          l AS (SELECT unnest([1, 2, 3, 4, 5]) AS lvl,
+                  CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS half),
+          d AS (SELECT event_type, lvl, idx // (half * 2) AS block,
+                  CAST(sum(CASE WHEN (idx // half) % 2 = 0 THEN c ELSE -c END)
+                    AS BIGINT) AS d
+                FROM h, l GROUP BY 1, 2, 3)
+          SELECT event_type, lvl, CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(sum(d * d) AS BIGINT) AS energy
+          FROM d GROUP BY 1, 2""",
 
     "ts_alert_firing" ->
       s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
@@ -5473,6 +5562,30 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY text""",
 
+    // the same candidate CTEs + the Levenshtein refinement on 200-char
+    // prefixes (both engines' levenshtein: plain unit-cost DP)
+    "dedup_edit_distance" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM tok)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         shc AS (SELECT sh.* FROM sh
+                 JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000) k USING (sh)),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                   FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         p AS (SELECT doc_a, doc_b,
+                 CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) AS jaccard
+               FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+               WHERE CAST(n_inter AS DOUBLE)/(x.n_sh + y.n_sh - n_inter) >= 0.3),
+         pf AS (SELECT doc_id, substr(text, 1, 200) AS pfx FROM documents),
+         j AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+                 CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev,
+                 CAST(greatest(length(a.pfx), length(b.pfx)) AS BIGINT) AS max_len
+               FROM p JOIN pf a ON p.doc_a = a.doc_id JOIN pf b ON p.doc_b = b.doc_id)
+         SELECT doc_a, doc_b, jaccard, lev, max_len,
+                CAST(1 AS DOUBLE) - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) AS edit_sim
+         FROM j""",
+
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
@@ -5527,6 +5640,35 @@ object SparkEntry {
     // nano-unit floor arithmetic, eight unrolled sweep CTEs — the
     // integer representation is WHY the oracle can be exact
     "graph_pagerank" -> pagerankOracle,
+
+    // transition-graph cohesion: canonical u<v edges, triangles as
+    // ordered a<b<c triples, clustering = 2T/(d(d-1)) raw IEEE
+    "graph_triangles" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+         tr AS (SELECT event_type AS f,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS tt
+                FROM s),
+         e AS (SELECT DISTINCT least(f, tt) AS u, greatest(f, tt) AS v
+               FROM tr WHERE tt IS NOT NULL AND f <> tt),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.u = e1.v
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS node FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY 1),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY 1)
+         SELECT deg.node, deg.degree,
+                COALESCE(pn.n_triangles, 0) AS n_triangles,
+                CASE WHEN deg.degree >= 2
+                     THEN CAST(2 AS DOUBLE) * COALESCE(pn.n_triangles, 0)
+                          / (deg.degree * (deg.degree - 1))
+                END AS clustering
+         FROM deg LEFT JOIN pn USING (node)""",
 
     // the band CTE keys buckets as (band, bh) where the engine folds
     // the band id into one hash — identical partitioning, so every
@@ -6028,6 +6170,32 @@ object SparkEntry {
            UNION
            SELECT reach.vec_id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
          SELECT vec_id, min(r) AS cluster_rep FROM reach GROUP BY 1""",
+
+    // regex run counts restated verbatim; shared literal constants
+    // (string-cast: the correctly-rounded strtod path); band CASE on
+    // the identical computed double
+    "doc_readability" ->
+      """WITH c AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+                 greatest(CAST(1 AS BIGINT),
+                   CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+               FROM documents),
+         f AS (SELECT *,
+                 CASE WHEN n_words > 0
+                      THEN CAST('206.835' AS DOUBLE)
+                           - CAST('1.015' AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+                           - CAST('84.6' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)
+                 END AS flesch
+               FROM c)
+         SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+                CASE WHEN flesch IS NULL THEN 'empty'
+                     WHEN flesch >= 90 THEN 'very_easy'
+                     WHEN flesch >= 70 THEN 'easy'
+                     WHEN flesch >= 50 THEN 'medium'
+                     WHEN flesch >= 30 THEN 'difficult'
+                     ELSE 'very_difficult' END AS band
+         FROM f""",
 
     "text_quality" ->
       """SELECT doc_id,

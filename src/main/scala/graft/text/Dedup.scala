@@ -895,4 +895,34 @@ object Dedup {
         lit(nProbes.toLong).as("n_probes"), col("n_probe_hits"),
         (col("n_probe_hits").cast("double") / nProbes.toDouble).as("fp_measured"))
   }
+
+  /** EDIT-DISTANCE refinement over the shingle-Jaccard candidates —
+    * the CHARACTER-grain verdict the set-similarity stack can't give
+    * (Jaccard over shingle SETS is order-blind and misses small
+    * in-place edits' true cost; Levenshtein is the measure dedup
+    * literature reports for template detection). NEVER all-pairs:
+    * candidates come from [[ngramJaccardPairs]]'s bucketed generator
+    * verbatim (the two-stage discipline — a cheap bounded-recall
+    * stage feeds an expensive exact one), and the O(L²) DP runs on
+    * fixed `prefixLen`-char prefixes so per-pair cost is a constant,
+    * stated (at 100 TB you'd also band by length). Spark's
+    * `levenshtein` and DuckDB's agree exactly (unit-cost edits);
+    * sim = 1 − lev/max(len) is ONE raw double division of exact
+    * integers (§4). */
+  def editDistancePairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3,
+                        prefixLen: Int = 200): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 10000,
+      s"prefixLen in [1, 10000], got $prefixLen")
+    val pfx = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pfx"))
+    ngramJaccardPairs(docs, n, threshold)
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("lev"),
+        greatest(length(col("pfx_a")), length(col("pfx_b"))).cast("long")
+          .as("max_len"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev").cast("double") / col("max_len").cast("double"))
+  }
 }

@@ -1013,4 +1013,43 @@ object TextOps {
         col("batches_arrival"), wasteA.as("waste_arrival"),
         (wasteA - wasteB).as("waste_saving"))
   }
+
+  /** FLESCH READING-EASE per document — the readability gate a
+    * curation pipeline runs next to [[qualityScore]]'s surface
+    * ratios (a corpus can pass length/punctuation checks while being
+    * unreadably dense legalese or SEO keyword soup; Flesch is the
+    * 1948 dial every readability stack still anchors on). Counts are
+    * REGEX RUN counts both engines restate identically: words =
+    * [A-Za-z]+ runs, sentences = [.!?]+ runs (floored at 1 — a
+    * fragment is one sentence), syllables = [aeiouy]+ runs lowercased
+    * (the standard vowel-group approximation, stated). Score =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) with
+    * the constants as shared literals and both quotients raw IEEE on
+    * exact integers (§4); the band CASE cuts at 90/70/50/30 on the
+    * identical computed double. Zero-word docs are reported with NULL
+    * score, never dropped. One map-only pass; regex cost ∝ corpus
+    * bytes, embarrassingly parallel. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+      .cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val sylls = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+      .withColumn("band",
+        when(col("flesch").isNull, "empty")
+          .when(col("flesch") >= 90, "very_easy")
+          .when(col("flesch") >= 70, "easy")
+          .when(col("flesch") >= 50, "medium")
+          .when(col("flesch") >= 30, "difficult")
+          .otherwise("very_difficult"))
+  }
 }

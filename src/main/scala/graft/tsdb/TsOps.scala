@@ -2544,4 +2544,92 @@ object TsOps {
         (col("top_events").cast("double") / col("n_events").cast("double"))
           .as("share"))
   }
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) on per-user value totals —
+    * the DISTRIBUTION-FREE sibling of [[abWelch]]: revenue-per-user
+    * is heavy-tailed, and a whale landing in one arm moves a t-test
+    * where the rank test shrugs (the reason experimentation stacks
+    * report both). Same parity assignment as the Welch/CUPED gates.
+    *
+    * Scale design — NO global rank over users: ranks only enter as
+    * the per-variant rank SUM, so totals reduce to a VALUE HISTOGRAM
+    * (per distinct total: arm counts), the cumulative runs over that
+    * frame, and each tied block contributes its exact average rank
+    * cum_before + (t+1)/2 — carried DOUBLED (2·avg_rank =
+    * 2·cum_before + t + 1) so the rank sum aggregates as an EXACT
+    * integer at any scale and halves once at the end. U, the
+    * tie-corrected variance Σ(t³−t), and z are the classic closed
+    * forms as fixed-shape expressions on exact operands (§4);
+    * |z| > 1.96 flags. Honestly null on the parity split — the
+    * detection power is spec-pinned on a constructed shift. */
+  def abMannWhitney(events: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = Series.samples(events)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(d2)).as("m"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val hist = per.groupBy(col("m"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+      .withColumn("t", col("c0") + col("c1"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("t")).over(Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum
+      .agg(
+        sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("c0") * (lit(2L) * col("cum_before") + col("t") + 1))
+          .as("r0x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("u0", col("r0x2") / lit(2.0)
+        - col("n0") * (col("n0") + 1) / lit(2.0))
+      .withColumn("mu", col("n0") * col("n1") / lit(2.0))
+      .withColumn("sigma2",
+        col("n0") * col("n1") / lit(12.0)
+          * ((col("n") + 1)
+            - col("tie_sum").cast("double") / (col("n") * (col("n") - 1))))
+      .withColumn("z", (col("u0") - col("mu")) / sqrt(col("sigma2")))
+      .withColumn("significant", when(abs(col("z")) > 1.96, 1L).otherwise(0L))
+      .select(col("n0"), col("n1"), col("u0"), col("tie_sum"), col("z"),
+        col("significant"))
+  }
+
+  /** Unnormalized HAAR WAVELET energy spectrum per series — the
+    * multi-resolution variance ladder (which TIME SCALE carries the
+    * signal's energy: level 1 = hour-to-hour jitter, level 5 =
+    * 16h-vs-16h swings — the dial that says whether smoothing or
+    * daily seasonality work is worth it, complementing
+    * ts_periodogram's fixed-period probe). Over the first `span`
+    * hours from `baseUs`: level-l detail d = (left half-block sum) −
+    * (right half-block sum) over 2^l-hour blocks, energy_l = Σ d².
+    *
+    * Determinism (§4): the UNNORMALIZED transform keeps every
+    * coefficient an exact INTEGER (the 1/√2 of textbook Haar never
+    * appears — a reader rescales by 2^(l/2) client-side); absent
+    * hours contribute 0 to their block sum on both engines. Scale:
+    * ONE hash aggregation per level over the reduced hourly frame,
+    * all levels riding a broadcast 5-row level table. */
+  def haarDwt(events: DataFrame, levels: Int = 5, span: Int = 256,
+              baseUs: Long = 1704067200000000L): DataFrame = {
+    require(levels >= 1 && levels <= 20 && (1 << levels) <= span,
+      s"levels=$levels must fit span=$span")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = Series.samples(events)
+      .filter(col("ts_us") >= baseUs &&
+        col("ts_us") < baseUs + span * 3600000000L)
+      .groupBy(col("event_type"),
+        expr(s"(ts_us - $baseUs) div 3600000000").as("idx"))
+      .agg(count(lit(1)).as("c"))
+    val lvl = (1 to levels).map(l => (l, 1L << (l - 1))).toDF("lvl", "half")
+    hourly.crossJoin(broadcast(lvl))
+      .groupBy(col("event_type"), col("lvl"),
+        expr("idx div (half * 2)").as("block"))
+      .agg(sum(when(expr("(idx div half) % 2") === 0,
+        col("c")).otherwise(-col("c"))).as("d"))
+      .groupBy(col("event_type"), col("lvl"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("d") * col("d")).as("energy"))
+  }
 }

@@ -349,4 +349,22 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 45) // all pairs intersect on the hot shingle
     assert(capped.count() == 0)
   }
+
+  test("editDistancePairs: identical prefixes read lev 0; a one-char edit reads 1") {
+    // docs 1/2 share the whole text except one character inside the
+    // 200-char prefix; doc 3 is unrelated (no candidate pair emitted)
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")),
+      (3L, "completely different content with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs)
+      .select("doc_a", "doc_b", "lev", "max_len", "edit_sim")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L)
+    assert(got.head._3 == 1L, s"lev: ${got.head}")
+    assert(got.head._4 == base.length)
+    assert(got.head._5 == 1.0 - 1.0 / base.length)
+  }
 }

@@ -37,4 +37,24 @@ class GraphSpec extends SparkSpec {
     val ranks = Graph.pagerank(pairs).select("rank_nano").as[Long].collect().toSeq
     assert(ranks.distinct.size == 1 && ranks.size == 4, ranks)
   }
+
+  test("clustering: triangle reads 1.0, a star hub reads 0, direction/dup edges collapse") {
+    import spark.implicits._
+    // triangle a-b-c plus hub h with leaves x,y (no leaf-leaf edge);
+    // edges arrive directed and duplicated — canonicalization dedups
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+      ("h", "x"), ("h", "y"), ("x", "h"))
+      .toDF("u", "v")
+    val got = graft.analytics.Graph.clustering(edges)
+      .select("node", "degree", "n_triangles", "clustering")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    for (n <- Seq("a", "b", "c"))
+      assert(got(n) == ((n, 2L, 1L, Some(1.0))), got(n))
+    assert(got("h") == (("h", 2L, 0L, Some(0.0))))
+    // degree-1 leaves: clustering undefined → NULL, never 0
+    assert(got("x") == (("x", 1L, 0L, None)))
+    assert(got("y") == (("y", 1L, 0L, None)))
+  }
 }

@@ -805,4 +805,17 @@ class TextStatsSpec extends SparkSpec {
       (3, 3L, 7L, 8L, 7.0 / 8),
       (8, 4L, 8L, 8L, 1.0)), out)
   }
+  test("readability: run counts and the Flesch closed form; empty doc is NULL/'empty'") {
+    // "See Spot run. Go!" → words 4 (See,Spot,run,Go), sentences 2
+    // ('.', '!'), syllables: ee|o|u|o = 4 vowel runs
+    val d = Seq((1L, "See Spot run. Go!"), (2L, "!!!")).toDF("doc_id", "text")
+    val got = TextOps.readability(d)
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "band")
+      .as[(Long, Long, Long, Long, Option[Double], String)].collect()
+      .map(r => r._1 -> r).toMap
+    val f = 206.835 - 1.015 * (4.0 / 2) - 84.6 * (4.0 / 4)
+    assert(got(1L) == ((1L, 4L, 2L, 4L, Some(f), "very_easy")), got(1L))
+    // no words: NULL score, sentence floor keeps the count at 1
+    assert(got(2L) == ((2L, 0L, 1L, 0L, None, "empty")), got(2L))
+  }
 }

@@ -1304,4 +1304,42 @@ class TsOpsSpec extends SparkSpec {
     assert(got(5L) == ((5L, 100L, 5L, 905L, 1000L, 0.905)))
     assert(got(10L) == ((10L, 100L, 10L, 910L, 1000L, 0.910)))
   }
+
+  test("ab_mwu: tie-block ranks match the closed form; a large shift is detected") {
+    // variant 0 users (even ids) all total 10.0; variant 1 (odd) all
+    // 30.0 — two pure tie blocks, complete separation. n0 = n1 = 8:
+    // R0 = sum of avg ranks 4.5×8 = 36, U0 = 0, z < -1.96 (detected)
+    val rows = for {
+      u <- 0 until 16
+      v <- Seq(if (u % 2 == 0) 10.0 else 30.0)
+    } yield ((u + 1).toLong, (u + 1) * 1000000000L, u.toLong, "t", v)
+    val got = TsOps.abMannWhitney(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("n0", "n1", "u0", "tie_sum", "z", "significant")
+      .as[(Long, Long, Double, Long, Double, Long)].head()
+    assert(got._1 == 8 && got._2 == 8)
+    assert(got._3 == 0.0, s"u0: $got")
+    assert(got._4 == (8L * 8 * 8 - 8) * 2, s"tie_sum: $got")
+    assert(got._5 < -1.96 && got._6 == 1L, s"z: $got")
+  }
+
+  test("haar_dwt: closed-form energies on a 4-hour step pattern") {
+    // counts 3,1,3,1 on hours 0..3 (base-aligned): level 1 details
+    // (3−1, 3−1) → energy 8 over 2 blocks; level 2 detail (4−4) = 0
+    val rows = for {
+      h <- 0 until 4
+      i <- 0 until (if (h % 2 == 0) 3 else 1)
+    } yield {
+      (h * 10 + i + 1L,
+        (1704067200000000L + h * 3600000000L + i * 1000000L) * 1000L,
+        1L, "t", 1.0)
+    }
+    val got = TsOps.haarDwt(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      levels = 2, span = 4)
+      .select("lvl", "n_blocks", "energy")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1) == ((1, 2L, 8L)), got(1))
+    assert(got(2) == ((2, 1L, 0L)), got(2))
+  }
 }
