@@ -522,6 +522,15 @@ object SparkEntry {
     // expression is scale-invariant (value distribution, not volume)
     // and both states are live at both SFs (probed: 7 firing / 80
     // pending at sf0.01, 18/74 at sf0.1), with gaps that reset runs
+    // clamp family through the front door: both clamp branches AND
+    // the pass-through live at BOTH SFs (avg-per-type spread probed:
+    // 35.5-55.4 at sf0.01, 46.9-50.4 at sf0.1 vs bounds [45, 50]);
+    // least(greatest(v, lo), hi) on the identical computed double
+    "promql_clamp" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """clamp(sum by (event_type) (sum_over_time({}[1d])) / sum by (event_type) (count_over_time({}[1d])), 45, 50)""",
+      T2)),
+
     "promql_alert" -> ((s, dir) => graft.promql.PromQL.alertRule(
       t(s, dir, "events"),
       """sum by (event_type) (sum_over_time({}[6h])) / sum by (event_type) (count_over_time({}[6h])) > 50""",
@@ -789,6 +798,13 @@ object SparkEntry {
     // batch gate's 64, two estimator regions
     "stream_kmv_distinct" -> ((s, dir) =>
       StreamIngest.kmvDistinctStream(t(s, dir, "events"), 32).toDF()),
+
+    // streaming SpaceSaving heavy hitters per day: O(k) monitored
+    // entries forever; k=32 >= cardinality here, so the sketch is
+    // EXACT (err 0) and the oracle is plain counts — the eviction/
+    // err-inheritance path is spec-pinned where the oracle can't see
+    "stream_topk" -> ((s, dir) =>
+      StreamIngest.topkStream(t(s, dir, "events")).toDF()),
 
     // the STREAMING session machine gated in its own right: per-user
     // open-session state (O(active users) forever), closed sessions
@@ -1199,6 +1215,22 @@ object SparkEntry {
     // the CSV wire hop proven the same way (finer day grain so the
     // two roundtrip gates check different slices): epoch-micros time,
     // shortest-repr doubles, explicit schema — no inference pre-scan
+    // the ORC wire hop (Hive/Trino interchange): binary-columnar, so
+    // the gate proves plumbing, not float formatting; WEEK grain so
+    // the three roundtrip gates check different slices
+    "ingest_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      graft.sources.Ingest.writeOrcMicros(t(s, dir, "events"), out)
+      graft.sources.Ingest.eventsFromOrcMicros(s, out)
+        .groupBy(col("event_type"), expr("ts_us div 604800000000").as("week"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          TsOps.exactSum(col("value"), 2).as("sum_value"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"),
+          sum(col("event_id")).as("sum_event_id"))
+    }),
+
     "ingest_csv_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
       graft.sources.Ingest.writeCsvMicros(t(s, dir, "events"), out)
@@ -2635,6 +2667,13 @@ object SparkEntry {
       VectorOps.intrinsicDim(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
 
+    // the whitened-distance QC next to the L2 one: one broken dim
+    // 10sigma out hides inside 64 dims of norm; diagonal Mahalanobis
+    // surfaces it. 9dp-decimal terms, order-free exact sum, TakeOrdered
+    "emb_whiten_outliers" -> ((s, dir) =>
+      VectorOps.whitenOutliers(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
     "emb_norm_outliers" -> ((s, dir) =>
       // embedding-QC gate: per-vector L2 norm + corpus z-score flag
       // (degenerate encoder batches surface as norm outliers); norm
@@ -2774,6 +2813,12 @@ object SparkEntry {
     // constructed constant PNG (pseudo-noise corpus is honestly sharp)
     "multimodal_image_blur" -> ((s, dir) =>
       Multimodal.imageBlur(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
+
+    // first-derivative sibling of the blur gate: Sobel Gx/Gy energies
+    // folded as exact LONGs inside the real PNG decode; axis ratio
+    // NULL when sum_gy2 = 0, never Inf
+    "multimodal_image_sobel" -> ((s, dir) =>
+      Multimodal.imageSobel(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
     "multimodal_image_dhash" -> ((s, dir) =>
       // IMAGE PERCEPTUAL FINGERPRINT: real PNG decode → 9×8 grayscale
@@ -4235,6 +4280,20 @@ object SparkEntry {
           FROM l""",
 
     // identical float spelling: floor(deg(atan(x/1000)) / 1e-6 + 0.5) * 1e-6
+    // avg per type over the same 1d window, then the evaluator's
+    // least(greatest(v, lo), hi) on the identical computed double;
+    // all three branches live at both SFs (probed)
+    "promql_clamp" ->
+      s"""WITH c AS (SELECT event_type,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sv,
+                   CAST(count(*) AS BIGINT) AS n
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1)
+          SELECT event_type,
+                 least(greatest(sv / n, CAST(45 AS DOUBLE)), CAST(50 AS DOUBLE)) AS value
+          FROM c""",
+
     "promql_math" ->
       s"""WITH c AS (SELECT event_type,
                    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
@@ -5282,6 +5341,29 @@ object SparkEntry {
 
     // the CSV hop answers the same truth at day grain — a lossy text
     // roundtrip (timestamp strings, float formatting) would hash-drift
+    // exact regime: k >= cardinality, so SpaceSaving counts are plain
+    // counts with err 0; same (cnt desc, type) tiebreak both sides
+    "stream_topk" ->
+      """WITH d AS (SELECT epoch_us(ts)//86400000000 AS day, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+          r AS (SELECT day, event_type, cnt, CAST(0 AS BIGINT) AS err,
+                  CAST(row_number() OVER (PARTITION BY day
+                    ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
+                FROM d)
+          SELECT day, event_type, cnt, err, rank FROM r WHERE rank <= 5""",
+
+    // the csv oracle at week grain: binary-columnar hop, same identity
+    "ingest_orc_roundtrip" ->
+      """SELECT event_type, epoch_us(ts)//604800000000 AS week,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+                min(epoch_us(ts)) AS min_ts_us,
+                max(epoch_us(ts)) AS max_ts_us,
+                CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         FROM events GROUP BY 1, 2""",
+
     "ingest_csv_roundtrip" ->
       """SELECT event_type, epoch_us(ts)//86400000000 AS day,
                 CAST(count(*) AS BIGINT) AS n,
@@ -7436,6 +7518,31 @@ object SparkEntry {
                       ELSE 0.0 END) > 3.0 AS is_outlier
           FROM e, m""",
 
+    // the dim_stats moments + a second moment; 9dp-decimal terms,
+    // order-free exact sum, decimal ORDER BY with vec_id tiebreak
+    "emb_whiten_outliers" ->
+      """WITH e AS (SELECT vec_id, t.i AS dim,
+                  CAST(round(CAST(embedding AS DOUBLE[])[t.i], 6) AS DECIMAL(18,6)) AS x
+                FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+                WHERE CAST(embedding AS DOUBLE[])[t.i] IS NOT NULL),
+          st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx,
+                  CAST(sum(x * x) AS DOUBLE) AS sxx
+                FROM e GROUP BY 1),
+          m AS (SELECT dim, sx / n AS mean,
+                  sqrt(sxx / n - (sx / n) * (sx / n)) AS std FROM st),
+          mf AS (SELECT * FROM m WHERE std > 0),
+          t2 AS (SELECT e.vec_id,
+                  CAST(round(((CAST(e.x AS DOUBLE) - mf.mean) / mf.std)
+                    * ((CAST(e.x AS DOUBLE) - mf.mean) / mf.std), 9)
+                    AS DECIMAL(28,9)) AS t
+                FROM e JOIN mf USING (dim)),
+          agg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+                  sum(t) AS d2dec
+                FROM t2 GROUP BY 1)
+          SELECT vec_id, n_dims, CAST(d2dec AS DOUBLE) AS d2
+          FROM agg ORDER BY d2dec DESC, vec_id LIMIT 20""",
+
     "emb_dim_stats" ->
       // count(x), not count(*): Spark's posexplode emits only real
       // elements, so a shorter-than-64-dim vector must shrink n here
@@ -7915,6 +8022,44 @@ object SparkEntry {
                 (CAST(s2 AS DOUBLE) / n_interior
                   - (CAST(s1 AS DOUBLE) / n_interior) * (CAST(s1 AS DOUBLE) / n_interior))
                   < 100.0 AS blurry
+         FROM m""",
+
+    // the blur pixel-synthesis CTEs + the full 8-neighbor stencil via
+    // two lag/lead passes (row pass, then column pass over the row
+    // pass's three columns); integer Sobel energies
+    "multimodal_image_sobel" ->
+      """WITH img AS (SELECT doc_id, text, strlen(text) AS len,
+                        16 + strlen(text) % 32 AS w, 8 + strlen(text) % 16 AS h
+                      FROM documents WHERE doc_id % 2 = 0),
+         px AS (SELECT doc_id, w, h, t.x, u.y,
+                  CASE WHEN len = 0 THEN 120
+                       ELSE ascii(substr(text, CAST((t.x + u.y) % len AS INT) + 1, 1)) END AS c
+                FROM img, (SELECT unnest(range(48)) AS x) t,
+                          (SELECT unnest(range(24)) AS y) u
+                WHERE t.x < w AND u.y < h),
+         g AS (SELECT doc_id, w, h, x, y,
+                 ((c*37) % 256 + (x*7+c) % 256 + (y*11+c) % 256) // 3 AS gray
+               FROM px),
+         l1 AS (SELECT *, lag(gray) OVER wx AS gl, lead(gray) OVER wx AS gr
+                FROM g WINDOW wx AS (PARTITION BY doc_id, y ORDER BY x)),
+         l2 AS (SELECT *, lag(gray) OVER wy AS up, lead(gray) OVER wy AS dn,
+                  lag(gl) OVER wy AS ul, lead(gl) OVER wy AS dl,
+                  lag(gr) OVER wy AS ur, lead(gr) OVER wy AS dr
+                FROM l1 WINDOW wy AS (PARTITION BY doc_id, x ORDER BY y)),
+         sb AS (SELECT doc_id,
+                  (ur + 2*gr + dr) - (ul + 2*gl + dl) AS gx,
+                  (dl + 2*dn + dr) - (ul + 2*up + ur) AS gy
+                FROM l2
+                WHERE x >= 1 AND x < w - 1 AND y >= 1 AND y < h - 1),
+         m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_interior,
+                 CAST(sum(gx * gx) AS BIGINT) AS sum_gx2,
+                 CAST(sum(gy * gy) AS BIGINT) AS sum_gy2
+               FROM sb GROUP BY 1)
+         SELECT doc_id, n_interior, sum_gx2, sum_gy2,
+                CAST(sum_gx2 + sum_gy2 AS DOUBLE) / n_interior AS grad_energy,
+                CASE WHEN sum_gy2 > 0
+                     THEN CAST(sum_gx2 AS DOUBLE) / CAST(sum_gy2 AS DOUBLE)
+                END AS edge_ratio
          FROM m""",
 
     "multimodal_meta" ->

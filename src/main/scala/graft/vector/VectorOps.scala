@@ -1631,4 +1631,45 @@ object VectorOps {
       .groupBy(col("dim"))
       .agg(round(sum(col("term")).cast("double"), roundTo).as("psi"))
   }
+
+  /** DIAGONAL-MAHALANOBIS outliers — the whitened-distance QC read
+    * next to [[normOutliers]]'s L2 one (a vector can carry a normal
+    * norm while sitting far outside the per-dimension envelope: one
+    * broken dimension 10σ out hides inside 64 dims of norm; the
+    * whitened distance surfaces exactly that). Per dim the exact
+    * decimal moments (the [[dimStats]] discipline + a second moment);
+    * per vector D² = Σ_d ((x_d − μ_d)/σ_d)², each term 9dp-decimal
+    * before the ORDER-FREE exact sum (the driftPsi ln discipline —
+    * a raw double Σ over 64 dims would be partition-order-dependent),
+    * zero-variance dims dropped (stated via n_dims). Top `topK` by
+    * (D², vec_id) through TakeOrdered — a per-partition heap, never a
+    * global sort. Scale: one posexplode pass + a broadcast 64-row
+    * moment frame; everything else is per-vector map work. */
+  def whitenOutliers(corpus: DataFrame, topK: Int = 20,
+                     roundTo: Int = 6): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"topK in [1, 1000], got $topK")
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val el = corpus
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x0")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("x0"), roundTo).cast(d6).as("x"))
+    val st = el.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("dim"), (col("sx") / col("n")).as("mean"),
+        sqrt(col("sxx") / col("n")
+          - (col("sx") / col("n")) * (col("sx") / col("n"))).as("std"))
+      .filter(col("std") > 0)
+    el.join(broadcast(st), "dim")
+      .withColumn("t",
+        round(((col("x").cast("double") - col("mean")) / col("std"))
+          * ((col("x").cast("double") - col("mean")) / col("std")), 9).cast(d9))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("t")).as("d2dec"))
+      .orderBy(col("d2dec").desc, col("vec_id").asc)
+      .limit(topK)
+      .select(col("vec_id"), col("n_dims"), col("d2dec").cast("double").as("d2"))
+  }
 }

@@ -263,6 +263,43 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1)._3 == 800.0 * 800.0 && !out(1)._4, out(1).toString)
   }
 
+  test("imageSobel: flat reads 0/NULL; horizontal stripes are pure-Gy; verticals pure-Gx") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val g = f(x, y); img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val media = Seq(
+      (1L, png((_, _) => 99), "image"),                       // flat
+      (2L, png((_, y) => if (y < 4) 0 else 100), "image"),    // horizontal step
+      (3L, png((x, _) => if (x < 8) 0 else 100), "image"))    // vertical step
+      .toDF("doc_id", "media", "kind")
+    val out = Multimodal.imageSobel(media)
+      .select("doc_id", "n_interior", "sum_gx2", "sum_gy2", "grad_energy", "edge_ratio")
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq(84L, 84L, 84L))
+    // flat: zero energy on both axes, ratio undefined -> NULL never Inf
+    assert(out.head._3 == 0L && out.head._4 == 0L && out.head._5 == 0.0
+      && out.head._6.isEmpty, out.head.toString)
+    // horizontal step at y=4: the centered difference straddles the
+    // edge only at y∈{3,4} -> |Gy| = 4·100 there, Gx = 0 everywhere
+    // (rows constant): sum_gy2 = 2 rows × 14 x × 400²
+    val hs = out(1)
+    assert(hs._3 == 0L && hs._4 == 2L * 14L * 400L * 400L, hs.toString)
+    assert(hs._6.contains(0.0), hs.toString)
+    // vertical step at x=8: the transpose — pure Gx over x∈{7,8} ×
+    // 6 interior rows; ratio NULL (Gy2 = 0)
+    val vs = out(2)
+    assert(vs._3 == 2L * 6L * 400L * 400L && vs._4 == 0L && vs._6.isEmpty,
+      vs.toString)
+  }
+
   test("dhashNearDupPairs: banded candidates find every pair within hamming 3, none beyond") {
     // constructed 90×80 images: each 10×10 block holds one sampled
     // grid cell (x = i·90/9 = i·10), so the hash bits are controlled

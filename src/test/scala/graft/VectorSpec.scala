@@ -509,4 +509,23 @@ class VectorSpec extends SparkSpec {
     assert(out(1L) > 0.25, s"shifted dim must cross the investigate line: $out")
     assert(math.abs(out(2L)) < 0.01, s"identical dim must read stable: $out")
   }
+
+  test("whitenOutliers: one broken dim outranks norm-normal vectors; zero-var dims drop") {
+    // dim 1 alternates ±1 (var 0.8), dim 2 is 0 except v5's 10
+    // (mean 2, std 4), dim 3 is constant -> dropped (n_dims = 2).
+    // D²: v5 = 0 + 2² = 4; v1..v4 = 1/0.8 + 0.25 = 1.5 — the broken
+    // dim wins despite v5's ordinary norm ranking below v1..v4's
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 7.0)), (2L, Seq(-1.0, 0.0, 7.0)),
+      (3L, Seq(1.0, 0.0, 7.0)), (4L, Seq(-1.0, 0.0, 7.0)),
+      (5L, Seq(0.0, 10.0, 7.0)))
+      .toDF("vec_id", "v")
+    val got = graft.vector.VectorOps.whitenOutliers(vecs, topK = 3)
+      .select("vec_id", "n_dims", "d2")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(5L, 1L, 2L), got)
+    assert(got.forall(_._2 == 2L), got)
+    assert(got.head._3 == 4.0, got.head.toString)
+    assert(got(1)._3 == 1.5 && got(2)._3 == 1.5, got.toString)
+  }
 }
