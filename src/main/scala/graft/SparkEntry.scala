@@ -690,6 +690,20 @@ object SparkEntry {
     // branches live at the gate corpus
     "ts_anomaly_esd" -> ((s, dir) => TsOps.esdOutliers(t(s, dir, "events"))),
 
+    // long-memory dial: rescaled-range H over {16,32,64}h blocks;
+    // block moments in exact decimals, per-block R/S 9dp-decimal
+    // before the order-free mean, slope closed-form (y64-y16)/(2 ln 2)
+    // with the denominator a shared driver literal
+    "ts_hurst" -> ((s, dir) => TsOps.hurst(t(s, dir, "events"))),
+
+    // dow x hour weekly heatmap (0=Sunday via integer epoch-day
+    // arithmetic); share = cell/type-total, one raw IEEE division
+    "ts_weekly_profile" -> ((s, dir) => TsOps.weeklyProfile(t(s, dir, "events"))),
+
+    // DAU over fixed-28-day-period actives (integer period arithmetic
+    // -- calendar months differ between engines' date libraries)
+    "events_stickiness" -> ((s, dir) => TsOps.stickiness(t(s, dir, "events"))),
+
     // lead/lag detector across series PAIRS: Pearson r of a's hourly
     // count at h vs b's at h+lag, signed lags on the ordered pair
     // (r_ab(-k) = r_ba(k)); exact decimal moments, one fixed-shape
@@ -1218,6 +1232,31 @@ object SparkEntry {
     // the ORC wire hop (Hive/Trino interchange): binary-columnar, so
     // the gate proves plumbing, not float formatting; WEEK grain so
     // the three roundtrip gates check different slices
+    // SCHEMA EVOLUTION across a parquet lineage: v1 partitions lack
+    // props, v2 carries it; mergeSchema unions the footers and fills
+    // v1 rows with NULL — the gate proves exactly that fill, plus the
+    // natural nulls v2 already had
+    "ingest_schema_evolution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = Series.tsUs(ev)
+      val base = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      ev.filter(us < T1)
+        .select(col("event_id"), us.as("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(base + "/v1")
+      ev.filter(us >= T1)
+        .select(col("event_id"), us.as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(base + "/v2")
+      graft.sources.Ingest.eventsEvolved(s, base + "/v1", base + "/v2")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_props_missing"),
+          sum(when(col("props").isNotNull, 1L).otherwise(0L)).as("n_props_present"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+    }),
+
     "ingest_orc_roundtrip" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
       graft.sources.Ingest.writeOrcMicros(t(s, dir, "events"), out)
@@ -2831,6 +2870,12 @@ object SparkEntry {
       // would be vacuous (both engines agreeing on the empty set)
       Multimodal.imageDHash(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
+    // recording-chain QC: clip-rail counts + true peak folded as
+    // exact longs inside the real WAV decode; cut 15000 sits inside
+    // the synthetic peak range (max |s| = 16000), both sides populate
+    "multimodal_audio_clipping" -> ((s, dir) =>
+      Multimodal.audioClipping(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
+
     "multimodal_audio_features" -> ((s, dir) =>
       // REAL WAV decode → per-window RMS + zero-crossing profile; the
       // oracle recomputes both from the deterministic PCM synthesis
@@ -3651,6 +3696,74 @@ object SparkEntry {
     "ts_periodogram" -> periodogramOracle,
 
     "ts_anomaly_esd" -> esdOracle,
+
+    // the R/S pipeline restated: exact decimal block moments, 9dp
+    // R/S terms before the order-free mean, closed-form slope with
+    // the 2 ln 2 denominator as the shared driver literal
+    "ts_hurst" ->
+      """WITH h AS (SELECT event_type,
+                  (epoch_us(ts) - 1704067200000000) // 3600000000 AS idx,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events WHERE epoch_us(ts) >= 1704067200000000
+                GROUP BY 1, 2),
+          ws AS (SELECT h.*, mm.m, idx // mm.m AS block, idx % mm.m AS pos
+                 FROM h, (SELECT CAST(unnest([16, 32, 64]) AS BIGINT) AS m) mm),
+          bl AS (SELECT event_type, m, block, CAST(count(*) AS BIGINT) AS nb,
+                  CAST(sum(c) AS DOUBLE) AS s1,
+                  CAST(sum(c * c) AS DOUBLE) AS s2
+                 FROM ws GROUP BY 1, 2, 3),
+          bm AS (SELECT event_type, m, block, s1 / m AS mean,
+                  sqrt(s2 / m - (s1 / m) * (s1 / m)) AS std
+                 FROM bl WHERE nb = m),
+          bf AS (SELECT * FROM bm WHERE std > 0),
+          dv AS (SELECT ws.event_type, ws.m, ws.block, bf.std,
+                  CAST(sum(ws.c) OVER (PARTITION BY ws.event_type, ws.m, ws.block
+                    ORDER BY ws.pos ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                    - (ws.pos + 1) * bf.mean AS dv
+                 FROM ws JOIN bf USING (event_type, m, block)),
+          r AS (SELECT event_type, m, block, std, max(dv) - min(dv) AS r
+                FROM dv GROUP BY 1, 2, 3, 4),
+          rs AS (SELECT event_type, m, CAST(count(*) AS BIGINT) AS n_blocks,
+                  sum(CAST(round(r / std, 9) AS DECIMAL(28,9))) AS srs
+                 FROM r GROUP BY 1, 2),
+          yy AS (SELECT event_type, m, CAST(srs AS DOUBLE) / n_blocks AS mean_rs,
+                  round(ln(CAST(srs AS DOUBLE) / n_blocks), 9) AS y
+                 FROM rs),
+          w AS (SELECT event_type,
+                  max(CASE WHEN m = 16 THEN mean_rs END) AS rs16,
+                  max(CASE WHEN m = 32 THEN mean_rs END) AS rs32,
+                  max(CASE WHEN m = 64 THEN mean_rs END) AS rs64,
+                  max(CASE WHEN m = 16 THEN y END) AS y16,
+                  max(CASE WHEN m = 64 THEN y END) AS y64
+                FROM yy GROUP BY 1)
+          SELECT event_type, rs16, rs32, rs64,
+                 (y64 - y16) / CAST('1.3862943611198906' AS DOUBLE) AS hurst
+          FROM w""",
+
+    // integer dow/hour keys; share against the type-total window
+    "ts_weekly_profile" ->
+      """WITH g AS (SELECT event_type,
+                  (epoch_us(ts)//86400000000 + 4) % 7 AS dow,
+                  (epoch_us(ts)//3600000000) % 24 AS hour_of_day,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2, 3)
+          SELECT event_type, dow, hour_of_day, n,
+                 CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type) AS share
+          FROM g""",
+
+    // fixed 28-day periods from the corpus base — pure integer keys
+    "events_stickiness" ->
+      """WITH s AS (SELECT epoch_us(ts) AS us, user_id FROM events
+                WHERE epoch_us(ts) >= 1704067200000000),
+          d AS (SELECT (us - 1704067200000000) // 86400000000 AS day,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                FROM s GROUP BY 1),
+          m AS (SELECT (us - 1704067200000000) // 2419200000000 AS period,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+                FROM s GROUP BY 1)
+          SELECT d.day, d.dau, m.period, m.mau,
+                 CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+          FROM d JOIN m ON d.day // 28 = m.period""",
 
     // the ts_acf moment CTEs generalized to the ordered type pair at
     // signed lags; same fixed-shape r on exact-sum operands
@@ -5352,6 +5465,20 @@ object SparkEntry {
                     ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
                 FROM d)
           SELECT day, event_type, cnt, err, rank FROM r WHERE rank <= 5""",
+
+    // v1 rows (pre-T1) read back with NULL props under mergeSchema;
+    // v2 keeps its natural nulls — both restated from the source
+    "ingest_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN epoch_us(ts) < 1704412800000000
+                               OR props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_props_missing,
+                CAST(sum(CASE WHEN epoch_us(ts) >= 1704412800000000
+                              AND props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_props_present,
+                min(epoch_us(ts)) AS min_ts_us,
+                max(epoch_us(ts)) AS max_ts_us
+         FROM events GROUP BY 1""",
 
     // the csv oracle at week grain: binary-columnar hop, same identity
     "ingest_orc_roundtrip" ->
@@ -8153,6 +8280,24 @@ object SparkEntry {
     // n = 256 + 7·len mod 1024; window of sample i = i·4 div n; a
     // zero-crossing counts when both pair members share the window);
     // rms = one sqrt over the exact integer sum of squares
+    // the audio synthesis CTEs + rail counts; cut 15000 vs the
+    // synthetic peak 16000 so both sides populate
+    "multimodal_audio_clipping" ->
+      """WITH a AS (SELECT doc_id, text, strlen(text) AS len,
+                      256 + (strlen(text) * 7) % 1024 AS n
+                    FROM documents WHERE doc_id % 2 = 1),
+         u AS (SELECT doc_id, text, len, n, unnest(range(0, n)) AS i FROM a),
+         v AS (SELECT doc_id, i,
+                 ((CASE WHEN len = 0 THEN 120
+                        ELSE ascii(substr(text, CAST(i % len AS INT) + 1, 1)) END) - 96) * 250 AS s
+               FROM u)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(count(*) FILTER (WHERE abs(s) >= 15000) AS BIGINT) AS n_clipped,
+                CAST(max(abs(s)) AS BIGINT) AS max_abs,
+                CAST(count(*) FILTER (WHERE abs(s) >= 15000) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS clip_ratio
+         FROM v GROUP BY 1""",
+
     "multimodal_audio_features" ->
       """WITH a AS (SELECT doc_id, text, strlen(text) AS len,
                       256 + (strlen(text) * 7) % 1024 AS n

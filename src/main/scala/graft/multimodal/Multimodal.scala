@@ -830,6 +830,64 @@ object Multimodal {
       .withColumn("quiet_ratio", col("n_quiet").cast("double") / col("n_windows"))
       .withColumn("trim_flag", col("quiet_ratio") >= minQuietRatio)
 
+  /** CLIPPING / PEAK profile per clip over the REAL decoded PCM — the
+    * recording-chain QC next to [[audioQuietProfile]]'s dead-air one
+    * (a clip whose samples pile up at the rail was distorted at
+    * capture; no downstream feature extraction unhears that):
+    * n_clipped = samples with |s| ≥ `clipCut`, the true peak |s|, and
+    * the clipped fraction. Counts fold INSIDE the decode loop as
+    * exact LONGs (the audioFeatures discipline — same 16-bit mono LE
+    * guard); the ratio is one raw IEEE division (§4). The synthetic
+    * corpus peaks at 16000 ((32−96)·250 — the space character), so
+    * the default cut 15000 genuinely splits samples on both sides. */
+  def audioClipping(media: DataFrame, clipCut: Int = 15000): DataFrame = {
+    require(clipCut > 0 && clipCut <= 32767, s"clipCut in [1, 32767], got $clipCut")
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("n_clipped", LongType),
+      StructField("max_abs", LongType)))
+    val rdd = media.select("doc_id", "media", "kind").rdd
+      .filter(_.getString(2) == "audio")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+            in.getFrameLength >= 0 && !fmt.isBigEndian,
+            s"audioClipping expects 16-bit mono little-endian PCM with a known " +
+              s"frame count, got channels=${fmt.getChannels} " +
+              s"bits=${fmt.getSampleSizeInBits} bigEndian=${fmt.isBigEndian} " +
+              s"frames=${in.getFrameLength}")
+          val total = in.getFrameLength.toInt
+          val pcm = new Array[Byte](total * 2)
+          var read = 0
+          while (read < pcm.length) {
+            val k = in.read(pcm, read, pcm.length - read)
+            if (k <= 0) read = pcm.length else read += k
+          }
+          in.close()
+          var n = 0L; var clipped = 0L; var maxAbs = 0L
+          var i = 0
+          while (i < total) {
+            val s = (((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+              ).toLong
+            val a = math.abs(s)
+            n += 1
+            if (a >= clipCut) clipped += 1
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          Row(r.getLong(0), n, clipped, maxAbs)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("clip_ratio",
+        col("n_clipped").cast("double") / col("n_samples").cast("double"))
+  }
+
   /** Decode [[frameSample]] output (doc_id, frame_idx, frame) — the
     * frames are PNG — back to per-frame pixel dims. Closes the video
     * evidence loop: AVI encode → container parse → JPEG decode → PNG

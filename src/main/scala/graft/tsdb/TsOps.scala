@@ -2632,4 +2632,120 @@ object TsOps {
       .groupBy(col("event_type"), col("lvl"))
       .agg(count(lit(1)).as("n_blocks"), sum(col("d") * col("d")).as("energy"))
   }
+
+  /** HURST EXPONENT via rescaled-range analysis (Hurst 1951; Mandelbrot
+    * & Wallis 1969) — the long-memory dial on the hourly count series:
+    * H ≈ 0.5 says increments forget (Poisson-ish traffic — capacity
+    * math may assume independence), H → 1 says bursts cluster across
+    * scales (the regime where "mean + 3σ" provisioning quietly
+    * under-buys). Per window size m ∈ {16,32,64}h: complete m-hour
+    * blocks, per block R = max−min of the cumulative deviations from
+    * the block mean and S = its population σ, mean R/S per size, and
+    * H = the log-log slope.
+    *
+    * Determinism (§4): block moments ride exact decimal sums; per-block
+    * R/S rounds to 9dp decimal before the ORDER-FREE mean; and because
+    * the sizes are FIXED literals the regression collapses to a
+    * closed-form weighted sum — for log-equally-spaced {16,32,64} the
+    * slope is exactly (y₆₄ − y₁₆)/(2·ln 2) with 2·ln 2 a driver-side
+    * literal shared with the oracle (the periodogram literal pattern;
+    * no data-dependent x ever enters). Scale: everything past the
+    * hourly reduction runs on blocks-per-type frames; the windows are
+    * per-block bounded. */
+  def hurst(events: DataFrame,
+            baseUs: Long = 1704067200000000L): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = Series.samples(events)
+      .filter(col("ts_us") >= baseUs)
+      .groupBy(col("event_type"),
+        expr(s"(ts_us - $baseUs) div 3600000000").as("idx"))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(19, 0))
+        .as("c"))
+    val sz = Seq(16L, 32L, 64L).toDF("m")
+    val withSz = hourly.crossJoin(broadcast(sz))
+      .withColumn("block", expr("idx div m"))
+      .withColumn("pos", expr("idx % m"))
+    val blocks = withSz
+      .groupBy(col("event_type"), col("m"), col("block"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("c")).cast("double").as("s1"),
+        sum(col("c") * col("c")).cast("double").as("s2"))
+      .filter(col("nb") === col("m"))
+      .select(col("event_type"), col("m"), col("block"),
+        (col("s1") / col("m")).as("mean"),
+        sqrt(col("s2") / col("m")
+          - (col("s1") / col("m")) * (col("s1") / col("m"))).as("std"))
+      .filter(col("std") > 0)
+    val dev = withSz
+      .join(blocks, Seq("event_type", "m", "block"))
+      .withColumn("cum",
+        sum(col("c")).over(Window
+          .partitionBy(col("event_type"), col("m"), col("block"))
+          .orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dv",
+        col("cum").cast("double") - (col("pos") + 1) * col("mean"))
+    val rs = dev
+      .groupBy(col("event_type"), col("m"), col("block"), col("std"))
+      .agg((max(col("dv")) - min(col("dv"))).as("r"))
+      .withColumn("rs", col("r") / col("std"))
+    val mrs = rs.groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(round(col("rs"), 9).cast(d9)).as("srs"))
+      .withColumn("mean_rs", col("srs").cast("double") / col("n_blocks"))
+      .withColumn("y", round(log(col("mean_rs")), 9))
+    def at(m: Long, c: String) = max(when(col("m") === m, col(c)))
+    mrs.groupBy(col("event_type"))
+      .agg(at(16, "mean_rs").as("rs16"), at(32, "mean_rs").as("rs32"),
+        at(64, "mean_rs").as("rs64"),
+        at(16, "y").as("y16"), at(64, "y").as("y64"))
+      .withColumn("hurst",
+        (col("y64") - col("y16")) / lit(2.0 * math.log(2.0)))
+      .select(col("event_type"), col("rs16"), col("rs32"), col("rs64"),
+        col("hurst"))
+  }
+
+  /** WEEKLY (day-of-week × hour-of-day) traffic profile per type — the
+    * weekday/weekend heatmap behind staffing and alert-baseline
+    * decisions; ts_seasonal_profile reads only the daily cycle, this
+    * adds the week axis. dow follows the PromQL/Unix convention
+    * 0 = Sunday via pure integer arithmetic ((epoch_days + 4) % 7 —
+    * epoch day 0 was a Thursday); share = cell/total as one raw IEEE
+    * division (§4). One hash aggregation; the share window runs on
+    * the 168-cells-per-type frame. */
+  def weeklyProfile(events: DataFrame): DataFrame =
+    Series.samples(events)
+      .groupBy(col("event_type"),
+        expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+        expr("(ts_us div 3600000000) % 24").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy(col("event_type"))))
+
+  /** DAU/MAU STICKINESS — the daily-habit ratio growth teams quote
+    * (1.0 = every monthly active shows up daily; ~0.2 is typical, and
+    * drops lead churn by weeks): per day the distinct actives over the
+    * distinct actives of its fixed 28-DAY PERIOD from the corpus base
+    * (integer period arithmetic — calendar months differ between
+    * engines' date libraries; a fixed 28-day window doesn't). Two
+    * distinct aggregations + a broadcast period join; the ratio is
+    * one raw IEEE division of exact counts (§4). */
+  def stickiness(events: DataFrame,
+                 baseUs: Long = 1704067200000000L): DataFrame = {
+    val s = Series.samples(events).filter(col("ts_us") >= baseUs)
+    val daily = s
+      .groupBy(expr(s"(ts_us - $baseUs) div 86400000000").as("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+      .withColumn("period", expr("day div 28"))
+    val monthly = s
+      .groupBy(expr(s"(ts_us - $baseUs) div 2419200000000").as("period"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+    daily.join(broadcast(monthly), "period")
+      .select(col("day"), col("dau"), col("period"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double"))
+          .as("stickiness"))
+  }
 }

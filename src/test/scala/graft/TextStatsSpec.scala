@@ -443,6 +443,21 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("audioClipping: rail counts follow the synthesis closed form") {
+    // text "a z": samples cycle (250, -16000, 6500); n = 256+21 = 277;
+    // only the space crosses |s| >= 15000 -> indices i%3==1: 92 of 277
+    val d = Seq((1L, "a z")).toDF("doc_id", "text")
+    val m = Multimodal.attachMedia(d).filter($"kind" === "audio")
+    val got = Multimodal.audioClipping(m)
+      .select("doc_id", "n_samples", "n_clipped", "max_abs", "clip_ratio")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val n = 256 + ("a z".length * 7) % 1024
+    val clipped = (0 until n).count(i => "a z".charAt(i % 3) == ' ')
+    assert(got._2 == n && got._3 == clipped, got)
+    assert(got._4 == 16000L)
+    assert(got._5 == clipped.toDouble / n)
+  }
+
   test("langId picks marker-majority language, unknown when silent") {
     val l = TextOps.langId(docs).select("doc_id", "pred_lang")
       .as[(Long, String)].collect().toMap

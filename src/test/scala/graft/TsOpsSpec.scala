@@ -1342,4 +1342,52 @@ class TsOpsSpec extends SparkSpec {
     assert(got(1) == ((1, 2L, 8L)), got(1))
     assert(got(2) == ((2, 1L, 0L)), got(2))
   }
+  test("hurst: a perfect period-2 alternation reads R/S = 1 at every size, H = 0") {
+    // counts 5,1,5,1,… for 128 hours (base-aligned): every block has
+    // mean 3, population σ 2, and the cumulative-deviation path
+    // oscillates +2,0,+2,0 → R = 2, R/S = 1 at m = 16/32/64; the
+    // log-log slope of a flat line is 0 — perfectly anti-persistent
+    var id = 0L
+    val rows = for {
+      h <- 0 until 128
+      i <- 0 until (if (h % 2 == 0) 5 else 1)
+    } yield {
+      id += 1
+      (id, (1704067200000000L + h * 3600000000L + i * 1000000L) * 1000L,
+        1L, "alt", 1.0)
+    }
+    val got = TsOps.hurst(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("event_type", "rs16", "rs32", "rs64", "hurst")
+      .as[(String, Double, Double, Double, Double)].head()
+    assert(got == (("alt", 1.0, 1.0, 1.0, 0.0)), got)
+  }
+
+  test("weekly_profile: epoch day 0 is a Thursday (dow 4); shares sum per type") {
+    // three events at epoch hour 0-1 (Thu) and one 3 days later (Sun)
+    val rows = Seq(
+      (1L, 0L, 1L, "t", 1.0),
+      (2L, 1000L * 1000, 1L, "t", 1.0),          // still hour 0
+      (3L, 3600000000L * 1000, 1L, "t", 1.0),    // hour 1 Thu
+      (4L, 3L * 86400000000L * 1000, 1L, "t", 1.0)) // day 3 = Sunday
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.weeklyProfile(rows)
+      .select("dow", "hour_of_day", "n", "share")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((4L, 0L, 2L, 0.5), (4L, 1L, 1L, 0.25), (0L, 0L, 1L, 0.25)), got)
+  }
+
+  test("stickiness: dau over the fixed 28-day period actives") {
+    // day 0: users 1,2,3; day 1: users 1,2 — one period, mau = 3
+    val rows = Seq(
+      (1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 3L),
+      (4L, 1L, 1L), (5L, 1L, 2L))
+      .map { case (id, day, u) =>
+        (id, (1704067200000000L + day * 86400000000L) * 1000L, u, "t", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.stickiness(rows)
+      .select("day", "dau", "period", "mau", "stickiness")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 3L, 0L, 3L, 1.0), (1L, 2L, 0L, 3L, 2.0 / 3)), got)
+  }
 }
