@@ -479,7 +479,10 @@ object SparkEntry {
     // the per-type live-series count from present_over_time
     "promql_present" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
-      """label_replace(absent_over_time({event_type="nosuch"}[1d]), "event_type", "nosuch", "event_type", "") or sum by (event_type) (present_over_time({event_type=~"click|view"}[1d]))""",
+      // absent_over_time synthesizes its EQ-matcher labels natively
+      // (r12c3 — the faithful Prometheus shape; label_replace
+      // composition no longer needed for congruence with `or`)
+      """absent_over_time({event_type="nosuch"}[1d]) or sum by (event_type) (present_over_time({event_type=~"click|view"}[1d]))""",
       T2)),
 
     // the @ MODIFIER gated in its own right (the evaluation-time pin
@@ -526,6 +529,14 @@ object SparkEntry {
     // the pass-through live at BOTH SFs (avg-per-type spread probed:
     // 35.5-55.4 at sf0.01, 46.9-50.4 at sf0.1 vs bounds [45, 50]);
     // least(greatest(v, lo), hi) on the identical computed double
+    // gauge first/last family: delta (window net change) minus idelta
+    // (last step) per series, summed by type — both functions ride
+    // the evaluator's first/last and TopKPerKey last-2 shapes
+    "promql_delta" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """sum by (event_type) (delta({}[1d])) - sum by (event_type) (idelta({}[1d]))""",
+      T2)),
+
     "promql_clamp" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
       """clamp(sum by (event_type) (sum_over_time({}[1d])) / sum by (event_type) (count_over_time({}[1d])), 45, 50)""",
@@ -695,6 +706,11 @@ object SparkEntry {
     // before the order-free mean, slope closed-form (y64-y16)/(2 ln 2)
     // with the denominator a shared driver literal
     "ts_hurst" -> ((s, dir) => TsOps.hurst(t(s, dir, "events"))),
+
+    // scrape-health triage: per-series gap counts/max/total over 2d +
+    // availability = 1 - gap/span; only flaky series emit (stated);
+    // one partitioned lag pass, exact integer microseconds
+    "ts_gap_report" -> ((s, dir) => TsOps.gapReport(t(s, dir, "events"))),
 
     // dow x hour weekly heatmap (0=Sunday via integer epoch-day
     // arithmetic); share = cell/type-total, one raw IEEE division
@@ -2569,6 +2585,11 @@ object SparkEntry {
     // sources collapse to a small effective vocab before KL notices
     "corpus_simpson" -> ((s, dir) => TextOps.sourceSimpson(docsT(s, dir))),
 
+    // corpus-mass concentration: Gini over doc lengths via the value
+    // histogram (no global rank; doubled tie-average ranks keep the
+    // rank-sum an exact decimal at any scale)
+    "corpus_length_gini" -> ((s, dir) => TextOps.lengthGini(docsT(s, dir))),
+
     // DRIFT CURVE: per id-ordered decile, KL(decile ‖ corpus) over the
     // top-16+OOV event space — the time-dimension sibling of the
     // source KL; a rising tail = recent data diverging
@@ -3697,6 +3718,26 @@ object SparkEntry {
 
     "ts_anomaly_esd" -> esdOracle,
 
+    // one partitioned lag pass + conditional aggregates; availability
+    // as fixed-shape double over exact integer microseconds
+    "ts_gap_report" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us,
+                   event_id FROM events),
+          l AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY series_id
+                    ORDER BY ts_us, event_id) AS gap
+                FROM s),
+          g AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_samples,
+                  min(ts_us) AS first_us, max(ts_us) AS last_us,
+                  CAST(sum(CASE WHEN gap > 172800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+                  max(CASE WHEN gap > 172800000000 THEN gap END) AS max_gap_us,
+                  CAST(sum(CASE WHEN gap > 172800000000 THEN gap ELSE 0 END) AS BIGINT) AS total_gap_us
+                FROM l GROUP BY 1)
+          SELECT series_id, n_samples, first_us, last_us, n_gaps, max_gap_us,
+                 total_gap_us,
+                 CAST(1 AS DOUBLE) - CAST(total_gap_us AS DOUBLE)
+                   / CAST(last_us - first_us AS DOUBLE) AS availability
+          FROM g WHERE n_gaps > 0""",
+
     // the R/S pipeline restated: exact decimal block moments, 9dp
     // R/S terms before the order-free mean, closed-form slope with
     // the 2 ln 2 denominator as the shared driver literal
@@ -4393,6 +4434,34 @@ object SparkEntry {
           FROM l""",
 
     // identical float spelling: floor(deg(atan(x/1000)) / 1e-6 + 0.5) * 1e-6
+    // per-series last/first (delta) and last-two (idelta) restated,
+    // summed by type; the checker's 9-sig-decimal hash tolerance
+    // absorbs double-sum ordering as in every promql sum gate
+    "promql_delta" ->
+      s"""WITH s AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+                   event_id, value
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2),
+          o AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type, user_id
+                    ORDER BY ts_us DESC, event_id DESC) AS rn_d,
+                  row_number() OVER (PARTITION BY event_type, user_id
+                    ORDER BY ts_us, event_id) AS rn_a,
+                  count(*) OVER (PARTITION BY event_type, user_id) AS n
+                FROM s),
+          d AS (SELECT event_type, user_id,
+                  max(CASE WHEN rn_d = 1 THEN value END)
+                    - max(CASE WHEN rn_a = 1 THEN value END) AS dl,
+                  CASE WHEN max(n) >= 2
+                       THEN max(CASE WHEN rn_d = 1 THEN value END)
+                            - max(CASE WHEN rn_d = 2 THEN value END)
+                       ELSE 0.0 END AS idl
+                FROM o GROUP BY 1, 2)
+          SELECT event_type,
+                 CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)
+                   - CAST(sum(CAST(idl AS DECIMAL(28,6))) AS DOUBLE) AS value
+          FROM d GROUP BY 1""",
+
     // avg per type over the same 1d window, then the evaluator's
     // least(greatest(v, lo), hi) on the identical computed double;
     // all three branches live at both SFs (probed)
@@ -7221,6 +7290,25 @@ object SparkEntry {
 
     // the KL restated: same top-16 vocab + __oov__ bucket, per-term
     // p·ln(p/q) in the identical IEEE order, 6dp DECIMAL term sums
+    // the user-concentration histogram idiom on doc lengths; doubled
+    // tie-average ranks keep the rank-sum an exact decimal
+    "corpus_length_gini" ->
+      """WITH hist AS (SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS t
+                FROM documents GROUP BY 1),
+          cum AS (SELECT *, CAST(COALESCE(sum(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+                FROM hist),
+          a AS (SELECT CAST(sum(t) AS BIGINT) AS n_docs,
+                  CAST(sum(t * x) AS BIGINT) AS total_chars,
+                  sum(CAST(x AS DECIMAL(38,0)) * t * (2 * cum_before + t + 1)) AS rx2
+                FROM cum)
+          SELECT n_docs, total_chars,
+                 CAST(rx2 AS DOUBLE)
+                   / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+                   - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
+          FROM a""",
+
     "corpus_simpson" ->
       """WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
                 FROM documents),

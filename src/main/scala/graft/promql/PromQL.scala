@@ -1616,7 +1616,8 @@ object PromQL {
 
     case RangeFn(fn, Selector(ms, off, None), dur, param, param2) =>
       rangeAgg(samples.filter(Matcher.all(ms)), labelColsOf(samples),
-        fn, off, dur, param, g, param2)
+        fn, off, dur, param, g, param2,
+        absentLabels = ms.collect { case graft.tsdb.MatchEq(k, v) => (k, v) })
 
     case sq @ SubqueryFn(_, _, _, _, _, _, _, Some(at)) =>
       // `@` on the subquery pins its evaluation instant: evaluate the
@@ -1714,7 +1715,8 @@ object PromQL {
     * keys, not first() buffers (the struct-max lesson, SURVEY §5). */
   private def rangeAgg(frame: DataFrame, labelCols: Seq[String], fn: String,
                        off: Long, dur: Long, param: Option[Double],
-                       g: Grid, param2: Option[Double] = None): DataFrame = {
+                       g: Grid, param2: Option[Double] = None,
+                       absentLabels: Seq[(String, String)] = Nil): DataFrame = {
       val wf = windowed(frame, off, dur, g)
       val gkeys = labelCols.map(col) :+ col("g_ts")
       val outCols = labelCols.map(col) :+ col("g_ts").as("ts_us")
@@ -1875,11 +1877,16 @@ object PromQL {
         case "absent_over_time" =>
           // grid instants whose window holds NO matching sample —
           // the tiny present set broadcasts against the generated
-          // grid (the TsOps.absent anti-join shape)
+          // grid (the TsOps.absent anti-join shape). Prometheus
+          // synthesizes the EQ-matcher labels onto the absent row
+          // (the alert then names WHICH exporter died), so the
+          // result is natively congruent with presence vectors
           val present = wf.select(col("g_ts")).distinct()
+          val eqLabels = absentLabels.map { case (k, v) => lit(v).as(k) }
           gridFrame(frame, g)
             .join(broadcast(present), Seq("g_ts"), "left_anti")
-            .select(col("g_ts").as("ts_us"), lit(1.0).as("value"))
+            .select(col("g_ts").as("ts_us") +: eqLabels :+
+              lit(1.0).as("value"): _*)
       }
   }
 
@@ -2200,11 +2207,21 @@ object PromQL {
         case "absent" =>
           // empty input vector → {value: 1} per grid instant; any
           // match at an instant suppresses it (anti-join against the
-          // tiny distinct of occupied instants)
+          // tiny distinct of occupied instants). When the argument is
+          // a PLAIN selector, Prometheus synthesizes its EQ-matcher
+          // labels onto the absent row — a computed vector carries no
+          // recoverable labels and stays bare
           val present = in.select(col("ts_us").as("g_ts")).distinct()
+          val eqLabels = arg match {
+            case Selector(ms, _, _) => ms.collect {
+              case graft.tsdb.MatchEq(k, v) => lit(v).as(k)
+            }
+            case _ => Nil
+          }
           gridFrame(in, g)
             .join(broadcast(present), Seq("g_ts"), "left_anti")
-            .select(col("g_ts").as("ts_us"), lit(1.0).as("value"))
+            .select(col("g_ts").as("ts_us") +: eqLabels :+
+              lit(1.0).as("value"): _*)
         case "sort" | "sort_desc" =>
           // presentation order of an instant vector; ties broken by
           // the full label set so the order is total (Prometheus

@@ -1052,4 +1052,33 @@ object TextOps {
           .when(col("flesch") >= 30, "difficult")
           .otherwise("very_difficult"))
   }
+
+  /** GINI over document lengths — the corpus-mass concentration dial
+    * (a handful of mega-documents carrying most of the bytes skews
+    * every per-doc statistic and packing plan; a dashboard reads this
+    * next to doc_length_stats' quantiles). Same scale shape as the
+    * user-concentration gate: NO global rank over docs — lengths
+    * reduce to a VALUE HISTOGRAM, the cumulative runs over that tiny
+    * frame, and tied levels contribute their exact average ranks
+    * DOUBLED (2Σrₓ = Σ x·t·(2·cum_before + t + 1)) so the rank-sum
+    * aggregates as an exact DECIMAL at any scale; G = 2Σrx/(n·Σx) −
+    * (n+1)/n as fixed-shape doubles over the exact sums (§4). */
+  def lengthGini(docs: DataFrame): DataFrame = {
+    val d0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col("n_chars").as("x")).agg(count(lit(1)).as("t"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("t")).over(Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.agg(
+        sum(col("t")).as("n_docs"),
+        sum(col("t") * col("x")).as("total_chars"),
+        sum(col("x").cast(d0) * col("t")
+          * (lit(2L) * col("cum_before") + col("t") + 1)).as("rx2"))
+      .select(col("n_docs"), col("total_chars"),
+        (col("rx2").cast("double")
+          / (col("n_docs").cast("double") * col("total_chars").cast("double"))
+          - (col("n_docs") + 1).cast("double") / col("n_docs").cast("double"))
+          .as("gini"))
+  }
 }

@@ -2748,4 +2748,37 @@ object TsOps {
         (col("dau").cast("double") / col("mau").cast("double"))
           .as("stickiness"))
   }
+
+  /** GAP / AVAILABILITY report per series — the scrape-health read
+    * behind ts_absent's point-in-time answer (absent says "is it dead
+    * NOW"; this says "how often did it go quiet, for how long, and
+    * what fraction of its life was it reporting" — the exporter-
+    * flakiness triage list, sorted by worst). Per series: inter-
+    * sample gaps over `gapUs` (count, max, total) from ONE partitioned
+    * lag pass, the series' own [first, last] span, and
+    * availability = 1 − total_gap/span. Only series with ≥1 gap
+    * emit (the healthy majority would drown the report — stated).
+    * Exact integer microseconds end to end; availability is one raw
+    * IEEE division (§4). */
+  def gapReport(events: DataFrame,
+                gapUs: Long = 2L * 86400L * 1000000L): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val w = Window.partitionBy(col("series_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Series.samples(events)
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"),
+        sum(when(col("gap") > gapUs, 1L).otherwise(0L)).as("n_gaps"),
+        max(when(col("gap") > gapUs, col("gap"))).as("max_gap_us"),
+        sum(when(col("gap") > gapUs, col("gap")).otherwise(0L))
+          .as("total_gap_us"))
+      .filter(col("n_gaps") > 0)
+      .withColumn("availability",
+        lit(1.0) - col("total_gap_us").cast("double")
+          / (col("last_us") - col("first_us")).cast("double"))
+  }
 }

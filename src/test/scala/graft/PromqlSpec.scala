@@ -584,6 +584,29 @@ class PromqlSpec extends SparkSpec {
     assert(PromQL.eval(ev, """absent({event_type="view"})""", at).count() == 0)
   }
 
+  test("absent synthesizes EQ-matcher labels; computed args stay bare (r12c3)") {
+    val at = 2L * hu
+    // plain selector: the EQ labels land on the absent row — the
+    // alert names WHICH exporter died
+    val a = PromQL.eval(ev,
+      """absent({event_type="nosuch", user_id="7"})""", at)
+    assert(a.columns.contains("event_type") && a.columns.contains("user_id"))
+    val row = a.select("event_type", "user_id", "value")
+      .as[(String, String, Double)].head()
+    assert(row == (("nosuch", "7", 1.0)))
+    // regex/NEQ matchers carry no recoverable value — only EQ lands
+    val b = PromQL.eval(ev, """absent({event_type=~"nosuch|gone"})""", at)
+    assert(!b.columns.contains("event_type") && b.count() == 1)
+    // range variant: same synthesis
+    val c = PromQL.eval(ev, """absent_over_time({event_type="nosuch"}[2h])""", at)
+    assert(c.select("event_type").as[String].head() == "nosuch")
+    // `or` congruence without label_replace: the gated shape
+    val d = PromQL.eval(ev,
+      """absent_over_time({event_type="nosuch"}[2h]) or sum by (event_type) (present_over_time({event_type="view"}[2h]))""",
+      at).select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(d == Map("nosuch" -> 1.0, "view" -> 1.0))
+  }
+
   test("set operators: and, unless, or") {
     val at = 2L * hu
     // click-series AND purchase-series matched on user_id → user 1 only,

@@ -443,6 +443,22 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("lengthGini: equal lengths read 0; concentration matches the hand formula") {
+    val eq = Seq((1L, "x", 10L), (2L, "y", 10L), (3L, "z", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val g0 = graft.text.TextOps.lengthGini(eq)
+      .select("n_docs", "total_chars", "gini")
+      .as[(Long, Long, Double)].head()
+    assert(g0 == ((3L, 30L, 0.0)), g0)
+    // lengths 1,1,1,97: ranks (2,2,2,4) avg-tied; 2*sum(r*x) = 2*(2*3+4*97)
+    val sk = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 97L))
+      .toDF("doc_id", "text", "n_chars")
+    val g1 = graft.text.TextOps.lengthGini(sk)
+      .select("gini").as[Double].head()
+    val expected = (2.0 * (2 * 3 + 4 * 97)) / (4.0 * 100.0) - 5.0 / 4.0
+    assert(g1 == expected, s"$g1 vs $expected")
+  }
+
   test("audioClipping: rail counts follow the synthesis closed form") {
     // text "a z": samples cycle (250, -16000, 6500); n = 256+21 = 277;
     // only the space crosses |s| >= 15000 -> indices i%3==1: 92 of 277

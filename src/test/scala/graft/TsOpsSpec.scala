@@ -1390,4 +1390,22 @@ class TsOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((0L, 3L, 0L, 3L, 1.0), (1L, 2L, 0L, 3L, 2.0 / 3)), got)
   }
+  test("gap_report: gaps over the cut aggregate exactly; gapless series stay silent") {
+    // series A: samples at hours 0, 1, 100, 300 -> gaps 99h and 200h
+    // over a 48h cut; series B: dense, no gaps -> absent from report
+    val rows = (Seq(0L, 1L, 100L, 300L).map(h => (h + 1, h, 1L)) ++
+      Seq(0L, 24L, 48L, 72L).map(h => (h + 500, h, 2L)))
+      .map { case (id, h, u) =>
+        (id, h * 3600000000L * 1000L, u, "t", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.gapReport(rows)
+      .select("n_samples", "n_gaps", "max_gap_us", "total_gap_us", "availability")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.length == 1, got)
+    val g = got.head
+    val h = 3600000000L
+    assert(g._1 == 4 && g._2 == 2)
+    assert(g._3 == 200 * h && g._4 == 299 * h)
+    assert(g._5 == 1.0 - (299.0 * h) / (300 * h), g.toString)
+  }
 }
