@@ -532,6 +532,14 @@ object SparkEntry {
     // gauge first/last family: delta (window net change) minus idelta
     // (last step) per series, summed by type — both functions ride
     // the evaluator's first/last and TopKPerKey last-2 shapes
+    // quantile ACROSS series through the front door: R-7 percentile of
+    // the per-series exact decimal daily sums, round-6 (the engine's
+    // quantile-agg convention), grouped by type
+    "promql_quantile" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """quantile by (event_type) (0.9, sum_over_time({}[1d]))""",
+      T2)),
+
     "promql_delta" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
       """sum by (event_type) (delta({}[1d])) - sum by (event_type) (idelta({}[1d]))""",
@@ -712,6 +720,16 @@ object SparkEntry {
     // one partitioned lag pass, exact integer microseconds
     "ts_gap_report" -> ((s, dir) => TsOps.gapReport(t(s, dir, "events"))),
 
+    // "when do we hit 2x today's level": OLS on daily totals from
+    // exact integer sufficient statistics; NULL ETA when not growing
+    "ts_capacity_eta" -> ((s, dir) => TsOps.capacityEta(t(s, dir, "events"))),
+
+    // same-PEOPLE overlap per type pair (lift asks co-occurrence per
+    // session; this asks audience identity): distinct reduction +
+    // user-keyed self-join, exact integers
+    "events_audience_overlap" -> ((s, dir) =>
+      TsOps.audienceOverlap(t(s, dir, "events"))),
+
     // dow x hour weekly heatmap (0=Sunday via integer epoch-day
     // arithmetic); share = cell/type-total, one raw IEEE division
     "ts_weekly_profile" -> ((s, dir) => TsOps.weeklyProfile(t(s, dir, "events"))),
@@ -835,6 +853,12 @@ object SparkEntry {
     // err-inheritance path is spec-pinned where the oracle can't see
     "stream_topk" -> ((s, dir) =>
       StreamIngest.topkStream(t(s, dir, "events")).toDF()),
+
+    // streaming gap detector: O(1) last-sample state per series, gaps
+    // emit on the healing arrival with exact bounds; batch-mode equals
+    // the batch lag pass row-for-row
+    "stream_gap_report" -> ((s, dir) =>
+      StreamIngest.gapStream(t(s, dir, "events")).toDF()),
 
     // the STREAMING session machine gated in its own right: per-user
     // open-session state (O(active users) forever), closed sessions
@@ -3718,6 +3742,57 @@ object SparkEntry {
 
     "ts_anomaly_esd" -> esdOracle,
 
+    // OLS closed forms over exact integer daily sums
+    "ts_capacity_eta" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts)//86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+          st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(day) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+                  CAST(sum(day * c) AS BIGINT) AS sxy,
+                  CAST(sum(day * day) AS BIGINT) AS sxx,
+                  max(day) AS last_day
+                FROM d GROUP BY 1),
+          f AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+                FROM st WHERE n >= 2),
+          g AS (SELECT *, (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+                FROM f),
+          h AS (SELECT *, intercept + slope * last_day AS current_fit FROM g)
+          SELECT event_type, n AS n_days, slope, current_fit,
+                 CASE WHEN slope > 0 AND current_fit > 0
+                      THEN current_fit * CAST(1 AS DOUBLE) / slope
+                 END AS days_to_cap
+          FROM h""",
+
+    // gaps emit once per healing arrival: the same lag predicate
+    "stream_gap_report" ->
+      s"""WITH s AS (SELECT $SeriesIdSql AS series_id, epoch_us(ts) AS ts_us,
+                   event_id FROM events),
+          l AS (SELECT series_id, ts_us,
+                  lag(ts_us) OVER (PARTITION BY series_id
+                    ORDER BY ts_us, event_id) AS prev
+                FROM s)
+          SELECT series_id, prev AS gap_start_us, ts_us AS gap_end_us,
+                 ts_us - prev AS gap_us
+          FROM l WHERE ts_us - prev > 172800000000""",
+
+    // distinct (type,user) reduction + user-keyed self-join restated
+    "events_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+          sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM ut GROUP BY 1),
+          i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(count(*) AS BIGINT) AS n_inter
+                FROM ut a JOIN ut b ON a.user_id = b.user_id
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+          SELECT type_a, type_b, x.n AS n_a, y.n AS n_b, n_inter,
+                 CAST(n_inter AS DOUBLE)
+                   / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+          FROM i JOIN sz x ON type_a = x.event_type
+                 JOIN sz y ON type_b = y.event_type""",
+
     // one partitioned lag pass + conditional aggregates; availability
     // as fixed-shape double over exact integer microseconds
     "ts_gap_report" ->
@@ -4434,6 +4509,17 @@ object SparkEntry {
           FROM l""",
 
     // identical float spelling: floor(deg(atan(x/1000)) / 1e-6 + 0.5) * 1e-6
+    // per-(type,user) exact decimal 1d sums, then DuckDB's identical
+    // R-7 quantile_cont with the engine's round-6 convention
+    "promql_quantile" ->
+      s"""WITH c AS (SELECT event_type, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2)
+          SELECT event_type, round(quantile_cont(v, 0.9), 6) AS value
+          FROM c GROUP BY 1""",
+
     // per-series last/first (delta) and last-two (idelta) restated,
     // summed by type; the checker's 9-sig-decimal hash tolerance
     // absorbs double-sum ordering as in every promql sum gate

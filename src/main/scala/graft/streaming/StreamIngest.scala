@@ -486,6 +486,48 @@ object StreamIngest {
       }
   }
 
+  case class GapIn(series_id: String, ts_us: Long, event_id: Long)
+  case class GapState(last_us: Long)
+  case class GapOut(series_id: String, gap_start_us: Long, gap_end_us: Long,
+                    gap_us: Long)
+
+  /** Streaming GAP DETECTOR — the incremental sibling of
+    * TsOps.gapReport: per series the state is ONE long (the last
+    * sample time, O(1) forever); a gap over `gapUs` emits when the
+    * NEXT sample arrives, carrying its exact [start, end] bounds.
+    * (Detection-on-arrival, stated — a series that goes silent
+    * forever needs the absent/alert path, which watches wall clock;
+    * this one reports how long the outage WAS once it heals.)
+    * In-batch rows process in the (ts_us, event_id) total order (the
+    * ewma discipline), so batch-mode equals the batch lag pass
+    * row-for-row and micro-batch cuts can't change the emitted
+    * set on ordered arrival. */
+  def gapStream(events: DataFrame,
+                gapUs: Long = 2L * 86400L * 1000000L): Dataset[GapOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    graft.tsdb.Series.samples(events)
+      .select(col("series_id"), col("ts_us"), col("event_id"))
+      .as[GapIn]
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, rows: Iterator[GapIn], state: GroupState[GapState]) =>
+          var last = state.getOption.map(_.last_us)
+          val out = Seq.newBuilder[GapOut]
+          rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+            last.foreach { l =>
+              if (r.ts_us - l > gapUs)
+                out += GapOut(sid, l, r.ts_us, r.ts_us - l)
+            }
+            last = Some(last.fold(r.ts_us)(math.max(_, r.ts_us)))
+          }
+          last.foreach(l => state.update(GapState(l)))
+          out.result().iterator
+      }
+  }
+
   case class DriftIn(dim: Long, grp: String, x: Double)
   case class DriftState(a: Array[Long], b: Array[Long])
   case class DriftOut(dim: Long, n_a: Long, n_b: Long, psi: Double)

@@ -2781,4 +2781,73 @@ object TsOps {
         lit(1.0) - col("total_gap_us").cast("double")
           / (col("last_us") - col("first_us")).cast("double"))
   }
+
+  /** CAPACITY ETA — "at this growth rate, when do we hit X× today's
+    * level?" (the disk-full / quota-burn panel next to
+    * ts_predict_linear's raw extrapolation): per type, OLS over the
+    * DAILY totals (exact integer sufficient statistics — day indexes
+    * × counts), the fitted current level, cap = capFactor × current,
+    * and days_to_cap = current·(capFactor−1)/slope — NULL when the
+    * series isn't growing (slope ≤ 0: honest, never negative ETAs).
+    * Every statistic is ONE fixed-shape IEEE expression over exact
+    * integer sums (§4). One hash aggregation past the daily
+    * reduction. */
+  def capacityEta(events: DataFrame, capFactor: Double = 2.0): DataFrame = {
+    require(capFactor > 1.0, s"capFactor must exceed 1, got $capFactor")
+    val daily = Series.samples(events)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val st = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("day")).as("sx"), sum(col("c")).as("sy"),
+        sum(col("day") * col("c")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"),
+        max(col("day")).as("last_day"))
+      .filter(col("n") >= 2)
+    st
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+      .withColumn("current_fit",
+        col("intercept") + col("slope") * col("last_day"))
+      .withColumn("days_to_cap",
+        when(col("slope") > 0 && col("current_fit") > 0,
+          col("current_fit") * lit(capFactor - 1.0) / col("slope")))
+      .select(col("event_type"), col("n").as("n_days"), col("slope"),
+        col("current_fit"), col("days_to_cap"))
+  }
+
+  /** AUDIENCE OVERLAP between event types — |users(a) ∩ users(b)| and
+    * Jaccard per unordered pair (the segment-overlap read behind
+    * cross-sell and cannibalization questions; events_lift_matrix
+    * asks "do they co-occur per session?", this asks "is it the same
+    * PEOPLE at all?"). One distinct (type, user) reduction, a
+    * self-join SHUFFLED ON user_id (each user contributes its own
+    * type-pair fan-out — bounded by types², never a cross join),
+    * broadcast per-type sizes; exact integers, one IEEE division
+    * (§4). */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = Series.samples(events)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = ut.alias("a")
+      .join(ut.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
 }

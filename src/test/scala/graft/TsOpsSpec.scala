@@ -1408,4 +1408,39 @@ class TsOpsSpec extends SparkSpec {
     assert(g._3 == 200 * h && g._4 == 299 * h)
     assert(g._5 == 1.0 - (299.0 * h) / (300 * h), g.toString)
   }
+  test("capacity_eta: exact linear growth reads its closed-form ETA; flat reads NULL") {
+    // type "g": daily totals 10,20,30,40 (slope 10, fit 40 at day 3)
+    // -> days to 2x = 40*1/10 = 4; type "f": constant -> slope 0, NULL
+    var id = 0L
+    val rows = for {
+      (tpe, counts) <- Seq(("g", Seq(10, 20, 30, 40)), ("f", Seq(5, 5, 5, 5)))
+      (c, d) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield {
+      id += 1
+      (id, (d * 86400000000L + i * 1000000L) * 1000L, 1L, tpe, 1.0)
+    }
+    val got = TsOps.capacityEta(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("event_type", "n_days", "slope", "current_fit", "days_to_cap")
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 4L, 10.0, 40.0, Some(4.0))), got("g"))
+    val f = got("f")
+    assert(f._3 == 0.0 && f._5.isEmpty, f.toString)
+  }
+
+  test("audience_overlap: intersection and jaccard match the hand sets") {
+    // users(a) = {1,2,3}, users(b) = {2,3,4,5} -> inter 2, union 5
+    val rows = (Seq(1L, 2L, 3L).map(u => ("a", u)) ++
+      Seq(2L, 3L, 4L, 5L).map(u => ("b", u)) ++
+      Seq(("a", 2L))) // duplicate event: distinct reduction absorbs it
+      .zipWithIndex.map { case ((t, u), i) =>
+        ((i + 1).toLong, (i + 1) * 1000000000L, u, t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.audienceOverlap(rows)
+      .select("type_a", "type_b", "n_a", "n_b", "n_inter", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 3L, 4L, 2L, 0.4)), got)
+  }
 }
