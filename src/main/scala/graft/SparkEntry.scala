@@ -654,6 +654,12 @@ object SparkEntry {
     // both attribution states live (vacuous-match discipline)
     "events_attribution" -> ((s, dir) => TsOps.attribution(t(s, dir, "events"))),
 
+    // first-touch: the EARLIEST click in [p-24h, p] gets the credit
+    // (which channel STARTED the journey); time-local join, one min()
+    // per purchase, exact decimal value + integer lead-time mass
+    "events_attribution_first" -> ((s, dir) =>
+      TsOps.attributionFirst(t(s, dir, "events"))),
+
     // M4 downsampling (Jugel VLDB'14): first/last/min/max per 48h
     // bucket — the error-free line-chart reducer next to LTTB's
     // shape-preserving one; ONE hash aggregation, pure integer
@@ -2614,6 +2620,11 @@ object SparkEntry {
     // rank-sum an exact decimal at any scale)
     "corpus_length_gini" -> ((s, dir) => TextOps.lengthGini(docsT(s, dir))),
 
+    // top-50 vocab Jaccard per source pair via the custom TopKPerKey
+    // operator (bounded heaps, no per-source vocabulary sort); zero-
+    // overlap pairs still report
+    "corpus_vocab_overlap" -> ((s, dir) => TextOps.vocabOverlap(docsT(s, dir))),
+
     // DRIFT CURVE: per id-ordered decile, KL(decile ‖ corpus) over the
     // top-16+OOV event space — the time-dimension sibling of the
     // source KL; a rising tail = recent data diverging
@@ -2903,6 +2914,12 @@ object SparkEntry {
     // NULL when sum_gy2 = 0, never Inf
     "multimodal_image_sobel" -> ((s, dir) =>
       Multimodal.imageSobel(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
+
+    // Hasler-Susstrunk colorfulness over the opponent channels; yb
+    // carried doubled so every moment is an exact long in the decode
+    // loop; grayscale ~ 0, the three-formula synthetic pixels score high
+    "multimodal_image_colorfulness" -> ((s, dir) =>
+      Multimodal.imageColorfulness(Multimodal.attachMediaMemo(docsT(s, dir), dir))),
 
     "multimodal_image_dhash" -> ((s, dir) =>
       // IMAGE PERCEPTUAL FINGERPRINT: real PNG decode → 9×8 grayscale
@@ -4072,6 +4089,24 @@ object SparkEntry {
                  CASE WHEN ts_us - active_since_us >= 86400000000 THEN 'firing'
                       ELSE 'pending' END AS state
           FROM a WHERE cond""",
+
+    // left time-local join + per-purchase min; day-grain decimal sums
+    "events_attribution_first" ->
+      """WITH sm AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM events),
+         p AS (SELECT user_id, ts_us, event_id, value FROM sm WHERE event_type = 'purchase'),
+         c AS (SELECT DISTINCT user_id, ts_us AS click_ts FROM sm WHERE event_type = 'click'),
+         j AS (SELECT p.user_id, p.ts_us, p.event_id, p.value,
+                 min(c.click_ts) AS first_click_ts
+               FROM p LEFT JOIN c ON p.user_id = c.user_id
+                 AND c.click_ts <= p.ts_us
+                 AND c.click_ts >= p.ts_us - 86400000000
+               GROUP BY 1, 2, 3, 4)
+         SELECT ts_us//86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CASE WHEN first_click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+                CAST(sum(CAST(CASE WHEN first_click_ts IS NOT NULL THEN value ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE) AS attributed_value,
+                CAST(sum(CASE WHEN first_click_ts IS NOT NULL THEN ts_us - first_click_ts ELSE 0 END) AS BIGINT) AS sum_lead_us
+         FROM j GROUP BY 1""",
 
     "events_attribution" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_type FROM events),
@@ -7376,6 +7411,31 @@ object SparkEntry {
 
     // the KL restated: same top-16 vocab + __oov__ bucket, per-term
     // p·ln(p/q) in the identical IEEE order, 6dp DECIMAL term sums
+    // per-source top-50 by (n desc, term) + term-join intersection;
+    // zero-overlap pairs via the size-frame cross
+    "corpus_vocab_overlap" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents),
+          cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2),
+          top AS (SELECT source, term FROM (
+                    SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY n DESC, term) AS rnk FROM cnt)
+                  WHERE rnk <= 50),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms
+                 FROM top GROUP BY 1),
+          i AS (SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(count(*) AS BIGINT) AS n_inter
+                FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+                GROUP BY 1, 2)
+          SELECT x.source AS source_a, y.source AS source_b,
+                 x.n_terms AS n_a, y.n_terms AS n_b,
+                 COALESCE(i.n_inter, 0) AS n_inter,
+                 CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / CAST(x.n_terms + y.n_terms - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+          FROM sz x JOIN sz y ON x.source < y.source
+          LEFT JOIN i ON i.source_a = x.source AND i.source_b = y.source""",
+
     // the user-concentration histogram idiom on doc lengths; doubled
     // tie-average ranks keep the rank-sum an exact decimal
     "corpus_length_gini" ->
@@ -8324,6 +8384,43 @@ object SparkEntry {
                   - (CAST(s1 AS DOUBLE) / n_interior) * (CAST(s1 AS DOUBLE) / n_interior))
                   < 100.0 AS blurry
          FROM m""",
+
+    // the blur pixel CTEs split into channels; doubled-yb integer
+    // moments, one fixed-shape colorfulness expression
+    "multimodal_image_colorfulness" ->
+      """WITH img AS (SELECT doc_id, text, strlen(text) AS len,
+                        16 + strlen(text) % 32 AS w, 8 + strlen(text) % 16 AS h
+                      FROM documents WHERE doc_id % 2 = 0),
+         px AS (SELECT doc_id, w, h, t.x, u.y,
+                  CASE WHEN len = 0 THEN 120
+                       ELSE ascii(substr(text, CAST((t.x + u.y) % len AS INT) + 1, 1)) END AS c
+                FROM img, (SELECT unnest(range(48)) AS x) t,
+                          (SELECT unnest(range(24)) AS y) u
+                WHERE t.x < w AND u.y < h),
+         ch AS (SELECT doc_id, (c*37) % 256 AS r, (x*7+c) % 256 AS g,
+                  (y*11+c) % 256 AS b
+                FROM px),
+         m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+                 CAST(sum(r - g) AS BIGINT) AS s_rg,
+                 CAST(sum((r - g) * (r - g)) AS BIGINT) AS s_rg2,
+                 CAST(sum(r + g - 2*b) AS BIGINT) AS s_yb2,
+                 CAST(sum((r + g - 2*b) * (r + g - 2*b)) AS BIGINT) AS s_yb2sq
+               FROM ch GROUP BY 1),
+         v AS (SELECT doc_id, n_pixels,
+                 CAST(s_rg AS DOUBLE) / n_pixels AS m_rg,
+                 CAST(s_yb2 AS DOUBLE) / n_pixels AS m_yb2,
+                 CAST(s_rg2 AS DOUBLE) / n_pixels
+                   - (CAST(s_rg AS DOUBLE) / n_pixels)
+                     * (CAST(s_rg AS DOUBLE) / n_pixels) AS v_rg,
+                 CAST(s_yb2sq AS DOUBLE) / n_pixels
+                   - (CAST(s_yb2 AS DOUBLE) / n_pixels)
+                     * (CAST(s_yb2 AS DOUBLE) / n_pixels) AS v_yb2
+               FROM m)
+         SELECT doc_id, n_pixels,
+                sqrt(v_rg + v_yb2 / 4.0)
+                  + 0.3 * sqrt(m_rg * m_rg + (m_yb2 / 2.0) * (m_yb2 / 2.0))
+                  AS colorfulness
+         FROM v""",
 
     // the blur pixel-synthesis CTEs + the full 8-neighbor stencil via
     // two lag/lead passes (row pass, then column pass over the row

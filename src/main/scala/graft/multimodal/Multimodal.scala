@@ -647,6 +647,64 @@ object Multimodal {
       .select(col("doc_id"), col("n_interior"), col("lap_var"), col("blurry"))
   }
 
+  /** COLORFULNESS metric per image (Hasler & Süsstrunk, SPIE 2003 —
+    * the no-reference colorfulness measure stock-photo and web-corpus
+    * pipelines rank with): over the opponent channels rg = R−G and
+    * yb = (R+G)/2 − B, M = √(σ²_rg + σ²_yb) + 0.3·√(μ²_rg + μ²_yb).
+    * A grayscale/sepia scan scores near 0; the synthetic corpus's
+    * three independent channel formulas score high — both informative.
+    * The yb channel is carried DOUBLED (yb2 = R+G−2B) so every
+    * accumulated moment is an exact integer LONG inside the decode
+    * loop (the imageStats discipline); the /2 enters once in the
+    * final fixed-shape expression (§4). */
+  def imageColorfulness(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_pixels", LongType),
+      StructField("s_rg", LongType), StructField("s_rg2", LongType),
+      StructField("s_yb2", LongType), StructField("s_yb2sq", LongType)))
+    val rdd = media.filter(col("kind") === "image")
+      .select("doc_id", "media").rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var n = 0L; var srg = 0L; var srg2 = 0L; var syb2 = 0L; var syb2sq = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val red = (rgb >> 16) & 0xff
+              val grn = (rgb >> 8) & 0xff
+              val blu = rgb & 0xff
+              val rg = red - grn
+              val yb2 = red + grn - 2 * blu
+              n += 1
+              srg += rg; srg2 += rg.toLong * rg
+              syb2 += yb2; syb2sq += yb2.toLong * yb2
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), n, srg, srg2, syb2, syb2sq)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("m_rg", col("s_rg").cast("double") / col("n_pixels"))
+      .withColumn("m_yb2", col("s_yb2").cast("double") / col("n_pixels"))
+      .withColumn("v_rg",
+        col("s_rg2").cast("double") / col("n_pixels")
+          - col("m_rg") * col("m_rg"))
+      .withColumn("v_yb2",
+        col("s_yb2sq").cast("double") / col("n_pixels")
+          - col("m_yb2") * col("m_yb2"))
+      .withColumn("colorfulness",
+        sqrt(col("v_rg") + col("v_yb2") / lit(4.0))
+          + lit(0.3) * sqrt(col("m_rg") * col("m_rg")
+            + (col("m_yb2") / lit(2.0)) * (col("m_yb2") / lit(2.0))))
+      .select(col("doc_id"), col("n_pixels"), col("colorfulness"))
+  }
+
   /** SOBEL gradient-energy profile per image — the edge-content dial
     * next to [[imageBlur]]'s focus measure (blur asks "is the second
     * derivative alive?"; this asks "how much FIRST-derivative

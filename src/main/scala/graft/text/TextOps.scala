@@ -1053,6 +1053,43 @@ object TextOps {
           .otherwise("very_difficult"))
   }
 
+  /** TOP-K VOCABULARY OVERLAP between source pairs — "do these two
+    * sources even speak the same words?" (the cheap pre-read before
+    * corpus_source_kl's distributional verdict: near-zero top-vocab
+    * Jaccard between sources that are supposed to be one domain means
+    * a scraping or labeling bug). Per source the top `k` terms via
+    * the custom TopKPerKey operator (bounded per-partition heaps —
+    * never a per-source window sort over the whole vocabulary), then
+    * pairwise intersection by term join; pairs with NO shared terms
+    * still report (size-frame cross of the tiny source list, zero
+    * coalesced). Exact integers, one IEEE division (§4). */
+  def vocabOverlap(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k in [1, 10000], got $k")
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopKPerKey(counts, Seq("source"),
+      Seq("n" -> graft.plans.TopKPerKey.Desc,
+        "term" -> graft.plans.TopKPerKey.Asc), k)
+      .select(col("source"), col("term"))
+      .persist()
+    val sizes = top.groupBy(col("source")).agg(count(lit(1)).as("n_terms"))
+    val inter = top.alias("a")
+      .join(top.alias("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    broadcast(sizes.select(col("source").as("source_a"), col("n_terms").as("n_a")))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_terms").as("n_b"))), col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("jaccard"))
+  }
+
   /** GINI over document lengths — the corpus-mass concentration dial
     * (a handful of mega-documents carrying most of the bytes skews
     * every per-doc statistic and packing plan; a dashboard reads this

@@ -2819,6 +2819,42 @@ object TsOps {
         col("current_fit"), col("days_to_cap"))
   }
 
+  /** FIRST-TOUCH attribution — the acquisition-credit counterpart of
+    * [[attribution]]'s last-touch and [[attributionLinear]]'s split
+    * (the three models marketing reporting quotes side by side; first
+    * touch answers "which channel STARTED the journey"). Per purchase,
+    * the EARLIEST click inside the 24h window [p−24h, p] gets the
+    * credit; the join is time-LOCAL (clicks within one window of the
+    * purchase — never a full history scan per purchase) and the
+    * per-purchase reduction is one min(). Day-grain report with exact
+    * DECIMAL value sums and the exact integer lead-time mass (§4). */
+  def attributionFirst(events: DataFrame,
+                       windowUs: Long = 86400000000L): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+    val sm = Series.samples(events)
+    val p = sm.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val c = sm.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_ts")).distinct()
+    p.join(c,
+        p("user_id") === c("user_id") &&
+          col("click_ts") <= col("ts_us") &&
+          col("click_ts") >= col("ts_us") - windowUs, "left")
+      .drop(c("user_id"))
+      .groupBy(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .agg(min(col("click_ts")).as("first_click_ts"))
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("first_click_ts").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed"),
+        sum(when(col("first_click_ts").isNotNull, col("value"))
+          .otherwise(0.0).cast(d2)).cast("double").as("attributed_value"),
+        sum(when(col("first_click_ts").isNotNull,
+          col("ts_us") - col("first_click_ts")).otherwise(0L))
+          .as("sum_lead_us"))
+  }
+
   /** AUDIENCE OVERLAP between event types — |users(a) ∩ users(b)| and
     * Jaccard per unordered pair (the segment-overlap read behind
     * cross-sell and cannibalization questions; events_lift_matrix

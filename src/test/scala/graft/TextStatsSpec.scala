@@ -443,6 +443,46 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("imageColorfulness: grayscale reads 0; a constant red/blue field matches the closed form") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val gray = (g: Int) => (g << 16) | (g << 8) | g
+    val media = Seq(
+      (1L, png((x, y) => gray((x * 13 + y * 7) % 256)), "image"), // varied grayscale
+      (2L, png((_, _) => 0xff0000), "image"))                     // pure red
+      .toDF("doc_id", "media", "kind")
+    val got = Multimodal.imageColorfulness(media)
+      .select("doc_id", "n_pixels", "colorfulness")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // grayscale: R=G=B -> rg = yb = 0 everywhere -> M = 0 exactly
+    assert(got.head == ((1L, 64L, 0.0)), got.head.toString)
+    // pure red: rg = 255, yb2 = 255 constant -> variances 0,
+    // M = 0.3 * sqrt(255^2 + 127.5^2)
+    val m = 0.3 * math.sqrt(255.0 * 255.0 + 127.5 * 127.5)
+    assert(math.abs(got(1)._3 - m) < 1e-9, s"${got(1)} vs $m")
+  }
+
+  test("vocabOverlap: shared vs disjoint source vocabularies, zero-overlap pair reports") {
+    val d = Seq(
+      (1L, "A", "alpha beta gamma"),
+      (2L, "B", "alpha beta delta"),
+      (3L, "C", "zz yy xx"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.vocabOverlap(d, k = 10)
+      .select("source_a", "source_b", "n_a", "n_b", "n_inter", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("A", "B")) == (("A", "B", 3L, 3L, 2L, 0.5)))
+    assert(got(("A", "C")) == (("A", "C", 3L, 3L, 0L, 0.0)))
+    assert(got(("B", "C")) == (("B", "C", 3L, 3L, 0L, 0.0)))
+  }
+
   test("lengthGini: equal lengths read 0; concentration matches the hand formula") {
     val eq = Seq((1L, "x", 10L), (2L, "y", 10L), (3L, "z", 10L))
       .toDF("doc_id", "text", "n_chars")

@@ -1430,6 +1430,27 @@ class TsOpsSpec extends SparkSpec {
     assert(f._3 == 0.0 && f._5.isEmpty, f.toString)
   }
 
+  test("attribution_first: earliest in-window click wins; out-of-window and later clicks don't") {
+    val hu = 3600000000L
+    // purchase at hour 30 value 50: clicks at hours 2 (inside 24h? 30-2=28h -> OUT),
+    // 10 and 20 (both inside) -> first = hour 10, lead 20h;
+    // purchase at hour 100: no click in window -> organic
+    val rows = Seq(
+      (1L, 2L * hu, 1L, "click", 0.0),
+      (2L, 10L * hu, 1L, "click", 0.0),
+      (3L, 20L * hu, 1L, "click", 0.0),
+      (4L, 30L * hu, 1L, "purchase", 50.0),
+      (5L, 100L * hu, 1L, "purchase", 7.0))
+      .map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.attributionFirst(rows)
+      .select("day", "n_purchases", "n_attributed", "attributed_value", "sum_lead_us")
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 50.0, 20L * hu),
+      (4L, 1L, 0L, 0.0, 0L)), got)
+  }
+
   test("audience_overlap: intersection and jaccard match the hand sets") {
     // users(a) = {1,2,3}, users(b) = {2,3,4,5} -> inter 2, union 5
     val rows = (Seq(1L, 2L, 3L).map(u => ("a", u)) ++
