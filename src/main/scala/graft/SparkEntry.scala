@@ -730,6 +730,10 @@ object SparkEntry {
     // exact integer sufficient statistics; NULL ETA when not growing
     "ts_capacity_eta" -> ((s, dir) => TsOps.capacityEta(t(s, dir, "events"))),
 
+    // gaps-and-islands: longest above-mean run per series (sustained
+    // elevation vs scattered spikes); fractional mean -> no edge case
+    "ts_streaks" -> ((s, dir) => TsOps.streaks(t(s, dir, "events"))),
+
     // same-PEOPLE overlap per type pair (lift asks co-occurrence per
     // session; this asks audience identity): distinct reduction +
     // user-keyed self-join, exact integers
@@ -784,6 +788,10 @@ object SparkEntry {
     // global rank over users; tied blocks contribute exact
     // half-integer average ranks); honestly null on the parity split
     "events_ab_mwu" -> ((s, dir) => TsOps.abMannWhitney(t(s, dir, "events"))),
+
+    // the POWER side of the test duo: MDE at 5%/80% from pooled exact
+    // decimal moments; z constants are shared driver literals
+    "events_ab_mde" -> ((s, dir) => TsOps.abMde(t(s, dir, "events"))),
 
     // multi-resolution Haar energy ladder over the first 256 hours:
     // which time scale carries the energy (hour jitter vs 16h swings);
@@ -2625,6 +2633,12 @@ object SparkEntry {
     // overlap pairs still report
     "corpus_vocab_overlap" -> ((s, dir) => TextOps.vocabOverlap(docsT(s, dir))),
 
+    // pre-write shard-balance audit on the native Md5Prefix shard key:
+    // per-shard count/share/chi2 vs uniform (skew = the straggler that
+    // gates a 100 TB partitioned write)
+    "layout_shard_balance" -> ((s, dir) =>
+      graft.analytics.Layout.shardBalance(docsT(s, dir), "doc_id")),
+
     // DRIFT CURVE: per id-ordered decile, KL(decile ‖ corpus) over the
     // top-16+OOV event space — the time-dimension sibling of the
     // source KL; a rising tail = recent data diverging
@@ -3759,6 +3773,30 @@ object SparkEntry {
 
     "ts_anomaly_esd" -> esdOracle,
 
+    // gaps-and-islands via hour - row_number; earliest-start tiebreak
+    // through a second bounded aggregation
+    "ts_streaks" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          m AS (SELECT event_type, CAST(sum(c) AS DOUBLE) / count(*) AS mean
+                FROM h GROUP BY 1),
+          ab AS (SELECT h.event_type, h.hour,
+                  h.hour - row_number() OVER (PARTITION BY h.event_type
+                    ORDER BY h.hour) AS grp
+                 FROM h JOIN m USING (event_type) WHERE h.c > m.mean),
+          isl AS (SELECT event_type, grp, CAST(count(*) AS BIGINT) AS len,
+                  min(hour) AS start_hour
+                FROM ab GROUP BY 1, 2),
+          lng AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_islands,
+                  max(len) AS longest_len
+                FROM isl GROUP BY 1)
+          SELECT i.event_type, l.n_islands, l.longest_len,
+                 CAST(min(i.start_hour) AS BIGINT) AS longest_start_hour
+          FROM isl i JOIN lng l ON i.event_type = l.event_type
+            AND i.len = l.longest_len
+          GROUP BY 1, 2, 3""",
+
     // OLS closed forms over exact integer daily sums
     "ts_capacity_eta" ->
       """WITH d AS (SELECT event_type, epoch_us(ts)//86400000000 AS day,
@@ -4005,6 +4043,36 @@ object SparkEntry {
                 CAST(CAST(sum(take * n_ev) AS BIGINT) AS DOUBLE)
                   / CAST(n_events AS DOUBLE) AS share
          FROM y GROUP BY pct, n_users, n_events, k""",
+
+    // pooled-SD closed form on the same per-user decimal moments; the
+    // z sum is the shared driver literal (string-cast strtod path)
+    "events_ab_mde" ->
+      """WITH per AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m
+                FROM events GROUP BY 1),
+          mom AS (SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+                  sum(m) AS s1, sum(m * m) AS s2
+                FROM per GROUP BY 1),
+          w AS (SELECT
+                  max(CASE WHEN variant = 0 THEN n END) AS n0,
+                  max(CASE WHEN variant = 0 THEN s1 END) AS s10,
+                  max(CASE WHEN variant = 0 THEN s2 END) AS s20,
+                  max(CASE WHEN variant = 1 THEN n END) AS n1,
+                  max(CASE WHEN variant = 1 THEN s1 END) AS s11,
+                  max(CASE WHEN variant = 1 THEN s2 END) AS s21
+                FROM mom),
+          x AS (SELECT *,
+                  CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / n0 AS ss0,
+                  CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / n1 AS ss1
+                FROM w),
+          y AS (SELECT *, sqrt((ss0 + ss1) / (n0 + n1 - 2)) AS pooled_sd,
+                  (CAST(s10 AS DOUBLE) + CAST(s11 AS DOUBLE)) / (n0 + n1) AS grand_mean
+                FROM x),
+          z AS (SELECT *, CAST('@MDEZ@' AS DOUBLE) * pooled_sd
+                  * sqrt(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1) AS mde_abs
+                FROM y)
+          SELECT n0, n1, pooled_sd, grand_mean, mde_abs,
+                 mde_abs / grand_mean AS mde_rel
+          FROM z""".replace("@MDEZ@", "2.8016"),
 
     // the value-histogram rank reduction restated: doubled average
     // ranks keep the rank sum an exact integer; U/mu/sigma2/z are the
@@ -7411,6 +7479,20 @@ object SparkEntry {
 
     // the KL restated: same top-16 vocab + __oov__ bucket, per-term
     // p·ln(p/q) in the identical IEEE order, 6dp DECIMAL term sums
+    // the composed md5 hex-substring form Md5Prefix is spec-pinned
+    // equal to; chi2 vs the uniform expectation
+    "layout_shard_balance" ->
+      """WITH sh AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard
+                FROM documents),
+          c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+          SELECT shard, n,
+                 CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                 (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 32)
+                   * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 32)
+                   / (CAST(total AS DOUBLE) / 32) AS chi2_term
+          FROM c, t""",
+
     // per-source top-50 by (n desc, term) + term-join intersection;
     // zero-overlap pairs via the size-frame cross
     "corpus_vocab_overlap" ->

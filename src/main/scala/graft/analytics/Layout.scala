@@ -142,4 +142,30 @@ object Layout {
             / (col("gmax_y") - col("gmin_y")).cast("double"))
           .otherwise(lit(0.0)).as("y_span_frac"))
   }
+
+  /** HASH-SHARD BALANCE audit — the pre-write check before committing
+    * a partitioned layout (a skewed shard function turns one writer
+    * task into the straggler that gates the whole 100 TB job; the
+    * audit costs one aggregation, the bad layout costs hours). Keys
+    * shard by the NATIVE Md5Prefix expression (codegen'd digest-prefix
+    * — the oracle restates the composed hex-substring form it is
+    * spec-pinned equal to), and each shard reports its count, share,
+    * and χ²-term against the uniform expectation (total/nShards as
+    * ONE fixed-shape double). Exact integers otherwise (§4). */
+  def shardBalance(df: DataFrame, keyCol: String,
+                   nShards: Int = 32): DataFrame = {
+    require(nShards >= 2 && nShards <= 65536, s"nShards in [2, 65536], got $nShards")
+    val sh = df
+      .select(pmod(graft.functions.Md5Prefix(col(keyCol).cast("string"), 15),
+        lit(nShards.toLong)).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+    val total = sh.agg(sum(col("n")).as("total"))
+    sh.crossJoin(broadcast(total))
+      .withColumn("expected", col("total").cast("double") / lit(nShards))
+      .select(col("shard"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        ((col("n").cast("double") - col("expected"))
+          * (col("n").cast("double") - col("expected")) / col("expected"))
+          .as("chi2_term"))
+  }
 }

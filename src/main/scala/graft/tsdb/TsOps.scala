@@ -2782,6 +2782,78 @@ object TsOps {
           / (col("last_us") - col("first_us")).cast("double"))
   }
 
+  /** MINIMUM DETECTABLE EFFECT for the A/B assignment — the POWER
+    * side of the Welch/MWU duo ("is the test even big enough to see
+    * the lift we care about?" — the question to ask BEFORE running
+    * either significance test; an underpowered experiment that reads
+    * "not significant" proves nothing). Classic two-sample normal
+    * approximation at 5%/80%: MDE = (z_α/2 + z_β)·s_p·√(1/n0 + 1/n1)
+    * with the pooled SD from exact decimal per-user moments; the z
+    * constants are driver-side literals shared verbatim with the
+    * oracle (the periodogram literal pattern). One row: arm sizes,
+    * pooled SD, absolute and relative MDE — every statistic a
+    * fixed-shape IEEE expression over exact sums (§4). */
+  val MdeZ: Double = 1.96 + 0.8416 // z_{0.025} + z_{0.20}, textbook 4dp
+  def abMde(events: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = Series.samples(events)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(d2)).as("m"))
+    val mom = per
+      .groupBy(pmod(col("user_id"), lit(2L)).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+    def side(v: Int, c: String) =
+      max(when(col("variant") === v, col(c))).as(s"$c$v")
+    mom.agg(side(0, "n"), side(0, "s1"), side(0, "s2"),
+        side(1, "n"), side(1, "s1"), side(1, "s2"))
+      .withColumn("ss0", col("s20").cast("double")
+        - col("s10").cast("double") * col("s10").cast("double") / col("n0"))
+      .withColumn("ss1", col("s21").cast("double")
+        - col("s11").cast("double") * col("s11").cast("double") / col("n1"))
+      .withColumn("pooled_sd",
+        sqrt((col("ss0") + col("ss1")) / (col("n0") + col("n1") - 2)))
+      .withColumn("grand_mean",
+        (col("s10").cast("double") + col("s11").cast("double"))
+          / (col("n0") + col("n1")))
+      .withColumn("mde_abs",
+        lit(MdeZ) * col("pooled_sd")
+          * sqrt(lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      .withColumn("mde_rel", col("mde_abs") / col("grand_mean"))
+      .select(col("n0"), col("n1"), col("pooled_sd"), col("grand_mean"),
+        col("mde_abs"), col("mde_rel"))
+  }
+
+  /** LONGEST ABOVE-MEAN STREAK per series — gaps-and-islands over the
+    * hourly counts (the "how long did the elevated period RUN" read
+    * that point detectors and zone rules both miss; an 18-hour
+    * sustained elevation is a different incident than 18 scattered
+    * spikes). Islands via the classic hour − row_number() grouping
+    * key; threshold = the series' own mean (fractional — integer
+    * counts can't sit ON it, so the strict compare has no edge case).
+    * Determinism: mean from exact decimal sums (the esd shape),
+    * identical compare both engines, longest = max length with the
+    * earliest start as tiebreak via a second bounded aggregation.
+    * Per-series bounded windows on the reduced hourly frame. */
+  def streaks(events: DataFrame): DataFrame = {
+    val hourly = hourlyTypeCounts(events)
+    val mean = hourly.groupBy(col("event_type"))
+      .agg((sum(col("c")).cast("double") / count(lit(1))).as("mean"))
+    val above = hourly.join(broadcast(mean), "event_type")
+      .filter(col("c") > col("mean"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("hour"))))
+      .withColumn("grp", col("hour") - col("rn"))
+    val islands = above.groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("hour")).as("start_hour"))
+    val longest = islands.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest_len"))
+    islands.join(longest, "event_type")
+      .filter(col("len") === col("longest_len"))
+      .groupBy(col("event_type"), col("n_islands"), col("longest_len"))
+      .agg(min(col("start_hour")).cast("long").as("longest_start_hour"))
+  }
+
   /** CAPACITY ETA — "at this growth rate, when do we hit X× today's
     * level?" (the disk-full / quota-burn panel next to
     * ts_predict_linear's raw extrapolation): per type, OLS over the

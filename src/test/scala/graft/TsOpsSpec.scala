@@ -1451,6 +1451,45 @@ class TsOpsSpec extends SparkSpec {
       (4L, 1L, 0L, 0.0, 0L)), got)
   }
 
+  test("ab_mde: equal-arm closed form; detectable shifts exceed the MDE, undetectable don't") {
+    // arms of 50 users each, per-user totals 10 or 12 alternating
+    // inside each arm -> pooled variance = 1 (values split evenly
+    // around 11), MDE = 2.8016 * 1 * sqrt(2/50) = 0.560..
+    val rows = (0 until 100).map { u =>
+      ((u + 1).toLong, (u + 1) * 1000000000L, u.toLong, "t",
+        if ((u / 2) % 2 == 0) 10.0 else 12.0)
+    }
+    val got = TsOps.abMde(rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("n0", "n1", "pooled_sd", "grand_mean", "mde_abs", "mde_rel")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(got._1 == 50 && got._2 == 50)
+    // each arm: 25x10 + 25x12 -> ss = 50, pooled = sqrt(100/98)
+    val sd = math.sqrt(100.0 / 98.0)
+    assert(math.abs(got._3 - sd) < 1e-12, got.toString)
+    assert(got._4 == 11.0)
+    val mde = TsOps.MdeZ * sd * math.sqrt(2.0 / 50.0)
+    assert(math.abs(got._5 - mde) < 1e-12, got.toString)
+  }
+
+  test("streaks: islands split on the gap; longest wins with earliest-start tiebreak") {
+    // counts: hours 0-2 at 5 (above), 3 at 1, 4-7 at 5 (above, len 4),
+    // 8-9 at 1, 10-13 at 5 (len 4 again -> tie, earliest start = 4)
+    val pattern = Seq(5, 5, 5, 1, 5, 5, 5, 5, 1, 1, 5, 5, 5, 5)
+    var id = 0L
+    val rows = for {
+      (c, h) <- pattern.zipWithIndex
+      i <- 0 until c
+    } yield {
+      id += 1
+      (id, (h * 3600000000L + i * 1000000L) * 1000L, 1L, "t", 1.0)
+    }
+    val got = TsOps.streaks(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("n_islands", "longest_len", "longest_start_hour")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 4L, 4L)), got)
+  }
+
   test("audience_overlap: intersection and jaccard match the hand sets") {
     // users(a) = {1,2,3}, users(b) = {2,3,4,5} -> inter 2, union 5
     val rows = (Seq(1L, 2L, 3L).map(u => ("a", u)) ++
