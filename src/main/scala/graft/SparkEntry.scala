@@ -535,6 +535,13 @@ object SparkEntry {
     // quantile ACROSS series through the front door: R-7 percentile of
     // the per-series exact decimal daily sums, round-6 (the engine's
     // quantile-agg convention), grouped by type
+    // the `or vector(0)` dashboard fallback: an empty selector result
+    // still renders a zero instead of a blank panel
+    "promql_or_vector" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """(sum by (event_type) (count_over_time({event_type="nosuch"}[1d])) or sum by (event_type) (count_over_time({event_type="view"}[1d]))) or vector(0)""",
+      T2)),
+
     "promql_quantile" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
       """quantile by (event_type) (0.9, sum_over_time({}[1d]))""",
@@ -1290,6 +1297,22 @@ object SparkEntry {
     // props, v2 carries it; mergeSchema unions the footers and fills
     // v1 rows with NULL — the gate proves exactly that fill, plus the
     // natural nulls v2 already had
+    // dead-letter accounting on a corrupt wire feed: every 10th record
+    // truncated -> PERMISSIVE read lands it all-NULL with the raw line
+    // in _corrupt; nothing aborts, nothing silently drops
+    "ingest_corrupt_handling" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_dl").toString
+      graft.sources.Ingest.writeJsonlCorrupted(t(s, dir, "events"), out)
+      graft.sources.Ingest.eventsFromJsonlPermissive(s, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("sum_value"))
+    }),
+
     "ingest_schema_evolution" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val us = Series.tsUs(ev)
@@ -4612,6 +4635,18 @@ object SparkEntry {
           FROM l""",
 
     // identical float spelling: floor(deg(atan(x/1000)) / 1e-6 + 0.5) * 1e-6
+    // the live view row unions with the labelless zero fallback
+    // (differing label sets never collide — the faithful or)
+    "promql_or_vector" ->
+      s"""SELECT event_type, value FROM (
+            SELECT event_type, CAST(count(*) AS DOUBLE) AS value
+            FROM events
+            WHERE event_type = 'view'
+              AND epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+            GROUP BY 1
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR), CAST(0 AS DOUBLE))""",
+
     // per-(type,user) exact decimal 1d sums, then DuckDB's identical
     // R-7 quantile_cont with the engine's round-6 convention
     "promql_quantile" ->
@@ -5723,6 +5758,14 @@ object SparkEntry {
                     ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
                 FROM d)
           SELECT day, event_type, cnt, err, rank FROM r WHERE rank <= 5""",
+
+    // corrupt rows lose every field: NULL type group carries the count
+    "ingest_corrupt_handling" ->
+      """SELECT CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+                CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
 
     // v1 rows (pre-T1) read back with NULL props under mergeSchema;
     // v2 keeps its natural nulls — both restated from the source

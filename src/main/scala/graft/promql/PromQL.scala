@@ -2338,12 +2338,18 @@ object PromQL {
             val keys = matchKeys
             val rOnly = rf.join(lf.select(keys.map(col): _*).distinct(), keys, "left_anti")
             lf.unionByName(rOnly, allowMissingColumns = true)
-          } else {
-            require(lf.columns.sorted.sameElements(rf.columns.sorted),
-              s"or needs congruent vectors, got ${lf.columns.mkString(",")} vs ${rf.columns.mkString(",")}")
+          } else if (lf.columns.sorted.sameElements(rf.columns.sorted)) {
             val keys = lf.columns.filterNot(_ == "value").toSeq
             val rOnly = rf.join(lf.select(keys.map(col): _*).distinct(), keys, "left_anti")
             lf.unionByName(rOnly)
+          } else {
+            // PromQL's default collision signature is the FULL label
+            // set: elements whose label SETS differ can never collide,
+            // so differing shapes union wholesale, missing labels
+            // NULL-filled — the `x or vector(0)` fallback idiom
+            // (r12c3; previously a typed congruence refusal, stricter
+            // than Prometheus)
+            lf.unionByName(rf, allowMissingColumns = true)
           }
         case _ =>
           val keys = matchKeys

@@ -61,6 +61,44 @@ object Ingest {
   def eventsFromJsonlMicros(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventMicrosSchema).json(path)
 
+  /** [[writeJsonlMicros]] with DETERMINISTIC corruption injected:
+    * every record whose event_id ≡ 0 (mod `nth`) loses its last two
+    * characters (the closing digit + brace — always invalid JSON).
+    * The test harness for the PERMISSIVE ingest path: a real wire
+    * feed always contains some malformed lines, and a loader that
+    * aborts (FAILFAST) or silently drops them both lose data. */
+  def writeJsonlCorrupted(events: DataFrame, path: String,
+                          nth: Long = 10L): Unit =
+    events.select(
+      org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("event_id"),
+          graft.tsdb.Series.tsUs(events).as("ts_us"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value"))).as("j"),
+      org.apache.spark.sql.functions.col("event_id"))
+      .select(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.lit(nth)) === 0,
+        org.apache.spark.sql.functions.expr("substring(j, 1, length(j) - 2)"))
+        .otherwise(org.apache.spark.sql.functions.col("j")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** PERMISSIVE read of a possibly-corrupt JSONL feed: malformed
+    * lines land with every data field NULL and the raw line in
+    * `_corrupt` — nothing aborts, nothing silently drops, and the
+    * corrupt mass is COUNTABLE (the dead-letter accounting a 100 TB
+    * feed needs before anyone trusts its row counts). */
+  def eventsFromJsonlPermissive(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(eventMicrosSchema.fields :+
+        StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** CSV sibling of [[writeJsonlMicros]] — the other wire dump every
     * pipeline eventually receives. Same epoch-micros discipline;
     * doubles survive the text hop via shortest-round-trip repr. */

@@ -47,4 +47,33 @@ class IngestSourcesSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("merge") ||
       ex.getMessage.toLowerCase.contains("incompatible"), ex.getMessage.take(300))
   }
+  test("corrupt JSONL: every 10th line lands in _corrupt with all fields NULL; the rest roundtrip") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dl_spec").toString
+    val ev = Seq(
+      (10L, 1000L, 1L, "a", 1.5),   // id % 10 == 0 -> corrupted
+      (11L, 2000L, 2L, "b", 2.5),
+      (20L, 3000L, 3L, "c", 3.5),   // corrupted
+      (21L, 4000L, 4L, "d", 4.5))
+      .map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    Ingest.writeJsonlCorrupted(ev, dir)
+    // cache first: Spark disallows corrupt-column-ONLY queries over a
+    // raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the gate
+    // always reads data columns alongside, so only the spec's
+    // corrupt-side slicing needs the materialization
+    val back = Ingest.eventsFromJsonlPermissive(spark, dir).cache()
+    back.count()
+    val bad = back.filter(col("_corrupt").isNotNull)
+    assert(bad.count() == 2)
+    // corrupt rows carry NO parsed fields (no half-parsed leakage)
+    assert(bad.filter(col("event_id").isNotNull || col("value").isNotNull).count() == 0)
+    // the raw line is preserved for the dead-letter queue
+    assert(bad.select("_corrupt").as[String].collect().forall(_.startsWith("{\"event_id\"")))
+    val good = back.filter(col("_corrupt").isNull)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(good == Set((11L, "b", 2.5), (21L, "d", 4.5)))
+  }
 }

@@ -607,6 +607,26 @@ class PromqlSpec extends SparkSpec {
     assert(d == Map("nosuch" -> 1.0, "view" -> 1.0))
   }
 
+  test("or unions disjoint label shapes; equal shapes still anti-join (r12c3)") {
+    val at = 2L * hu
+    // empty left + vector(0): the fallback row renders, labels NULL
+    val fb = PromQL.eval(ev,
+      """sum by (event_type) (count_over_time({event_type="nosuch"}[2h])) or vector(0)""", at)
+      .select("event_type", "value").as[(Option[String], Double)].collect().toSeq
+    assert(fb == Seq((None, 0.0)), fb)
+    // non-empty left with labels + labelless right: label SETS differ
+    // -> no collision, BOTH survive (the faithful Prometheus or)
+    val both = PromQL.eval(ev,
+      """sum by (event_type) (count_over_time({event_type="view"}[2h])) or vector(7)""", at)
+      .select("event_type", "value").as[(Option[String], Double)].collect().toSet
+    assert(both == Set((Some("view"), 1.0), (None, 7.0)), both)
+    // equal shapes: left wins on collision, right survivor unions in
+    val eq = PromQL.eval(ev,
+      """sum by (event_type) (count_over_time({event_type="view"}[2h])) or sum by (event_type) (count_over_time({event_type=~"view|click"}[2h]))""",
+      at).select("event_type", "value").as[(String, Double)].collect().toMap
+    assert(eq == Map("view" -> 1.0, "click" -> 5.0), eq)
+  }
+
   test("set operators: and, unless, or") {
     val at = 2L * hu
     // click-series AND purchase-series matched on user_id → user 1 only,
