@@ -741,6 +741,11 @@ object SparkEntry {
     // elevation vs scattered spikes); fractional mean -> no edge case
     "ts_streaks" -> ((s, dir) => TsOps.streaks(t(s, dir, "events"))),
 
+    // seasonality-aware alert band: per (type, hour-of-day) R-7
+    // median + 3*MAD (24 bands where ts_mad_outliers computes one)
+    "ts_seasonal_threshold" -> ((s, dir) =>
+      TsOps.seasonalThreshold(t(s, dir, "events"))),
+
     // same-PEOPLE overlap per type pair (lift asks co-occurrence per
     // session; this asks audience identity): distinct reduction +
     // user-keyed self-join, exact integers
@@ -1401,6 +1406,11 @@ object SparkEntry {
         Series.samples(t(s, dir, "events")),
         col("user_id"), col("value"), col("event_id"))
         .select(col("k").as("user_id"), col("sum_value"), col("n"))),
+
+    // pooled D1/D7/D14 the censoring-aware way: a cohort counts toward
+    // Dn only once the horizon has shown it n days
+    "events_retention_headline" -> ((s, dir) =>
+      TsOps.retentionHeadline(t(s, dir, "events"))),
 
     "events_retention" -> ((s, dir) => {
       // cohort retention: users grouped by first-seen day, distinct
@@ -2338,6 +2348,15 @@ object SparkEntry {
     "dedup_keep" -> ((s, dir) =>
       Dedup.dedupedCorpus(docsT(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // filter-then-search: the metadata predicate prunes BEFORE any
+    // scoring (nearest neighbors NOT of the query's own class) - the
+    // production filtered-retrieval shape, guarded exact baseline
+    "ann_filtered_topk" -> ((s, dir) =>
+      VectorOps.filteredTopK(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label")),
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+          .filter(col("vec_id") < 5))),
 
     "ann_cosine_topk" -> ((s, dir) => {
       val e = embT(s, dir)
@@ -3693,6 +3712,25 @@ object SparkEntry {
                  CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY 1""",
 
+    // censoring-aware pooled rates: per-offset eligibility against the
+    // horizon, semi-join retention, exact integers
+    "events_retention_headline" ->
+      """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts)//86400000000 AS day FROM events),
+          f AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY 1),
+          hz AS (SELECT max(day) AS max_day FROM act),
+          dd AS (SELECT CAST(unnest([1, 7, 14]) AS BIGINT) AS d),
+          el AS (SELECT f.user_id, f.first_day, dd.d
+                 FROM f, hz, dd WHERE f.first_day + dd.d <= hz.max_day),
+          re AS (SELECT el.d, CAST(count(*) AS BIGINT) AS n_retained
+                 FROM el WHERE EXISTS (SELECT 1 FROM act a
+                   WHERE a.user_id = el.user_id AND a.day = el.first_day + el.d)
+                 GROUP BY 1),
+          eg AS (SELECT d, CAST(count(*) AS BIGINT) AS n_eligible FROM el GROUP BY 1)
+          SELECT eg.d, eg.n_eligible, COALESCE(re.n_retained, 0) AS n_retained,
+                 CAST(COALESCE(re.n_retained, 0) AS DOUBLE)
+                   / CAST(eg.n_eligible AS DOUBLE) AS rate
+          FROM eg LEFT JOIN re ON eg.d = re.d""",
+
     "events_retention" ->
       s"""WITH d AS (SELECT user_id, epoch_us(ts)//86400000000 AS day FROM events),
           f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
@@ -3795,6 +3833,24 @@ object SparkEntry {
     "ts_periodogram" -> periodogramOracle,
 
     "ts_anomaly_esd" -> esdOracle,
+
+    // two R-7 passes with the round-6 discipline; fixed-shape band
+    "ts_seasonal_threshold" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          hh AS (SELECT event_type, hour % 24 AS hod, c FROM h),
+          med AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_hours,
+                  round(quantile_cont(CAST(c AS DOUBLE), 0.5), 6) AS median
+                FROM hh GROUP BY 1, 2),
+          md AS (SELECT hh.event_type, hh.hod AS hour_of_day, med.n_hours,
+                  med.median,
+                  round(quantile_cont(abs(CAST(hh.c AS DOUBLE) - med.median), 0.5), 6) AS mad
+                FROM hh JOIN med ON hh.event_type = med.event_type AND hh.hod = med.hod
+                GROUP BY 1, 2, 3, 4)
+          SELECT event_type, hour_of_day, n_hours, median, mad,
+                 median + 3.0 * mad AS threshold
+          FROM md""",
 
     // gaps-and-islands via hour - row_number; earliest-start tiebreak
     // through a second bounded aggregation
@@ -6261,6 +6317,19 @@ object SparkEntry {
          FROM blk a JOIN blk b
            ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+    // the cosine baseline + the class-exclusion predicate BEFORE scoring
+    "ann_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, q_label, e.vec_id, CAST(e.label AS BIGINT) AS label,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM e CROSS JOIN q WHERE e.vec_id <> q_id AND e.label <> q_label),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+               FROM s)
+         SELECT q_id, q_label, vec_id, label, cos, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5""",
 
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

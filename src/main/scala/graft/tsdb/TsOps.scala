@@ -2782,6 +2782,66 @@ object TsOps {
           / (col("last_us") - col("first_us")).cast("double"))
   }
 
+  /** SEASONAL ALERT THRESHOLD per (type, hour-of-day) — the
+    * seasonality-aware baseline static alerts lack (a 9am traffic
+    * level that is normal at 9am is an incident at 3am; ts_mad_outliers
+    * computes one global band, this computes 24): per cell the R-7
+    * median of that hour-of-day's counts, the MAD around it, and the
+    * upper band median + k·MAD. Both percentile passes round to 6dp
+    * (the madOutliers cross-engine discipline — a last-ULP R-7
+    * difference must not propagate into the band); the band is one
+    * fixed-shape expression (§4). Per-cell state is bounded by days
+    * per cell; two aggregations on the reduced hourly frame. */
+  def seasonalThreshold(events: DataFrame, kMad: Double = 3.0): DataFrame = {
+    require(kMad > 0, s"kMad must be positive, got $kMad")
+    val hourly = hourlyTypeCounts(events)
+      .withColumn("hod", expr("hour % 24"))
+    val med = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(expr("percentile(CAST(c AS DOUBLE), 0.5)"), 6).as("median"))
+    hourly.join(med, Seq("event_type", "hod"))
+      .groupBy(col("event_type"), col("hod").as("hour_of_day"),
+        col("n_hours"), col("median"))
+      .agg(round(expr("percentile(abs(CAST(c AS DOUBLE) - median), 0.5)"), 6)
+        .as("mad"))
+      .withColumn("threshold", col("median") + lit(kMad) * col("mad"))
+  }
+
+  /** POOLED D1/D7/D14 RETENTION headline — the three numbers a growth
+    * dashboard leads with, pooled across cohorts the CENSORING-AWARE
+    * way (the survival_km honesty rule at summary grain): a cohort
+    * only counts toward Dn once the corpus horizon has actually shown
+    * it n days — pooling unobservable cohorts into the denominator
+    * biases every rate down. Exact integers: first-seen day per user,
+    * distinct (user, day) activity, one semi-join per offset on the
+    * user-reduced frames; rate = ONE IEEE division (§4). */
+  def retentionHeadline(events: DataFrame,
+                        days: Seq[Int] = Seq(1, 7, 14)): DataFrame = {
+    require(days.nonEmpty && days.forall(_ >= 1), s"day offsets >= 1: $days")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val act = Series.samples(events)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().persist()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val horizon = act.agg(max(col("day")).as("max_day"))
+    val dd = days.map(_.toLong).toDF("d")
+    val eligible = first.crossJoin(broadcast(horizon))
+      .crossJoin(broadcast(dd))
+      .filter(col("first_day") + col("d") <= col("max_day"))
+    val retained = eligible.alias("e")
+      .join(act.alias("a"),
+        col("a.user_id") === col("e.user_id") &&
+          col("a.day") === col("e.first_day") + col("e.d"), "left_semi")
+    val el = eligible.groupBy(col("d")).agg(count(lit(1)).as("n_eligible"))
+    val re = retained.groupBy(col("d")).agg(count(lit(1)).as("n_retained"))
+    el.join(re, Seq("d"), "left")
+      .select(col("d"), col("n_eligible"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (coalesce(col("n_retained"), lit(0L)).cast("double")
+          / col("n_eligible").cast("double")).as("rate"))
+  }
+
   /** MINIMUM DETECTABLE EFFECT for the A/B assignment — the POWER
     * side of the Welch/MWU duo ("is the test even big enough to see
     * the lift we care about?" — the question to ask BEFORE running

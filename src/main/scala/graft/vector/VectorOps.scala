@@ -1632,6 +1632,37 @@ object VectorOps {
       .agg(round(sum(col("term")).cast("double"), roundTo).as("psi"))
   }
 
+  /** FILTERED top-k retrieval — ANN with a metadata predicate (the
+    * production retrieval shape: "nearest docs NOT from the query's
+    * own class/source/tenant"; every vector DB benchmarks it
+    * separately because the filter changes the right PLAN). This is
+    * the FILTER-THEN-SEARCH side: the predicate prunes the corpus
+    * BEFORE any scoring — correct when the filter is selective or
+    * cheap (a label column); the search-then-filter side (over-fetch
+    * k′ > k from an index, then filter) lives with the IVF/LSH paths.
+    * Guarded exact baseline (the cosineTopK contract); same codegen'd
+    * CosineSimilarity, same (cos desc, vec_id) total order (§4). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                   roundTo: Int = 6, maxRows: Long = 1000000L,
+                   force: Boolean = false): DataFrame = {
+    requireBaselineScale(corpus, "filteredTopK", "lshTopK / IvfStore.topK",
+      maxRows, force)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("v").as("qv"), col("label").as("q_label")))
+    val scored = corpus
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label").cast("long").as("label"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** DIAGONAL-MAHALANOBIS outliers — the whitened-distance QC read
     * next to [[normOutliers]]'s L2 one (a vector can carry a normal
     * norm while sitting far outside the per-dimension envelope: one

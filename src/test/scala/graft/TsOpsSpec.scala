@@ -1451,6 +1451,49 @@ class TsOpsSpec extends SparkSpec {
       (4L, 1L, 0L, 0.0, 0L)), got)
   }
 
+  test("seasonal_threshold: per-hour-of-day bands; a spiky hour doesn't widen a quiet one") {
+    // hod 0 over 4 days: counts 4,4,4,40 -> median 4, MAD 0, band 4;
+    // hod 1: counts 1,9,1,9 -> median 5, MAD 4, band 17
+    val counts = Map(0 -> Seq(4, 4, 4, 40), 1 -> Seq(1, 9, 1, 9))
+    var id = 0L
+    val rows = for {
+      d <- 0 until 4
+      hod <- Seq(0, 1)
+      i <- 0 until counts(hod)(d)
+    } yield {
+      id += 1
+      (id, ((d * 24L + hod) * 3600000000L + i * 1000000L) * 1000L, 1L, "t", 1.0)
+    }
+    val got = TsOps.seasonalThreshold(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("hour_of_day", "n_hours", "median", "mad", "threshold")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 4L, 4.0, 0.0, 4.0)), got(0L))
+    assert(got(1L) == ((1L, 4L, 5.0, 4.0, 17.0)), got(1L))
+  }
+
+  test("retention_headline: unobservable cohorts stay out of the denominator") {
+    // horizon day 8. user 1 first day 0, active d1+d7 -> eligible+retained both.
+    // user 2 first day 0, never returns -> eligible both, retained neither.
+    // user 3 first day 5: eligible for d1 (6<=8) but NOT d7 (12>8).
+    val rows = Seq(
+      (1L, 0L, 1L), (2L, 1L, 1L), (3L, 7L, 1L),
+      (4L, 0L, 2L),
+      (5L, 5L, 3L), (6L, 6L, 3L),
+      (7L, 8L, 9L)) // horizon marker user
+      .map { case (id, day, u) =>
+        (id, day * 86400000000L * 1000L, u, "t", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.retentionHeadline(rows, days = Seq(1, 7))
+      .select("d", "n_eligible", "n_retained", "rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // d1 eligible: users 1,2,3 (+9? first=8, 8+1>8 no) = 3; retained: 1 (d1), 3 (d6)
+    assert(got(1L) == ((1L, 3L, 2L, 2.0 / 3)), got(1L))
+    // d7 eligible: users 1,2 (first 0, 7<=8); retained: user 1 only
+    assert(got(7L) == ((7L, 2L, 1L, 0.5)), got(7L))
+  }
+
   test("ab_mde: equal-arm closed form; detectable shifts exceed the MDE, undetectable don't") {
     // arms of 50 users each, per-user totals 10 or 12 alternating
     // inside each arm -> pooled variance = 1 (values split evenly

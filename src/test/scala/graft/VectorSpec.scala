@@ -510,6 +510,21 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(out(2L)) < 0.01, s"identical dim must read stable: $out")
   }
 
+  test("filteredTopK: the query's own class never appears; ranks re-pack after the filter") {
+    // labels: vecs 1,2 class 0; vecs 3,4,5 class 1. query = vec 1.
+    // nearest overall is vec 2 (same class) - it must NOT appear;
+    // the top hits are the class-1 vectors only
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(0.99, 0.1), 0),
+      (3L, Seq(0.9, 0.2), 1), (4L, Seq(0.0, 1.0), 1), (5L, Seq(-1.0, 0.0), 1))
+      .toDF("vec_id", "v", "label")
+    val got = graft.vector.VectorOps.filteredTopK(vecs, vecs.filter($"vec_id" === 1), k = 2)
+      .select("q_id", "vec_id", "label", "rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(got.map(_._2) == Seq(3L, 4L), got)
+    assert(got.forall(_._3 == 1L))
+  }
+
   test("whitenOutliers: one broken dim outranks norm-normal vectors; zero-var dims drop") {
     // dim 1 alternates ±1 (var 0.8), dim 2 is 0 except v5's 10
     // (mean 2, std 4), dim 3 is constant -> dropped (n_dims = 2).
