@@ -746,6 +746,10 @@ object SparkEntry {
     "ts_seasonal_threshold" -> ((s, dir) =>
       TsOps.seasonalThreshold(t(s, dir, "events"))),
 
+    // the Grafana heatmap data shape: (6h time-bucket x width-10
+    // value-bucket) counts per type; integer/floor bucket keys
+    "ts_value_heatmap" -> ((s, dir) => TsOps.valueHeatmap(t(s, dir, "events"))),
+
     // same-PEOPLE overlap per type pair (lift asks co-occurrence per
     // session; this asks audience identity): distinct reduction +
     // user-keyed self-join, exact integers
@@ -1980,6 +1984,16 @@ object SparkEntry {
     "dq_benford" -> ((s, dir) =>
       graft.quality.Quality.benford(t(s, dir, "lineitem"), "l_extendedprice")),
 
+    // tabular PSI between ship-year cohorts of l_extendedprice:
+    // fixed-width integer bins (no data-dependent extents), Laplace
+    // smoothing, the driftPsi 9dp ln discipline
+    "dq_drift_psi" -> ((s, dir) =>
+      graft.quality.Quality.driftPsiTabular(t(s, dir, "lineitem"),
+        "l_extendedprice",
+        when(year(col("l_shipdate")) === 1995, "a")
+          .when(year(col("l_shipdate")) === 2000, "b"),
+        binWidth = 10500.0)),
+
     // DQ VERDICT PERSISTENCE + TREND (the other half of the Deequ
     // role — anomaly detection on the metrics OVER TIME): each
     // ship-year of lineitem is one ingest "run" whose verdict frame
@@ -2674,6 +2688,10 @@ object SparkEntry {
     // operator (bounded heaps, no per-source vocabulary sort); zero-
     // overlap pairs still report
     "corpus_vocab_overlap" -> ((s, dir) => TextOps.vocabOverlap(docsT(s, dir))),
+
+    // redundancy dial per source: unigram/bigram entropy + the
+    // conditional next-token entropy H2 - H1 (9dp ln terms)
+    "corpus_entropy_rate" -> ((s, dir) => TextOps.entropyRate(docsT(s, dir))),
 
     // pre-write shard-balance audit on the native Md5Prefix shard key:
     // per-shard count/share/chi2 vs uniform (skew = the straggler that
@@ -3833,6 +3851,13 @@ object SparkEntry {
     "ts_periodogram" -> periodogramOracle,
 
     "ts_anomaly_esd" -> esdOracle,
+
+    // bucket keys in shared integer/floor arithmetic; plain counts
+    "ts_value_heatmap" ->
+      """SELECT event_type, epoch_us(ts)//21600000000 AS t_bucket,
+                CAST(least(floor(value / 10.0), 10) AS BIGINT) AS v_bucket,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2, 3""",
 
     // two R-7 passes with the round-6 discipline; fixed-shape band
     "ts_seasonal_threshold" ->
@@ -7433,6 +7458,31 @@ object SparkEntry {
 
     // the DQ suite restated: identical predicates, counts as BIGINT,
     // rates raw IEEE, the consistency check on the same 6dp decimals
+    // fixed-width bins + Laplace shares + 9dp terms, psi attached
+    "dq_drift_psi" ->
+      """WITH b AS (SELECT CASE WHEN year(l_shipdate) = 1995 THEN 'a'
+                       WHEN year(l_shipdate) = 2000 THEN 'b' END AS grp,
+                  CAST(least(floor(l_extendedprice / 10500.0), 9) AS BIGINT) AS bin
+                FROM lineitem),
+          c AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS n
+                FROM b WHERE grp IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+          g AS (SELECT unnest(range(10)) AS bin),
+          sa AS (SELECT g.bin, COALESCE(c.n, 0) AS n_a,
+                  (COALESCE(c.n, 0) + 1) / CAST(t.tot + 10 AS DOUBLE) AS pa
+                 FROM g LEFT JOIN c ON c.bin = g.bin AND c.grp = 'a', t
+                 WHERE t.grp = 'a'),
+          sb AS (SELECT g.bin, COALESCE(c.n, 0) AS n_b,
+                  (COALESCE(c.n, 0) + 1) / CAST(t.tot + 10 AS DOUBLE) AS pb
+                 FROM g LEFT JOIN c ON c.bin = g.bin AND c.grp = 'b', t
+                 WHERE t.grp = 'b'),
+          tm AS (SELECT sa.bin, n_a, n_b, pa, pb,
+                  CAST(round((pa - pb) * ln(pa / pb), 9) AS DECIMAL(28,9)) AS term
+                 FROM sa JOIN sb ON sa.bin = sb.bin),
+          ps AS (SELECT round(CAST(sum(term) AS DOUBLE), 6) AS psi FROM tm)
+          SELECT bin, n_a, n_b, pa, pb, CAST(term AS DOUBLE) AS term, psi
+          FROM tm, ps""",
+
     // expected shares are the SAME driver-computed literals the gate
     // uses (shortest-repr doubles parse to the identical IEEE value);
     // the digit rides the fixed-point DECIMAL rendering on both sides
@@ -7604,6 +7654,28 @@ object SparkEntry {
                    * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 32)
                    / (CAST(total AS DOUBLE) / 32) AS chi2_term
           FROM c, t""",
+
+    // per-source token/bigram distributions with the 9dp ln terms
+    "corpus_entropy_rate" ->
+      """WITH tok AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          u AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT source, unnest(t) AS w FROM tok) GROUP BY 1, 2),
+          ut AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM u GROUP BY 1),
+          uh AS (SELECT u.source, max(ut.tot) AS n_tokens,
+                  round(-CAST(sum(CAST(round((CAST(c AS DOUBLE) / tot)
+                    * ln(CAST(c AS DOUBLE) / tot), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS h_unigram
+                 FROM u JOIN ut ON u.source = ut.source GROUP BY 1),
+          bg AS (SELECT source, t[i] || ' ' || t[i + 1] AS b2
+                 FROM (SELECT source, t, unnest(range(1, greatest(len(t), 1))) AS i FROM tok)),
+          b AS (SELECT source, b2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+          bt AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM b GROUP BY 1),
+          bh AS (SELECT b.source, max(bt.tot) AS n_bigrams,
+                  round(-CAST(sum(CAST(round((CAST(c AS DOUBLE) / tot)
+                    * ln(CAST(c AS DOUBLE) / tot), 9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS h_bigram
+                 FROM b JOIN bt ON b.source = bt.source GROUP BY 1)
+          SELECT uh.source, uh.n_tokens, uh.h_unigram, bh.n_bigrams, bh.h_bigram,
+                 bh.h_bigram - uh.h_unigram AS h_cond
+          FROM uh JOIN bh ON uh.source = bh.source""",
 
     // per-source top-50 by (n desc, term) + term-join intersection;
     // zero-overlap pairs via the size-frame cross

@@ -343,6 +343,48 @@ object Quality {
         orders, lineitem))
   }
 
+  /** TABULAR PSI drift between two cohorts of a numeric column — the
+    * population-stability gate a feature store runs between a
+    * reference window and today (emb_drift_psi is its embedding
+    * sibling; the tabular one is what catches a pricing change or an
+    * upstream unit switch in plain columns). Integer binning on
+    * FIXED-WIDTH buckets (floor(v/width) capped — no data-dependent
+    * extents, so cohorts bin identically by construction), Laplace
+    * (+1) smoothing so empty bins can't produce ±Inf, and the
+    * driftPsi ln discipline: 9dp-decimal terms before the order-free
+    * exact sum (§4). Output per bin with the total PSI attached —
+    * one conditional-aggregate pass + broadcast totals. */
+  def driftPsiTabular(table: DataFrame, valueCol: String, cohort: Column,
+                      binWidth: Double, nBins: Int = 10,
+                      roundTo: Int = 6): DataFrame = {
+    require(nBins >= 2 && binWidth > 0, s"need nBins >= 2, width > 0")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    val binned = table
+      .withColumn("grp", cohort)
+      .filter(col("grp").isNotNull)
+      .withColumn("bin",
+        least(floor(col(valueCol) / binWidth), lit(nBins - 1L)).cast("long"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("n"))
+    val totals = binned.groupBy(col("grp")).agg(sum(col("n")).as("tot"))
+    val spark = table.sparkSession
+    val grid = broadcast(spark.range(nBins).select(col("id").as("bin")))
+    def side(g: String, nOut: String, pOut: String) = grid
+      .join(binned.filter(col("grp") === g).select(col("bin"), col("n")),
+        Seq("bin"), "left")
+      .crossJoin(broadcast(totals.filter(col("grp") === g).select(col("tot"))))
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as(nOut),
+        ((coalesce(col("n"), lit(0L)) + 1L).cast("double")
+          / (col("tot") + nBins).cast("double")).as(pOut))
+    val terms = side("a", "n_a", "pa").join(side("b", "n_b", "pb"), "bin")
+      .withColumn("term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9).cast(dec))
+    val psi = terms.agg(round(sum(col("term")).cast("double"), roundTo).as("psi"))
+    terms
+      .select(col("bin"), col("n_a"), col("n_b"), col("pa"), col("pb"),
+        col("term").cast("double").as("term"))
+      .crossJoin(broadcast(psi))
+  }
+
   /** Benford first-digit expected shares log10(1 + 1/d), computed ONCE
     * driver-side and inlined as LITERALS in both engines (the
     * ts_periodogram literal-trig pattern — the gate contains no

@@ -1053,6 +1053,39 @@ object TextOps {
           .otherwise("very_difficult"))
   }
 
+  /** ENTROPY RATE per source — unigram entropy, bigram entropy, and
+    * the conditional next-token entropy H(w₂|w₁) ≈ H₂ − H₁ (the
+    * REDUNDANCY dial: templated/boilerplate sources read low — each
+    * next token is predictable — where organic prose sits near the
+    * vocabulary ceiling; the compression-potential read next to
+    * corpus_simpson's collision probability). Exact integer counts;
+    * each p·ln p term rounds to 9dp DECIMAL before the ORDER-FREE
+    * exact sum and the entropy rounds at 6dp (the driftPsi ln
+    * discipline, §4); the conditional is one subtraction of the two
+    * rounded doubles. Two hash-aggregation pyramids per source. */
+  def entropyRate(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 9)
+    def h(counts: DataFrame, nOut: String, out: String) = {
+      val tot = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+      counts.join(tot, "source")
+        .withColumn("term",
+          round((col("c").cast("double") / col("tot"))
+            * log(col("c").cast("double") / col("tot")), 9).cast(dec))
+        .groupBy(col("source"))
+        .agg(max(col("tot")).as(nOut),
+          round(-sum(col("term")).cast("double"), 6).as(out))
+    }
+    val uni = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val bg = docs
+      .select(col("source"),
+        explode(wordShingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("c"))
+    h(uni, "n_tokens", "h_unigram")
+      .join(h(bg, "n_bigrams", "h_bigram"), "source")
+      .withColumn("h_cond", col("h_bigram") - col("h_unigram"))
+  }
+
   /** TOP-K VOCABULARY OVERLAP between source pairs — "do these two
     * sources even speak the same words?" (the cheap pre-read before
     * corpus_source_kl's distributional verdict: near-zero top-vocab

@@ -2782,6 +2782,24 @@ object TsOps {
           / (col("last_us") - col("first_us")).cast("double"))
   }
 
+  /** VALUE HEATMAP — (time-bucket × value-bucket) counts per type,
+    * the Grafana heatmap panel's data shape (a latency/value
+    * DISTRIBUTION per time slice, where ts_value_histogram collapses
+    * time and ts_downsample_* collapse the distribution): 6h time
+    * buckets, width-10 value buckets capped at the overflow bucket.
+    * Bucket keys are exact integer/floor arithmetic both engines
+    * share (2dp values against multiple-of-10 boundaries — the
+    * division is exact at the boundary); counts exact (§4). ONE hash
+    * aggregation, grain bounded by types × slices × buckets. */
+  def valueHeatmap(events: DataFrame, bucketUs: Long = 21600000000L,
+                   valueWidth: Double = 10.0, maxBucket: Int = 10): DataFrame =
+    Series.samples(events)
+      .groupBy(col("event_type"),
+        expr(s"ts_us div $bucketUs").as("t_bucket"),
+        least(floor(col("value") / valueWidth), lit(maxBucket.toLong))
+          .cast("long").as("v_bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** SEASONAL ALERT THRESHOLD per (type, hour-of-day) — the
     * seasonality-aware baseline static alerts lack (a 9am traffic
     * level that is normal at 9am is an incident at 3am; ts_mad_outliers

@@ -115,6 +115,35 @@ class QualitySpec extends SparkSpec {
     assert(t2._1 == "r5" && t2._2 == 0.25 && !t2._4, t2)
   }
 
+  test("driftPsiTabular: identical cohorts read ~0; a shifted cohort moves mass and psi") {
+    // cohort a: values 5,15,25 (bins 0,1,2); cohort b identical -> every
+    // term 0, psi 0; then b shifted to bins 7,8,9 -> psi > 1 (a real shift)
+    val same = Seq(("a", 5.0), ("a", 15.0), ("a", 25.0),
+      ("b", 5.0), ("b", 15.0), ("b", 25.0)).toDF("grp0", "v")
+    val r0 = Quality.driftPsiTabular(same, "v", col("grp0"), binWidth = 10.0)
+      .select("psi").as[Double].head()
+    assert(r0 == 0.0, s"identical cohorts: $r0")
+    // larger cohorts (Laplace +1 damps tiny samples): a in bins 0-2,
+    // b fully shifted to bins 7-9, 10 values per bin
+    val shifted = (for (b <- 0 to 2; i <- 0 until 10)
+      yield ("a", b * 10.0 + 5.0)) ++
+      (for (b <- 7 to 9; i <- 0 until 10) yield ("b", b * 10.0 + 5.0))
+    val r1 = Quality.driftPsiTabular(shifted.toDF("grp0", "v"), "v",
+      col("grp0"), binWidth = 10.0)
+      .select("bin", "n_a", "n_b", "psi")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r1.length == 10)
+    assert(r1.head._4 > 2.0, s"shifted psi: ${r1.head._4}")
+    assert(r1.map(_._2).sum == 30 && r1.map(_._3).sum == 30)
+    // rows outside both cohorts are excluded, overflow bin caps
+    val capped = Seq(("a", 5.0), ("b", 1e9), ("zz", 5.0)).toDF("grp0", "v")
+    val r2 = Quality.driftPsiTabular(capped, "v",
+      when(col("grp0") === "a", "a").when(col("grp0") === "b", "b"),
+      binWidth = 10.0)
+      .select("bin", "n_b").as[(Long, Long)].collect().toMap
+    assert(r2(9L) == 1L, "1e9 lands in the capped overflow bin")
+  }
+
   test("benford: digit from the decimal rendering, zero/null excluded, literal expectations") {
     // first SIGNIFICANT digit: 1.0/12.5/0.13 → '1', 9.5 → '9';
     // 0.0 renders '0.00' (no [1-9]) and NULL is filtered — n_total = 4

@@ -483,6 +483,22 @@ class TextStatsSpec extends SparkSpec {
     assert(got(("B", "C")) == (("B", "C", 3L, 3L, 0L, 0.0)))
   }
 
+  test("entropyRate: a one-token template reads 0 everywhere; a varied source reads H2 > H1") {
+    val d = Seq(
+      (1L, "T", "x x x x x"),            // one token: H1 = H2 = cond = 0
+      (2L, "V", "a b a c a b d a"))      // varied
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.entropyRate(d)
+      .select("source", "n_tokens", "h_unigram", "n_bigrams", "h_bigram", "h_cond")
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("T") == (("T", 5L, 0.0, 4L, 0.0, 0.0)), got("T"))
+    val v = got("V")
+    assert(v._2 == 8 && v._4 == 7)
+    assert(v._3 > 0 && v._5 > v._3, v.toString)
+    assert(math.abs(v._6 - (v._5 - v._3)) < 1e-12)
+  }
+
   test("lengthGini: equal lengths read 0; concentration matches the hand formula") {
     val eq = Seq((1L, "x", 10L), (2L, "y", 10L), (3L, "z", 10L))
       .toDF("doc_id", "text", "n_chars")
