@@ -542,6 +542,13 @@ object SparkEntry {
       """(sum by (event_type) (count_over_time({event_type="nosuch"}[1d])) or sum by (event_type) (count_over_time({event_type="view"}[1d]))) or vector(0)""",
       T2)),
 
+    // the `without` grouping direction (drop-these-labels vs keep-
+    // these): max across users of the per-series 1d sums
+    "promql_without" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """max without (user_id) (sum_over_time({}[1d]))""",
+      T2)),
+
     "promql_quantile" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
       """quantile by (event_type) (0.9, sum_over_time({}[1d]))""",
@@ -2366,6 +2373,13 @@ object SparkEntry {
     // filter-then-search: the metadata predicate prunes BEFORE any
     // scoring (nearest neighbors NOT of the query's own class) - the
     // production filtered-retrieval shape, guarded exact baseline
+    // the recall-vs-cost tuning curve: micro recall@10 at nProbe
+    // 1/2/4/8 sharing one centroid frame and one exact truth
+    "ann_ivf_probe_sweep" -> ((s, dir) =>
+      VectorOps.ivfProbeSweep(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        col("vec_id") < 20)),
+
     "ann_filtered_topk" -> ((s, dir) =>
       VectorOps.filteredTopK(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label")),
@@ -4728,6 +4742,15 @@ object SparkEntry {
             UNION ALL
             SELECT CAST(NULL AS VARCHAR), CAST(0 AS DOUBLE))""",
 
+    // without (user_id): per-type max of the per-series decimal sums
+    "promql_without" ->
+      s"""WITH c AS (SELECT event_type, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2)
+          SELECT event_type, max(v) AS value FROM c GROUP BY 1""",
+
     // per-(type,user) exact decimal 1d sums, then DuckDB's identical
     // R-7 quantile_cont with the engine's round-6 convention
     "promql_quantile" ->
@@ -6342,6 +6365,60 @@ object SparkEntry {
          FROM blk a JOIN blk b
            ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+    // the ann_ivf_recall chain parameterized by the probe table;
+    // micro-averaged hits per probe count
+    "ann_ivf_probe_sweep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         ac AS (SELECT e.vec_id, c.c_id,
+                  round(list_dot_product(v, cv) /
+                        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM e CROSS JOIN c),
+         asg AS (SELECT vec_id, c_id AS cell FROM (
+                  SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                  FROM ac) WHERE rn = 1),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+         qc AS (SELECT q.q_id, c.c_id,
+                  round(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_c
+                FROM q CROSS JOIN c),
+         qr AS (SELECT q_id, c_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos_c DESC, c_id ASC) AS rn
+                FROM qc),
+         np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n_probe),
+         probe AS (SELECT np.n_probe, qr.q_id, qr.c_id AS cell
+                   FROM qr, np WHERE qr.rn <= np.n_probe),
+         s AS (SELECT p.n_probe, q.q_id, a.vec_id,
+                 round(list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+               FROM probe p
+               JOIN asg a ON a.cell = p.cell
+               JOIN e ON e.vec_id = a.vec_id
+               JOIN q ON q.q_id = p.q_id
+               WHERE a.vec_id <> q.q_id),
+         ir AS (SELECT n_probe, q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY n_probe, q_id
+                   ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM s) WHERE rank <= 10),
+         es AS (SELECT q_id, e.vec_id,
+                 round(list_dot_product(v, qv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+               FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+         er AS (SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM es) WHERE rank <= 10),
+         hits AS (SELECT ir.n_probe, CAST(count(*) AS BIGINT) AS n_hits
+                  FROM ir JOIN er ON ir.q_id = er.q_id AND ir.vec_id = er.vec_id
+                  GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                  CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM er)
+         SELECT np.n_probe, tot.n_queries, tot.n_exact,
+                COALESCE(hits.n_hits, 0) AS n_hits,
+                CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+                  / CAST(tot.n_exact AS DOUBLE) AS recall
+         FROM np LEFT JOIN hits ON np.n_probe = hits.n_probe, tot""",
 
     // the cosine baseline + the class-exclusion predicate BEFORE scoring
     "ann_filtered_topk" ->

@@ -1632,6 +1632,44 @@ object VectorOps {
       .agg(round(sum(col("term")).cast("double"), roundTo).as("psi"))
   }
 
+  /** IVF PROBE SWEEP — the recall-vs-cost tuning curve (which nProbe
+    * buys acceptable recall? — the ONE dial an IVF deployment turns,
+    * and the evidence to read before burning 100 TB of scan budget
+    * on a too-high setting or recall on a too-low one): micro-
+    * averaged recall@k against the exact truth at each probe count,
+    * sharing ONE centroid frame and ONE truth computation across the
+    * sweep. Exact integers (semi-join hit counts), one IEEE division
+    * per row (§4); truth is the guarded exact baseline. */
+  def ivfProbeSweep(corpus: DataFrame, queryIds: Column, k: Int = 10,
+                    nCells: Int = 16, probes: Seq[Int] = Seq(1, 2, 4, 8),
+                    maxRows: Long = 1000000L,
+                    force: Boolean = false): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nCells),
+      s"probes within [1, $nCells]: $probes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = cosineTopK(corpus, corpus.filter(queryIds), k,
+      maxRows = maxRows, force = force)
+      .select(col("q_id"), col("vec_id")).persist()
+    val cents = ivfCentroids(corpus, nCells)
+    val appr = probes.map { np =>
+      ivfTopK(corpus, queryIds, k, nCells, np, quantizer = Some(cents))
+        .select(col("q_id"), col("vec_id"))
+        .withColumn("n_probe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+    val hits = appr.join(truth, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+    val tot = truth.agg(count(lit(1)).as("n_exact"),
+      count_distinct(col("q_id")).as("n_queries"))
+    broadcast(probes.map(_.toLong).toDF("n_probe"))
+      .join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("n_probe"), col("n_queries"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
+  }
+
   /** FILTERED top-k retrieval — ANN with a metadata predicate (the
     * production retrieval shape: "nearest docs NOT from the query's
     * own class/source/tenant"; every vector DB benchmarks it

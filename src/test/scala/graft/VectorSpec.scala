@@ -510,6 +510,21 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(out(2L)) < 0.01, s"identical dim must read stable: $out")
   }
 
+  test("ivfProbeSweep: recall is monotone in nProbe and hits 1.0 at full probe") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val r = graft.vector.VectorOps.ivfProbeSweep(e, col("vec_id") < 5,
+      k = 5, nCells = 8, probes = Seq(1, 4, 8))
+      .select("n_probe", "n_exact", "n_hits", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r.map(_._1) == Seq(1L, 4L, 8L))
+    assert(r.forall(_._2 == 25), r.toString) // 5 queries x k=5 truth rows
+    // monotone: probing more cells never loses a hit
+    assert(r.sliding(2).forall(p => p(0)._3 <= p(1)._3), r.toString)
+    // probing EVERY cell scans the whole corpus -> exact recall
+    assert(r.last._4 == 1.0, r.toString)
+  }
+
   test("filteredTopK: the query's own class never appears; ranks re-pack after the filter") {
     // labels: vecs 1,2 class 0; vecs 3,4,5 class 1. query = vec 1.
     // nearest overall is vec 2 (same class) - it must NOT appear;
