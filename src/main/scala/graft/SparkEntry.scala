@@ -544,6 +544,16 @@ object SparkEntry {
 
     // the `without` grouping direction (drop-these-labels vs keep-
     // these): max across users of the per-series 1d sums
+    // comparison with the bool modifier: 1/0 verdict per series kept
+    // (without bool, non-matching series DROP - the filter form is
+    // exercised by promql_alert; this gates the verdict form)
+    "promql_bool" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      // share-of-total (scale-invariant): both verdicts live at BOTH
+      // SFs (shares .17-.235 at sf0.01, .193-.21 at sf0.1 vs 0.2)
+      """sum by (event_type) (count_over_time({}[1d])) / scalar(sum(count_over_time({}[1d]))) >= bool 0.2""",
+      T2)),
+
     "promql_without" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
       """max without (user_id) (sum_over_time({}[1d]))""",
@@ -815,6 +825,11 @@ object SparkEntry {
     // the POWER side of the test duo: MDE at 5%/80% from pooled exact
     // decimal moments; z constants are shared driver literals
     "events_ab_mde" -> ((s, dir) => TsOps.abMde(t(s, dir, "events"))),
+
+    // platform health: 20 hash-derived null splits, Welch verdict per
+    // split - a calibrated stack rejects ~alpha of A/A tests; per-user
+    // totals reduce once, every split reuses the persisted frame
+    "events_ab_aa" -> ((s, dir) => TsOps.abAaCalibration(t(s, dir, "events"))),
 
     // multi-resolution Haar energy ladder over the first 256 hours:
     // which time scale carries the energy (hour jitter vs 16h swings);
@@ -4162,6 +4177,38 @@ object SparkEntry {
                   / CAST(n_events AS DOUBLE) AS share
          FROM y GROUP BY pct, n_users, n_events, k""",
 
+    // per-split hash assignment via the restatable hex-substring form;
+    // the abWelch moment shapes per split
+    "events_ab_aa" ->
+      """WITH per AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m
+                FROM events GROUP BY 1),
+          sp AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS split_id),
+          a AS (SELECT sp.split_id, per.m,
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                    || CAST(sp.split_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+                FROM per, sp),
+          mom AS (SELECT split_id, variant, CAST(count(*) AS BIGINT) AS n,
+                  sum(m) AS s1, sum(m * m) AS s2
+                FROM a GROUP BY 1, 2),
+          w AS (SELECT split_id,
+                  max(CASE WHEN variant = 0 THEN n END) AS n0,
+                  max(CASE WHEN variant = 0 THEN s1 END) AS s10,
+                  max(CASE WHEN variant = 0 THEN s2 END) AS s20,
+                  max(CASE WHEN variant = 1 THEN n END) AS n1,
+                  max(CASE WHEN variant = 1 THEN s1 END) AS s11,
+                  max(CASE WHEN variant = 1 THEN s2 END) AS s21
+                FROM mom GROUP BY 1),
+          x AS (SELECT *,
+                  CAST(s10 AS DOUBLE) / n0 AS mean_0,
+                  CAST(s11 AS DOUBLE) / n1 AS mean_1,
+                  (CAST(s20 AS DOUBLE) - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE) / n0) / (n0 - 1) AS v0,
+                  (CAST(s21 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE) / n1) / (n1 - 1) AS v1
+                FROM w),
+          y AS (SELECT *, (mean_0 - mean_1) / sqrt(v0 / n0 + v1 / n1) AS t_stat FROM x)
+          SELECT split_id, n0, n1, t_stat,
+                 CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+          FROM y""",
+
     // pooled-SD closed form on the same per-user decimal moments; the
     // z sum is the shared driver literal (string-cast strtod path)
     "events_ab_mde" ->
@@ -4741,6 +4788,19 @@ object SparkEntry {
             GROUP BY 1
             UNION ALL
             SELECT CAST(NULL AS VARCHAR), CAST(0 AS DOUBLE))""",
+
+    // the bool-modifier verdict: every series keeps a 1/0 value;
+    // share-of-total on identical double operands
+    "promql_bool" ->
+      s"""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events
+                WHERE epoch_us(ts) BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+          SELECT event_type,
+                 CAST(CASE WHEN CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) >= 0.2
+                      THEN 1 ELSE 0 END AS DOUBLE) AS value
+          FROM c, t""",
 
     // without (user_id): per-type max of the per-series decimal sums
     "promql_without" ->

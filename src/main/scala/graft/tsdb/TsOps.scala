@@ -2800,6 +2800,61 @@ object TsOps {
           .cast("long").as("v_bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** A/A CALIBRATION harness — run the Welch test over `nSplits`
+    * DIFFERENT (deterministic, hash-derived) null splits of the same
+    * population and report each verdict (the experimentation-platform
+    * health check: a correctly-calibrated stack rejects ≈ α of A/A
+    * tests; systematically more means the variance model or the
+    * assignment hash is broken — found BEFORE anyone trusts a real
+    * experiment). Split k assigns each user by
+    * Md5Prefix(user_id # k) mod 2 — restatable hex-substring form,
+    * independent across k by construction. Per split the abWelch
+    * moment shapes verbatim on exact decimal totals (§4). Output one
+    * row per split; the reader compares the flag fraction to α.
+    * Scale: per-user totals reduce ONCE and every split reuses the
+    * persisted frame — nSplits cheap aggregations, not nSplits corpus
+    * scans. */
+  def abAaCalibration(events: DataFrame, nSplits: Int = 20): DataFrame = {
+    require(nSplits >= 1 && nSplits <= 1000, s"nSplits in [1, 1000], got $nSplits")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = Series.samples(events)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(d2)).as("m"))
+      .persist()
+    val splits = broadcast((1 to nSplits).map(_.toLong).toDF("split_id"))
+    val assigned = per.crossJoin(splits)
+      .withColumn("variant",
+        pmod(graft.functions.Md5Prefix(
+          concat(col("user_id").cast("string"), lit("#"),
+            col("split_id").cast("string")), 15), lit(2L)))
+    val mom = assigned
+      .groupBy(col("split_id"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+    def side(v: Int, c: String) =
+      max(when(col("variant") === v, col(c))).as(s"$c$v")
+    mom.groupBy(col("split_id"))
+      .agg(side(0, "n"), side(0, "s1"), side(0, "s2"),
+        side(1, "n"), side(1, "s1"), side(1, "s2"))
+      .withColumn("mean_0", col("s10").cast("double") / col("n0"))
+      .withColumn("mean_1", col("s11").cast("double") / col("n1"))
+      .withColumn("v0",
+        (col("s20").cast("double") - col("s10").cast("double")
+          * col("s10").cast("double") / col("n0")) / (col("n0") - 1))
+      .withColumn("v1",
+        (col("s21").cast("double") - col("s11").cast("double")
+          * col("s11").cast("double") / col("n1")) / (col("n1") - 1))
+      .withColumn("t_stat",
+        (col("mean_0") - col("mean_1"))
+          / sqrt(col("v0") / col("n0") + col("v1") / col("n1")))
+      .withColumn("significant",
+        when(abs(col("t_stat")) > 1.96, 1L).otherwise(0L))
+      .select(col("split_id"), col("n0"), col("n1"), col("t_stat"),
+        col("significant"))
+  }
+
   /** SEASONAL ALERT THRESHOLD per (type, hour-of-day) — the
     * seasonality-aware baseline static alerts lack (a 9am traffic
     * level that is normal at 9am is an incident at 3am; ts_mad_outliers

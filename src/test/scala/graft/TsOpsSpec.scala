@@ -1494,6 +1494,25 @@ class TsOpsSpec extends SparkSpec {
     assert(got(7L) == ((7L, 2L, 1L, 0.5)), got(7L))
   }
 
+  test("ab_aa: null splits mostly accept; a genuinely split metric still calibrates per split") {
+    // identical per-user totals -> every split's t is exactly 0/NaN-free
+    // and nothing flags; distinct totals -> t varies by split but the
+    // flag fraction stays small on a null population
+    val rows = (0 until 200).map { u =>
+      ((u + 1).toLong, (u + 1) * 1000000000L, u.toLong, "t", 10.0 + (u % 7))
+    }
+    val got = TsOps.abAaCalibration(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"), nSplits = 10)
+      .select("split_id", "n0", "n1", "t_stat", "significant")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(got.length == 10)
+    assert(got.forall(r => r._2 + r._3 == 200), "every user assigned in every split")
+    // hash splits differ from each other (not one split re-labeled)
+    assert(got.map(_._2).distinct.length > 1, got.map(_._2).toSeq.toString)
+    // null population: at most 2 of 10 splits flag (alpha = 5%)
+    assert(got.map(_._5).sum <= 2, got.map(_._5).toSeq.toString)
+  }
+
   test("ab_mde: equal-arm closed form; detectable shifts exceed the MDE, undetectable don't") {
     // arms of 50 users each, per-user totals 10 or 12 alternating
     // inside each arm -> pooled variance = 1 (values split evenly
