@@ -739,6 +739,10 @@ object SparkEntry {
     // branches live at the gate corpus
     "ts_anomaly_esd" -> ((s, dir) => TsOps.esdOutliers(t(s, dir, "events"))),
 
+    // z / MAD / Tukey voting per (type, hour): each detector has a
+    // blind spot; two-of-three agreement is the alert line
+    "ts_anomaly_votes" -> ((s, dir) => TsOps.anomalyVotes(t(s, dir, "events"))),
+
     // long-memory dial: rescaled-range H over {16,32,64}h blocks;
     // block moments in exact decimals, per-block R/S 9dp-decimal
     // before the order-free mean, slope closed-form (y64-y16)/(2 ln 2)
@@ -830,6 +834,11 @@ object SparkEntry {
     // split - a calibrated stack rejects ~alpha of A/A tests; per-user
     // totals reduce once, every split reuses the persisted frame
     "events_ab_aa" -> ((s, dir) => TsOps.abAaCalibration(t(s, dir, "events"))),
+
+    // post-stratification by activity tercile: per-stratum arm diffs
+    // reweighted by stratum mass; overall estimate via 9dp-decimal
+    // terms (a 3-term double sum is still order-dependent)
+    "events_ab_strat" -> ((s, dir) => TsOps.abStratified(t(s, dir, "events"))),
 
     // multi-resolution Haar energy ladder over the first 256 hours:
     // which time scale carries the energy (hour jitter vs 16h swings);
@@ -3881,6 +3890,39 @@ object SparkEntry {
 
     "ts_anomaly_esd" -> esdOracle,
 
+    // the three detector shapes restated and summed as votes
+    "ts_anomaly_votes" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c * c) AS DOUBLE) AS s2,
+                  round(quantile_cont(CAST(c AS DOUBLE), 0.5), 6) AS med,
+                  round(quantile_cont(CAST(c AS DOUBLE), 0.25), 6) AS q1,
+                  round(quantile_cont(CAST(c AS DOUBLE), 0.75), 6) AS q3
+                FROM h GROUP BY 1),
+          mo2 AS (SELECT *, s1 / n AS mean,
+                  sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std FROM mo),
+          md AS (SELECT h.event_type,
+                  round(quantile_cont(abs(CAST(h.c AS DOUBLE) - mo2.med), 0.5), 6) AS mad
+                 FROM h JOIN mo2 USING (event_type) GROUP BY 1),
+          v AS (SELECT h.event_type, h.hour, h.c,
+                  CASE WHEN mo2.std > 0
+                        AND abs(CAST(h.c AS DOUBLE) - mo2.mean) / mo2.std > 3
+                       THEN 1 ELSE 0 END AS vote_z,
+                  CASE WHEN abs(CAST(h.c AS DOUBLE) - mo2.med) > 3.5 * md.mad
+                       THEN 1 ELSE 0 END AS vote_mad,
+                  CASE WHEN h.c < mo2.q1 - 1.5 * (mo2.q3 - mo2.q1)
+                         OR h.c > mo2.q3 + 1.5 * (mo2.q3 - mo2.q1)
+                       THEN 1 ELSE 0 END AS vote_iqr
+                FROM h JOIN mo2 USING (event_type) JOIN md USING (event_type))
+          SELECT event_type, CAST(hour AS BIGINT) AS hour, CAST(c AS BIGINT) AS cnt,
+                 CAST(vote_z AS BIGINT) AS vote_z,
+                 CAST(vote_mad AS BIGINT) AS vote_mad,
+                 CAST(vote_iqr AS BIGINT) AS vote_iqr,
+                 CAST(vote_z + vote_mad + vote_iqr AS BIGINT) AS votes
+          FROM v WHERE vote_z + vote_mad + vote_iqr > 0""",
+
     // bucket keys in shared integer/floor arithmetic; plain counts
     "ts_value_heatmap" ->
       """SELECT event_type, epoch_us(ts)//21600000000 AS t_bucket,
@@ -4176,6 +4218,40 @@ object SparkEntry {
                 CAST(CAST(sum(take * n_ev) AS BIGINT) AS DOUBLE)
                   / CAST(n_events AS DOUBLE) AS share
          FROM y GROUP BY pct, n_users, n_events, k""",
+
+    // tercile cuts + per-stratum decimal moments + 9dp weighted terms
+    "events_ab_strat" ->
+      """WITH per AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m,
+                  CAST(count(*) AS BIGINT) AS n_ev
+                FROM events GROUP BY 1),
+          cuts AS (SELECT round(quantile_cont(CAST(n_ev AS DOUBLE), 0.33), 6) AS t1,
+                  round(quantile_cont(CAST(n_ev AS DOUBLE), 0.67), 6) AS t2
+                 FROM per),
+          st AS (SELECT user_id % 2 AS variant, m,
+                  CASE WHEN n_ev <= t1 THEN 0 WHEN n_ev <= t2 THEN 1 ELSE 2 END AS stratum
+                FROM per, cuts),
+          mom AS (SELECT stratum, variant, CAST(count(*) AS BIGINT) AS n,
+                  sum(m) AS s1
+                FROM st GROUP BY 1, 2),
+          w AS (SELECT stratum,
+                  max(CASE WHEN variant = 0 THEN n END) AS n0,
+                  max(CASE WHEN variant = 0 THEN s1 END) AS s10,
+                  max(CASE WHEN variant = 1 THEN n END) AS n1,
+                  max(CASE WHEN variant = 1 THEN s1 END) AS s11
+                FROM mom GROUP BY 1),
+          x AS (SELECT CAST(stratum AS BIGINT) AS stratum, n0, n1,
+                  CAST(s10 AS DOUBLE) / n0 AS mean_0,
+                  CAST(s11 AS DOUBLE) / n1 AS mean_1,
+                  CAST(s11 AS DOUBLE) / n1 - CAST(s10 AS DOUBLE) / n0 AS diff,
+                  n0 + n1 AS n_users
+                FROM w),
+          t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM x),
+          y AS (SELECT x.*, CAST(n_users AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS weight
+                FROM x, t),
+          o AS (SELECT CAST(sum(CAST(round(weight * diff, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                  AS strat_diff FROM y)
+          SELECT stratum, n0, n1, mean_0, mean_1, diff, weight, strat_diff
+          FROM y, o""",
 
     // per-split hash assignment via the restatable hex-substring form;
     // the abWelch moment shapes per split

@@ -2800,6 +2800,97 @@ object TsOps {
           .cast("long").as("v_bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** POST-STRATIFIED A/B estimate — the third member of the
+    * experimentation toolkit next to CUPED (pre-period covariate) and
+    * Welch (raw): stratify users by activity TERCILE and reweight the
+    * per-stratum arm differences by stratum mass — kills the variance
+    * an imbalanced heavy-user draw injects when no pre-period exists.
+    * Tercile cuts are R-7 percentiles of the per-user event counts
+    * rounded 6dp (the quantile tolerance rule); per-stratum moments
+    * are exact decimals; the overall estimate Σ wₛ·diffₛ rounds each
+    * term to 9dp decimal before the ORDER-FREE sum (§4 — a 3-term
+    * double sum would still be partition-order-dependent). */
+  def abStratified(events: DataFrame): DataFrame = {
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val per = Series.samples(events)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(d2)).as("m"), count(lit(1)).as("n_ev"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val cuts = per.agg(
+      round(expr("percentile(CAST(n_ev AS DOUBLE), 0.33)"), 6).as("t1"),
+      round(expr("percentile(CAST(n_ev AS DOUBLE), 0.67)"), 6).as("t2"))
+    val strat = per.crossJoin(broadcast(cuts))
+      .withColumn("stratum",
+        when(col("n_ev") <= col("t1"), 0L)
+          .when(col("n_ev") <= col("t2"), 1L).otherwise(2L))
+    val mom = strat.groupBy(col("stratum"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"))
+    def side(v: Int, c: String) =
+      max(when(col("variant") === v, col(c))).as(s"$c$v")
+    val wide = mom.groupBy(col("stratum"))
+      .agg(side(0, "n"), side(0, "s1"), side(1, "n"), side(1, "s1"))
+      .withColumn("mean_0", col("s10").cast("double") / col("n0"))
+      .withColumn("mean_1", col("s11").cast("double") / col("n1"))
+      .withColumn("diff", col("mean_1") - col("mean_0"))
+      .withColumn("n_users", col("n0") + col("n1"))
+    val total = wide.agg(sum(col("n_users")).as("n_total"))
+    val withW = wide.crossJoin(broadcast(total))
+      .withColumn("weight",
+        col("n_users").cast("double") / col("n_total").cast("double"))
+    val overall = withW
+      .agg(sum(round(col("weight") * col("diff"), 9).cast(d9)).as("sd"))
+      .select(col("sd").cast("double").as("strat_diff"))
+    withW
+      .select(col("stratum"), col("n0"), col("n1"), col("mean_0"),
+        col("mean_1"), col("diff"), col("weight"))
+      .crossJoin(broadcast(overall))
+  }
+
+  /** ANOMALY ENSEMBLE — the z / MAD / Tukey detectors VOTING per
+    * (type, hour) (each has a blind spot: z gets inflated by its own
+    * outlier, MAD collapses on half-constant data, fences go
+    * degenerate at IQR 0 — an hour two-of-three agree on is worth an
+    * alert; any single vote is a "look"). Reuses the established
+    * shapes verbatim: exact decimal moments (esd), round-6 R-7
+    * median/MAD/quartiles; every compare runs on identical computed
+    * doubles (§4). Emits only voted hours with the per-detector
+    * breakdown. */
+  def anomalyVotes(events: DataFrame): DataFrame = {
+    val hourly = hourlyTypeCounts(events)
+    val mo = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).cast("double").as("s1"),
+        sum(col("c") * col("c")).cast("double").as("s2"),
+        round(expr("percentile(CAST(c AS DOUBLE), 0.5)"), 6).as("med"),
+        round(expr("percentile(CAST(c AS DOUBLE), 0.25)"), 6).as("q1"),
+        round(expr("percentile(CAST(c AS DOUBLE), 0.75)"), 6).as("q3"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("std", sqrt(col("s2") / col("n")
+        - (col("s1") / col("n")) * (col("s1") / col("n"))))
+    val mad = hourly.join(broadcast(mo.select(col("event_type"), col("med"))),
+        "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(abs(CAST(c AS DOUBLE) - med), 0.5)"), 6)
+        .as("mad"))
+    hourly.join(broadcast(mo), "event_type").join(broadcast(mad), "event_type")
+      .withColumn("vote_z",
+        when(col("std") > 0 &&
+          abs(col("c").cast("double") - col("mean")) / col("std") > 3, 1L)
+          .otherwise(0L))
+      .withColumn("vote_mad",
+        when(abs(col("c").cast("double") - col("med")) > lit(3.5) * col("mad"),
+          1L).otherwise(0L))
+      .withColumn("vote_iqr",
+        when(col("c") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+             col("c") > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1L)
+          .otherwise(0L))
+      .withColumn("votes", col("vote_z") + col("vote_mad") + col("vote_iqr"))
+      .filter(col("votes") > 0)
+      .select(col("event_type"), col("hour").cast("long").as("hour"),
+        col("c").cast("long").as("cnt"), col("vote_z"), col("vote_mad"),
+        col("vote_iqr"), col("votes"))
+  }
+
   /** A/A CALIBRATION harness — run the Welch test over `nSplits`
     * DIFFERENT (deterministic, hash-derived) null splits of the same
     * population and report each verdict (the experimentation-platform

@@ -1494,6 +1494,52 @@ class TsOpsSpec extends SparkSpec {
     assert(got(7L) == ((7L, 2L, 1L, 0.5)), got(7L))
   }
 
+  test("ab_strat: a confounded activity draw corrects toward the true null") {
+    // heavy users (n_ev 10) all value 100/event; light (n_ev 1) value 10.
+    // Arm 1 drew more heavy users by construction -> the RAW diff is
+    // large positive, but WITHIN each stratum the arms are identical
+    // -> the stratified estimate is exactly 0
+    var id = 0L
+    val rows = (
+      // 6 heavy in arm1 (odd ids), 2 heavy in arm0 (even)
+      (1 to 6).map(i => (i * 2 + 1).toLong -> 10) ++
+        (1 to 2).map(i => (i * 2).toLong -> 10) ++
+        // 10 light per arm
+        (20 to 29).map(i => (i * 2).toLong -> 1) ++
+        (30 to 39).map(i => (i * 2 + 1).toLong -> 1)
+      ).flatMap { case (u, nEv) =>
+        (0 until nEv).map { j =>
+          id += 1
+          (id, id * 1000000000L, u, "t", if (nEv == 10) 100.0 else 10.0)
+        }
+      }
+    val got = TsOps.abStratified(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("stratum", "diff", "strat_diff")
+      .as[(Long, Double, Double)].collect()
+    // within every populated stratum the arms see identical per-user
+    // totals -> diff 0; the weighted overall is exactly 0
+    assert(got.forall(_._2 == 0.0), got.toSeq.toString)
+    assert(got.head._3 == 0.0, got.head.toString)
+  }
+
+  test("anomaly_votes: a big spike sweeps all three detectors; the bulk stays silent") {
+    // 40 quiet hours at 4/5 alternating + one 100-count spike
+    var id = 0L
+    val rows = (for {
+      h <- 0 until 40
+      i <- 0 until (if (h % 2 == 0) 4 else 5)
+    } yield { id += 1; (id, h.toLong, 1L) }) ++
+      (0 until 100).map { i => id += 1; (id, 40L, 1L) }
+    val df = rows.map { case (i2, h, u) =>
+      (i2, (h * 3600000000L) * 1000L + i2 * 1000L, u, "t", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TsOps.anomalyVotes(df)
+      .select("hour", "cnt", "votes")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1 && got.head == ((40L, 100L, 3L)), got.toSeq)
+  }
+
   test("ab_aa: null splits mostly accept; a genuinely split metric still calibrates per split") {
     // identical per-user totals -> every split's t is exactly 0/NaN-free
     // and nothing flags; distinct totals -> t varies by split but the
