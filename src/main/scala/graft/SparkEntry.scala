@@ -547,6 +547,13 @@ object SparkEntry {
     // comparison with the bool modifier: 1/0 verdict per series kept
     // (without bool, non-matching series DROP - the filter form is
     // exercised by promql_alert; this gates the verdict form)
+    // changes() through the front door: adjacency pairs with BOTH ends
+    // in the window, summed by type (the third custom-lag-path gate)
+    "promql_changes" -> ((s, dir) => graft.promql.PromQL.eval(
+      t(s, dir, "events"),
+      """sum by (event_type) (changes({}[1d]))""",
+      T2)),
+
     "promql_bool" -> ((s, dir) => graft.promql.PromQL.eval(
       t(s, dir, "events"),
       // share-of-total (scale-invariant): both verdicts live at BOTH
@@ -766,6 +773,10 @@ object SparkEntry {
     // median + 3*MAD (24 bands where ts_mad_outliers computes one)
     "ts_seasonal_threshold" -> ((s, dir) =>
       TsOps.seasonalThreshold(t(s, dir, "events"))),
+
+    // STL-lite: observed = profile + residual at series grain - the
+    // artifact downstream detectors should run on, not the raw counts
+    "ts_decompose" -> ((s, dir) => TsOps.decompose(t(s, dir, "events"))),
 
     // the Grafana heatmap data shape: (6h time-bucket x width-10
     // value-bucket) counts per type; integer/floor bucket keys
@@ -2399,6 +2410,12 @@ object SparkEntry {
     // production filtered-retrieval shape, guarded exact baseline
     // the recall-vs-cost tuning curve: micro recall@10 at nProbe
     // 1/2/4/8 sharing one centroid frame and one exact truth
+    // embedding-geometry health: fraction of kNN edges that are mutual
+    // (hubness drives it down); one reversed-pair self-join
+    "emb_knn_reciprocity" -> ((s, dir) =>
+      VectorOps.knnReciprocity(
+        embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")))),
+
     "ann_ivf_probe_sweep" -> ((s, dir) =>
       VectorOps.ivfProbeSweep(
         embT(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
@@ -3930,6 +3947,22 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY 1, 2, 3""",
 
+    // the hour-of-day decimal-mean profile joined back; one IEEE
+    // subtraction per row
+    "ts_decompose" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+                  CAST(count(*) AS DECIMAL(19,0)) AS c
+                FROM events GROUP BY 1, 2),
+          hh AS (SELECT event_type, hour, hour % 24 AS hod, c FROM h),
+          p AS (SELECT event_type, hod,
+                  CAST(sum(c) AS DOUBLE) / count(*) AS profile
+                FROM hh GROUP BY 1, 2)
+          SELECT hh.event_type, CAST(hh.hour AS BIGINT) AS hour,
+                 CAST(hh.hod AS BIGINT) AS hour_of_day,
+                 CAST(hh.c AS BIGINT) AS observed, p.profile,
+                 CAST(hh.c AS DOUBLE) - p.profile AS residual
+          FROM hh JOIN p ON hh.event_type = p.event_type AND hh.hod = p.hod""",
+
     // two R-7 passes with the round-6 discipline; fixed-shape band
     "ts_seasonal_threshold" ->
       """WITH h AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
@@ -4864,6 +4897,25 @@ object SparkEntry {
             GROUP BY 1
             UNION ALL
             SELECT CAST(NULL AS VARCHAR), CAST(0 AS DOUBLE))""",
+
+    // adjacency change pairs with both ends inside the window, summed
+    // by type through the d6 discipline
+    "promql_changes" ->
+      s"""WITH s AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us, event_id, value
+                FROM events),
+          l AS (SELECT *, lag(value) OVER w AS prev_v, lag(ts_us) OVER w AS prev_ts
+                FROM s WINDOW w AS (PARTITION BY event_type, user_id
+                  ORDER BY ts_us, event_id)),
+          c AS (SELECT event_type, user_id,
+                  CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                    AND prev_ts >= $T2 - 86400000000
+                    AND value <> prev_v THEN 1 ELSE 0 END) AS BIGINT) AS ch
+                FROM l
+                WHERE ts_us BETWEEN $T2 - 86400000000 AND $T2
+                GROUP BY 1, 2)
+          SELECT event_type,
+                 CAST(sum(CAST(CAST(ch AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS value
+          FROM c GROUP BY 1""",
 
     // the bool-modifier verdict: every series keeps a 1/0 value;
     // share-of-total on identical double operands
@@ -6501,6 +6553,24 @@ object SparkEntry {
          FROM blk a JOIN blk b
            ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+    // the cosine edge set + one reversed-pair semi-join
+    "emb_knn_reciprocity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT q.vec_id AS src, e.vec_id AS dst,
+                 round(list_dot_product(e.v, q.v) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+               FROM e CROSS JOIN e q WHERE e.vec_id <> q.vec_id),
+         ed AS (SELECT src, dst FROM (
+                 SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
+                 FROM s) WHERE rank <= 5),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual
+               FROM ed a WHERE EXISTS (SELECT 1 FROM ed b
+                 WHERE b.src = a.dst AND b.dst = a.src)),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+         SELECT n.n_edges, m.n_mutual,
+                CAST(m.n_mutual AS DOUBLE) / CAST(n.n_edges AS DOUBLE) AS reciprocity
+         FROM n, m""",
 
     // the ann_ivf_recall chain parameterized by the probe table;
     // micro-averaged hits per probe count

@@ -2800,6 +2800,27 @@ object TsOps {
           .cast("long").as("v_bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** SEASONAL DECOMPOSITION (STL-lite) — the hourly series split into
+    * observed = profile + residual per (type, hour), at SERIES grain
+    * (ts_seasonal_profile publishes the 24 profile means,
+    * ts_seasonal_strength the one-number dial; this emits the usable
+    * ARTIFACT — the residual series every downstream detector should
+    * run on instead of the raw counts). profile = the hour-of-day
+    * exact-decimal mean; residual = observed − profile as one IEEE
+    * subtraction per row (§4). One profile aggregation + a broadcast
+    * 24-row join per type. */
+  def decompose(events: DataFrame): DataFrame = {
+    val hourly = hourlyTypeCounts(events)
+      .withColumn("hod", expr("hour % 24"))
+    val prof = hourly.groupBy(col("event_type"), col("hod"))
+      .agg((sum(col("c")).cast("double") / count(lit(1))).as("profile"))
+    hourly.join(broadcast(prof), Seq("event_type", "hod"))
+      .select(col("event_type"), col("hour").cast("long").as("hour"),
+        col("hod").cast("long").as("hour_of_day"),
+        col("c").cast("long").as("observed"), col("profile"),
+        (col("c").cast("double") - col("profile")).as("residual"))
+  }
+
   /** POST-STRATIFIED A/B estimate — the third member of the
     * experimentation toolkit next to CUPED (pre-period covariate) and
     * Welch (raw): stratify users by activity TERCILE and reweight the

@@ -1632,6 +1632,33 @@ object VectorOps {
       .agg(round(sum(col("term")).cast("double"), roundTo).as("psi"))
   }
 
+  /** kNN-GRAPH RECIPROCITY — the fraction of directed kNN edges whose
+    * reverse edge also exists (the embedding-geometry health dial:
+    * hubness — a few vectors appearing in EVERYONE's neighbor list —
+    * drives reciprocity down, and hub-dominated spaces degrade every
+    * retrieval metric downstream; isotropic spaces sit high). Edges
+    * from the guarded exact baseline over the whole corpus as
+    * queries; mutuality via ONE self-join on the reversed pair;
+    * exact integers, one IEEE division (§4). At 100 TB the edge
+    * frame comes from the IVF/LSH candidate paths instead — the
+    * measurement is the same join. */
+  def knnReciprocity(corpus: DataFrame, k: Int = 5,
+                     maxRows: Long = 1000000L,
+                     force: Boolean = false): DataFrame = {
+    val edges = cosineTopK(corpus, corpus, k, maxRows = maxRows, force = force)
+      .select(col("q_id").as("src"), col("vec_id").as("dst")).persist()
+    val mutual = edges.alias("a")
+      .join(edges.alias("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+        "left_semi")
+    val n = edges.agg(count(lit(1)).as("n_edges"))
+    val m = mutual.agg(count(lit(1)).as("n_mutual"))
+    broadcast(n).crossJoin(broadcast(m))
+      .select(col("n_edges"), col("n_mutual"),
+        (col("n_mutual").cast("double") / col("n_edges").cast("double"))
+          .as("reciprocity"))
+  }
+
   /** IVF PROBE SWEEP — the recall-vs-cost tuning curve (which nProbe
     * buys acceptable recall? — the ONE dial an IVF deployment turns,
     * and the evidence to read before burning 100 TB of scan budget

@@ -1494,6 +1494,22 @@ class TsOpsSpec extends SparkSpec {
     assert(got(7L) == ((7L, 2L, 1L, 0.5)), got(7L))
   }
 
+  test("decompose: residuals cancel within each hour-of-day cell") {
+    // hod 0 counts 2,6 (profile 4 -> residuals -2,+2); hod 1 constant 3
+    var id = 0L
+    val rows = for {
+      (h, c) <- Seq((0L, 2), (1L, 3), (24L, 6), (25L, 3))
+      i <- 0 until c
+    } yield { id += 1; (id, (h * 3600000000L + i * 1000L) * 1000L, 1L, "t", 1.0) }
+    val got = TsOps.decompose(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select("hour", "hour_of_day", "observed", "profile", "residual")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 4.0, -2.0), (1L, 1L, 3L, 3.0, 0.0),
+      (24L, 0L, 6L, 4.0, 2.0), (25L, 1L, 3L, 3.0, 0.0)), got)
+  }
+
   test("ab_strat: a confounded activity draw corrects toward the true null") {
     // heavy users (n_ev 10) all value 100/event; light (n_ev 1) value 10.
     // Arm 1 drew more heavy users by construction -> the RAW diff is

@@ -510,6 +510,33 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(out(2L)) < 0.01, s"identical dim must read stable: $out")
   }
 
+  test("knnReciprocity: matches a plain-Scala reference on a fixed geometry") {
+    val pts = Seq(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.999, 0.01),
+      3L -> Seq(0.9, -0.4), 4L -> Seq(0.9, 0.42), 5L -> Seq(0.88, -0.45))
+    val vecs = pts.toDF("vec_id", "v")
+    // independent reference model: 1-NN by cosine with the op's
+    // (cos desc, id asc) tiebreak, then count mutual edges
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val nn = pts.map { case (i, vi) =>
+      i -> pts.filter(_._1 != i)
+        .maxBy { case (j, vj) => (math.rint(cos(vi, vj) * 1e6) / 1e6, -j) }._1
+    }.toMap
+    val mutual = nn.count { case (i, j) => nn(j) == i }
+    val got = graft.vector.VectorOps.knnReciprocity(vecs, k = 1)
+      .select("n_edges", "n_mutual", "reciprocity")
+      .as[(Long, Long, Double)].head()
+    assert(got._1 == 5, got.toString)
+    assert(got._2 == mutual.toLong, s"$got vs reference $mutual (nn=$nn)")
+    assert(got._3 == mutual.toDouble / 5, got.toString)
+    // the reference itself must contain at least one mutual AND one
+    // one-way edge, or the fixture proves nothing
+    assert(mutual >= 2 && mutual < 5, nn.toString)
+  }
+
   test("ivfProbeSweep: recall is monotone in nProbe and hits 1.0 at full probe") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
