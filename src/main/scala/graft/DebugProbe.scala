@@ -1027,6 +1027,29 @@ object DebugProbe {
       t("clusters end-to-end")(graft.text.Dedup.duplicateClusters(docs).count())
       spark.stop(); return
     }
+    if (names.contains("__noop2")) {
+      // bench-protocol single-query drill: noop sink, min of 2, cache
+      // cleared once up front (NOT between runs — mirrors Bench, where
+      // run 2 rides the session caches run 1 populated)
+      spark.catalog.clearCache()
+      (names - "__noop2").toSeq.sorted.foreach { nm =>
+        val rs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(nm)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => println(s"$nm FAILED: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $nm%-30s min=${rs.min}%.2fs runs=" +
+          rs.map(t => f"$t%.2f").mkString(","))
+      }
+      spark.sparkContext.getRDDStorageInfo.foreach { i =>
+        println(f"[probe] cached ${i.name.replaceAll("\\s+", " ").take(60)} " +
+          f"parts=${i.numCachedPartitions} " +
+          f"mem=${i.memSize / 1e6}%.1fMB disk=${i.diskSize / 1e6}%.1fMB")
+      }
+      spark.stop(); return
+    }
     SparkEntry.queries.filter(q => names.isEmpty || names(q._1)).foreach {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -96,13 +96,30 @@ object Multimodal {
     StructField("sample_rate", LongType),
     StructField("n_samples", LongType)))
 
+  /** ImageIO's default ImageInputStream/ImageOutputStream scratch is
+    * DISK-backed: every decode/encode — and the media corpus is tens of
+    * thousands of tiny frames per query — creates, writes and deletes a
+    * temp FILE. One JVM-wide switch moves the scratch buffer to memory;
+    * decoded pixels and encoded bytes are bit-identical. Lazy val so
+    * the setter runs once per executor JVM, on first media touch. */
+  private lazy val imageIoInMemory: Unit = ImageIO.setUseCache(false)
+
+  /** All frame decodes funnel here so the in-memory scratch switch is
+    * guaranteed set in whichever JVM runs the task. */
+  private[multimodal] def readImage(bytes: Array[Byte]): BufferedImage = {
+    imageIoInMemory
+    ImageIO.read(new ByteArrayInputStream(bytes))
+  }
+
   private def pngBytes(img: BufferedImage): Array[Byte] = {
+    imageIoInMemory
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
   }
 
   private def jpegBytes(img: BufferedImage): Array[Byte] = {
+    imageIoInMemory
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "jpg", out)
     out.toByteArray
@@ -224,7 +241,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         r.getString(2) match {
           case "image" =>
-            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            val img = readImage(bytes)
             Row(id, "image", img.getWidth.toLong, img.getHeight.toLong, 0L, 0L)
           case "video" =>
             val avi = Avi.parse(bytes)
@@ -271,7 +288,7 @@ object Multimodal {
             val (w, h) = (math.max(1, avi.width * maxDim / longSide),
               math.max(1, avi.height * maxDim / longSide))
             val resized = avi.frames.map { jpeg =>
-              val img = ImageIO.read(new ByteArrayInputStream(jpeg))
+              val img = readImage(jpeg)
               val small = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
               val g = small.createGraphics()
               g.drawImage(img, 0, 0, w, h, null)
@@ -280,7 +297,7 @@ object Multimodal {
             }
             Avi.encode(resized, w, h)
           case "image" =>
-            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            val img = readImage(bytes)
             // INTEGER scaling (dim·maxDim div longSide), not float: the
             // resize roundtrip is oracle-checked, and (w * (8.0/w))
             // .toInt is one ulp away from flooring to maxDim-1
@@ -341,7 +358,7 @@ object Multimodal {
           val total = avi.frames.length
           val k = math.min(nFrames, total)
           (0 until k).iterator.map { f =>
-            val img = ImageIO.read(new ByteArrayInputStream(avi.frames(f * total / k)))
+            val img = readImage(avi.frames(f * total / k))
             Row(id, f.toLong, pngBytes(img))
           }
         } else if (r.getString(2) == "audio") {
@@ -367,7 +384,7 @@ object Multimodal {
           // crops — nFrames horizontal strips of decoded pixels, each
           // re-emitted as PNG (≥1px tall; short images repeat rows at
           // the tail so the fan-out contract of nFrames rows holds)
-          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          val img = readImage(bytes)
           val (w, h) = (img.getWidth, img.getHeight)
           (0 until nFrames).iterator.map { f =>
             val y0 = math.min(f * h / nFrames, h - 1)
@@ -408,11 +425,11 @@ object Multimodal {
           }
         }
         if (r.getString(2) == "image") {
-          histImage(ImageIO.read(new ByteArrayInputStream(bytes)))
+          histImage(readImage(bytes))
         } else if (r.getString(2) == "video") {
           // luminance over every decoded frame — one embedding per clip
           Avi.parse(bytes).frames.foreach(jpeg =>
-            histImage(ImageIO.read(new ByteArrayInputStream(jpeg))))
+            histImage(readImage(jpeg)))
         } else {
           val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
           val total = in.getFrameLength.toInt
@@ -461,7 +478,7 @@ object Multimodal {
     val rdd = media.filter(col("kind") === "image")
       .select("doc_id", "media").rdd.mapPartitions { rows =>
         rows.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val (w, h) = (img.getWidth, img.getHeight)
           val gray = Array.ofDim[Int](gh, gw)
           var j = 0
@@ -517,7 +534,7 @@ object Multimodal {
     val rdd = media.filter(col("kind") === "image")
       .select("doc_id", "media").rdd.mapPartitions { rows =>
         rows.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L; var mn = 256L; var mx = -1L
           var y = 0
@@ -559,7 +576,7 @@ object Multimodal {
     val rdd = media.filter(col("kind") === "image")
       .select("doc_id", "media").rdd.mapPartitions { rows =>
         rows.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val (w, h) = (img.getWidth, img.getHeight)
           val bins = new Array[Long](8)
           var y = 0
@@ -609,7 +626,7 @@ object Multimodal {
     val rdd = media.filter(col("kind") === "image")
       .select("doc_id", "media").rdd.mapPartitions { rows =>
         rows.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val (w, h) = (img.getWidth, img.getHeight)
           val g = Array.ofDim[Int](h, w)
           var y = 0
@@ -666,7 +683,7 @@ object Multimodal {
     val rdd = media.filter(col("kind") === "image")
       .select("doc_id", "media").rdd.mapPartitions { rows =>
         rows.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val (w, h) = (img.getWidth, img.getHeight)
           var n = 0L; var srg = 0L; var srg2 = 0L; var syb2 = 0L; var syb2sq = 0L
           var y = 0
@@ -728,7 +745,7 @@ object Multimodal {
     val rdd = media.filter(col("kind") === "image")
       .select("doc_id", "media").rdd.mapPartitions { rows =>
         rows.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = readImage(r.getAs[Array[Byte]](1))
           val (w, h) = (img.getWidth, img.getHeight)
           val g = Array.ofDim[Int](h, w)
           var y = 0
@@ -960,7 +977,7 @@ object Multimodal {
       StructField("height", LongType)))
     val rdd = frames.select("doc_id", "frame_idx", "frame").rdd.mapPartitions { rows =>
       rows.map { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+        val img = readImage(r.getAs[Array[Byte]](2))
         Row(r.getLong(0), r.getLong(1), img.getWidth.toLong, img.getHeight.toLong)
       }
     }
