@@ -1027,6 +1027,51 @@ object DebugProbe {
       t("clusters end-to-end")(graft.text.Dedup.duplicateClusters(docs).count())
       spark.stop(); return
     }
+    if (names.contains("__fed")) {
+      // stage-level breakdown of the remote-read federation gate
+      import graft.tsdb.{ChunkStore, MatchRe}
+      val T0 = 1704067200000000L; val T1 = 1704412800000000L
+      val dir = java.nio.file.Files.createTempDirectory("probe_fed").toString
+      val store = new ChunkStore(spark, dir, chunkMs = 86400000L,
+        filesPerChunkPerAppend = 2)
+      def tt(what: String)(f: => Long): Unit = {
+        val rs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"[probe] fed ${what}%-28s min=${rs.map(_._1).min}%.2fs " +
+          f"runs=${rs.map(r => f"${r._1}%.2f").mkString(",")} n=${rs.head._2}")
+      }
+      tt("append") { store.append(graft.tsdb.Series.samples(
+        spark.read.parquet(s"$sfDir/events.parquet"))); 0L }
+      val ms = Seq(MatchRe("event_type", "click|view"))
+      tt("catalog.count") { store.catalog().count() }
+      tt("queryAll.count") { store.queryAll(ms, T0, T1).count() }
+      tt("grouped.collect(1 slice)") {
+        import org.apache.spark.sql.functions._
+        store.queryAll(ms, T0, T1).join(store.catalog(), "series_id")
+          .groupBy(col("series_id"), col("event_type"), col("user_id"))
+          .agg(sort_array(collect_list(struct(col("ts_us"), col("value")))).as("pts"))
+          .orderBy(col("series_id")).limit(100001).collect().length.toLong
+      }
+      val ep = new graft.sources.HttpEndpoint(spark, store)
+      val port = ep.start()
+      try {
+        tt("readSamples(4 slices).count") {
+          graft.sources.Federation.readSamples(spark,
+            s"http://127.0.0.1:$port/api/v1/read", ms, T0, T1, timeSlices = 4).count()
+        }
+        tt("readSamples+parquet out") {
+          val outDir = java.nio.file.Files.createTempDirectory("probe_fed_out").toString
+          graft.sources.Federation.readSamples(spark,
+            s"http://127.0.0.1:$port/api/v1/read", ms, T0, T1, timeSlices = 4)
+            .select("series_id", "event_type", "user_id", "ts_us", "value")
+            .write.mode("overwrite").parquet(outDir)
+          spark.read.parquet(outDir).count()
+        }
+      } finally ep.stop()
+      spark.stop(); return
+    }
     if (names.contains("__noop2")) {
       // bench-protocol single-query drill: noop sink, min of 2, cache
       // cleared once up front (NOT between runs — mirrors Bench, where

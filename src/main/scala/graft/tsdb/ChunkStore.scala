@@ -186,6 +186,24 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
   // every mutating verb that can move the newest sample clears it
   @volatile private var newestTsCache: Option[Option[Long]] = None
 
+  /** Memoized [[catalog]] frame — the label index a resident TSDB keeps
+    * hot next to the data. Every remote-read/scrape request re-derived
+    * the store-wide distinct (~0.6 s per HTTP request at sf0.1, ×4
+    * federation slices per read); one persisted frame per instance
+    * serves them all. MUST be dropped on any mutation: beyond staleness,
+    * the cached plan pins a live-file listing, so a close/compact that
+    * deletes those directories would make a stale handle unreadable.
+    * Bench's family-boundary clearCache() only drops the cached DATA —
+    * the storageLevel==NONE re-mark on next use repopulates one entry
+    * (the attachMediaMemo discipline). */
+  @volatile private var catalogCache: Option[DataFrame] = None
+
+  private def invalidateCatalog(): Unit = {
+    catalogCache.foreach(df =>
+      try df.unpersist(false) catch { case _: Throwable => () })
+    catalogCache = None
+  }
+
   /** Live chunk ids from the partition DIRECTORY NAMES (both
     * layouts) — a metadata listing, never a Spark job. */
   private def liveChunkIdsListed(): Set[Long] = {
@@ -229,6 +247,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     clustered(guardedRouted(samples))
       .write.mode("append").partitionBy("chunk").parquet(livePath)
     newestTsCache = None
+    invalidateCatalog()
   }
 
   /** Direct appends write `live/chunk=…`, streaming batch appends
@@ -379,6 +398,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     }
     closedIdsCache = None // retired ids must leave the ingest guard
     newestTsCache = None
+    invalidateCatalog()
     closedBelow ++ liveBelow
   }
 
@@ -427,6 +447,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
       fs.delete(new org.apache.hadoop.fs.Path(closedPath), true)
     closedIdsCache = None
     newestTsCache = None
+    invalidateCatalog()
     closedBelow
   }
 
@@ -456,6 +477,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
           .parquet(s"$livePath/batch=$batchId")
     } finally guarded.unpersist(blocking = false)
     newestTsCache = None
+    invalidateCatalog()
   }
 
   /** Cluster on (chunk, salt-of-series) before a partitioned write:
@@ -537,6 +559,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     fs.delete(marker, false)
+    invalidateCatalog() // live directories were just swapped out
   }
 
   /** Compact the STREAMING live tier: merge every `batch=<id>`
@@ -609,12 +632,25 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
         throw new java.io.IOException(s"batch-compact swap failed for $target")
     }
     fs.delete(marker, false)
+    invalidateCatalog() // live directories were just swapped out
   }
 
   /** Store-wide series catalog (series_id → label set): live rows'
     * labels ∪ the closed chunks' per-chunk catalogs — the reference
     * indexer's id→labels mapping across both tiers. */
-  def catalog(): DataFrame = {
+  def catalog(): DataFrame = catalogCache match {
+    case Some(df) =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    case None =>
+      val df = buildCatalog()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      catalogCache = Some(df)
+      df
+  }
+
+  private def buildCatalog(): DataFrame = {
     val liveCat =
       if (liveChunkIdsListed().isEmpty) None // fully compacted: no raw files left
       else Some(live().select("series_id", "event_type", "user_id"))
@@ -728,6 +764,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("chunk").parquet(closedPath)
     closedIdsCache = None // the guard must see the newly closed ids
+    invalidateCatalog() // the cached plan pins the pre-close live files
     // compaction COMPLETES by dropping the raw rows: without this the
     // store keeps raw + compressed copies of all history forever. A
     // crash before the delete only wastes space (closed ids exclude
@@ -1044,6 +1081,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     fs.delete(marker, false)
     closedIdsCache = None
     newestTsCache = None
+    invalidateCatalog()
     retentionCache = None
     rawRetentionCache = None
   }
@@ -1294,6 +1332,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     fs.delete(marker, false)
     closedIdsCache = None
     newestTsCache = None
+    invalidateCatalog()
   }
 
   /** Prometheus-style BACKFILL / out-of-order ingest (the capability
@@ -1339,6 +1378,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     clustered(fresh)
       .write.mode("append").partitionBy("chunk").parquet(livePath)
     newestTsCache = None
+    invalidateCatalog()
     if (closedIds.isEmpty) return
     val late = routed.filter(col("chunk").isInCollection(closedIds))
       .select("series_id", "event_type", "user_id", "chunk", "ts_us", "value")
