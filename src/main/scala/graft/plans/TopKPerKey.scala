@@ -54,7 +54,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](k_ + 1, rowOrd.reverse)
+          // capacity is only a HINT (the queue grows) — k + 1 overflows
+          // for a take-everything k = Int.MaxValue caller, so clamp
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(k_.toLong + 1L, 1024L).toInt, rowOrd.reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < k_) heap.add(row.copy())

@@ -834,9 +834,22 @@ object Dedup {
     // point); session-shared via CacheManager subtree match
     val truth = ngramJaccardTwoStage(docs)
       .select(col("doc_a"), col("doc_b"), col("jaccard")).persist()
+    // ONE signature aggregation for all configs (deliberately unpaired
+    // persist, the minhashEstimatedPairs idiom): each config regroups
+    // the SAME persisted 16-perm signature frame — calling
+    // minhashLshPairs per config re-ran the shingle→min-hash
+    // aggregation 4× (r12 optimization; candidates are unchanged, the
+    // band join below is minhashLshPairs' verbatim)
+    val sigs = minhashSignatures(docs, 3, 16).persist()
     configs.map { case (nb, r) =>
       require(nb * r == 16, s"config ($nb, $r) must use all 16 perms")
-      val cand = minhashLshPairs(docs, 3, 16, r)
+      val bandsR = minhashBands(sigs, 16, r)
+      val cand = bandsR.as("a")
+        .join(bandsR.as("b"),
+          col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
       val pExpr = s"1.0 - ${powChain(s"(1.0 - ${powChain("jaccard", r)})", nb)}"
       val eAgg = truth.agg(
         count(lit(1)).as("n_true_pairs"),

@@ -62,10 +62,20 @@ object VectorOps {
       // whole-stage codegen (the HOF fold would be CodegenFallback)
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+    // bounded-heap top-k FIRST (TopKPerKey: map-side partial heaps, the
+    // shuffle carries <= k rows per query per partition), THEN rank the
+    // surviving q*k rows with the same total order - the window-over-
+    // everything shape sorted the full |corpus|x|queries| scored frame
+    // through one exchange (the pqTopK reduce-then-rank composition;
+    // r12 optimization, results identical under the (cos desc, vec_id)
+    // total order)
+    val kept = graft.plans.TopKPerKey(
+      scored.select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id"),
+      Seq("cos" -> graft.plans.TopKPerKey.Desc,
+        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored
+    kept
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
@@ -1237,10 +1247,15 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+    // reduce-then-rank (the cosineTopK/pqTopK composition): bounded
+    // heaps shed everything but k rows per query before any sort
+    val kept = graft.plans.TopKPerKey(
+      scored.select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id"),
+      Seq("cos" -> graft.plans.TopKPerKey.Desc,
+        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored
+    kept
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
@@ -1344,10 +1359,14 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+    // reduce-then-rank (the cosineTopK/pqTopK composition)
+    val kept = graft.plans.TopKPerKey(
+      scored.select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id"),
+      Seq("cos" -> graft.plans.TopKPerKey.Desc,
+        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored
+    kept
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
@@ -1719,10 +1738,15 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+    // reduce-then-rank (the cosineTopK/pqTopK composition)
+    val kept = graft.plans.TopKPerKey(
+      scored.select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label"), col("cos")), Seq("q_id"),
+      Seq("cos" -> graft.plans.TopKPerKey.Desc,
+        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored
+    kept
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("q_id"), col("q_label"), col("vec_id"),
         col("label").cast("long").as("label"), col("cos"),
         col("rank").cast("long").as("rank"))
