@@ -54,12 +54,16 @@ object Graph {
     // analysis stays O(1) per sweep and 8 sweeps run in ~1s.
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node"))
         .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("r"))
-        .localCheckpoint()
+      // checkpoint every SECOND sweep: a depth-2 plan re-analyzes fine
+      // (the exponential blowup needed the full per-sweep doubling),
+      // and half the eager materialization jobs come off the wall
+      // (r12 optimization; integer arithmetic — results bit-identical)
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     // every sweep ran eagerly above (localCheckpoint), so the edge
     // cache has done its work; release it — the returned frame reads

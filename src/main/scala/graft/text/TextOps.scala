@@ -617,6 +617,11 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
+      // ≤ k rows, but the lineage is a full corpus tokenize pass —
+      // persist so every vocab consumer in a session (oov/KL/drift/
+      // coverage gates) shares ONE pass via CacheManager subtree match
+      // (the dedup-family unpaired-persist idiom; r12 optimization)
+      .persist()
 
   /** TOKENIZER VOCABULARY COVERAGE: per-doc out-of-vocabulary rate
     * against the corpus top-`vocabK` vocabulary — the coverage report

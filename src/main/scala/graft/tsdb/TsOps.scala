@@ -1830,7 +1830,13 @@ object TsOps {
     * aggregation before it. */
   def esdOutliers(events: DataFrame, k: Int = 3, crit: Double = 3.5): DataFrame = {
     require(k >= 1 && k <= 10, s"k in [1, 10], got $k")
-    val hourly = hourlyTypeCounts(events)
+    // persist the reduced hourly frame (hours × types rows): every
+    // round's moment re-estimate AND the growing anti-join chain embed
+    // it as a subtree, so without the cache round i re-ran the corpus-
+    // scale hourly aggregation i times (r12 optimization; the unpaired
+    // persist is the dedup-family idiom — session-shared, family-
+    // cleared by Bench)
+    val hourly = hourlyTypeCounts(events).persist()
     var rem = hourly
     var out: DataFrame = null
     for (i <- 1 to k) {
@@ -1850,6 +1856,7 @@ object TsOps {
         .select(col("event_type"), lit(i.toLong).as("iter"),
           col("hour").cast("long").as("hour"), col("c").cast("long").as("value"),
           (abs(col("c").cast("double") - col("mean")) / col("std")).as("r_stat"))
+        .persist() // one row per type per round; read by out AND rem
       out = if (out == null) cand else out.unionByName(cand)
       rem = rem.join(cand.select(col("event_type"), col("hour")),
         Seq("event_type", "hour"), "left_anti")

@@ -729,6 +729,12 @@ object VectorOps {
         (col("sxy") / col("n")).as("e_xy"),
         (col("sxy") / col("n") -
           (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
+      // dim(dim+1)/2 rows, but the lineage is the ×2080 corpus fan-out
+      // pass — persist (unpaired, the dedup-family idiom) so the four
+      // covariance consumers in a session (emb_covariance, the three
+      // pca gates) share ONE pass via CacheManager subtree match
+      // instead of each paying it (r12 optimization)
+      .persist()
   }
 
   /** SEMANTIC-DEDUP clusters (Abbas et al., SemDeDup '23): connected
