@@ -841,15 +841,27 @@ object Dedup {
     // aggregation 4× (r12 optimization; candidates are unchanged, the
     // band join below is minhashLshPairs' verbatim)
     val sigs = minhashSignatures(docs, 3, 16).persist()
-    configs.map { case (nb, r) =>
-      require(nb * r == 16, s"config ($nb, $r) must use all 16 perms")
-      val bandsR = minhashBands(sigs, 16, r)
-      val cand = bandsR.as("a")
-        .join(bandsR.as("b"),
+    // ONE tagged band frame and ONE self-join for ALL configs: joining
+    // per config ran 4 shuffle pairs + 4 distincts; keying the join by
+    // (config, band_hash) collapses them into one exchange pair over
+    // the union (per-config candidate sets unchanged — the nb equality
+    // scopes every collision to its own config; r12 optimization)
+    configs.foreach { case (nb, r) =>
+      require(nb * r == 16, s"config ($nb, $r) must use all 16 perms") }
+    val allBands = configs.map { case (nb, r) =>
+      minhashBands(sigs, 16, r).withColumn("nb", lit(nb)) }
+      .reduce(_ unionByName _)
+    val allCand = allBands.as("a")
+      .join(allBands.as("b"),
+        col("a.nb") === col("b.nb") &&
           col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.nb").as("nb"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist()
+    configs.map { case (nb, r) =>
+      val cand = allCand.filter(col("nb") === nb).select("doc_a", "doc_b")
       val pExpr = s"1.0 - ${powChain(s"(1.0 - ${powChain("jaccard", r)})", nb)}"
       val eAgg = truth.agg(
         count(lit(1)).as("n_true_pairs"),

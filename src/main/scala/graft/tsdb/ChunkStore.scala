@@ -1380,8 +1380,12 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     newestTsCache = None
     invalidateCatalog()
     if (closedIds.isEmpty) return
+    // persisted for the verb's duration: the affected-chunk collect,
+    // the touched semi/anti joins and both unions below each re-ran
+    // the source scan + routing otherwise (5 passes; r12 optimization)
     val late = routed.filter(col("chunk").isInCollection(closedIds))
       .select("series_id", "event_type", "user_id", "chunk", "ts_us", "value")
+      .persist()
     // chunk-grain metadata: the distinct chunk ids receiving late rows
     val affected = late.select("chunk").distinct()
       .collect().map(_.getLong(0)).toSet
@@ -1439,6 +1443,7 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     val marker = new org.apache.hadoop.fs.Path(path, DeletePendingMarker)
     val mOut = fs.create(marker, true)
     try mOut.write(Array.emptyByteArray) finally mOut.close()
+    late.unpersist(false) // every staged write above has materialized
     completeDeleteSwap(fs, marker)
   }
 

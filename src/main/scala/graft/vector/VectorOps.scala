@@ -943,10 +943,19 @@ object VectorOps {
     * (d, loading, eigenvalue) with eigenvalue = ‖C·v‖ of the last
     * round (→ the true eigenvalue as v converges). */
   def pcaTopComponent(corpus: DataFrame, dim: Int = 64, iters: Int = 3,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6, driverMaxDim: Int = 512): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val covU = covariance(corpus, dim, roundTo)
       .select(col("di"), col("dj"), round(col("cov"), roundTo).cast(dec).as("c"))
+    // dim²-bounded matrix: below the cap run the iteration on the
+    // DRIVER via pcaComponents' BigDecimal replica (bit-for-bit equal
+    // to the distributed sweeps — the pcaComponents execution split,
+    // applied here too; r12 optimization: ~6 tiny Spark jobs per sweep
+    // were pure scheduling overhead). Above the cap the distributed
+    // loop below still runs.
+    if (dim <= driverMaxDim)
+      return pcaComponentsDriver(corpus.sparkSession, covU, 1, dim, iters, roundTo)
+        .select(col("d"), col("loading"), col("eigenvalue"))
     // localCheckpoint, not persist: every power-iteration sweep
     // references this frame, and a persisted plan KEEPS the whole
     // covariance lineage — three sweeps re-analyze the heavy subtree
