@@ -228,10 +228,44 @@ object TsOps {
     * Scale: the corpus cost is the ONE transitions pass; every sweep
     * is arithmetic on the (event types)² edge frame
     * (localCheckpointed — the iterative-loop lineage lesson). */
-  def markovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
+  def markovStationary(events: DataFrame, iters: Int = 8,
+                       driverMaxStates: Int = 1024): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters in [1, 50]")
-    val e = transitions(events)
+    // EXECUTION SPLIT (the pcaComponentsDriver precedent): the edge
+    // frame is (event types)² — a state-space property, not a data
+    // size — so below the cap the sweeps run on the DRIVER over the
+    // collected matrix in plain Long arithmetic (floor division and
+    // integer sums are order-free, so the replica is bit-for-bit the
+    // distributed result; r12 optimization — 8 sweeps were ~24 tiny
+    // Spark jobs of pure scheduling overhead on a 49-row frame).
+    // Above the cap the distributed loop below still runs.
+    val eDf = transitions(events)
       .select(col("from_type"), col("to_type"), col("n"), col("out_n"))
+    val spark = events.sparkSession
+    val edgeRows = eDf.limit(driverMaxStates * driverMaxStates + 1).collect()
+    if (edgeRows.length <= driverMaxStates * driverMaxStates) {
+      import spark.implicits._
+      val sts = (edgeRows.map(_.getString(0)) ++ edgeRows.map(_.getString(1)))
+        .distinct.sorted
+      require(sts.nonEmpty, "no transitions — need at least two events for one user")
+      val nSt = sts.length.toLong
+      val baseL = 150000000L / nSt
+      val initL = 1000000000L / nSt
+      var pi = sts.map(_ -> initL).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map.empty[String, Long]
+        edgeRows.foreach { r =>
+          val c = pi(r.getString(0)) * r.getLong(2) / r.getLong(3)
+          contrib.updateWith(r.getString(1)) {
+            case Some(s) => Some(s + c); case None => Some(c) }
+        }
+        pi = sts.map(s => s -> contrib.get(s)
+          .map(sc => baseL + 85L * sc / 100L).getOrElse(baseL)).toMap
+      }
+      return sts.map(s => (s, pi(s), pi(s) / 1e9))
+        .toSeq.toDF("event_type", "pi_nano", "pi")
+    }
+    val e = eDf
       .localCheckpoint() // types²-sized; read every sweep
     val states = e.select(col("from_type").as("state"))
       .unionByName(e.select(col("to_type").as("state"))).distinct()
