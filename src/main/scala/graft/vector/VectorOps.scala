@@ -51,7 +51,7 @@ object VectorOps {
     * decimals; total order (score desc, vec_id asc). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                  roundTo: Int = 6, maxRows: Long = 1000000L,
-                 force: Boolean = false): DataFrame = {
+                 force: Boolean = false, viaHeap: Boolean = false): DataFrame = {
     requireBaselineScale(corpus, "cosineTopK", "lshTopK / IvfStore.topK",
       maxRows, force)
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv")))
@@ -62,21 +62,32 @@ object VectorOps {
       // whole-stage codegen (the HOF fold would be CodegenFallback)
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
-    // bounded-heap top-k FIRST (TopKPerKey: map-side partial heaps, the
-    // shuffle carries <= k rows per query per partition), THEN rank the
-    // surviving q*k rows with the same total order - the window-over-
-    // everything shape sorted the full |corpus|x|queries| scored frame
-    // through one exchange (the pqTopK reduce-then-rank composition;
-    // r12 optimization, results identical under the (cos desc, vec_id)
-    // total order)
-    val kept = graft.plans.TopKPerKey(
-      scored.select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id"),
-      Seq("cos" -> graft.plans.TopKPerKey.Desc,
-        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    kept
-      .withColumn("rank", row_number().over(w))
-      .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
+    // TWO equivalent top-k shapes under the same (cos desc, vec_id asc)
+    // total order (r12 measurement, both oracle-verified identical):
+    // - viaHeap: TopKPerKey bounded heaps shed everything but k rows
+    //   per query BEFORE any sort — the corpus-as-queries shape, where
+    //   the scored set is |corpus|² rows and the map-side sort of the
+    //   window path dominates (emb_knn_outliers 4.2s → 1.4s).
+    // - window: Spark 4's WindowGroupLimit pushdown already bounds the
+    //   shuffle to k rows per query per partition AND stays inside
+    //   whole-stage codegen — for bounded query sets (the serving
+    //   gates: a handful of query vectors) the custom operator's
+    //   codegen break costs more than its sort saves (+0.3-0.6s/gate).
+    if (viaHeap) {
+      val kept = graft.plans.TopKPerKey(
+        scored.select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id"),
+        Seq("cos" -> graft.plans.TopKPerKey.Desc,
+          "vec_id" -> graft.plans.TopKPerKey.Asc), k)
+      kept
+        .withColumn("rank", row_number().over(w))
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
+    } else {
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
+    }
   }
 
   /** k-NN DISTANCE outlier scores — the dataset-cleaning read that
@@ -91,7 +102,8 @@ object VectorOps {
     * Output (vec_id, knn_score, outlier). */
   def knnOutliers(corpus: DataFrame, k: Int = 10, roundTo: Int = 6,
                   maxRows: Long = 1000000L, force: Boolean = false): DataFrame = {
-    val kth = cosineTopK(corpus, corpus, k, roundTo, maxRows, force)
+    val kth = cosineTopK(corpus, corpus, k, roundTo, maxRows, force,
+      viaHeap = true)
       .filter(col("rank") === k)
       .select(col("q_id").as("vec_id"), (lit(1.0) - col("cos")).as("knn_score"))
     val cut = kth.agg(
@@ -575,7 +587,8 @@ object VectorOps {
   def intrinsicDim(corpus: DataFrame, roundTo: Int = 6, maxRows: Long = 1000000L,
                    force: Boolean = false): DataFrame = {
     val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
-    val top2 = cosineTopK(corpus, corpus, 2, roundTo, maxRows, force)
+    val top2 = cosineTopK(corpus, corpus, 2, roundTo, maxRows, force,
+      viaHeap = true)
     val nn = top2.groupBy(col("q_id"))
       .agg(
         max(when(col("rank") === 1, lit(1.0) - col("cos"))).as("r1"),
@@ -1262,15 +1275,14 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
-    // reduce-then-rank (the cosineTopK/pqTopK composition): bounded
-    // heaps shed everything but k rows per query before any sort
-    val kept = graft.plans.TopKPerKey(
-      scored.select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id"),
-      Seq("cos" -> graft.plans.TopKPerKey.Desc,
-        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
+    // window path deliberately (r12): the scored set is probe-bounded
+    // (nProbe cells × a handful of queries) and WindowGroupLimit keeps
+    // the shuffle at k rows per query per partition inside codegen —
+    // the bounded-heap operator measured slower at this shape
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    kept
+    scored
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
@@ -1374,14 +1386,12 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
-    // reduce-then-rank (the cosineTopK/pqTopK composition)
-    val kept = graft.plans.TopKPerKey(
-      scored.select(col("q_id"), col("vec_id"), col("cos")), Seq("q_id"),
-      Seq("cos" -> graft.plans.TopKPerKey.Desc,
-        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
+    // window path deliberately (r12): bucket-local candidates × few
+    // queries — see ivfTopK
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    kept
+    scored
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
   }
 
@@ -1679,7 +1689,8 @@ object VectorOps {
   def knnReciprocity(corpus: DataFrame, k: Int = 5,
                      maxRows: Long = 1000000L,
                      force: Boolean = false): DataFrame = {
-    val edges = cosineTopK(corpus, corpus, k, maxRows = maxRows, force = force)
+    val edges = cosineTopK(corpus, corpus, k, maxRows = maxRows, force = force,
+      viaHeap = true)
       .select(col("q_id").as("src"), col("vec_id").as("dst")).persist()
     val mutual = edges.alias("a")
       .join(edges.alias("b"),
@@ -1753,15 +1764,12 @@ object VectorOps {
       .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
-    // reduce-then-rank (the cosineTopK/pqTopK composition)
-    val kept = graft.plans.TopKPerKey(
-      scored.select(col("q_id"), col("q_label"), col("vec_id"),
-        col("label"), col("cos")), Seq("q_id"),
-      Seq("cos" -> graft.plans.TopKPerKey.Desc,
-        "vec_id" -> graft.plans.TopKPerKey.Asc), k)
+    // window path deliberately (r12): filtered corpus × few queries —
+    // see ivfTopK
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    kept
+    scored
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("q_label"), col("vec_id"),
         col("label").cast("long").as("label"), col("cos"),
         col("rank").cast("long").as("rank"))

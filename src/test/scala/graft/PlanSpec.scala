@@ -283,7 +283,11 @@ class PlanSpec extends SparkSpec {
     // fan-out left the row
     assert(!p.contains("SortMergeJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    assert("BroadcastHashJoin".r.findAllIn(p).length <= 2, p.take(1200))
+    assert(!p.contains("ShuffledHashJoin"), p.take(1200))
+    // r12: the covariance frame persists (shared by the pca gates), so
+    // the printed plan embeds the InMemoryRelation's cached child —
+    // the two broadcast attachments can appear twice in the text
+    assert("BroadcastHashJoin".r.findAllIn(p).length <= 4, p.take(1200))
   }
 
   test("doc_unigram_logprob: token shuffles ride LONG hash keys; total broadcasts") {
@@ -522,12 +526,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
   }
 
-  test("events_markov_stationary: sweeps read checkpointed frames; hash aggregates only") {
+  test("events_markov_stationary: driver-path sweeps return a local result") {
     val p = plan("events_markov_stationary")
-    // the returned frame is the last sweep over checkpointed inputs —
-    // no window, no sort aggregate, and the transitions subtree is
-    // NOT re-derived (it lives behind the checkpoint)
-    assert(p.contains("Scan ExistingRDD"), "sweep lost its checkpoint:\n" + p.take(1500))
+    // r12: below driverMaxStates the sweeps run on the driver over the
+    // collected (types²) edge frame — the returned plan is a bare
+    // LocalTableScan (the pcaComponentsDriver shape); the corpus-scale
+    // transitions pass ran eagerly at construction. No window, no
+    // sort aggregate, no re-derived transitions subtree.
+    assert(p.contains("LocalTableScan"), "driver path lost:\n" + p.take(1500))
     assert(!p.contains("SortAggregate"))
     assert(!p.contains("Window"), "stationary grew a window:\n" + p.take(1500))
   }
