@@ -1042,8 +1042,15 @@ object DebugProbe {
         println(f"[probe] fed ${what}%-28s min=${rs.map(_._1).min}%.2fs " +
           f"runs=${rs.map(r => f"${r._1}%.2f").mkString(",")} n=${rs.head._2}")
       }
-      tt("append") { store.append(graft.tsdb.Series.samples(
-        spark.read.parquet(s"$sfDir/events.parquet"))); 0L }
+      // append ONCE (tt runs its block twice, which would double-ingest
+      // the corpus and skew every downstream stage timing / row count
+      // relative to the real gate — ADVICE r12)
+      locally {
+        val t0 = System.nanoTime()
+        store.append(graft.tsdb.Series.samples(
+          spark.read.parquet(s"$sfDir/events.parquet")))
+        println(f"[probe] fed ${"append(once)"}%-28s min=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
       val ms = Seq(MatchRe("event_type", "click|view"))
       tt("catalog.count") { store.catalog().count() }
       tt("queryAll.count") { store.queryAll(ms, T0, T1).count() }

@@ -217,7 +217,12 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
   }
 
   /** Delete the RAW live directories of the given chunks (both
-    * layouts) — the final step of compaction. */
+    * layouts) — the final step of compaction. Invalidates the
+    * memoized catalog itself: closeChunksBelow's HEAL branch calls
+    * this directly (closeChunks returns early on an empty set and
+    * never reaches its own invalidation), and a cached catalog plan
+    * pinning the just-deleted live files would fail any later
+    * recompute with FileNotFoundException. */
   private def deleteLiveChunkDirs(chunks: Set[Long]): Unit = {
     if (chunks.isEmpty) return
     val fs = hfs
@@ -227,10 +232,12 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
       if (tops.exists(_.startsWith("batch=")))
         tops.filter(_.startsWith("batch=")).flatMap(b => names.map(n => s"$livePath/$b/$n"))
       else names.map(n => s"$livePath/$n").toSeq
+    var deleted = false
     targets.foreach { t =>
       val hp = new org.apache.hadoop.fs.Path(t)
-      if (fs.exists(hp)) fs.delete(hp, true)
+      if (fs.exists(hp)) { fs.delete(hp, true); deleted = true }
     }
+    if (deleted) invalidateCatalog()
   }
 
   /** Append samples (from [[Series.samples]]), routed to their chunk.

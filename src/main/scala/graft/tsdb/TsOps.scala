@@ -242,11 +242,20 @@ object TsOps {
     val eDf = transitions(events)
       .select(col("from_type"), col("to_type"), col("n"), col("out_n"))
     val spark = events.sparkSession
-    val edgeRows = eDf.limit(driverMaxStates * driverMaxStates + 1).collect()
-    if (edgeRows.length <= driverMaxStates * driverMaxStates) {
+    // Collect cap: 65536 edges (≈256 fully-connected states, a few MB)
+    // rather than driverMaxStates² (~1M rows) — far above any realistic
+    // event-type vocabulary while bounding the thrown-away allocation
+    // when the gate falls back to the distributed loop (ADVICE r12).
+    // The collected set then checks STATES against driverMaxStates, so
+    // the parameter bounds what its name says; both paths are
+    // bit-identical, so the regime split can move freely.
+    val edgeCap = math.min(driverMaxStates.toLong * driverMaxStates, 65536L).toInt
+    val edgeRows = eDf.limit(edgeCap + 1).collect()
+    lazy val stsAll = (edgeRows.map(_.getString(0)) ++ edgeRows.map(_.getString(1)))
+      .distinct
+    if (edgeRows.length <= edgeCap && stsAll.length <= driverMaxStates) {
       import spark.implicits._
-      val sts = (edgeRows.map(_.getString(0)) ++ edgeRows.map(_.getString(1)))
-        .distinct.sorted
+      val sts = stsAll.sorted
       require(sts.nonEmpty, "no transitions — need at least two events for one user")
       val nSt = sts.length.toLong
       val baseL = 150000000L / nSt
@@ -1890,7 +1899,15 @@ object TsOps {
         .select(col("event_type"), lit(i.toLong).as("iter"),
           col("hour").cast("long").as("hour"), col("c").cast("long").as("value"),
           (abs(col("c").cast("double") - col("mean")) / col("std")).as("r_stat"))
-        .persist() // one row per type per round; read by out AND rem
+        // one row per type per round; read by out AND rem. DELIBERATE
+        // unpaired persist, like `hourly` above: the returned frame is
+        // lazy, so there is no in-operator unpersist point, and the
+        // cached entries are call-specific lineages that accumulate
+        // across repeated calls over DIFFERENT inputs in a resident
+        // session (ADVICE r12 — documented trade). Bounded smallness:
+        // ≤ k rows per type per call plus one hours×types frame; the
+        // Bench clears them at each family boundary.
+        .persist()
       out = if (out == null) cand else out.unionByName(cand)
       rem = rem.join(cand.select(col("event_type"), col("hour")),
         Seq("event_type", "hour"), "left_anti")
