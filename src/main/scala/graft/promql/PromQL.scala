@@ -1584,8 +1584,40 @@ object PromQL {
         .drop("k_lo", "k_hi", "k")
     }
 
+  /** Per-evaluation COMMON-SUBEXPRESSION memo (r13; VERDICT r12 #2 —
+    * §2.4/§5): dashboards and recording rules routinely repeat a
+    * subexpression (`histogram_quantile_cum`'s 7 bucket arms each
+    * embed the same `sum_over_time({}[1d])`; `info_join` evaluates
+    * `count_over_time(click[1d])` twice), and the AST evaluator would
+    * otherwise hand Catalyst one corpus-scale subtree PER occurrence.
+    * Keyed (Expr, Grid) — structural case-class equality; `@`/subquery
+    * nodes re-grid their children, so the grid is part of identity.
+    * On the SECOND request for a key the stored frame is persisted:
+    * every consumer (including the first — nothing has materialized
+    * yet during evaluation) then reads one computation via
+    * CacheManager. Results are untouched — the memo only collapses
+    * identical subplans. The persist is unpaired (the returned frame
+    * is lazy; the dedup-family idiom — Bench clears per family,
+    * grid-bounded frames otherwise live with the session). */
+  private type EvalMemo =
+    scala.collection.mutable.HashMap[(Expr, Grid), DataFrame]
+
   private def evalExpr(samples: DataFrame, e: Expr, g: Grid,
-                       lookbackUs: Long): DataFrame = e match {
+                       lookbackUs: Long,
+                       memo: EvalMemo = new EvalMemo): DataFrame =
+    memo.get((e, g)) match {
+      case Some(df) =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist()
+        df
+      case None =>
+        val df = evalExprRaw(samples, e, g, lookbackUs, memo)
+        memo.update((e, g), df)
+        df
+    }
+
+  private def evalExprRaw(samples: DataFrame, e: Expr, g: Grid,
+                          lookbackUs: Long, memo: EvalMemo): DataFrame = e match {
     case ScalarLit(v) =>
       throw new IllegalArgumentException(s"scalar $v where a vector is needed")
 
@@ -1593,12 +1625,12 @@ object PromQL {
       // the @ modifier: evaluate AT the pinned absolute instant, then
       // replicate the (tiny) result to every output grid instant
       pinToGrid(evalExpr(samples, sel.copy(atUs = None),
-        Grid(atP, atP, 1L, instant = true), lookbackUs), g)
+        Grid(atP, atP, 1L, instant = true), lookbackUs, memo), g)
 
     case RangeFn(fn, sel, dur, p1, p2) if sel.atUs.isDefined =>
       pinToGrid(evalExpr(samples,
         RangeFn(fn, sel.copy(atUs = None), dur, p1, p2),
-        Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs), g)
+        Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs, memo), g)
 
     case Selector(ms, off, None) =>
       // instant selector: latest sample within the lookback window,
@@ -1623,7 +1655,7 @@ object PromQL {
       // `@` on the subquery pins its evaluation instant: evaluate the
       // whole nesting once at `at`, replicate to the output grid
       pinToGrid(evalExpr(samples, sq.copy(atUs = None),
-        Grid(at, at, 1L, instant = true), lookbackUs), g)
+        Grid(at, at, 1L, instant = true), lookbackUs, memo), g)
     case SubqueryFn(fn, inner, dur, step, off, param, param2, None) =>
       // Prometheus subquery: the inner expression evaluates at every
       // EPOCH-ALIGNED multiple of `step` the outer windows can touch —
@@ -1647,7 +1679,7 @@ object PromQL {
         s"subquery inner grid spans more than 11000 instants " +
           s"([${dur}us:${step}us] against this evaluation range) — widen the step")
       val innerDf = evalExpr(samples, inner,
-        Grid(innerStart, innerEnd, step, instant = false), lookbackUs)
+        Grid(innerStart, innerEnd, step, instant = false), lookbackUs, memo)
         // inner grid instants are unique per label set; a constant
         // surrogate keeps the evaluator's (ts, event_id) total orders
         .withColumn("event_id", lit(0L))
@@ -1656,15 +1688,15 @@ object PromQL {
       rangeAgg(innerDf, labels, fn, off, dur, param, g, param2)
 
     case Agg(op, by, without, arg, param) =>
-      evalAgg(evalExpr(samples, _, g, lookbackUs), op, by, without, arg, param, g)
+      evalAgg(evalExpr(samples, _, g, lookbackUs, memo), op, by, without, arg, param, g)
 
     case BinScalar(arg, op, k, scalarLeft, boolMode) =>
-      evalBinScalar(evalExpr(samples, _, g, lookbackUs), arg, op, k, scalarLeft, boolMode)
+      evalBinScalar(evalExpr(samples, _, g, lookbackUs, memo), arg, op, k, scalarLeft, boolMode)
 
     case Func("timestamp", sel: Selector, _, _) if sel.atUs.isDefined =>
       pinToGrid(evalExpr(samples,
         Func("timestamp", sel.copy(atUs = None), Nil, Nil),
-        Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs), g)
+        Grid(sel.atUs.get, sel.atUs.get, 1L, instant = true), lookbackUs, memo), g)
 
     case Func("timestamp", Selector(ms, off, None), _, _) =>
       // Prometheus timestamp(v): each series' winning sample's OWN
@@ -1677,10 +1709,10 @@ object PromQL {
           col("g_ts").as("ts_us"), (col("l.ts_us") / 1e6).as("value"))
 
     case Func(fn, arg, params, strParams) =>
-      evalFunc(evalExpr(samples, _, g, lookbackUs), fn, arg, params, strParams, g)
+      evalFunc(evalExpr(samples, _, g, lookbackUs, memo), fn, arg, params, strParams, g)
 
     case BinVec(l, op, m, r, boolMode) =>
-      evalBinVec(evalExpr(samples, _, g, lookbackUs), l, op, m, r, boolMode)
+      evalBinVec(evalExpr(samples, _, g, lookbackUs, memo), l, op, m, r, boolMode)
 
     case VectorLit(v) =>
       // one label-less element at every grid instant (kMax+1 rows)
@@ -1691,10 +1723,10 @@ object PromQL {
         (col("g_ts") / lit(1e6)).as("value"))
 
     case ScalarOf(inner) =>
-      scalarFrame(evalExpr(samples, inner, g, lookbackUs))
+      scalarFrame(evalExpr(samples, inner, g, lookbackUs, memo))
 
     case BinScalarDyn(arg, op, ScalarOf(inner), scalarLeft, boolMode) =>
-      evalBinScalarDyn(evalExpr(samples, _, g, lookbackUs), arg, op, inner,
+      evalBinScalarDyn(evalExpr(samples, _, g, lookbackUs, memo), arg, op, inner,
         scalarLeft, boolMode)
   }
 

@@ -1342,6 +1342,15 @@ object VectorOps {
       .agg(min(col("pack")).as("pack"))
       .select(col("vec_id"), col("cell"), col("s"),
         (col("pack") % 1024L).as("code"))
+      // persist the encoded CODES table (corpus × m small rows — the
+      // index itself, exactly what an IVFADC deployment keeps at
+      // rest): the ×kCodes encode fan-out is the pipeline's heaviest
+      // pass and BOTH its session consumers (ann_ivfpq_recall's
+      // estimate side and ann_ivfpq_topk — identical arguments, so
+      // CacheManager subtree-matches) re-ran it from the raw vectors.
+      // Unpaired (the dedup-family idiom): the returned frame is lazy,
+      // Bench clears at the family boundary. (r13; VERDICT r12 #1)
+      .persist()
     val qLo = nCells + kCodes
     val queries = corpus
       .filter(col("vec_id") >= qLo && col("vec_id") < qLo + nQueries)
@@ -1718,17 +1727,51 @@ object VectorOps {
                     force: Boolean = false): DataFrame = {
     require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nCells),
       s"probes within [1, $nCells]: $probes")
+    require(probes.distinct == probes,
+      s"probe settings must be distinct (the tagged-union regrouping " +
+        s"assumes one tag per setting): $probes")
     val spark = corpus.sparkSession
     import spark.implicits._
     val truth = cosineTopK(corpus, corpus.filter(queryIds), k,
       maxRows = maxRows, force = force)
       .select(col("q_id"), col("vec_id")).persist()
     val cents = ivfCentroids(corpus, nCells)
-    val appr = probes.map { np =>
-      ivfTopK(corpus, queryIds, k, nCells, np, quantizer = Some(cents))
-        .select(col("q_id"), col("vec_id"))
-        .withColumn("n_probe", lit(np.toLong))
-    }.reduce(_ unionByName _)
+    // ONE scored frame for the whole sweep (r13; VERDICT r12 #1, §2.4):
+    // the probe rankings at nProbe = 1, 2, 4, 8 are nested PREFIXES of
+    // one (cos_c desc, c_id asc) centroid ranking, so instead of four
+    // ivfTopK calls (4 probe joins + 4 window exchanges over the same
+    // cells frame) the sweep scores candidates ONCE tagged with their
+    // cell's probe rank `rn`, replicates each candidate to exactly the
+    // settings that include it (probes ≥ rn — ≤|probes| rows each),
+    // and ranks with ONE window keyed (n_probe, q_id). Per-setting
+    // candidate sets and the (cos desc, vec_id asc) total order are
+    // verbatim ivfTopK's, so the per-setting top-k rows are identical.
+    val maxProbe = probes.max
+    val roundTo = 6 // ivfTopK's default — the scores must stay verbatim
+    val wP = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id").asc)
+    val probed = corpus.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        round(graft.functions.CosineSimilarity(col("qv"), col("cv")), roundTo))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= maxProbe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"), col("rn"))
+    // same lineage as ivfTopK's persisted cells frame — CacheManager
+    // subtree match shares it with ann_ivf_recall in the same session
+    val cells = corpus.join(ivfAssign(corpus, cents, roundTo), "vec_id").persist()
+    val probeTags = array(probes.sorted.map(p => lit(p.toLong)): _*)
+    val appr = cells.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(graft.functions.CosineSimilarity(col("v"), col("qv")), roundTo))
+      .withColumn("n_probe",
+        explode(filter(probeTags, p => p >= col("rn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("n_probe"), col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("q_id"), col("vec_id"))
     val hits = appr.join(truth, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
     val tot = truth.agg(count(lit(1)).as("n_exact"),
