@@ -37,13 +37,14 @@ object Hybrid {
     * excluded. */
   def bm25TopK(docs: DataFrame, queryPred: Column, k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      // deliberately UNPAIRED persist (postings, doc-length and
-      // doc-frequency all read it lazily — no unpersist point);
-      // session-shared via CacheManager subtree match (the rfm/ppl_bucket idiom: a repeated call or a sibling query with the canonically-identical subtree REUSES this entry — no accumulation; Bench clears per family, long sessions clearCache at job boundaries)
-      .persist()
+    // the postings frame IS the shared unigram-count cache (r13):
+    // (doc_id, term) → count at exactly bm25's tf grain (source is
+    // doc-functional, so the extra grouping key changes nothing), and
+    // the persisted frame already serves the session's other unigram
+    // consumers — postings, doc-length and doc-frequency below all
+    // read that one cache instead of a second private tokenize+persist
+    val tf = TextOps.unigramCounts(docs)
+      .select(col("doc_id"), col("term"), col("c").as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),

@@ -167,8 +167,8 @@ object TextOps {
       .select(bucketOf("doc_id").as("b"), tokenCount(col("text")).as("nt"))
       .groupBy("b")
       .agg(count(lit(1)).as("ndocs"), sum(col("nt")).as("ntok"))
-    val firstSeen = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val firstSeen = unigramCounts(docs)
+      .select(col("doc_id"), col("term").as("tok"))
       .groupBy("tok").agg(min(col("doc_id")).as("fd"))
       .crossJoin(broadcast(n))
       .groupBy(bucketOf("fd").as("b"))
@@ -233,16 +233,29 @@ object TextOps {
     * the commonness plan shape at 8-gram grain. Docs under n tokens
     * have no grams and emit no row (same rule as fingerprint). */
   def novelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    // ONE shingle pass and NO pair-scale join (r13; VERDICT r12 #6 —
+    // §2.4): the old shape embedded the tokenize+shingle subtree twice
+    // (the df aggregation AND the join probe side) and sort-merge-
+    // joined two corpus-scale frames on h. But the per-doc gram count
+    // never needed df, and a gram with df = 1 belongs to exactly ONE
+    // doc — min(doc_id) inside the same hash aggregation recovers that
+    // owner — so both aggregates collapse to doc-sized frames before
+    // anything joins. The persist is unpaired (lazy consumers; the
+    // dedup-family idiom, Bench clears per family).
     val sh = docs
       .select(col("doc_id"), explode(array_distinct(
         wordShingles(tokens(col("text")), n))).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
-    val df_ = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh.join(df_, "h")
+      .persist()
+    val grams = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val uniq = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1L)
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .agg(count(lit(1)).as("n_unique"))
+    grams.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .withColumn("novelty", col("n_unique").cast("double") / col("n_grams"))
   }
 
@@ -281,20 +294,20 @@ object TextOps {
     * is the engine-wide mean rule — libm log is the one genuinely
     * engine-specific step, which 6dp rounding absorbs). */
   def unigramLogprob(docs: DataFrame): DataFrame = {
-    val dt = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .select(col("doc_id"), xxhash64(col("term")).as("h"))
-    val tf = dt.groupBy(col("h")).agg(count(lit(1)).as("tf"))
+    val dt = unigramCounts(docs)
+      .select(col("doc_id"), xxhash64(col("term")).as("h"), col("c"))
+    val tf = dt.groupBy(col("h")).agg(sum(col("c")).as("tf"))
     val total = tf.agg(sum(col("tf")).cast("double").as("total"))
     dt.join(tf, "h")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("c"),
         round(log(col("tf").cast("double") / col("total")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp6"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("lp6")).cast("double").as("sum_logprob"))
+        sum(col("c")).as("n_tokens"),
+        // c copies of the same exact decimal: c·lp6 — identical sum
+        sum(col("c") * col("lp6")).cast("double").as("sum_logprob"))
       .withColumn("mean_logprob", col("sum_logprob") / col("n_tokens"))
   }
 
@@ -347,9 +360,8 @@ object TextOps {
       .groupBy(col("doc_id"), col("hb"), col("ha"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
-    val uni = docs
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy(xxhash64(col("w")).as("ha")).agg(count(lit(1)).as("c1"))
+    val uni = unigramCounts(docs)
+      .groupBy(xxhash64(col("term")).as("ha")).agg(sum(col("c")).as("c1"))
     // vocab-grain score table: c2 per bigram (map-side partials absorb
     // the Zipf-hot key), ha recovered by max() (functional dependency)
     val lp = bgc.groupBy(col("hb"))
@@ -390,9 +402,9 @@ object TextOps {
       .select(explode(wordShingles(tokens(col("text")), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
       .persist()
-    val uni = docs
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uni = unigramCounts(docs)
+      .select(col("term").as("w"), col("c").as("c0"))
+      .groupBy(col("w")).agg(sum(col("c0")).as("c"))
       .persist()
     val t2 = broadcast(bg.agg(sum(col("c_ab")).cast("double").as("t2")))
     val t1 = broadcast(uni.agg(sum(col("c")).cast("double").as("t1")))
@@ -420,10 +432,10 @@ object TextOps {
     * independent, one final double division. Plan: token explode,
     * LONG-keyed per-(doc, token) count, one per-doc aggregation. */
   def tokenEntropy(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = unigramCounts(docs)
+      .select(col("doc_id"), col("term"), col("c").as("c0"))
       .groupBy(col("doc_id"), xxhash64(col("term")).as("h"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c0")).as("c"))
     val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tokens"))
     counts.join(totals, "doc_id")
       .select(col("doc_id"), col("n_tokens"),
@@ -589,8 +601,8 @@ object TextOps {
                     ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val maxK = ks.max
-    val freqs = docs.select(explode(tokens(col("text"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val freqs = unigramCounts(docs)
+      .groupBy(col("term")).agg(sum(col("c")).as("n"))
     val total = freqs.agg(sum(col("n")).as("total"))
     val top = freqs.orderBy(col("n").desc, col("term").asc).limit(maxK)
       .withColumn("rnk", row_number().over(
@@ -610,11 +622,38 @@ object TextOps {
           .as("coverage"))
   }
 
+  /** One corpus tokenize pass, pre-aggregated to (doc_id, source,
+    * term) → count and shared across a session's unigram consumers
+    * (r13; VERDICT r12 #3, §5/§2.4 "aggregate before you shuffle"):
+    * the unigram gates (source_kl, drift_curve, entropy_rate's
+    * unigram side, simpson, vocab_overlap, heaps_curve, oov_rate,
+    * token_entropy, unigram/bigram logprob denominators, vocab_topk/
+    * coverage) each re-ran the regex tokenize + explode over every
+    * document. Persisting at the COUNT grain — not raw instances —
+    * keeps the cache ~tokens/distinct-terms-per-doc times smaller and
+    * map-side collapsible, so later gates read a small
+    * InMemoryTableScan instead of re-tokenizing (CacheManager subtree
+    * match — the gate paths all pass the same docs lineage). Every
+    * consumer's aggregate is exact over counts (sum(c) ≡ count of
+    * instances; decimal terms scale by c — integer×decimal, exact).
+    * Carries whichever of doc_id / source exist so test fixtures
+    * without one still work; the declared gates always pass both, so
+    * their lineages canonicalize to ONE cache entry. Unpaired persist
+    * (the vocabTopK idiom below — consumers read it lazily; Bench
+    * clears per family). The BIGRAM passes (wordShingles) stay
+    * separate: they need the un-exploded token array. */
+  def unigramCounts(docs: DataFrame): DataFrame = {
+    val keep = Seq("doc_id", "source").filter(docs.columns.contains)
+    docs.select(keep.map(col) :+ explode(tokens(col("text"))).as("term"): _*)
+      .groupBy((keep :+ "term").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .persist()
+  }
+
   def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
-    docs
-      .select(explode(tokens(col("text"))).as("term"))
+    unigramCounts(docs)
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
       // ≤ k rows, but the lineage is a full corpus tokenize pass —
@@ -633,12 +672,12 @@ object TextOps {
     * restatement). The bench corpus's ~30-term synthetic vocabulary
     * gates at k=16 so the OOV side is genuinely exercised. */
   def oovRate(docs: DataFrame, vocabK: Int = 16): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    unigramCounts(docs).select(col("doc_id"), col("term"), col("c"))
       .join(broadcast(vocabTopK(docs, vocabK).select(col("term"), lit(1).as("_inv"))),
         Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("_inv").isNull, 1)).as("n_oov"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("_inv").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
 
   /** SOURCE-vs-CORPUS KL DIVERGENCE (the domain-shift / source-quality
@@ -660,7 +699,7 @@ object TextOps {
     * kl). */
   def sourceKl(docs: DataFrame, vocabK: Int = 16): DataFrame =
     klAgainstCorpus(
-      docs.select(col("source").as("k"), explode(tokens(col("text"))).as("term")),
+      unigramCounts(docs).select(col("source").as("k"), col("term"), col("c")),
       docs, vocabK)
       .withColumnRenamed("k", "source")
 
@@ -679,10 +718,10 @@ object TextOps {
     * rounding needed). Two hash-aggregations, both map-side partial. */
   def sourceSimpson(docs: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    docs
-      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    unigramCounts(docs)
+      .select(col("source"), col("term"), col("c").as("c0"))
       .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("c0")).as("n"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_types"),
@@ -707,9 +746,8 @@ object TextOps {
   def driftKl(docs: DataFrame, buckets: Int = 10, vocabK: Int = 16): DataFrame = {
     val n = docs.agg((max(col("doc_id")) + 1).as("_n"))
     klAgainstCorpus(
-      docs.crossJoin(broadcast(n))
-        .select(expr(s"doc_id * $buckets div _n").as("k"),
-          explode(tokens(col("text"))).as("term")),
+      unigramCounts(docs).crossJoin(broadcast(n))
+        .select(expr(s"doc_id * $buckets div _n").as("k"), col("term"), col("c")),
       docs, vocabK)
       .withColumnRenamed("k", "decile")
   }
@@ -725,9 +763,10 @@ object TextOps {
     val vocab = broadcast(vocabTopK(docs, vocabK).select(col("term"), lit(1).as("_inv")))
     val sb = keyed.join(vocab, Seq("term"), "left")
       .select(col("k"),
-        when(col("_inv").isNull, lit("__oov__")).otherwise(col("term")).as("bucket"))
+        when(col("_inv").isNull, lit("__oov__")).otherwise(col("term")).as("bucket"),
+        col("c"))
       .groupBy(col("k"), col("bucket"))
-      .agg(count(lit(1)).as("cs"))
+      .agg(sum(col("c")).as("cs"))
     val st = sb.groupBy(col("k")).agg(sum(col("cs")).as("ns"))
     val cb = sb.groupBy(col("bucket")).agg(sum(col("cs")).as("cq"))
     val tot = cb.agg(sum(col("cq")).cast("double").as("total"))
@@ -1080,8 +1119,9 @@ object TextOps {
         .agg(max(col("tot")).as(nOut),
           round(-sum(col("term")).cast("double"), 6).as(out))
     }
-    val uni = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val uni = unigramCounts(docs)
+      .select(col("source"), col("term").as("w"), col("c").as("c0"))
+      .groupBy(col("source"), col("w")).agg(sum(col("c0")).as("c"))
     val bg = docs
       .select(col("source"),
         explode(wordShingles(tokens(col("text")), 2)).as("bg"))
@@ -1103,9 +1143,9 @@ object TextOps {
     * coalesced). Exact integers, one IEEE division (§4). */
   def vocabOverlap(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 1 && k <= 10000, s"k in [1, 10000], got $k")
-    val counts = docs
-      .select(col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+    val counts = unigramCounts(docs)
+      .select(col("source"), col("term"), col("c").as("c0"))
+      .groupBy(col("source"), col("term")).agg(sum(col("c0")).as("n"))
     val top = graft.plans.TopKPerKey(counts, Seq("source"),
       Seq("n" -> graft.plans.TopKPerKey.Desc,
         "term" -> graft.plans.TopKPerKey.Asc), k)
