@@ -505,6 +505,10 @@ object TsOps {
       .select(col("series_id"),
         expr(s"first_us div $dayUs").as("first_day"),
         expr(s"last_us div $dayUs").as("last_day"))
+      // THREE consumers (active/created/ended) each embedded this
+      // corpus-scale lifetime aggregation — persist so it runs once
+      // (r13; §5 — unpaired persist, series-sized, family-cleared)
+      .persist()
     val active = life
       .select(explode(sequence(col("first_day"), col("last_day"))).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("active"))
@@ -1308,6 +1312,10 @@ object TsOps {
     val daily = Series.samples(events)
       .groupBy(col("series_id"), expr("ts_us div 86400000000").as("day"))
       .agg((sum(col("value").cast(d28)).cast("double") / count(lit(1))).as("v"))
+      // BOTH sides of the pair self-join below embed this aggregate —
+      // without the cache the corpus-scale daily reduction ran twice
+      // (r13; §5 — unpaired persist, series×days rows, family-cleared)
+      .persist()
     val pairs = daily.alias("a").join(daily.alias("b"),
         col("a.series_id") === col("b.series_id") && col("a.day") < col("b.day"))
       .select(col("a.series_id").as("series_id"),
@@ -2202,6 +2210,10 @@ object TsOps {
     val b = samples
       .groupBy(col("series_id"), expr(s"ts_us div $bucketUs").as("h"))
       .agg(sum(col("value").cast(d2)).cast(d2).as("y"))
+      // actual side + season-lag side of the equi-join both embed this
+      // corpus-scale bucket reduction — persist so it runs once (r13;
+      // §5, the forecastBacktest bucket-frame idiom; series×hours rows)
+      .persist()
     val lag = b.select(col("series_id"),
       (col("h") + seasonBuckets).as("h"), col("y").as("y_hat"))
     b.join(lag, Seq("series_id", "h"))

@@ -1611,24 +1611,30 @@ object VectorOps {
       .groupBy(col("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
         s => s.getField("s")).as("cv"))
+    // ONE corpus×labels pass (r13; §2.4): the own-class cosine and the
+    // best-other pack fold in the SAME hash aggregation — the old
+    // own/best split re-ran the scored crossJoin twice and joined the
+    // halves back on vec_id. label is a grouping key (per-vec
+    // attribute), so no join is needed; expressions are verbatim, and
+    // the isNotNull filter replicates the old inner join's behavior
+    // for a degenerate single-label corpus (no other class → no row).
     val scored = corpus.crossJoin(broadcast(sums))
       .withColumn("cos",
         round(graft.functions.CosineSimilarity(col("v"), col("cv")), roundTo))
-    val own = scored.filter(col("label") === col("clabel"))
-      .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
-    val best = scored.filter(col("label") =!= col("clabel"))
-      // round-to-nearest before the long cast: cos*scale sits within
-      // one ulp of an integer and truncation would step down half the
-      // time; the +scale offset keeps the packed value non-negative
-      .withColumn("pk",
-        round(col("cos") * scale + scale, 0).cast("long") * lit(1024L)
-          + (lit(1023L) - col("clabel")))
-      .groupBy(col("vec_id"))
-      .agg(max(col("pk")).as("bpk"))
-      .select(col("vec_id"),
+    // round-to-nearest before the long cast: cos*scale sits within
+    // one ulp of an integer and truncation would step down half the
+    // time; the +scale offset keeps the packed value non-negative
+    val pk = round(col("cos") * scale + scale, 0).cast("long") * lit(1024L) +
+      (lit(1023L) - col("clabel"))
+    scored
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("label") === col("clabel"), col("cos"))).as("own_cos"),
+        max(when(col("label") =!= col("clabel"), pk)).as("bpk"))
+      .filter(col("bpk").isNotNull && col("own_cos").isNotNull)
+      .select(col("vec_id"), col("label"), col("own_cos"),
         (lit(1023L) - col("bpk") % lit(1024L)).as("other_label"),
         ((expr("bpk div 1024").cast("double") - scale) / scale).as("other_cos"))
-    own.join(best, Seq("vec_id"))
       .withColumn("margin", col("own_cos") - col("other_cos"))
   }
 
