@@ -195,7 +195,17 @@ final class ChunkStore(spark: SparkSession, val path: String, chunkMs: Long = 36
     * deletes those directories would make a stale handle unreadable.
     * Bench's family-boundary clearCache() only drops the cached DATA —
     * the storageLevel==NONE re-mark on next use repopulates one entry
-    * (the attachMediaMemo discipline). */
+    * (the attachMediaMemo discipline).
+    *
+    * SINGLE-WRITER ASSUMPTION (r13; VERDICT r12 #8): the cache is
+    * per-INSTANCE, so a mutation through a *second* ChunkStore
+    * constructed on the same path is invisible to this instance's
+    * cached catalog until this instance itself mutates. Every gated
+    * flow honors this — cloneTo/snapshot targets get fresh instances
+    * whose first catalog() builds fresh, and no declared path routes
+    * writes to one store through two live handles. A multi-writer
+    * deployment must key invalidation on a path-scoped epoch instead
+    * (compare an epoch file's mtime before serving the memo). */
   @volatile private var catalogCache: Option[DataFrame] = None
 
   private def invalidateCatalog(): Unit = {
